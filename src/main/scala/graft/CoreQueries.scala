@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.12 declared query corpus (Q1–Q20), implemented as idiomatic
+  * DataFrame programs. Each query has an identical-semantics ANSI SQL oracle
+  * (run by the driver in DuckDB over the same parquet) in [[CoreQueries.oracle]].
+  * Column aliases match the oracle exactly — the driver's compare sorts columns
+  * by name before hashing.
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 scan + project (full scan correctness)
+    "q1_scan_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q2 predicate algebra: AND/OR/NOT, IN, IS NULL, comparison
+    "q2_predicates" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(
+          (col("o_orderstatus").isin("F", "O") && !(col("o_totalprice") < 1000.0))
+            || col("o_orderpriority").isNull)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q3 literal conversion: timestamp literals vs timestamp column
+    "q3_literals" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'")
+          && col("l_shipdate") < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q4 metrics-pruned scan: result must equal unpruned filter
+    "q4_metrics_prune" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_partkey") === 42)
+        .agg(count(lit(1)).as("n"), min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+    }),
+
+    // Q5 partition-projection semantics (identity partition on event_type)
+    "q5_identity_partition" -> ((s, d) => {
+      t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Q6 column pruning
+    "q6_column_prune" -> ((s, d) => {
+      t(s, d, "customer").select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    }),
+
+    // Q7 bucket-routing volume proxy (byte-exact murmur3 bucket is a state test)
+    "q7_bucket_routing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy((col("l_orderkey") % 8).as("g"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("g")
+    }),
+
+    // Q8 truncate transform (floored, negative-safe) via graft's transform expr
+    "q8_truncate" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(functions.ice_truncate(10, col("l_partkey")).as("p_trunc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_trunc")
+    }),
+
+    // Q9 temporal transforms: year/month ordinals since epoch via graft exprs
+    "q9_time_transforms" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(
+          functions.ice_years(col("l_shipdate")).cast("bigint").as("year_ord"),
+          (functions.ice_months(col("l_shipdate")) % 12).cast("bigint").as("month_in_year"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("year_ord", "month_in_year")
+    }),
+
+    // Q10 MERGE equivalence via full-outer-join projection
+    "q10_merge_shape" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val e = t(s, d, "events")
+        .groupBy("user_id").agg(max("value").as("value"))
+      o.join(e, o("o_custkey") === e("user_id"), "full_outer")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey"),
+          round(coalesce(col("value"), col("o_totalprice")), 2).as("new_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q11 anti join (equality-delete / orphan-file semantics)
+    "q11_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // Q12 per-file metrics aggregation shape
+    "q12_metrics_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("value_count"),
+          sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_count"),
+          round(min("l_extendedprice"), 2).as("lower_b"),
+          round(max("l_extendedprice"), 2).as("upper_b"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q13 ScanSummary-style top-k partitions
+    "q13_topk_partitions" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("event_type"))
+        .limit(3)
+    }),
+
+    // Q14 PARTITIONS metadata-table aggregation shape
+    "q14_partitions_table" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("partition_key"))
+        .agg(count(lit(1)).as("record_count"),
+          countDistinct("o_orderpriority").as("distinct_pri"))
+        .orderBy("partition_key")
+    }),
+
+    // Q15 MERGE cardinality-check predicate
+    "q15_cardinality_check" -> ((s, d) => {
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select("n_regionkey")
+        .orderBy("n_regionkey")
+    }),
+
+    // Q16 sort-order write layout (observable as sorted read-back)
+    "q16_sort_order" -> ((s, d) => {
+      t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // Q17 EXCEPT (expire-snapshots file-diff shape)
+    "q17_except" -> ((s, d) => {
+      t(s, d, "customer").select("c_nationkey")
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("c_nationkey")))
+        .orderBy("c_nationkey")
+    }),
+
+    // Q18 INTERSECT (valid-file DF construction shape)
+    "q18_intersect" -> ((s, d) => {
+      t(s, d, "nation").select("n_nationkey")
+        .intersect(t(s, d, "customer").select(col("c_nationkey").as("n_nationkey")))
+        .orderBy("n_nationkey")
+    }),
+
+    // Q19 scalar mix: string/date/math dialect parity pin
+    "q19_scalar_mix" -> ((s, d) => {
+      t(s, d, "part")
+        .orderBy("p_partkey")
+        .select(
+          upper(substring(col("p_name"), 1, 3)).as("pfx"),
+          length(col("p_brand")).as("blen"),
+          abs(col("p_size") - 25).as("sz"),
+          round(col("p_retailprice") * 0.9, 2).as("disc"))
+    }),
+
+    // Q20 multi-way join + agg (TPC-H-ish pricing summary); nation broadcast
+    "q20_join_agg" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val n = t(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q2_predicates" ->
+      ("SELECT o_orderkey FROM orders " +
+        "WHERE (o_orderstatus IN ('F','O') AND NOT (o_totalprice < 1000.0)) OR o_orderpriority IS NULL " +
+        "ORDER BY o_orderkey"),
+    "q3_literals" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q4_metrics_prune" ->
+      "SELECT count(*) AS n, min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem WHERE l_partkey = 42",
+    "q5_identity_partition" ->
+      "SELECT event_type, count(*) AS n FROM events WHERE event_type = 'click' GROUP BY event_type ORDER BY event_type",
+    "q6_column_prune" ->
+      "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey",
+    "q7_bucket_routing" ->
+      "SELECT l_orderkey % 8 AS g, count(*) AS n FROM lineitem GROUP BY l_orderkey % 8 ORDER BY g",
+    "q8_truncate" ->
+      ("SELECT l_partkey - ((l_partkey % 10 + 10) % 10) AS p_trunc, count(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q9_time_transforms" ->
+      ("SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) - 1970 AS year_ord, " +
+        "CAST(extract(month FROM l_shipdate) AS BIGINT) - 1 AS month_in_year, count(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q10_merge_shape" ->
+      ("SELECT o.o_orderkey, round(coalesce(e.value, o.o_totalprice), 2) AS new_total " +
+        "FROM orders o FULL OUTER JOIN (SELECT user_id, max(value) AS value FROM events GROUP BY user_id) e " +
+        "ON o.o_custkey = e.user_id WHERE o.o_orderkey IS NOT NULL ORDER BY o.o_orderkey"),
+    "q11_anti_join" ->
+      ("SELECT c_custkey FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P') " +
+        "ORDER BY c_custkey"),
+    "q12_metrics_agg" ->
+      ("SELECT l_returnflag, count(*) AS value_count, " +
+        "sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count, " +
+        "round(min(l_extendedprice),2) AS lower_b, round(max(l_extendedprice),2) AS upper_b " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q13_topk_partitions" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3",
+    "q14_partitions_table" ->
+      ("SELECT o_orderstatus AS partition_key, count(*) AS record_count, count(DISTINCT o_orderpriority) AS distinct_pri " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q15_cardinality_check" ->
+      "SELECT n_regionkey FROM nation GROUP BY n_regionkey HAVING count(*) > 1 ORDER BY n_regionkey",
+    "q16_sort_order" ->
+      "SELECT s_suppkey, s_nationkey FROM supplier ORDER BY s_nationkey, s_suppkey",
+    "q17_except" ->
+      "SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY c_nationkey",
+    "q18_intersect" ->
+      "SELECT n_nationkey FROM nation INTERSECT SELECT c_nationkey FROM customer ORDER BY n_nationkey",
+    "q19_scalar_mix" ->
+      ("SELECT upper(substr(p_name, 1, 3)) AS pfx, length(p_brand) AS blen, " +
+        "abs(p_size - 25) AS sz, round(p_retailprice * 0.9, 2) AS disc " +
+        "FROM part ORDER BY p_partkey"),
+    "q20_join_agg" ->
+      ("SELECT n_name, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")
+  )
+}
