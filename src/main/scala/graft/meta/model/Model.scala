@@ -1,0 +1,145 @@
+package graft.meta.model
+
+import graft.meta.{PartitionSpec, Schema}
+
+/** Snapshot-tree metadata model (ref `core/.../TableMetadata.java:49`,
+  * `api/.../Snapshot.java`, `api/.../DataFile.java:42-64`,
+  * `api/.../ManifestFile.java`). Persisted as JSON ([[JsonCodecs]]):
+  *  - `v{N}.metadata.json` — the table metadata tree (small)
+  *  - `snap-{id}.manifestlist.json` — manifest list with partition summaries
+  *  - `manifest-{uuid}.jsonl` — one JSON line per file entry
+  * Avro→JSON is a deliberate re-expression (semantics, not format, are the
+  * contract); entries stay streamable line-per-file for big metadata.
+  */
+final case class DataFileMeta(
+    path: String,
+    format: String,
+    specId: Int,
+    /** Values aligned with the spec's fields, in internal repr. */
+    partition: Seq[Any],
+    recordCount: Long,
+    fileSizeBytes: Long,
+    valueCounts: Map[Int, Long] = Map.empty,
+    nullCounts: Map[Int, Long] = Map.empty,
+    nanCounts: Map[Int, Long] = Map.empty,
+    lowerBounds: Map[Int, Any] = Map.empty,
+    upperBounds: Map[Int, Any] = Map.empty,
+    splitOffsets: Seq[Long] = Nil,
+    sortOrderId: Int = 0,
+    /** Schema under which the file was written — read resolution is by field
+      * ID, so renamed columns still resolve (SURVEY §1.3). */
+    schemaId: Int = 0) extends Serializable
+
+object EntryStatus {
+  val Existing = 0
+  val Added = 1
+  val Deleted = 2
+}
+
+final case class ManifestEntry(
+    status: Int,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    dataFile: DataFileMeta) extends Serializable
+
+final case class FieldSummaryMeta(
+    containsNull: Boolean,
+    containsNan: Option[Boolean],
+    lowerBound: Option[Any],
+    upperBound: Option[Any]) extends Serializable
+
+final case class ManifestFileMeta(
+    path: String,
+    length: Long,
+    specId: Int,
+    addedSnapshotId: Long,
+    minSequenceNumber: Long,
+    addedFilesCount: Int,
+    existingFilesCount: Int,
+    deletedFilesCount: Int,
+    addedRowsCount: Long,
+    existingRowsCount: Long,
+    deletedRowsCount: Long,
+    partitionSummaries: Seq[FieldSummaryMeta]) extends Serializable {
+  def hasLiveFiles: Boolean = addedFilesCount + existingFilesCount > 0
+}
+
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMillis: Long,
+    operation: String,
+    summary: Map[String, String],
+    manifestList: String) extends Serializable
+
+object Operation {
+  val Append = "append"
+  val Replace = "replace"
+  val Overwrite = "overwrite"
+  val Delete = "delete"
+}
+
+final case class SortFieldMeta(sourceId: Int, transform: String,
+    ascending: Boolean, nullsFirst: Boolean) extends Serializable
+final case class SortOrderMeta(orderId: Int, fields: Seq[SortFieldMeta])
+    extends Serializable
+object SortOrderMeta { val unsorted: SortOrderMeta = SortOrderMeta(0, Nil) }
+
+final case class SnapshotLogEntry(timestampMillis: Long, snapshotId: Long)
+final case class MetadataLogEntry(timestampMillis: Long, file: String)
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMillis: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[Schema],
+    defaultSpecId: Int,
+    specs: Seq[PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Seq[SortOrderMeta],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[SnapshotMeta],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry]) extends Serializable {
+
+  def schema: Schema = schemas.find(_.schemaId == currentSchemaId).get
+  def spec: PartitionSpec = specs.find(_.specId == defaultSpecId).get
+  def specById(id: Int): PartitionSpec = specs.find(_.specId == id).get
+  def sortOrder: SortOrderMeta = sortOrders.find(_.orderId == defaultSortOrderId).get
+  def currentSnapshot: Option[SnapshotMeta] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def snapshot(id: Long): Option[SnapshotMeta] = snapshots.find(_.snapshotId == id)
+
+  def snapshotAsOf(timestampMillis: Long): Option[SnapshotMeta] =
+    snapshotLog.filter(_.timestampMillis <= timestampMillis).lastOption
+      .flatMap(e => snapshot(e.snapshotId))
+
+  def property(key: String, default: String): String = properties.getOrElse(key, default)
+
+  def withSnapshot(s: SnapshotMeta, nowMs: Long): TableMetadata = copy(
+    lastSequenceNumber = math.max(lastSequenceNumber, s.sequenceNumber),
+    lastUpdatedMillis = nowMs,
+    currentSnapshotId = Some(s.snapshotId),
+    snapshots = snapshots :+ s,
+    snapshotLog = snapshotLog :+ SnapshotLogEntry(nowMs, s.snapshotId))
+}
+
+object TableProperties {
+  val SplitSize = "read.split.target-size"
+  val SplitSizeDefault: Long = 128L * 1024 * 1024 // ref TableProperties.java:82
+  val TargetFileSize = "write.target-file-size-bytes"
+  val TargetFileSizeDefault: Long = 512L * 1024 * 1024 // ref :145
+  val CommitRetries = "commit.retry.num-retries"
+  val CommitRetriesDefault = 4 // ref :28
+  val DistributionMode = "write.distribution-mode" // none | hash | range
+  val FanoutEnabled = "write.spark.fanout.enabled"
+  val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
+  val MaxSnapshotAgeMsDefault: Long = 5L * 24 * 60 * 60 * 1000 // ref :166
+}

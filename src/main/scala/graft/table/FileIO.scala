@@ -1,0 +1,86 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Hadoop-FS file IO for metadata (works on local, HDFS, and HDFS-compatible
+  * stores). Commit atomicity (ref `core/.../hadoop/HadoopTableOperations.java`)
+  * comes from rename-without-overwrite; on the local FS we get a true CAS via
+  * hard-link creation, which atomically fails if the target exists.
+  */
+final class FileIO(@transient val conf: Configuration) extends Serializable {
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def readLines(path: String): Iterator[String] =
+    readString(path).linesIterator.filter(_.nonEmpty)
+
+  def writeString(path: String, content: String): Long = {
+    val p = new Path(path)
+    val out = fs(p).create(p, true)
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    try out.write(bytes) finally out.close()
+    bytes.length.toLong
+  }
+
+  /** Atomically publish `content` at `path`; returns false if `path` already
+    * exists (lost the race). */
+  def writeAtomic(path: String, content: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.exists(p)) return false
+    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID}.tmp")
+    writeString(tmp.toString, content)
+    try {
+      if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
+        val target = java.nio.file.Paths.get(p.toUri.getPath)
+        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try {
+          java.nio.file.Files.createLink(target, src)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        f.rename(tmp, p) // HDFS rename fails (returns false) when dest exists
+      }
+    } finally f.delete(tmp, false)
+  }
+
+  def exists(path: String): Boolean = { val p = new Path(path); fs(p).exists(p) }
+
+  def delete(path: String): Boolean = {
+    val p = new Path(path); fs(p).delete(p, false)
+  }
+
+  def deleteRecursive(path: String): Boolean = {
+    val p = new Path(path); fs(p).delete(p, true)
+  }
+
+  def mkdirs(path: String): Unit = { val p = new Path(path); fs(p).mkdirs(p) }
+
+  def listRecursive(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) return Nil
+    val out = ArrayBuffer[FileStatus]()
+    val it = f.listFiles(p, true)
+    while (it.hasNext) out += it.next()
+    out.toSeq
+  }
+
+  def list(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) Nil else f.listStatus(p).toSeq
+  }
+}

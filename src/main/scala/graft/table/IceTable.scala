@@ -1,0 +1,524 @@
+package graft.table
+
+import java.util.UUID
+
+import graft.meta.{PartitionSpec, Schema}
+import graft.meta.expr._
+import graft.meta.model._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** One planned file: the data file plus the filter residual left after
+  * partition pruning (ref `FileScanTask`). */
+final case class FileScanTask(file: DataFileMeta, residual: Expr)
+
+/** A graft table: immutable parquet data files + snapshot-tree JSON metadata,
+  * executed by Spark (SURVEY §1.4 rebuild mapping). All reads/writes are
+  * DataFrame programs; only planning/commit is driver-side Scala, and the
+  * driver never touches row data.
+  */
+final class IceTable private (val spark: SparkSession, val ops: TableOperations) {
+
+  def location: String = ops.location
+  def meta: TableMetadata = ops.current()._2
+  def schema: Schema = meta.schema
+  def spec: PartitionSpec = meta.spec
+  def io: FileIO = ops.io
+
+  private def retries(m: TableMetadata): Int =
+    m.property(TableProperties.CommitRetries, TableProperties.CommitRetriesDefault.toString).toInt
+
+  // ---------------------------------------------------------------- scan
+
+  def newScan(): TableScan = new TableScan(this)
+
+  /** Current-snapshot DataFrame (all columns). */
+  def toDF: DataFrame = newScan().toDF
+
+  // ---------------------------------------------------------------- write
+
+  /** Append `df` as a new snapshot. */
+  def append(df: DataFrame): Unit = {
+    val m = meta
+    val files = Writes.writeDataFiles(spark, this, m, df)
+    commitSnapshot(Operation.Append, files, Set.empty)
+  }
+
+  /** Overwrite rows matching `filter` with `df` (copy-on-write; ref
+    * `BaseOverwriteFiles`): whole files strictly matched are dropped, files
+    * partially matched are rewritten without the matching rows. */
+  def overwrite(filter: Expr, df: DataFrame): Unit =
+    RowOps.overwrite(this, filter, Option(df))
+
+  /** DELETE WHERE: metadata-only when file pruning can prove whole files
+    * match; otherwise copy-on-write (ref `SparkTable.canDeleteWhere`). */
+  def delete(filter: Expr): Unit = RowOps.overwrite(this, filter, None)
+
+  /** Dynamic partition overwrite: replace every partition touched by `df`
+    * (ref `BaseReplacePartitions`). */
+  def overwritePartitions(df: DataFrame): Unit = RowOps.overwritePartitions(this, df)
+
+  /** UPDATE SET: rewrite affected files with assignments applied where
+    * `filter` holds (ref `RewriteUpdate.scala`). */
+  def update(filter: Expr, assignments: Map[String, Column]): Unit =
+    RowOps.update(this, filter, assignments)
+
+  /** MERGE INTO builder, equi-joined on `keys` (ref `RewriteMergeInto.scala`). */
+  def merge(source: DataFrame, keys: Seq[String]): MergeBuilder =
+    new MergeBuilder(this, source, keys)
+
+  // ------------------------------------------------------------- snapshots
+
+  def snapshots: Seq[SnapshotMeta] = meta.snapshots
+  def currentSnapshot: Option[SnapshotMeta] = meta.currentSnapshot
+
+  def rollbackTo(snapshotId: Long): Unit = setCurrentSnapshot(snapshotId)
+
+  def setCurrentSnapshot(snapshotId: Long): Unit =
+    ops.commitWithRetry(retries(meta)) { base =>
+      require(base.snapshot(snapshotId).isDefined, s"Unknown snapshot: $snapshotId")
+      val nowMs = System.currentTimeMillis()
+      base.copy(currentSnapshotId = Some(snapshotId), lastUpdatedMillis = nowMs,
+        snapshotLog = base.snapshotLog :+ SnapshotLogEntry(nowMs, snapshotId))
+    }
+
+  def rollbackToTime(timestampMillis: Long): Unit = {
+    val snap = meta.snapshotAsOf(timestampMillis)
+      .getOrElse(throw new ValidationException(s"No snapshot as of $timestampMillis"))
+    setCurrentSnapshot(snap.snapshotId)
+  }
+
+  /** Re-apply the changes of `snapshotId` (an append) onto the current
+    * state — the WAP publish path (ref `SnapshotManager.cherrypick:164`). */
+  def cherrypick(snapshotId: Long): Unit = {
+    val m = meta
+    val snap = m.snapshot(snapshotId)
+      .getOrElse(throw new ValidationException(s"Unknown snapshot: $snapshotId"))
+    require(snap.operation == Operation.Append, "Can only cherry-pick appends")
+    val added = addedFiles(m, snap)
+    commitSnapshot(Operation.Append, added, Set.empty)
+  }
+
+  // ---------------------------------------------------------- incremental
+
+  /** Files appended in snapshot range (fromId, toId] (ref
+    * `IncrementalDataTableScan.java:57`). */
+  def appendsBetween(fromId: Long, toId: Long): DataFrame = {
+    val m = meta
+    val to = m.snapshot(toId).getOrElse(throw new ValidationException(s"Unknown: $toId"))
+    // walk lineage to collect snapshots in range
+    val lineage = Iterator.iterate(Option(to))(s =>
+        s.flatMap(_.parentId).flatMap(m.snapshot))
+      .takeWhile(s => s.isDefined && s.get.snapshotId != fromId)
+      .flatten.toSeq
+    require(lineage.lastOption.flatMap(_.parentId).contains(fromId) ||
+      lineage.isEmpty, s"$fromId is not an ancestor of $toId")
+    val files = lineage.filter(_.operation == Operation.Append)
+      .flatMap(s => addedFiles(m, s))
+    Reads.readFiles(spark, this, m, files.map(FileScanTask(_, TrueExpr)),
+      m.schema.columnNames, TrueExpr)
+  }
+
+  private def addedFiles(m: TableMetadata, snap: SnapshotMeta): Seq[DataFileMeta] = {
+    val manifests = readManifestList(m, snap)
+      .filter(_.addedSnapshotId == snap.snapshotId)
+    ManifestIO.readAll(io, manifests, m.schema, m.specById)
+      .flatMap(_._2)
+      .filter(e => e.status == EntryStatus.Added && e.snapshotId == snap.snapshotId)
+      .map(_.dataFile)
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private[table] def readManifestList(m: TableMetadata,
+      snap: SnapshotMeta): Seq[ManifestFileMeta] =
+    JsonCodecs.manifestListFromJson(io.readString(snap.manifestList), m.schema, m.specById)
+
+  private[table] def liveEntries(m: TableMetadata, snap: SnapshotMeta,
+      manifestFilter: ManifestFileMeta => Boolean = _ => true): Seq[ManifestEntry] =
+    ManifestIO.readAll(io, readManifestList(m, snap).filter(m0 =>
+        m0.hasLiveFiles && manifestFilter(m0)), m.schema, m.specById)
+      .flatMap(_._2).filter(_.status != EntryStatus.Deleted)
+
+  private[table] def newSnapshotId(): Long =
+    math.abs(UUID.randomUUID().getMostSignificantBits)
+
+  private[table] def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Core commit: new snapshot = (current live files − removedPaths) ∪ added.
+    * Carried manifests are kept untouched when they lose no files; touched
+    * ones are compacted into a rewrite manifest (ref
+    * `ManifestFilterManager.java:167`). Under concurrency, removal of a file
+    * that no longer exists fails validation (serializable isolation for
+    * overwrites; ref `BaseOverwriteFiles.java:98`).
+    */
+  private[table] def commitSnapshot(op: String, added: Seq[DataFileMeta],
+      removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty): Unit = {
+    val removedNorm = removedPaths.map(normPath)
+    ops.commitWithRetry(retries(meta)) { base =>
+      val nowMs = System.currentTimeMillis()
+      val snapId = newSnapshotId()
+      val seq = base.lastSequenceNumber + 1
+      val schema = base.schema
+      val mdir = s"$location/metadata"
+      val currentManifests: Seq[ManifestFileMeta] =
+        base.currentSnapshot.map(readManifestList(base, _)).getOrElse(Nil)
+
+      var removedCount = 0
+      var removedRows = 0L
+      val keptManifests: Seq[ManifestFileMeta] =
+        if (removedNorm.isEmpty) currentManifests
+        else currentManifests.flatMap { mf =>
+          val entries = ManifestIO.read(io, mf.path, schema, base.specById)
+            .filter(_.status != EntryStatus.Deleted)
+          val (rm, keep) = entries.partition(e => removedNorm.contains(normPath(e.dataFile.path)))
+          if (rm.isEmpty) Some(mf)
+          else {
+            removedCount += rm.size
+            removedRows += rm.map(_.dataFile.recordCount).sum
+            if (keep.isEmpty) None
+            else {
+              val spec = base.specById(mf.specId)
+              val path = s"$mdir/manifest-${UUID.randomUUID()}.jsonl"
+              val kept = keep.map(e => e.copy(status = EntryStatus.Existing))
+              Some(ManifestIO.write(io, path, kept, schema, spec))
+            }
+          }
+        }
+      if (removedNorm.nonEmpty && removedCount != removedNorm.size)
+        throw new ValidationException(
+          s"Missing required files to delete: expected ${removedNorm.size}, found $removedCount " +
+            "(concurrent commit removed or rewrote them)")
+
+      val addedManifest: Option[ManifestFileMeta] = if (added.isEmpty) None else {
+        val spec = base.spec
+        val path = s"$mdir/manifest-${UUID.randomUUID()}.jsonl"
+        val entries = added.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
+        Some(ManifestIO.write(io, path, entries, schema, spec))
+      }
+
+      val allManifests = addedManifest.toSeq ++ keptManifests
+      val listPath = s"$mdir/snap-$snapId.manifestlist.json"
+      io.writeString(listPath, JsonCodecs.manifestListToJson(allManifests, schema, base.specById))
+
+      val summary = Map(
+        "added-data-files" -> added.size.toString,
+        "added-records" -> added.map(_.recordCount).sum.toString,
+        "deleted-data-files" -> removedCount.toString,
+        "deleted-records" -> removedRows.toString,
+        "total-data-files" -> (allManifests.map(f =>
+          f.addedFilesCount + f.existingFilesCount).sum).toString) ++ extraSummary
+
+      base.withSnapshot(SnapshotMeta(snapId, base.currentSnapshotId, seq, nowMs,
+        op, summary, listPath), nowMs)
+    }
+  }
+}
+
+object IceTable {
+
+  def create(spark: SparkSession, location: String, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrderMeta = SortOrderMeta.unsorted,
+      properties: Map[String, String] = Map.empty): IceTable = {
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    val ops = new TableOperations(location, io)
+    require(!ops.exists, s"Table already exists: $location")
+    val nowMs = System.currentTimeMillis()
+    val m = TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMillis = nowMs,
+      lastColumnId = schema.highestFieldId,
+      currentSchemaId = schema.schemaId,
+      schemas = Seq(schema),
+      defaultSpecId = spec.specId,
+      specs = Seq(spec),
+      lastPartitionId = (999 +: spec.fields.map(_.fieldId)).max,
+      defaultSortOrderId = sortOrder.orderId,
+      sortOrders = Seq(sortOrder),
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil)
+    if (!ops.commit(0, m))
+      throw new CommitFailedException(s"Concurrent create at $location")
+    new IceTable(spark, ops)
+  }
+
+  def load(spark: SparkSession, location: String): IceTable = {
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    val ops = new TableOperations(location, io)
+    if (!ops.exists) throw new NoSuchTableException(s"No table at $location")
+    new IceTable(spark, ops)
+  }
+
+  def exists(spark: SparkSession, location: String): Boolean =
+    new TableOperations(location,
+      new FileIO(spark.sparkContext.hadoopConfiguration)).exists
+}
+
+/** Scan builder (ref `api/.../TableScan.java`): filter + projection +
+  * snapshot selection, planned through the pruning cascade
+  * manifest-summaries → partition values → file metrics → residual
+  * (SURVEY §3.1). */
+final class TableScan private[table] (table: IceTable) {
+  private var filterExpr: Expr = TrueExpr
+  private var projection: Option[Seq[String]] = None
+  private var snapshotId: Option[Long] = None
+  private var asOfMillis: Option[Long] = None
+
+  def filter(e: Expr): TableScan = { filterExpr = And(filterExpr, e); this }
+  def filter(sql: String): TableScan =
+    filter(SparkFilterConv.convert(
+      org.apache.spark.sql.graft.ColumnBridge.parseExpression(table.spark, sql)))
+  def select(cols: String*): TableScan = { projection = Some(cols); this }
+  def useSnapshot(id: Long): TableScan = { snapshotId = Some(id); this }
+  def asOfTime(timestampMillis: Long): TableScan = { asOfMillis = Some(timestampMillis); this }
+
+  private def chooseSnapshot(m: TableMetadata): Option[SnapshotMeta] =
+    snapshotId.map(id => m.snapshot(id).getOrElse(
+        throw new ValidationException(s"Unknown snapshot: $id")))
+      .orElse(asOfMillis.map(ts => m.snapshotAsOf(ts).getOrElse(
+        throw new ValidationException(s"No snapshot as of $ts"))))
+      .orElse(m.currentSnapshot)
+
+  def planFiles(): Seq[FileScanTask] = {
+    val m = table.meta
+    val schema = m.schema
+    chooseSnapshot(m) match {
+      case None => Nil
+      case Some(snap) =>
+        val bound = Binder.bind(schema, filterExpr)
+        if (bound == FalseExpr) return Nil
+        // 1. manifest pruning by partition-range summaries
+        val manifestOk: ManifestFileMeta => Boolean = { mf =>
+          val spec = m.specById(mf.specId)
+          ManifestEvaluator.eval(spec, schema, bound,
+            mf.partitionSummaries.map(s => ManifestEvaluator.FieldSummary(
+              s.containsNull, s.containsNan, s.lowerBound, s.upperBound)))
+        }
+        val entries = table.liveEntries(m, snap, manifestOk)
+        // per-spec caches of the projected partition predicate + residuals
+        val inclCache = scala.collection.mutable.Map[Int, Expr]()
+        val residualCache = scala.collection.mutable.Map[(Int, Seq[Any]), Expr]()
+        entries.iterator.flatMap { e =>
+          val f = e.dataFile
+          val spec = m.specById(f.specId)
+          val partPred = inclCache.getOrElseUpdate(f.specId,
+            Projections.inclusive(spec, schema, bound))
+          val partLookup: Int => Any = { fid =>
+            val i = spec.fields.indexWhere(_.fieldId == fid)
+            if (i >= 0) f.partition(i) else null
+          }
+          // 2. partition-value pruning
+          if (!RowEvaluator.eval(partPred, partLookup)) None
+          // 3. file-metrics pruning
+          else if (!InclusiveMetricsEvaluator.eval(bound, Reads.statsOf(f))) None
+          else {
+            // 4. residual for this partition
+            val residual = residualCache.getOrElseUpdate((f.specId, f.partition),
+              ResidualEvaluator.residual(spec, schema, bound, partLookup))
+            if (residual == FalseExpr) None
+            else Some(FileScanTask(f, residual))
+          }
+        }.toSeq
+    }
+  }
+
+  def toDF: DataFrame = {
+    val m = table.meta
+    val cols = projection.getOrElse(m.schema.columnNames)
+    Reads.readFiles(table.spark, table, m, planFiles(), cols, Binder.bind(m.schema, filterExpr))
+  }
+}
+
+/** File-group reading with field-ID based schema resolution. */
+private[table] object Reads {
+
+  def statsOf(f: DataFileMeta): MetricsSource = new MetricsSource {
+    def rowCount: Long = f.recordCount
+    def valueCount(id: Int): Option[Long] = f.valueCounts.get(id)
+    def nullCount(id: Int): Option[Long] = f.nullCounts.get(id)
+    def nanCount(id: Int): Option[Long] = f.nanCounts.get(id)
+    def lower(id: Int): Option[Any] = f.lowerBounds.get(id)
+    def upper(id: Int): Option[Any] = f.upperBounds.get(id)
+  }
+
+  def readFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
+      tasks: Seq[FileScanTask], projection: Seq[String], boundFilter: Expr): DataFrame = {
+    val schema = m.schema
+    val projected = StructType(projection.map(n => schema.struct(schema.struct.fieldIndex(n))))
+    if (tasks.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], projected)
+    }
+    val allResidualTrue = tasks.forall(_.residual == TrueExpr)
+    // group by writer schema: resolve columns by field ID across renames
+    val groups = tasks.groupBy(_.file.schemaId)
+    val dfs = groups.toSeq.map { case (schemaId, group) =>
+      val writeSchema = m.schemas.find(_.schemaId == schemaId).getOrElse(schema)
+      val df = spark.read.schema(writeSchema.struct)
+        .parquet(group.map(_.file.path): _*)
+      val mapped = projection.map { name =>
+        val id = schema.fieldId(name)
+        writeSchema.idToName.get(id) match {
+          case Some(oldName) => col(oldName).as(name)
+          case None =>
+            org.apache.spark.sql.functions.lit(null)
+              .cast(schema.fieldType(id)).as(name)
+        }
+      }
+      // filter in the writer-schema name space (pushdown-friendly), then map
+      val filtered =
+        if (allResidualTrue || boundFilter == TrueExpr) df
+        else df.filter(SparkConv.toColumn(renameToWriter(boundFilter, writeSchema), writeSchema))
+      filtered.select(mapped: _*)
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
+  /** Rewrite bound predicate names to the writer schema's names (IDs fixed). */
+  private def renameToWriter(e: Expr, writeSchema: Schema): Expr = e match {
+    case And(l, r) => And(renameToWriter(l, writeSchema), renameToWriter(r, writeSchema))
+    case Or(l, r) => Or(renameToWriter(l, writeSchema), renameToWriter(r, writeSchema))
+    case Not(c) => Not(renameToWriter(c, writeSchema))
+    case p: BoundPred => writeSchema.idToName.get(p.fieldId) match {
+      case Some(n) => p.copy(name = n)
+      case None => TrueExpr // column didn't exist yet: value is null ⇒ conservative keep
+    }
+    case other => other
+  }
+}
+
+/** Data-file writing: hidden-partition routing via derived `_p_*` columns +
+  * `partitionBy` (files keep every table column), distribution/ordering from
+  * the table spec (ref `SparkPartitionedWriter`,
+  * `DistributionAndOrderingUtils.scala:75`), metrics from parquet footers.
+  */
+private[table] object Writes {
+
+  val HelperPrefix = "_p_"
+
+  def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
+      df: DataFrame): Seq[DataFileMeta] = {
+    val schema = m.schema
+    val spec = m.spec
+    // align to table schema (names must match; types are cast)
+    val aligned = df.select(schema.struct.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val outDir = s"${table.location}/data/${UUID.randomUUID()}"
+
+    if (spec.isUnpartitioned) {
+      sorted(m, schema, aligned, Nil).write.parquet(outDir)
+    } else {
+      val helperCols = spec.fields.map { pf =>
+        val srcName = schema.fieldName(pf.sourceId)
+        pf.transform.toColumn(col(srcName), schema.fieldType(pf.sourceId))
+          .as(HelperPrefix + pf.name)
+      }
+      val helperNames = spec.fields.map(pf => HelperPrefix + pf.name)
+      val withHelpers = aligned.withColumns(
+        helperNames.zip(helperCols).toMap)
+      val mode = m.property(TableProperties.DistributionMode, "hash")
+      val fanout = m.property(TableProperties.FanoutEnabled, "false").toBoolean
+      val distributed = mode match {
+        case _ if fanout => withHelpers
+        case "hash" => withHelpers.repartition(helperNames.map(col): _*)
+        case "range" => withHelpers.repartitionByRange(
+          (helperNames.map(col) ++ sortCols(m, schema)): _*)
+        case _ => withHelpers
+      }
+      sorted(m, schema, distributed, helperNames)
+        .write.partitionBy(helperNames: _*).parquet(outDir)
+    }
+    collectDataFiles(spark, table, m, outDir)
+  }
+
+  private def sortCols(m: TableMetadata, schema: Schema): Seq[Column] =
+    m.sortOrder.fields.map { sf =>
+      val src = schema.fieldName(sf.sourceId)
+      val t = graft.meta.transforms.Transform.parse(sf.transform)
+      val c = t.toColumn(col(src), schema.fieldType(sf.sourceId))
+      val dir = if (sf.ascending) c.asc else c.desc
+      if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
+      else (if (sf.ascending) c.asc_nulls_last else c.desc_nulls_last)
+    }
+
+  private def sorted(m: TableMetadata, schema: Schema, df: DataFrame,
+      helperNames: Seq[String]): DataFrame = {
+    val sc = sortCols(m, schema)
+    if (sc.isEmpty) df
+    else df.sortWithinPartitions((helperNames.map(col) ++ sc): _*)
+  }
+
+  /** List written files, parse partition values from hive-style paths, read
+    * footers for metrics. */
+  def collectDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
+      outDir: String): Seq[DataFileMeta] = {
+    val schema = m.schema
+    val spec = m.spec
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = table.io.listRecursive(outDir)
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+    files.map { st =>
+      val path = st.getPath.toString
+      val rel = path.stripPrefix(outDir).stripPrefix("/")
+      val partValues: Seq[Any] = if (spec.isUnpartitioned) Nil else {
+        val dirs = rel.split('/').dropRight(1)
+          .filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k.stripPrefix(HelperPrefix) -> ExternalCatalogUtils.unescapePathName(v)
+          }.toMap
+        spec.fields.map { pf =>
+          val raw = dirs.getOrElse(pf.name,
+            throw new IllegalStateException(s"No partition dir for ${pf.name} in $rel"))
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else parsePartitionValue(raw, spec.fieldType(schema, pf))
+        }
+      }
+      val metrics = ParquetMetrics.read(conf, path, schema)
+      DataFileMeta(
+        path = path,
+        format = "parquet",
+        specId = spec.specId,
+        partition = partValues,
+        recordCount = metrics.recordCount,
+        fileSizeBytes = st.getLen,
+        valueCounts = metrics.valueCounts,
+        nullCounts = metrics.nullCounts,
+        nanCounts = metrics.nanCounts,
+        lowerBounds = metrics.lowerBounds,
+        upperBounds = metrics.upperBounds,
+        splitOffsets = metrics.splitOffsets,
+        sortOrderId = m.defaultSortOrderId,
+        schemaId = m.currentSchemaId)
+    }
+  }
+
+  private def parsePartitionValue(raw: String, t: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    t match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case StringType => raw
+      case BooleanType => raw.toBoolean
+      case FloatType => raw.toFloat
+      case DoubleType => raw.toDouble
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        graft.meta.expr.Literals.convert(raw.replace(' ', 'T')
+          .replaceAll("(?i)\\.0$", ""), t)
+      case dt: DecimalType => new java.math.BigDecimal(raw).setScale(dt.scale)
+      case other => throw new IllegalArgumentException(s"Cannot parse partition value: $other")
+    }
+  }
+}

@@ -1,0 +1,239 @@
+package graft.table
+
+import graft.meta.expr._
+import graft.meta.model._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write row-level operations as DataFrame programs
+  * (ref `spark3-extensions/.../RewriteDelete.scala`, `RewriteUpdate.scala`,
+  * `RewriteMergeInto.scala`, and the metadata-only path of
+  * `SparkTable.canDeleteWhere` + `StrictMetricsEvaluator`).
+  */
+private[table] object RowOps {
+
+  /** DELETE (df=None) / overwrite-by-filter (df=Some): files whose every row
+    * matches are dropped metadata-only; partially-matching files are
+    * rewritten keeping rows where the condition is not TRUE (null-safe,
+    * like ref's `Not(EqualNullSafe(cond, true))`). */
+  def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame]): Unit = {
+    val m = table.meta
+    val schema = m.schema
+    val bound = Binder.bind(schema, filter)
+    val tasks = table.newScan().filter(filter).planFiles()
+    val (whole, partial) = tasks.partition { t =>
+      val spec = m.specById(t.file.specId)
+      val partLookup: Int => Any = { fid =>
+        val i = spec.fields.indexWhere(_.fieldId == fid)
+        if (i >= 0) t.file.partition(i) else null
+      }
+      RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
+        StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
+    }
+    val rewritten: Seq[DataFileMeta] =
+      if (partial.isEmpty) Nil
+      else {
+        val df = Reads.readFiles(table.spark, table, m,
+          partial.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+        val keep = df.filter(!(SparkConv.toColumn(bound, schema) <=> lit(true)))
+        Writes.writeDataFiles(table.spark, table, m, keep)
+          .filter(_.recordCount > 0)
+      }
+    val added = rewritten ++
+      replacement.map(r => Writes.writeDataFiles(table.spark, table, m, r)).getOrElse(Nil)
+    val removed = tasks.map(_.file.path).toSet
+    if (removed.isEmpty && added.isEmpty) return // no-op delete
+    val op = if (replacement.isEmpty) Operation.Delete else Operation.Overwrite
+    table.commitSnapshot(op, added, removed,
+      Map("metadata-only-deleted-files" -> whole.size.toString))
+  }
+
+  /** Dynamic partition overwrite (ref `BaseReplacePartitions`): write the
+    * incoming data, then atomically swap out every live file in a touched
+    * partition. */
+  def overwritePartitions(table: IceTable, df: DataFrame): Unit = {
+    val m = table.meta
+    require(m.spec.isPartitioned, "overwritePartitions requires a partitioned table")
+    val written = Writes.writeDataFiles(table.spark, table, m, df)
+    val touched = written.map(_.partition).toSet
+    val removed = m.currentSnapshot.map { snap =>
+      table.liveEntries(m, snap)
+        .filter(e => e.dataFile.specId == m.defaultSpecId &&
+          touched.contains(e.dataFile.partition))
+        .map(_.dataFile.path).toSet
+    }.getOrElse(Set.empty)
+    table.commitSnapshot(Operation.Overwrite, written, removed,
+      Map("replaced-partitions" -> touched.size.toString))
+  }
+
+  /** UPDATE SET: single-job rewrite of affected files with
+    * `If(cond, newValue, oldValue)` projections (ref
+    * `RewriteUpdate.scala:55`). */
+  def update(table: IceTable, filter: Expr, assignments: Map[String, Column]): Unit = {
+    val m = table.meta
+    val schema = m.schema
+    assignments.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
+    val bound = Binder.bind(schema, filter)
+    val tasks = table.newScan().filter(filter).planFiles()
+    if (tasks.isEmpty) return
+    val df = Reads.readFiles(table.spark, table, m,
+      tasks.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+    val cond = SparkConv.toColumn(bound, schema) <=> lit(true)
+    val updated = df.select(schema.columnNames.map { n =>
+      assignments.get(n) match {
+        case Some(v) => when(cond, v.cast(schema.fieldType(schema.fieldId(n))))
+          .otherwise(col(n)).as(n)
+        case None => col(n)
+      }
+    }: _*)
+    val written = Writes.writeDataFiles(table.spark, table, m, updated)
+      .filter(_.recordCount > 0)
+    table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet)
+  }
+}
+
+/** MERGE INTO as a DataFrame program (ref `RewriteMergeInto.scala:65-174`,
+  * `MergeIntoExec.scala:78`): dynamic file filter → join by key → first-
+  * matching-clause-wins projection → CoW commit. Source columns are exposed
+  * to clause conditions/values as `_s_<name>`.
+  *
+  * {{{
+  * table.merge(source, keys = Seq("id"))
+  *   .whenMatchedDelete(Some(col("_s_op") === "D"))
+  *   .whenMatchedUpdateAll()
+  *   .whenNotMatchedInsertAll()
+  *   .execute()
+  * }}}
+  */
+final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
+    keys: Seq[String]) {
+
+  private sealed trait Clause { def cond: Option[Column] }
+  private case class UpdateClause(cond: Option[Column], set: Map[String, Column]) extends Clause
+  private case class DeleteClause(cond: Option[Column]) extends Clause
+  private case class InsertClause(cond: Option[Column], values: Map[String, Column]) extends Clause
+
+  private var clauses: Vector[Clause] = Vector.empty
+
+  private def srcCol(n: String): Column = col(MergeBuilder.SourcePrefix + n)
+
+  def whenMatchedUpdate(set: Map[String, Column], cond: Option[Column] = None): MergeBuilder = {
+    clauses :+= UpdateClause(cond, set); this
+  }
+  def whenMatchedUpdateAll(cond: Option[Column] = None): MergeBuilder = {
+    val schema = table.schema
+    val set = schema.columnNames.filterNot(keys.contains)
+      .map(n => n -> srcCol(n)).toMap
+    clauses :+= UpdateClause(cond, set); this
+  }
+  def whenMatchedDelete(cond: Option[Column] = None): MergeBuilder = {
+    clauses :+= DeleteClause(cond); this
+  }
+  def whenNotMatchedInsert(values: Map[String, Column], cond: Option[Column] = None): MergeBuilder = {
+    clauses :+= InsertClause(cond, values); this
+  }
+  def whenNotMatchedInsertAll(cond: Option[Column] = None): MergeBuilder = {
+    val values = table.schema.columnNames
+      .map(n => n -> (if (keys.contains(n)) srcCol(n) else srcCol(n))).toMap
+    clauses :+= InsertClause(cond, values); this
+  }
+
+  def execute(): Unit = {
+    require(keys.nonEmpty, "merge requires join keys (use merge(source, keys))")
+    val spark = table.spark
+    val m = table.meta
+    val schema = m.schema
+    val matchedClauses = clauses.collect { case c: UpdateClause => c; case c: DeleteClause => c }
+    val insertClauses = clauses.collect { case c: InsertClause => c }
+    val insertOnly = matchedClauses.isEmpty
+
+    // source with non-key columns prefixed; key columns present both raw (for
+    // the join) and prefixed (for projections)
+    val src = source.columns.foldLeft(source) { (df, c) =>
+      df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
+    }
+
+    // 1. dynamic file filter: restrict the rewrite to files containing matches
+    val allTasks = table.newScan().planFiles()
+    val targetWithFile = table.toDF.withColumn("_gf_file", input_file_name())
+    val matchedFiles: Set[String] =
+      if (insertOnly) Set.empty
+      else targetWithFile.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select("_gf_file").distinct().collect()
+        .map(r => table.normPath(r.getString(0))).toSet
+    val affectedTasks = allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+
+    // 2. cardinality check (ref RewriteRowLevelOperationHelper:115): a target
+    // row may match at most one source row unless the merge is insert-only
+    if (!insertOnly) {
+      val dupKeys = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        .join(table.toDF.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      if (dupKeys.limit(1).count() > 0)
+        throw new ValidationException(
+          "MERGE cardinality violation: a target row matches more than one source row")
+    }
+
+    // 3. join affected target rows with the source
+    val affected = Reads.readFiles(spark, table, m,
+      affectedTasks.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+    val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
+    val s = src.drop(source.columns.filterNot(keys.contains): _*)
+      .withColumn(MergeBuilder.FromSource, lit(true))
+    val joined = t.join(s, keys, if (insertOnly) "right_outer" else "full_outer")
+    val matched = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNotNull
+    val sourceOnly = col(MergeBuilder.FromTarget).isNull && col(MergeBuilder.FromSource).isNotNull
+
+    // 4. first-matching-clause-wins dispatch: keep? and per-column projection
+    def clauseCond(c: Clause, base: Column): Column =
+      c.cond.map(base && _).getOrElse(base)
+    val keepCol = {
+      val mk = matchedClauses.foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+        c match {
+          case DeleteClause(cc) => acc.when(clauseCond(c, matched), lit(false))
+          case _: UpdateClause => acc.when(clauseCond(c, matched), lit(true))
+          case _ => acc
+        }
+      }
+      val withInsert = insertClauses.foldLeft(mk) { (acc, c) =>
+        acc.when(clauseCond(c, sourceOnly), lit(true))
+      }
+      // unmatched target rows pass through; unmatched-by-clause source rows drop
+      withInsert.otherwise(col(MergeBuilder.FromTarget).isNotNull)
+    }
+    def colProjection(n: String): Column = {
+      val base = matchedClauses.foldLeft(when(lit(false), lit(null))) { (acc, c) =>
+        c match {
+          case UpdateClause(cc, set) =>
+            acc.when(clauseCond(c, matched), set.getOrElse(n, col(n)))
+          case DeleteClause(_) => acc.when(clauseCond(c, matched), col(n))
+          case _ => acc
+        }
+      }
+      val withInsert = insertClauses.foldLeft(base) { (acc, c) =>
+        acc.when(clauseCond(c, sourceOnly),
+          c.asInstanceOf[InsertClause].values.getOrElse(n, lit(null)))
+      }
+      withInsert.otherwise(col(n))
+        .cast(schema.fieldType(schema.fieldId(n))).as(n)
+    }
+    val result = joined
+      .withColumn(MergeBuilder.Keep, keepCol)
+      .filter(col(MergeBuilder.Keep))
+      .select(schema.columnNames.map(colProjection): _*)
+
+    // 5. write + atomic swap of the affected files
+    val written = Writes.writeDataFiles(spark, table, m, result)
+      .filter(_.recordCount > 0)
+    table.commitSnapshot(Operation.Overwrite, written,
+      affectedTasks.map(_.file.path).toSet,
+      Map("merge-matched-files" -> matchedFiles.size.toString))
+  }
+}
+
+object MergeBuilder {
+  val SourcePrefix = "_s_"
+  private val FromTarget = "_gf_from_target"
+  private val FromSource = "_gf_from_source"
+  private val Keep = "_gf_keep"
+}

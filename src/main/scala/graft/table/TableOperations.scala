@@ -1,0 +1,75 @@
+package graft.table
+
+import graft.meta.model.{JsonCodecs, MetadataLogEntry, TableMetadata}
+
+import org.apache.hadoop.conf.Configuration
+
+class CommitFailedException(msg: String) extends RuntimeException(msg)
+class ValidationException(msg: String) extends RuntimeException(msg)
+class NoSuchTableException(msg: String) extends RuntimeException(msg)
+
+/** Versioned metadata pointer with optimistic CAS commit (ref
+  * `core/.../hadoop/HadoopTableOperations.java` + the retry loop of
+  * `core/.../SnapshotProducer.java:270`). Metadata lives at
+  * `<location>/metadata/v{N}.metadata.json`; `version-hint.text` caches the
+  * latest N (advisory — the scan fallback is authoritative).
+  */
+final class TableOperations(val location: String, val io: FileIO) {
+  private def metadataDir = s"$location/metadata"
+  private def metadataFile(v: Int) = s"$metadataDir/v$v.metadata.json"
+  private def versionHint = s"$metadataDir/version-hint.text"
+
+  def exists: Boolean = currentVersion() > 0
+
+  def currentVersion(): Int = {
+    val hinted =
+      if (io.exists(versionHint)) {
+        try io.readString(versionHint).trim.toInt catch { case _: Exception => 0 }
+      } else 0
+    // roll forward past a stale hint (hint update is best-effort)
+    var v = math.max(hinted, 0)
+    if (v == 0 && !io.exists(metadataFile(1))) return 0
+    if (v == 0) v = 1
+    while (io.exists(metadataFile(v + 1))) v += 1
+    if (io.exists(metadataFile(v))) v else 0
+  }
+
+  def current(): (Int, TableMetadata) = {
+    val v = currentVersion()
+    if (v == 0) throw new NoSuchTableException(s"No table at $location")
+    (v, JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v))))
+  }
+
+  def currentOption(): Option[(Int, TableMetadata)] =
+    if (exists) Some(current()) else None
+
+  /** CAS-commit `meta` as version `expectedVersion + 1`. */
+  def commit(expectedVersion: Int, meta: TableMetadata): Boolean = {
+    val nowMs = System.currentTimeMillis()
+    val withLog =
+      if (expectedVersion == 0) meta
+      else meta.copy(metadataLog = meta.metadataLog :+
+        MetadataLogEntry(nowMs, metadataFile(expectedVersion)))
+    io.mkdirs(metadataDir)
+    val ok = io.writeAtomic(metadataFile(expectedVersion + 1),
+      JsonCodecs.tableMetadataToJson(withLog))
+    if (ok) io.writeString(versionHint, (expectedVersion + 1).toString)
+    ok
+  }
+
+  /** Optimistic retry loop (ref `Tasks.foreach` w/ 4 retries + backoff). */
+  def commitWithRetry(retries: Int)(update: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val (version, base) = current()
+      val newMeta = update(base)
+      if (commit(version, newMeta)) return newMeta
+      attempt += 1
+      if (attempt > retries)
+        throw new CommitFailedException(
+          s"Commit failed after $retries retries at $location (version $version)")
+      Thread.sleep(math.min(100L << attempt, 2000L))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Parse a SQL boolean/scalar expression into a catalyst tree (Spark 4's
+    * `functions.expr` defers parsing into a lazy SqlExpression node). */
+  def parseExpression(spark: org.apache.spark.sql.SparkSession, sql: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sql)
 }

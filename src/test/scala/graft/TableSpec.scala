@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.meta.{PartitionSpec, Schema}
+import graft.meta.expr.Exprs._
+import graft.meta.model.SortOrderMeta
+import graft.table.{IceTable, ValidationException}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private def tmpLoc(): String =
+    Files.createTempDirectory("graft-table-").toString + "/t"
+
+  private lazy val lineitem: DataFrame =
+    Tables.load(spark, sf0001, "lineitem").cache()
+  private lazy val orders: DataFrame =
+    Tables.load(spark, sf0001, "orders").cache()
+
+  test("create + append + full scan round-trip (unpartitioned)") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(lineitem.schema))
+    t.append(lineitem)
+    assert(t.toDF.count() === lineitem.count())
+    // snapshot recorded
+    assert(t.snapshots.size === 1)
+    assert(t.currentSnapshot.get.operation === "append")
+    // metrics present: a selective filter prunes all files when out of range
+    val none = t.newScan().filter(equalTo("l_orderkey", -1)).planFiles()
+    assert(none.isEmpty)
+  }
+
+  test("bucket-partitioned append: pruning is correct and effective") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(lineitem.schema)
+    val spec = PartitionSpec.builderFor(schema).bucket("l_orderkey", 8).build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(lineitem)
+    val all = t.newScan().planFiles()
+    assert(all.size === 8) // hash distribution → one file per bucket
+    // eq filter hits exactly one bucket
+    val one = t.newScan().filter(equalTo("l_orderkey", 1L)).planFiles()
+    assert(one.size === 1)
+    // differential: pruned scan result == plain Spark filter on source
+    val got = t.newScan().filter(equalTo("l_orderkey", 1L)).toDF
+      .select("l_orderkey", "l_linenumber").orderBy("l_linenumber").collect()
+    val exp = lineitem.filter(col("l_orderkey") === 1L)
+      .select("l_orderkey", "l_linenumber").orderBy("l_linenumber").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("day-partitioned orders: time pruning + residual") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).day("o_orderdate").build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(orders)
+    val all = t.newScan().planFiles()
+    val filtered = t.newScan()
+      .filter(and(greaterThanOrEqual("o_orderdate", "1995-01-01 00:00:00"),
+        lessThan("o_orderdate", "1996-01-01 00:00:00")))
+    assert(filtered.planFiles().size < all.size)
+    val got = filtered.toDF.agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    val exp = orders.filter(col("o_orderdate") >= "1995-01-01"
+      && col("o_orderdate") < "1996-01-01")
+      .agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    assert(got.getLong(0) === exp.getLong(0))
+    assert(math.abs(got.getDouble(1) - exp.getDouble(1)) < 1e-6)
+  }
+
+  test("time travel + incremental appendsBetween") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    val (first, second) = (orders.limit(100), orders.orderBy(desc("o_orderkey")).limit(50))
+    t.append(first)
+    val snap1 = t.currentSnapshot.get.snapshotId
+    t.append(second)
+    val snap2 = t.currentSnapshot.get.snapshotId
+    assert(t.toDF.count() === 150)
+    assert(t.newScan().useSnapshot(snap1).toDF.count() === 100)
+    assert(t.appendsBetween(snap1, snap2).count() === 50)
+    t.rollbackTo(snap1)
+    assert(t.toDF.count() === 100)
+    t.setCurrentSnapshot(snap2)
+    assert(t.toDF.count() === 150)
+  }
+
+  test("metadata-only delete drops whole partitions without rewriting") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).identity("o_orderstatus").build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(orders)
+    val before = t.newScan().planFiles().map(_.file.path).toSet
+    val expected = orders.filter(col("o_orderstatus") =!= "F").count()
+    t.delete(equalTo("o_orderstatus", "F"))
+    assert(t.toDF.count() === expected)
+    // metadata-only: every surviving file already existed
+    val after = t.newScan().planFiles().map(_.file.path).toSet
+    assert(after.subsetOf(before))
+    assert(t.currentSnapshot.get.summary("metadata-only-deleted-files").toInt > 0)
+  }
+
+  test("copy-on-write delete rewrites only affected rows") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(lineitem.schema))
+    t.append(lineitem)
+    val expected = lineitem.filter(!(col("l_quantity") > 45.0)).count()
+    t.delete(greaterThan("l_quantity", 45.0))
+    assert(t.toDF.count() === expected)
+    assert(t.toDF.filter(col("l_quantity") > 45.0).count() === 0)
+  }
+
+  test("update rewrites matching rows") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders)
+    t.update(equalTo("o_orderstatus", "F"),
+      Map("o_totalprice" -> lit(0.0), "o_orderpriority" -> lit("0-CLEARED")))
+    val updated = t.toDF.filter(col("o_orderstatus") === "F")
+    assert(updated.filter(col("o_totalprice") =!= 0.0).count() === 0)
+    assert(updated.filter(col("o_orderpriority") =!= "0-CLEARED").count() === 0)
+    val untouched = t.toDF.filter(col("o_orderstatus") =!= "F")
+    val exp = orders.filter(col("o_orderstatus") =!= "F")
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(untouched.agg(sum("o_totalprice")).collect()(0).getDouble(0) - exp) < 1e-6)
+  }
+
+  test("merge: update + delete + insert with first-match-wins") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    import spark.implicits._
+    val existing = orders.limit(100).select("o_orderkey").as[Long].collect().toSet
+    // source: 50 updates (halve price), 10 deletes, 20 inserts
+    val toUpdate = orders.limit(50).withColumn("op", lit("U"))
+    val toDelete = orders.limit(60).orderBy("o_orderkey")
+      .limit(60).exceptAll(orders.limit(50)).limit(10).withColumn("op", lit("D"))
+    val inserts = orders.orderBy(desc("o_orderkey")).limit(20)
+      .filter(!col("o_orderkey").isin(existing.toSeq: _*)).withColumn("op", lit("I"))
+    val source = toUpdate.unionByName(toDelete).unionByName(inserts)
+      .withColumn("o_totalprice", col("o_totalprice") / 2)
+    val nDel = toDelete.count(); val nIns = inserts.count()
+    t.merge(source, Seq("o_orderkey"))
+      .whenMatchedDelete(Some(col("_s_op") === "D"))
+      .whenMatchedUpdate(Map("o_totalprice" -> col("_s_o_totalprice")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(t.toDF.count() === 100 - nDel + nIns)
+    // updated rows have halved price
+    val one = orders.limit(1).select("o_orderkey", "o_totalprice").collect()(0)
+    val got = t.toDF.filter(col("o_orderkey") === one.getLong(0))
+      .select("o_totalprice").collect()(0).getDouble(0)
+    assert(math.abs(got - one.getDouble(1) / 2) < 1e-6)
+  }
+
+  test("merge cardinality violation raises") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(10))
+    val dup = orders.limit(1).unionAll(orders.limit(1))
+    intercept[ValidationException] {
+      t.merge(dup, Seq("o_orderkey")).whenMatchedUpdateAll().execute()
+    }
+  }
+
+  test("dynamic partition overwrite replaces touched partitions only") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).identity("o_orderstatus").build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(orders)
+    val replacement = orders.filter(col("o_orderstatus") === "F").limit(5)
+    t.overwritePartitions(replacement)
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 5)
+    val others = orders.filter(col("o_orderstatus") =!= "F").count()
+    assert(t.toDF.filter(col("o_orderstatus") =!= "F").count() === others)
+  }
+
+  test("schema evolution: rename + add survives old files (ID resolution)") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.limit(20).schema))
+    t.append(orders.limit(20))
+    // rename a column + add a new one via a metadata-only commit
+    val m0 = t.meta
+    val s1 = new graft.meta.UpdateSchema(m0.schema, m0.lastColumnId)
+      .renameColumn("o_totalprice", "total").addColumn("note",
+        org.apache.spark.sql.types.StringType).apply()
+    t.ops.commitWithRetry(3)(base => base.copy(
+      currentSchemaId = s1.schemaId, schemas = base.schemas :+ s1,
+      lastColumnId = s1.highestFieldId))
+    val df = t.toDF
+    assert(df.columns.contains("total") && df.columns.contains("note"))
+    // old files resolve renamed column by field ID
+    val exp = orders.limit(20).agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(df.agg(sum("total")).collect()(0).getDouble(0) - exp) < 1e-6)
+    assert(df.filter(col("note").isNotNull).count() === 0)
+    // filter on renamed column still prunes + evaluates against old files
+    val cnt = t.newScan().filter(greaterThan("total", 1000.0)).toDF.count()
+    val expCnt = orders.limit(20).filter(col("o_totalprice") > 1000.0).count()
+    assert(cnt === expCnt)
+  }
+
+  test("concurrent appends both land via retry") {
+    val loc = tmpLoc()
+    val t1 = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    val t2 = IceTable.load(spark, loc)
+    t1.append(orders.limit(10))
+    t2.append(orders.limit(5)) // stale handle: must refresh+retry internally
+    assert(IceTable.load(spark, loc).toDF.count() === 15)
+    assert(t1.snapshots.size === 2)
+  }
+
+  test("sort-order write produces sorted files") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(lineitem.schema)
+    val order = SortOrderMeta(1, Seq(graft.meta.model.SortFieldMeta(
+      schema.fieldId("l_orderkey"), "identity", ascending = true, nullsFirst = false)))
+    val t = IceTable.create(spark, loc, schema, sortOrder = order)
+    t.append(lineitem)
+    // each file individually sorted by l_orderkey
+    t.newScan().planFiles().foreach { task =>
+      val vals = spark.read.parquet(task.file.path)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSeq
+      assert(vals === vals.sorted)
+    }
+  }
+}
