@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.table.IceTable
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming integration (ref `spark3/.../source/SparkMicroBatchStream.java`,
+  * `SparkWrite.java:156` StreamingAppend): the source side is an
+  * offset-checkpointed incremental reader over the snapshot log (offsets are
+  * snapshot ids — ref `StreamingOffset.java:33`); the sink side is a
+  * `foreachBatch` appender made idempotent by recording (queryId, epochId) in
+  * the snapshot summary, exactly like the ref skips replayed epochs.
+  */
+object Streaming {
+
+  /** Sink for `df.writeStream.foreachBatch(Streaming.appendSink(table, "q1"))`:
+    * appends each epoch once, skipping epochs already committed (replays
+    * after restart). */
+  def appendSink(table: IceTable, queryId: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => appendOnce(table, queryId, batch, epochId)
+
+  def appendOnce(table: IceTable, queryId: String, batch: DataFrame, epochId: Long): Unit = {
+    val committed = lastCommittedEpoch(table, queryId)
+    if (committed.exists(_ >= epochId)) return // replayed epoch: skip
+    table.append(batch,
+      Map("streaming-query-id" -> queryId, "streaming-epoch-id" -> epochId.toString))
+  }
+
+  def lastCommittedEpoch(table: IceTable, queryId: String): Option[Long] =
+    table.meta.snapshots.reverseIterator
+      .find(_.summary.get("streaming-query-id").contains(queryId))
+      .flatMap(_.summary.get("streaming-epoch-id")).map(_.toLong)
+
+  /** Micro-batch incremental reader: each `next()` returns the rows appended
+    * since the checkpointed snapshot (or everything on first call), advancing
+    * the offset only when `commit()` is called — at-least-once, exactly-once
+    * when paired with [[appendSink]]'s idempotent epochs. */
+  final class IncrementalReader(table: IceTable, checkpointPath: String) {
+    private def io = table.io
+
+    def currentOffset: Option[Long] =
+      if (io.exists(checkpointPath)) Some(io.readString(checkpointPath).trim.toLong)
+      else None
+
+    /** (batch, endOffset); empty when caught up. */
+    def next(): Option[(DataFrame, Long)] = {
+      val m = table.meta
+      val end = m.currentSnapshotId.getOrElse(return None)
+      currentOffset match {
+        case Some(from) if from == end => None
+        case Some(from) => Some((table.appendsBetween(from, end), end))
+        case None => Some((table.toDF, end))
+      }
+    }
+
+    def commit(offset: Long): Unit = io.writeString(checkpointPath, offset.toString)
+  }
+}

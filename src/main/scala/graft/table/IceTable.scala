@@ -42,11 +42,28 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   // ---------------------------------------------------------------- write
 
   /** Append `df` as a new snapshot. */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = append(df, Map.empty)
+
+  def append(df: DataFrame, summary: Map[String, String]): Unit = {
     val m = meta
     val files = Writes.writeDataFiles(spark, this, m, df)
-    commitSnapshot(Operation.Append, files, Set.empty)
+    commitSnapshot(Operation.Append, files, Set.empty, summary)
   }
+
+  // ---------------------------------------------------------- maintenance
+
+  /** Metadata table by name: snapshots, history, manifests, entries, files,
+    * partitions, all_* (ref `MetadataTableType.java`). */
+  def metadataTable(name: String): DataFrame = MetadataTables(this, name)
+
+  def expireSnapshots(olderThanMillis: Long): (Int, Long, Long) =
+    Maintenance.expireSnapshots(this, olderThanMillis)
+  def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3 * 24 * 3600 * 1000L): Seq[String] =
+    Maintenance.removeOrphanFiles(this, olderThanMillis)
+  def rewriteDataFiles(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
+      minInputFiles: Int = 2): (Int, Int) =
+    Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles)
+  def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
 
   /** Overwrite rows matching `filter` with `df` (copy-on-write; ref
     * `BaseOverwriteFiles`): whole files strictly matched are dropped, files

@@ -1,0 +1,148 @@
+package graft.table
+
+import graft.meta.model._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's 9 metadata tables exposed relationally (ref
+  * `core/.../MetadataTableType.java:24-33`, `PartitionsTable.java:74`):
+  * SNAPSHOTS, HISTORY, MANIFESTS, FILES, ENTRIES, PARTITIONS and the ALL_*
+  * variants (all snapshots, not just current). Built as DataFrames from the
+  * metadata tree; PARTITIONS is a groupBy over entries.
+  */
+object MetadataTables {
+
+  def snapshots(t: IceTable): DataFrame = {
+    val m = t.meta
+    val rows = m.snapshots.map(s => Row(s.snapshotId, s.parentId.orNull,
+      s.sequenceNumber, new java.sql.Timestamp(s.timestampMillis), s.operation,
+      s.summary, s.manifestList))
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("operation", StringType),
+        StructField("summary", MapType(StringType, StringType)),
+        StructField("manifest_list", StringType))))
+  }
+
+  def history(t: IceTable): DataFrame = {
+    val m = t.meta
+    val ancestors = Iterator.iterate(m.currentSnapshot)(s =>
+        s.flatMap(_.parentId).flatMap(m.snapshot))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    val rows = m.snapshotLog.map(e => Row(
+      new java.sql.Timestamp(e.timestampMillis), e.snapshotId,
+      m.snapshot(e.snapshotId).flatMap(_.parentId).orNull,
+      ancestors.contains(e.snapshotId)))
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("made_current_at", TimestampType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType),
+        StructField("is_current_ancestor", BooleanType, nullable = false))))
+  }
+
+  def manifests(t: IceTable): DataFrame = {
+    val m = t.meta
+    val mfs = m.currentSnapshot.map(t.readManifestList(m, _)).getOrElse(Nil)
+    manifestsDF(t, mfs)
+  }
+
+  def allManifests(t: IceTable): DataFrame = {
+    val m = t.meta
+    val mfs = m.snapshots.flatMap(s =>
+      try t.readManifestList(m, s) catch { case _: Exception => Nil })
+      .distinctBy(_.path)
+    manifestsDF(t, mfs)
+  }
+
+  private def manifestsDF(t: IceTable, mfs: Seq[ManifestFileMeta]): DataFrame = {
+    val rows = mfs.map(f => Row(f.path, f.length, f.specId, f.addedSnapshotId,
+      f.addedFilesCount, f.existingFilesCount, f.deletedFilesCount,
+      f.addedRowsCount, f.existingRowsCount, f.deletedRowsCount))
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("partition_spec_id", IntegerType, nullable = false),
+        StructField("added_snapshot_id", LongType, nullable = false),
+        StructField("added_data_files_count", IntegerType, nullable = false),
+        StructField("existing_data_files_count", IntegerType, nullable = false),
+        StructField("deleted_data_files_count", IntegerType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = false),
+        StructField("existing_rows_count", LongType, nullable = false),
+        StructField("deleted_rows_count", LongType, nullable = false))))
+  }
+
+  def entries(t: IceTable): DataFrame = entriesDF(t, allSnapshots = false)
+  def allEntries(t: IceTable): DataFrame = entriesDF(t, allSnapshots = true)
+  def files(t: IceTable): DataFrame =
+    entriesDF(t, allSnapshots = false).filter("status != 2")
+  def allFiles(t: IceTable): DataFrame =
+    entriesDF(t, allSnapshots = true).filter("status != 2")
+
+  private def entriesDF(t: IceTable, allSnapshots: Boolean): DataFrame = {
+    val m = t.meta
+    val snaps = if (allSnapshots) m.snapshots else m.currentSnapshot.toSeq
+    val mfs = snaps.flatMap(s =>
+      try t.readManifestList(m, s) catch { case _: Exception => Nil })
+      .distinctBy(_.path)
+    val es = ManifestIO.readAll(t.io, mfs, m.schema, m.specById).flatMap(_._2)
+    val live = if (allSnapshots) es else es.filter(_.status != EntryStatus.Deleted)
+    val rows = live.map { e =>
+      val f = e.dataFile
+      val partStr = m.specById(f.specId).fields.zip(f.partition)
+        .map { case (pf, v) => s"${pf.name}=${String.valueOf(v)}" }.mkString("/")
+      Row(e.status, e.snapshotId, e.sequenceNumber, f.path, f.format, f.specId,
+        partStr, f.recordCount, f.fileSizeBytes,
+        f.valueCounts.map { case (k, v) => (k, v) },
+        f.nullCounts.map { case (k, v) => (k, v) },
+        f.lowerBounds.map { case (k, v) => (k, String.valueOf(v)) },
+        f.upperBounds.map { case (k, v) => (k, String.valueOf(v)) })
+    }
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, math.max(1, rows.size / 10000)),
+      StructType(Seq(
+        StructField("status", IntegerType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("spec_id", IntegerType, nullable = false),
+        StructField("partition", StringType),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("value_counts", MapType(IntegerType, LongType)),
+        StructField("null_value_counts", MapType(IntegerType, LongType)),
+        StructField("lower_bounds", MapType(IntegerType, StringType)),
+        StructField("upper_bounds", MapType(IntegerType, StringType)))))
+  }
+
+  /** Per-partition record/file counts (ref `PartitionsTable.java:74-96`). */
+  def partitions(t: IceTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files(t).groupBy("partition")
+      .agg(sum("record_count").as("record_count"), count(lit(1)).as("file_count"))
+      .orderBy("partition")
+  }
+
+  def apply(t: IceTable, name: String): DataFrame = name.toLowerCase match {
+    case "snapshots" => snapshots(t)
+    case "history" => history(t)
+    case "manifests" => manifests(t)
+    case "all_manifests" => allManifests(t)
+    case "entries" => entries(t)
+    case "all_entries" => allEntries(t)
+    case "files" | "data_files" => files(t)
+    case "all_data_files" | "all_files" => allFiles(t)
+    case "partitions" => partitions(t)
+    case other => throw new IllegalArgumentException(s"Unknown metadata table: $other")
+  }
+}

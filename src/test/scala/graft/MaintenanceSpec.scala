@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.meta.{PartitionSpec, Schema}
+import graft.streaming.Streaming
+import graft.table.IceTable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private def tmpLoc(): String =
+    Files.createTempDirectory("graft-maint-").toString + "/t"
+
+  private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
+
+  test("compaction bin-packs small files and preserves data") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    (1 to 5).foreach(i => t.append(orders.limit(100 * i).repartition(3)))
+    val before = t.newScan().planFiles().size
+    assert(before >= 15)
+    val total = t.toDF.count()
+    val (rewritten, added) = t.rewriteDataFiles(targetSizeBytes = 512L * 1024 * 1024)
+    assert(rewritten === before)
+    assert(added < before)
+    assert(t.toDF.count() === total)
+    assert(t.currentSnapshot.get.operation === "replace")
+  }
+
+  test("expire snapshots deletes unreachable files, keeps current state") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    t.delete(graft.meta.expr.Exprs.lessThan("o_orderkey", 1000L)) // rewrites files
+    val total = t.toDF.count()
+    val dataFilesBefore = t.io.listRecursive(s"$loc/data")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val (expired, dataDeleted, _) = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(expired === 1)
+    assert(dataDeleted > 0)
+    assert(t.toDF.count() === total)
+    val dataFilesAfter = t.io.listRecursive(s"$loc/data")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFilesAfter === dataFilesBefore - dataDeleted)
+    // time travel to expired snapshot now fails cleanly
+    assert(t.snapshots.size === 1)
+  }
+
+  test("orphan file removal deletes only unreferenced files") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(50))
+    // plant an orphan
+    val orphan = s"$loc/data/orphan-file.parquet"
+    orders.limit(3).coalesce(1).write.parquet(s"$loc/data/_orphan_tmp")
+    val planted = t.io.listRecursive(s"$loc/data/_orphan_tmp")
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath.toString
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(removed.exists(_.contains("_orphan_tmp")))
+    assert(t.toDF.count() === 50) // table intact
+  }
+
+  test("rewriteManifests compacts to one manifest per spec") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    (1 to 4).foreach(_ => t.append(orders.limit(20)))
+    assert(t.metadataTable("manifests").count() === 4)
+    val n = t.rewriteManifests()
+    assert(n === 1)
+    assert(t.toDF.count() === 80)
+  }
+
+  test("metadata tables: snapshots/files/partitions/history/manifests/entries") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).identity("o_orderstatus").build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(orders)
+    t.append(orders.limit(10))
+    assert(t.metadataTable("snapshots").count() === 2)
+    assert(t.metadataTable("history").count() === 2)
+    val files = t.metadataTable("files")
+    assert(files.count() === t.newScan().planFiles().size)
+    val parts = t.metadataTable("partitions").collect()
+    assert(parts.map(_.getLong(1)).sum === orders.count() + 10)
+    assert(t.metadataTable("manifests").count() === 2)
+    assert(t.metadataTable("entries").count() === files.count())
+    // differential: partitions table record counts match groupBy on source
+    val exp = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    parts.foreach { r =>
+      val status = r.getString(0).split("=")(1)
+      val base = exp(status)
+      val extra = orders.limit(10).filter(col("o_orderstatus") === status).count()
+      assert(r.getLong(1) === base + extra)
+    }
+  }
+
+  test("streaming: idempotent epoch sink + incremental reader") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    val sink = Streaming.appendSink(t, "q1")
+    sink(orders.limit(10), 0L)
+    sink(orders.limit(5), 1L)
+    sink(orders.limit(5), 1L) // replay: must be skipped
+    assert(t.toDF.count() === 15)
+    assert(Streaming.lastCommittedEpoch(t, "q1") === Some(1L))
+    val reader = new Streaming.IncrementalReader(t, s"$loc/checkpoint.txt")
+    val (b1, off1) = reader.next().get
+    assert(b1.count() === 15) // first call: everything
+    reader.commit(off1)
+    assert(reader.next().isEmpty) // caught up
+    sink(orders.limit(7), 2L)
+    val (b2, off2) = reader.next().get
+    assert(b2.count() === 7) // only the new epoch
+    reader.commit(off2)
+    assert(reader.next().isEmpty)
+  }
+}
