@@ -1,0 +1,179 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators declared as oracle-checked queries
+  * over the `documents`/`embeddings` test tables (SURVEY §7 item 10; graded
+  * as first-class operators). Oracles are DuckDB SQL with identical
+  * semantics; probabilistic ops (minhash/simhash/LSH-ANN) where the oracle
+  * can't be expressed get rows-only checks here plus recall assertions in
+  * LlmSpec.
+  */
+object LlmQueries {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val AnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups by raw text
+    "llm_dedup_exact" -> ((s, d) => {
+      Dedup.exactDupGroups(docs(s, d), "doc_id", col("text"))
+        .orderBy("keep_id")
+    }),
+
+    // brute-force 3-gram jaccard near-dup pairs (exact oracle baseline)
+    "llm_dedup_ngram" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH pairs: recall 1 at jaccard≈1 with 8×2 banding on this
+    // corpus, so it matches the same exact-pairs oracle
+    "llm_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashLshPairs(docs(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (hash-family specific — rows-only check;
+    // correctness asserted against ngram ground truth in LlmSpec)
+    "llm_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dup pairs
+    "llm_dedup_embed" -> ((s, d) => {
+      Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact ANN baseline: cosine top-5 for 5 query vectors
+    "llm_ann_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding", AnnQueryIds, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (approximate — rows-only; recall vs exact in LlmSpec)
+    "llm_ann_lsh" -> ((s, d) => {
+      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", AnnQueryIds, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // text statistics: token counts (whitespace + BPE-ish), punct ratio
+    "llm_text_stats" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
+          round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic distribution against the labeled lang column
+    "llm_langid" -> ((s, d) => {
+      docs(s, d).select(col("lang"), TextOps.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // quality scoring
+    "llm_quality" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // whitespace-normalized md5 fingerprint
+    "llm_fingerprint" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: binary payload column + size/checksum metadata (the
+    // SQL-checkable half; stubbed decode fields are state-tested)
+    "llm_mm_meta" -> ((s, d) => {
+      val packed = Multimodal.packFakeMedia(docs(s, d), "text")
+      Multimodal.extractMeta(packed, "media")
+        .select(col("doc_id"), col("meta.size_bytes").as("size_bytes"),
+          col("meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-dialect oracles (driver runs them in DuckDB only). */
+  val oracle: Map[String, String] = {
+    val shingles =
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks)-1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |   ELSE [] END) sh FROM t)""".stripMargin.replace("\n", " ")
+    val pairSql =
+      s"""$shingles SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         | FROM s a, s b WHERE a.doc_id < b.doc_id
+         |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+    Map(
+      "llm_dedup_exact" ->
+        ("SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents " +
+          "GROUP BY text ORDER BY keep_id"),
+      "llm_dedup_ngram" -> pairSql,
+      "llm_dedup_minhash" -> pairSql,
+      "llm_dedup_embed" ->
+        ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +
+          "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+          "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 " +
+          "ORDER BY id_a, id_b"),
+      "llm_ann_topk" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+          "FROM embeddings WHERE vec_id IN (0,1,2,3,4)) " +
+          "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS INT) AS rank, " +
+          "e.vec_id AS neighbor_id, " +
+          "round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
+          "FROM q, embeddings e WHERE e.vec_id != q.query_id " +
+          "QUALIFY rank <= 5 ORDER BY query_id, rank"),
+      "llm_text_stats" ->
+        ("SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens, " +
+          "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +
+          "round(CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) " +
+          "/ greatest(length(text), 1), 4) AS punct_ratio " +
+          "FROM documents ORDER BY doc_id"),
+      "llm_langid" -> {
+        def hits(words: Seq[String]) =
+          s"len(list_intersect(string_split(lower(text), ' '), [${words.map("'" + _ + "'").mkString(",")}]))"
+        val en = hits(TextOps.EnStop); val de = hits(TextOps.DeStop)
+        val es = hits(TextOps.EsStop); val fr = hits(TextOps.FrStop)
+        s"SELECT lang, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+          s"WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en' " +
+          s"WHEN $de >= $es AND $de >= $fr THEN 'de' " +
+          s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS pred, count(*) AS n " +
+          "FROM documents GROUP BY 1, 2 ORDER BY lang, pred"
+      },
+      "llm_quality" ->
+        ("SELECT doc_id, round((" +
+          "(CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) + " +
+          "(CASE WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) + " +
+          "(CASE WHEN CAST(length(text) AS DOUBLE) / greatest(len(string_split(lower(text), ' ')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+          ") / 3.0, 4) AS quality FROM documents ORDER BY doc_id"),
+      "llm_fingerprint" ->
+        ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+          "FROM documents ORDER BY doc_id"),
+      "llm_mm_meta" ->
+        ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, " +
+          "substr(lower(hex(encode(text))), 1, 8) AS checksum " +
+          "FROM documents ORDER BY doc_id")
+      // llm_dedup_simhash / llm_ann_lsh: hash-family-specific → rows-only
+    )
+  }
+}

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (NEW; SURVEY §7 item 10). Shapes are chosen for
+  * 100 TB: exact dedup is one hash shuffle; MinHash/SimHash candidate
+  * generation is banded so the only join is an equi-join on band buckets
+  * (shuffle-bounded, no cross joins); the brute-force pair generators exist
+  * as oracles/verifiers for small-to-medium inputs.
+  */
+object Dedup {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  // functions.shiftleft/shiftright only take Int shift amounts; these accept columns
+  private def shiftR(c: Column, n: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      ColumnBridge.expression(c), ColumnBridge.expression(n)))
+  private def shiftL(c: Column, n: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      ColumnBridge.expression(c), ColumnBridge.expression(n)))
+
+  /** Exact dedup: keep the lowest-id row per distinct value of `on`.
+    * One hash shuffle; at scale prefer this groupBy form over windows. */
+  def exactDedup(df: DataFrame, idCol: String, on: Column): DataFrame = {
+    val w = Window.partitionBy(on).orderBy(col(idCol))
+    df.withColumn("_gf_rn", row_number().over(w))
+      .filter(col("_gf_rn") === 1).drop("_gf_rn")
+  }
+
+  /** Per-duplicate-group stats: keeper id + member count. */
+  def exactDupGroups(df: DataFrame, idCol: String, on: Column): DataFrame =
+    df.groupBy(on.as("_gf_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+      .drop("_gf_key")
+
+  /** Brute-force word-n-gram Jaccard pairs ≥ `threshold` (exact; O(n²) —
+    * the verification oracle. Use [[minHashLshPairs]] at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min over
+    * shingles of a seeded xxhash64. Pure expressions — no UDF, no shuffle. */
+  def minHashSignature(textCol: Column, n: Int, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => coalesce(
+        array_min(transform(TextOps.shingles(textCol, n),
+          s => xxhash64(concat(s, lit("#"), i.cast("string"))))),
+        lit(Long.MaxValue)))
+
+  /** MinHash + LSH banding near-dup pairs (shingle → minhash → band →
+    * bucket equi-join → exact-Jaccard verification; the canonical
+    * shuffle-bounded shape). With bands×rowsPerBand hashes, a pair with
+    * Jaccard j is caught with prob 1-(1-j^rows)^bands. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("sh"),
+      minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(
+          concat_ws(",", transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))),
+          b.cast("string"))))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i is the sign of the sum of
+    * ±1 contributions from each token's hash bit i. Single expression tree
+    * (aggregate over tokens), no shuffle. */
+  def simHash64(textCol: Column): Column = {
+    val toks = TextOps.tokens(textCol)
+    val counters = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(shiftR(h, i.cast("int")).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, shiftL(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit LSH bands on the fingerprint, verified
+    * by Hamming distance ≤ `maxHamming` (bit_count of xor). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
+    val banded = withSim.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => shiftR(col("simhash"), (b * 16).cast("int")).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Brute-force embedding-cosine near-dup pairs ≥ `threshold` (exact;
+    * use [[Similarity.lshBuckets]]-style banding at scale). */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("sim", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Drop the higher id of every near-dup pair from `df`. */
+  def removeDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (NEW — no reference
+  * counterpart; SURVEY §7 build item 10). All pure `functions._` Column
+  * expressions: codegen'd, shuffle-free, 100 TB-safe (per-row work only).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct word n-gram shingles. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: alpha runs, single digits, punctuation marks each
+    * count as one token (a cheap stand-in for subword tokenizers). */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+
+  /** Ratio of non-alphanumeric-non-space chars to all chars. */
+  def punctRatio(c: Column): Column =
+    regexp_count(lower(c), lit("[^a-z0-9 ]")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en", "que", "los", "por")
+  val FrStop: Seq[String] = Seq("le", "la", "de", "et", "est", "un", "en", "que", "les", "pour")
+
+  private def stopHits(c: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens(c), array(words.map(lit): _*)))
+
+  /** Ratio of distinct english stopwords present to tokens. */
+  def stopwordRatio(c: Column): Column =
+    stopHits(c, EnStop).cast("double") / greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** n-gram/stopword language-ID heuristic: CJK charset ⇒ zh, else the
+    * stoplist with the most distinct hits (precedence en>de>es>fr on ties). */
+  def langId(c: Column): Column = {
+    val en = stopHits(c, EnStop); val de = stopHits(c, DeStop)
+    val es = stopHits(c, EsStop); val fr = stopHits(c, FrStop)
+    when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Heuristic quality score in [0,1]: length band + punctuation sanity +
+    * mean word length band (the usual cheap pre-filters before model-based
+    * scoring). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val meanLen = length(c).cast("double") / greatest(nTok, lit(1.0))
+    val lengthOk = when(nTok >= 10 && nTok <= 10000, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(meanLen >= 2.0 && meanLen <= 12.0, 1.0).otherwise(0.0)
+    round((lengthOk + punctOk + wordOk) / 3.0, 4)
+  }
+
+  /** Whitespace-normalized content fingerprint (md5). Exact-dup detection
+    * robust to whitespace differences. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  /** Winnowing-style rolling-hash fingerprint set (k-gram char windows, keep
+    * window minima) — driver for near-dup sketching; plain Scala for tests
+    * and a Column variant via shingle hashing. */
+  def rollingFingerprints(text: String, k: Int = 8, window: Int = 4): Set[Long] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return Set(graft.meta.transforms.Murmur3.hashBytes(
+      s.getBytes("UTF-8")).toLong)
+    val hashes = (0 to s.length - k).map(i =>
+      graft.meta.transforms.Murmur3.hashBytes(s.substring(i, i + k).getBytes("UTF-8")).toLong)
+    hashes.sliding(window).map(_.min).toSet
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private lazy val docs = Tables.load(spark, sf001, "documents").cache()
+  private lazy val embs = Tables.load(spark, sf001, "embeddings").cache()
+
+  test("minhash LSH finds every strong near-dup pair (recall vs brute force)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 2, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact) // near-dups here are j≈0.99 ⇒ recall 1; no false pos after verify
+  }
+
+  test("simhash catches near-identical docs with low hamming distance") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall of ${exact.size} pairs")
+  }
+
+  test("LSH ANN recall vs brute-force top-5") {
+    val qids = LlmQueries.AnnQueryIds
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map { q =>
+      exact(q).count(approx.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 = $mean (per-query $recalls)")
+  }
+
+  test("removeDuplicates drops exactly the higher ids of verified pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val dupIds = pairs.select("id_b").distinct().count()
+    val kept = Dedup.removeDuplicates(docs, "doc_id", pairs)
+    assert(kept.count() === docs.count() - dupIds)
+  }
+
+  test("exactDedup keeps one row per key") {
+    val df = docs.select(col("doc_id"), (col("doc_id") % 7).as("k"))
+    val d = Dedup.exactDedup(df, "doc_id", col("k"))
+    assert(d.count() === 7)
+    assert(d.agg(max("doc_id")).collect()(0).getLong(0) === 6)
+  }
+
+  test("multimodal: stubbed decode plumbing produces typed metadata + frames") {
+    val packed = Multimodal.packFakeMedia(docs.limit(20), "text")
+    val meta = Multimodal.extractMeta(packed, "media")
+    val rows = meta.select("doc_id", "meta.kind", "meta.size_bytes",
+      "meta.width", "meta.height", "meta.checksum").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getString(1) === "image/fake")
+      assert(r.getLong(2) > 0)
+      assert(r.getInt(3) >= 16 && r.getInt(3) < 256)
+      assert(r.getString(5).length === 8)
+    }
+    // deterministic: second run identical
+    val again = Multimodal.extractMeta(packed, "media")
+      .select("doc_id", "meta.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getInt(3)))
+    // frame sampling: every 2nd 100-byte frame
+    val frames = Multimodal.sampleFrames(packed, "media", frameBytes = 100, everyN = 2)
+    val f = frames.select("doc_id", "frame_idx", "frame").collect()
+    assert(f.forall(_.getInt(1) % 2 === 0))
+    assert(f.forall(r => r.getAs[Array[Byte]](2).length <= 100))
+  }
+
+  test("rolling fingerprints: identical normalized text → identical sketch") {
+    val a = TextOps.rollingFingerprints("the  quick\tbrown fox")
+    val b = TextOps.rollingFingerprints("the quick brown fox")
+    assert(a === b)
+    val c = TextOps.rollingFingerprints("a completely different document body")
+    assert(a !== c)
+  }
+
+  test("langid heuristic is deterministic and covers all labels") {
+    val preds = docs.select(TextOps.langId(col("text")).as("p"))
+      .groupBy("p").count().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+}
