@@ -1,24 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.meta.Schema
+import graft.table.IceTable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BENCH harness (BASELINE.md measurement plan): headline shapes — full
+  * scan, metrics-pruned read, multi-join agg, merge shape, LLM dedup/ANN —
+  * median of 5 after 2 warmups; engine ops (append write, CoW merge,
+  * compaction) timed once on a scratch table. Prints ONE JSON line.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.size / 2)
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def consume(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // --- repeated query shapes: 2 warmups + median of 5 ---
+    val repeated: Seq[(String, String)] = Seq(
+      "q1_full_scan" -> "q1_scan_project",
+      "q4_pruned_read" -> "q4_metrics_prune",
+      "q20_join_agg" -> "q20_join_agg",
+      "q10_merge_shape" -> "q10_merge_shape",
+      "llm_minhash_dedup" -> "llm_dedup_minhash",
+      "llm_ann_topk" -> "llm_ann_topk")
+    repeated.foreach { case (label, q) =>
+      val fn = SparkEntry.queries(q)
+      (1 to 2).foreach(_ => consume(fn(spark, sfDir)))
+      results(label) = median((1 to 5).map(_ => time(consume(fn(spark, sfDir)))))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- engine ops on a scratch table (timed once; IO-bound) ---
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val loc = java.nio.file.Files.createTempDirectory("graft-bench-").toString
+    val t = IceTable.create(spark, s"$loc/t", Schema.fresh(li.schema))
+    results("append_write") = time(t.append(li))
+    val src = li.limit((li.count() / 10).toInt)
+      .withColumn("l_quantity", col("l_quantity") + 1)
+      .dropDuplicates("l_orderkey", "l_linenumber")
+    results("cow_merge") = time {
+      t.merge(src, Seq("l_orderkey", "l_linenumber")).whenMatchedUpdateAll().execute()
+    }
+    (1 to 4).foreach(_ => t.append(li.limit(20000).repartition(4)))
+    results("compaction") = time(t.rewriteDataFiles())
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(loc), true)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,12 +50,15 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min over
-    * shingles of a seeded xxhash64. Pure expressions — no UDF, no shuffle. */
-  def minHashSignature(textCol: Column, n: Int, numHashes: Int): Column =
+  /** MinHash signature from a shingle-array column: for each of `numHashes`
+    * hash functions, the min over shingles of a seeded xxhash64. Pure
+    * expressions — no UDF, no shuffle. Pass a *materialized* shingle column
+    * (not the shingle expression itself) or Catalyst will inline the shingle
+    * computation into all `numHashes` lambdas. */
+  def minHashSignature(shCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => coalesce(
-        array_min(transform(TextOps.shingles(textCol, n),
+        array_min(transform(shCol,
           s => xxhash64(concat(s, lit("#"), i.cast("string"))))),
         lit(Long.MaxValue)))
 
@@ -67,10 +70,18 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), n).as("sh"),
-      minHashSignature(col(textCol), n, numHashes).as("sig"))
-    val banded = sig.select(col("id"), col("sh"),
+    // the repartition is a deliberate optimization barrier: without it,
+    // CollapseProject inlines the shingle+signature expressions into every
+    // band reference (exponential expression blowup); with it, signatures
+    // materialize once and the three consumers share a ReusedExchange
+    val base = df.select(col(idCol).as("id"),
+        TextOps.shingles(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val shDF = base.select(col("id"), col("sh"))
+    // bands carry only (id, band, bucket) — shingle arrays don't ride the
+    // candidate-generation shuffle
+    val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(
           concat_ws(",", transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
@@ -81,10 +92,11 @@ object Dedup {
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(shDF.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shDF.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
