@@ -75,6 +75,10 @@ object JsonCodecs {
     node.put("path", f.path).put("format", f.format).put("spec-id", f.specId)
     node.put("record-count", f.recordCount).put("file-size", f.fileSizeBytes)
     node.put("sort-order-id", f.sortOrderId).put("schema-id", f.schemaId)
+    node.put("content", f.content)
+    if (f.equalityIds.nonEmpty) {
+      val a = node.putArray("equality-ids"); f.equalityIds.foreach(a.add)
+    }
     val p = node.putObject("partition")
     spec.fields.zip(f.partition).foreach { case (pf, v) =>
       valueToJson(spec.fieldType(schema, pf), v, p, pf.fieldId.toString)
@@ -114,7 +118,10 @@ object JsonCodecs {
       splitOffsets = Option(n.get("split-offsets"))
         .map(_.elements.asScala.map(_.asLong).toSeq).getOrElse(Nil),
       sortOrderId = Option(n.get("sort-order-id")).map(_.asInt).getOrElse(0),
-      schemaId = Option(n.get("schema-id")).map(_.asInt).getOrElse(0))
+      schemaId = Option(n.get("schema-id")).map(_.asInt).getOrElse(0),
+      content = Option(n.get("content")).map(_.asInt).getOrElse(FileContent.Data),
+      equalityIds = Option(n.get("equality-ids"))
+        .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil))
   }
 
   // ---- manifest entry (one JSON line) ----

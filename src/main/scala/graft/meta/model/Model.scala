@@ -28,7 +28,18 @@ final case class DataFileMeta(
     sortOrderId: Int = 0,
     /** Schema under which the file was written — read resolution is by field
       * ID, so renamed columns still resolve (SURVEY §1.3). */
-    schemaId: Int = 0) extends Serializable
+    schemaId: Int = 0,
+    /** 0 = data, 1 = position deletes, 2 = equality deletes
+      * (ref format v2 content field; `DeleteFile`). */
+    content: Int = FileContent.Data,
+    /** Field IDs of the equality-delete key columns (content = 2). */
+    equalityIds: Seq[Int] = Nil) extends Serializable
+
+object FileContent {
+  val Data = 0
+  val PositionDeletes = 1
+  val EqualityDeletes = 2
+}
 
 object EntryStatus {
   val Existing = 0
@@ -140,6 +151,9 @@ object TableProperties {
   val CommitRetriesDefault = 4 // ref :28
   val DistributionMode = "write.distribution-mode" // none | hash | range
   val FanoutEnabled = "write.spark.fanout.enabled"
+  /** Imported hive-layout tables: identity partition values are injected as
+    * constants at read (the files don't contain those columns). */
+  val InjectPartitionConstants = "read.inject-partition-constants"
   val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
   val MaxSnapshotAgeMsDefault: Long = 5L * 24 * 60 * 60 * 1000 // ref :166
 }

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** One planned file: the data file plus the filter residual left after
-  * partition pruning (ref `FileScanTask`). */
-final case class FileScanTask(file: DataFileMeta, residual: Expr)
+  * partition pruning (ref `FileScanTask`), and the commit sequence number
+  * (decides which delete files apply). */
+final case class FileScanTask(file: DataFileMeta, residual: Expr, seq: Long = 0L)
 
 /** A graft table: immutable parquet data files + snapshot-tree JSON metadata,
   * executed by Spark (SURVEY §1.4 rebuild mapping). All reads/writes are
   * DataFrame programs; only planning/commit is driver-side Scala, and the
   * driver never touches row data.
   */
-final class IceTable private (val spark: SparkSession, val ops: TableOperations) {
+final class IceTable private (val spark: SparkSession, val ops: TableOperations)
+    extends Lifecycle {
 
   def location: String = ops.location
   def meta: TableMetadata = ops.current()._2
@@ -87,6 +89,22 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   /** MERGE INTO builder, equi-joined on `keys` (ref `RewriteMergeInto.scala`). */
   def merge(source: DataFrame, keys: Seq[String]): MergeBuilder =
     new MergeBuilder(this, source, keys)
+
+  // ------------------------------------------------------- merge-on-read
+
+  /** Row-delta commit of equality-delete keys: rows whose `keys` match any
+    * row of `keysDf` disappear from reads, no data rewrite (format v2
+    * merge-on-read; ref `EqualityDeleteWriter`). */
+  def addEqualityDeletes(keysDf: DataFrame, keys: Seq[String]): Unit =
+    MergeOnRead.addEqualityDeletes(this, keysDf, keys)
+
+  /** Row-delta commit of (file_path, pos) position deletes. */
+  def addPositionDeletes(posDf: DataFrame): Unit =
+    MergeOnRead.addPositionDeletes(this, posDf)
+
+  /** Merge-on-read DELETE WHERE: one job records matching row positions as a
+    * position-delete file — O(matched rows), no file rewrite. */
+  def deleteMergeOnRead(filter: Expr): Unit = MergeOnRead.deleteWhere(this, filter)
 
   // ------------------------------------------------------------- snapshots
 
@@ -174,9 +192,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     * overwrites; ref `BaseOverwriteFiles.java:98`).
     */
   private[table] def commitSnapshot(op: String, added: Seq[DataFileMeta],
-      removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty): Unit = {
+      removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty,
+      metaTransform: Option[TableMetadata => TableMetadata] = None): Unit = {
     val removedNorm = removedPaths.map(normPath)
-    ops.commitWithRetry(retries(meta)) { base =>
+    ops.commitWithRetry(retries(meta)) { base0 =>
+      val base = metaTransform.map(_(base0)).getOrElse(base0)
       val nowMs = System.currentTimeMillis()
       val snapId = newSnapshotId()
       val seq = base.lastSequenceNumber + 1
@@ -286,11 +306,22 @@ object IceTable {
   * snapshot selection, planned through the pruning cascade
   * manifest-summaries → partition values → file metrics → residual
   * (SURVEY §3.1). */
+object TableScan {
+  /** Metadata columns exposed by `withRowPositions()` (ref
+    * `core/.../MetadataColumns.java` `_file`/`_pos`). */
+  val MetaFileCol = "_gf_file"
+  val MetaPosCol = "_gf_pos"
+}
+
 final class TableScan private[table] (table: IceTable) {
   private var filterExpr: Expr = TrueExpr
   private var projection: Option[Seq[String]] = None
   private var snapshotId: Option[Long] = None
   private var asOfMillis: Option[Long] = None
+  private var rowPositions: Boolean = false
+
+  /** Expose `_gf_file`/`_gf_pos` metadata columns in the result. */
+  def withRowPositions(): TableScan = { rowPositions = true; this }
 
   def filter(e: Expr): TableScan = { filterExpr = And(filterExpr, e); this }
   def filter(sql: String): TableScan =
@@ -323,6 +354,7 @@ final class TableScan private[table] (table: IceTable) {
               s.containsNull, s.containsNan, s.lowerBound, s.upperBound)))
         }
         val entries = table.liveEntries(m, snap, manifestOk)
+          .filter(_.dataFile.content == FileContent.Data)
         // per-spec caches of the projected partition predicate + residuals
         val inclCache = scala.collection.mutable.Map[Int, Expr]()
         val residualCache = scala.collection.mutable.Map[(Int, Seq[Any]), Expr]()
@@ -344,16 +376,27 @@ final class TableScan private[table] (table: IceTable) {
             val residual = residualCache.getOrElseUpdate((f.specId, f.partition),
               ResidualEvaluator.residual(spec, schema, bound, partLookup))
             if (residual == FalseExpr) None
-            else Some(FileScanTask(f, residual))
+            else Some(FileScanTask(f, residual, e.sequenceNumber))
           }
         }.toSeq
+    }
+  }
+
+  /** Live delete files of the scanned snapshot with their sequence numbers. */
+  def planDeletes(): Seq[(DataFileMeta, Long)] = {
+    val m = table.meta
+    chooseSnapshot(m).toSeq.flatMap { snap =>
+      table.liveEntries(m, snap)
+        .filter(_.dataFile.content != FileContent.Data)
+        .map(e => (e.dataFile, e.sequenceNumber))
     }
   }
 
   def toDF: DataFrame = {
     val m = table.meta
     val cols = projection.getOrElse(m.schema.columnNames)
-    Reads.readFiles(table.spark, table, m, planFiles(), cols, Binder.bind(m.schema, filterExpr))
+    Reads.readTasksWithDeletes(table, m, planFiles(), planDeletes(), cols,
+      Binder.bind(m.schema, filterExpr), rowPositions)
   }
 }
 
@@ -369,37 +412,114 @@ private[table] object Reads {
     def upper(id: Int): Option[Any] = f.upperBounds.get(id)
   }
 
+  /** Read tasks applying any merge-on-read delete files, grouped by sequence
+    * number so each delete applies only to data committed before it. */
+  def readTasksWithDeletes(table: IceTable, m: TableMetadata, tasks: Seq[FileScanTask],
+      deletes: Seq[(DataFileMeta, Long)], projection: Seq[String], boundFilter: Expr,
+      rowPositions: Boolean): DataFrame = {
+    val spark = table.spark
+    if (deletes.isEmpty || tasks.isEmpty) {
+      return readFiles(spark, table, m, tasks, projection, boundFilter,
+        withMeta = rowPositions)
+    }
+    val needMeta = rowPositions || deletes.exists(_._1.content == FileContent.PositionDeletes)
+    val groups = tasks.groupBy(_.seq).toSeq.sortBy(_._1)
+    val dfs = groups.map { case (seq, group) =>
+      val applicable = deletes.collect {
+        case (f, dseq) if f.content == FileContent.PositionDeletes && dseq >= seq => f
+        case (f, dseq) if f.content == FileContent.EqualityDeletes && dseq > seq => f
+      }
+      val df = readFiles(spark, table, m, group, projection, boundFilter, withMeta = needMeta)
+      MergeOnRead.applyDeletes(spark, m, df, applicable)
+    }
+    val out = dfs.reduce(_ unionByName _)
+    if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
+    else out
+  }
+
   def readFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
-      tasks: Seq[FileScanTask], projection: Seq[String], boundFilter: Expr): DataFrame = {
+      tasks: Seq[FileScanTask], projection: Seq[String], boundFilter: Expr,
+      withMeta: Boolean = false): DataFrame = {
     val schema = m.schema
-    val projected = StructType(projection.map(n => schema.struct(schema.struct.fieldIndex(n))))
+    val projected0 = StructType(projection.map(n => schema.struct(schema.struct.fieldIndex(n))))
+    val projected = if (!withMeta) projected0
+      else projected0.add(TableScan.MetaFileCol, org.apache.spark.sql.types.StringType)
+        .add(TableScan.MetaPosCol, org.apache.spark.sql.types.LongType)
     if (tasks.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], projected)
     }
     val allResidualTrue = tasks.forall(_.residual == TrueExpr)
-    // group by writer schema: resolve columns by field ID across renames
-    val groups = tasks.groupBy(_.file.schemaId)
-    val dfs = groups.toSeq.map { case (schemaId, group) =>
+    // imported hive-layout tables: identity partition values are not in the
+    // files — inject them as constants per partition group (ref
+    // `PartitionUtil.constantsMap`)
+    val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
+    // group by writer schema (resolve columns by field ID across renames),
+    // plus the partition tuple when injecting constants
+    val groups = tasks.groupBy(t =>
+      (t.file.schemaId, if (inject) t.file.partition else Nil))
+    val dfs = groups.toSeq.map { case ((schemaId, partValues), group) =>
       val writeSchema = m.schemas.find(_.schemaId == schemaId).getOrElse(schema)
+      val spec0 = m.specById(group.head.file.specId)
+      val constants: Map[Int, Any] = if (!inject) Map.empty
+      else spec0.fields.zipWithIndex.collect {
+        case (pf, i) if pf.transform == graft.meta.transforms.IdentityTransform =>
+          pf.sourceId -> partValues.asInstanceOf[Seq[Any]](i)
+      }.toMap
       val df = spark.read.schema(writeSchema.struct)
         .parquet(group.map(_.file.path): _*)
       val mapped = projection.map { name =>
         val id = schema.fieldId(name)
-        writeSchema.idToName.get(id) match {
+        if (constants.contains(id)) {
+          SparkConv.internalLit(constants(id), schema.fieldType(id)).as(name)
+        } else writeSchema.idToName.get(id) match {
           case Some(oldName) => col(oldName).as(name)
           case None =>
             org.apache.spark.sql.functions.lit(null)
               .cast(schema.fieldType(id)).as(name)
         }
       }
-      // filter in the writer-schema name space (pushdown-friendly), then map
+      // filter in the writer-schema name space (pushdown-friendly), then
+      // map; predicates on injected-constant columns fold against the
+      // constant first (files hold no values for them)
+      val folded =
+        if (constants.isEmpty) boundFilter
+        else foldConstants(boundFilter, constants)
       val filtered =
-        if (allResidualTrue || boundFilter == TrueExpr) df
-        else df.filter(SparkConv.toColumn(renameToWriter(boundFilter, writeSchema), writeSchema))
-      filtered.select(mapped: _*)
+        if (allResidualTrue || folded == TrueExpr) df
+        else df.filter(SparkConv.toColumn(renameToWriter(folded, writeSchema), writeSchema))
+      val withMetaCols =
+        if (!withMeta) mapped
+        else mapped ++ Seq(
+          col("_metadata.file_path").as(TableScan.MetaFileCol),
+          col("_metadata.row_index").as(TableScan.MetaPosCol))
+      filtered.select(withMetaCols: _*)
     }
     dfs.reduce(_ unionByName _)
+  }
+
+  /** Partially evaluate a bound filter against per-file constant columns. */
+  private def foldConstants(e: Expr, constants: Map[Int, Any]): Expr = e match {
+    case And(l, r) => (foldConstants(l, constants), foldConstants(r, constants)) match {
+      case (FalseExpr, _) | (_, FalseExpr) => FalseExpr
+      case (TrueExpr, b) => b
+      case (a, TrueExpr) => a
+      case (a, b) => And(a, b)
+    }
+    case Or(l, r) => (foldConstants(l, constants), foldConstants(r, constants)) match {
+      case (TrueExpr, _) | (_, TrueExpr) => TrueExpr
+      case (FalseExpr, b) => b
+      case (a, FalseExpr) => a
+      case (a, b) => Or(a, b)
+    }
+    case Not(c) => foldConstants(c, constants) match {
+      case TrueExpr => FalseExpr
+      case FalseExpr => TrueExpr
+      case b => Not(b)
+    }
+    case p: BoundPred if constants.contains(p.fieldId) =>
+      if (RowEvaluator.eval(p, constants)) TrueExpr else FalseExpr
+    case other => other
   }
 
   /** Rewrite bound predicate names to the writer schema's names (IDs fixed). */
@@ -521,7 +641,7 @@ private[table] object Writes {
     }
   }
 
-  private def parsePartitionValue(raw: String, t: org.apache.spark.sql.types.DataType): Any = {
+  private[table] def parsePartitionValue(raw: String, t: org.apache.spark.sql.types.DataType): Any = {
     import org.apache.spark.sql.types._
     t match {
       case IntegerType => raw.toInt

@@ -108,6 +108,7 @@ object Maintenance {
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(return (0, 0))
     val entries = table.liveEntries(m, snap)
+      .filter(_.dataFile.content == FileContent.Data)
     val groups = entries.groupBy(e => (e.dataFile.specId, e.dataFile.partition))
       .values.map(_.map(_.dataFile).filter(_.fileSizeBytes < targetSizeBytes))
       .filter(fs => fs.size >= minInputFiles)
@@ -115,9 +116,10 @@ object Maintenance {
     if (groups.isEmpty) return (0, 0)
     val spark = table.spark
     val toRewrite = groups.flatten
-    val df = Reads.readFiles(spark, table, m,
+    val df = Reads.readTasksWithDeletes(table, m,
       toRewrite.map(f => FileScanTask(f, graft.meta.expr.TrueExpr)),
-      m.schema.columnNames, graft.meta.expr.TrueExpr)
+      table.newScan().planDeletes(), m.schema.columnNames,
+      graft.meta.expr.TrueExpr, rowPositions = false)
     // repartition to the target file count to actually bin-pack
     val totalBytes = toRewrite.map(_.fileSizeBytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)

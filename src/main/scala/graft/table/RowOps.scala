@@ -34,8 +34,10 @@ private[table] object RowOps {
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
-        val df = Reads.readFiles(table.spark, table, m,
-          partial.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+        val df = Reads.readTasksWithDeletes(table, m,
+          partial.map(_.copy(residual = TrueExpr)),
+          table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+          rowPositions = false)
         val keep = df.filter(!(SparkConv.toColumn(bound, schema) <=> lit(true)))
         Writes.writeDataFiles(table.spark, table, m, keep)
           .filter(_.recordCount > 0)
@@ -59,7 +61,8 @@ private[table] object RowOps {
     val touched = written.map(_.partition).toSet
     val removed = m.currentSnapshot.map { snap =>
       table.liveEntries(m, snap)
-        .filter(e => e.dataFile.specId == m.defaultSpecId &&
+        .filter(e => e.dataFile.content == FileContent.Data &&
+          e.dataFile.specId == m.defaultSpecId &&
           touched.contains(e.dataFile.partition))
         .map(_.dataFile.path).toSet
     }.getOrElse(Set.empty)
@@ -77,8 +80,10 @@ private[table] object RowOps {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
-    val df = Reads.readFiles(table.spark, table, m,
-      tasks.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+    val df = Reads.readTasksWithDeletes(table, m,
+      tasks.map(_.copy(residual = TrueExpr)),
+      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+      rowPositions = false)
     val cond = SparkConv.toColumn(bound, schema) <=> lit(true)
     val updated = df.select(schema.columnNames.map { n =>
       assignments.get(n) match {
@@ -175,8 +180,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     }
 
     // 3. join affected target rows with the source
-    val affected = Reads.readFiles(spark, table, m,
-      affectedTasks.map(_.copy(residual = TrueExpr)), schema.columnNames, TrueExpr)
+    val affected = Reads.readTasksWithDeletes(table, m,
+      affectedTasks.map(_.copy(residual = TrueExpr)),
+      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+      rowPositions = false)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val s = src.drop(source.columns.filterNot(keys.contains): _*)
       .withColumn(MergeBuilder.FromSource, lit(true))

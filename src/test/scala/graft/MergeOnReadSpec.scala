@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.meta.Schema
+import graft.meta.expr.Exprs._
+import graft.table.{IceTable, TableImport}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeOnReadSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private def tmpLoc(): String =
+    Files.createTempDirectory("graft-mor-").toString + "/t"
+
+  private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
+
+  test("equality deletes suppress matching rows without rewriting files") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders)
+    val filesBefore = t.newScan().planFiles().map(_.file.path).toSet
+    val victims = orders.limit(20).select("o_orderkey")
+    t.addEqualityDeletes(victims, Seq("o_orderkey"))
+    // no data file rewritten
+    assert(t.newScan().planFiles().map(_.file.path).toSet === filesBefore)
+    val expected = orders.join(victims, Seq("o_orderkey"), "left_anti").count()
+    assert(t.toDF.count() === expected)
+    assert(t.toDF.join(victims, Seq("o_orderkey"), "left_semi").count() === 0)
+  }
+
+  test("re-inserted rows after an equality delete survive (sequence ordering)") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    val victim = orders.limit(1)
+    t.addEqualityDeletes(victim.select("o_orderkey"), Seq("o_orderkey"))
+    assert(t.toDF.count() === 99)
+    // append the row again AFTER the delete: must be visible
+    t.append(victim)
+    assert(t.toDF.count() === 100)
+    val key = victim.collect()(0).getLong(0)
+    assert(t.toDF.filter(col("o_orderkey") === key).count() === 1)
+  }
+
+  test("position deletes via merge-on-read DELETE WHERE") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders)
+    val filesBefore = t.newScan().planFiles().map(_.file.path).toSet
+    val expected = orders.filter(!(col("o_orderstatus") === "F")).count()
+    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    assert(t.newScan().planFiles().map(_.file.path).toSet === filesBefore)
+    assert(t.toDF.count() === expected)
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+    // filtered scans compose with the delete filter
+    assert(t.newScan().filter(equalTo("o_orderstatus", "F")).toDF.count() === 0)
+  }
+
+  test("compaction applies merge-on-read deletes and clears them") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(50).repartition(3))
+    t.append(orders.limit(100).exceptAll(orders.limit(50)).repartition(3))
+    t.addEqualityDeletes(orders.limit(10).select("o_orderkey"), Seq("o_orderkey"))
+    val before = t.toDF.count()
+    t.rewriteDataFiles()
+    assert(t.toDF.count() === before)
+    // rewritten files are post-delete: even ignoring delete files, no victims
+    val victims = orders.limit(10).select("o_orderkey")
+    assert(t.toDF.join(victims, Seq("o_orderkey"), "left_semi").count() === 0)
+  }
+
+  test("CoW update on a table with equality deletes does not resurrect rows") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    t.addEqualityDeletes(orders.limit(5).select("o_orderkey"), Seq("o_orderkey"))
+    assert(t.toDF.count() === 95)
+    t.update(notNull("o_orderkey"), Map("o_totalprice" -> lit(1.0)))
+    assert(t.toDF.count() === 95)
+    assert(t.toDF.filter(col("o_totalprice") =!= 1.0).count() === 0)
+  }
+
+  test("import existing hive-layout parquet without rewrite") {
+    val src = Files.createTempDirectory("graft-import-").toString + "/src"
+    orders.withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").parquet(src)
+    val loc = tmpLoc()
+    val t = TableImport.importParquet(spark, src, loc)
+    assert(t.spec.fields.map(_.name) === Seq("status"))
+    assert(t.toDF.count() === orders.count())
+    // injected partition constants readable + filterable with pruning
+    val f = t.newScan().filter(equalTo("status", "F"))
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(f.planFiles().size < t.newScan().planFiles().size)
+    assert(f.toDF.count() === expected)
+    // original columns intact
+    assert(math.abs(t.toDF.agg(sum("o_totalprice")).collect()(0).getDouble(0) -
+      orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)) < 1e-6)
+  }
+
+  test("transaction: append + delete + properties in one atomic commit") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(50))
+    val versionsBefore = t.snapshots.size
+    t.newTransaction()
+      .append(orders.limit(100).exceptAll(orders.limit(50)))
+      .delete(lessThan("o_orderkey", orders.limit(10)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)))
+      .updateProperties(Map("txn-test" -> "yes"))
+      .commit()
+    assert(t.snapshots.size === versionsBefore + 1) // ONE new snapshot
+    assert(t.meta.properties("txn-test") === "yes")
+  }
+
+  test("schema + spec + sort-order evolution APIs") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(10))
+    t.updateSchema(_.addColumn("flag", org.apache.spark.sql.types.StringType)
+      .renameColumn("o_orderpriority", "priority"))
+    assert(t.schema.contains("flag") && t.schema.contains("priority"))
+    assert(t.toDF.filter(col("priority").isNotNull).count() === 10)
+    t.updateSpec(_.identity("o_orderstatus"))
+    assert(t.spec.fields.map(_.name) === Seq("o_orderstatus"))
+    // old unpartitioned files still scan fine alongside new partitioned ones
+    t.append(orders.limit(20).exceptAll(orders.limit(10))
+      .withColumn("flag", lit("new")).withColumnRenamed("o_orderpriority", "priority"))
+    assert(t.toDF.count() === 20)
+    t.updateProperties(Map("write.distribution-mode" -> "none"))
+    assert(t.meta.property("write.distribution-mode", "hash") === "none")
+  }
+}
