@@ -143,6 +143,7 @@ final case class TableMetadata(
 }
 
 object TableProperties {
+  val DefaultFileFormat = "write.format.default" // parquet | orc (ref :61)
   val SplitSize = "read.split.target-size"
   val SplitSizeDefault: Long = 128L * 1024 * 1024 // ref TableProperties.java:82
   val TargetFileSize = "write.target-file-size-bytes"

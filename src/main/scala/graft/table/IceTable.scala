@@ -457,8 +457,10 @@ private[table] object Reads {
     // group by writer schema (resolve columns by field ID across renames),
     // plus the partition tuple when injecting constants
     val groups = tasks.groupBy(t =>
-      (t.file.schemaId, if (inject) t.file.partition else Nil))
-    val dfs = groups.toSeq.map { case ((schemaId, partValues), group) =>
+      (t.file.schemaId, t.file.format, if (inject) t.file.partition else Nil))
+    val dfs = groups.toSeq.map { case ((schemaId, format, partValues), group) =>
+      require(!withMeta || format == "parquet",
+        "row-position metadata (position deletes) requires parquet data files")
       val writeSchema = m.schemas.find(_.schemaId == schemaId).getOrElse(schema)
       val spec0 = m.specById(group.head.file.specId)
       val constants: Map[Int, Any] = if (!inject) Map.empty
@@ -467,7 +469,7 @@ private[table] object Reads {
           pf.sourceId -> partValues.asInstanceOf[Seq[Any]](i)
       }.toMap
       val df = spark.read.schema(writeSchema.struct)
-        .parquet(group.map(_.file.path): _*)
+        .format(format).load(group.map(_.file.path): _*)
       val mapped = projection.map { name =>
         val id = schema.fieldId(name)
         if (constants.contains(id)) {
@@ -552,9 +554,10 @@ private[table] object Writes {
     val aligned = df.select(schema.struct.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = s"${table.location}/data/${UUID.randomUUID()}"
+    val format = m.property(TableProperties.DefaultFileFormat, "parquet")
 
     if (spec.isUnpartitioned) {
-      sorted(m, schema, aligned, Nil).write.parquet(outDir)
+      sorted(m, schema, aligned, Nil).write.format(format).save(outDir)
     } else {
       val helperCols = spec.fields.map { pf =>
         val srcName = schema.fieldName(pf.sourceId)
@@ -574,9 +577,9 @@ private[table] object Writes {
         case _ => withHelpers
       }
       sorted(m, schema, distributed, helperNames)
-        .write.partitionBy(helperNames: _*).parquet(outDir)
+        .write.partitionBy(helperNames: _*).format(format).save(outDir)
     }
-    collectDataFiles(spark, table, m, outDir)
+    collectDataFiles(spark, table, m, outDir, format)
   }
 
   private def sortCols(m: TableMetadata, schema: Schema): Seq[Column] =
@@ -599,12 +602,15 @@ private[table] object Writes {
   /** List written files, parse partition values from hive-style paths, read
     * footers for metrics. */
   def collectDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
-      outDir: String): Seq[DataFileMeta] = {
+      outDir: String, format: String = "parquet"): Seq[DataFileMeta] = {
     val schema = m.schema
     val spec = m.spec
     val conf = spark.sparkContext.hadoopConfiguration
     val files = table.io.listRecursive(outDir)
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .filter(s => s.getPath.getName.endsWith("." + format) ||
+        s.getPath.getName.endsWith("." + format + ".snappy") ||
+        s.getPath.getName.contains("." + format))
+      .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     files.map { st =>
       val path = st.getPath.toString
       val rel = path.stripPrefix(outDir).stripPrefix("/")
@@ -622,10 +628,12 @@ private[table] object Writes {
           else parsePartitionValue(raw, spec.fieldType(schema, pf))
         }
       }
-      val metrics = ParquetMetrics.read(conf, path, schema)
+      val metrics =
+        if (format == "orc") OrcMetrics.read(conf, path, schema)
+        else ParquetMetrics.read(conf, path, schema)
       DataFileMeta(
         path = path,
-        format = "parquet",
+        format = format,
         specId = spec.specId,
         partition = partValues,
         recordCount = metrics.recordCount,
