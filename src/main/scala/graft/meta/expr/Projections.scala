@@ -163,8 +163,19 @@ object ResidualEvaluator {
         case (a, b) => Or(a, b)
       }
       case Not(c) => fold(c) match {
-        case TrueExpr => FalseExpr
-        case FalseExpr => TrueExpr
+        case TrueExpr => FalseExpr // every row satisfies c ⇒ none satisfies NOT c
+        case FalseExpr =>
+          // two-valued NOT is unsound under SQL three-valued logic: c being
+          // false for the whole partition may mean "all values null", where
+          // NOT c is also false. Only fold to TRUE when the partition proves
+          // the column non-null (transforms are null-preserving).
+          c match {
+            case p: BoundPred =>
+              val nn = Projections.strict(spec, schema,
+                BoundPred(Op.NotNull, p.fieldId, p.name, p.dataType))
+              if (RowEvaluator.eval(nn, partitionValue)) TrueExpr else Not(c)
+            case _ => Not(c)
+          }
         case b => Not(b)
       }
       case p: Pred => fold(Binder.bind(schema, p))

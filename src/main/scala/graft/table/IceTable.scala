@@ -52,6 +52,38 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     commitSnapshot(Operation.Append, files, Set.empty, summary)
   }
 
+  /** Write-audit-publish: stage an append as a snapshot WITHOUT making it
+    * current (ref `SnapshotManager` wap :83-85). Returns the staged snapshot
+    * id; audit it via `newScan().useSnapshot(id)`, publish via
+    * `cherrypick(id)`. */
+  def stageAppend(df: DataFrame, wapId: String): Long = {
+    val m = meta
+    val files = Writes.writeDataFiles(spark, this, m, df)
+    var staged = 0L
+    ops.commitWithRetry(retries(m)) { base =>
+      val nowMs = System.currentTimeMillis()
+      val snapId = newSnapshotId()
+      staged = snapId
+      val seq = base.lastSequenceNumber + 1
+      val mdir = s"$location/metadata"
+      val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
+      val manifest = ManifestIO.write(io,
+        s"$mdir/manifest-${UUID.randomUUID()}.jsonl", entries, base.schema, base.spec)
+      val current = base.currentSnapshot.map(readManifestList(base, _)).getOrElse(Nil)
+      val listPath = s"$mdir/snap-$snapId.manifestlist.json"
+      io.writeString(listPath,
+        JsonCodecs.manifestListToJson(manifest +: current, base.schema, base.specById))
+      // snapshot recorded but NOT made current; no snapshot-log entry
+      base.copy(
+        lastSequenceNumber = seq,
+        lastUpdatedMillis = nowMs,
+        snapshots = base.snapshots :+ SnapshotMeta(snapId, base.currentSnapshotId,
+          seq, nowMs, Operation.Append,
+          Map("wap.id" -> wapId, "added-data-files" -> files.size.toString), listPath))
+    }
+    staged
+  }
+
   // ---------------------------------------------------------- maintenance
 
   /** Metadata table by name: snapshots, history, manifests, entries, files,
@@ -134,8 +166,17 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new ValidationException(s"Unknown snapshot: $snapshotId"))
     require(snap.operation == Operation.Append, "Can only cherry-pick appends")
+    // WAP dedup (ref SnapshotManager: duplicate wap.id publish is an error)
+    snap.summary.get("wap.id").foreach { wapId =>
+      val ancestors = Iterator.iterate(m.currentSnapshot)(s =>
+          s.flatMap(_.parentId).flatMap(m.snapshot))
+        .takeWhile(_.isDefined).flatten
+      if (ancestors.exists(_.summary.get("published-wap-id").contains(wapId)))
+        throw new ValidationException(s"Duplicate cherry-pick of wap.id: $wapId")
+    }
     val added = addedFiles(m, snap)
-    commitSnapshot(Operation.Append, added, Set.empty)
+    commitSnapshot(Operation.Append, added, Set.empty,
+      snap.summary.get("wap.id").map("published-wap-id" -> _).toMap)
   }
 
   // ---------------------------------------------------------- incremental
@@ -252,6 +293,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
 
       base.withSnapshot(SnapshotMeta(snapId, base.currentSnapshotId, seq, nowMs,
         op, summary, listPath), nowMs)
+    }
+    meta.currentSnapshot.foreach { s =>
+      Listeners.notifyAll(Listeners.CreateSnapshotEvent(
+        location, s.operation, s.snapshotId, s.sequenceNumber, s.summary))
     }
   }
 }
@@ -378,7 +423,12 @@ final class TableScan private[table] (table: IceTable) {
             if (residual == FalseExpr) None
             else Some(FileScanTask(f, residual, e.sequenceNumber))
           }
-        }.toSeq
+        }.toSeq match {
+          case planned =>
+            Listeners.notifyAll(Listeners.ScanEvent(
+              table.location, snap.snapshotId, filterExpr.toString, planned.size))
+            planned
+        }
     }
   }
 
@@ -475,7 +525,11 @@ private[table] object Reads {
         if (constants.contains(id)) {
           SparkConv.internalLit(constants(id), schema.fieldType(id)).as(name)
         } else writeSchema.idToName.get(id) match {
-          case Some(oldName) => col(oldName).as(name)
+          case Some(oldName) =>
+            // cast covers promoted types (int→long, float→double) in old files
+            val cur = schema.fieldType(id)
+            if (writeSchema.fieldType(id) == cur) col(oldName).as(name)
+            else col(oldName).cast(cur).as(name)
           case None =>
             org.apache.spark.sql.functions.lit(null)
               .cast(schema.fieldType(id)).as(name)

@@ -159,12 +159,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
     }
 
-    // 1. dynamic file filter: restrict the rewrite to files containing matches
+    // 1. dynamic file filter: restrict the rewrite to files containing
+    // matches — key-column-only scan, so the probe job reads minimal bytes
     val allTasks = table.newScan().planFiles()
-    val targetWithFile = table.toDF.withColumn("_gf_file", input_file_name())
+    val targetKeys = table.newScan().select(keys: _*).toDF
+      .withColumn("_gf_file", input_file_name())
     val matchedFiles: Set[String] =
       if (insertOnly) Set.empty
-      else targetWithFile.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      else targetKeys.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select("_gf_file").distinct().collect()
         .map(r => table.normPath(r.getString(0))).toSet
     val affectedTasks = allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
@@ -173,7 +175,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     // row may match at most one source row unless the merge is insert-only
     if (!insertOnly) {
       val dupKeys = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        .join(table.toDF.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(targetKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
       if (dupKeys.limit(1).count() > 0)
         throw new ValidationException(
           "MERGE cardinality violation: a target row matches more than one source row")

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.meta.Schema
+import graft.table.{IceTable, Listeners}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WapSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
+
+  test("write-audit-publish: staged append is invisible until cherry-picked") {
+    val loc = Files.createTempDirectory("graft-wap-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    val staged = t.stageAppend(orders.limit(150).exceptAll(orders.limit(100)), "wap-1")
+    // not visible on the main branch
+    assert(t.toDF.count() === 100)
+    // auditable by snapshot id
+    assert(t.newScan().useSnapshot(staged).toDF.count() === 150)
+    assert(t.meta.snapshot(staged).get.summary("wap.id") === "wap-1")
+    // publish
+    t.cherrypick(staged)
+    assert(t.toDF.count() === 150)
+  }
+
+  test("listeners receive scan and commit events") {
+    Listeners.clear()
+    val scans = scala.collection.mutable.ArrayBuffer[Listeners.ScanEvent]()
+    val commits = scala.collection.mutable.ArrayBuffer[Listeners.CreateSnapshotEvent]()
+    Listeners.register(classOf[Listeners.ScanEvent])(scans += _)
+    Listeners.register(classOf[Listeners.CreateSnapshotEvent])(commits += _)
+    try {
+      val loc = Files.createTempDirectory("graft-ev-").toString + "/t"
+      val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+      t.append(orders.limit(10))
+      assert(commits.exists(_.operation == "append"))
+      t.toDF.count()
+      assert(scans.nonEmpty)
+      assert(scans.last.plannedFiles > 0)
+    } finally Listeners.clear()
+  }
+}
