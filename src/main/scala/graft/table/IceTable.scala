@@ -41,6 +41,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   /** Current-snapshot DataFrame (all columns). */
   def toDF: DataFrame = newScan().toDF
 
+  /** Register the current snapshot as a temp view so `spark.sql` can query
+    * it (phase-1 SQL surface; DSv2 catalog is the phase-3 path). Re-register
+    * after commits to see new snapshots. */
+  def registerView(name: String): Unit = toDF.createOrReplaceTempView(name)
+
   // ---------------------------------------------------------------- write
 
   /** Append `df` as a new snapshot. */

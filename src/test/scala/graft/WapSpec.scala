@@ -43,4 +43,20 @@ class WapSpec extends AnyFunSuite {
       assert(scans.last.plannedFiles > 0)
     } finally Listeners.clear()
   }
+
+  test("scan summary: top partitions by records added in a time range") {
+    val loc = Files.createTempDirectory("graft-ss-").toString + "/t"
+    val schema = Schema.fresh(orders.schema)
+    val spec = graft.meta.PartitionSpec.builderFor(schema).identity("o_orderstatus").build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    val t0 = System.currentTimeMillis() - 1000
+    t.append(orders)
+    val rows = graft.table.ScanSummary.partitions(t, t0, System.currentTimeMillis() + 1000, 2)
+      .collect()
+    assert(rows.length === 2)
+    val exp = orders.groupBy("o_orderstatus").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count")).collect()
+    assert(rows(0).getString(0) === s"o_orderstatus=${exp(0).getString(0)}")
+    assert(rows(0).getLong(1) === exp(0).getLong(1))
+  }
 }
