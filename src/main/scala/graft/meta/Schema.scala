@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * are resolved by ID, so renames are free and adds/drops never alias old
   * data.
   */
-final case class Schema(struct: StructType, schemaId: Int = 0) {
+final case class Schema(struct: StructType, schemaId: Int = 0) extends Serializable {
 
   lazy val idToField: Map[Int, StructField] =
     Schema.fieldsWithIds(struct).map { case (f, id) => id -> f }.toMap

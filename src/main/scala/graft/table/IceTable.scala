@@ -604,6 +604,7 @@ private[table] object Reads {
 private[table] object Writes {
 
   val HelperPrefix = "_p_"
+  val DistributedMetricsThreshold = 64
 
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
       df: DataFrame): Seq[DataFileMeta] = {
@@ -670,6 +671,32 @@ private[table] object Writes {
         s.getPath.getName.endsWith("." + format + ".snappy") ||
         s.getPath.getName.contains("." + format))
       .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    // footer metrics: small commits read on a driver pool; large commits as
+    // a Spark job (executor-side, like the ref collects metrics in the
+    // writers — the driver never becomes the bottleneck at scale)
+    val metricsByPath: Map[String, ParquetMetrics.FileMetrics] = {
+      val paths = files.map(_.getPath.toString)
+      if (paths.size > DistributedMetricsThreshold) {
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val fmt = format
+        val bcSchema = spark.sparkContext.broadcast(schema)
+        spark.sparkContext.parallelize(paths, math.max(1, paths.size / 16))
+          .map { p =>
+            val mtr =
+              if (fmt == "orc") OrcMetrics.read(serConf.value, p, bcSchema.value)
+              else ParquetMetrics.read(serConf.value, p, bcSchema.value)
+            p -> mtr
+          }.collect().toMap
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ManifestIO.ioPool
+        Await.result(Future.sequence(paths.map(p => Future {
+          p -> (if (format == "orc") OrcMetrics.read(conf, p, schema)
+                else ParquetMetrics.read(conf, p, schema))
+        })), Duration.Inf).toMap
+      }
+    }
     files.map { st =>
       val path = st.getPath.toString
       val rel = path.stripPrefix(outDir).stripPrefix("/")
@@ -687,9 +714,7 @@ private[table] object Writes {
           else parsePartitionValue(raw, spec.fieldType(schema, pf))
         }
       }
-      val metrics =
-        if (format == "orc") OrcMetrics.read(conf, path, schema)
-        else ParquetMetrics.read(conf, path, schema)
+      val metrics = metricsByPath(path)
       DataFileMeta(
         path = path,
         format = format,

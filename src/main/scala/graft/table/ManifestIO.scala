@@ -66,6 +66,8 @@ object ManifestIO {
     }
   }
 
+  private[table] lazy val ioPool: scala.concurrent.ExecutionContext = pool
+
   private lazy val pool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(

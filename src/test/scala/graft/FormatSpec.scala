@@ -45,4 +45,17 @@ class FormatSpec extends AnyFunSuite {
     assert(cat.dropTable("db.orders"))
     assert(!cat.tableExists("db.orders"))
   }
+
+  test("large commits collect footer metrics via a distributed job") {
+    val loc = Files.createTempDirectory("graft-dist-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.repartition(70)) // > DistributedMetricsThreshold files
+    val tasks = t.newScan().planFiles()
+    assert(tasks.size === 70)
+    // metrics present on every file (bounds enable pruning)
+    assert(tasks.forall(_.file.recordCount > 0))
+    assert(tasks.forall(_.file.lowerBounds.nonEmpty))
+    assert(t.newScan().filter(equalTo("o_orderkey", -1L)).planFiles().isEmpty)
+    assert(t.toDF.count() === orders.count())
+  }
 }
