@@ -42,6 +42,14 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
                 n_bad += 1
                 continue
+            # the driver's hash is dtype-sensitive: DuckDB HUGEINT / wide
+            # DECIMAL vs Spark BIGINT / narrower DECIMAL hash differently even
+            # when values are equal — so compare dtypes strictly here too
+            ed, gd = [str(t) for t in exp.dtypes], [str(t) for t in got.dtypes]
+            if ed != gd:
+                print(f"FAIL {name}: dtypes {gd} != {ed}")
+                n_bad += 1
+                continue
             er = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
             gr = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
             if er == gr:

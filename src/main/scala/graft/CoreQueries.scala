@@ -191,8 +191,28 @@ object CoreQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))), 2).as("revenue"))
+          .cast(DecimalType(18, 4))), 2).cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Q21 insert-only MERGE end-to-end through the engine: stage customer
+    // keys as a graft table, MERGE aggregated events with only a
+    // whenNotMatchedInsertAll clause (LEFT ANTI semantics — must NOT
+    // duplicate existing keys), read the table back.
+    "q21_merge_insert_only" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q21").toString
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal"), 2).cast("double").as("v"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/t",
+        graft.meta.Schema.fresh(target0.schema))
+      tbl.append(target0)
+      val src = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").as("k"))
+        .agg(round(sum("value"), 2).cast("double").as("v"))
+      tbl.merge(src, Seq("k")).whenNotMatchedInsertAll().execute()
+      tbl.toDF.select("k", "v").orderBy("k")
     })
   )
 
@@ -232,7 +252,7 @@ object CoreQueries {
         "ORDER BY c_custkey"),
     "q12_metrics_agg" ->
       ("SELECT l_returnflag, count(*) AS value_count, " +
-        "sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count, " +
+        "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, " +
         "round(min(l_extendedprice),2) AS lower_b, round(max(l_extendedprice),2) AS upper_b " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q13_topk_partitions" ->
@@ -249,14 +269,22 @@ object CoreQueries {
     "q18_intersect" ->
       "SELECT n_nationkey FROM nation INTERSECT SELECT c_nationkey FROM customer ORDER BY n_nationkey",
     "q19_scalar_mix" ->
-      ("SELECT upper(substr(p_name, 1, 3)) AS pfx, length(p_brand) AS blen, " +
+      ("SELECT upper(substr(p_name, 1, 3)) AS pfx, CAST(length(p_brand) AS INTEGER) AS blen, " +
         "abs(p_size - 25) AS sz, round(p_retailprice * 0.9, 2) AS disc " +
         "FROM part ORDER BY p_partkey"),
     "q20_join_agg" ->
-      ("SELECT n_name, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS revenue " +
+      ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
-        "GROUP BY n_name ORDER BY revenue DESC, n_name")
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q21_merge_insert_only" ->
+      ("WITH tgt AS (SELECT c_custkey AS k, CAST(round(c_acctbal, 2) AS DOUBLE) AS v FROM customer), " +
+        "src AS (SELECT user_id AS k, CAST(round(sum(value), 2) AS DOUBLE) AS v FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY user_id) " +
+        "SELECT k, v FROM tgt " +
+        "UNION ALL " +
+        "SELECT s.k, s.v FROM src s WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k) " +
+        "ORDER BY k")
   )
 }

@@ -1,0 +1,224 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.meta.{PartitionSpec, Schema}
+import graft.table.{FileIO, IceTable}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over a warehouse directory, so plain `spark.sql`
+  * reads/writes go through the full pruning cascade and the snapshot commit
+  * protocol (ref `spark3/.../SparkCatalog.java:119` loadTable,
+  * `SparkScanBuilder.java:100` pushFilters). Register with:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+  * spark.sql("SELECT * FROM graft.db.t WHERE part = 5")   // pruned scan
+  * }}}
+  *
+  * Time travel: `VERSION AS OF <snapshotId>` / `TIMESTAMP AS OF <ts>` map to
+  * snapshot-id / as-of-time scans (ref `SparkCatalog.load` selector paths).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def io: FileIO = new FileIO(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"Catalog $name requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: (ident.namespace().toSeq :+ ident.name())).mkString(".")
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    io.list(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => io.exists(s"$dir/$n/metadata/version-hint.text"))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    IceTable.exists(spark, tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident))
+  }
+
+  /** `VERSION AS OF <snapshot-id>` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident),
+      snapshotId = Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident),
+      asOfMillis = Some(timestampMicros / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val gSchema = Schema.fresh(schema)
+    val spec = GraftCatalog.toSpec(gSchema, partitions)
+    val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    val t = IceTable.create(spark, tablePath(ident), gSchema, spec, properties = props)
+    new GraftSparkTable(t, fullName(ident))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = IceTable.load(spark, tablePath(ident))
+    val setProps = changes.collect { case c: TableChange.SetProperty =>
+      c.property -> c.value }.toMap
+    val rmProps = changes.collect { case c: TableChange.RemoveProperty => c.property }.toSet
+    if (setProps.nonEmpty || rmProps.nonEmpty) t.updateProperties(setProps, rmProps)
+    val schemaChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (schemaChanges.nonEmpty) t.updateSchema { upd0 =>
+      schemaChanges.foldLeft(upd0) { (upd, ch) => ch match {
+        case c: TableChange.AddColumn =>
+          require(c.fieldNames.length == 1, "Nested adds not supported")
+          if (c.isNullable) upd.addColumn(c.fieldNames()(0), c.dataType)
+          else upd.addRequiredColumn(c.fieldNames()(0), c.dataType)
+        case c: TableChange.RenameColumn =>
+          upd.renameColumn(c.fieldNames()(0), c.newName)
+        case c: TableChange.DeleteColumn =>
+          upd.deleteColumn(c.fieldNames()(0))
+        case c: TableChange.UpdateColumnType =>
+          upd.updateColumn(c.fieldNames()(0), c.newDataType)
+        case c: TableChange.UpdateColumnNullability =>
+          if (c.nullable) upd.makeColumnOptional(c.fieldNames()(0))
+          else upd.requireColumn(c.fieldNames()(0))
+        case other =>
+          throw new UnsupportedOperationException(s"Unsupported table change: $other")
+      }}
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    io.deleteRecursive(tablePath(ident))
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val fs = new org.apache.hadoop.fs.Path(tablePath(from))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(tablePath(from)),
+      new org.apache.hadoop.fs.Path(tablePath(to)))
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    io.list(warehouse).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => !io.exists(s"$warehouse/$n/metadata/version-hint.text"))
+      .map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    io.exists((warehouse +: namespace.toSeq).mkString("/"))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    io.mkdirs((warehouse +: namespace.toSeq).mkString("/"))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    io.deleteRecursive((warehouse +: namespace.toSeq).mkString("/"))
+  }
+}
+
+object GraftCatalog {
+
+  private val ReservedProps =
+    Set("provider", "location", "owner", "external", "comment")
+
+  /** Spark `Transform[]` (from `PARTITIONED BY (...)`) → partition spec. */
+  def toSpec(schema: Schema, partitions: Array[Transform]): PartitionSpec = {
+    def ref(args: Seq[org.apache.spark.sql.connector.expressions.Expression]): String =
+      args.collectFirst { case r: NamedReference => r.fieldNames().mkString(".") }
+        .getOrElse(throw new IllegalArgumentException(
+          s"No column reference in transform args: ${args.mkString(",")}"))
+    def intArg(args: Seq[org.apache.spark.sql.connector.expressions.Expression]): Int =
+      args.collectFirst { case l: VLiteral[_] => l.value() match {
+        case i: Integer => i.intValue
+        case l2: java.lang.Long => l2.intValue
+        case s: String => s.toInt
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString.toInt
+      }}.getOrElse(throw new IllegalArgumentException(
+        s"No literal in transform args: ${args.mkString(",")}"))
+
+    partitions.foldLeft(PartitionSpec.builderFor(schema)) { (b, t) =>
+      val args = t.arguments().toSeq
+      t.name().toLowerCase match {
+        case "identity" => b.identity(ref(args))
+        case "bucket" => b.bucket(ref(args), intArg(args))
+        case "truncate" => b.truncate(ref(args), intArg(args))
+        case "years" | "year" => b.year(ref(args))
+        case "months" | "month" => b.month(ref(args))
+        case "days" | "day" => b.day(ref(args))
+        case "hours" | "hour" => b.hour(ref(args))
+        case other => throw new UnsupportedOperationException(s"Transform: $other")
+      }
+    }.build()
+  }
+
+  /** Partition spec → Spark `Transform[]` for `Table.partitioning()`. */
+  def toTransforms(schema: Schema, spec: PartitionSpec): Array[Transform] =
+    spec.fields.map { pf =>
+      val src = schema.fieldName(pf.sourceId)
+      pf.transform match {
+        case graft.meta.transforms.IdentityTransform => Expressions.identity(src)
+        case graft.meta.transforms.BucketTransform(n) => Expressions.bucket(n, src)
+        case graft.meta.transforms.TruncateTransform(w) =>
+          Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))
+        case graft.meta.transforms.YearTransform => Expressions.years(src)
+        case graft.meta.transforms.MonthTransform => Expressions.months(src)
+        case graft.meta.transforms.DayTransform => Expressions.days(src)
+        case graft.meta.transforms.HourTransform => Expressions.hours(src)
+        case other => Expressions.apply(other.name, Expressions.column(src))
+      }
+    }.toArray
+}

@@ -1,0 +1,177 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.meta.expr.{And => GAnd, Expr => GExpr, TrueExpr}
+import graft.table.{IceTable, SparkFilterConv}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 table facade over [[IceTable]] (ref `spark3/.../SparkTable.java`).
+  * Reads push filters + column pruning into the metadata cascade
+  * (manifest summaries → partition values → file metrics → residual), then
+  * execute as a V1 relation whose RDD comes from the already-pruned
+  * DataFrame — Spark's parquet reader, vectorization and codegen all apply;
+  * only PLANNING is graft's (the same division as the reference, where
+  * `SparkBatchScan.planInputPartitions` wraps core's file planning).
+  */
+class GraftSparkTable(val table: IceTable, fullName: String,
+    snapshotId: Option[Long] = None, asOfMillis: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = table.schema.struct
+
+  override def partitioning(): Array[Transform] =
+    GraftCatalog.toTransforms(table.schema, table.spec)
+
+  override def properties(): util.Map[String, String] =
+    table.meta.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, snapshotId, asOfMillis)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table)
+}
+
+/** Filter + projection pushdown (ref `SparkScanBuilder.java:100`). Converted
+  * filters drive metadata pruning; ALL filters are returned as post-scan
+  * residuals so Spark re-applies them — pruning is an optimization, row-level
+  * semantics stay with Spark. */
+final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
+    asOfMillis: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushedExpr: GExpr = TrueExpr
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = table.schema.struct
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val converted = filters.flatMap(f => SparkFilterConv.fromV1(f).map(f -> _))
+    pushed = converted.map(_._1)
+    pushedExpr = converted.map(_._2).foldLeft(TrueExpr: GExpr)(GAnd(_, _))
+    filters // Spark evaluates every filter post-scan (safe double-filtering)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // resolve against the table schema to keep field-ID metadata
+    val byName = table.schema.struct.fields.map(f => f.name -> f).toMap
+    this.requiredSchema = StructType(
+      requiredSchema.fields.flatMap(f => byName.get(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId, asOfMillis)
+}
+
+/** The scan: metadata pruning happens here (driver-side, like ref
+  * `SparkBatchScan.tasks()`); execution is delegated through `V1Scan` to the
+  * pruned DataFrame's RDD (internal rows, `needConversion = false`). Reports
+  * planned-size statistics so Spark's join planning (broadcast thresholds,
+  * AQE) sees post-pruning sizes, not raw table sizes. */
+final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructType,
+    snapshotId: Option[Long], asOfMillis: Option[Long])
+    extends V1Scan with SupportsReportStatistics {
+
+  private def newGraftScan() = {
+    var s = table.newScan()
+    snapshotId.foreach(id => s = s.useSnapshot(id))
+    asOfMillis.foreach(ts => s = s.asOfTime(ts))
+    if (filter != TrueExpr) s = s.filter(filter)
+    if (projection.nonEmpty) s = s.select(projection.fieldNames.toSeq: _*)
+    s
+  }
+
+  override def readSchema(): StructType = projection
+
+  override def estimateStatistics(): Statistics = {
+    val tasks = newGraftScan().planFiles()
+    val bytes = tasks.map(_.file.fileSizeBytes).sum
+    val rows = tasks.map(_.file.recordCount).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
+
+  override def toV1TableScan[T <: BaseRelation with V1TableScan](
+      context: SQLContext): T = {
+    val scan = this
+    new BaseRelation with V1TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = scan.readSchema()
+      override def needConversion: Boolean = false // rows are InternalRow
+      override def buildScan(): RDD[Row] = {
+        val df =
+          if (projection.isEmpty) {
+            // COUNT(*)-style scans: no columns required — read the narrowest
+            // column and drop it (parquet reads only that column's pages)
+            val narrow = scan.table.schema.columnNames.head
+            scan.newGraftScan().select(narrow).toDF.drop(narrow)
+          } else scan.newGraftScan().toDF
+        org.apache.spark.sql.graft.ColumnBridge.toInternalRdd(df)
+          .asInstanceOf[RDD[Row]]
+      }
+    }.asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"GraftScan(table=${table.location}, filter=$filter)"
+}
+
+/** V1 write path (ref `SparkWriteBuilder`): append, truncate-overwrite,
+  * overwrite-by-filter and dynamic partition overwrite all commit through the
+  * snapshot protocol. */
+final class GraftWriteBuilder(table: IceTable)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
+
+  // None = append; Some(expr) = overwrite rows matching expr; Dynamic = by partition
+  private var overwriteExpr: Option[GExpr] = None
+  private var dynamic = false
+
+  override def truncate(): WriteBuilder = { overwriteExpr = Some(TrueExpr); this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val conv = filters.map(f => SparkFilterConv.fromV1(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"Cannot overwrite by non-convertible filter: $f")))
+    overwriteExpr = Some(conv.foldLeft(TrueExpr: GExpr)(GAnd(_, _)))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        if (dynamic) table.overwritePartitions(data)
+        else overwriteExpr match {
+          case Some(e) => table.overwrite(e, data)
+          case None => table.append(data)
+        }
+      }
+    }
+  }
+}

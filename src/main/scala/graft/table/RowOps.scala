@@ -139,8 +139,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     clauses :+= InsertClause(cond, values); this
   }
   def whenNotMatchedInsertAll(cond: Option[Column] = None): MergeBuilder = {
-    val values = table.schema.columnNames
-      .map(n => n -> (if (keys.contains(n)) srcCol(n) else srcCol(n))).toMap
+    val values = table.schema.columnNames.map(n => n -> srcCol(n)).toMap
     clauses :+= InsertClause(cond, values); this
   }
 
@@ -159,27 +158,48 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
     }
 
-    // 1. dynamic file filter: restrict the rewrite to files containing
-    // matches — key-column-only scan, so the probe job reads minimal bytes
+    // Insert-only MERGE (ref RewriteMergeInto.scala:81,99): LEFT ANTI join of
+    // the source against a key-only target scan — no target files are
+    // rewritten, so this is a pure append of the not-matched source rows.
+    if (insertOnly) {
+      val targetKeys = table.newScan().select(keys: _*).toDF
+      val notMatched = src.join(targetKeys, keys, "left_anti")
+      val keepCol = insertClauses
+        .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+          acc.when(c.cond.getOrElse(lit(true)), lit(true))
+        }.otherwise(lit(false))
+      def insProjection(n: String): Column =
+        insertClauses.foldLeft(when(lit(false), lit(null))) { (acc, c) =>
+          acc.when(c.cond.getOrElse(lit(true)), c.values.getOrElse(n, lit(null)))
+        }.cast(schema.fieldType(schema.fieldId(n))).as(n)
+      val rows = notMatched.filter(keepCol)
+        .select(schema.columnNames.map(insProjection): _*)
+      val written = Writes.writeDataFiles(spark, table, m, rows)
+        .filter(_.recordCount > 0)
+      if (written.nonEmpty)
+        table.commitSnapshot(Operation.Append, written, Set.empty,
+          Map("merge-insert-only" -> "true"))
+      return
+    }
+
+    // 1+2. dynamic file filter + cardinality check, folded into ONE key-only
+    // probe job (ref DynamicFileFilterExec + RewriteRowLevelOperationHelper:115):
+    // group probe matches by file; any source key count > 1 on a matched row
+    // means a target row matches more than one source row.
     val allTasks = table.newScan().planFiles()
     val targetKeys = table.newScan().select(keys: _*).toDF
       .withColumn("_gf_file", input_file_name())
+    val srcKeyCounts = source.select(keys.map(col): _*)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
+    val probe = targetKeys.join(srcKeyCounts, keys, "inner")
+      .groupBy(col("_gf_file")).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
+      .collect()
+    if (probe.exists(_.getLong(1) > 1))
+      throw new ValidationException(
+        "MERGE cardinality violation: a target row matches more than one source row")
     val matchedFiles: Set[String] =
-      if (insertOnly) Set.empty
-      else targetKeys.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        .select("_gf_file").distinct().collect()
-        .map(r => table.normPath(r.getString(0))).toSet
+      probe.map(r => table.normPath(r.getString(0))).toSet
     val affectedTasks = allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
-
-    // 2. cardinality check (ref RewriteRowLevelOperationHelper:115): a target
-    // row may match at most one source row unless the merge is insert-only
-    if (!insertOnly) {
-      val dupKeys = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-        .join(targetKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      if (dupKeys.limit(1).count() > 0)
-        throw new ValidationException(
-          "MERGE cardinality violation: a target row matches more than one source row")
-    }
 
     // 3. join affected target rows with the source
     val affected = Reads.readTasksWithDeletes(table, m,
@@ -189,7 +209,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val s = src.drop(source.columns.filterNot(keys.contains): _*)
       .withColumn(MergeBuilder.FromSource, lit(true))
-    val joined = t.join(s, keys, if (insertOnly) "right_outer" else "full_outer")
+    val joined = t.join(s, keys, "full_outer")
     val matched = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNotNull
     val sourceOnly = col(MergeBuilder.FromTarget).isNull && col(MergeBuilder.FromSource).isNotNull
 

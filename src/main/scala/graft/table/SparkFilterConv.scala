@@ -43,6 +43,52 @@ object SparkFilterConv {
     case _ => false
   }
 
+  /** Best-effort conversion of a DSv2-pushed `sources.Filter` into the
+    * predicate ADT (ref `spark3/.../SparkFilters.java:76`). `None` means the
+    * filter can't prune metadata — the engine still applies it row-wise. */
+  def fromV1(f: org.apache.spark.sql.sources.Filter): Option[GExpr] = {
+    import org.apache.spark.sql.{sources => s}
+    def lit(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case ldt: java.time.LocalDateTime =>
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+      case other => other
+    }
+    f match {
+      case s.AlwaysTrue() => Some(graft.meta.expr.TrueExpr)
+      case s.AlwaysFalse() => Some(graft.meta.expr.FalseExpr)
+      case s.IsNull(a) => Some(Exprs.isNull(a))
+      case s.IsNotNull(a) => Some(Exprs.notNull(a))
+      case s.EqualTo(a, v) if v != null => Some(Exprs.equalTo(a, lit(v)))
+      case s.EqualNullSafe(a, null) => Some(Exprs.isNull(a))
+      case s.EqualNullSafe(a, v) => Some(Exprs.equalTo(a, lit(v)))
+      case s.LessThan(a, v) => Some(Exprs.lessThan(a, lit(v)))
+      case s.LessThanOrEqual(a, v) => Some(Exprs.lessThanOrEqual(a, lit(v)))
+      case s.GreaterThan(a, v) => Some(Exprs.greaterThan(a, lit(v)))
+      case s.GreaterThanOrEqual(a, v) => Some(Exprs.greaterThanOrEqual(a, lit(v)))
+      case s.In(a, vs) if !vs.contains(null) => Some(Exprs.in(a, vs.map(lit).toIndexedSeq: _*))
+      case s.StringStartsWith(a, p) => Some(Exprs.startsWith(a, p))
+      // And may convert partially — each conjunct prunes independently
+      case s.And(l, r) => (fromV1(l), fromV1(r)) match {
+        case (Some(cl), Some(cr)) => Some(GAnd(cl, cr))
+        case (one @ Some(_), None) => one
+        case (None, one @ Some(_)) => one
+        case _ => None
+      }
+      // Or/Not must NOT be converted partially: a dropped child changes
+      // semantics, unlike And where each conjunct prunes independently
+      case s.Or(l, r) => for (cl <- fromV1(l); cr <- fromV1(r)) yield GOr(cl, cr)
+      case s.Not(c) => fromV1(c).map(GNot)
+      case _ => None
+    }
+  }
+
   def convert(e: Expression): GExpr = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) => GAnd(convert(l), convert(r))
     case org.apache.spark.sql.catalyst.expressions.Or(l, r) => GOr(convert(l), convert(r))

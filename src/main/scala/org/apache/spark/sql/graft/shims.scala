@@ -18,4 +18,11 @@ object ColumnBridge {
   def parseExpression(spark: org.apache.spark.sql.SparkSession, sql: String): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parseExpression(sql)
+
+  /** The physical-plan RDD of internal rows (for `BaseRelation`s with
+    * `needConversion = false`; Spark 4 hides `queryExecution` behind the
+    * classic facade). */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.meta.expr.Exprs
+import graft.table.{IceTable, Listeners}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 catalog: SQL reads must go through the same pruning cascade as the
+  * Scala scan API (VERDICT r1 gap #1). */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionHelper.spark
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.gr", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gr.warehouse", dir)
+    dir
+  }
+  private lazy val lineitem =
+    spark.read.parquet(s"${SparkSessionHelper.sf0001}/lineitem.parquet")
+
+  test("create/insert/select through SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.t1 (id BIGINT, name STRING, qty DOUBLE) PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gr.db.t1 VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+    val rows = spark.sql("SELECT id, name, qty FROM gr.db.t1 ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+    // the physical table is a real graft table
+    val t = IceTable.load(spark, s"$warehouse/db/t1")
+    assert(t.currentSnapshot.isDefined)
+    assert(t.spec.isPartitioned)
+  }
+
+  test("SQL read goes through the pruning cascade (ScanEvent file counts match Scala path)") {
+    warehouse
+    val t = IceTable.create(spark, s"$warehouse/db/t2",
+      graft.meta.Schema.fresh(lineitem.schema),
+      graft.meta.PartitionSpec.builderFor(graft.meta.Schema.fresh(lineitem.schema))
+        .identity("l_returnflag").build())
+    t.append(lineitem)
+    val totalFiles = t.newScan().planFiles().size
+    val scalaCount = t.newScan().filter(Exprs.equalTo("l_returnflag", "R")).planFiles().size
+    assert(scalaCount < totalFiles, "identity partition should prune files")
+
+    val events = scala.collection.mutable.ArrayBuffer[Listeners.ScanEvent]()
+    Listeners.register(classOf[Listeners.ScanEvent]) { e =>
+      if (e.tableLocation.endsWith("db/t2")) events.synchronized { events += e }
+    }
+    val sqlRows = spark.sql("SELECT l_orderkey FROM gr.db.t2 WHERE l_returnflag = 'R'").count()
+    assert(sqlRows === lineitem.filter(col("l_returnflag") === "R").count())
+    val planned = events.synchronized(events.last.plannedFiles)
+    assert(planned === scalaCount, "SQL path must prune exactly like the Scala path")
+  }
+
+  test("SQL aggregation matches DataFrame on the same data") {
+    warehouse
+    val got = spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS s FROM gr.db.t2 GROUP BY l_returnflag ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.get(1)))
+    val want = lineitem.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s")).orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.get(1)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("count(*) works with empty projection pushdown") {
+    warehouse
+    assert(spark.sql("SELECT count(*) FROM gr.db.t2").head().getLong(0) === lineitem.count())
+  }
+
+  test("INSERT OVERWRITE truncates and replaces") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.t3 (k INT, v STRING)")
+    spark.sql("INSERT INTO gr.db.t3 VALUES (1, 'old'), (2, 'old')")
+    spark.sql("INSERT OVERWRITE gr.db.t3 VALUES (9, 'new')")
+    val rows = spark.sql("SELECT k, v FROM gr.db.t3").collect()
+    assert(rows.length === 1 && rows.head.getInt(0) === 9)
+    // history preserved: previous snapshot still queryable
+    val t = IceTable.load(spark, s"$warehouse/db/t3")
+    assert(t.snapshots.size >= 2)
+  }
+
+  test("time travel via VERSION AS OF") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.t4 (k INT)")
+    spark.sql("INSERT INTO gr.db.t4 VALUES (1)")
+    val t = IceTable.load(spark, s"$warehouse/db/t4")
+    val v1 = t.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO gr.db.t4 VALUES (2)")
+    assert(spark.sql(s"SELECT count(*) FROM gr.db.t4 VERSION AS OF $v1").head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gr.db.t4").head().getLong(0) === 2L)
+  }
+
+  test("ALTER TABLE add/rename column and properties") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.t5 (k INT, v STRING)")
+    spark.sql("INSERT INTO gr.db.t5 VALUES (1, 'x')")
+    spark.sql("ALTER TABLE gr.db.t5 ADD COLUMN extra DOUBLE")
+    spark.sql("ALTER TABLE gr.db.t5 RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE gr.db.t5 SET TBLPROPERTIES ('write.distribution-mode' = 'none')")
+    val row = spark.sql("SELECT k, label, extra FROM gr.db.t5").head()
+    assert(row.getInt(0) === 1 && row.getString(1) === "x" && row.isNullAt(2))
+    val t = IceTable.load(spark, s"$warehouse/db/t5")
+    assert(t.meta.properties("write.distribution-mode") === "none")
+  }
+
+  test("DROP TABLE and listTables") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.gone (k INT)")
+    assert(spark.sql("SHOW TABLES IN gr.db").collect().map(_.getString(1)).contains("gone"))
+    spark.sql("DROP TABLE gr.db.gone")
+    assert(!spark.sql("SHOW TABLES IN gr.db").collect().map(_.getString(1)).contains("gone"))
+  }
+}

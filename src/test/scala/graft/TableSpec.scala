@@ -159,6 +159,47 @@ class TableSpec extends AnyFunSuite {
     assert(math.abs(got - one.getDouble(1) / 2) < 1e-6)
   }
 
+  test("insert-only merge does not duplicate existing keys") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    val snapBefore = t.currentSnapshot.get.snapshotId
+    import spark.implicits._
+    val existing = orders.limit(100).select("o_orderkey").as[Long].collect().toSet
+    // source: 30 rows whose keys already exist + 20 genuinely new
+    val overlapping = orders.limit(30).withColumn("o_totalprice", lit(-1.0))
+    val fresh = orders.orderBy(desc("o_orderkey")).limit(20)
+      .filter(!col("o_orderkey").isin(existing.toSeq: _*))
+    val nFresh = fresh.count()
+    t.merge(overlapping.unionByName(fresh), Seq("o_orderkey"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    // existing keys untouched: no duplicates, original price preserved
+    val dupKeys = t.toDF.groupBy("o_orderkey").count().filter(col("count") > 1).count()
+    assert(dupKeys === 0)
+    assert(t.toDF.filter(col("o_totalprice") === -1.0).count() === 0)
+    assert(t.toDF.count() === 100 + nFresh)
+    // append, not overwrite: no target files were rewritten
+    assert(t.currentSnapshot.get.operation === graft.meta.model.Operation.Append)
+    assert(t.currentSnapshot.get.parentId.contains(snapBefore))
+  }
+
+  test("insert-only merge with conditional clause filters source rows") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(50))
+    val fresh = orders.orderBy(desc("o_orderkey")).limit(40)
+    t.merge(fresh, Seq("o_orderkey"))
+      .whenNotMatchedInsert(
+        t.schema.columnNames.map(n => n -> col("_s_" + n)).toMap,
+        cond = Some(col("_s_o_orderstatus") === "O"))
+      .execute()
+    val expected = 50 + fresh
+      .join(orders.limit(50).select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .filter(col("o_orderstatus") === "O").count()
+    assert(t.toDF.count() === expected)
+  }
+
   test("merge cardinality violation raises") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
