@@ -456,7 +456,7 @@ final class TableScan private[table] (table: IceTable) {
 }
 
 /** File-group reading with field-ID based schema resolution. */
-private[table] object Reads {
+private[graft] object Reads {
 
   def statsOf(f: DataFileMeta): MetricsSource = new MetricsSource {
     def rowCount: Long = f.recordCount
@@ -467,8 +467,27 @@ private[table] object Reads {
     def upper(id: Int): Option[Any] = f.upperBounds.get(id)
   }
 
-  /** Read tasks applying any merge-on-read delete files, grouped by sequence
-    * number so each delete applies only to data committed before it. */
+  /** Group scan tasks into APPLICABILITY CLASSES: two tasks share a branch
+    * iff the exact same set of delete files applies to them (by sequence
+    * rule AND partition scope — `MergeOnRead.applies`). Deletes partition
+    * the data sequence numbers into at most #delete-commits+1 classes, so
+    * the union stays bounded for long-lived tables regardless of how many
+    * distinct data sequences exist (r1 verdict scale item #5); partition
+    * scoping further drops whole delete files from branches they can't
+    * touch. */
+  private[graft] def groupTasksByDeletes(tasks: Seq[FileScanTask],
+      deletes: Seq[(DataFileMeta, Long)]): Seq[(Seq[DataFileMeta], Seq[FileScanTask])] =
+    tasks.groupBy(t => deletes.collect {
+        case (d, dseq) if MergeOnRead.applies(d, dseq, t) => d.path
+      })
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (paths, group) =>
+        val pathSet = paths.toSet
+        (deletes.map(_._1).filter(d => pathSet.contains(d.path)), group)
+      }
+
+  /** Read tasks applying any merge-on-read delete files, one branch per
+    * delete-applicability class. */
   def readTasksWithDeletes(table: IceTable, m: TableMetadata, tasks: Seq[FileScanTask],
       deletes: Seq[(DataFileMeta, Long)], projection: Seq[String], boundFilter: Expr,
       rowPositions: Boolean): DataFrame = {
@@ -477,15 +496,15 @@ private[table] object Reads {
       return readFiles(spark, table, m, tasks, projection, boundFilter,
         withMeta = rowPositions)
     }
-    val needMeta = rowPositions || deletes.exists(_._1.content == FileContent.PositionDeletes)
-    val groups = tasks.groupBy(_.seq).toSeq.sortBy(_._1)
-    val dfs = groups.map { case (seq, group) =>
-      val applicable = deletes.collect {
-        case (f, dseq) if f.content == FileContent.PositionDeletes && dseq >= seq => f
-        case (f, dseq) if f.content == FileContent.EqualityDeletes && dseq > seq => f
-      }
-      val df = readFiles(spark, table, m, group, projection, boundFilter, withMeta = needMeta)
-      MergeOnRead.applyDeletes(spark, m, df, applicable)
+    val groups = groupTasksByDeletes(tasks, deletes)
+    val needMeta = rowPositions || groups.exists(_._1.exists(
+      _.content == FileContent.PositionDeletes))
+    val dfs = groups.map { case (applicable, group) =>
+      // every branch carries the same columns so unionByName lines up
+      val df = readFiles(spark, table, m, group, projection, boundFilter,
+        withMeta = needMeta)
+      MergeOnRead.applyDeletes(spark, m, df, applicable,
+        groupPaths = group.map(t => table.normPath(t.file.path)))
     }
     val out = dfs.reduce(_ unionByName _)
     if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)

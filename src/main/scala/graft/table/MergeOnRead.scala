@@ -4,7 +4,8 @@ import java.util.UUID
 
 import graft.meta.model._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Merge-on-read row deletes via delete FILES (format v2; ref
@@ -18,6 +19,16 @@ import org.apache.spark.sql.functions._
   *    files with sequenceNumber ≤ delete's (anti join on Spark's
   *    `_metadata.file_path/row_index`)
   *
+  * Delete files are PARTITION-SCOPED when the write can prove scope (ref
+  * `DeleteFileIndex.java:286` partition matching): equality deletes whose
+  * keys cover every partition-source column are split per partition (a row
+  * with those key values can only live in that partition, so scoping is
+  * semantically neutral); position deletes inherit the partition of their
+  * target data file. An all-null partition tuple means GLOBAL scope —
+  * conservative and always sound. Scoped deletes let a scan group skip
+  * delete files for other partitions entirely, so a table with K delete
+  * files doesn't anti-join all K on every read.
+  *
   * Writes are `newRowDelta()`-style commits: delete files are ADDED, no data
   * file is rewritten — O(changed rows), not O(affected files).
   */
@@ -26,25 +37,83 @@ object MergeOnRead {
   val PosPathCol = "file_path"
   val PosPosCol = "pos"
 
-  /** Commit an equality-delete file: rows of `keys` values to suppress. */
+  /** Commit an equality-delete file: rows of `keys` values to suppress.
+    * Partition-scoped per delete row when `keys` cover all partition
+    * sources; global otherwise. */
   def addEqualityDeletes(table: IceTable, keysDf: DataFrame, keys: Seq[String]): Unit = {
     val m = table.meta
     val schema = m.schema
+    val spec = m.spec
     val ids = keys.map(schema.fieldId)
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
-    keysDf.select(keys.map(col): _*).dropDuplicates(keys).write.parquet(outDir)
-    val files = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids)
+    val distinctKeys = keysDf.select(keys.map(col): _*).dropDuplicates(keys)
+    val scoped = spec.isPartitioned &&
+      spec.fields.forall(pf => ids.contains(pf.sourceId))
+    if (scoped) {
+      // derive the partition tuple from the key values with the same
+      // codegen'd transform expressions the data writer uses
+      val helperNames = spec.fields.map(pf => Writes.HelperPrefix + pf.name)
+      val helperCols = spec.fields.map { pf =>
+        val srcName = schema.fieldName(pf.sourceId)
+        pf.transform.toColumn(col(srcName), schema.fieldType(pf.sourceId))
+      }
+      distinctKeys.withColumns(helperNames.zip(helperCols).toMap)
+        .write.partitionBy(helperNames: _*).parquet(outDir)
+    } else {
+      distinctKeys.write.parquet(outDir)
+    }
+    val files = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
+      scoped = scoped)
     table.commitSnapshot(Operation.Delete, files, Set.empty,
       Map("equality-delete-files" -> files.size.toString))
   }
 
-  /** Commit a position-delete file: (file_path, pos) rows to suppress. */
+  /** Commit a position-delete file: (file_path, pos) rows to suppress.
+    * Each delete row is scoped to the partition of its target data file
+    * (looked up from scan metadata, broadcast); unknown paths fall back to
+    * global scope. */
   def addPositionDeletes(table: IceTable, posDf: DataFrame): Unit = {
     val m = table.meta
+    val spec = m.spec
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
-    posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
-      .dropDuplicates(PosPathCol, PosPosCol).write.parquet(outDir)
-    val files = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil)
+    val rows = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
+      .dropDuplicates(PosPathCol, PosPosCol)
+    val scoped = spec.isPartitioned
+    if (scoped) {
+      // path -> stringified partition tuple of the live default-spec files;
+      // files under other specs (or unknown paths) stay global (all-marker)
+      val schema = m.schema
+      val spark = table.spark
+      val helperNames = spec.fields.map(pf => Writes.HelperPrefix + pf.name)
+      val lookupRows = table.newScan().planFiles()
+        .filter(_.file.specId == spec.specId)
+        .map { t =>
+          val parts = spec.fields.zipWithIndex.map { case (pf, i) =>
+            partValueToString(t.file.partition(i), spec.fieldType(schema, pf))
+          }
+          org.apache.spark.sql.Row.fromSeq(table.normPath(t.file.path) +: parts)
+        }
+      val lookupSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("_gp_path",
+          org.apache.spark.sql.types.StringType) +:
+        helperNames.map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+      val lookup = spark.createDataFrame(
+        spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
+      // normalize URI schemes: _metadata.file_path is "file:///p", Hadoop
+      // listings are "file:/p", lookup keys are scheme-less normPath
+      val joined = rows.join(broadcast(lookup),
+          normPathCol(rows(PosPathCol)) === lookup("_gp_path"), "left")
+        .drop("_gp_path")
+      val filled = helperNames.foldLeft(joined)((df, n) =>
+        df.withColumn(n, coalesce(col(n),
+          lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))))
+      filled.write.partitionBy(helperNames: _*).parquet(outDir)
+    } else {
+      rows.write.parquet(outDir)
+    }
+    val files = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
+      scoped = scoped)
       .filter(_.recordCount > 0)
     if (files.isEmpty) return // nothing matched: no-op, no empty snapshot
     table.commitSnapshot(Operation.Delete, files, Set.empty,
@@ -62,32 +131,95 @@ object MergeOnRead {
     addPositionDeletes(table, positions)
   }
 
+  /** Inverse of `Writes.parsePartitionValue` for internal-repr values. */
+  private[table] def partValueToString(v: Any,
+      t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    if (v == null) return ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    t match {
+      case DateType => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString
+      case _: DecimalType => v.asInstanceOf[java.math.BigDecimal].toPlainString
+      case _ => v.toString
+    }
+  }
+
   private def deleteFileMetas(table: IceTable, m: TableMetadata, outDir: String,
-      content: Int, equalityIds: Seq[Int]): Seq[DataFileMeta] = {
+      content: Int, equalityIds: Seq[Int], scoped: Boolean): Seq[DataFileMeta] = {
+    val spec = m.spec
+    val schema = m.schema
     table.io.listRecursive(outDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
+        val path = st.getPath.toString
         val conf = table.spark.sparkContext.hadoopConfiguration
-        val rc = ParquetMetrics.read(conf, st.getPath.toString, m.schema).recordCount
+        val rc = ParquetMetrics.read(conf, path, m.schema).recordCount
+        val partValues: Seq[Any] =
+          if (!scoped || spec.isUnpartitioned) spec.fields.map(_ => null)
+          else {
+            val rel = path.stripPrefix(outDir).stripPrefix("/")
+            val dirs = rel.split('/').dropRight(1).filter(_.contains('='))
+              .map { seg =>
+                val Array(k, v2) = seg.split("=", 2)
+                k.stripPrefix(Writes.HelperPrefix) ->
+                  ExternalCatalogUtils.unescapePathName(v2)
+              }.toMap
+            spec.fields.map { pf =>
+              dirs.get(pf.name) match {
+                case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) | None => null
+                case Some(raw) =>
+                  Writes.parsePartitionValue(raw, spec.fieldType(schema, pf))
+              }
+            }
+          }
         DataFileMeta(
-          path = st.getPath.toString, format = "parquet",
+          path = path, format = "parquet",
           specId = m.defaultSpecId,
-          partition = m.spec.fields.map(_ => null), // global scope
+          partition = partValues,
           recordCount = rc, fileSizeBytes = st.getLen,
           schemaId = m.currentSchemaId, content = content,
           equalityIds = equalityIds)
       }
   }
 
+  /** A delete file's applicability to one data file (ref
+    * `DeleteFileIndex.java:103,286`): sequence rule per content type, then
+    * partition scope — all-null partition = global; a different spec can't
+    * prove disjointness, so scoped deletes still apply across specs. */
+  private[table] def applies(d: DataFileMeta, dseq: Long, t: FileScanTask): Boolean = {
+    val seqOk =
+      if (d.content == FileContent.PositionDeletes) dseq >= t.seq
+      else dseq > t.seq
+    if (!seqOk) return false
+    val global = d.partition.isEmpty || d.partition.forall(_ == null)
+    global || d.specId != t.file.specId || d.partition == t.file.partition
+  }
+
   /** Apply the given (already applicability-filtered) delete files to a data
-    * DataFrame that carries meta columns when position deletes are present. */
+    * DataFrame that carries meta columns when position deletes are present.
+    * `groupPaths` (the data files behind `df`) prefilters the position-delete
+    * scan so the anti join probes only relevant rows. */
   private[table] def applyDeletes(spark: org.apache.spark.sql.SparkSession,
-      m: TableMetadata, df: DataFrame, applicable: Seq[DataFileMeta]): DataFrame = {
+      m: TableMetadata, df: DataFrame, applicable: Seq[DataFileMeta],
+      groupPaths: Seq[String] = Nil): DataFrame = {
     var out = df
     val posFiles = applicable.filter(_.content == FileContent.PositionDeletes)
     if (posFiles.nonEmpty) {
-      val pos = spark.read.parquet(posFiles.map(_.path): _*)
+      val pos0 = spark.read.parquet(posFiles.map(_.path): _*)
         .select(col(PosPathCol), col(PosPosCol))
+      // pushes a filter into the delete-file scan: only rows targeting this
+      // group's files survive, so the anti join probes a fraction of the
+      // delete data (groupPaths are scheme-less normPaths)
+      val pos =
+        if (groupPaths.nonEmpty && groupPaths.size <= 1000)
+          pos0.filter(normPathCol(col(PosPathCol)).isin(groupPaths: _*))
+        else pos0
       out = out.join(broadcastIfSmall(pos, posFiles),
         out(TableScan.MetaFileCol) === pos(PosPathCol) &&
           out(TableScan.MetaPosCol) === pos(PosPosCol),
@@ -97,11 +229,21 @@ object MergeOnRead {
     eqFiles.groupBy(_.equalityIds).foreach { case (ids, fs) =>
       val keyNames = ids.map(m.schema.fieldName)
       val keys = spark.read.parquet(fs.map(_.path): _*).select(keyNames.map(col): _*)
-      out = out.join(broadcastIfSmall(keys, fs), keyNames, "left_anti")
+      // null-safe equality per key column: delete rows with null keys match
+      // target rows with nulls (ref equality-delete spec semantics)
+      val kdf = broadcastIfSmall(keys, fs)
+      val cond = keyNames.map(n => out(n) <=> kdf(n)).reduce(_ && _)
+      out = out.join(kdf, cond, "left_anti")
     }
     out
   }
 
   private def broadcastIfSmall(df: DataFrame, files: Seq[DataFileMeta]): DataFrame =
     if (files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024) broadcast(df) else df
+
+  /** Strip the URI scheme from a path column (Column analogue of
+    * `IceTable.normPath`). */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
 }
+

@@ -84,6 +84,84 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("o_totalprice") =!= 1.0).count() === 0)
   }
 
+  test("equality deletes with null keys match null rows (null-safe join)") {
+    val loc = tmpLoc()
+    val withNulls = orders.limit(50)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_orderpriority")))
+    val t = IceTable.create(spark, loc, Schema.fresh(withNulls.schema))
+    t.append(withNulls)
+    val nNull = withNulls.filter(col("o_orderpriority").isNull).count()
+    assert(nNull > 0)
+    import spark.implicits._
+    t.addEqualityDeletes(Seq[String](null).toDF("o_orderpriority"), Seq("o_orderpriority"))
+    assert(t.toDF.count() === 50 - nNull)
+    assert(t.toDF.filter(col("o_orderpriority").isNull).count() === 0)
+  }
+
+  test("equality deletes covering partition sources are partition-scoped") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val t = IceTable.create(spark, loc, schema,
+      graft.meta.PartitionSpec.builderFor(schema).identity("o_orderstatus").build())
+    t.append(orders)
+    t.addEqualityDeletes(
+      orders.limit(200).select("o_orderkey", "o_orderstatus").distinct(),
+      Seq("o_orderkey", "o_orderstatus"))
+    // delete files carry real partition tuples, one per touched partition
+    val deletes = t.newScan().planDeletes().map(_._1)
+    assert(deletes.nonEmpty)
+    assert(deletes.forall(d => d.partition.size == 1 && d.partition.head != null))
+    assert(deletes.map(_.partition.head).distinct.size ===
+      orders.limit(200).select("o_orderstatus").distinct().count())
+    // semantics unchanged
+    val victims = orders.limit(200).select("o_orderkey").distinct()
+    val expected = orders.join(victims, Seq("o_orderkey"), "left_anti").count()
+    assert(t.toDF.count() === expected)
+    // a single-partition scan only applies that partition's delete files
+    val tasks = t.newScan().filter(equalTo("o_orderstatus", "F")).planFiles()
+    val groups = graft.table.Reads.groupTasksByDeletes(tasks, t.newScan().planDeletes())
+    val applied = groups.flatMap(_._1).distinct
+    assert(applied.forall(_.partition.head == "F"))
+    assert(applied.size < deletes.size)
+  }
+
+  test("position deletes are scoped to their target file's partition") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val t = IceTable.create(spark, loc, schema,
+      graft.meta.PartitionSpec.builderFor(schema).identity("o_orderstatus").build())
+    t.append(orders)
+    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    val deletes = t.newScan().planDeletes().map(_._1)
+    assert(deletes.nonEmpty)
+    assert(deletes.forall(_.partition.head == "F"))
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+  }
+
+  test("union branch count is bounded by delete commits, not data sequences") {
+    import graft.meta.model.{DataFileMeta, FileContent}
+    import graft.table.FileScanTask
+    import graft.meta.expr.TrueExpr
+    def data(seq: Long) = FileScanTask(
+      DataFileMeta(s"/d/f$seq.parquet", "parquet", 0, Nil, 10, 100), TrueExpr, seq)
+    def eqDel(seq: Long) = (DataFileMeta(s"/del/e$seq.parquet", "parquet", 0, Nil,
+      1, 10, content = FileContent.EqualityDeletes, equalityIds = Seq(1)), seq)
+    // 50 data commits at distinct sequences, 3 delete commits
+    val tasks = (1L to 50L).map(data)
+    val deletes = Seq(eqDel(10L), eqDel(25L), eqDel(40L))
+    val groups = graft.table.Reads.groupTasksByDeletes(tasks, deletes)
+    assert(groups.size <= deletes.size + 1)
+    // every task appears exactly once; per-seq semantics preserved
+    assert(groups.flatMap(_._2).size === 50)
+    groups.foreach { case (applicable, ts) =>
+      ts.foreach { t =>
+        val want = deletes.filter(_._2 > t.seq).map(_._1.path).toSet
+        assert(applicable.map(_.path).toSet === want)
+      }
+    }
+  }
+
   test("import existing hive-layout parquet without rewrite") {
     val src = Files.createTempDirectory("graft-import-").toString + "/src"
     orders.withColumn("status", col("o_orderstatus"))
