@@ -51,7 +51,16 @@ object Projections {
           projectPred(pf, schema, p, strict)
             .getOrElse(if (strict) FalseExpr else TrueExpr)
         }
-        projected.reduce[Expr] {
+        // multiple transforms of one source column: each inclusive projection
+        // is NECESSARY (AND tightens), each strict projection is SUFFICIENT
+        // on its own (OR — ref Projections.java:113); AND-reducing strict
+        // would be sound but misses e.g. day+hour specs
+        if (strict) projected.reduce[Expr] {
+          case (FalseExpr, b) => b
+          case (a, FalseExpr) => a
+          case (TrueExpr, _) | (_, TrueExpr) => TrueExpr
+          case (a, b) => Or(a, b)
+        } else projected.reduce[Expr] {
           case (TrueExpr, b) => b
           case (a, TrueExpr) => a
           case (FalseExpr, _) | (_, FalseExpr) => FalseExpr

@@ -98,12 +98,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val setProps = changes.collect { case c: TableChange.SetProperty =>
       c.property -> c.value }.toMap
     val rmProps = changes.collect { case c: TableChange.RemoveProperty => c.property }.toSet
-    if (setProps.nonEmpty || rmProps.nonEmpty) t.updateProperties(setProps, rmProps)
     val schemaChanges = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case _ => true
     }
-    if (schemaChanges.nonEmpty) t.updateSchema { upd0 =>
+    val schemaFn = if (schemaChanges.isEmpty) None else Some { (upd0: graft.meta.UpdateSchema) =>
       schemaChanges.foldLeft(upd0) { (upd, ch) => ch match {
         case c: TableChange.AddColumn =>
           require(c.fieldNames.length == 1, "Nested adds not supported")
@@ -122,6 +121,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           throw new UnsupportedOperationException(s"Unsupported table change: $other")
       }}
     }
+    if (setProps.nonEmpty || rmProps.nonEmpty || schemaFn.nonEmpty)
+      t.alterAtomic(setProps, rmProps, schemaFn)
     loadTable(ident)
   }
 
@@ -133,10 +134,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
-    val fs = new org.apache.hadoop.fs.Path(tablePath(from))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(tablePath(from)),
-      new org.apache.hadoop.fs.Path(tablePath(to)))
+    val src = new org.apache.hadoop.fs.Path(tablePath(from))
+    val dst = new org.apache.hadoop.fs.Path(tablePath(to))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fs.rename returns false (no exception) when e.g. the destination parent
+    // is missing — surface that as a failure instead of a silent no-op
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"Rename failed: $src -> $dst")
+    // metadata stores absolute paths — rewrite them for the new location
+    IceTable.relocate(spark, tablePath(to))
   }
 
   // ------------------------------------------------------------ namespaces
@@ -166,6 +173,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
     io.deleteRecursive((warehouse +: namespace.toSeq).mkString("/"))
   }
 }

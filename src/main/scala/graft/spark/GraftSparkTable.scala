@@ -103,10 +103,14 @@ final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructTy
     s
   }
 
+  // planned once per query: estimateStatistics and buildScan both need the
+  // task list — at millions of files re-planning doubles driver metadata work
+  private lazy val plannedTasks = newGraftScan().planFiles()
+
   override def readSchema(): StructType = projection
 
   override def estimateStatistics(): Statistics = {
-    val tasks = newGraftScan().planFiles()
+    val tasks = plannedTasks
     val bytes = tasks.map(_.file.fileSizeBytes).sum
     val rows = tasks.map(_.file.recordCount).sum
     new Statistics {
@@ -154,7 +158,9 @@ final class GraftWriteBuilder(table: IceTable)
   override def truncate(): WriteBuilder = { overwriteExpr = Some(TrueExpr); this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    val conv = filters.map(f => SparkFilterConv.fromV1(f).getOrElse(
+    // strict: a partially-converted filter here would delete rows the original
+    // filter does not match (see SparkFilterConv.fromV1Strict)
+    val conv = filters.map(f => SparkFilterConv.fromV1Strict(f).getOrElse(
       throw new UnsupportedOperationException(
         s"Cannot overwrite by non-convertible filter: $f")))
     overwriteExpr = Some(conv.foldLeft(TrueExpr: GExpr)(GAnd(_, _)))

@@ -350,6 +350,55 @@ object IceTable {
   def exists(spark: SparkSession, location: String): Boolean =
     new TableOperations(location,
       new FileIO(spark.sparkContext.hadoopConfiguration)).exists
+
+  /** Rewrite every absolute path in a moved table's metadata tree to the new
+    * location (manifest lists, manifests, snapshot pointers, metadata log).
+    * Filesystem-catalog RENAME = directory move + this; the reference's
+    * HadoopCatalog refuses rename because its Avro metadata stores absolute
+    * paths too (`core/.../hadoop/HadoopCatalog.java` renameTable throws) —
+    * here metadata is rewritable, so a rare O(metadata) pass keeps the table
+    * self-consistent (chained renames stay safe). */
+  def relocate(spark: SparkSession, newLocation: String): Unit = {
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    val ops = new TableOperations(newLocation, io)
+    val (version, base) = ops.current()
+    val oldLoc = base.location
+    if (oldLoc == newLocation) return
+    // stored paths may carry a URI scheme (file:/…) while locations are
+    // scheme-less — compare scheme-normalized forms
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val oldNorm = norm(oldLoc)
+    def remap(p: String): String = {
+      val pn = norm(p)
+      if (pn.startsWith(oldNorm)) newLocation + pn.substring(oldNorm.length) else p
+    }
+    // each manifest can appear in several manifest lists — rewrite once
+    val newLengths = scala.collection.mutable.Map[String, Long]()
+    base.snapshots.foreach { snap =>
+      val listPath = remap(snap.manifestList)
+      val manifests = JsonCodecs.manifestListFromJson(
+        io.readString(listPath), base.schema, base.specById)
+      val remapped = manifests.map { mf =>
+        val mPath = remap(mf.path)
+        val len = newLengths.getOrElseUpdate(mPath, {
+          val entries = ManifestIO.read(io, mPath, base.schema, base.specById)
+            .map(e => e.copy(dataFile = e.dataFile.copy(path = remap(e.dataFile.path))))
+          io.writeString(mPath, entries.map(
+            JsonCodecs.entryToJson(_, base.schema, base.specById(mf.specId))).mkString("\n"))
+        })
+        mf.copy(path = mPath, length = len)
+      }
+      io.writeString(listPath,
+        JsonCodecs.manifestListToJson(remapped, base.schema, base.specById))
+    }
+    val newMeta = base.copy(
+      location = newLocation,
+      snapshots = base.snapshots.map(s => s.copy(manifestList = remap(s.manifestList))),
+      metadataLog = base.metadataLog.map(e => e.copy(file = remap(e.file))),
+      lastUpdatedMillis = System.currentTimeMillis())
+    if (!ops.commit(version, newMeta))
+      throw new CommitFailedException(s"Concurrent commit during relocate to $newLocation")
+  }
 }
 
 /** Scan builder (ref `api/.../TableScan.java`): filter + projection +
@@ -475,16 +524,28 @@ private[graft] object Reads {
     * distinct data sequences exist (r1 verdict scale item #5); partition
     * scoping further drops whole delete files from branches they can't
     * touch. */
+  /** Above this many branches, fall back to sequence-only grouping:
+    * partition scope multiplies classes per (partition, seq-class), and a
+    * many-partition table with scoped deletes would otherwise blow up the
+    * union plan. Dropping the scope from GROUPING is semantically neutral —
+    * scoped equality deletes key-cover the partition sources (out-of-scope
+    * rows can't match) and position deletes match by exact file path — it
+    * only costs some extra no-op anti-join probes. */
+  private[graft] val MaxDeleteGroups = 64
+
   private[graft] def groupTasksByDeletes(tasks: Seq[FileScanTask],
-      deletes: Seq[(DataFileMeta, Long)]): Seq[(Seq[DataFileMeta], Seq[FileScanTask])] =
-    tasks.groupBy(t => deletes.collect {
-        case (d, dseq) if MergeOnRead.applies(d, dseq, t) => d.path
-      })
-      .toSeq.sortBy(_._1.mkString(","))
-      .map { case (paths, group) =>
-        val pathSet = paths.toSet
-        (deletes.map(_._1).filter(d => pathSet.contains(d.path)), group)
-      }
+      deletes: Seq[(DataFileMeta, Long)]): Seq[(Seq[DataFileMeta], Seq[FileScanTask])] = {
+    def grouped(applies: ((DataFileMeta, Long), FileScanTask) => Boolean) =
+      tasks.groupBy(t => deletes.collect { case e if applies(e, t) => e._1.path })
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (paths, group) =>
+          val pathSet = paths.toSet
+          (deletes.map(_._1).filter(d => pathSet.contains(d.path)), group)
+        }
+    val scoped = grouped { case ((d, dseq), t) => MergeOnRead.applies(d, dseq, t) }
+    if (scoped.size <= MaxDeleteGroups) scoped
+    else grouped { case ((d, dseq), t) => MergeOnRead.seqApplies(d, dseq, t) }
+  }
 
   /** Read tasks applying any merge-on-read delete files, one branch per
     * delete-applicability class. */

@@ -65,6 +65,29 @@ trait Lifecycle { self: IceTable =>
         lastUpdatedMillis = System.currentTimeMillis())
     }
 
+  /** Property + schema changes in ONE metadata commit. SQL `ALTER TABLE` can
+    * carry both kinds of change; committing them separately could leave a
+    * partial ALTER behind a crash between the two commits. */
+  def alterAtomic(set: Map[String, String], remove: Set[String],
+      schemaFn: Option[UpdateSchema => UpdateSchema]): Unit =
+    ops.commitWithRetry(4) { base =>
+      val withProps =
+        if (set.isEmpty && remove.isEmpty) base
+        else base.copy(properties = base.properties -- remove ++ set)
+      val next = schemaFn match {
+        case None => withProps
+        case Some(fn) =>
+          val upd = fn(new UpdateSchema(withProps.schema, withProps.lastColumnId))
+          val applied = upd.apply()
+          val ns = applied.copy(schemaId = withProps.schemas.map(_.schemaId).max + 1)
+          withProps.copy(
+            currentSchemaId = ns.schemaId,
+            schemas = withProps.schemas :+ ns,
+            lastColumnId = math.max(withProps.lastColumnId, upd.lastAssignedId))
+      }
+      next.copy(lastUpdatedMillis = System.currentTimeMillis())
+    }
+
   def replaceSortOrder(order: SortOrderMeta): Unit =
     ops.commitWithRetry(4) { base =>
       val next = order.copy(orderId = base.sortOrders.map(_.orderId).max + 1)

@@ -192,11 +192,14 @@ object MergeOnRead {
     * `DeleteFileIndex.java:103,286`): sequence rule per content type, then
     * partition scope — all-null partition = global; a different spec can't
     * prove disjointness, so scoped deletes still apply across specs. */
+  /** Sequence rule alone (partition scope ignored) — used when branch-count
+    * capping merges applicability classes; see `IceTable.MaxDeleteGroups`. */
+  private[table] def seqApplies(d: DataFileMeta, dseq: Long, t: FileScanTask): Boolean =
+    if (d.content == FileContent.PositionDeletes) dseq >= t.seq
+    else dseq > t.seq
+
   private[table] def applies(d: DataFileMeta, dseq: Long, t: FileScanTask): Boolean = {
-    val seqOk =
-      if (d.content == FileContent.PositionDeletes) dseq >= t.seq
-      else dseq > t.seq
-    if (!seqOk) return false
+    if (!seqApplies(d, dseq, t)) return false
     val global = d.partition.isEmpty || d.partition.forall(_ == null)
     global || d.specId != t.file.specId || d.partition == t.file.partition
   }

@@ -45,8 +45,21 @@ object SparkFilterConv {
 
   /** Best-effort conversion of a DSv2-pushed `sources.Filter` into the
     * predicate ADT (ref `spark3/.../SparkFilters.java:76`). `None` means the
-    * filter can't prune metadata — the engine still applies it row-wise. */
-  def fromV1(f: org.apache.spark.sql.sources.Filter): Option[GExpr] = {
+    * filter can't prune metadata — the engine still applies it row-wise.
+    * ONLY safe for scan pruning: `And` converts partially (each conjunct
+    * prunes independently), which yields a WEAKER predicate. */
+  def fromV1(f: org.apache.spark.sql.sources.Filter): Option[GExpr] =
+    fromV1(f, strict = false)
+
+  /** Exact conversion: `None` unless EVERY node converts. Required wherever
+    * the result selects rows to delete/rewrite (overwrite-by-filter,
+    * row-level ops) — a partially-converted `And` there would delete rows the
+    * original filter did not match (silent data loss; ref `SparkFilters.java`
+    * refuses partial And conversion for the same reason). */
+  def fromV1Strict(f: org.apache.spark.sql.sources.Filter): Option[GExpr] =
+    fromV1(f, strict = true)
+
+  private def fromV1(f: org.apache.spark.sql.sources.Filter, strict: Boolean): Option[GExpr] = {
     import org.apache.spark.sql.{sources => s}
     def lit(v: Any): Any = v match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
@@ -74,17 +87,20 @@ object SparkFilterConv {
       case s.GreaterThanOrEqual(a, v) => Some(Exprs.greaterThanOrEqual(a, lit(v)))
       case s.In(a, vs) if !vs.contains(null) => Some(Exprs.in(a, vs.map(lit).toIndexedSeq: _*))
       case s.StringStartsWith(a, p) => Some(Exprs.startsWith(a, p))
-      // And may convert partially — each conjunct prunes independently
-      case s.And(l, r) => (fromV1(l), fromV1(r)) match {
+      // And may convert partially in pruning mode — each conjunct prunes
+      // independently. In strict mode both sides must convert exactly.
+      case s.And(l, r) => (fromV1(l, strict), fromV1(r, strict)) match {
         case (Some(cl), Some(cr)) => Some(GAnd(cl, cr))
-        case (one @ Some(_), None) => one
-        case (None, one @ Some(_)) => one
+        case (one @ Some(_), None) if !strict => one
+        case (None, one @ Some(_)) if !strict => one
         case _ => None
       }
-      // Or/Not must NOT be converted partially: a dropped child changes
-      // semantics, unlike And where each conjunct prunes independently
-      case s.Or(l, r) => for (cl <- fromV1(l); cr <- fromV1(r)) yield GOr(cl, cr)
-      case s.Not(c) => fromV1(c).map(GNot)
+      // Or must NOT be converted partially: a dropped branch changes semantics
+      case s.Or(l, r) =>
+        for (cl <- fromV1(l, strict); cr <- fromV1(r, strict)) yield GOr(cl, cr)
+      // Under Not the polarity flips: a partially-converted child (weaker)
+      // becomes STRONGER after negation, so the subtree must convert exactly
+      case s.Not(c) => fromV1(c, strict = true).map(GNot)
       case _ => None
     }
   }

@@ -106,6 +106,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(t.meta.properties("write.distribution-mode") === "none")
   }
 
+  test("DROP NAMESPACE without CASCADE refuses a non-empty namespace") {
+    warehouse
+    spark.sql("CREATE TABLE gr.ns1.keep (k INT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gr.ns1") }
+    assert(spark.sql("SELECT count(*) FROM gr.ns1.keep").head().getLong(0) === 0L)
+    spark.sql("DROP NAMESPACE gr.ns1 CASCADE")
+    assert(!IceTable.exists(spark, s"$warehouse/ns1/keep"))
+  }
+
+  test("ALTER TABLE RENAME moves the table and fails cleanly") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.ren1 (k INT)")
+    spark.sql("INSERT INTO gr.db.ren1 VALUES (7)")
+    spark.sql("ALTER TABLE gr.db.ren1 RENAME TO db.ren2")
+    assert(spark.sql("SELECT k FROM gr.db.ren2").head().getInt(0) === 7)
+    assert(!IceTable.exists(spark, s"$warehouse/db/ren1"))
+  }
+
   test("DROP TABLE and listTables") {
     warehouse
     spark.sql("CREATE TABLE gr.db.gone (k INT)")

@@ -187,6 +187,32 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("strict projection ORs multiple transforms of one source column") {
+    // identity + day over ts: Eq projects strictly through identity but not
+    // through day (None ⇒ FALSE). OR-reduction keeps the identity guarantee;
+    // AND-reduction would collapse the whole projection to FALSE and miss
+    // metadata-only deletes on multi-transform specs (ref Projections.java:113).
+    val spec2 = PartitionSpec.builderFor(schema).identity("ts").day("ts").build()
+    val idField = spec2.fields(0)
+    Projections.strict(spec2, schema, b(equalTo("ts", "1995-01-01 00:00:00"))) match {
+      case BoundPred(Op.Eq, fid, _, _, Seq(v)) =>
+        assert(fid === idField.fieldId)
+        assert(v === 788918400000000L)
+      case other => fail(s"expected identity Eq to survive OR-reduction, got $other")
+    }
+    // both project (range over day+hour spec): OR of two sufficient conditions
+    val spec3 = PartitionSpec.builderFor(schema).day("ts").hour("ts").build()
+    Projections.strict(spec3, schema, b(lessThan("ts", "1995-01-01 00:00:00"))) match {
+      case Or(BoundPred(Op.Lt, _, _, _, _), BoundPred(Op.Lt, _, _, _, _)) =>
+      case other => fail(other.toString)
+    }
+    // inclusive still ANDs (each projection is necessary)
+    Projections.inclusive(spec3, schema, b(lessThan("ts", "1995-01-01 00:00:00"))) match {
+      case And(BoundPred(Op.LtEq, _, _, _, _), BoundPred(Op.LtEq, _, _, _, _)) =>
+      case other => fail(other.toString)
+    }
+  }
+
   test("residual: day partition fully inside range becomes TRUE") {
     val dayField = spec.fields(1)
     val e = b(and(greaterThanOrEqual("ts", "1995-01-01 00:00:00"),
