@@ -213,6 +213,31 @@ object CoreQueries {
         .agg(round(sum("value"), 2).cast("double").as("v"))
       tbl.merge(src, Seq("k")).whenNotMatchedInsertAll().execute()
       tbl.toDF.select("k", "v").orderBy("k")
+    }),
+
+    // Q22 full MERGE through spark.sql (catalog + session extensions):
+    // conditional delete, update, insert — the SQL surface of the same CoW
+    // machinery q10/q21 exercise via the Scala API.
+    "q22_sql_merge" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q22").toString
+      s.conf.set("spark.sql.catalog.gq22", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq22.warehouse", tmp)
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal"), 2).cast("double").as("v"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema))
+      tbl.append(target0)
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").as("k"))
+        .agg(round(sum("value"), 2).cast("double").as("v"))
+        .createOrReplaceTempView("q22_src")
+      s.sql("MERGE INTO gq22.db.t AS tg USING q22_src AS sr ON tg.k = sr.k " +
+        "WHEN MATCHED AND sr.v < 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = sr.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.v)")
+      s.sql("SELECT k, v FROM gq22.db.t ORDER BY k")
     })
   )
 
@@ -283,6 +308,16 @@ object CoreQueries {
         "src AS (SELECT user_id AS k, CAST(round(sum(value), 2) AS DOUBLE) AS v FROM events " +
         "WHERE user_id IS NOT NULL GROUP BY user_id) " +
         "SELECT k, v FROM tgt " +
+        "UNION ALL " +
+        "SELECT s.k, s.v FROM src s WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k) " +
+        "ORDER BY k"),
+    "q22_sql_merge" ->
+      ("WITH tgt AS (SELECT c_custkey AS k, CAST(round(c_acctbal, 2) AS DOUBLE) AS v FROM customer), " +
+        "src AS (SELECT user_id AS k, CAST(round(sum(value), 2) AS DOUBLE) AS v FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY user_id) " +
+        "SELECT t.k, CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v " +
+        "FROM tgt t LEFT JOIN src s ON t.k = s.k " +
+        "WHERE NOT (s.k IS NOT NULL AND s.v < 0) " +
         "UNION ALL " +
         "SELECT s.k, s.v FROM src s WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k) " +
         "ORDER BY k")

@@ -9,7 +9,7 @@ import graft.table.{IceTable, SparkFilterConv}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -26,9 +26,22 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSparkTable(val table: IceTable, fullName: String,
     snapshotId: Option[Long] = None, asOfMillis: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = fullName
+
+  /** Native SQL DELETE path (ref `SparkTable.java` canDeleteWhere/deleteWhere):
+    * Spark plans `DeleteFromTableExec` when every filter converts exactly;
+    * non-convertible conditions are intercepted earlier by
+    * [[RewriteGraftDml]] and run as a CoW rewrite instead. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SparkFilterConv.fromV1Strict(f).nonEmpty)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val expr = filters.flatMap(SparkFilterConv.fromV1Strict)
+      .foldLeft(TrueExpr: GExpr)(GAnd(_, _))
+    table.delete(expr)
+  }
 
   override def schema(): StructType = table.schema.struct
 

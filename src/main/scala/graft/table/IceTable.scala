@@ -127,6 +127,22 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   def merge(source: DataFrame, keys: Seq[String]): MergeBuilder =
     new MergeBuilder(this, source, keys)
 
+  /** MERGE INTO with an arbitrary ON condition (ref `RewriteMergeInto.scala:162`):
+    * reference target columns by name, source columns as `_s_<name>`. Also the
+    * only mode supporting WHEN NOT MATCHED BY SOURCE clauses. */
+  def mergeOn(source: DataFrame, cond: Column): MergeBuilder =
+    new MergeBuilder(this, source, Nil, onCond = Some(cond))
+
+  /** DELETE WHERE with a condition the predicate ADT can't express: `prune`
+    * is a weaker pruning bound, `rowCond` the exact condition. */
+  private[graft] def deleteRows(prune: Expr, rowCond: Column): Unit =
+    RowOps.overwrite(this, prune, None, rowCond = Some(rowCond))
+
+  /** UPDATE with a non-convertible condition (see [[deleteRows]]). */
+  private[graft] def updateRows(prune: Expr, assignments: Map[String, Column],
+      rowCond: Column): Unit =
+    RowOps.update(this, prune, assignments, rowCond = Some(rowCond))
+
   // ------------------------------------------------------- merge-on-read
 
   /** Row-delta commit of equality-delete keys: rows whose `keys` match any

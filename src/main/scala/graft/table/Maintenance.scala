@@ -22,9 +22,14 @@ object Maintenance {
   /** Remove snapshots older than `olderThanMillis` (never the current one),
     * then delete files only reachable from the expired snapshots via a
     * DataFrame `except` between the before/after valid-file sets. Returns
-    * (#snapshots expired, #data files deleted, #manifests deleted). */
+    * (#snapshots expired, #data files deleted, #manifests deleted).
+    *
+    * Per-file paths never materialize on the driver: manifests are read on
+    * executors ([[validDataFileDF]], ref `BaseSparkAction.java:117`) and the
+    * expired-only diff is deleted with [[bulkDelete]] (ref
+    * `BaseExpireSnapshotsSparkAction` deleteFiles); the driver handles only
+    * manifest-LIST-level objects (one per snapshot). */
   def expireSnapshots(table: IceTable, olderThanMillis: Long): (Int, Long, Long) = {
-    val spark = table.spark
     val before = table.meta
     val expired = before.snapshots.filter(s =>
       s.timestampMillis < olderThanMillis &&
@@ -40,61 +45,118 @@ object Maintenance {
         lastUpdatedMillis = System.currentTimeMillis())
     }
 
-    // valid files before vs after (distributed diff)
-    import spark.implicits._
     val after = table.meta
-    def fileDF(m: TableMetadata, snaps: Seq[SnapshotMeta]): DataFrame = {
-      val (dataPaths, manifestPaths) = reachableFiles(table, m, snaps)
-      (dataPaths.toDF("path"), manifestPaths.toDF("path")) match {
-        case (d, mm) => d.withColumn("kind", lit("data"))
-          .unionAll(mm.withColumn("kind", lit("manifest")))
-      }
-    }
-    val beforeDF = fileDF(before, before.snapshots)
-    val afterDF = fileDF(after, after.snapshots)
-    val orphaned = beforeDF.except(afterDF).collect() // expired-only files
-    var dataDeleted = 0L; var manifestsDeleted = 0L
-    orphaned.foreach { r =>
-      if (table.io.delete(r.getString(0))) {
-        if (r.getString(1) == "data") dataDeleted += 1 else manifestsDeleted += 1
-      }
-    }
+    val beforeManifests = manifestsOf(table, before, before.snapshots)
+    val afterManifests = manifestsOf(table, after, after.snapshots)
+
+    // data files referenced only by expired snapshots: distributed except
+    val orphanData = validDataFileDF(table, before, beforeManifests)
+      .except(validDataFileDF(table, after, afterManifests))
+    val dataDeleted = bulkDelete(table, orphanData)
+
+    // manifests are driver-countable (one list entry per manifest, not per file)
+    val afterSet = afterManifests.map(_.path).toSet
+    val orphanManifests = beforeManifests.map(_.path).filterNot(afterSet.contains)
+    var manifestsDeleted = 0L
+    orphanManifests.foreach(p => if (table.io.delete(p)) manifestsDeleted += 1)
     expired.foreach(s => table.io.delete(s.manifestList))
     (expired.size, dataDeleted, manifestsDeleted)
   }
 
-  private def reachableFiles(table: IceTable, m: TableMetadata,
-      snaps: Seq[SnapshotMeta]): (Seq[String], Seq[String]) = {
-    val manifests = snaps.flatMap { s =>
+  private[graft] def manifestsOf(table: IceTable, m: TableMetadata,
+      snaps: Seq[SnapshotMeta]): Seq[ManifestFileMeta] =
+    snaps.flatMap { s =>
       try table.readManifestList(m, s) catch { case _: Exception => Nil }
     }.distinctBy(_.path)
-    val dataPaths = manifests.flatMap { mf =>
-      try ManifestIO.read(table.io, mf.path, m.schema, m.specById)
-        .map(_.dataFile.path)
-      catch { case _: Exception => Nil }
-    }.distinct
-    (dataPaths, manifests.map(_.path))
+
+  /** One-column (`path`) DataFrame of every data/delete file referenced by
+    * the given manifests, with the manifests read ON EXECUTORS (ref
+    * `BaseSparkAction.java:117` buildValidDataFileDF): at millions of files
+    * the driver never holds a per-file path list. */
+  private[graft] def validDataFileDF(table: IceTable, m: TableMetadata,
+      manifests: Seq[ManifestFileMeta]): DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val paths = manifests.map(_.path)
+    if (paths.isEmpty) return spark.emptyDataset[String].toDF("path")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val meta = m
+    val nPart = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(nPart)
+      .mapPartitions { it =>
+        val io = new FileIO(confB.value.value)
+        it.flatMap { mp =>
+          try ManifestIO.read(io, mp, meta.schema, meta.specById).map(_.dataFile.path)
+          catch { case _: Exception => Iterator.empty[String] }
+        }
+      }
+      .toDF("path").distinct()
+  }
+
+  /** Delete a `path` DataFrame's files from the executors; the driver sees
+    * only per-partition success counts (ref
+    * `BaseDeleteOrphanFilesSparkAction.java:172` pooled deletes). */
+  private[graft] def bulkDelete(table: IceTable, pathsDF: DataFrame): Long = {
+    val spark = table.spark
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    pathsDF.select(col("path")).as[String]
+      .mapPartitions { it =>
+        val io = new FileIO(confB.value.value)
+        Iterator.single(it.count(p => try io.delete(p) catch { case _: Exception => false }).toLong)
+      }
+      .collect().sum
   }
 
   // ------------------------------------------------------------ orphans
 
   /** Delete files under the table location not referenced by any snapshot
-    * (ref: actual-files LEFT ANTI valid-files on normalized path). */
+    * (ref `BaseDeleteOrphanFilesSparkAction.java:164`: actual-files LEFT ANTI
+    * valid-files on normalized path). Listing is parallelized per
+    * subdirectory (`:184` listDirRecursively on executors); only the final
+    * orphan list (the result) reaches the driver. */
   def removeOrphanFiles(table: IceTable, olderThanMillis: Long): Seq[String] = {
     val spark = table.spark
     import spark.implicits._
     val m = table.meta
-    val actual = table.io.listRecursive(s"${table.location}/data")
-      .filter(_.getModificationTime < olderThanMillis)
-      .map(s => table.normPath(s.getPath.toString))
-    if (actual.isEmpty) return Nil
-    val (dataPaths, _) = reachableFiles(table, m, m.snapshots)
-    val valid = dataPaths.map(table.normPath)
-    val orphans = actual.toDF("path")
-      .join(valid.toDF("path"), Seq("path"), "left_anti")
-      .as[String].collect().toSeq
-    orphans.foreach(table.io.delete)
-    orphans
+    val dataDir = s"${table.location}/data"
+    val top = table.io.list(dataDir)
+    if (top.isEmpty) return Nil
+    val (dirs, files) = top.partition(_.isDirectory)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val topFiles = files.filter(_.getModificationTime < olderThanMillis)
+      .map(s => norm(s.getPath.toString))
+    val actualDF = {
+      val dirPaths = dirs.map(_.getPath.toString)
+      val listed =
+        if (dirPaths.isEmpty) spark.emptyDataset[String]
+        else {
+          val nPart = math.max(1,
+            math.min(dirPaths.size, spark.sparkContext.defaultParallelism))
+          spark.createDataset(dirPaths).repartition(nPart).mapPartitions { it =>
+            val io = new FileIO(confB.value.value)
+            it.flatMap(d => io.listRecursive(d)
+              .filter(_.getModificationTime < olderThanMillis)
+              .map(s => new org.apache.hadoop.fs.Path(s.getPath.toString).toUri.getPath))
+          }
+        }
+      listed.toDF("path").union(spark.createDataset(topFiles).toDF("path"))
+    }
+    val valid = validDataFileDF(table, m, manifestsOf(table, m, m.snapshots))
+      .select(regexp_replace(col("path"), "^[a-zA-Z0-9.+-]+:/+", "/").as("path"))
+    val orphansDF = actualDF.join(valid, Seq("path"), "left_anti").cache()
+    try {
+      val orphans = orphansDF.as[String].collect().toSeq // the action's result
+      bulkDelete(table, orphansDF)
+      orphans
+    } finally orphansDF.unpersist()
   }
 
   // ------------------------------------------------------------ compaction

@@ -16,21 +16,29 @@ private[table] object RowOps {
   /** DELETE (df=None) / overwrite-by-filter (df=Some): files whose every row
     * matches are dropped metadata-only; partially-matching files are
     * rewritten keeping rows where the condition is not TRUE (null-safe,
-    * like ref's `Not(EqualNullSafe(cond, true))`). */
-  def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame]): Unit = {
+    * like ref's `Not(EqualNullSafe(cond, true))`).
+    *
+    * `rowCond` carries a condition the predicate ADT can't express (SQL
+    * LIKE, arithmetic, …): `filter` is then only a WEAKER pruning bound, so
+    * the metadata-only fast path is disabled (strictness can't be proven)
+    * and every pruned-in file is rewritten against `rowCond` exactly. */
+  def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame],
+      rowCond: Option[Column] = None): Unit = {
     val m = table.meta
     val schema = m.schema
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
-    val (whole, partial) = tasks.partition { t =>
-      val spec = m.specById(t.file.specId)
-      val partLookup: Int => Any = { fid =>
-        val i = spec.fields.indexWhere(_.fieldId == fid)
-        if (i >= 0) t.file.partition(i) else null
+    val (whole, partial) =
+      if (rowCond.nonEmpty) (Nil, tasks)
+      else tasks.partition { t =>
+        val spec = m.specById(t.file.specId)
+        val partLookup: Int => Any = { fid =>
+          val i = spec.fields.indexWhere(_.fieldId == fid)
+          if (i >= 0) t.file.partition(i) else null
+        }
+        RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
+          StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
       }
-      RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
-        StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
-    }
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
@@ -38,7 +46,8 @@ private[table] object RowOps {
           partial.map(_.copy(residual = TrueExpr)),
           table.newScan().planDeletes(), schema.columnNames, TrueExpr,
           rowPositions = false)
-        val keep = df.filter(!(SparkConv.toColumn(bound, schema) <=> lit(true)))
+        val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
+        val keep = df.filter(!(cond <=> lit(true)))
         Writes.writeDataFiles(table.spark, table, m, keep)
           .filter(_.recordCount > 0)
       }
@@ -72,8 +81,10 @@ private[table] object RowOps {
 
   /** UPDATE SET: single-job rewrite of affected files with
     * `If(cond, newValue, oldValue)` projections (ref
-    * `RewriteUpdate.scala:55`). */
-  def update(table: IceTable, filter: Expr, assignments: Map[String, Column]): Unit = {
+    * `RewriteUpdate.scala:55`). `rowCond` as in [[overwrite]]: the exact
+    * condition when `filter` is only a weaker pruning bound. */
+  def update(table: IceTable, filter: Expr, assignments: Map[String, Column],
+      rowCond: Option[Column] = None): Unit = {
     val m = table.meta
     val schema = m.schema
     assignments.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
@@ -84,7 +95,7 @@ private[table] object RowOps {
       tasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
       rowPositions = false)
-    val cond = SparkConv.toColumn(bound, schema) <=> lit(true)
+    val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema)) <=> lit(true)
     val updated = df.select(schema.columnNames.map { n =>
       assignments.get(n) match {
         case Some(v) => when(cond, v.cast(schema.fieldType(schema.fieldId(n))))
@@ -112,11 +123,13 @@ private[table] object RowOps {
   * }}}
   */
 final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
-    keys: Seq[String]) {
+    keys: Seq[String], onCond: Option[Column] = None) {
 
   private sealed trait Clause { def cond: Option[Column] }
-  private case class UpdateClause(cond: Option[Column], set: Map[String, Column]) extends Clause
-  private case class DeleteClause(cond: Option[Column]) extends Clause
+  private case class UpdateClause(cond: Option[Column], set: Map[String, Column],
+      bySource: Boolean = false) extends Clause
+  private case class DeleteClause(cond: Option[Column],
+      bySource: Boolean = false) extends Clause
   private case class InsertClause(cond: Option[Column], values: Map[String, Column]) extends Clause
 
   private var clauses: Vector[Clause] = Vector.empty
@@ -142,9 +155,24 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val values = table.schema.columnNames.map(n => n -> srcCol(n)).toMap
     clauses :+= InsertClause(cond, values); this
   }
+  /** WHEN NOT MATCHED BY SOURCE THEN UPDATE (target rows with no source
+    * match; conditions/values may reference target columns only). */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+      cond: Option[Column] = None): MergeBuilder = {
+    clauses :+= UpdateClause(cond, set, bySource = true); this
+  }
+  /** WHEN NOT MATCHED BY SOURCE THEN DELETE. */
+  def whenNotMatchedBySourceDelete(cond: Option[Column] = None): MergeBuilder = {
+    clauses :+= DeleteClause(cond, bySource = true); this
+  }
 
   def execute(): Unit = {
+    if (onCond.nonEmpty) { executeOn(onCond.get); return }
     require(keys.nonEmpty, "merge requires join keys (use merge(source, keys))")
+    require(!clauses.exists {
+      case UpdateClause(_, _, true) | DeleteClause(_, true) => true
+      case _ => false
+    }, "NOT MATCHED BY SOURCE clauses require mergeOn(source, cond)")
     val spark = table.spark
     val m = table.meta
     val schema = m.schema
@@ -219,7 +247,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val keepCol = {
       val mk = matchedClauses.foldLeft(when(lit(false), lit(false))) { (acc, c) =>
         c match {
-          case DeleteClause(cc) => acc.when(clauseCond(c, matched), lit(false))
+          case DeleteClause(_, _) => acc.when(clauseCond(c, matched), lit(false))
           case _: UpdateClause => acc.when(clauseCond(c, matched), lit(true))
           case _ => acc
         }
@@ -233,9 +261,9 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     def colProjection(n: String): Column = {
       val base = matchedClauses.foldLeft(when(lit(false), lit(null))) { (acc, c) =>
         c match {
-          case UpdateClause(cc, set) =>
+          case UpdateClause(_, set, _) =>
             acc.when(clauseCond(c, matched), set.getOrElse(n, col(n)))
-          case DeleteClause(_) => acc.when(clauseCond(c, matched), col(n))
+          case DeleteClause(_, _) => acc.when(clauseCond(c, matched), col(n))
           case _ => acc
         }
       }
@@ -252,6 +280,142 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       .select(schema.columnNames.map(colProjection): _*)
 
     // 5. write + atomic swap of the affected files
+    val written = Writes.writeDataFiles(spark, table, m, result)
+      .filter(_.recordCount > 0)
+    table.commitSnapshot(Operation.Overwrite, written,
+      affectedTasks.map(_.file.path).toSet,
+      Map("merge-matched-files" -> matchedFiles.size.toString))
+  }
+
+  /** General-ON-condition MERGE (ref `RewriteMergeInto.scala:162` supports
+    * full expressions): `cond` references target columns by name and source
+    * columns as `_s_<name>`. Catalyst still extracts any equi-conjuncts for
+    * hash/sort-merge join planning, so an equality-shaped ON plans like the
+    * key path; a pure non-equi ON degrades to a nested-loop join, same as
+    * the reference. */
+  private def executeOn(cond: Column): Unit = {
+    val spark = table.spark
+    val m = table.meta
+    val schema = m.schema
+    val matchedClauses = clauses.collect {
+      case c @ UpdateClause(_, _, false) => c
+      case c @ DeleteClause(_, false) => c
+    }
+    val bySourceClauses = clauses.collect {
+      case c @ UpdateClause(_, _, true) => c
+      case c @ DeleteClause(_, true) => c
+    }
+    val insertClauses = clauses.collect { case c: InsertClause => c }
+
+    // target columns the ON condition reads (probe scan projection)
+    val condTargetCols = {
+      val refs = org.apache.spark.sql.graft.ColumnBridge.expression(cond).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 => a.nameParts.head
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }
+      schema.columnNames.filter(refs.contains(_))
+    }
+    require(condTargetCols.nonEmpty, s"ON condition references no target column: $cond")
+
+    // source with every column _s_-prefixed (raw names dropped — the join is
+    // an expression join, so only the prefixed names may be visible)
+    val src0 = source.columns.foldLeft(source) { (df, c) =>
+      df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
+    }.drop(source.columns.filterNot(_.startsWith(MergeBuilder.SourcePrefix)): _*)
+
+    // Insert-only: LEFT ANTI of the source against the cond-column target scan
+    if (matchedClauses.isEmpty && bySourceClauses.isEmpty) {
+      val targetKeys = table.newScan().select(condTargetCols: _*).toDF
+      val notMatched = src0.join(targetKeys, cond, "left_anti")
+      val keepCol = insertClauses
+        .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+          acc.when(c.cond.getOrElse(lit(true)), lit(true))
+        }.otherwise(lit(false))
+      def insProjection(n: String): Column =
+        insertClauses.foldLeft(when(lit(false), lit(null))) { (acc, c) =>
+          acc.when(c.cond.getOrElse(lit(true)), c.values.getOrElse(n, lit(null)))
+        }.cast(schema.fieldType(schema.fieldId(n))).as(n)
+      val rows = notMatched.filter(keepCol)
+        .select(schema.columnNames.map(insProjection): _*)
+      val written = Writes.writeDataFiles(spark, table, m, rows)
+        .filter(_.recordCount > 0)
+      if (written.nonEmpty)
+        table.commitSnapshot(Operation.Append, written, Set.empty,
+          Map("merge-insert-only" -> "true"))
+      return
+    }
+
+    // probe: per-target-row source-match counts, keyed by (_gf_file, _gf_pos)
+    // — one job yields the affected-file set AND the cardinality guard
+    val allTasks = table.newScan().planFiles()
+    val probeT = table.newScan().select(condTargetCols: _*).withRowPositions().toDF
+    val probe = probeT.join(src0, cond, "inner")
+      .groupBy(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
+      .agg(count(lit(1)).as("_gf_cnt"))
+      .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_cnt")).as("_gf_max"))
+      .collect()
+    if (probe.exists(_.getLong(1) > 1))
+      throw new ValidationException(
+        "MERGE cardinality violation: a target row matches more than one source row")
+    val matchedFiles: Set[String] = probe.map(r => table.normPath(r.getString(0))).toSet
+    // NOT MATCHED BY SOURCE touches rows OUTSIDE matched files — every live
+    // file is then affected (the clause is a whole-table operation)
+    val affectedTasks =
+      if (bySourceClauses.nonEmpty) allTasks
+      else allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+    if (affectedTasks.isEmpty && insertClauses.isEmpty) return
+
+    val affected = Reads.readTasksWithDeletes(table, m,
+      affectedTasks.map(_.copy(residual = TrueExpr)),
+      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+      rowPositions = false)
+    val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
+    val s = src0.withColumn(MergeBuilder.FromSource, lit(true))
+    val joined = t.join(s, cond, "full_outer")
+    val matched = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNotNull
+    val sourceOnly = col(MergeBuilder.FromTarget).isNull && col(MergeBuilder.FromSource).isNotNull
+    val targetOnly = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNull
+
+    def clauseCond(c: Clause, base: Column): Column =
+      c.cond.map(base && _).getOrElse(base)
+    val keepCol = {
+      val mk = (matchedClauses ++ bySourceClauses).foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+        c match {
+          case DeleteClause(_, by) =>
+            acc.when(clauseCond(c, if (by) targetOnly else matched), lit(false))
+          case UpdateClause(_, _, by) =>
+            acc.when(clauseCond(c, if (by) targetOnly else matched), lit(true))
+          case _ => acc
+        }
+      }
+      val withInsert = insertClauses.foldLeft(mk) { (acc, c) =>
+        acc.when(clauseCond(c, sourceOnly), lit(true))
+      }
+      withInsert.otherwise(col(MergeBuilder.FromTarget).isNotNull)
+    }
+    def colProjection(n: String): Column = {
+      val base = (matchedClauses ++ bySourceClauses).foldLeft(when(lit(false), lit(null))) { (acc, c) =>
+        c match {
+          case UpdateClause(_, set, by) =>
+            acc.when(clauseCond(c, if (by) targetOnly else matched), set.getOrElse(n, col(n)))
+          case DeleteClause(_, by) =>
+            acc.when(clauseCond(c, if (by) targetOnly else matched), col(n))
+          case _ => acc
+        }
+      }
+      val withInsert = insertClauses.foldLeft(base) { (acc, c) =>
+        acc.when(clauseCond(c, sourceOnly),
+          c.asInstanceOf[InsertClause].values.getOrElse(n, lit(null)))
+      }
+      withInsert.otherwise(col(n))
+        .cast(schema.fieldType(schema.fieldId(n))).as(n)
+    }
+    val result = joined
+      .withColumn(MergeBuilder.Keep, keepCol)
+      .filter(col(MergeBuilder.Keep))
+      .select(schema.columnNames.map(colProjection): _*)
+
     val written = Writes.writeDataFiles(spark, table, m, result)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written,

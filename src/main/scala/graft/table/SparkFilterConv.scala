@@ -105,6 +105,31 @@ object SparkFilterConv {
     }
   }
 
+  /** Pruning-only conversion of a resolved catalyst predicate: an
+    * unconvertible subtree weakens to TRUE (And keeps the other conjunct; Or
+    * and Not weaken whole — under Not a weaker child would STRENGTHEN).
+    * Returns the weaker expression plus whether it is exact. Callers must
+    * re-apply the original predicate row-wise whenever exact is false. */
+  def convertPartial(e: Expression): (GExpr, Boolean) = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      val (cl, el) = convertPartial(l); val (cr, er) = convertPartial(r)
+      val both = (cl, cr) match {
+        case (graft.meta.expr.TrueExpr, b) => b
+        case (a, graft.meta.expr.TrueExpr) => a
+        case (a, b) => GAnd(a, b)
+      }
+      (both, el && er)
+    case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+      val (cl, el) = convertPartial(l); val (cr, er) = convertPartial(r)
+      if (el && er) (GOr(cl, cr), true) else (graft.meta.expr.TrueExpr, false)
+    case org.apache.spark.sql.catalyst.expressions.Not(c) =>
+      val (cc, ec) = convertPartial(c)
+      if (ec) (GNot(cc), true) else (graft.meta.expr.TrueExpr, false)
+    case other =>
+      try (convert(other), true)
+      catch { case _: UnsupportedOperationException => (graft.meta.expr.TrueExpr, false) }
+  }
+
   def convert(e: Expression): GExpr = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) => GAnd(convert(l), convert(r))
     case org.apache.spark.sql.catalyst.expressions.Or(l, r) => GOr(convert(l), convert(r))

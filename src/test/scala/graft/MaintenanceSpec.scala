@@ -64,6 +64,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.toDF.count() === 50) // table intact
   }
 
+  test("valid-file DF reads manifests on executors, not the driver") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    (1 to 3).foreach(_ => t.append(orders.limit(200).repartition(4)))
+    val m = t.meta
+    val manifests = t.metadataTable("manifests").collect().map(_.getString(0))
+    val df = graft.table.Maintenance.validDataFileDF(t, m,
+      graft.table.Maintenance.manifestsOf(t, m, m.currentSnapshot.toSeq))
+    // plan shape: per-FILE paths must come from an executor-side
+    // mapPartitions over manifest paths — the only LocalRelation/LocalTable
+    // rows allowed are the manifest paths themselves (#manifests, not #files)
+    val plan = org.apache.spark.sql.graft.ColumnBridge.analyzedPlan(df)
+    val localRows = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
+    }
+    assert(localRows.forall(_ <= manifests.length),
+      s"driver materialized $localRows rows; only manifest paths (${manifests.length}) allowed")
+    assert(plan.exists(_.getClass.getSimpleName.contains("MapPartitions")),
+      "manifest parsing must run in an executor-side MapPartitions")
+    assert(df.count() === t.newScan().planFiles().size)
+  }
+
+  test("bulk delete removes files from executors and reports counts") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(10))
+    val dir = s"$loc/data/_bulk_tmp"
+    (1 to 5).foreach(i => t.io.writeString(s"$dir/f$i.bin", "x"))
+    import spark.implicits._
+    val df = (1 to 5).map(i => s"$dir/f$i.bin").toDF("path")
+    assert(graft.table.Maintenance.bulkDelete(t, df) === 5L)
+    assert(t.io.listRecursive(dir).isEmpty)
+  }
+
   test("rewriteManifests compacts to one manifest per spec") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -1,0 +1,164 @@
+package graft
+
+import graft.table.IceTable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL row-level operations through the DSv2 catalog + session extensions
+  * (mirrors ref `spark3-extensions` TestDelete/TestUpdate/TestMerge cases;
+  * VERDICT r2 item #1). */
+class SqlDmlSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionHelper.spark
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    spark.conf.set("spark.sql.catalog.gd", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd.warehouse", dir)
+    dir
+  }
+
+  private var n = 0
+  private def freshTable(rows: Seq[(Int, String, Double)],
+      partitioned: Boolean = false): String = {
+    warehouse; n += 1
+    val name = s"gd.db.t$n"
+    val part = if (partitioned) " PARTITIONED BY (bucket(4, id))" else ""
+    spark.sql(s"CREATE TABLE $name (id INT, data STRING, qty DOUBLE)$part")
+    if (rows.nonEmpty) {
+      spark.sql(s"INSERT INTO $name VALUES " +
+        rows.map { case (i, d, q) => s"($i, '$d', $q)" }.mkString(", "))
+    }
+    name
+  }
+
+  private def rowsOf(name: String): Set[(Int, String, Double)] =
+    spark.sql(s"SELECT id, data, qty FROM $name").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("SQL DELETE with convertible condition (native SupportsDelete path)") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"DELETE FROM $t WHERE id <= 2")
+    assert(rowsOf(t) === Set((3, "c", 3.0)))
+    // the delete committed a snapshot (history preserved)
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    assert(it.snapshots.size === 2) // INSERT + DELETE (CREATE commits no snapshot)
+  }
+
+  test("SQL DELETE with non-convertible condition (LIKE) rewrites exactly") {
+    val t = freshTable(Seq((1, "apple", 1.0), (2, "grape", 2.0), (3, "apricot", 3.0)))
+    spark.sql(s"DELETE FROM $t WHERE data LIKE 'ap%e'")
+    assert(rowsOf(t) === Set((2, "grape", 2.0), (3, "apricot", 3.0)))
+  }
+
+  test("SQL DELETE with mixed convertible/unconvertible conjunction") {
+    // id > 1 AND data LIKE '%e' — partial conversion must not over-delete
+    val t = freshTable(Seq((1, "apple", 1.0), (2, "grape", 2.0), (3, "plum", 3.0)))
+    spark.sql(s"DELETE FROM $t WHERE id > 1 AND data LIKE '%e'")
+    assert(rowsOf(t) === Set((1, "apple", 1.0), (3, "plum", 3.0)))
+  }
+
+  test("SQL UPDATE with condition and arithmetic assignment") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"UPDATE $t SET qty = qty * 10, data = 'x' WHERE id >= 2")
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "x", 20.0), (3, "x", 30.0)))
+  }
+
+  test("SQL UPDATE without condition touches every row") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"UPDATE $t SET qty = -1.0")
+    assert(rowsOf(t) === Set((1, "a", -1.0), (2, "b", -1.0)))
+  }
+
+  test("SQL MERGE: update + conditional delete + insert") {
+    val t = freshTable(Seq((1, "keep", 1.0), (2, "upd", 2.0), (3, "del", 3.0)),
+      partitioned = true)
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (2, 'new', 20.0), (3, 'zap', 0.0), (9, 'ins', 9.0)
+             AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED AND src.data = 'zap' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET data = src.data, qty = src.qty
+      WHEN NOT MATCHED THEN INSERT (id, data, qty) VALUES (src.id, src.data, src.qty)
+    """)
+    assert(rowsOf(t) === Set((1, "keep", 1.0), (2, "new", 20.0), (9, "ins", 9.0)))
+  }
+
+  test("SQL MERGE insert-only appends without rewriting target files") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    val filesBefore = it.newScan().planFiles().map(_.file.path).toSet
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (2, 'dup', 0.0), (5, 'new', 5.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "b", 2.0), (5, "new", 5.0)))
+    val after = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    assert(after.currentSnapshot.get.operation === "append")
+    val filesAfter = after.newScan().planFiles().map(_.file.path).toSet
+    assert(filesBefore.subsetOf(filesAfter), "insert-only merge must not rewrite files")
+  }
+
+  test("SQL MERGE cardinality violation raises") {
+    val t = freshTable(Seq((1, "a", 1.0)))
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t AS target
+        USING (SELECT * FROM VALUES (1, 'x', 1.0), (1, 'y', 2.0) AS s(id, data, qty)) AS src
+        ON target.id = src.id
+        WHEN MATCHED THEN UPDATE SET data = src.data
+      """)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("cardinality")))
+  }
+
+  test("SQL MERGE with non-equi conjunct in ON") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (1, 'x', 10.0), (2, 'y', 0.5) AS s(id, data, qty)) AS src
+      ON target.id = src.id AND src.qty > target.qty
+      WHEN MATCHED THEN UPDATE SET qty = src.qty
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    // (1): matched (10>1) → qty=10; (2): 0.5 > 2 false → source row inserted
+    assert(rowsOf(t) === Set((1, "a", 10.0), (2, "b", 2.0), (2, "y", 0.5)))
+  }
+
+  test("SQL MERGE with NOT MATCHED BY SOURCE clauses") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (1, 'x', 10.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET qty = src.qty
+      WHEN NOT MATCHED BY SOURCE AND id = 3 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET data = 'orphan'
+    """)
+    assert(rowsOf(t) === Set((1, "a", 10.0), (2, "orphan", 2.0)))
+  }
+
+  test("SQL MERGE: update-all and insert-all star shortcuts") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (2, 'nb', 22.0), (7, 'g', 7.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "nb", 22.0), (7, "g", 7.0)))
+  }
+
+  test("SQL DELETE everything leaves an empty table with history") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 0L)
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    assert(it.snapshots.nonEmpty)
+  }
+}
