@@ -9,7 +9,7 @@ import graft.table.{FileIO, IceTable}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,7 +28,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time travel: `VERSION AS OF <snapshotId>` / `TIMESTAMP AS OF <ts>` map to
   * snapshot-id / as-of-time scans (ref `SparkCatalog.load` selector paths).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -63,8 +63,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     IceTable.exists(spark, tablePath(ident))
 
+  private val MetadataTableNames = Set("snapshots", "history", "manifests",
+    "all_manifests", "entries", "all_entries", "files", "data_files",
+    "all_data_files", "all_files", "partitions")
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // `db.t.snapshots`-style identifiers resolve to metadata tables (ref
+      // `SparkCatalog.load` + `MetadataTableType.java:24`)
+      if (ident.namespace().nonEmpty &&
+          MetadataTableNames.contains(ident.name().toLowerCase)) {
+        val parent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        if (tableExists(parent)) {
+          val t = IceTable.load(spark, tablePath(parent))
+          return new GraftMetadataTable(t, ident.name().toLowerCase,
+            s"${fullName(parent)}.${ident.name()}")
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident))
   }
 
@@ -126,6 +144,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  // ------------------------------------------------------- staged CTAS/RTAS
+
+  /** Atomic CTAS/RTAS (ref `SparkCatalog.java:147` stageCreate +
+    * `StagedSparkTable.java`): the table is built at a hidden staging path;
+    * only a successful write publishes it (rename + path relocation), so a
+    * failed CTAS leaves no committed table behind. */
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    if (!replace && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !tableExists(ident)) throw new NoSuchTableException(ident)
+    val stagedPath = (warehouse +: ident.namespace().toSeq).mkString("/") +
+      s"/.staging/${ident.name()}-${java.util.UUID.randomUUID()}"
+    val gSchema = Schema.fresh(schema)
+    val spec = GraftCatalog.toSpec(gSchema, partitions)
+    val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    val t = IceTable.create(spark, stagedPath, gSchema, spec, properties = props)
+    new StagedGraftTable(new GraftSparkTable(t, fullName(ident)), spark,
+      stagedPath, tablePath(ident), replace)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = false, orCreate = false)
+  override def stageCreate(ident: Identifier, columns: Array[VColumn],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, org.apache.spark.sql.graft.ColumnBridge.v2ColumnsToStructType(columns), partitions,
+      properties, replace = false, orCreate = false)
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, orCreate = false)
+  override def stageReplace(ident: Identifier, columns: Array[VColumn],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, org.apache.spark.sql.graft.ColumnBridge.v2ColumnsToStructType(columns), partitions,
+      properties, replace = true, orCreate = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, orCreate = true)
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[VColumn],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, org.apache.spark.sql.graft.ColumnBridge.v2ColumnsToStructType(columns), partitions,
+      properties, replace = true, orCreate = true)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      replace = true, orCreate = true)
+
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     io.deleteRecursive(tablePath(ident))
@@ -177,6 +249,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
     io.deleteRecursive((warehouse +: namespace.toSeq).mkString("/"))
   }
+}
+
+/** A staged table (ref `StagedSparkTable.java`): delegates reads/writes to a
+  * real graft table at a hidden staging path; commit publishes it with a
+  * rename + metadata path relocation, abort deletes the staging directory. */
+final class StagedGraftTable(delegate: GraftSparkTable, spark: SparkSession,
+    stagedPath: String, finalPath: String, replace: Boolean)
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    delegate.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    delegate.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(stagedPath)
+    val dst = new org.apache.hadoop.fs.Path(finalPath)
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) {
+      if (!replace) throw new TableAlreadyExistsException(
+        Identifier.of(Array.empty, finalPath))
+      fs.delete(dst, true)
+    }
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"Staged commit rename failed: $src -> $dst")
+    IceTable.relocate(spark, finalPath)
+  }
+
+  override def abortStagedChanges(): Unit =
+    new FileIO(spark.sparkContext.hadoopConfiguration).deleteRecursive(stagedPath)
 }
 
 object GraftCatalog {

@@ -66,6 +66,37 @@ class GraftSparkTable(val table: IceTable, fullName: String,
     new GraftWriteBuilder(table)
 }
 
+/** Read-only DSv2 facade over one metadata table (`db.t.snapshots` etc.;
+  * ref `spark3/.../SparkCatalog.load` resolving `MetadataTableType`). The
+  * DataFrame is recomputed per scan so each query sees current metadata. */
+final class GraftMetadataTable(table: IceTable, metaName: String, fullName: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = table.metadataTable(metaName).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with V1TableScan](
+          context: SQLContext): T = {
+        new BaseRelation with V1TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = readSchema()
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] =
+            org.apache.spark.sql.graft.ColumnBridge
+              .toInternalRdd(table.metadataTable(metaName)).asInstanceOf[RDD[Row]]
+        }.asInstanceOf[T]
+      }
+      override def description(): String = s"GraftMetadataScan($fullName)"
+    }
+}
+
 /** Filter + projection pushdown (ref `SparkScanBuilder.java:100`). Converted
   * filters drive metadata pruning; ALL filters are returned as post-scan
   * residuals so Spark re-applies them — pruning is an optimization, row-level

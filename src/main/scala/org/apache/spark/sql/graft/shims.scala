@@ -26,6 +26,11 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.toRdd
 
+  /** `CatalogV2Util.v2ColumnsToStructType` is `private[sql]`. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
   /** The analyzed logical plan of a DataFrame (plan-shape assertions). */
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

@@ -124,6 +124,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(!IceTable.exists(spark, s"$warehouse/db/ren1"))
   }
 
+  test("metadata tables resolve as SQL identifiers (t.snapshots, t.files)") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.meta1 (k INT)")
+    spark.sql("INSERT INTO gr.db.meta1 VALUES (1), (2)")
+    spark.sql("INSERT INTO gr.db.meta1 VALUES (3)")
+    val t = IceTable.load(spark, s"$warehouse/db/meta1")
+    assert(spark.sql("SELECT * FROM gr.db.meta1.snapshots").count() ===
+      t.metadataTable("snapshots").count())
+    assert(spark.sql("SELECT * FROM gr.db.meta1.files").count() ===
+      t.metadataTable("files").count())
+    assert(spark.sql("SELECT * FROM gr.db.meta1.history").count() === 2L)
+    // snapshot ids line up with the Scala API
+    val sqlIds = spark.sql("SELECT snapshot_id FROM gr.db.meta1.snapshots")
+      .collect().map(_.getLong(0)).toSet
+    assert(sqlIds === t.snapshots.map(_.snapshotId).toSet)
+  }
+
+  test("CTAS is atomic: success publishes, failure leaves no table") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.ctas1 AS SELECT 1 AS k, 'a' AS v")
+    assert(spark.sql("SELECT k, v FROM gr.db.ctas1").head().getInt(0) === 1)
+    // failing source query: no table (and no stray staging table) left behind
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gr.db.ctas2 AS SELECT assert_true(false, 'boom') AS k")
+    }
+    assert(!IceTable.exists(spark, s"$warehouse/db/ctas2"))
+    assert(!spark.sql("SHOW TABLES IN gr.db").collect()
+      .map(_.getString(1)).exists(_.contains("ctas2")))
+    // RTAS atomically swaps
+    spark.sql("REPLACE TABLE gr.db.ctas1 AS SELECT 9 AS k")
+    assert(spark.sql("SELECT k FROM gr.db.ctas1").head().getInt(0) === 9)
+  }
+
   test("DROP TABLE and listTables") {
     warehouse
     spark.sql("CREATE TABLE gr.db.gone (k INT)")
