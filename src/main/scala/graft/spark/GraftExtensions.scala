@@ -26,6 +26,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(spark => RewriteGraftDml(spark))
   }
 }

@@ -1,0 +1,327 @@
+package graft.spark
+
+import graft.meta.transforms._
+import graft.table.{IceTable, TableImport}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** SQL surface the native parser lacks (ref
+  * `spark3-extensions/src/main/antlr/.../IcebergSqlExtensions.g4:68` and
+  * `IcebergSparkSessionExtensions.scala:39` injectParser):
+  *
+  *  - `CALL cat.system.<procedure>(arg, name => value, …)` — the 10 stored
+  *    procedures of ref `SparkProcedures.java:44`
+  *  - `ALTER TABLE cat.db.t ADD PARTITION FIELD <transform> `
+  *  - `ALTER TABLE cat.db.t DROP PARTITION FIELD <transform>`
+  *  - `ALTER TABLE cat.db.t WRITE ORDERED BY col [ASC|DESC] [NULLS …], …`
+  *  - `ALTER TABLE cat.db.t WRITE UNORDERED`
+  *
+  * The grammar is small and line-oriented, so it is hand-parsed here (the
+  * reference carries an ANTLR grammar for the same four statements);
+  * everything else delegates to Spark's parser.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseExtension(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val CallRe =
+    """(?is)^\s*CALL\s+([\w]+)\.system\.([\w]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val AddFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val DropFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val WriteOrderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+
+  def parseExtension(sql: String): Option[LogicalPlan] = sql match {
+    case CallRe(catalog, proc, args) => Some(call(catalog, proc.toLowerCase, args))
+    case AddFieldRe(ident, transform) =>
+      Some(alterSpec(ident, transform, add = true))
+    case DropFieldRe(ident, transform) =>
+      Some(alterSpec(ident, transform, add = false))
+    case WriteOrderedRe(ident, order) => Some(writeOrdered(ident, order))
+    case WriteUnorderedRe(ident) => Some(writeUnordered(ident))
+    case _ => None
+  }
+
+  private def attr(name: String, t: DataType): Attribute =
+    AttributeReference(name, t, nullable = true)()
+
+  private case class GraftCallCommand(commandName: String,
+      outputAttrs: Seq[Attribute], body: SparkSession => Seq[Row])
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outputAttrs
+    override def run(session: SparkSession): Seq[Row] = body(session)
+    override def simpleString(maxFields: Int): String = s"GraftCall $commandName"
+  }
+
+  /** `cat.db.t` (the catalog segment names a configured GraftCatalog) →
+    * loaded table at `<warehouse>/db/t`. */
+  private def resolve(spark: SparkSession, parts: Seq[String]): IceTable = {
+    require(parts.size >= 2, s"Expected cat.db.table, got ${parts.mkString(".")}")
+    val warehouse = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured graft catalog"))
+    IceTable.load(spark, (warehouse +: parts.tail).mkString("/"))
+  }
+
+  private def resolveIdent(spark: SparkSession, ident: String): IceTable =
+    resolve(spark, ident.split('.').toSeq)
+
+  // ------------------------------------------------------------- CALL args
+
+  /** Split `a, b => c, 'x,y'` on top-level commas (quotes and parens nest). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val NamedArgRe = """(?s)^([\w]+)\s*=>\s*(.+)$""".r
+  private val TsRe = """(?is)^TIMESTAMP\s*'(.+)'$""".r
+  private val StrRe = """(?s)^'(.*)'$""".r
+
+  private def parseValue(v: String): Any = v.trim match {
+    case TsRe(ts) => java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime
+    case StrRe(s) => s.replace("''", "'")
+    case "true" | "TRUE" => true
+    case "false" | "FALSE" => false
+    case n if n.matches("[-+]?\\d+") => n.toLong
+    case n if n.matches("[-+]?\\d*\\.\\d+") => n.toDouble
+    case other => throw new IllegalArgumentException(s"Cannot parse argument: $other")
+  }
+
+  /** (positional values, named values) */
+  private def parseArgs(raw: String): (Seq[Any], Map[String, Any]) = {
+    val parts = splitArgs(raw)
+    val named = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val positional = scala.collection.mutable.ArrayBuffer[Any]()
+    parts.foreach {
+      case NamedArgRe(name, value) => named(name.toLowerCase) = parseValue(value)
+      case value => positional += parseValue(value)
+    }
+    (positional.toSeq, named.toMap)
+  }
+
+  // ------------------------------------------------------------ procedures
+
+  private def call(catalog: String, proc: String, rawArgs: String): LogicalPlan = {
+    val (pos, named) = parseArgs(rawArgs)
+    def tableArg: Seq[String] = {
+      val ident = named.get("table").orElse(pos.headOption).getOrElse(
+        throw new IllegalArgumentException(s"$proc requires a table argument"))
+        .toString
+      catalog +: ident.split('.').toSeq
+    }
+    def longArg(name: String, idx: Int): Long =
+      named.get(name).orElse(pos.lift(idx)).map(_.asInstanceOf[Long]).getOrElse(
+        throw new IllegalArgumentException(s"$proc requires $name"))
+    def optLong(name: String, idx: Int): Option[Long] =
+      named.get(name).orElse(pos.lift(idx)).map(_.asInstanceOf[Long])
+
+    proc match {
+      case "expire_snapshots" =>
+        GraftCallCommand(proc, Seq(attr("expired_snapshots_count", LongType),
+          attr("deleted_data_files_count", LongType),
+          attr("deleted_manifest_files_count", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val olderThan = optLong("older_than", 1).getOrElse(System.currentTimeMillis())
+          val (a, b, c) = t.expireSnapshots(olderThan)
+          Seq(Row(a.toLong, b, c))
+        })
+      case "remove_orphan_files" =>
+        GraftCallCommand(proc, Seq(attr("orphan_file_location", StringType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val olderThan = optLong("older_than", 1).getOrElse(
+            System.currentTimeMillis() - 3 * 24 * 3600 * 1000L)
+          t.removeOrphanFiles(olderThan).map(Row(_))
+        })
+      case "rewrite_data_files" =>
+        GraftCallCommand(proc, Seq(attr("rewritten_data_files_count", LongType),
+          attr("added_data_files_count", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val target = optLong("target_file_size_bytes", 1)
+            .getOrElse(graft.meta.model.TableProperties.TargetFileSizeDefault)
+          val (rw, add) = t.rewriteDataFiles(target)
+          Seq(Row(rw.toLong, add.toLong))
+        })
+      case "rewrite_manifests" =>
+        GraftCallCommand(proc, Seq(attr("rewritten_manifests_count", LongType)), { spark =>
+          Seq(Row(resolve(spark, tableArg).rewriteManifests().toLong))
+        })
+      case "rollback_to_snapshot" =>
+        GraftCallCommand(proc, Seq(attr("previous_snapshot_id", LongType),
+          attr("current_snapshot_id", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+          val target = longArg("snapshot_id", 1)
+          t.rollbackTo(target)
+          Seq(Row(prev, target))
+        })
+      case "rollback_to_timestamp" =>
+        GraftCallCommand(proc, Seq(attr("previous_snapshot_id", LongType),
+          attr("current_snapshot_id", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+          t.rollbackToTime(longArg("timestamp", 1))
+          Seq(Row(prev, t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+        })
+      case "set_current_snapshot" =>
+        GraftCallCommand(proc, Seq(attr("previous_snapshot_id", LongType),
+          attr("current_snapshot_id", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+          val target = longArg("snapshot_id", 1)
+          t.setCurrentSnapshot(target)
+          Seq(Row(prev, target))
+        })
+      case "cherrypick_snapshot" =>
+        GraftCallCommand(proc, Seq(attr("source_snapshot_id", LongType),
+          attr("current_snapshot_id", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val target = longArg("snapshot_id", 1)
+          t.cherrypick(target)
+          Seq(Row(target, t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+        })
+      case "ancestors_of" =>
+        GraftCallCommand(proc, Seq(attr("snapshot_id", LongType),
+          attr("timestamp", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val m = t.meta
+          Iterator.iterate(m.currentSnapshot)(s => s.flatMap(_.parentId).flatMap(m.snapshot))
+            .takeWhile(_.isDefined).flatten
+            .map(s => Row(s.snapshotId, s.timestampMillis)).toSeq
+        })
+      case "migrate" =>
+        GraftCallCommand(proc, Seq(attr("migrated_files_count", LongType)), { spark =>
+          val source = named.get("source").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException("migrate requires source")).toString
+          val parts = tableArg
+          val warehouse = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
+          val t = TableImport.importParquet(spark, source,
+            (warehouse +: parts.tail).mkString("/"))
+          Seq(Row(t.newScan().planFiles().size.toLong))
+        })
+      case "add_files" =>
+        GraftCallCommand(proc, Seq(attr("added_files_count", LongType)), { spark =>
+          val source = named.get("source_table").orElse(named.get("source"))
+            .orElse(pos.lift(1)).getOrElse(
+              throw new IllegalArgumentException("add_files requires source")).toString
+          val t = resolve(spark, tableArg)
+          val before = t.newScan().planFiles().size
+          val io = t.io
+          val files = io.listRecursive(source)
+            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+          TableImport.addFiles(t, source, files)
+          Seq(Row((t.newScan().planFiles().size - before).toLong))
+        })
+      case other =>
+        throw new UnsupportedOperationException(s"Unknown procedure: $other")
+    }
+  }
+
+  // --------------------------------------------------- ALTER PARTITION FIELD
+
+  private val TransformArgRe = """(?i)^(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?`?([\w.]+)`?\s*\)$""".r
+
+  /** `bucket(8, id)` / `days(ts)` / `truncate(4, s)` / bare column name. */
+  private def parseTransform(s: String): (String, Transform) = s.trim match {
+    case TransformArgRe(fn, num, col) => fn.toLowerCase match {
+      case "bucket" => (col, BucketTransform(num.toInt))
+      case "truncate" => (col, TruncateTransform(num.toInt))
+      case "year" | "years" => (col, YearTransform)
+      case "month" | "months" => (col, MonthTransform)
+      case "day" | "days" => (col, DayTransform)
+      case "hour" | "hours" => (col, HourTransform)
+      case "void" => (col, VoidTransform)
+      case "identity" => (col, IdentityTransform)
+      case other => throw new UnsupportedOperationException(s"Transform: $other")
+    }
+    case bare if bare.matches("`?[\\w.]+`?") =>
+      (bare.replace("`", ""), IdentityTransform)
+    case other => throw new IllegalArgumentException(s"Cannot parse partition field: $other")
+  }
+
+  private def alterSpec(ident: String, transformSql: String, add: Boolean): LogicalPlan =
+    GraftCallCommand(if (add) "add_partition_field" else "drop_partition_field",
+      Nil, { spark =>
+      val t = resolveIdent(spark, ident)
+      val (col, transform) = parseTransform(transformSql)
+      val schema = t.schema
+      val srcId = schema.fieldId(col)
+      t.updateSpec { b0 =>
+        val existing = t.spec.fields.filterNot(pf =>
+          pf.sourceId == srcId && pf.transform.name == transform.name)
+        if (!add && existing.size == t.spec.fields.size)
+          throw new IllegalArgumentException(
+            s"No partition field ${transform.name}($col) to drop")
+        val kept = existing.foldLeft(b0)((b, pf) =>
+          b.add(schema.fieldName(pf.sourceId), pf.transform))
+        if (add) kept.add(col, transform) else kept
+      }
+      Nil
+    })
+
+  // ------------------------------------------------------------ WRITE ORDER
+
+  private val OrderFieldRe =
+    """(?i)^`?([\w.]+)`?(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+
+  private def writeOrdered(ident: String, orderSql: String): LogicalPlan =
+    GraftCallCommand("write_ordered_by", Nil, { spark =>
+      val t = resolveIdent(spark, ident)
+      val schema = t.schema
+      val fields = splitArgs(orderSql).map {
+        case OrderFieldRe(col, dir, nulls) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          val nullsFirst =
+            if (nulls == null) asc // SQL default: NULLS FIRST iff ASC
+            else nulls.equalsIgnoreCase("FIRST")
+          graft.meta.model.SortFieldMeta(schema.fieldId(col), "identity", asc, nullsFirst)
+        case other => throw new IllegalArgumentException(s"Cannot parse sort field: $other")
+      }
+      t.replaceSortOrder(graft.meta.model.SortOrderMeta(1, fields))
+      Nil
+    })
+
+  private def writeUnordered(ident: String): LogicalPlan =
+    GraftCallCommand("write_unordered", Nil, { spark =>
+      resolveIdent(spark, ident).replaceSortOrder(graft.meta.model.SortOrderMeta.unsorted)
+      Nil
+    })
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.table.IceTable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CALL procedures + partition-field / write-order DDL through the parser
+  * extension (ref `TestCallStatementParser.java`,
+  * `TestAlterTablePartitionFields.java`, `SparkProcedures.java:44`). */
+class SqlExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionHelper.spark
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    spark.conf.set("spark.sql.catalog.gx", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gx.warehouse", dir)
+    dir
+  }
+
+  private var n = 0
+  private def fresh(): (String, String) = {
+    warehouse; n += 1
+    val name = s"gx.db.p$n"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, data STRING, ts TIMESTAMP_NTZ)")
+    (name, s"$warehouse/db/p$n")
+  }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the default spec") {
+    val (name, path) = fresh()
+    spark.sql(s"ALTER TABLE $name ADD PARTITION FIELD bucket(8, id)")
+    var t = IceTable.load(spark, path)
+    assert(t.spec.fields.map(f => f.transform.name) === Seq("bucket[8]"))
+    spark.sql(s"ALTER TABLE $name ADD PARTITION FIELD days(ts)")
+    t = IceTable.load(spark, path)
+    assert(t.spec.fields.map(_.transform.name).toSet === Set("bucket[8]", "day"))
+    spark.sql(s"ALTER TABLE $name DROP PARTITION FIELD bucket(8, id)")
+    t = IceTable.load(spark, path)
+    assert(t.spec.fields.map(_.transform.name) === Seq("day"))
+    // identity field by bare column name
+    spark.sql(s"ALTER TABLE $name ADD PARTITION FIELD data")
+    t = IceTable.load(spark, path)
+    assert(t.spec.fields.map(_.transform.name).toSet === Set("day", "identity"))
+  }
+
+  test("ALTER TABLE WRITE ORDERED BY / UNORDERED set the sort order") {
+    val (name, path) = fresh()
+    spark.sql(s"ALTER TABLE $name WRITE ORDERED BY data DESC NULLS LAST, id")
+    var t = IceTable.load(spark, path)
+    val so = t.meta.sortOrder
+    assert(so.fields.size === 2)
+    assert(!so.fields.head.ascending && !so.fields.head.nullsFirst)
+    assert(so.fields(1).ascending)
+    spark.sql(s"ALTER TABLE $name WRITE UNORDERED")
+    t = IceTable.load(spark, path)
+    assert(t.meta.sortOrder.fields.isEmpty)
+  }
+
+  test("CALL rollback_to_snapshot / set_current_snapshot round-trip") {
+    val (name, path) = fresh()
+    spark.sql(s"INSERT INTO $name VALUES (1, 'a', NULL)")
+    val v1 = IceTable.load(spark, path).currentSnapshot.get.snapshotId
+    spark.sql(s"INSERT INTO $name VALUES (2, 'b', NULL)")
+    val v2 = IceTable.load(spark, path).currentSnapshot.get.snapshotId
+    val out = spark.sql(s"CALL gx.system.rollback_to_snapshot('db.p$n', $v1)").head()
+    assert(out.getLong(0) === v2 && out.getLong(1) === v1)
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 1L)
+    spark.sql(s"CALL gx.system.set_current_snapshot(table => 'db.p$n', snapshot_id => $v2)")
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 2L)
+  }
+
+  test("CALL expire_snapshots with TIMESTAMP argument deletes old files") {
+    val (name, path) = fresh()
+    spark.sql(s"INSERT INTO $name VALUES (1, 'a', NULL)")
+    spark.sql(s"INSERT OVERWRITE $name VALUES (2, 'b', NULL)")
+    val future = java.time.LocalDateTime.now().plusHours(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val out = spark.sql(
+      s"CALL gx.system.expire_snapshots(table => 'db.p$n', older_than => TIMESTAMP '$future')").head()
+    assert(out.getLong(0) === 1L) // one expired snapshot
+    assert(out.getLong(1) >= 1L) // its files deleted
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 1L)
+  }
+
+  test("CALL rewrite_data_files compacts; rewrite_manifests returns count") {
+    val (name, path) = fresh()
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $name VALUES ($i, 'x', NULL)"))
+    val before = IceTable.load(spark, path).newScan().planFiles().size
+    val out = spark.sql(s"CALL gx.system.rewrite_data_files('db.p$n')").head()
+    assert(out.getLong(0) === before.toLong)
+    assert(out.getLong(1) < before.toLong)
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 4L)
+    assert(spark.sql(s"CALL gx.system.rewrite_manifests('db.p$n')").head().getLong(0) === 1L)
+  }
+
+  test("CALL remove_orphan_files lists deleted orphans") {
+    val (name, path) = fresh()
+    spark.sql(s"INSERT INTO $name VALUES (1, 'a', NULL)")
+    val t = IceTable.load(spark, path)
+    t.io.writeString(s"$path/data/orphan.parquet.tmp.parquet", "junk")
+    val rows = spark.sql(
+      s"CALL gx.system.remove_orphan_files(table => 'db.p$n', older_than => ${System.currentTimeMillis() + 10000})")
+      .collect()
+    assert(rows.exists(_.getString(0).contains("orphan")))
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 1L)
+  }
+
+  test("CALL ancestors_of returns the snapshot lineage") {
+    val (name, path) = fresh()
+    spark.sql(s"INSERT INTO $name VALUES (1, 'a', NULL)")
+    spark.sql(s"INSERT INTO $name VALUES (2, 'b', NULL)")
+    val ids = spark.sql(s"CALL gx.system.ancestors_of('db.p$n')")
+      .collect().map(_.getLong(0)).toSeq
+    val t = IceTable.load(spark, path)
+    assert(ids.head === t.currentSnapshot.get.snapshotId)
+    assert(ids.size === 2)
+  }
+
+  test("normal SQL still parses through the delegate") {
+    warehouse
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    // a non-graft ALTER TABLE shape must not be swallowed
+    intercept[Exception] { spark.sql("ALTER TABLE nonexistent_t SET TBLPROPERTIES ('a'='b')") }
+  }
+}
