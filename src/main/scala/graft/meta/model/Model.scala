@@ -155,6 +155,14 @@ object TableProperties {
   /** Imported hive-layout tables: identity partition values are injected as
     * constants at read (the files don't contain those columns). */
   val InjectPartitionConstants = "read.inject-partition-constants"
+  // ref TableProperties.java DELETE/UPDATE/MERGE_ISOLATION_LEVEL (default
+  // serializable): serializable also fails on concurrent appends matching the
+  // operation's conflict filter; snapshot only on concurrent file deletes
+  val DeleteIsolationLevel = "write.delete.isolation-level"
+  val UpdateIsolationLevel = "write.update.isolation-level"
+  val MergeIsolationLevel = "write.merge.isolation-level"
+  val IsolationSerializable = "serializable"
+  val IsolationSnapshot = "snapshot"
   val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
   val MaxSnapshotAgeMsDefault: Long = 5L * 24 * 60 * 60 * 1000 // ref :166
 }

@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.StructType
   * (decides which delete files apply). */
 final case class FileScanTask(file: DataFileMeta, residual: Expr, seq: Long = 0L)
 
+/** Commit-time conflict validation for row-level operations (ref
+  * `IsolationLevel.java` + `BaseOverwriteFiles.java:98`): the operation read
+  * `startSnapshotId`; at commit, snapshots committed after it are checked for
+  * files matching `conflictFilter` when `isolation` is serializable. */
+final case class ConflictValidation(startSnapshotId: Option[Long],
+    conflictFilter: Expr, isolation: String)
+
 /** A graft table: immutable parquet data files + snapshot-tree JSON metadata,
   * executed by Spark (SURVEY §1.4 rebuild mapping). All reads/writes are
   * DataFrame programs; only planning/commit is driver-side Scala, and the
@@ -231,6 +238,42 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
 
   // ------------------------------------------------------------- internals
 
+  /** Serializable-isolation conflict check (ref `BaseOverwriteFiles.java:98`
+    * validateNoConflictingAppends + `IsolationLevel.java`): any file ADDED by
+    * a snapshot committed after the operation started that MIGHT contain rows
+    * matching the operation's conflict filter fails the commit. Under
+    * snapshot isolation this check is skipped — only deletes of files the
+    * operation rewrites conflict (the removal validation below). */
+  private def validateNoConflicts(base: TableMetadata, v: ConflictValidation): Unit = {
+    if (v.isolation != TableProperties.IsolationSerializable) return
+    val bound = Binder.bind(base.schema, v.conflictFilter)
+    val newSnaps = Iterator.iterate(base.currentSnapshot)(s =>
+        s.flatMap(_.parentId).flatMap(base.snapshot))
+      .takeWhile(s => s.isDefined && !v.startSnapshotId.contains(s.get.snapshotId))
+      .flatten.toSeq
+    val conflicting = newSnaps
+      .filter(s => s.operation != Operation.Delete) // pure deletes add no rows
+      .flatMap(s => addedFiles(base, s))
+      .filter(f => fileMightMatch(base, bound, f))
+    if (conflicting.nonEmpty) throw new ValidationException(
+      s"Serializable isolation violation: ${conflicting.size} concurrently " +
+        s"committed file(s) may contain rows matching the operation filter " +
+        s"(snapshots ${newSnaps.map(_.snapshotId).mkString(",")})")
+  }
+
+  private def fileMightMatch(m: TableMetadata, bound: Expr, f: DataFileMeta): Boolean = {
+    if (bound == TrueExpr) return true
+    if (bound == FalseExpr) return false
+    val spec = m.specById(f.specId)
+    val partPred = Projections.inclusive(spec, m.schema, bound)
+    val partLookup: Int => Any = { fid =>
+      val i = spec.fields.indexWhere(_.fieldId == fid)
+      if (i >= 0) f.partition(i) else null
+    }
+    RowEvaluator.eval(partPred, partLookup) &&
+      InclusiveMetricsEvaluator.eval(bound, Reads.statsOf(f))
+  }
+
   private[table] def readManifestList(m: TableMetadata,
       snap: SnapshotMeta): Seq[ManifestFileMeta] =
     JsonCodecs.manifestListFromJson(io.readString(snap.manifestList), m.schema, m.specById)
@@ -253,12 +296,14 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     * that no longer exists fails validation (serializable isolation for
     * overwrites; ref `BaseOverwriteFiles.java:98`).
     */
-  private[table] def commitSnapshot(op: String, added: Seq[DataFileMeta],
+  private[graft] def commitSnapshot(op: String, added: Seq[DataFileMeta],
       removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty,
-      metaTransform: Option[TableMetadata => TableMetadata] = None): Unit = {
+      metaTransform: Option[TableMetadata => TableMetadata] = None,
+      validate: Option[ConflictValidation] = None): Unit = {
     val removedNorm = removedPaths.map(normPath)
     ops.commitWithRetry(retries(meta)) { base0 =>
       val base = metaTransform.map(_(base0)).getOrElse(base0)
+      validate.foreach(validateNoConflicts(base, _))
       val nowMs = System.currentTimeMillis()
       val snapId = newSnapshotId()
       val seq = base.lastSequenceNumber + 1

@@ -56,8 +56,15 @@ private[table] object RowOps {
     val removed = tasks.map(_.file.path).toSet
     if (removed.isEmpty && added.isEmpty) return // no-op delete
     val op = if (replacement.isEmpty) Operation.Delete else Operation.Overwrite
+    // DELETE defaults to serializable (ref DELETE_ISOLATION_LEVEL); plain
+    // overwrite-by-filter (INSERT OVERWRITE) defaults to snapshot — a
+    // concurrent append outside the replaced range is not a conflict there
+    val isolation = m.property(TableProperties.DeleteIsolationLevel,
+      if (replacement.isEmpty) TableProperties.IsolationSerializable
+      else TableProperties.IsolationSnapshot)
     table.commitSnapshot(op, added, removed,
-      Map("metadata-only-deleted-files" -> whole.size.toString))
+      Map("metadata-only-deleted-files" -> whole.size.toString),
+      validate = Some(ConflictValidation(m.currentSnapshotId, filter, isolation)))
   }
 
   /** Dynamic partition overwrite (ref `BaseReplacePartitions`): write the
@@ -105,7 +112,10 @@ private[table] object RowOps {
     }: _*)
     val written = Writes.writeDataFiles(table.spark, table, m, updated)
       .filter(_.recordCount > 0)
-    table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet)
+    table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet,
+      validate = Some(ConflictValidation(m.currentSnapshotId, filter,
+        m.property(TableProperties.UpdateIsolationLevel,
+          TableProperties.IsolationSerializable))))
   }
 }
 
@@ -284,7 +294,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written,
       affectedTasks.map(_.file.path).toSet,
-      Map("merge-matched-files" -> matchedFiles.size.toString))
+      Map("merge-matched-files" -> matchedFiles.size.toString),
+      validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
+        m.property(TableProperties.MergeIsolationLevel,
+          TableProperties.IsolationSerializable))))
   }
 
   /** General-ON-condition MERGE (ref `RewriteMergeInto.scala:162` supports
@@ -420,7 +433,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written,
       affectedTasks.map(_.file.path).toSet,
-      Map("merge-matched-files" -> matchedFiles.size.toString))
+      Map("merge-matched-files" -> matchedFiles.size.toString),
+      validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
+        m.property(TableProperties.MergeIsolationLevel,
+          TableProperties.IsolationSerializable))))
   }
 }
 

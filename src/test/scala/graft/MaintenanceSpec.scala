@@ -98,6 +98,50 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.io.listRecursive(dir).isEmpty)
   }
 
+  test("isolation levels: serializable fails on conflicting concurrent append, snapshot succeeds") {
+    import graft.meta.expr.Exprs
+    import graft.meta.model.TableProperties
+    import graft.table.ConflictValidation
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    val start = t.currentSnapshot.map(_.snapshotId)
+    val victim = t.newScan().planFiles().head.file.path
+
+    // concurrent append lands between the operation's read and its commit
+    val t2 = IceTable.load(spark, loc)
+    t2.append(orders.limit(10))
+
+    val filter = Exprs.greaterThanOrEqual("o_orderkey", 0L) // overlaps the append
+    intercept[graft.table.ValidationException] {
+      t.commitSnapshot("delete", Nil, Set(victim),
+        validate = Some(ConflictValidation(start, filter,
+          TableProperties.IsolationSerializable)))
+    }
+    // snapshot isolation: appends don't conflict; the delete commits
+    t.commitSnapshot("delete", Nil, Set(victim),
+      validate = Some(ConflictValidation(start, filter,
+        TableProperties.IsolationSnapshot)))
+    assert(IceTable.load(spark, loc).snapshots.size === 3)
+
+    // serializable with a DISJOINT conflict filter also commits: the
+    // concurrent append's metrics can't match o_orderkey < -1
+    val victim2 = t.newScan().planFiles().head.file.path
+    t.commitSnapshot("delete", Nil, Set(victim2),
+      validate = Some(ConflictValidation(start,
+        Exprs.lessThan("o_orderkey", -1L), TableProperties.IsolationSerializable)))
+  }
+
+  test("delete via RowOps validates against a concurrent append on retry") {
+    import graft.meta.expr.Exprs
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    // sequential delete: no concurrent commit → validation passes
+    t.delete(Exprs.lessThan("o_orderkey", 100000L))
+    assert(t.currentSnapshot.get.operation === "delete")
+  }
+
   test("rewriteManifests compacts to one manifest per spec") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
