@@ -134,6 +134,10 @@ object JsonCodecs {
     mapper.writeValueAsString(node)
   }
 
+  /** Only the data-file path of one entry line (path-projected reads). */
+  def entryPathFromJson(s: String): String =
+    mapper.readTree(s).get("data-file").get("path").asText
+
   def entryFromJson(s: String, schema: Schema, specById: Int => PartitionSpec): ManifestEntry = {
     val n = mapper.readTree(s)
     ManifestEntry(

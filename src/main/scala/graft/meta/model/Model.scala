@@ -158,6 +158,10 @@ object TableProperties {
   // ref TableProperties.java DELETE/UPDATE/MERGE_ISOLATION_LEVEL (default
   // serializable): serializable also fails on concurrent appends matching the
   // operation's conflict filter; snapshot only on concurrent file deletes
+  /** Manifest entry format: `parquet` (columnar, default) or `jsonl`.
+    * Reads dispatch on the file extension, so either loads always. */
+  val ManifestFormat = "write.metadata.manifest-format"
+  val ManifestFormatDefault = "parquet"
   val DeleteIsolationLevel = "write.delete.isolation-level"
   val UpdateIsolationLevel = "write.update.isolation-level"
   val MergeIsolationLevel = "write.merge.isolation-level"

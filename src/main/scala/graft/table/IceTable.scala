@@ -80,7 +80,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       val mdir = s"$location/metadata"
       val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
       val manifest = ManifestIO.write(io,
-        s"$mdir/manifest-${UUID.randomUUID()}.jsonl", entries, base.schema, base.spec)
+        ManifestIO.newPath(mdir, base), entries, base.schema, base.spec)
       val current = base.currentSnapshot.map(readManifestList(base, _)).getOrElse(Nil)
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"
       io.writeString(listPath,
@@ -327,7 +327,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
             if (keep.isEmpty) None
             else {
               val spec = base.specById(mf.specId)
-              val path = s"$mdir/manifest-${UUID.randomUUID()}.jsonl"
+              val path = ManifestIO.newPath(mdir, base)
               val kept = keep.map(e => e.copy(status = EntryStatus.Existing))
               Some(ManifestIO.write(io, path, kept, schema, spec))
             }
@@ -340,7 +340,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
 
       val addedManifest: Option[ManifestFileMeta] = if (added.isEmpty) None else {
         val spec = base.spec
-        val path = s"$mdir/manifest-${UUID.randomUUID()}.jsonl"
+        val path = ManifestIO.newPath(mdir, base)
         val entries = added.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
         Some(ManifestIO.write(io, path, entries, schema, spec))
       }
@@ -444,8 +444,8 @@ object IceTable {
         val len = newLengths.getOrElseUpdate(mPath, {
           val entries = ManifestIO.read(io, mPath, base.schema, base.specById)
             .map(e => e.copy(dataFile = e.dataFile.copy(path = remap(e.dataFile.path))))
-          io.writeString(mPath, entries.map(
-            JsonCodecs.entryToJson(_, base.schema, base.specById(mf.specId))).mkString("\n"))
+          ManifestIO.write(io, mPath, entries, base.schema,
+            base.specById(mf.specId)).length
         })
         mf.copy(path = mPath, length = len)
       }

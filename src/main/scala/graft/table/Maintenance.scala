@@ -88,7 +88,7 @@ object Maintenance {
       .mapPartitions { it =>
         val io = new FileIO(confB.value.value)
         it.flatMap { mp =>
-          try ManifestIO.read(io, mp, meta.schema, meta.specById).map(_.dataFile.path)
+          try ManifestIO.readPaths(io, mp)
           catch { case _: Exception => Iterator.empty[String] }
         }
       }
@@ -210,7 +210,7 @@ object Maintenance {
         val spec = base.specById(specId)
         val sorted = es.sortBy(_.dataFile.partition.map(String.valueOf).mkString("/"))
           .map(_.copy(status = EntryStatus.Existing))
-        ManifestIO.write(table.io, s"$mdir/manifest-${UUID.randomUUID()}.jsonl",
+        ManifestIO.write(table.io, ManifestIO.newPath(mdir, base),
           sorted, base.schema, spec)
       }
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"

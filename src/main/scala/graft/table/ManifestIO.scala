@@ -7,14 +7,37 @@ import graft.meta.model._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Manifest read/write (ref `core/.../ManifestReader.java`,
-  * `ManifestWriter`, `PartitionSummary.java`): JSON-lines entries plus
-  * per-partition-field range summaries for manifest-level pruning. */
+  * `ManifestWriter`, `PartitionSummary.java`): per-partition-field range
+  * summaries for manifest-level pruning, entries in one of two formats
+  * dispatched by file extension:
+  *
+  *  - `.parquet` (default for new manifests) — binary columnar, the analogue
+  *    of the reference's Avro manifests (`ManifestReader.java:53`): hot
+  *    fields (`path`, counts, content) are real columns, so maintenance
+  *    jobs scanning only paths read one dictionary-compressed column; the
+  *    remaining nested fields ride in a compressed JSON column.
+  *  - `.jsonl` — one JSON object per line; still written when
+  *    `write.metadata.manifest-format=jsonl` and always readable (old
+  *    tables keep loading).
+  */
 object ManifestIO {
+
+  /** Fresh manifest path honoring the table's manifest-format property. */
+  def newPath(metadataDir: String, m: TableMetadata): String = {
+    val ext = m.property(TableProperties.ManifestFormat,
+      TableProperties.ManifestFormatDefault) match {
+      case "jsonl" => "jsonl"
+      case _ => "parquet"
+    }
+    s"$metadataDir/manifest-${java.util.UUID.randomUUID()}.$ext"
+  }
 
   def write(io: FileIO, path: String, entries: Seq[ManifestEntry],
       schema: Schema, spec: PartitionSpec): ManifestFileMeta = {
-    val content = entries.map(JsonCodecs.entryToJson(_, schema, spec)).mkString("\n")
-    val length = io.writeString(path, content)
+    val length =
+      if (path.endsWith(".parquet")) ParquetManifests.write(io, path, entries, schema, spec)
+      else io.writeString(path,
+        entries.map(JsonCodecs.entryToJson(_, schema, spec)).mkString("\n"))
     val live = entries.filter(_.status != EntryStatus.Deleted)
     val summaries = spec.fields.zipWithIndex.map { case (pf, i) =>
       val t = spec.fieldType(schema, pf)
@@ -49,7 +72,17 @@ object ManifestIO {
 
   def read(io: FileIO, path: String, schema: Schema,
       specById: Int => PartitionSpec): Seq[ManifestEntry] =
-    io.readLines(path).map(JsonCodecs.entryFromJson(_, schema, specById)).toSeq
+    if (path.endsWith(".parquet")) ParquetManifests.read(io, path, schema, specById)
+    else io.readLines(path).map(JsonCodecs.entryFromJson(_, schema, specById)).toSeq
+
+  /** Only the file paths of a manifest — parquet manifests read a single
+    * projected column (maintenance jobs at millions of files scan paths
+    * only; ref `BaseSparkAction` reads the path field of the entries). */
+  def readPaths(io: FileIO, path: String): Seq[String] =
+    if (path.endsWith(".parquet")) ParquetManifests.readPaths(io, path)
+    else io.readLines(path).map { line =>
+      JsonCodecs.entryPathFromJson(line)
+    }.toSeq
 
   /** Read several manifests on a worker pool (ref `DataTableScan.java:85`
     * plans manifests in parallel on the driver). */
@@ -63,6 +96,95 @@ object ManifestIO {
       implicit val ec: ExecutionContext = ManifestIO.pool
       val fs = manifests.map(m => Future(m -> read(io, m.path, schema, specById)))
       Await.result(Future.sequence(fs), Duration.Inf)
+    }
+  }
+
+  /** Columnar manifest codec over parquet-mr's example API (no Spark job —
+    * manifests are written inside driver-side commits, like the reference's
+    * Avro `ManifestWriter`). */
+  private object ParquetManifests {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    import org.apache.parquet.schema.MessageTypeParser
+
+    private val EntryType = MessageTypeParser.parseMessageType(
+      """message graft_manifest_entry {
+        |  required int32 status;
+        |  required int64 snapshot_id;
+        |  required int64 sequence_number;
+        |  required binary path (STRING);
+        |  required int64 record_count;
+        |  required int32 content;
+        |  required binary data_file (STRING);
+        |}""".stripMargin)
+
+    private val PathOnlyType = MessageTypeParser.parseMessageType(
+      "message graft_manifest_entry { required binary path (STRING); }")
+
+    def write(io: FileIO, path: String, entries: Seq[ManifestEntry],
+        schema: Schema, spec: PartitionSpec): Long = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val writer = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(hPath, io.conf))
+        .withConf(io.conf)
+        .withType(EntryType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        // relocate rewrites manifests in place after a table move
+        .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+      val fac = new SimpleGroupFactory(EntryType)
+      try entries.foreach { e =>
+        val g = fac.newGroup()
+        g.append("status", e.status)
+        g.append("snapshot_id", e.snapshotId)
+        g.append("sequence_number", e.sequenceNumber)
+        g.append("path", e.dataFile.path)
+        g.append("record_count", e.dataFile.recordCount)
+        g.append("content", e.dataFile.content)
+        g.append("data_file", JsonCodecs.dataFileToJson(e.dataFile, schema, spec))
+        writer.write(g)
+      } finally writer.close()
+      hPath.getFileSystem(io.conf).getFileStatus(hPath).getLen
+    }
+
+    def read(io: FileIO, path: String, schema: Schema,
+        specById: Int => PartitionSpec): Seq[ManifestEntry] = {
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(path))
+        .withConf(io.conf).build()
+      val out = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += ManifestEntry(
+            status = g.getInteger("status", 0),
+            snapshotId = g.getLong("snapshot_id", 0),
+            sequenceNumber = g.getLong("sequence_number", 0),
+            dataFile = JsonCodecs.dataFileFromJson(
+              g.getString("data_file", 0), schema, specById))
+          g = reader.read()
+        }
+      } finally reader.close()
+      out.toSeq
+    }
+
+    def readPaths(io: FileIO, path: String): Seq[String] = {
+      val conf = new org.apache.hadoop.conf.Configuration(io.conf)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        PathOnlyType.toString)
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
+        .withConf(conf).build()
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      try {
+        var g = reader.read()
+        while (g != null) { out += g.getString("path", 0); g = reader.read() }
+      } finally reader.close()
+      out.toSeq
     }
   }
 

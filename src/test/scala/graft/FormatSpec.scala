@@ -15,6 +15,44 @@ class FormatSpec extends AnyFunSuite {
 
   private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
 
+  test("parquet manifests round-trip and prune; jsonl still loads; formats mix") {
+    import graft.table.ManifestIO
+    // default: new manifests are parquet
+    val loc = Files.createTempDirectory("graft-pm-").toString + "/t"
+    val schema = Schema.fresh(orders.schema)
+    val t = IceTable.create(spark, loc, schema)
+    t.append(orders)
+    val manifests1 = t.metadataTable("manifests").collect().map(_.getString(0))
+    assert(manifests1.forall(_.endsWith(".parquet")))
+    assert(t.toDF.count() === orders.count())
+    assert(t.newScan().filter(equalTo("o_orderkey", -5L)).planFiles().isEmpty)
+    // entries survive the binary round-trip exactly (incl. metrics bounds)
+    val entries = ManifestIO.read(t.io, manifests1.head, t.schema, t.meta.specById)
+    assert(entries.nonEmpty)
+    assert(entries.forall(e => e.dataFile.lowerBounds.nonEmpty))
+    assert(ManifestIO.readPaths(t.io, manifests1.head) ===
+      entries.map(_.dataFile.path))
+
+    // legacy property keeps JSON-lines manifests working
+    val loc2 = Files.createTempDirectory("graft-pm-").toString + "/t"
+    val t2 = IceTable.create(spark, loc2, schema,
+      properties = Map(TableProperties.ManifestFormat -> "jsonl"))
+    t2.append(orders.limit(100))
+    assert(t2.metadataTable("manifests").collect()
+      .map(_.getString(0)).forall(_.endsWith(".jsonl")))
+    assert(t2.toDF.count() === 100)
+    // flipping the property mixes formats within one table
+    t2.updateProperties(Map(TableProperties.ManifestFormat -> "parquet"))
+    t2.append(orders.limit(50))
+    val exts = t2.metadataTable("manifests").collect()
+      .map(_.getString(0).split('.').last).toSet
+    assert(exts === Set("jsonl", "parquet"))
+    assert(t2.toDF.count() === 150)
+    // delete across mixed manifests rewrites correctly
+    t2.delete(equalTo("o_orderstatus", "F"))
+    assert(t2.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+  }
+
   test("ORC table: write, metrics-pruned scan, delete") {
     val loc = Files.createTempDirectory("graft-orc-").toString + "/t"
     val schema = Schema.fresh(orders.schema)
