@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // a 128 GiB single node can afford far more than the 10 MiB default;
+      // merge/dim-join sides in the tens of MB then hash-broadcast
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,7 +50,8 @@ object Bench {
       "q20_join_agg" -> "q20_join_agg",
       "q10_merge_shape" -> "q10_merge_shape",
       "llm_minhash_dedup" -> "llm_dedup_minhash",
-      "llm_ann_topk" -> "llm_ann_topk")
+      "llm_ann_topk" -> "llm_ann_topk",
+      "llm_ann_lsh" -> "llm_ann_lsh")
     repeated.foreach { case (label, q) =>
       val fn = SparkEntry.queries(q)
       (1 to 2).foreach(_ => consume(fn(spark, sfDir)))

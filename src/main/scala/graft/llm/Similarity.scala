@@ -52,24 +52,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket and
-    * its 1-bit-flip multiprobes, then exact cosine + window. The join is an
-    * equi-join on bucket — shuffle-bounded at 100 TB. */
+  /** Planes so each bucket holds ≈ `targetBucketSize` vectors: probe cost is
+    * bounded by bucket size, not corpus size — at 10B vectors (100 TB of
+    * embeddings) this yields ~14 planes / 16k buckets, so a radius-2
+    * multiprobe of ~106 buckets scans ~0.7% of the corpus per query batch. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 1L << 20): Int =
+    math.max(3, math.ceil(math.log(
+      math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
+  /** Approximate top-k: `numTables` independent sign-bit hash tables; per
+    * table, candidates come from the query's bucket plus every bucket within
+    * Hamming distance `probeRadius` (combinatorial multiprobe), then exact
+    * cosine + window over the union. Independent tables drive the miss
+    * probability down multiplicatively (p_miss^L) where a single table
+    * plateaus. The join is an equi-join on (table, bucket) — candidate cost
+    * per query is `numTables × probes × bucketSize`, bounded by
+    * [[planesFor]]'s bucket sizing, not corpus size. `numPlanes` < 0 derives
+    * the plane count from the corpus size. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, numPlanes: Int = 3, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+      queryIds: Seq[Long], k: Int, numPlanes: Int = -1, dim: Int = 64,
+      probeRadius: Int = 2, numTables: Int = 2): DataFrame = {
+    val nPlanes = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
+    val tables = (0 until numTables)
+      .map(t => hyperplanes(nPlanes, dim, seed = 42L + 7919L * t))
+    // corpus indexed once per table: (table, bucket) rows
+    val corpusBuckets = array(tables.zipWithIndex.map { case (pl, t) =>
+      struct(lit(t).as("t"), bucketOf(col(vecCol), pl).as("b"))
+    }: _*)
     val bucketed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      bucketOf(col(vecCol), planes).as("bucket"))
-    // queries probe their own bucket + every 1-bit flip
-    val probes = (0 until numPlanes).foldLeft(Seq(col("qbucket"))) { (acc, i) =>
-      acc :+ col("qbucket").bitwiseXOR(lit(1 << i))
+      explode(corpusBuckets).as("tb"))
+    // XOR masks of Hamming weight ≤ probeRadius (generated combinatorially —
+    // never enumerating the 2^planes bucket space)
+    val masks: Seq[Int] = {
+      def combos(weight: Int): Seq[Int] =
+        if (weight == 0) Seq(0)
+        else (0 until nPlanes).combinations(weight).map(_.map(1 << _).sum).toSeq
+      (0 to math.min(probeRadius, nPlanes)).flatMap(combos)
     }
+    val queryProbes = array((for {
+      (pl, t) <- tables.zipWithIndex
+      m <- masks
+    } yield struct(lit(t).as("t"),
+      bucketOf(col(vecCol), pl).bitwiseXOR(lit(m)).as("b"))): _*)
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        bucketOf(col(vecCol), planes).as("qbucket"))
-      .withColumn("bucket", explode(array(probes: _*)))
-      .select("query_id", "qv", "bucket")
-    val joined = bucketed.join(broadcast(q), Seq("bucket"))
+        explode(queryProbes).as("tb"))
+    val joined = bucketed.join(broadcast(q), Seq("tb"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))

@@ -220,6 +220,8 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       return
     }
 
+    val srcKeyed = src.drop(source.columns.filterNot(keys.contains): _*)
+
     // 1+2. dynamic file filter + cardinality check, folded into ONE key-only
     // probe job (ref DynamicFileFilterExec + RewriteRowLevelOperationHelper:115):
     // group probe matches by file; any source key count > 1 on a matched row
@@ -227,7 +229,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val allTasks = table.newScan().planFiles()
     val targetKeys = table.newScan().select(keys: _*).toDF
       .withColumn("_gf_file", input_file_name())
-    val srcKeyCounts = source.select(keys.map(col): _*)
+    val srcKeyCounts = srcKeyed.select(keys.map(col): _*)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
     val probe = targetKeys.join(srcKeyCounts, keys, "inner")
       .groupBy(col("_gf_file")).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
@@ -245,9 +247,17 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
       rowPositions = false)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
-    val s = src.drop(source.columns.filterNot(keys.contains): _*)
-      .withColumn(MergeBuilder.FromSource, lit(true))
-    val joined = t.join(s, keys, "full_outer")
+    val s = srcKeyed.withColumn(MergeBuilder.FromSource, lit(true))
+    // Spark never broadcast-hashes a FULL OUTER join; LEFT (matched +
+    // unmatched target) ∪ LEFT ANTI (source-only) is equivalent under the
+    // cardinality guarantee and lets AQE broadcast a small source side.
+    // Without insert clauses the source-only branch is dead — skip its join.
+    val leftPart = t.join(s, keys, "left")
+    val joined =
+      if (insertClauses.isEmpty) leftPart
+      else leftPart.unionByName(
+        s.join(t.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = true)
     val matched = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNotNull
     val sourceOnly = col(MergeBuilder.FromTarget).isNull && col(MergeBuilder.FromSource).isNotNull
 
@@ -385,7 +395,13 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       rowPositions = false)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val s = src0.withColumn(MergeBuilder.FromSource, lit(true))
-    val joined = t.join(s, cond, "full_outer")
+    // LEFT ∪ LEFT ANTI instead of FULL OUTER — see execute(): broadcastable
+    val leftPart = t.join(s, cond, "left")
+    val joined =
+      if (insertClauses.isEmpty) leftPart
+      else leftPart.unionByName(
+        s.join(affected.select(condTargetCols.map(col): _*), cond, "left_anti"),
+        allowMissingColumns = true)
     val matched = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNotNull
     val sourceOnly = col(MergeBuilder.FromTarget).isNull && col(MergeBuilder.FromSource).isNotNull
     val targetOnly = col(MergeBuilder.FromTarget).isNotNull && col(MergeBuilder.FromSource).isNull

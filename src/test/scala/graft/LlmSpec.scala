@@ -41,7 +41,17 @@ class LlmSpec extends AnyFunSuite {
       exact(q).count(approx.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean recall@5 = $mean (per-query $recalls)")
+    assert(mean >= 0.9, s"mean recall@5 = $mean (per-query $recalls)")
+  }
+
+  test("LSH ANN plane count scales with corpus size") {
+    assert(Similarity.planesFor(500) === 3) // floor
+    assert(Similarity.planesFor(1L << 24) === 4)
+    assert(Similarity.planesFor(10_000_000_000L) === 14) // ~100 TB of vectors
+    // probe fraction stays bounded: radius-2 probes over 2^14 buckets
+    val p = Similarity.planesFor(10_000_000_000L)
+    val probes = 1 + p + p * (p - 1) / 2
+    assert(probes.toDouble / (1 << p) < 0.01)
   }
 
   test("removeDuplicates drops exactly the higher ids of verified pairs") {
