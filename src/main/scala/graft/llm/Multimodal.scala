@@ -45,14 +45,13 @@ object Multimodal {
     val outSchema = inSchema.add("meta", metaSchema)
     val mediaIdx = inSchema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
-      // per-partition decoder init would happen here
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      // a real decoder (image/audio lib handle) would init once per
+      // partition here — that is why this is mapPartitions, not a UDF
       rows.map { r =>
         val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
         val (kind, w, h) = stubDecode(payload)
         val checksum = if (payload == null) null
         else payload.map("%02x".format(_)).mkString.take(8)
-        digest.reset()
         Row.fromSeq(r.toSeq :+ Row(kind,
           Option(payload).map(_.length.toLong).getOrElse(0L), w, h, checksum))
       }

@@ -39,9 +39,26 @@ object Transform {
       case "hour" | "hours" => HourTransform
       case bucketRe(n) => BucketTransform(n.toInt)
       case truncRe(w) => TruncateTransform(w.toInt)
-      case other => throw new IllegalArgumentException(s"Unknown transform: $other")
+      case other => UnknownTransform(other)
     }
   }
+}
+
+/** Forward-compat passthrough (ref `api/.../transforms/UnknownTransform.java`):
+  * a table written by a NEWER writer with a transform this version doesn't
+  * know must still be readable. Projections return non-projectable for it
+  * (inclusive ⇒ TRUE, strict ⇒ FALSE), so scans keep every file in such
+  * partitions and re-filter rows; only WRITING through it fails. */
+final case class UnknownTransform(raw: String) extends Transform {
+  def name: String = raw
+  def apply(value: Any, sourceType: DataType): Any =
+    throw new UnsupportedOperationException(s"Cannot evaluate unknown transform: $raw")
+  def resultType(sourceType: DataType): DataType = StringType
+  def toColumn(c: Column, sourceType: DataType): Column =
+    throw new UnsupportedOperationException(s"Cannot write with unknown transform: $raw")
+  def canTransform(sourceType: DataType): Boolean = true
+  def preservesOrder: Boolean = false
+  def columnName(sourceName: String): String = s"${sourceName}_$raw"
 }
 
 case object IdentityTransform extends Transform {

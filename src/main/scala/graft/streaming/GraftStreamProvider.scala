@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.table.IceTable
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** Native `spark.readStream` / `writeStream` integration (ref
+  * `spark3/.../source/SparkMicroBatchStream.java` + `SparkWrite.java:156`
+  * StreamingAppend), upgrading the checkpointed [[Streaming.IncrementalReader]]
+  * to a real Structured Streaming source whose offsets Spark checkpoints:
+  *
+  * {{{
+  * spark.readStream.format("graft-stream").option("path", loc).load()
+  *   .writeStream.format("graft-stream").option("path", loc2)
+  *   .option("checkpointLocation", cp).start()
+  * }}}
+  *
+  * Offsets are snapshot ids (ref `StreamingOffset.java:33`); each micro-batch
+  * is `appendsBetween(start, end)` — incremental appends only, no rescan. The
+  * sink appends with the (queryId, epochId) idempotency marker, so replayed
+  * epochs after restart commit nothing.
+  */
+class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-stream"
+
+  private def tableOf(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-stream requires option(\"path\", ...)"))
+    IceTable.load(sqlContext.sparkSession, path)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-stream", tableOf(sqlContext, parameters).schema.struct)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(tableOf(sqlContext, parameters))
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append,
+      s"graft-stream sink supports Append output mode only, got $outputMode")
+    new GraftStreamSink(tableOf(sqlContext, parameters),
+      parameters.getOrElse("queryId", "graft-stream"))
+  }
+}
+
+private final case class GraftSnapshotOffset(snapshotId: Long) extends V1Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** Source over the snapshot log: `getOffset` is the current snapshot id,
+  * `getBatch` the appends between two snapshots (full table on first batch). */
+private final class GraftStreamSource(table: IceTable) extends Source {
+
+  override def schema: StructType = table.schema.struct
+
+  override def getOffset: Option[V1Offset] =
+    table.meta.currentSnapshotId.map(GraftSnapshotOffset)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = end.json().toLong
+    val batch = start.map(_.json().toLong) match {
+      case Some(from) if from == endId =>
+        table.toDF.limit(0)
+      case Some(from) => table.appendsBetween(from, endId)
+      case None => table.newScan().useSnapshot(endId).toDF
+    }
+    // V1 contract: the returned frame must carry isStreaming=true — re-anchor
+    // the physical rows like FileStreamSource does
+    val spark = table.spark
+    org.apache.spark.sql.graft.ColumnBridge.internalCreateDataFrame(spark,
+      org.apache.spark.sql.graft.ColumnBridge.toInternalRdd(batch),
+      batch.schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Idempotent append sink: replayed epochs (restart recovery) are skipped via
+  * the (queryId, epochId) marker in the snapshot summary. */
+private final class GraftStreamSink(table: IceTable, queryId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-anchor on the physical rows: the incoming frame belongs to the
+    // streaming query's IncrementalExecution and can't be re-analyzed
+    val spark = data.sparkSession
+    val rows = org.apache.spark.sql.graft.ColumnBridge.toInternalRdd(data)
+    val df = org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, rows, data.schema)
+    Streaming.appendOnce(table, queryId, df, batchId)
+  }
+}

@@ -49,8 +49,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   def toDF: DataFrame = newScan().toDF
 
   /** Register the current snapshot as a temp view so `spark.sql` can query
-    * it (phase-1 SQL surface; DSv2 catalog is the phase-3 path). Re-register
-    * after commits to see new snapshots. */
+    * it WITHOUT a catalog. The view pins an UNPRUNED materialized plan:
+    * filters in later SQL do not reach the metadata cascade, and commits
+    * after registration are invisible until re-registered. Prefer
+    * `graft.spark.GraftCatalog` (`spark.sql.catalog.<name>` config), whose
+    * relations prune per query and always read the current snapshot. */
   def registerView(name: String): Unit = toDF.createOrReplaceTempView(name)
 
   // ---------------------------------------------------------------- write

@@ -26,6 +26,16 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.toRdd
 
+  /** A DataFrame directly over an InternalRow RDD (`internalCreateDataFrame`
+    * is `private[sql]`); re-anchors a streaming batch's physical rows so a
+    * V1 `Sink` can run batch writes over them. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean = false): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
+
   /** `CatalogV2Util.v2ColumnsToStructType` is `private[sql]`. */
   def v2ColumnsToStructType(
       cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =

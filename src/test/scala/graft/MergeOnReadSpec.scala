@@ -180,6 +180,26 @@ class MergeOnReadSpec extends AnyFunSuite {
       orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)) < 1e-6)
   }
 
+  test("rename after import still reads imported files (schema-version name mapping)") {
+    val src = Files.createTempDirectory("graft-import-").toString + "/src"
+    orders.select("o_orderkey", "o_totalprice").write.parquet(src)
+    val loc = tmpLoc()
+    val t = TableImport.importParquet(spark, src, loc)
+    // rename a column AFTER import: imported files keep the import-time
+    // schema version, so field-ID resolution maps new name -> old parquet
+    // column (the role of ref NameMapping for id-less files)
+    t.updateSchema(_.renameColumn("o_totalprice", "price"))
+    val t2 = IceTable.load(spark, loc)
+    assert(t2.schema.columnNames.contains("price"))
+    val got = t2.newScan().select("o_orderkey", "price").toDF
+      .agg(sum("price")).collect()(0).getDouble(0)
+    val want = orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+    // filters on the renamed column reach imported files too
+    assert(t2.newScan().filter(greaterThan("price", 100000.0)).toDF.count() ===
+      orders.filter(col("o_totalprice") > 100000.0).count())
+  }
+
   test("transaction: append + delete + properties in one atomic commit") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
