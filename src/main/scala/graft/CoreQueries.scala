@@ -238,6 +238,37 @@ object CoreQueries {
         "WHEN MATCHED THEN UPDATE SET v = sr.v " +
         "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.v)")
       s.sql("SELECT k, v FROM gq22.db.t ORDER BY k")
+    }),
+
+    // Q23 SQL UPDATE with arithmetic assignment through the extensions rule
+    "q23_sql_update" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q23").toString
+      s.conf.set("spark.sql.catalog.gq23", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq23.warehouse", tmp)
+      val target0 = t(s, d, "part")
+        .select(col("p_partkey").as("k"), col("p_size").as("sz"),
+          round(col("p_retailprice"), 2).cast("double").as("price"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema))
+      tbl.append(target0)
+      s.sql("UPDATE gq23.db.t SET price = round(price * 1.1, 2) WHERE sz >= 25")
+      s.sql("SELECT k, sz, price FROM gq23.db.t ORDER BY k")
+    }),
+
+    // Q24 SQL DELETE with a LIKE condition — the non-convertible path: the
+    // predicate ADT can't express LIKE, so pruning weakens and rows are
+    // re-filtered exactly during the CoW rewrite
+    "q24_sql_delete" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q24").toString
+      s.conf.set("spark.sql.catalog.gq24", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq24.warehouse", tmp)
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema))
+      tbl.append(target0)
+      s.sql("DELETE FROM gq24.db.t WHERE k > 100 AND seg LIKE '%MOBILE%'")
+      s.sql("SELECT k, seg FROM gq24.db.t ORDER BY k")
     })
   )
 
@@ -320,6 +351,15 @@ object CoreQueries {
         "WHERE NOT (s.k IS NOT NULL AND s.v < 0) " +
         "UNION ALL " +
         "SELECT s.k, s.v FROM src s WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k) " +
-        "ORDER BY k")
+        "ORDER BY k"),
+    "q23_sql_update" ->
+      ("SELECT p_partkey AS k, p_size AS sz, " +
+        "CASE WHEN p_size >= 25 THEN round(CAST(round(p_retailprice, 2) AS DOUBLE) * 1.1, 2) " +
+        "ELSE CAST(round(p_retailprice, 2) AS DOUBLE) END AS price " +
+        "FROM part ORDER BY p_partkey"),
+    "q24_sql_delete" ->
+      ("SELECT c_custkey AS k, c_mktsegment AS seg FROM customer " +
+        "WHERE NOT (c_custkey > 100 AND c_mktsegment LIKE '%MOBILE%') " +
+        "ORDER BY c_custkey")
   )
 }

@@ -213,8 +213,13 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   // ---------------------------------------------------------- incremental
 
   /** Files appended in snapshot range (fromId, toId] (ref
-    * `IncrementalDataTableScan.java:57`). */
-  def appendsBetween(fromId: Long, toId: Long): DataFrame = {
+    * `IncrementalDataTableScan.java:57`). Delete snapshots in the range are
+    * skipped by default (the streaming CDC convention; ref
+    * `SparkReadOptions.STREAMING_SKIP_DELETE_SNAPSHOTS`); with
+    * `skipDeleteSnapshots = false` a delete/overwrite in range raises
+    * instead, for consumers that cannot tolerate missed deletions. */
+  def appendsBetween(fromId: Long, toId: Long,
+      skipDeleteSnapshots: Boolean = true): DataFrame = {
     val m = meta
     val to = m.snapshot(toId).getOrElse(throw new ValidationException(s"Unknown: $toId"))
     // walk lineage to collect snapshots in range
@@ -224,6 +229,13 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       .flatten.toSeq
     require(lineage.lastOption.flatMap(_.parentId).contains(fromId) ||
       lineage.isEmpty, s"$fromId is not an ancestor of $toId")
+    if (!skipDeleteSnapshots) {
+      val destructive = lineage.filter(s =>
+        s.operation == Operation.Delete || s.operation == Operation.Overwrite)
+      if (destructive.nonEmpty) throw new ValidationException(
+        s"Cannot stream appends over delete/overwrite snapshots: " +
+          destructive.map(_.snapshotId).mkString(","))
+    }
     val files = lineage.filter(_.operation == Operation.Append)
       .flatMap(s => addedFiles(m, s))
     Reads.readFiles(spark, this, m, files.map(FileScanTask(_, TrueExpr)),

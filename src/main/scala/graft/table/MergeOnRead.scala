@@ -98,8 +98,10 @@ object MergeOnRead {
           org.apache.spark.sql.types.StringType) +:
         helperNames.map(n => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.StringType)))
+      // local rows -> LocalRelation (metadata-sized; broadcast-friendly,
+      // no single-partition RDD job)
       val lookup = spark.createDataFrame(
-        spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
+        java.util.Arrays.asList(lookupRows: _*), lookupSchema)
       // normalize URI schemes: _metadata.file_path is "file:///p", Hadoop
       // listings are "file:/p", lookup keys are scheme-less normPath
       val joined = rows.join(broadcast(lookup),

@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.snapshots.forall(_.summary.contains("streaming-epoch-id")))
   }
 
+  test("appendsBetween: delete snapshots skipped by default, rejected when strict") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val t = IceTable.create(spark, s"$base/t", Schema.fresh(orders.schema))
+    t.append(orders.limit(20))
+    val v1 = t.currentSnapshot.get.snapshotId
+    t.delete(graft.meta.expr.Exprs.lessThan("o_orderkey", 100L))
+    t.append(orders.limit(30).exceptAll(orders.limit(20)))
+    val v3 = t.currentSnapshot.get.snapshotId
+    // default: the delete snapshot in range is skipped, appends flow
+    assert(t.appendsBetween(v1, v3).count() === 10)
+    // strict consumers get an error instead of silently missing deletions
+    intercept[graft.table.ValidationException] {
+      t.appendsBetween(v1, v3, skipDeleteSnapshots = false).count()
+    }
+  }
+
   test("streaming source schema matches the table") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val t = IceTable.create(spark, s"$base/t", Schema.fresh(orders.schema))
