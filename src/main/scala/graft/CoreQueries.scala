@@ -269,6 +269,27 @@ object CoreQueries {
       tbl.append(target0)
       s.sql("DELETE FROM gq24.db.t WHERE k > 100 AND seg LIKE '%MOBILE%'")
       s.sql("SELECT k, seg FROM gq24.db.t ORDER BY k")
+    }),
+
+    // Q25 SQL MERGE with NOT MATCHED BY SOURCE: target rows missing from the
+    // source are deleted (small keys) or flagged — the Spark-4 clause shape
+    // the reference era lacked
+    "q25_merge_by_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q25").toString
+      s.conf.set("spark.sql.catalog.gq25", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq25.warehouse", tmp)
+      val target0 = t(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema))
+      tbl.append(target0)
+      t(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
+        .createOrReplaceTempView("q25_src")
+      s.sql("MERGE INTO gq25.db.t AS tg USING q25_src AS sr ON tg.k = sr.k " +
+        "WHEN MATCHED THEN UPDATE SET name = concat(tg.name, '_ok') " +
+        "WHEN NOT MATCHED BY SOURCE AND tg.k < 5 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'no_supplier'")
+      s.sql("SELECT k, name FROM gq25.db.t ORDER BY k")
     })
   )
 
@@ -360,6 +381,13 @@ object CoreQueries {
     "q24_sql_delete" ->
       ("SELECT c_custkey AS k, c_mktsegment AS seg FROM customer " +
         "WHERE NOT (c_custkey > 100 AND c_mktsegment LIKE '%MOBILE%') " +
-        "ORDER BY c_custkey")
+        "ORDER BY c_custkey"),
+    "q25_merge_by_source" ->
+      ("WITH src AS (SELECT DISTINCT s_nationkey AS k FROM supplier) " +
+        "SELECT n.n_nationkey AS k, " +
+        "CASE WHEN s.k IS NOT NULL THEN concat(n.n_name, '_ok') ELSE 'no_supplier' END AS name " +
+        "FROM nation n LEFT JOIN src s ON n.n_nationkey = s.k " +
+        "WHERE NOT (s.k IS NULL AND n.n_nationkey < 5) " +
+        "ORDER BY k")
   )
 }

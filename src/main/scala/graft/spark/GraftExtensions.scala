@@ -23,6 +23,19 @@ import org.apache.spark.sql.graft.ColumnBridge
   * `RewriteMergeInto` analyzer rules. DELETE with an exactly-convertible
   * condition is NOT intercepted — it flows through the native
   * `SupportsDelete` path on [[GraftSparkTable]].
+  *
+  * Design note — why a rule rather than `SupportsRowLevelOperations`: the
+  * native group-based interface requires a full DSv2 `BatchWrite` (Spark's
+  * `ReplaceData` writes through `Write.toBatch`; the `V1Write` fallback the
+  * read/append path uses is not accepted there), i.e. a hand-rolled
+  * executor-side parquet `DataWriter` for every supported type. The engine's
+  * whole write path is deliberately DataFrame-based (`Writes.writeDataFiles`
+  * — Spark's parquet writer, codegen, fanout, footer metrics), so the rule
+  * keeps one write path and mirrors exactly how the reference shipped
+  * row-level SQL for the Spark versions it supported. Spark's own analyzer
+  * rewrites run earlier in the same Resolution batch but leave DML nodes on
+  * non-row-level-op tables untouched, which is what makes the interception
+  * sound.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
