@@ -221,12 +221,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    io.list(warehouse).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => !io.exists(s"$warehouse/$n/metadata/version-hint.text"))
-      .map(Array(_)).toArray
+    listNamespaces(Array.empty)
 
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    io.list(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && // .staging holds uncommitted CTAS tables
+        !io.exists(s"$dir/$n/metadata/version-hint.text"))
+      .map(n => (namespace :+ n).toArray).toArray
+  }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     io.exists((warehouse +: namespace.toSeq).mkString("/"))

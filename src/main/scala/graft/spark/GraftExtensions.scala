@@ -84,14 +84,25 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** Assignment keys become dotted paths for nested SET (`s.a.b = …`) when
+    * `allowNested` (UPDATE supports it via `Column.withField`; MERGE clause
+    * projections are top-level only). */
   private def toAssignments(assignments: Seq[Assignment], target: Seq[Attribute],
-      source: Seq[Attribute] = Nil): Map[String, Column] =
+      source: Seq[Attribute] = Nil, allowNested: Boolean = false): Map[String, Column] =
     assignments.map { a =>
-      a.key match {
-        case ar: AttributeReference => ar.name -> toCol(a.value, target, source)
+      def keyPath(e: Expression): Seq[String] = e match {
+        case ar: AttributeReference => Seq(ar.name)
+        case org.apache.spark.sql.catalyst.expressions.GetStructField(child, _, nameOpt) =>
+          keyPath(child) :+ nameOpt.getOrElse(
+            throw new UnsupportedOperationException(s"Unnamed struct field in $e"))
         case other => throw new UnsupportedOperationException(
-          s"Only top-level column assignments are supported, got: $other")
+          s"Unsupported assignment key: $other")
       }
+      val path = keyPath(a.key)
+      if (path.size > 1 && !allowNested)
+        throw new UnsupportedOperationException(
+          s"Nested assignment ${path.mkString(".")} is only supported in UPDATE")
+      path.mkString(".") -> toCol(a.value, target, source)
     }.toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -107,7 +118,7 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case u @ UpdateTable(target, assignments, condOpt) if u.resolved =>
       graftRelation(target).map { case (r, g) =>
-        val set = toAssignments(assignments, r.output)
+        val set = toAssignments(assignments, r.output, allowNested = true)
         val body: () => Unit = condOpt match {
           case None => () => g.table.update(TrueExpr, set)
           case Some(c) =>

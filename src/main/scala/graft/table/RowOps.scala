@@ -90,11 +90,22 @@ private[table] object RowOps {
     * `If(cond, newValue, oldValue)` projections (ref
     * `RewriteUpdate.scala:55`). `rowCond` as in [[overwrite]]: the exact
     * condition when `filter` is only a weaker pruning bound. */
+  /** `a.b.c` path → the nested field's type in `t`. */
+  private def nestedType(t: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): org.apache.spark.sql.types.DataType =
+    path.foldLeft(t) {
+      case (s: org.apache.spark.sql.types.StructType, n) => s(n).dataType
+      case (other, n) => throw new IllegalArgumentException(
+        s"Cannot descend into $other with field $n")
+    }
+
   def update(table: IceTable, filter: Expr, assignments: Map[String, Column],
       rowCond: Option[Column] = None): Unit = {
     val m = table.meta
     val schema = m.schema
-    assignments.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
+    // keys may be dotted paths into struct columns (nested SET)
+    val byTop = assignments.groupBy(_._1.split('.').head)
+    byTop.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
@@ -104,9 +115,16 @@ private[table] object RowOps {
       rowPositions = false)
     val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema)) <=> lit(true)
     val updated = df.select(schema.columnNames.map { n =>
-      assignments.get(n) match {
-        case Some(v) => when(cond, v.cast(schema.fieldType(schema.fieldId(n))))
-          .otherwise(col(n)).as(n)
+      byTop.get(n) match {
+        case Some(as) =>
+          val topType = schema.fieldType(schema.fieldId(n))
+          val newVal = as.foldLeft(col(n)) { case (acc, (key, v)) =>
+            val path = key.split('.').toSeq
+            if (path.size == 1) v.cast(topType)
+            else acc.withField(path.tail.mkString("."),
+              v.cast(nestedType(topType, path.tail)))
+          }
+          when(cond, newVal).otherwise(col(n)).as(n)
         case None => col(n)
       }
     }: _*)

@@ -154,6 +154,17 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rowsOf(t) === Set((1, "a", 1.0), (2, "nb", 22.0), (7, "g", 7.0)))
   }
 
+  test("SQL UPDATE with nested struct field assignment") {
+    warehouse
+    spark.sql("CREATE TABLE gd.db.nest (id INT, s STRUCT<a: INT, b: STRING>)")
+    spark.sql("INSERT INTO gd.db.nest VALUES (1, named_struct('a', 10, 'b', 'x')), " +
+      "(2, named_struct('a', 20, 'b', 'y'))")
+    spark.sql("UPDATE gd.db.nest SET s.a = 99 WHERE id = 1")
+    val rows = spark.sql("SELECT id, s.a, s.b FROM gd.db.nest ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ===
+      Seq((1, 99, "x"), (2, 20, "y")))
+  }
+
   test("SQL DELETE everything leaves an empty table with history") {
     val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
     spark.sql(s"DELETE FROM $t")
