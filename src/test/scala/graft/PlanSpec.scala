@@ -1,0 +1,79 @@
+package graft
+
+import graft.table.IceTable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that decide behavior at
+  * 100× scale — codegen'd transform expressions, broadcastable merge joins,
+  * scans restricted to planned files — pinned so regressions show up as test
+  * failures, not benchmark drift. */
+class PlanSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private lazy val lineitem = Tables.load(spark, sf0001, "lineitem").cache()
+
+  test("transform expressions compile under strict codegen (no fallback)") {
+    val old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.functions._
+      val out = lineitem.select(
+        ice_bucket(16, col("l_orderkey")).as("b"),
+        ice_truncate(100, col("l_partkey")).as("t"),
+        ice_days(col("l_shipdate")).as("d"))
+        .agg(countDistinct(col("b")), max(col("t")), max(col("d"))).collect()
+      assert(out.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
+  test("merge rewrite join is broadcastable (no SortMergeJoin for a small source)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-plan-").toString
+    val t = IceTable.create(spark, s"$loc/t",
+      graft.meta.Schema.fresh(lineitem.schema))
+    t.append(lineitem)
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        events.synchronized { events += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val src = lineitem.limit(500).withColumn("l_quantity", col("l_quantity") + 1)
+        .dropDuplicates("l_orderkey", "l_linenumber")
+      t.merge(src, Seq("l_orderkey", "l_linenumber")).whenMatchedUpdateAll().execute()
+      Thread.sleep(2000) // listener events are async
+      val plansWithJoin = events.synchronized(events.filter(_.contains("Join")).toSeq)
+      assert(plansWithJoin.nonEmpty, "expected join plans from the merge")
+      // the 500-row source must hash-broadcast, not sort-merge
+      assert(plansWithJoin.exists(_.contains("BroadcastHashJoin")),
+        "small merge source should broadcast")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("pruned scan reads only the planned files (parquet scan path count)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-plan-").toString
+    val schema = graft.meta.Schema.fresh(lineitem.schema)
+    val spec = graft.meta.PartitionSpec.builderFor(schema)
+      .identity("l_returnflag").build()
+    val t = IceTable.create(spark, s"$loc/t", schema, spec)
+    t.append(lineitem)
+    val all = t.newScan().planFiles().size
+    val scan = t.newScan().filter(graft.meta.expr.Exprs.equalTo("l_returnflag", "R"))
+    val pruned = scan.planFiles().size
+    assert(pruned < all)
+    // the physical DataFrame reads exactly the pruned files, nothing more
+    val plan = ColumnBridge.analyzedPlan(scan.toDF)
+    val relationFiles = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(relationFiles.sum === pruned)
+  }
+}
