@@ -494,9 +494,16 @@ final class TableScan private[table] (table: IceTable) {
   private var snapshotId: Option[Long] = None
   private var asOfMillis: Option[Long] = None
   private var rowPositions: Boolean = false
+  private var scanOptions: Map[String, String] = Map.empty
 
   /** Expose `_gf_file`/`_gf_pos` metadata columns in the result. */
   def withRowPositions(): TableScan = { rowPositions = true; this }
+
+  /** Per-scan options; `split-size` (bytes) overrides the
+    * `read.split.target-size` table property for task sizing. */
+  def option(key: String, value: String): TableScan = {
+    scanOptions += (key -> value); this
+  }
 
   def filter(e: Expr): TableScan = { filterExpr = And(filterExpr, e); this }
   def filter(sql: String): TableScan =
@@ -575,8 +582,21 @@ final class TableScan private[table] (table: IceTable) {
   def toDF: DataFrame = {
     val m = table.meta
     val cols = projection.getOrElse(m.schema.columnNames)
+    // split planning: Spark packs files into tasks by maxPartitionBytes/
+    // openCost (same bin-pack the ref runs in TableScanUtil.planTasks); a
+    // target split size scopes those knobs to this scan via a cloned session
+    val splitSize = scanOptions.get("split-size")
+      .orElse(m.properties.get(TableProperties.SplitSize)).map(_.toLong)
+    val session = splitSize.map { bytes =>
+      require(bytes > 0, s"split-size must be positive: $bytes")
+      val s = org.apache.spark.sql.graft.ColumnBridge.cloneSession(table.spark)
+      s.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+      s.conf.set("spark.sql.files.openCostInBytes",
+        math.min(bytes / 4, 4L * 1024 * 1024).toString)
+      s
+    }
     Reads.readTasksWithDeletes(table, m, planFiles(), planDeletes(), cols,
-      Binder.bind(m.schema, filterExpr), rowPositions)
+      Binder.bind(m.schema, filterExpr), rowPositions, session)
   }
 }
 
@@ -627,8 +647,8 @@ private[graft] object Reads {
     * delete-applicability class. */
   def readTasksWithDeletes(table: IceTable, m: TableMetadata, tasks: Seq[FileScanTask],
       deletes: Seq[(DataFileMeta, Long)], projection: Seq[String], boundFilter: Expr,
-      rowPositions: Boolean): DataFrame = {
-    val spark = table.spark
+      rowPositions: Boolean, session: Option[SparkSession] = None): DataFrame = {
+    val spark = session.getOrElse(table.spark)
     if (deletes.isEmpty || tasks.isEmpty) {
       return readFiles(spark, table, m, tasks, projection, boundFilter,
         withMeta = rowPositions)
@@ -680,7 +700,7 @@ private[graft] object Reads {
           pf.sourceId -> partValues.asInstanceOf[Seq[Any]](i)
       }.toMap
       val df = spark.read.schema(writeSchema.struct)
-        .format(format).load(group.map(_.file.path): _*)
+        .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
       val mapped = projection.map { name =>
         val id = schema.fieldId(name)
         if (constants.contains(id)) {
@@ -762,6 +782,20 @@ private[table] object Writes {
   val HelperPrefix = "_p_"
   val DistributedMetricsThreshold = 64
 
+  /** Table metadata keeps the public format name; Spark needs the registered
+    * source for formats with no built-in module (`avro` → the graft
+    * `FileFormat`, since the runtime has avro-core but not spark-avro). */
+  def sparkFormat(format: String): String =
+    if (format == "avro") "graft-avro" else format
+
+  private[table] def fileMetrics(conf: org.apache.hadoop.conf.Configuration,
+      format: String, path: String, schema: Schema): ParquetMetrics.FileMetrics =
+    format match {
+      case "orc" => OrcMetrics.read(conf, path, schema)
+      case "avro" => AvroMetrics.read(conf, path, schema)
+      case _ => ParquetMetrics.read(conf, path, schema)
+    }
+
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
       df: DataFrame): Seq[DataFileMeta] = {
     val schema = m.schema
@@ -773,7 +807,7 @@ private[table] object Writes {
     val format = m.property(TableProperties.DefaultFileFormat, "parquet")
 
     if (spec.isUnpartitioned) {
-      sorted(m, schema, aligned, Nil).write.format(format).save(outDir)
+      sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)).save(outDir)
     } else {
       val helperCols = spec.fields.map { pf =>
         val srcName = schema.fieldName(pf.sourceId)
@@ -793,7 +827,7 @@ private[table] object Writes {
         case _ => withHelpers
       }
       sorted(m, schema, distributed, helperNames)
-        .write.partitionBy(helperNames: _*).format(format).save(outDir)
+        .write.partitionBy(helperNames: _*).format(sparkFormat(format)).save(outDir)
     }
     collectDataFiles(spark, table, m, outDir, format)
   }
@@ -837,19 +871,14 @@ private[table] object Writes {
         val fmt = format
         val bcSchema = spark.sparkContext.broadcast(schema)
         spark.sparkContext.parallelize(paths, math.max(1, paths.size / 16))
-          .map { p =>
-            val mtr =
-              if (fmt == "orc") OrcMetrics.read(serConf.value, p, bcSchema.value)
-              else ParquetMetrics.read(serConf.value, p, bcSchema.value)
-            p -> mtr
-          }.collect().toMap
+          .map(p => p -> fileMetrics(serConf.value, fmt, p, bcSchema.value))
+          .collect().toMap
       } else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ManifestIO.ioPool
         Await.result(Future.sequence(paths.map(p => Future {
-          p -> (if (format == "orc") OrcMetrics.read(conf, p, schema)
-                else ParquetMetrics.read(conf, p, schema))
+          p -> fileMetrics(conf, format, p, schema)
         })), Duration.Inf).toMap
       }
     }

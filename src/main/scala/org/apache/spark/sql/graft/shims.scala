@@ -41,10 +41,22 @@ object ColumnBridge {
       cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
 
+  /** The executed physical plan of a DataFrame (plan-shape assertions). */
+  def executedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan
+
   /** The analyzed logical plan of a DataFrame (plan-shape assertions). */
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
+
+  /** A full clone of the session — same shared state and runtime conf values,
+    * but an isolated `SQLConf` (`cloneSession` is `private[sql]`). Scopes
+    * per-scan settings like `spark.sql.files.maxPartitionBytes` (split-size
+    * read option) to one DataFrame without touching the caller's session. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
   /** A DataFrame over a resolved logical plan (`Dataset.ofRows` is
     * `private[sql]`); used to turn a MERGE source subplan into a DataFrame. */

@@ -64,7 +64,12 @@ class FormatSpec extends AnyFunSuite {
     // ORC footer metrics enable pruning
     assert(t.newScan().filter(equalTo("o_orderkey", -5L)).planFiles().isEmpty)
     val exp = orders.filter(col("o_totalprice") > 100000.0).count()
-    assert(t.newScan().filter(greaterThan("o_totalprice", 100000.0)).toDF.count() === exp)
+    val filtered = t.newScan().filter(greaterThan("o_totalprice", 100000.0)).toDF
+    assert(filtered.count() === exp)
+    // the residual predicate reaches the ORC reader as a pushed filter (SArg)
+    val planStr = org.apache.spark.sql.graft.ColumnBridge.executedPlan(filtered).toString
+    assert(planStr.contains("PushedFilters: [") && planStr.contains("o_totalprice"),
+      s"expected pushed ORC filter in plan:\n$planStr")
     // CoW delete on orc
     t.delete(greaterThan("o_totalprice", 100000.0))
     assert(t.toDF.count() === orders.count() - exp)
@@ -82,6 +87,84 @@ class FormatSpec extends AnyFunSuite {
     assert(cat.loadTable("db.orders").toDF.count() === 10)
     assert(cat.dropTable("db.orders"))
     assert(!cat.tableExists("db.orders"))
+  }
+
+  test("split-size option and table property control scan task sizing") {
+    val loc = Files.createTempDirectory("graft-split-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.repartition(1))
+    val default = t.toDF.rdd.getNumPartitions
+    val small = t.newScan().option("split-size", (16 * 1024).toString)
+      .toDF.rdd.getNumPartitions
+    assert(small > default, s"16KB splits should yield more tasks ($small vs $default)")
+    // table property applies to plain reads; the caller's session keeps its
+    // own maxPartitionBytes untouched
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    t.updateProperties(Map(TableProperties.SplitSize -> (16 * 1024).toString))
+    assert(t.toDF.rdd.getNumPartitions === small)
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") === before)
+    // per-scan option overrides the property
+    assert(t.newScan().option("split-size", (512 * 1024 * 1024).toString)
+      .toDF.rdd.getNumPartitions < small)
+  }
+
+  test("avro table: partitioned write, scan, evolution, delete") {
+    val loc = Files.createTempDirectory("graft-avro-").toString + "/t"
+    val schema = Schema.fresh(orders.schema)
+    val t = IceTable.create(spark, loc, schema,
+      spec = PartitionSpec.builderFor(schema).identity("o_orderstatus").build(),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(orders)
+    assert(t.newScan().planFiles().forall(_.file.format == "avro"))
+    assert(t.newScan().planFiles().forall(_.file.recordCount > 0))
+    assert(t.toDF.count() === orders.count())
+    // identity-partition pruning works off manifest partition values
+    val expF = orders.filter(col("o_orderstatus") === "F")
+    assert(t.newScan().filter(equalTo("o_orderstatus", "F")).planFiles()
+      .forall(_.file.partition == Seq("F")))
+    assert(t.newScan().filter(equalTo("o_orderstatus", "F")).toDF.count() === expF.count())
+    // all column types round-trip exactly (date, decimal-ish doubles, strings)
+    val back = t.toDF.orderBy("o_orderkey").collect()
+    val exp = orders.orderBy("o_orderkey").collect()
+    assert(back.toSeq === exp.toSeq)
+    // schema evolution: add a column, old avro files read nulls
+    t.updateSchema(_.addColumn("o_note", org.apache.spark.sql.types.StringType))
+    assert(t.toDF.filter(col("o_note").isNotNull).count() === 0)
+    // CoW delete rewrites avro files
+    val delCnt = orders.filter(col("o_totalprice") > 200000.0).count()
+    t.delete(greaterThan("o_totalprice", 200000.0))
+    assert(t.toDF.count() === orders.count() - delCnt)
+    assert(t.newScan().planFiles().forall(_.file.format == "avro"))
+  }
+
+  test("avro round-trips arrays and binary; reader is splittable") {
+    val loc = Files.createTempDirectory("graft-avro2-").toString + "/t"
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val docs = Tables.load(spark, sf0001, "documents")
+    val schema = Schema.fresh(emb.schema)
+    val t = IceTable.create(spark, loc, schema,
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(emb)
+    val back = t.toDF
+    assert(back.count() === emb.count())
+    // float arrays survive byte-exact (join on id, compare element-wise)
+    val j = back.as("a").join(emb.as("b"), "vec_id")
+      .selectExpr("a.embedding as ea", "b.embedding as eb")
+    assert(j.filter(expr("ea <> eb")).count() === 0)
+    // standalone source read (schema inference, no graft metadata)
+    val dataDir = t.newScan().planFiles().head.file.path
+      .stripSuffix("/").reverse.dropWhile(_ != '/').tail.reverse
+    val inferred = spark.read.format("graft-avro").load(dataDir)
+    assert(inferred.count() === emb.count())
+    assert(inferred.schema.fieldNames.toSet === emb.schema.fieldNames.toSet)
+
+    // binary columns (documents has no binary, synthesize one)
+    val loc2 = Files.createTempDirectory("graft-avro3-").toString + "/t"
+    val withBin = docs.withColumn("raw", expr("cast(text as binary)"))
+    val t2 = IceTable.create(spark, loc2, Schema.fresh(withBin.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t2.append(withBin)
+    assert(t2.toDF.filter(expr("cast(raw as string) = text")).count() === docs.count())
   }
 
   test("large commits collect footer metrics via a distributed job") {
