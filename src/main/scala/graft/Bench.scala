@@ -58,19 +58,32 @@ object Bench {
       results(label) = median((1 to 5).map(_ => time(consume(fn(spark, sfDir)))))
     }
 
-    // --- engine ops on a scratch table (timed once; IO-bound) ---
+    // --- engine ops on fresh scratch tables: median of 3 (single-shot
+    // timings of IO-bound ops swing ±30% with machine load) ---
     val li = Tables.load(spark, sfDir, "lineitem")
     val loc = java.nio.file.Files.createTempDirectory("graft-bench-").toString
-    val t = IceTable.create(spark, s"$loc/t", Schema.fresh(li.schema))
-    results("append_write") = time(t.append(li))
+    var idx = 0
+    def fresh(): IceTable = {
+      idx += 1
+      IceTable.create(spark, s"$loc/t$idx", Schema.fresh(li.schema))
+    }
+    results("append_write") = median((1 to 3).map { _ =>
+      val t = fresh(); time(t.append(li))
+    })
     val src = li.limit((li.count() / 10).toInt)
       .withColumn("l_quantity", col("l_quantity") + 1)
       .dropDuplicates("l_orderkey", "l_linenumber")
-    results("cow_merge") = time {
-      t.merge(src, Seq("l_orderkey", "l_linenumber")).whenMatchedUpdateAll().execute()
-    }
-    (1 to 4).foreach(_ => t.append(li.limit(20000).repartition(4)))
-    results("compaction") = time(t.rewriteDataFiles())
+    results("cow_merge") = median((1 to 3).map { _ =>
+      val t = fresh(); t.append(li)
+      time(t.merge(src, Seq("l_orderkey", "l_linenumber"))
+        .whenMatchedUpdateAll().execute())
+    })
+    results("compaction") = median((1 to 3).map { _ =>
+      val t = fresh()
+      t.append(li) // same table shape as earlier rounds: bulk + small files
+      (1 to 4).foreach(_ => t.append(li.limit(20000).repartition(4)))
+      time(t.rewriteDataFiles())
+    })
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loc), true)
 

@@ -165,6 +165,10 @@ object TableProperties {
   val DeleteIsolationLevel = "write.delete.isolation-level"
   val UpdateIsolationLevel = "write.update.isolation-level"
   val MergeIsolationLevel = "write.merge.isolation-level"
+  // below this many live files the merge probe (dynamic file filter) is a
+  // full extra pass that cannot exclude enough work to pay for itself
+  val MergeProbeMinFiles = "write.merge.probe.min-files"
+  val MergeProbeMinFilesDefault = "8"
   val IsolationSerializable = "serializable"
   val IsolationSnapshot = "snapshot"
   val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"

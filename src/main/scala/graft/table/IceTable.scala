@@ -593,6 +593,9 @@ final class TableScan private[table] (table: IceTable) {
       s.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
       s.conf.set("spark.sql.files.openCostInBytes",
         math.min(bytes / 4, 4L * 1024 * 1024).toString)
+      // without this Spark shrinks splits to totalBytes/parallelism,
+      // overriding the requested size on small inputs
+      s.conf.set("spark.sql.files.minPartitionNum", "1")
       s
     }
     Reads.readTasksWithDeletes(table, m, planFiles(), planDeletes(), cols,

@@ -178,15 +178,21 @@ object Maintenance {
     if (groups.isEmpty) return (0, 0)
     val spark = table.spark
     val toRewrite = groups.flatten
+    // bin-pack on the READ side: plan the rewrite scan with target-size
+    // splits (maxPartitionBytes = target, no open-cost padding, no minimum
+    // partition count), so each read task carries ~targetSize bytes of small
+    // files and the write emits right-sized files with NO shuffle — the
+    // repartition this replaces moved every rewritten byte through a full
+    // exchange and serialized small compactions onto one writer
+    val packSession = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
+    packSession.conf.set("spark.sql.files.maxPartitionBytes", targetSizeBytes.toString)
+    packSession.conf.set("spark.sql.files.openCostInBytes", "0")
+    packSession.conf.set("spark.sql.files.minPartitionNum", "1")
     val df = Reads.readTasksWithDeletes(table, m,
       toRewrite.map(f => FileScanTask(f, graft.meta.expr.TrueExpr)),
       table.newScan().planDeletes(), m.schema.columnNames,
-      graft.meta.expr.TrueExpr, rowPositions = false)
-    // repartition to the target file count to actually bin-pack
-    val totalBytes = toRewrite.map(_.fileSizeBytes).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
-    val packed = if (m.spec.isPartitioned) df else df.repartition(nOut)
-    val written = Writes.writeDataFiles(spark, table, m, packed)
+      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
+    val written = Writes.writeDataFiles(spark, table, m, df)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Replace, written,
       toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"))

@@ -209,8 +209,11 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val insertOnly = matchedClauses.isEmpty
 
     // source with non-key columns prefixed; key columns present both raw (for
-    // the join) and prefixed (for projections)
-    val src = source.columns.foldLeft(source) { (df, c) =>
+    // the join) and prefixed (for projections). The source plan runs twice —
+    // file-filter probe, then rewrite join — so materialize it once (ref
+    // RewriteRowLevelOperationHelper buildScanPlan caches the source too);
+    // skipped for insert-only merges, which evaluate the source once.
+    val src0 = source.columns.foldLeft(source) { (df, c) =>
       df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
     }
 
@@ -219,7 +222,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     // rewritten, so this is a pure append of the not-matched source rows.
     if (insertOnly) {
       val targetKeys = table.newScan().select(keys: _*).toDF
-      val notMatched = src.join(targetKeys, keys, "left_anti")
+      val notMatched = src0.join(targetKeys, keys, "left_anti")
       val keepCol = insertClauses
         .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
           acc.when(c.cond.getOrElse(lit(true)), lit(true))
@@ -238,26 +241,40 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       return
     }
 
+    val src = src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val srcKeyed = src.drop(source.columns.filterNot(keys.contains): _*)
 
     // 1+2. dynamic file filter + cardinality check, folded into ONE key-only
     // probe job (ref DynamicFileFilterExec + RewriteRowLevelOperationHelper:115):
     // group probe matches by file; any source key count > 1 on a matched row
     // means a target row matches more than one source row.
+    //
+    // The probe only pays off when it can EXCLUDE files from the rewrite: on
+    // a table with few live files it is a full extra pass for nothing, so
+    // below `write.merge.probe.min-files` we rewrite every pruned-in file
+    // and move the cardinality guard into the rewrite join itself (a window
+    // count over the small source side + a codegen'd assert that is free on
+    // clean data). At warehouse scale the file count crosses the threshold
+    // and the probe engages automatically.
     val allTasks = table.newScan().planFiles()
-    val targetKeys = table.newScan().select(keys: _*).toDF
-      .withColumn("_gf_file", input_file_name())
-    val srcKeyCounts = srcKeyed.select(keys.map(col): _*)
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
-    val probe = targetKeys.join(srcKeyCounts, keys, "inner")
-      .groupBy(col("_gf_file")).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
-      .collect()
-    if (probe.exists(_.getLong(1) > 1))
-      throw new ValidationException(
-        "MERGE cardinality violation: a target row matches more than one source row")
-    val matchedFiles: Set[String] =
-      probe.map(r => table.normPath(r.getString(0))).toSet
-    val affectedTasks = allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+    val probeMinFiles = m.property(TableProperties.MergeProbeMinFiles,
+      TableProperties.MergeProbeMinFilesDefault).toInt
+    val skipProbe = allTasks.size <= probeMinFiles
+    val affectedTasks = if (skipProbe) allTasks else {
+      val targetKeys = table.newScan().select(keys: _*).toDF
+        .withColumn("_gf_file", input_file_name())
+      val srcKeyCounts = srcKeyed.select(keys.map(col): _*)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
+      val probe = targetKeys.join(srcKeyCounts, keys, "inner")
+        .groupBy(col("_gf_file")).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
+        .collect()
+      if (probe.exists(_.getLong(1) > 1))
+        throw new ValidationException(MergeBuilder.CardinalityMsg)
+      val matchedFiles: Set[String] =
+        probe.map(r => table.normPath(r.getString(0))).toSet
+      allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+    }
 
     // 3. join affected target rows with the source
     val affected = Reads.readTasksWithDeletes(table, m,
@@ -265,7 +282,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
       rowPositions = false)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
-    val s = srcKeyed.withColumn(MergeBuilder.FromSource, lit(true))
+    val s0 = srcKeyed.withColumn(MergeBuilder.FromSource, lit(true))
+    val s = if (!skipProbe) s0 else s0.withColumn("_gf_src_cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)))
     // Spark never broadcast-hashes a FULL OUTER join; LEFT (matched +
     // unmatched target) ∪ LEFT ANTI (source-only) is equivalent under the
     // cardinality guarantee and lets AQE broadcast a small source side.
@@ -312,20 +332,32 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       withInsert.otherwise(col(n))
         .cast(schema.fieldType(schema.fieldId(n))).as(n)
     }
+    // with the probe skipped, the cardinality guard rides in the keep
+    // predicate: a matched row whose source key count exceeds 1 raises
+    // during the rewrite job, before anything commits
+    val keepGuarded = if (!skipProbe) keepCol else
+      when(matched && col("_gf_src_cnt") > 1,
+        raise_error(lit(MergeBuilder.CardinalityMsg))).isNull && keepCol
     val result = joined
-      .withColumn(MergeBuilder.Keep, keepCol)
+      .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
       .select(schema.columnNames.map(colProjection): _*)
 
     // 5. write + atomic swap of the affected files
-    val written = Writes.writeDataFiles(spark, table, m, result)
-      .filter(_.recordCount > 0)
+    val written = try {
+      Writes.writeDataFiles(spark, table, m, result)
+        .filter(_.recordCount > 0)
+    } catch {
+      case e: Throwable if MergeBuilder.isCardinalityError(e) =>
+        throw new ValidationException(MergeBuilder.CardinalityMsg)
+    }
     table.commitSnapshot(Operation.Overwrite, written,
       affectedTasks.map(_.file.path).toSet,
-      Map("merge-matched-files" -> matchedFiles.size.toString),
+      Map("merge-matched-files" -> affectedTasks.size.toString),
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
           TableProperties.IsolationSerializable))))
+    } finally src.unpersist(false)
   }
 
   /** General-ON-condition MERGE (ref `RewriteMergeInto.scala:162` supports
@@ -361,14 +393,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
     // source with every column _s_-prefixed (raw names dropped — the join is
     // an expression join, so only the prefixed names may be visible)
-    val src0 = source.columns.foldLeft(source) { (df, c) =>
+    val srcPlan = source.columns.foldLeft(source) { (df, c) =>
       df.withColumn(MergeBuilder.SourcePrefix + c, col(c))
     }.drop(source.columns.filterNot(_.startsWith(MergeBuilder.SourcePrefix)): _*)
 
     // Insert-only: LEFT ANTI of the source against the cond-column target scan
     if (matchedClauses.isEmpty && bySourceClauses.isEmpty) {
       val targetKeys = table.newScan().select(condTargetCols: _*).toDF
-      val notMatched = src0.join(targetKeys, cond, "left_anti")
+      val notMatched = srcPlan.join(targetKeys, cond, "left_anti")
       val keepCol = insertClauses
         .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
           acc.when(c.cond.getOrElse(lit(true)), lit(true))
@@ -387,6 +419,9 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       return
     }
 
+    // source runs twice (probe + rewrite join) — materialize once, see execute()
+    val src0 = srcPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // probe: per-target-row source-match counts, keyed by (_gf_file, _gf_pos)
     // — one job yields the affected-file set AND the cardinality guard
     val allTasks = table.newScan().planFiles()
@@ -397,8 +432,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_cnt")).as("_gf_max"))
       .collect()
     if (probe.exists(_.getLong(1) > 1))
-      throw new ValidationException(
-        "MERGE cardinality violation: a target row matches more than one source row")
+      throw new ValidationException(MergeBuilder.CardinalityMsg)
     val matchedFiles: Set[String] = probe.map(r => table.normPath(r.getString(0))).toSet
     // NOT MATCHED BY SOURCE touches rows OUTSIDE matched files — every live
     // file is then affected (the clause is a whole-table operation)
@@ -471,6 +505,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
           TableProperties.IsolationSerializable))))
+    } finally src0.unpersist(false)
   }
 }
 
@@ -479,4 +514,11 @@ object MergeBuilder {
   private val FromTarget = "_gf_from_target"
   private val FromSource = "_gf_from_source"
   private val Keep = "_gf_keep"
+  private[table] val CardinalityMsg =
+    "MERGE cardinality violation: a target row matches more than one source row"
+
+  /** Did this job failure originate from the in-join cardinality guard? */
+  private[table] def isCardinalityError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => t.getMessage != null && t.getMessage.contains(CardinalityMsg))
 }

@@ -210,6 +210,27 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge probe engages above min-files and excludes unmatched files") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    // 16 files > write.merge.probe.min-files default (8) → probe path
+    t.append(orders.repartitionByRange(16, col("o_orderkey")))
+    assert(t.newScan().planFiles().size === 16)
+    val src = orders.orderBy("o_orderkey").limit(20)
+      .withColumn("o_totalprice", lit(-7.0))
+    t.merge(src, Seq("o_orderkey")).whenMatchedUpdateAll().execute()
+    assert(t.toDF.filter(col("o_totalprice") === -7.0).count() === 20)
+    assert(t.toDF.count() === orders.count())
+    // the dynamic file filter rewrote only the files holding the 20 low keys
+    val rewritten = t.currentSnapshot.get.summary("merge-matched-files").toInt
+    assert(rewritten < 16 && rewritten >= 1)
+    // cardinality violation still raises on the probe path
+    val dup = src.limit(1).unionAll(src.limit(1))
+    intercept[ValidationException] {
+      t.merge(dup, Seq("o_orderkey")).whenMatchedUpdateAll().execute()
+    }
+  }
+
   test("dynamic partition overwrite replaces touched partitions only") {
     val loc = tmpLoc()
     val schema = Schema.fresh(orders.schema)
