@@ -110,8 +110,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3 * 24 * 3600 * 1000L): Seq[String] =
     Maintenance.removeOrphanFiles(this, olderThanMillis)
   def rewriteDataFiles(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
-      minInputFiles: Int = 2): (Int, Int) =
-    Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles)
+      minInputFiles: Int = 2, minFileSizeBytes: Long = -1,
+      maxFileSizeBytes: Long = -1): (Int, Int) =
+    Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles,
+      minFileSizeBytes, maxFileSizeBytes)
   def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
 
   /** Overwrite rows matching `filter` with `df` (copy-on-write; ref

@@ -161,19 +161,36 @@ object Maintenance {
 
   // ------------------------------------------------------------ compaction
 
-  /** Bin-pack compaction (ref `BinPackStrategy.java:134`): group undersized
-    * live files per partition up to the target size, rewrite each group, and
-    * swap atomically. Returns (#files rewritten, #files added). */
+  /** Bin-pack compaction (ref `BinPackStrategy.java:134`): per partition,
+    * candidates are files below `minFileSize` (too small — pack together) or
+    * above `maxFileSize` (too large — split), mirroring the ref's
+    * MIN_FILE_SIZE_BYTES (0.75×target) / MAX_FILE_SIZE_BYTES (1.8×target)
+    * defaults. Packing and splitting both happen in the read planner: the
+    * rewrite scan uses target-size byte-range splits, so undersized files
+    * coalesce into one task and oversized files fan out across several, with
+    * no shuffle either way. A group must have `minInputFiles` small files or
+    * any oversized file to be rewritten. Returns (#rewritten, #added). */
   def rewriteDataFiles(table: IceTable,
       targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
-      minInputFiles: Int = 2): (Int, Int) = {
+      minInputFiles: Int = 2,
+      minFileSizeBytes: Long = -1,
+      maxFileSizeBytes: Long = -1): (Int, Int) = {
+    val minSize = if (minFileSizeBytes > 0) minFileSizeBytes
+      else (targetSizeBytes * 0.75).toLong // ref BinPackStrategy.java:96
+    val maxSize = if (maxFileSizeBytes > 0) maxFileSizeBytes
+      else (targetSizeBytes * 1.80).toLong // ref BinPackStrategy.java:107
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(return (0, 0))
     val entries = table.liveEntries(m, snap)
       .filter(_.dataFile.content == FileContent.Data)
     val groups = entries.groupBy(e => (e.dataFile.specId, e.dataFile.partition))
-      .values.map(_.map(_.dataFile).filter(_.fileSizeBytes < targetSizeBytes))
-      .filter(fs => fs.size >= minInputFiles)
+      .values.map { es =>
+        val fs = es.map(_.dataFile)
+        val small = fs.filter(_.fileSizeBytes < minSize)
+        val big = fs.filter(_.fileSizeBytes > maxSize)
+        if (small.size >= minInputFiles || big.nonEmpty) small ++ big else Nil
+      }
+      .filter(_.nonEmpty)
       .toSeq
     if (groups.isEmpty) return (0, 0)
     val spark = table.spark

@@ -31,6 +31,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.currentSnapshot.get.operation === "replace")
   }
 
+  test("bin-pack selects oversized files for split, leaves right-sized alone") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.repartition(1)) // one "big" file
+    val big = t.newScan().planFiles().head.file
+    val total = t.toDF.count()
+    // target sized so the file lands inside [0.75t, 1.8t]: no-op
+    assert(t.rewriteDataFiles(targetSizeBytes = big.fileSizeBytes) === ((0, 0)))
+    // target sized so the file exceeds 1.8t: selected for rewrite/split
+    val (rw, added) = t.rewriteDataFiles(targetSizeBytes = big.fileSizeBytes / 3)
+    assert(rw === 1 && added >= 1)
+    assert(t.toDF.count() === total)
+    // a lone small file does not trip minInputFiles
+    val loc2 = tmpLoc()
+    val t2 = IceTable.create(spark, loc2, Schema.fresh(orders.schema))
+    t2.append(orders.limit(10))
+    assert(t2.rewriteDataFiles() === ((0, 0)))
+  }
+
   test("expire snapshots deletes unreachable files, keeps current state") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -165,6 +165,99 @@ class SqlDmlSpec extends AnyFunSuite {
       Seq((1, 99, "x"), (2, 20, "y")))
   }
 
+  test("SQL MERGE: first matching clause wins when conditions overlap") {
+    // ref TestMerge clause-ordering cases: a row satisfying both conditional
+    // clauses must take the FIRST one in statement order
+    val t = freshTable(Seq((1, "a", 5.0), (2, "b", 5.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (1, 'x', 5.0), (2, 'y', 1.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED AND src.qty >= 5.0 THEN UPDATE SET data = 'first'
+      WHEN MATCHED THEN UPDATE SET data = 'second'
+    """)
+    assert(rowsOf(t) === Set((1, "first", 5.0), (2, "second", 5.0)))
+  }
+
+  test("SQL MERGE with null source keys never matches (inserts instead)") {
+    val t = freshTable(Seq((1, "a", 1.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (CAST(NULL AS INT), 'n', 0.0), (1, 'u', 10.0)
+             AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET qty = src.qty
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val got = spark.sql(s"SELECT id, data, qty FROM $t").collect()
+      .map(r => (if (r.isNullAt(0)) -999 else r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1, "a", 10.0), (-999, "n", 0.0)))
+  }
+
+  test("SQL MERGE with aggregating subquery source") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT id, max(data) AS data, sum(qty) AS qty
+             FROM VALUES (1, 'p', 3.0), (1, 'q', 4.0), (5, 'r', 5.0) AS raw(id, data, qty)
+             GROUP BY id) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET qty = src.qty
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf(t) === Set((1, "a", 7.0), (2, "b", 2.0), (5, "r", 5.0)))
+  }
+
+  test("SQL MERGE from the table into itself (self-merge via subquery)") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT id + 10 AS id, data, qty FROM $t) AS src
+      ON target.id = src.id
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "b", 2.0), (11, "a", 1.0), (12, "b", 2.0)))
+  }
+
+  test("SQL MERGE delete-only clause") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (1, 'x', 0.0), (3, 'y', 0.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN DELETE
+    """)
+    assert(rowsOf(t) === Set((2, "b", 2.0)))
+  }
+
+  test("SQL MERGE updates a partition-routing column (row moves bucket)") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)), partitioned = true)
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (2, 'moved', 2.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET id = 200, data = src.data
+    """)
+    assert(rowsOf(t) === Set((1, "a", 1.0), (200, "moved", 2.0)))
+    // the rewritten row landed in its new bucket partition
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    val buckets = it.newScan().planFiles().map(_.file.partition.head).toSet
+    assert(spark.sql(s"SELECT * FROM $t WHERE id = 200").count() === 1)
+    assert(buckets.nonEmpty)
+  }
+
+  test("SQL MERGE condition comparing target and source columns") {
+    val t = freshTable(Seq((1, "a", 5.0), (2, "b", 5.0)))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (1, 'x', 9.0), (2, 'y', 3.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED AND src.qty > target.qty THEN UPDATE SET qty = src.qty
+      WHEN MATCHED THEN DELETE
+    """)
+    assert(rowsOf(t) === Set((1, "a", 9.0)))
+  }
+
   test("SQL DELETE everything leaves an empty table with history") {
     val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
     spark.sql(s"DELETE FROM $t")
