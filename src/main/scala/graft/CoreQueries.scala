@@ -290,6 +290,36 @@ object CoreQueries {
         "WHEN NOT MATCHED BY SOURCE AND tg.k < 5 THEN DELETE " +
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'no_supplier'")
       s.sql("SELECT k, name FROM gq25.db.t ORDER BY k")
+    }),
+
+    // Q26 Avro data-format round trip: write orders into an avro-format graft
+    // table (the custom FileFormat — no spark-avro in this runtime), read it
+    // back and aggregate. Date and double values must survive byte-exact.
+    "q26_avro_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q26").toString
+      val src = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).cast("double").as("price"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/t",
+        graft.meta.Schema.fresh(src.schema),
+        properties = Map(graft.meta.model.TableProperties.DefaultFileFormat -> "avro"))
+      tbl.append(src)
+      tbl.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("price"), 2).cast("double").as("total"),
+          min("o_orderdate").as("mind"), max("o_orderdate").as("maxd"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Q27 SQL CTAS through the staging catalog (atomic create-as-select),
+    // read back via SQL
+    "q27_sql_ctas" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q27").toString
+      s.conf.set("spark.sql.catalog.gq27", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq27.warehouse", tmp)
+      t(s, d, "supplier").createOrReplaceTempView("q27_sup")
+      s.sql("CREATE TABLE gq27.db.ct AS SELECT s_nationkey AS k, count(*) AS n, " +
+        "round(sum(s_acctbal), 2) AS bal FROM q27_sup GROUP BY s_nationkey")
+      s.sql("SELECT k, n, bal FROM gq27.db.ct ORDER BY k")
     })
   )
 
@@ -388,6 +418,14 @@ object CoreQueries {
         "CASE WHEN s.k IS NOT NULL THEN concat(n.n_name, '_ok') ELSE 'no_supplier' END AS name " +
         "FROM nation n LEFT JOIN src s ON n.n_nationkey = s.k " +
         "WHERE NOT (s.k IS NULL AND n.n_nationkey < 5) " +
-        "ORDER BY k")
+        "ORDER BY k"),
+    "q26_avro_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "round(sum(CAST(round(o_totalprice, 2) AS DOUBLE)), 2) AS total, " +
+        "min(o_orderdate) AS mind, max(o_orderdate) AS maxd " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q27_sql_ctas" ->
+      ("SELECT s_nationkey AS k, count(*) AS n, round(sum(s_acctbal), 2) AS bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY k")
   )
 }
