@@ -62,6 +62,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked window aggregation: append-mode windows flush across batches") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    import spark.implicits._
+    def ev(h: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00"), v)
+    val srcDF = Seq(ev(1, 1.0), ev(1, 2.0), ev(2, 5.0)).toDF("ts", "v")
+    val src = IceTable.create(spark, s"$base/src", Schema.fresh(srcDF.schema))
+    val dstSchema = Seq((ev(1, 0.0)._1, 0.0)).toDF("ws", "total").schema
+    val dst = IceTable.create(spark, s"$base/dst", Schema.fresh(dstSchema))
+    src.append(srcDF)
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.format("graft-stream").option("path", s"$base/src").load()
+      val agg = in.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(sum("v").as("total"))
+        .select(col("window.start").as("ws"), col("total"))
+      val q = agg.writeStream.format("graft-stream").option("path", s"$base/dst")
+        .option("checkpointLocation", s"$base/cp").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    // batch 1 runs with watermark 0 — no window is closed yet
+    runOnce()
+    assert(dst.toDF.count() === 0)
+    // a later event advances the checkpointed watermark past hour 1's end
+    src.append(Seq(ev(5, 9.0)).toDF("ts", "v"))
+    runOnce()
+    val rows = dst.toDF.select(hour(col("ws")), col("total")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(rows === Set((1, 3.0))) // hour-1 window flushed; hour 2/5 still open
+  }
+
+  test("stateful mapGroupsWithState keeps running totals across restarts") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    import spark.implicits._
+    val srcDF = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+    val src = IceTable.create(spark, s"$base/src", Schema.fresh(srcDF.schema))
+    val dst = IceTable.create(spark, s"$base/dst", Schema.fresh(srcDF
+      .toDF("k", "total").schema))
+    src.append(srcDF)
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.format("graft-stream").option("path", s"$base/src").load()
+      val totals = in.as[(String, Long)].groupByKey(_._1)
+        .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: String, vs: Iterator[(String, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            val total = state.getOption.getOrElse(0L) + vs.map(_._2).sum
+            state.update(total)
+            (k, total)
+        }.toDF("k", "total")
+      val q = totals.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          dst.append(batch))
+        .option("checkpointLocation", s"$base/cp").outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce()
+    def latest(): Map[String, Long] =
+      dst.toDF.groupBy("k").agg(max("total").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest() === Map("a" -> 3L, "b" -> 5L))
+    // restart with more data: state restored from the checkpoint, not reset
+    src.append(Seq(("a", 10L), ("c", 7L)).toDF("k", "v"))
+    runOnce()
+    assert(latest() === Map("a" -> 13L, "b" -> 5L, "c" -> 7L))
+  }
+
   test("streaming source schema matches the table") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val t = IceTable.create(spark, s"$base/t", Schema.fresh(orders.schema))
