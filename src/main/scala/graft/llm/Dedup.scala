@@ -50,17 +50,20 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature from a shingle-array column: for each of `numHashes`
-    * hash functions, the min over shingles of a seeded xxhash64. Pure
-    * expressions — no UDF, no shuffle. Pass a *materialized* shingle column
-    * (not the shingle expression itself) or Catalyst will inline the shingle
-    * computation into all `numHashes` lambdas. */
-  def minHashSignature(shCol: Column, numHashes: Int): Column =
+  /** MinHash signature from a shingle-array column: each shingle STRING is
+    * hashed once (`xxhash64`), then the `numHashes` seeded functions rehash
+    * that 8-byte long — long-input hashing is codegen'd arithmetic with no
+    * per-(shingle,function) string allocation, so signature cost is one
+    * string pass plus numHashes cheap long passes. Pure expressions — no
+    * UDF, no shuffle. Pass a *materialized* shingle column (not the shingle
+    * expression itself) or Catalyst will inline the shingle computation into
+    * all `numHashes` lambdas. */
+  def minHashSignature(shCol: Column, numHashes: Int): Column = {
+    val hs = transform(shCol, s => xxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(
-        array_min(transform(shCol,
-          s => xxhash64(concat(s, lit("#"), i.cast("string"))))),
+      i => coalesce(array_min(transform(hs, h => xxhash64(h, i))),
         lit(Long.MaxValue)))
+  }
 
   /** MinHash + LSH banding near-dup pairs (shingle → minhash → band →
     * bucket equi-join → exact-Jaccard verification; the canonical
@@ -81,12 +84,11 @@ object Dedup {
     val shDF = base.select(col("id"), col("sh"))
     // bands carry only (id, band, bucket) — shingle arrays don't ride the
     // candidate-generation shuffle
+    // xxhash64 hashes the long-array slice structurally — no string
+    // rendering of signature values
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(
-          concat_ws(",", transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string"))),
-          b.cast("string"))))
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
