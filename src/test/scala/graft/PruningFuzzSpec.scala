@@ -93,4 +93,35 @@ class PruningFuzzSpec extends AnyFunSuite {
     }
     assert(prunedAtLeastOnce, "fuzz never exercised pruning")
   }
+
+  /** Avro files carry no column bounds — the metrics evaluator must treat
+    * absent stats as "might match" and fall back to partition pruning +
+    * residual row filters, never dropping matching rows. */
+  private lazy val avroTable: IceTable = {
+    val loc = Files.createTempDirectory("graft-fuzz-avro-").toString + "/t"
+    val schema = Schema.fresh(li.schema)
+    val spec = PartitionSpec.builderFor(schema)
+      .bucket("l_orderkey", 4).month("l_shipdate").build()
+    val t = IceTable.create(spark, loc, schema, spec, properties =
+      Map(graft.meta.model.TableProperties.DefaultFileFormat -> "avro"))
+    t.append(li.filter(col("l_orderkey") % 2 === 0))
+    t.append(li.filter(col("l_orderkey") % 2 === 1))
+    t
+  }
+
+  test("20 random predicates on a stats-less (avro) table: no over-pruning") {
+    var prunedAtLeastOnce = false
+    val total = avroTable.newScan().planFiles().size
+    (1 to 20).foreach { i =>
+      val (expr, column) = randomPredicate()
+      val scan = avroTable.newScan().filter(expr)
+      val planned = scan.planFiles().size
+      if (planned < total) prunedAtLeastOnce = true
+      val got = scan.toDF.count()
+      val exp = li.filter(column).count()
+      assert(got === exp, s"iteration $i: $expr planned=$planned/$total")
+    }
+    // partition-value pruning still works without file metrics
+    assert(prunedAtLeastOnce, "avro fuzz never exercised partition pruning")
+  }
 }
