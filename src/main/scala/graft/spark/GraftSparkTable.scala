@@ -59,8 +59,16 @@ class GraftSparkTable(val table: IceTable, fullName: String,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snapshotId, asOfMillis)
+  /** Read options (ref `SparkReadOptions.java`): `snapshot-id`,
+    * `as-of-timestamp` (time travel via `spark.read.option`), `split-size`
+    * (per-read task sizing). SQL `VERSION/TIMESTAMP AS OF` arrives through
+    * the constructor instead; an explicit option wins. */
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
+    val snap = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
+    val asOf = Option(options.get("as-of-timestamp")).map(_.toLong).orElse(asOfMillis)
+    val split = Option(options.get("split-size")).map(_.toLong)
+    new GraftScanBuilder(table, snap, asOf, split)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table)
@@ -102,7 +110,7 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
   * residuals so Spark re-applies them — pruning is an optimization, row-level
   * semantics stay with Spark. */
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
-    asOfMillis: Option[Long])
+    asOfMillis: Option[Long], splitSize: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushedExpr: GExpr = TrueExpr
@@ -126,7 +134,8 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   }
 
   override def build(): Scan =
-    new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId, asOfMillis)
+    new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId, asOfMillis,
+      splitSize)
 }
 
 /** The scan: metadata pruning happens here (driver-side, like ref
@@ -135,13 +144,15 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   * planned-size statistics so Spark's join planning (broadcast thresholds,
   * AQE) sees post-pruning sizes, not raw table sizes. */
 final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructType,
-    snapshotId: Option[Long], asOfMillis: Option[Long])
+    snapshotId: Option[Long], asOfMillis: Option[Long],
+    splitSize: Option[Long] = None)
     extends V1Scan with SupportsReportStatistics {
 
   private def newGraftScan() = {
     var s = table.newScan()
     snapshotId.foreach(id => s = s.useSnapshot(id))
     asOfMillis.foreach(ts => s = s.asOfTime(ts))
+    splitSize.foreach(b => s = s.option("split-size", b.toString))
     if (filter != TrueExpr) s = s.filter(filter)
     if (projection.nonEmpty) s = s.select(projection.fieldNames.toSeq: _*)
     s

@@ -93,6 +93,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gr.db.t4").head().getLong(0) === 2L)
   }
 
+  test("read options: snapshot-id time travel and split-size task sizing") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.ropt (k INT)")
+    spark.sql("INSERT INTO gr.db.ropt SELECT id FROM range(20000)")
+    val t = IceTable.load(spark, s"$warehouse/db/ropt")
+    val v1 = t.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO gr.db.ropt VALUES (-1)")
+    // snapshot-id option reads the old snapshot (ref SparkReadOptions)
+    assert(spark.read.option("snapshot-id", v1).table("gr.db.ropt").count() === 20000L)
+    assert(spark.read.table("gr.db.ropt").count() === 20001L)
+    // as-of-timestamp behaves the same way
+    val ts1 = t.meta.snapshot(v1).get.timestampMillis
+    assert(spark.read.option("as-of-timestamp", ts1).table("gr.db.ropt")
+      .count() === 20000L)
+    // split-size shrinks per-task bytes → more partitions than the default read
+    val defaultParts = spark.read.table("gr.db.ropt").rdd.getNumPartitions
+    val smallParts = spark.read.option("split-size", 8 * 1024)
+      .table("gr.db.ropt").rdd.getNumPartitions
+    assert(smallParts > defaultParts)
+  }
+
   test("ALTER TABLE add/rename column and properties") {
     warehouse
     spark.sql("CREATE TABLE gr.db.t5 (k INT, v STRING)")
