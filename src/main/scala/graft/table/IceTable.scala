@@ -115,6 +115,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles,
       minFileSizeBytes, maxFileSizeBytes)
   def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
+  def deleteReachableFiles(): (Long, Long) = Maintenance.deleteReachableFiles(this)
 
   /** Overwrite rows matching `filter` with `df` (copy-on-write; ref
     * `BaseOverwriteFiles`): whole files strictly matched are dropped, files

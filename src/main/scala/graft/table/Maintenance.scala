@@ -63,6 +63,26 @@ object Maintenance {
     (expired.size, dataDeleted, manifestsDeleted)
   }
 
+  /** Delete EVERY file reachable from any snapshot — data files (including
+    * externally-imported ones living outside the table location), manifests,
+    * manifest lists, and the metadata tree — then the table directory itself
+    * (ref `BaseDeleteReachableFilesSparkAction`). Data deletes run on
+    * executors; only manifest-level objects touch the driver. The table is
+    * unusable afterwards. Returns (#data files deleted, #metadata files
+    * deleted). */
+  def deleteReachableFiles(table: IceTable): (Long, Long) = {
+    val m = table.meta
+    val manifests = manifestsOf(table, m, m.snapshots)
+    val dataDeleted = bulkDelete(table, validDataFileDF(table, m, manifests))
+    var metaDeleted = 0L
+    manifests.map(_.path).distinct.foreach(p =>
+      if (table.io.delete(p)) metaDeleted += 1)
+    m.snapshots.foreach(s => if (table.io.delete(s.manifestList)) metaDeleted += 1)
+    m.metadataLog.foreach(e => if (table.io.delete(e.file)) metaDeleted += 1)
+    table.io.deleteRecursive(table.location)
+    (dataDeleted, metaDeleted)
+  }
+
   private[graft] def manifestsOf(table: IceTable, m: TableMetadata,
       snaps: Seq[SnapshotMeta]): Seq[ManifestFileMeta] =
     snaps.flatMap { s =>

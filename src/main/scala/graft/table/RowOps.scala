@@ -423,32 +423,49 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val src0 = srcPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // probe: per-target-row source-match counts, keyed by (_gf_file, _gf_pos)
-    // — one job yields the affected-file set AND the cardinality guard
+    // — one job yields the affected-file set AND the cardinality guard. The
+    // probe is SKIPPED (like execute()) when it cannot pay off: few files,
+    // NOT MATCHED BY SOURCE present (every file is affected anyway), or
+    // non-parquet data files (row positions need the parquet reader). The
+    // cardinality guard then rides in the rewrite join, keyed by a row id
+    // synthesized during the single rewrite scan.
     val allTasks = table.newScan().planFiles()
-    val probeT = table.newScan().select(condTargetCols: _*).withRowPositions().toDF
-    val probe = probeT.join(src0, cond, "inner")
-      .groupBy(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
-      .agg(count(lit(1)).as("_gf_cnt"))
-      .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_cnt")).as("_gf_max"))
-      .collect()
-    if (probe.exists(_.getLong(1) > 1))
-      throw new ValidationException(MergeBuilder.CardinalityMsg)
-    val matchedFiles: Set[String] = probe.map(r => table.normPath(r.getString(0))).toSet
-    // NOT MATCHED BY SOURCE touches rows OUTSIDE matched files — every live
-    // file is then affected (the clause is a whole-table operation)
-    val affectedTasks =
-      if (bySourceClauses.nonEmpty) allTasks
-      else allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+    val probeMinFiles = m.property(TableProperties.MergeProbeMinFiles,
+      TableProperties.MergeProbeMinFilesDefault).toInt
+    val skipProbe = bySourceClauses.nonEmpty ||
+      allTasks.size <= probeMinFiles ||
+      !allTasks.forall(_.file.format == "parquet")
+    val affectedTasks = if (skipProbe) allTasks else {
+      val probeT = table.newScan().select(condTargetCols: _*).withRowPositions().toDF
+      val probe = probeT.join(src0, cond, "inner")
+        .groupBy(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
+        .agg(count(lit(1)).as("_gf_cnt"))
+        .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_cnt")).as("_gf_max"))
+        .collect()
+      if (probe.exists(_.getLong(1) > 1))
+        throw new ValidationException(MergeBuilder.CardinalityMsg)
+      val matchedFiles: Set[String] = probe.map(r => table.normPath(r.getString(0))).toSet
+      allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+    }
     if (affectedTasks.isEmpty && insertClauses.isEmpty) return
 
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
       rowPositions = false)
-    val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
+    val t0 = affected.withColumn(MergeBuilder.FromTarget, lit(true))
+    val t = if (!skipProbe) t0
+      else t0.withColumn("_gf_rid", monotonically_increasing_id())
     val s = src0.withColumn(MergeBuilder.FromSource, lit(true))
     // LEFT ∪ LEFT ANTI instead of FULL OUTER — see execute(): broadcastable
-    val leftPart = t.join(s, cond, "left")
+    val leftPart0 = t.join(s, cond, "left")
+    // per-target-row match count (window over the synthesized row id) for
+    // the in-join cardinality guard; computed on the left branch only so
+    // insert rows don't funnel into one null-id window partition
+    val leftPart = if (!skipProbe) leftPart0
+      else leftPart0.withColumn("_gf_card_cnt",
+        count(when(col(MergeBuilder.FromSource).isNotNull, lit(1)))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_gf_rid"))))
     val joined =
       if (insertClauses.isEmpty) leftPart
       else leftPart.unionByName(
@@ -492,16 +509,24 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       withInsert.otherwise(col(n))
         .cast(schema.fieldType(schema.fieldId(n))).as(n)
     }
+    val keepGuarded = if (!skipProbe) keepCol else
+      when(col("_gf_card_cnt") > 1,
+        raise_error(lit(MergeBuilder.CardinalityMsg))).isNull && keepCol
     val result = joined
-      .withColumn(MergeBuilder.Keep, keepCol)
+      .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
       .select(schema.columnNames.map(colProjection): _*)
 
-    val written = Writes.writeDataFiles(spark, table, m, result)
-      .filter(_.recordCount > 0)
+    val written = try {
+      Writes.writeDataFiles(spark, table, m, result)
+        .filter(_.recordCount > 0)
+    } catch {
+      case e: Throwable if MergeBuilder.isCardinalityError(e) =>
+        throw new ValidationException(MergeBuilder.CardinalityMsg)
+    }
     table.commitSnapshot(Operation.Overwrite, written,
       affectedTasks.map(_.file.path).toSet,
-      Map("merge-matched-files" -> matchedFiles.size.toString),
+      Map("merge-matched-files" -> affectedTasks.size.toString),
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
           TableProperties.IsolationSerializable))))

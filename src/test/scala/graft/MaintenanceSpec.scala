@@ -50,6 +50,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t2.rewriteDataFiles() === ((0, 0)))
   }
 
+  test("deleteReachableFiles removes imported external data and the table tree") {
+    val base = Files.createTempDirectory("graft-reach-").toString
+    // external parquet OUTSIDE the table location (imported in place)
+    val ext = s"$base/external"
+    orders.limit(50).write.parquet(ext)
+    val t = graft.table.TableImport.importParquet(spark, ext, s"$base/t")
+    t.append(orders.limit(10)) // plus a native file under the table dir
+    assert(t.toDF.count() === 60)
+    val extFiles = t.io.listRecursive(ext).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(extFiles.nonEmpty)
+    val (dataDeleted, metaDeleted) = t.deleteReachableFiles()
+    assert(dataDeleted >= extFiles.size + 1) // external + native data files
+    assert(metaDeleted > 0)
+    assert(extFiles.forall(p => !t.io.exists(p)), "imported external files must be deleted")
+    assert(!t.io.exists(s"$base/t"), "table tree must be deleted")
+  }
+
   test("expire snapshots deletes unreachable files, keeps current state") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -258,6 +258,52 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rowsOf(t) === Set((1, "a", 9.0)))
   }
 
+  test("SQL MERGE works on non-parquet (ORC) tables") {
+    // the probe needs parquet row positions; ORC/Avro tables take the
+    // probe-free path with the in-join cardinality guard
+    warehouse
+    spark.sql("CREATE TABLE gd.db.orct (id INT, data STRING, qty DOUBLE) " +
+      "TBLPROPERTIES ('write.format.default'='orc')")
+    spark.sql("INSERT INTO gd.db.orct VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    val it = IceTable.load(spark, s"$warehouse/db/orct")
+    assert(it.newScan().planFiles().forall(_.file.format == "orc"))
+    spark.sql("""
+      MERGE INTO gd.db.orct AS target
+      USING (SELECT * FROM VALUES (2, 'nb', 22.0), (7, 'g', 7.0) AS s(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf("gd.db.orct") === Set((1, "a", 1.0), (2, "nb", 22.0), (7, "g", 7.0)))
+    // cardinality guard still raises without the parquet probe
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO gd.db.orct AS target
+        USING (SELECT * FROM VALUES (1, 'x', 0.0), (1, 'y', 0.0) AS s(id, data, qty)) AS src
+        ON target.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+      """)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("cardinality")))
+  }
+
+  test("SQL MERGE probe path engages on many-file parquet tables") {
+    val t = freshTable(Nil)
+    (1 to 10).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i, 'r$i', $i.0)"))
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT 3 AS id, 'x' AS data, 9.0 AS qty) AS src
+      ON target.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+    """)
+    assert(rowsOf(t).contains((3, "x", 9.0)))
+    assert(rowsOf(t).size === 10)
+    // >8 files → the dynamic file filter ran and rewrote only the matched file
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    assert(it.currentSnapshot.get.summary("merge-matched-files").toInt === 1)
+  }
+
   test("SQL DELETE everything leaves an empty table with history") {
     val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
     spark.sql(s"DELETE FROM $t")
