@@ -71,7 +71,7 @@ class GraftSparkTable(val table: IceTable, fullName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table)
+    new GraftWriteBuilder(table, GraftWriteBuilder.overrides(info))
 }
 
 /** Read-only DSv2 facade over one metadata table (`db.t.snapshots` etc.;
@@ -202,7 +202,22 @@ final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructTy
 /** V1 write path (ref `SparkWriteBuilder`): append, truncate-overwrite,
   * overwrite-by-filter and dynamic partition overwrite all commit through the
   * snapshot protocol. */
-final class GraftWriteBuilder(table: IceTable)
+object GraftWriteBuilder {
+  /** Per-write option → table-property overrides (ref `SparkWriteOptions`):
+    * `write-format`, `distribution-mode`, `fanout-enabled` on
+    * `df.writeTo(...).option(...)`. */
+  def overrides(info: LogicalWriteInfo): Map[String, String] = {
+    val o = info.options
+    Seq(
+      "write-format" -> graft.meta.model.TableProperties.DefaultFileFormat,
+      "distribution-mode" -> graft.meta.model.TableProperties.DistributionMode,
+      "fanout-enabled" -> graft.meta.model.TableProperties.FanoutEnabled)
+      .flatMap { case (opt, prop) => Option(o.get(opt)).map(prop -> _) }.toMap
+  }
+}
+
+final class GraftWriteBuilder(table: IceTable,
+    writeOverrides: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -230,7 +245,7 @@ final class GraftWriteBuilder(table: IceTable)
         if (dynamic) table.overwritePartitions(data)
         else overwriteExpr match {
           case Some(e) => table.overwrite(e, data)
-          case None => table.append(data)
+          case None => table.append(data, Map.empty, writeOverrides)
         }
       }
     }

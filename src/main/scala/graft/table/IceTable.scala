@@ -61,9 +61,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   /** Append `df` as a new snapshot. */
   def append(df: DataFrame): Unit = append(df, Map.empty)
 
-  def append(df: DataFrame, summary: Map[String, String]): Unit = {
+  def append(df: DataFrame, summary: Map[String, String],
+      writeOverrides: Map[String, String] = Map.empty): Unit = {
     val m = meta
-    val files = Writes.writeDataFiles(spark, this, m, df)
+    val files = Writes.writeDataFiles(spark, this, m, df, writeOverrides)
     commitSnapshot(Operation.Append, files, Set.empty, summary)
   }
 
@@ -803,14 +804,17 @@ private[table] object Writes {
     }
 
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
-      df: DataFrame): Seq[DataFileMeta] = {
+      df: DataFrame, overrides: Map[String, String] = Map.empty): Seq[DataFileMeta] = {
     val schema = m.schema
     val spec = m.spec
+    // per-write option overrides (ref SparkWriteOptions) win over table props
+    def prop(key: String, default: String): String =
+      overrides.getOrElse(key, m.property(key, default))
     // align to table schema (names must match; types are cast)
     val aligned = df.select(schema.struct.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = s"${table.location}/data/${UUID.randomUUID()}"
-    val format = m.property(TableProperties.DefaultFileFormat, "parquet")
+    val format = prop(TableProperties.DefaultFileFormat, "parquet")
 
     if (spec.isUnpartitioned) {
       sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)).save(outDir)
@@ -823,8 +827,8 @@ private[table] object Writes {
       val helperNames = spec.fields.map(pf => HelperPrefix + pf.name)
       val withHelpers = aligned.withColumns(
         helperNames.zip(helperCols).toMap)
-      val mode = m.property(TableProperties.DistributionMode, "hash")
-      val fanout = m.property(TableProperties.FanoutEnabled, "false").toBoolean
+      val mode = prop(TableProperties.DistributionMode, "hash")
+      val fanout = prop(TableProperties.FanoutEnabled, "false").toBoolean
       val distributed = mode match {
         case _ if fanout => withHelpers
         case "hash" => withHelpers.repartition(helperNames.map(col): _*)

@@ -114,6 +114,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(smallParts > defaultParts)
   }
 
+  test("write option write-format overrides the table default per append") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.wopt (k INT)")
+    spark.sql("INSERT INTO gr.db.wopt VALUES (1)") // table default: parquet
+    spark.range(2, 4).selectExpr("cast(id as int) as k")
+      .writeTo("gr.db.wopt").option("write-format", "orc").append()
+    val t = IceTable.load(spark, s"$warehouse/db/wopt")
+    assert(t.newScan().planFiles().map(_.file.format).toSet === Set("parquet", "orc"))
+    assert(spark.sql("SELECT sum(k) FROM gr.db.wopt").head().getLong(0) === 6L)
+  }
+
   test("ALTER TABLE add/rename column and properties") {
     warehouse
     spark.sql("CREATE TABLE gr.db.t5 (k INT, v STRING)")
