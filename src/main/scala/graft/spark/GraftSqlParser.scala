@@ -161,7 +161,8 @@ object GraftSqlParser {
           attr("deleted_manifest_files_count", LongType)), { spark =>
           val t = resolve(spark, tableArg)
           val olderThan = optLong("older_than", 1).getOrElse(System.currentTimeMillis())
-          val (a, b, c) = t.expireSnapshots(olderThan)
+          val retainLast = optLong("retain_last", 2).map(_.toInt).getOrElse(1)
+          val (a, b, c) = t.expireSnapshots(olderThan, retainLast)
           Seq(Row(a.toLong, b, c))
         })
       case "remove_orphan_files" =>

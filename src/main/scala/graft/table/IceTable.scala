@@ -106,8 +106,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     * partitions, all_* (ref `MetadataTableType.java`). */
   def metadataTable(name: String): DataFrame = MetadataTables(this, name)
 
-  def expireSnapshots(olderThanMillis: Long): (Int, Long, Long) =
-    Maintenance.expireSnapshots(this, olderThanMillis)
+  def expireSnapshots(olderThanMillis: Long, retainLast: Int = 1): (Int, Long, Long) =
+    Maintenance.expireSnapshots(this, olderThanMillis, retainLast)
   def removeOrphanFiles(olderThanMillis: Long = System.currentTimeMillis() - 3 * 24 * 3600 * 1000L): Seq[String] =
     Maintenance.removeOrphanFiles(this, olderThanMillis)
   def rewriteDataFiles(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,

@@ -29,10 +29,17 @@ object Maintenance {
     * expired-only diff is deleted with [[bulkDelete]] (ref
     * `BaseExpireSnapshotsSparkAction` deleteFiles); the driver handles only
     * manifest-LIST-level objects (one per snapshot). */
-  def expireSnapshots(table: IceTable, olderThanMillis: Long): (Int, Long, Long) = {
+  def expireSnapshots(table: IceTable, olderThanMillis: Long,
+      retainLast: Int = 1): (Int, Long, Long) = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val before = table.meta
+    // the newest `retainLast` ancestors survive regardless of age (ref
+    // RemoveSnapshots.retainLast); the current snapshot always survives
+    val retained = before.snapshots.sortBy(-_.timestampMillis)
+      .take(retainLast).map(_.snapshotId).toSet
     val expired = before.snapshots.filter(s =>
       s.timestampMillis < olderThanMillis &&
+        !retained.contains(s.snapshotId) &&
         !before.currentSnapshotId.contains(s.snapshotId))
     if (expired.isEmpty) return (0, 0L, 0L)
     val expiredIds = expired.map(_.snapshotId).toSet

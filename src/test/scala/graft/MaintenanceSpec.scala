@@ -87,6 +87,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.snapshots.size === 1)
   }
 
+  test("expireSnapshots retainLast keeps the newest N regardless of age") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    (1 to 4).foreach(i => t.append(orders.limit(10 * i)))
+    assert(t.snapshots.size === 4)
+    // everything is "old", but the 3 newest must survive
+    val (expired, _, _) = t.expireSnapshots(System.currentTimeMillis() + 1000,
+      retainLast = 3)
+    assert(expired === 1)
+    assert(t.snapshots.size === 3)
+    assert(t.toDF.count() === 100) // current state intact (10+20+30+40 appended)
+  }
+
   test("orphan file removal deletes only unreferenced files") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

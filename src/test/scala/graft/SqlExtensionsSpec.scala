@@ -79,6 +79,12 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(out.getLong(0) === 1L) // one expired snapshot
     assert(out.getLong(1) >= 1L) // its files deleted
     assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) === 1L)
+    // retain_last protects history even when everything is old enough
+    spark.sql(s"INSERT INTO $name VALUES (3, 'c', NULL)")
+    val out2 = spark.sql(s"CALL gx.system.expire_snapshots(table => 'db.p$n', " +
+      s"older_than => TIMESTAMP '$future', retain_last => 2)").head()
+    assert(out2.getLong(0) === 0L) // both remaining snapshots retained
+    assert(IceTable.load(spark, path).snapshots.size === 2)
   }
 
   test("CALL rewrite_data_files compacts; rewrite_manifests returns count") {
