@@ -54,6 +54,8 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val DropFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val ReplaceFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
   private val WriteOrderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val WriteUnorderedRe =
@@ -63,6 +65,8 @@ object GraftSqlParser {
     case CallRe(catalog, proc, args) => Some(call(catalog, proc.toLowerCase, args))
     case AddFieldRe(ident, transform) =>
       Some(alterSpec(ident, transform, add = true))
+    case ReplaceFieldRe(ident, oldT, newT) =>
+      Some(replaceSpecField(ident, oldT, newT))
     case DropFieldRe(ident, transform) =>
       Some(alterSpec(ident, transform, add = false))
     case WriteOrderedRe(ident, order) => Some(writeOrdered(ident, order))
@@ -294,6 +298,29 @@ object GraftSqlParser {
         val kept = existing.foldLeft(b0)((b, pf) =>
           b.add(schema.fieldName(pf.sourceId), pf.transform))
         if (add) kept.add(col, transform) else kept
+      }
+      Nil
+    })
+
+  /** `REPLACE PARTITION FIELD <old> WITH <new>` (ref grammar
+    * `IcebergSqlExtensions.g4` REPLACE PARTITION FIELD): drop + add in ONE
+    * spec commit, so concurrent readers never see an intermediate spec. */
+  private def replaceSpecField(ident: String, oldSql: String, newSql: String): LogicalPlan =
+    GraftCallCommand("replace_partition_field", Nil, { spark =>
+      val t = resolveIdent(spark, ident)
+      val (oldCol, oldTransform) = parseTransform(oldSql)
+      val (newCol, newTransform) = parseTransform(newSql)
+      val schema = t.schema
+      val oldSrcId = schema.fieldId(oldCol)
+      t.updateSpec { b0 =>
+        val without = t.spec.fields.filterNot(pf =>
+          pf.sourceId == oldSrcId && pf.transform.name == oldTransform.name)
+        if (without.size == t.spec.fields.size)
+          throw new IllegalArgumentException(
+            s"No partition field ${oldTransform.name}($oldCol) to replace")
+        without.foldLeft(b0)((b, pf) =>
+          b.add(schema.fieldName(pf.sourceId), pf.transform))
+          .add(newCol, newTransform)
       }
       Nil
     })

@@ -40,6 +40,13 @@ class SqlExtensionsSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $name ADD PARTITION FIELD data")
     t = IceTable.load(spark, path)
     assert(t.spec.fields.map(_.transform.name).toSet === Set("day", "identity"))
+    // REPLACE swaps one field in a single spec commit
+    spark.sql(s"ALTER TABLE $name REPLACE PARTITION FIELD days(ts) WITH hours(ts)")
+    t = IceTable.load(spark, path)
+    assert(t.spec.fields.map(_.transform.name).toSet === Set("hour", "identity"))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name REPLACE PARTITION FIELD days(ts) WITH bucket(4, id)")
+    }
   }
 
   test("ALTER TABLE WRITE ORDERED BY / UNORDERED set the sort order") {
