@@ -167,6 +167,32 @@ class FormatSpec extends AnyFunSuite {
     assert(t2.toDF.filter(expr("cast(raw as string) = text")).count() === docs.count())
   }
 
+  test("avro round-trips structs, maps, decimals, and timestamps exactly") {
+    val loc = Files.createTempDirectory("graft-avro4-").toString + "/t"
+    val df = spark.sql("""
+      SELECT id,
+        named_struct('a', id * 10, 'b', concat('s', id),
+                     'inner', named_struct('x', cast(id as double))) AS st,
+        map(concat('k', id), id * 1.5d) AS m_str,
+        map(cast(id as int), concat('v', id)) AS m_int,
+        cast(concat('12345.', lpad(cast(id as string), 2, '0')) as decimal(10,2)) AS dec,
+        timestamp_micros(cast(id * 1000000 as long)) AS ts,
+        array(named_struct('q', id), named_struct('q', id + 1)) AS arr_st
+      FROM range(0, 50)
+    """)
+    val t = IceTable.create(spark, loc, Schema.fresh(df.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(df)
+    val back = t.toDF
+    assert(back.count() === 50)
+    // set ops reject map columns — compare via sorted entry arrays
+    def comparable(d: org.apache.spark.sql.DataFrame) = d.selectExpr(
+      "id", "st", "array_sort(map_entries(m_str)) AS m_str",
+      "array_sort(map_entries(m_int)) AS m_int", "dec", "ts", "arr_st")
+    assert(comparable(back).exceptAll(comparable(df)).count() === 0)
+    assert(comparable(df).exceptAll(comparable(back)).count() === 0)
+  }
+
   test("large commits collect footer metrics via a distributed job") {
     val loc = Files.createTempDirectory("graft-dist-").toString + "/t"
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -87,6 +87,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.snapshots.size === 1)
   }
 
+  test("concurrent appends all commit via CAS retry, none lost") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 6).map { i =>
+      Future {
+        val mine = IceTable.load(spark, loc) // independent handle per writer
+        mine.append(orders.limit(10 * i))
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+    val fresh = IceTable.load(spark, loc)
+    assert(fresh.snapshots.size === 6, "every concurrent append must commit")
+    assert(fresh.toDF.count() === (1 to 6).map(_ * 10).sum)
+  }
+
   test("expireSnapshots retainLast keeps the newest N regardless of age") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
