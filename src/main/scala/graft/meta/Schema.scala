@@ -9,7 +9,12 @@ import org.apache.spark.sql.types._
   * are resolved by ID, so renames are free and adds/drops never alias old
   * data.
   */
-final case class Schema(struct: StructType, schemaId: Int = 0) extends Serializable {
+final case class Schema(struct: StructType, schemaId: Int = 0,
+    identifierFieldIds: Seq[Int] = Nil) extends Serializable {
+
+  /** Row-identity column names (ref `Schema.java` identifierFieldIds) —
+    * the default keys for equality deletes and upserts. */
+  def identifierFieldNames: Seq[String] = identifierFieldIds.map(fieldName)
 
   lazy val idToField: Map[Int, StructField] =
     Schema.fieldsWithIds(struct).map { case (f, id) => id -> f }.toMap
@@ -32,7 +37,9 @@ final case class Schema(struct: StructType, schemaId: Int = 0) extends Serializa
 
   /** Projection by column name, preserving IDs. */
   def select(names: String*): Schema =
-    Schema(StructType(names.map(n => struct(struct.fieldIndex(n)))), schemaId)
+    Schema(StructType(names.map(n => struct(struct.fieldIndex(n)))), schemaId,
+      identifierFieldIds.filter(id =>
+        names.exists(n => nameToId.get(n).contains(id))))
 
   /** The column names in schema order. */
   def columnNames: Seq[String] = struct.fields.map(_.name).toSeq
@@ -183,5 +190,9 @@ final class UpdateSchema(base: Schema, baseLastColumnId: Int) {
     this
   }
 
-  def apply(): Schema = Schema(StructType(fields), base.schemaId + 1)
+  def apply(): Schema = {
+    val surviving = Schema.fieldsWithIds(StructType(fields)).map(_._2).toSet
+    Schema(StructType(fields), base.schemaId + 1,
+      base.identifierFieldIds.filter(surviving.contains))
+  }
 }

@@ -260,6 +260,10 @@ object JsonCodecs {
     m.schemas.foreach { s =>
       val sn = schemas.addObject()
       sn.put("schema-id", s.schemaId)
+      if (s.identifierFieldIds.nonEmpty) {
+        val ids = sn.putArray("identifier-field-ids")
+        s.identifierFieldIds.foreach(ids.add)
+      }
       sn.set[ObjectNode]("struct", mapper.readTree(s.struct.json))
     }
     node.put("default-spec-id", m.defaultSpecId)
@@ -306,7 +310,9 @@ object JsonCodecs {
       currentSchemaId = n.get("current-schema-id").asInt,
       schemas = n.get("schemas").elements.asScala.map { sn =>
         Schema(DataType.fromJson(mapper.writeValueAsString(sn.get("struct")))
-          .asInstanceOf[StructType], sn.get("schema-id").asInt)
+          .asInstanceOf[StructType], sn.get("schema-id").asInt,
+          Option(sn.get("identifier-field-ids"))
+            .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil))
       }.toSeq,
       defaultSpecId = n.get("default-spec-id").asInt,
       specs = n.get("partition-specs").elements.asScala.map(specFromJson).toSeq,

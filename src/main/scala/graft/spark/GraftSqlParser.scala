@@ -56,6 +56,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val ReplaceFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
+  private val SetIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  private val DropIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val WriteOrderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val WriteUnorderedRe =
@@ -69,6 +73,8 @@ object GraftSqlParser {
       Some(replaceSpecField(ident, oldT, newT))
     case DropFieldRe(ident, transform) =>
       Some(alterSpec(ident, transform, add = false))
+    case SetIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = true))
+    case DropIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = false))
     case WriteOrderedRe(ident, order) => Some(writeOrdered(ident, order))
     case WriteUnorderedRe(ident) => Some(writeUnordered(ident))
     case _ => None
@@ -321,6 +327,22 @@ object GraftSqlParser {
         without.foldLeft(b0)((b, pf) =>
           b.add(schema.fieldName(pf.sourceId), pf.transform))
           .add(newCol, newTransform)
+      }
+      Nil
+    })
+
+  /** `SET/DROP IDENTIFIER FIELDS a, b` (ref grammar): declares the schema's
+    * row-identity columns — the default equality-delete keys. */
+  private def identifierFields(ident: String, colsSql: String, set: Boolean): LogicalPlan =
+    GraftCallCommand(if (set) "set_identifier_fields" else "drop_identifier_fields",
+      Nil, { spark =>
+      val t = resolveIdent(spark, ident)
+      val names = colsSql.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+      if (set) t.setIdentifierFields(names)
+      else {
+        names.foreach(n => require(t.schema.identifierFieldNames.contains(n),
+          s"Not an identifier field: $n"))
+        t.setIdentifierFields(t.schema.identifierFieldNames.filterNot(names.contains))
       }
       Nil
     })

@@ -162,6 +162,15 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   /** Row-delta commit of equality-delete keys: rows whose `keys` match any
     * row of `keysDf` disappear from reads, no data rewrite (format v2
     * merge-on-read; ref `EqualityDeleteWriter`). */
+  /** Equality deletes keyed by the schema's identifier fields
+    * (`SET IDENTIFIER FIELDS`). */
+  def addEqualityDeletes(keysDf: DataFrame): Unit = {
+    val keys = schema.identifierFieldNames
+    require(keys.nonEmpty,
+      "No identifier fields set (ALTER TABLE ... SET IDENTIFIER FIELDS, or pass keys)")
+    addEqualityDeletes(keysDf, keys)
+  }
+
   def addEqualityDeletes(keysDf: DataFrame, keys: Seq[String]): Unit =
     MergeOnRead.addEqualityDeletes(this, keysDf, keys)
 

@@ -59,6 +59,20 @@ trait Lifecycle { self: IceTable =>
     result
   }
 
+  /** Set (or clear, with Nil) the schema's row-identity columns (ref
+    * `Schema.java` identifierFieldIds; grammar SET/DROP IDENTIFIER FIELDS).
+    * Field IDs and data files are untouched — the current schema entry is
+    * rewritten in place with the new identifier set. */
+  def setIdentifierFields(names: Seq[String]): Unit =
+    ops.commitWithRetry(4) { base =>
+      val ids = names.map(base.schema.fieldId)
+      base.copy(
+        schemas = base.schemas.map(s =>
+          if (s.schemaId == base.currentSchemaId) s.copy(identifierFieldIds = ids)
+          else s),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+
   def updateProperties(set: Map[String, String], remove: Set[String] = Set.empty): Unit =
     ops.commitWithRetry(4) { base =>
       base.copy(properties = base.properties -- remove ++ set,

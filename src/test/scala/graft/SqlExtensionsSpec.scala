@@ -49,6 +49,26 @@ class SqlExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SET/DROP IDENTIFIER FIELDS drive default equality-delete keys") {
+    val (name, path) = fresh()
+    spark.sql(s"INSERT INTO $name VALUES (1, 'a', NULL), (2, 'b', NULL), (3, 'c', NULL)")
+    spark.sql(s"ALTER TABLE $name SET IDENTIFIER FIELDS id, data")
+    var t = IceTable.load(spark, path)
+    assert(t.schema.identifierFieldNames === Seq("id", "data"))
+    spark.sql(s"ALTER TABLE $name DROP IDENTIFIER FIELDS data")
+    t = IceTable.load(spark, path)
+    assert(t.schema.identifierFieldNames === Seq("id"))
+    // identifier fields survive the JSON round-trip and feed eq deletes
+    import spark.implicits._
+    t.addEqualityDeletes(Seq(2L).toDF("id"))
+    assert(spark.sql(s"SELECT id FROM $name ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // dropping a non-identifier field errors
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name DROP IDENTIFIER FIELDS data")
+    }
+  }
+
   test("ALTER TABLE WRITE ORDERED BY / UNORDERED set the sort order") {
     val (name, path) = fresh()
     spark.sql(s"ALTER TABLE $name WRITE ORDERED BY data DESC NULLS LAST, id")
