@@ -189,6 +189,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k FROM gr.db.ctas1").head().getInt(0) === 9)
   }
 
+  test("session catalog extension routes USING graft tables, delegates the rest") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sess-").toString
+    val s = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
+    s.conf.set("spark.sql.catalog.spark_catalog", "graft.spark.GraftSessionCatalog")
+    s.conf.set("spark.sql.catalog.spark_catalog.warehouse", wh)
+    s.sql("CREATE DATABASE IF NOT EXISTS gsdb")
+    try {
+      s.sql("CREATE TABLE gsdb.gt (k INT) USING graft")
+      s.sql("INSERT INTO gsdb.gt VALUES (1), (2)")
+      assert(s.sql("SELECT count(*) FROM gsdb.gt").head().getLong(0) === 2L)
+      // physically a graft table in the configured warehouse
+      val t = IceTable.load(s, s"$wh/gsdb/gt")
+      assert(t.toDF.count() === 2)
+      // row-level SQL works through the session catalog too
+      s.sql("DELETE FROM gsdb.gt WHERE k = 1")
+      assert(s.sql("SELECT k FROM gsdb.gt").head().getInt(0) === 2)
+      // non-graft tables delegate to the built-in session catalog
+      s.sql("CREATE TABLE gsdb.pt (k INT) USING parquet")
+      s.sql("INSERT INTO gsdb.pt VALUES (5)")
+      assert(s.sql("SELECT k FROM gsdb.pt").head().getInt(0) === 5)
+      assert(!IceTable.exists(s, s"$wh/gsdb/pt"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS gsdb.gt")
+      s.sql("DROP TABLE IF EXISTS gsdb.pt")
+      s.sql("DROP DATABASE IF EXISTS gsdb")
+    }
+  }
+
+  test("path-based read: spark.read.format(graft).load(location)") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.pathread (k INT, v STRING)")
+    spark.sql("INSERT INTO gr.db.pathread VALUES (1, 'a'), (2, 'b')")
+    val df = spark.read.format("graft").load(s"$warehouse/db/pathread")
+    assert(df.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "b")))
+    // filters prune through the same cascade (pushed filter visible in plan)
+    val filtered = df.filter(col("k") === 2)
+    assert(filtered.count() === 1)
+  }
+
   test("DROP TABLE and listTables") {
     warehouse
     spark.sql("CREATE TABLE gr.db.gone (k INT)")
