@@ -89,7 +89,10 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("concurrent appends all commit via CAS retry, none lost") {
     val loc = tmpLoc()
-    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    // 6 contending writers: raise the retry budget above the default 4
+    // (the same knob a busy production table needs)
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map(graft.meta.model.TableProperties.CommitRetries -> "20"))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
