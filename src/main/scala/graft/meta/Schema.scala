@@ -192,7 +192,14 @@ final class UpdateSchema(base: Schema, baseLastColumnId: Int) {
 
   def apply(): Schema = {
     val surviving = Schema.fieldsWithIds(StructType(fields)).map(_._2).toSet
+    // identifier fields cannot be dropped implicitly (ref SchemaUpdate
+    // "Cannot delete identifier field") — clear them first
+    base.identifierFieldIds.filterNot(surviving.contains).foreach { id =>
+      throw new IllegalArgumentException(
+        s"Cannot delete identifier field: ${base.fieldName(id)} (id $id); " +
+          "drop it from the identifier fields first")
+    }
     Schema(StructType(fields), base.schemaId + 1,
-      base.identifierFieldIds.filter(surviving.contains))
+      base.identifierFieldIds)
   }
 }

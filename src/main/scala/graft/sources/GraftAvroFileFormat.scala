@@ -346,6 +346,9 @@ private[graft] object AvroConv {
   def reader(avro: AvroSchema, dt: DataType): Any => Any = (dt, avro.getType) match {
     case (BooleanType | IntegerType | DateType | LongType | TimestampType |
           TimestampNTZType | FloatType | DoubleType, _) => identity
+    // tinyint/smallint are widened to Avro INT on write — narrow them back
+    case (ByteType, _) => v => v.asInstanceOf[Int].toByte
+    case (ShortType, _) => v => v.asInstanceOf[Int].toShort
     case (StringType, _) => v => UTF8String.fromString(v.toString)
     case (BinaryType, AvroSchema.Type.FIXED) => v => v.asInstanceOf[GenericFixed].bytes.clone
     case (BinaryType, _) => v => byteBufferToArray(v.asInstanceOf[ByteBuffer])

@@ -65,7 +65,21 @@ trait Lifecycle { self: IceTable =>
     * rewritten in place with the new identifier set. */
   def setIdentifierFields(names: Seq[String]): Unit =
     ops.commitWithRetry(4) { base =>
-      val ids = names.map(base.schema.fieldId)
+      val ids = names.map { n =>
+        val id = base.schema.fieldId(n) // throws for unknown columns
+        val f = base.schema.idToField(id)
+        // ref Schema.validateIdentifierField: primitive, non-float/double
+        require(f.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType => false
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType => false
+          case _ => true
+        }, s"Cannot use $n as an identifier field: " +
+          s"${f.dataType.simpleString} is not a supported identifier type")
+        id
+      }
       base.copy(
         schemas = base.schemas.map(s =>
           if (s.schemaId == base.currentSchemaId) s.copy(identifierFieldIds = ids)

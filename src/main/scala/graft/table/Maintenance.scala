@@ -33,10 +33,14 @@ object Maintenance {
       retainLast: Int = 1): (Int, Long, Long) = {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val before = table.meta
-    // the newest `retainLast` ancestors survive regardless of age (ref
-    // RemoveSnapshots.retainLast); the current snapshot always survives
-    val retained = before.snapshots.sortBy(-_.timestampMillis)
-      .take(retainLast).map(_.snapshotId).toSet
+    // the first `retainLast` ANCESTORS of the current snapshot survive
+    // regardless of age (ref RemoveSnapshots.retainLast walks the parent
+    // chain); snapshots abandoned by a rollback get no retain slots
+    val byId = before.snapshots.map(s => s.snapshotId -> s).toMap
+    val retained = Iterator.iterate(before.currentSnapshotId.flatMap(byId.get))(
+        _.flatMap(_.parentId).flatMap(byId.get))
+      .takeWhile(_.isDefined).take(retainLast)
+      .flatten.map(_.snapshotId).toSet
     val expired = before.snapshots.filter(s =>
       s.timestampMillis < olderThanMillis &&
         !retained.contains(s.snapshotId) &&

@@ -334,10 +334,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     }
     // with the probe skipped, the cardinality guard rides in the keep
     // predicate: a matched row whose source key count exceeds 1 raises
-    // during the rewrite job, before anything commits
+    // during the rewrite job, before anything commits. The guard is the
+    // CASE branch of the keep VALUE itself (not an AND conjunct, which
+    // Catalyst may split off and short-circuit past for rows whose keepCol
+    // is already false, e.g. WHEN MATCHED DELETE)
     val keepGuarded = if (!skipProbe) keepCol else
       when(matched && col("_gf_src_cnt") > 1,
-        raise_error(lit(MergeBuilder.CardinalityMsg))).isNull && keepCol
+        raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
+        .otherwise(keepCol)
     val result = joined
       .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
@@ -421,6 +425,7 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
     // source runs twice (probe + rewrite join) — materialize once, see execute()
     val src0 = srcPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pinnedScan: Option[DataFrame] = None // id-stamped non-parquet rewrite scan
     try {
     // probe: per-target-row source-match counts, keyed by (_gf_file, _gf_pos)
     // — one job yields the affected-file set AND the cardinality guard. The
@@ -449,23 +454,38 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     }
     if (affectedTasks.isEmpty && insertClauses.isEmpty) return
 
+    // the in-join cardinality guard needs a per-target-row identity. For
+    // parquet files the (_gf_file, _gf_pos) metadata columns are DETERMINISTIC
+    // across task retries; for other formats fall back to
+    // monotonically_increasing_id and pin the assignment by persisting the
+    // id-stamped scan (a retry after the window shuffle would otherwise
+    // reassign ids and split one target row's matches across rids)
+    val affectedParquet = affectedTasks.forall(_.file.format == "parquet")
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = false)
+      rowPositions = skipProbe && affectedParquet)
     val t0 = affected.withColumn(MergeBuilder.FromTarget, lit(true))
-    val t = if (!skipProbe) t0
-      else t0.withColumn("_gf_rid", monotonically_increasing_id())
+    val t = if (!skipProbe || affectedParquet) t0
+      else {
+        val stamped = t0.withColumn("_gf_rid", monotonically_increasing_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinnedScan = Some(stamped)
+        stamped
+      }
+    val ridCols: Seq[Column] =
+      if (affectedParquet) Seq(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
+      else Seq(col("_gf_rid"))
     val s = src0.withColumn(MergeBuilder.FromSource, lit(true))
     // LEFT ∪ LEFT ANTI instead of FULL OUTER — see execute(): broadcastable
     val leftPart0 = t.join(s, cond, "left")
-    // per-target-row match count (window over the synthesized row id) for
-    // the in-join cardinality guard; computed on the left branch only so
+    // per-target-row match count (window over the row identity) for the
+    // in-join cardinality guard; computed on the left branch only so
     // insert rows don't funnel into one null-id window partition
     val leftPart = if (!skipProbe) leftPart0
       else leftPart0.withColumn("_gf_card_cnt",
         count(when(col(MergeBuilder.FromSource).isNotNull, lit(1)))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_gf_rid"))))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(ridCols: _*)))
     val joined =
       if (insertClauses.isEmpty) leftPart
       else leftPart.unionByName(
@@ -509,9 +529,11 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       withInsert.otherwise(col(n))
         .cast(schema.fieldType(schema.fieldId(n))).as(n)
     }
+    // guard as the CASE branch of the keep value — see execute()
     val keepGuarded = if (!skipProbe) keepCol else
       when(col("_gf_card_cnt") > 1,
-        raise_error(lit(MergeBuilder.CardinalityMsg))).isNull && keepCol
+        raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
+        .otherwise(keepCol)
     val result = joined
       .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
@@ -530,7 +552,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
           TableProperties.IsolationSerializable))))
-    } finally src0.unpersist(false)
+    } finally {
+      src0.unpersist(false)
+      pinnedScan.foreach(_.unpersist(false))
+    }
   }
 }
 

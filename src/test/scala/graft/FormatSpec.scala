@@ -193,6 +193,24 @@ class FormatSpec extends AnyFunSuite {
     assert(comparable(df).exceptAll(comparable(back)).count() === 0)
   }
 
+  test("avro round-trips tinyint/smallint (widened to INT on write)") {
+    val loc = Files.createTempDirectory("graft-avro5-").toString + "/t"
+    val df = spark.sql("""
+      SELECT id, cast(id % 128 as tinyint) AS b, cast(id * 7 as smallint) AS s,
+        array(cast(id as tinyint)) AS ab,
+        named_struct('v', cast(id as smallint)) AS st
+      FROM range(0, 40)
+    """)
+    val t = IceTable.create(spark, loc, Schema.fresh(df.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(df)
+    val back = t.toDF
+    assert(back.schema("b").dataType.typeName === "byte")
+    assert(back.schema("s").dataType.typeName === "short")
+    assert(back.exceptAll(df).count() === 0)
+    assert(df.exceptAll(back).count() === 0)
+  }
+
   test("large commits collect footer metrics via a distributed job") {
     val loc = Files.createTempDirectory("graft-dist-").toString + "/t"
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -109,6 +109,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(fresh.toDF.count() === (1 to 6).map(_ * 10).sum)
   }
 
+  test("expireSnapshots retainLast ignores snapshots abandoned by rollback") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    (1 to 3).foreach(i => t.append(orders.limit(10 * i)))
+    val first = t.snapshots.minBy(_.timestampMillis).snapshotId
+    t.rollbackTo(first)
+    // the two abandoned (newer) snapshots must NOT consume retain slots:
+    // retainLast counts ancestors of the current snapshot only
+    val (expired, _, _) = t.expireSnapshots(System.currentTimeMillis() + 1000,
+      retainLast = 2)
+    assert(expired === 2)
+    assert(t.snapshots.map(_.snapshotId) === Seq(first))
+    assert(t.toDF.count() === 10)
+  }
+
   test("expireSnapshots retainLast keeps the newest N regardless of age") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))

@@ -288,6 +288,23 @@ class SqlDmlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.toLowerCase.contains("cardinality")))
   }
 
+  test("SQL delete-only MERGE with duplicate source matches raises (skip-probe)") {
+    // small table → probe skipped; the violating rows are rows the DELETE
+    // clause drops, so the guard must live inside the keep value itself
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t AS target
+        USING (SELECT * FROM VALUES (1, 'x', 0.0), (1, 'y', 0.0) AS s(id, data, qty)) AS src
+        ON target.id = src.id
+        WHEN MATCHED THEN DELETE
+      """)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("cardinality")))
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
+  }
+
   test("SQL MERGE probe path engages on many-file parquet tables") {
     val t = freshTable(Nil)
     (1 to 10).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i, 'r$i', $i.0)"))

@@ -69,6 +69,24 @@ class SqlExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("identifier fields are validated and protect their columns") {
+    val (name, path) = fresh()
+    var t = IceTable.load(spark, path)
+    // unknown column
+    intercept[Exception] { t.setIdentifierFields(Seq("nope")) }
+    // non-primitive / floating identifier types are rejected
+    t.updateSchema(_.addColumn("score", org.apache.spark.sql.types.DoubleType))
+    intercept[Exception] { t.setIdentifierFields(Seq("score")) }
+    // dropping a column that IS an identifier field fails until cleared
+    spark.sql(s"ALTER TABLE $name SET IDENTIFIER FIELDS id")
+    t = IceTable.load(spark, path)
+    val e = intercept[Exception] { t.updateSchema(_.deleteColumn("id")) }
+    assert(e.getMessage.contains("identifier field"))
+    t.setIdentifierFields(Nil)
+    t.updateSchema(_.deleteColumn("id")) // now allowed
+    assert(!IceTable.load(spark, path).schema.contains("id"))
+  }
+
   test("ALTER TABLE WRITE ORDERED BY / UNORDERED set the sort order") {
     val (name, path) = fresh()
     spark.sql(s"ALTER TABLE $name WRITE ORDERED BY data DESC NULLS LAST, id")

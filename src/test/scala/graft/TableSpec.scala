@@ -210,6 +210,21 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("delete-only merge with duplicate source matches raises (skip-probe guard)") {
+    // one file → probe skipped → the guard must fire from inside the keep
+    // value even though the kept-row decision for these rows is "drop"
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(10).coalesce(1))
+    assert(t.newScan().planFiles().size === 1)
+    val dup = orders.limit(1).unionAll(orders.limit(1))
+    intercept[ValidationException] {
+      t.merge(dup, Seq("o_orderkey")).whenMatchedDelete().execute()
+    }
+    // nothing committed: all 10 rows still present
+    assert(t.toDF.count() === 10)
+  }
+
   test("merge probe engages above min-files and excludes unmatched files") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
