@@ -78,11 +78,14 @@ object Projections {
     def out(op: Op, vs: Seq[Any]): Option[Expr] =
       Some(BoundPred(op, pf.fieldId, pf.name, resType, vs))
 
-    // unary predicates project through every transform (null/nan in ⇒ null out)
+    // unary predicates project through every KNOWN transform (null/nan in ⇒
+    // null out); an unknown transform's null behavior cannot be assumed
     p.op match {
       case Op.IsNull | Op.NotNull | Op.IsNan | Op.NotNan =>
-        return if (pf.transform == VoidTransform) None
-        else out(p.op, Nil)
+        return pf.transform match {
+          case VoidTransform | UnknownTransform(_) => None
+          case _ => out(p.op, Nil)
+        }
       case _ =>
     }
 

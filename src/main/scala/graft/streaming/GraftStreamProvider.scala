@@ -42,7 +42,11 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(tableOf(sqlContext, parameters))
+    new GraftStreamSource(tableOf(sqlContext, parameters),
+      // ref SparkReadOptions.java:55 STREAMING_SKIP_DELETE_SNAPSHOTS:
+      // true (default) silently skips delete/overwrite snapshots in the
+      // stream; false fails the batch so data loss is surfaced
+      parameters.getOrElse("streaming-skip-delete-snapshots", "true").toBoolean)
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -59,7 +63,8 @@ private final case class GraftSnapshotOffset(snapshotId: Long) extends V1Offset 
 
 /** Source over the snapshot log: `getOffset` is the current snapshot id,
   * `getBatch` the appends between two snapshots (full table on first batch). */
-private final class GraftStreamSource(table: IceTable) extends Source {
+private final class GraftStreamSource(table: IceTable,
+    skipDeleteSnapshots: Boolean) extends Source {
 
   override def schema: StructType = table.schema.struct
 
@@ -71,7 +76,7 @@ private final class GraftStreamSource(table: IceTable) extends Source {
     val batch = start.map(_.json().toLong) match {
       case Some(from) if from == endId =>
         table.toDF.limit(0)
-      case Some(from) => table.appendsBetween(from, endId)
+      case Some(from) => table.appendsBetween(from, endId, skipDeleteSnapshots)
       case None => table.newScan().useSnapshot(endId).toDF
     }
     // V1 contract: the returned frame must carry isStreaming=true — re-anchor

@@ -62,6 +62,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming-skip-delete-snapshots=false fails the stream on a delete") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val srcLoc = s"$base/src"; val dstLoc = s"$base/dst"; val cp = s"$base/cp"
+    val src = IceTable.create(spark, srcLoc, Schema.fresh(orders.schema))
+    IceTable.create(spark, dstLoc, Schema.fresh(orders.schema))
+    src.append(orders.limit(20))
+
+    def runOnce(strict: Boolean): Unit = {
+      val q = spark.readStream.format("graft-stream").option("path", srcLoc)
+        .option("streaming-skip-delete-snapshots", (!strict).toString).load()
+        .writeStream.format("graft-stream").option("path", dstLoc)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce(strict = true) // initial full load: no delete in range yet
+    src.delete(graft.meta.expr.Exprs.lessThan("o_orderkey", 100L))
+    src.append(orders.limit(30).exceptAll(orders.limit(20)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(strict = true)
+    }
+    assert(e.getMessage.contains("delete/overwrite") ||
+      Option(e.getCause).exists(_.getMessage.contains("delete/overwrite")))
+    // default (skip) processes the appends past the delete snapshot
+    runOnce(strict = false)
+    assert(IceTable.load(spark, dstLoc).toDF.count() === 30)
+  }
+
   test("watermarked window aggregation: append-mode windows flush across batches") {
     val base = Files.createTempDirectory("graft-stream-").toString
     import spark.implicits._

@@ -246,6 +246,36 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown transform: table still loads and scans, writes fail") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).truncate("o_orderpriority", 4).build()
+    val t = IceTable.create(spark, loc, schema, spec)
+    t.append(orders.limit(200))
+    val total = t.toDF.count()
+    // simulate metadata written by a NEWER writer: an unrecognized transform
+    val mdir = Paths.get(loc, "metadata")
+    val vfile = JFiles.list(mdir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getFileName.toString.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    JFiles.writeString(vfile,
+      JFiles.readString(vfile).replace("truncate[4]", "zorder[4]"))
+    val t2 = IceTable.load(spark, loc)
+    assert(t2.spec.fields.head.transform ===
+      graft.meta.transforms.UnknownTransform("zorder[4]"))
+    // scans keep every file (inclusive projection TRUE) and re-filter rows
+    assert(t2.toDF.count() === total)
+    val want = orders.limit(200).filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(t2.newScan().filter(equalTo("o_orderpriority", "1-URGENT")).toDF
+      .count() === want)
+    // null predicates are NOT projected through an unknown transform
+    assert(t2.newScan().filter(isNull("o_orderpriority")).toDF.count() === 0)
+    // writing through the unknown transform fails
+    intercept[UnsupportedOperationException] { t2.append(orders.limit(5)) }
+  }
+
   test("dynamic partition overwrite replaces touched partitions only") {
     val loc = tmpLoc()
     val schema = Schema.fresh(orders.schema)
