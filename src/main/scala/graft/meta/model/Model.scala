@@ -173,4 +173,8 @@ object TableProperties {
   val IsolationSnapshot = "snapshot"
   val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
   val MaxSnapshotAgeMsDefault: Long = 5L * 24 * 60 * 60 * 1000 // ref :166
+  /** `false` on snapshot-imported tables whose data files are shared with
+    * the source table: file-deleting maintenance refuses to run (ref
+    * TableProperties GC_ENABLED; snapshot procedure sets it). */
+  val GcEnabled = "gc.enabled"
 }

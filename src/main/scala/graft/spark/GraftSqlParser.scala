@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * `spark3-extensions/src/main/antlr/.../IcebergSqlExtensions.g4:68` and
   * `IcebergSparkSessionExtensions.scala:39` injectParser):
   *
-  *  - `CALL cat.system.<procedure>(arg, name => value, …)` — the 10 stored
-  *    procedures of ref `SparkProcedures.java:44`
+  *  - `CALL cat.system.<procedure>(arg, name => value, …)` — the stored
+  *    procedures of ref `SparkProcedures.java:44` (incl. snapshot/migrate/
+  *    add_files imports and ancestors_of)
   *  - `ALTER TABLE cat.db.t ADD PARTITION FIELD <transform> `
   *  - `ALTER TABLE cat.db.t DROP PARTITION FIELD <transform>`
   *  - `ALTER TABLE cat.db.t WRITE ORDERED BY col [ASC|DESC] [NULLS …], …`
@@ -246,6 +247,24 @@ object GraftSqlParser {
           val warehouse = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
           val t = TableImport.importParquet(spark, source,
             (warehouse +: parts.tail).mkString("/"))
+          Seq(Row(t.newScan().planFiles().size.toLong))
+        })
+      case "snapshot" =>
+        // ref SnapshotTableProcedure: like migrate, but the new table only
+        // REFERENCES the source files — gc.enabled=false stops file-deleting
+        // maintenance from touching data the source table still owns
+        GraftCallCommand(proc, Seq(attr("imported_files_count", LongType)), { spark =>
+          val source = named.get("source_table").orElse(named.get("source"))
+            .orElse(pos.headOption).getOrElse(
+              throw new IllegalArgumentException("snapshot requires source_table")).toString
+          val dest = named.get("table").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException("snapshot requires table")).toString
+          val parts = catalog +: dest.split('.').toSeq
+          val warehouse = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
+          val t = TableImport.importParquet(spark, source,
+            (warehouse +: parts.tail).mkString("/"),
+            properties = Map(graft.meta.model.TableProperties.GcEnabled -> "false",
+              "snapshot-source" -> source))
           Seq(Row(t.newScan().planFiles().size.toLong))
         })
       case "add_files" =>

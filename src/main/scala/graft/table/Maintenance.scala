@@ -32,6 +32,7 @@ object Maintenance {
   def expireSnapshots(table: IceTable, olderThanMillis: Long,
       retainLast: Int = 1): (Int, Long, Long) = {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    requireGcEnabled(table, "expire snapshots")
     val before = table.meta
     // the first `retainLast` ANCESTORS of the current snapshot survive
     // regardless of age (ref RemoveSnapshots.retainLast walks the parent
@@ -82,6 +83,7 @@ object Maintenance {
     * unusable afterwards. Returns (#data files deleted, #metadata files
     * deleted). */
   def deleteReachableFiles(table: IceTable): (Long, Long) = {
+    requireGcEnabled(table, "delete reachable files")
     val m = table.meta
     val manifests = manifestsOf(table, m, m.snapshots)
     val dataDeleted = bulkDelete(table, validDataFileDF(table, m, manifests))
@@ -92,6 +94,15 @@ object Maintenance {
     m.metadataLog.foreach(e => if (table.io.delete(e.file)) metaDeleted += 1)
     table.io.deleteRecursive(table.location)
     (dataDeleted, metaDeleted)
+  }
+
+  /** File-deleting maintenance refuses gc-disabled tables: a snapshot-
+    * imported table's data files belong to the source table (ref
+    * TableProperties GC_ENABLED). */
+  private def requireGcEnabled(table: IceTable, action: String): Unit = {
+    val enabled = table.meta.property(TableProperties.GcEnabled, "true").toBoolean
+    if (!enabled) throw new ValidationException(
+      s"Cannot $action: gc.enabled is false (data files may be shared)")
   }
 
   private[graft] def manifestsOf(table: IceTable, m: TableMetadata,
@@ -151,6 +162,7 @@ object Maintenance {
     * subdirectory (`:184` listDirRecursively on executors); only the final
     * orphan list (the result) reaches the driver. */
   def removeOrphanFiles(table: IceTable, olderThanMillis: Long): Seq[String] = {
+    requireGcEnabled(table, "remove orphan files")
     val spark = table.spark
     import spark.implicits._
     val m = table.meta

@@ -166,6 +166,28 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(ids.size === 2)
   }
 
+  test("CALL snapshot imports files in place and disables GC on the new table") {
+    warehouse
+    val src = java.nio.file.Files.createTempDirectory("graft-snap-src-").toString + "/d"
+    spark.range(0, 100).selectExpr("id", "concat('r', id) AS data")
+      .write.parquet(src)
+    val res = spark.sql(s"CALL gx.system.snapshot('$src', 'db.snap1')").collect()
+    assert(res.head.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM gx.db.snap1").collect().head.getLong(0) === 100)
+    // the snapshot table references the SOURCE files — no data was copied
+    val t = IceTable.load(spark, s"$warehouse/db/snap1")
+    assert(t.newScan().planFiles().forall(_.file.path.contains("graft-snap-src-")))
+    // file-deleting maintenance refuses: the files belong to the source
+    val e = intercept[Exception] {
+      spark.sql(s"CALL gx.system.expire_snapshots('db.snap1', ${Long.MaxValue})").collect()
+    }
+    assert(e.getMessage.contains("gc.enabled"))
+    intercept[Exception] { t.removeOrphanFiles(System.currentTimeMillis()) }
+    intercept[Exception] { t.deleteReachableFiles() }
+    // source data is intact and still readable directly
+    assert(spark.read.parquet(src).count() === 100)
+  }
+
   test("normal SQL still parses through the delegate") {
     warehouse
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
