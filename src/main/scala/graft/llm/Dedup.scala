@@ -58,12 +58,17 @@ object Dedup {
     * UDF, no shuffle. Pass a *materialized* shingle column (not the shingle
     * expression itself) or Catalyst will inline the shingle computation into
     * all `numHashes` lambdas. */
-  def minHashSignature(shCol: Column, numHashes: Int): Column = {
-    val hs = transform(shCol, s => xxhash64(s))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(array_min(transform(hs, h => xxhash64(h, i))),
-        lit(Long.MaxValue)))
-  }
+  def minHashSignature(shCol: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(transform(shCol, s => xxhash64(s)), numHashes)
+
+  /** Signature from PRE-HASHED shingles (array<long>): ONE pass over the
+    * shingle hashes folding all `numHashes` seeded minima at once (vs
+    * numHashes transform+array_min passes), all codegen'd arithmetic. */
+  def minHashSignatureFromHashes(hsCol: Column, numHashes: Int): Column =
+    aggregate(hsCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, xxhash64(h, i))))
 
   /** MinHash + LSH banding near-dup pairs (shingle → minhash → band →
     * bucket equi-join → exact-Jaccard verification; the canonical
@@ -76,11 +81,14 @@ object Dedup {
     // the repartition is a deliberate optimization barrier: without it,
     // CollapseProject inlines the shingle+signature expressions into every
     // band reference (exponential expression blowup); with it, signatures
-    // materialize once and the three consumers share a ReusedExchange
+    // materialize once and the three consumers share a ReusedExchange.
+    // Shingles are hashed to longs BEFORE the barrier: the exchange carries
+    // 8-byte hashes instead of shingle strings, and the exact-Jaccard verify
+    // runs set ops over longs (same sets modulo 64-bit collisions)
     val base = df.select(col(idCol).as("id"),
-        TextOps.shingles(col(textCol), n).as("sh"))
+        TextOps.shingleHashes(col(textCol), n).as("sh"))
       .repartition(col("id"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("sig", minHashSignatureFromHashes(col("sh"), numHashes))
     val shDF = base.select(col("id"), col("sh"))
     // bands carry only (id, band, bucket) — shingle arrays don't ride the
     // candidate-generation shuffle

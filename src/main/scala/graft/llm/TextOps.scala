@@ -22,6 +22,13 @@ object TextOps {
         .otherwise(array()))
   }
 
+  /** Distinct 64-bit hashes of the word n-gram shingles: one xxhash64 pass
+    * over [[shingles]]. Downstream set ops (Jaccard, minhash seeding) run
+    * over longs — identical sets modulo 64-bit collisions, with no string
+    * comparisons or string shuffle payloads. */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(shingles(c, n), s => xxhash64(s))
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
