@@ -95,6 +95,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // token-window chunking (64-token windows, 16-token overlap)
+    "llm_chunking" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), 64, 16)).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.n_tokens").as("n_tokens"), col("c.chunk").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // multimodal: binary payload column + size/checksum metadata (the
     // SQL-checkable half; stubbed decode fields are state-tested)
     "llm_mm_meta" -> ((s, d) => {
@@ -169,6 +178,14 @@ object LlmQueries {
       "llm_fingerprint" ->
         ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
           "FROM documents ORDER BY doc_id"),
+      "llm_chunking" ->
+        ("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+          "c AS (SELECT doc_id, toks, unnest(range(greatest(1, " +
+          "CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)))) AS ci FROM t) " +
+          "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, " +
+          "CAST(len(toks[ci*48+1 : ci*48+64]) AS INT) AS n_tokens, " +
+          "array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk " +
+          "FROM c ORDER BY doc_id, chunk_idx"),
       "llm_mm_meta" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, " +
           "substr(lower(hex(encode(text))), 1, 8) AS checksum " +

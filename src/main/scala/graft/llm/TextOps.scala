@@ -32,6 +32,25 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Overlapping token-window chunks for context-bounded training samples:
+    * windows of `chunkTokens` tokens starting every `chunkTokens -
+    * overlapTokens`, the last window short. Returns
+    * `array<struct<n_tokens int, chunk string>>` in document order — explode
+    * with `posexplode` for (chunk_idx, chunk) rows. Pure per-row expression:
+    * chunking 100 TB is a map-only pass. */
+  def chunks(c: Column, chunkTokens: Int, overlapTokens: Int): Column = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got ($chunkTokens, $overlapTokens)")
+    val step = chunkTokens - overlapTokens
+    val toks = tokens(c)
+    val n = greatest(lit(1),
+      ceil((size(toks) - lit(overlapTokens)).cast("double") / step).cast("int"))
+    transform(sequence(lit(0), n - 1), i => {
+      val piece = slice(toks, i * step + 1, lit(chunkTokens))
+      struct(size(piece).as("n_tokens"), array_join(piece, " ").as("chunk"))
+    })
+  }
+
   /** BPE-ish token count: alpha runs, single digits, punctuation marks each
     * count as one token (a cheap stand-in for subword tokenizers). */
   def tokenCountBpe(c: Column): Column =

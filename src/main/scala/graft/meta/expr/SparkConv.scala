@@ -41,16 +41,17 @@ object SparkConv {
       }
   }
 
-  /** Catalyst literal from an internal-repr value. */
-  def internalLit(v: Any, t: DataType): Column = {
-    val catalystValue = (v, t) match {
-      case (s: String, StringType) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case (d: java.math.BigDecimal, dt: DecimalType) =>
-        org.apache.spark.sql.types.Decimal(d, dt.precision, dt.scale)
-      case (other, _) => other
-    }
-    ColumnBridge.column(Literal(catalystValue, t))
+  /** Catalyst-internal value from an internal-repr value. */
+  def catalystValue(v: Any, t: DataType): Any = (v, t) match {
+    case (s: String, StringType) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (d: java.math.BigDecimal, dt: DecimalType) =>
+      org.apache.spark.sql.types.Decimal(d, dt.precision, dt.scale)
+    case (other, _) => other
   }
+
+  /** Catalyst literal from an internal-repr value. */
+  def internalLit(v: Any, t: DataType): Column =
+    ColumnBridge.column(Literal(catalystValue(v, t), t))
 
   /** External (Scala) value for APIs that take plain values (isin). */
   def internalToExternal(v: Any, t: DataType): Any = (v, t) match {

@@ -54,6 +54,7 @@ class GraftSparkTable(val table: IceTable, fullName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
@@ -61,13 +62,16 @@ class GraftSparkTable(val table: IceTable, fullName: String,
 
   /** Read options (ref `SparkReadOptions.java`): `snapshot-id`,
     * `as-of-timestamp` (time travel via `spark.read.option`), `split-size`
-    * (per-read task sizing). SQL `VERSION/TIMESTAMP AS OF` arrives through
-    * the constructor instead; an explicit option wins. */
+    * (per-read task sizing), `streaming-skip-delete-snapshots` (stream CDC
+    * convention). SQL `VERSION/TIMESTAMP AS OF` arrives through the
+    * constructor instead; an explicit option wins. */
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
     val snap = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong).orElse(asOfMillis)
     val split = Option(options.get("split-size")).map(_.toLong)
-    new GraftScanBuilder(table, snap, asOf, split)
+    val skipDeletes = Option(options.get("streaming-skip-delete-snapshots"))
+      .forall(_.toBoolean)
+    new GraftScanBuilder(table, snap, asOf, split, skipDeletes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -110,7 +114,8 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
   * residuals so Spark re-applies them — pruning is an optimization, row-level
   * semantics stay with Spark. */
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
-    asOfMillis: Option[Long], splitSize: Option[Long] = None)
+    asOfMillis: Option[Long], splitSize: Option[Long] = None,
+    streamSkipDeletes: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushedExpr: GExpr = TrueExpr
@@ -135,7 +140,7 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
 
   override def build(): Scan =
     new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId, asOfMillis,
-      splitSize)
+      splitSize, streamSkipDeletes)
 }
 
 /** The scan: metadata pruning happens here (driver-side, like ref
@@ -145,8 +150,15 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   * AQE) sees post-pruning sizes, not raw table sizes. */
 final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructType,
     snapshotId: Option[Long], asOfMillis: Option[Long],
-    splitSize: Option[Long] = None)
+    splitSize: Option[Long] = None, streamSkipDeletes: Boolean = true)
     extends V1Scan with SupportsReportStatistics {
+
+  /** Structured Streaming entry (ref `SparkMicroBatchStream.java`): offsets
+    * are snapshot ids; each batch reads the appended files. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(table, projection, filter,
+      streamSkipDeletes)
 
   private def newGraftScan() = {
     var s = table.newScan()

@@ -189,7 +189,14 @@ object GraftSqlParser {
           val t = resolve(spark, tableArg)
           val target = optLong("target_file_size_bytes", 1)
             .getOrElse(graft.meta.model.TableProperties.TargetFileSizeDefault)
-          val (rw, add) = t.rewriteDataFiles(target)
+          val strategy = named.get("strategy").map(_.toString).getOrElse("binpack")
+          val sortSpec = named.get("sort_order").map(_.toString)
+          val (rw, add) = strategy match {
+            case "binpack" if sortSpec.isEmpty => t.rewriteDataFiles(target)
+            case "sort" | "binpack" => t.rewriteDataFilesSorted(target, sortSpec)
+            case other => throw new IllegalArgumentException(
+              s"Unknown rewrite strategy: $other (binpack|sort)")
+          }
           Seq(Row(rw.toLong, add.toLong))
         })
       case "rewrite_manifests" =>

@@ -115,6 +115,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       maxFileSizeBytes: Long = -1): (Int, Int) =
     Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles,
       minFileSizeBytes, maxFileSizeBytes)
+  def rewriteDataFilesSorted(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
+      sortOrderSpec: Option[String] = None): (Int, Int) =
+    Maintenance.rewriteDataFilesSorted(this, targetSizeBytes, sortOrderSpec)
   def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
   def deleteReachableFiles(): (Long, Long) = Maintenance.deleteReachableFiles(this)
 
@@ -234,6 +237,15 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   def appendsBetween(fromId: Long, toId: Long,
       skipDeleteSnapshots: Boolean = true): DataFrame = {
     val m = meta
+    val files = appendedFilesBetween(m, fromId, toId, skipDeleteSnapshots)
+    Reads.readFiles(spark, this, m, files.map(FileScanTask(_, TrueExpr)),
+      m.schema.columnNames, TrueExpr)
+  }
+
+  /** The data files appended in (fromId, toId] (planning half of
+    * [[appendsBetween]]; also the micro-batch planner's input). */
+  private[graft] def appendedFilesBetween(m: TableMetadata, fromId: Long,
+      toId: Long, skipDeleteSnapshots: Boolean): Seq[DataFileMeta] = {
     val to = m.snapshot(toId).getOrElse(throw new ValidationException(s"Unknown: $toId"))
     // walk lineage to collect snapshots in range
     val lineage = Iterator.iterate(Option(to))(s =>
@@ -249,10 +261,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
         s"Cannot stream appends over delete/overwrite snapshots: " +
           destructive.map(_.snapshotId).mkString(","))
     }
-    val files = lineage.filter(_.operation == Operation.Append)
+    lineage.filter(_.operation == Operation.Append)
       .flatMap(s => addedFiles(m, s))
-    Reads.readFiles(spark, this, m, files.map(FileScanTask(_, TrueExpr)),
-      m.schema.columnNames, TrueExpr)
+      .filter(_.content == FileContent.Data)
   }
 
   private def addedFiles(m: TableMetadata, snap: SnapshotMeta): Seq[DataFileMeta] = {

@@ -259,6 +259,78 @@ object Maintenance {
     (toRewrite.size, written.size)
   }
 
+  /** Sort-strategy rewrite (ref `core/.../actions/SortStrategy.java` +
+    * `Spark3SortStrategy`): rewrite ALL live data files re-clustered on a
+    * sort order — the table's declared order, or an explicit
+    * `"col [ASC|DESC] [NULLS FIRST|LAST], ..."` spec. Global clustering
+    * comes from ONE range exchange sized to emit ~target-size outputs
+    * (range distribution + local sort, the same plan
+    * `DistributionAndOrderingUtils` injects for sorted writes); min/max
+    * column bounds then make the rewritten files metrics-prunable on the
+    * sort key. Returns (#rewritten, #added). */
+  def rewriteDataFilesSorted(table: IceTable,
+      targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
+      sortOrderSpec: Option[String] = None): (Int, Int) = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    val order: SortOrderMeta = sortOrderSpec match {
+      case Some(spec) =>
+        val fields = spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+          val toks = part.split("\\s+")
+          val colName = toks.head
+          val up = part.toUpperCase
+          val asc = !up.contains(" DESC")
+          val nullsFirst =
+            if (up.contains("NULLS FIRST")) true
+            else if (up.contains("NULLS LAST")) false
+            else asc // ref SortOrder default: asc ⇒ nulls first, desc ⇒ nulls last
+          SortFieldMeta(m.schema.fieldId(colName), "identity", asc, nullsFirst)
+        }
+        // transient order: files record sortOrderId 0 (no registered-order claim)
+        SortOrderMeta(0, fields.toSeq)
+      case None =>
+        require(m.sortOrder.fields.nonEmpty,
+          "Sort rewrite needs a table sort order (WRITE ORDERED BY) or an explicit sort_order")
+        m.sortOrder
+    }
+    val toRewrite = table.liveEntries(m, snap)
+      .filter(_.dataFile.content == FileContent.Data).map(_.dataFile)
+    if (toRewrite.isEmpty) return (0, 0)
+    val spark = table.spark
+    // one range exchange sized so each output task carries ~targetSize bytes
+    val nOut = math.max(1, math.ceil(
+      toRewrite.map(_.fileSizeBytes).sum.toDouble / targetSizeBytes).toInt)
+    val rangeSession = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
+    rangeSession.conf.set("spark.sql.shuffle.partitions", nOut.toString)
+    // AQE coalescing would merge the ranges back into few fat tasks
+    rangeSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Reads.readTasksWithDeletes(table, m,
+      toRewrite.map(f => FileScanTask(f, graft.meta.expr.TrueExpr)),
+      table.newScan().planDeletes(), m.schema.columnNames,
+      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession))
+    // write under the chosen order with range distribution; writeDataFiles
+    // adds the local sort (partitioned tables range-shuffle on
+    // partition+sort cols, unpartitioned on the sort cols alone)
+    val mm = m.copy(sortOrders = Seq(order), defaultSortOrderId = order.orderId)
+    val sortCols = order.fields.map { sf =>
+      val c = org.apache.spark.sql.functions.col(m.schema.fieldName(sf.sourceId))
+      val asc = if (sf.ascending) c.asc else c.desc
+      if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
+      else (if (sf.ascending) c.asc_nulls_last else c.desc_nulls_last)
+    }
+    val clustered =
+      if (m.spec.isUnpartitioned) df.repartitionByRange(nOut, sortCols: _*)
+      else df // partitioned: writeDataFiles' range mode shuffles once
+    val written = Writes.writeDataFiles(spark, table, mm, clustered,
+      overrides = Map(TableProperties.DistributionMode -> (
+        if (m.spec.isUnpartitioned) "none" else "range")))
+      .filter(_.recordCount > 0)
+      .map(f => f.copy(sortOrderId = order.orderId))
+    table.commitSnapshot(Operation.Replace, written,
+      toRewrite.map(_.path).toSet, Map("compaction" -> "sort"))
+    (toRewrite.size, written.size)
+  }
+
   /** Rewrite all live manifests into one per partition spec, clustering
     * entries (ref `BaseRewriteManifestsSparkAction`). */
   def rewriteManifests(table: IceTable): Int = {

@@ -64,4 +64,38 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A serializable per-file row reader built from Spark's own `FileFormat`
+    * implementations (`buildReaderWithPartitionValues`, the same factory
+    * `FileSourceScanExec` ships to executors). Vectorized reading is disabled
+    * so the iterator yields `InternalRow`s, which is what a DSv2
+    * `PartitionReader` must produce (the micro-batch streaming path; ref
+    * `RowDataReader.java` reads row-at-a-time for the same reason). */
+  def fileRowReader(spark: org.apache.spark.sql.SparkSession, format: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    classic.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    classic.conf.set("spark.sql.orc.enableVectorizedReader", "false")
+    val fmt: org.apache.spark.sql.execution.datasources.FileFormat = format match {
+      case "parquet" => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case "avro" => new graft.sources.GraftAvroFileFormat
+      case other => throw new IllegalArgumentException(s"No streaming reader for format: $other")
+    }
+    fmt.buildReaderWithPartitionValues(classic, dataSchema,
+      org.apache.spark.sql.types.StructType(Nil), requiredSchema, Nil,
+      Map.empty, classic.sessionState.newHadoopConf())
+  }
+
+  /** `PartitionedFile` constructor (its shape is `execution`-internal). */
+  def partitionedFile(path: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      0L, length, Array.empty, 0L, length,
+      Map.empty)
 }

@@ -50,6 +50,82 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t2.rewriteDataFiles() === ((0, 0)))
   }
 
+  test("sort rewrite re-clusters files so the sort key becomes prunable") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    // 4 appends of interleaved key ranges: every file spans ~the full keyspace
+    (0 until 4).foreach(i =>
+      t.append(orders.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    val total = t.toDF.count()
+    val before = t.newScan().planFiles()
+    assert(before.size >= 8)
+    val keyRange = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val mid = (keyRange.getLong(0) + keyRange.getLong(1)) / 2
+    // before: an upper-half filter prunes nothing (all files span the range)
+    val prunedBefore = t.newScan()
+      .filter(graft.meta.expr.Exprs.greaterThan("o_orderkey", mid)).planFiles().size
+    assert(prunedBefore === before.size)
+
+    val (rw, added) = t.rewriteDataFilesSorted(
+      targetSizeBytes = 16L * 1024, sortOrderSpec = Some("o_orderkey ASC"))
+    assert(rw === before.size)
+    assert(added >= 2) // target sized to force multiple sorted outputs
+    assert(t.toDF.count() === total)
+    assert(t.currentSnapshot.get.summary("compaction") === "sort")
+    // after: the same filter prunes at least one low-range file
+    val after = t.newScan().planFiles().size
+    val prunedAfter = t.newScan()
+      .filter(graft.meta.expr.Exprs.greaterThan("o_orderkey", mid)).planFiles().size
+    assert(prunedAfter < after)
+    // files are disjointly clustered: sorted read-back equals global sort
+    val sortedKeys = t.toDF.select("o_orderkey").collect().map(_.getLong(0))
+    assert(sortedKeys.toSet === orders.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("sort rewrite via CALL uses the declared table sort order") {
+    val loc = tmpLoc()
+    spark.conf.set("spark.sql.catalog.gsort", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsort.warehouse",
+      Files.createTempDirectory("graft-sortwh-").toString)
+    spark.sql("CREATE TABLE gsort.db.t (id BIGINT, v DOUBLE)")
+    spark.sql("ALTER TABLE gsort.db.t WRITE ORDERED BY id")
+    import spark.implicits._
+    spark.sql("INSERT INTO gsort.db.t SELECT CAST(id * 37 % 1000 AS BIGINT), CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql("INSERT INTO gsort.db.t SELECT CAST(id * 53 % 1000 AS BIGINT), CAST(id AS DOUBLE) FROM range(1000)")
+    val res = spark.sql(
+      "CALL gsort.system.rewrite_data_files(table => 'db.t', strategy => 'sort', target_file_size_bytes => 32768)")
+      .head()
+    assert(res.getLong(0) >= 2) // both inserts rewritten
+    assert(spark.sql("SELECT count(*) FROM gsort.db.t").head().getLong(0) === 2000)
+  }
+
+  test("imported files survive column renames (writer-schema name mapping)") {
+    val base = Files.createTempDirectory("graft-namemap-").toString
+    val ext = s"$base/external"
+    orders.limit(50).select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.parquet(ext)
+    val t = graft.table.TableImport.importParquet(spark, ext, s"$base/t")
+    val originals = orders.limit(50)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rename a column AFTER import: old files carry no field IDs — reads must
+    // resolve through the import-time schema (the name-mapping equivalent;
+    // ref core/.../mapping/NameMapping.java)
+    t.updateSchema(_.renameColumn("o_custkey", "cust_id"))
+    val rows = t.toDF.select("o_orderkey", "cust_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === originals)
+    // predicates on the renamed column still push down + prune correctly
+    val some = originals.head._2
+    assert(t.newScan().filter(graft.meta.expr.Exprs.equalTo("cust_id", some))
+      .toDF.count() === originals.count(_._2 == some))
+    // and new appends under the new name coexist with imported files
+    import spark.implicits._
+    t.append(Seq((999999L, 7L, "X")).toDF("o_orderkey", "cust_id", "o_orderstatus"))
+    assert(t.toDF.filter(col("cust_id") === 7L).count() ===
+      originals.count(_._2 == 7L) + 1)
+  }
+
   test("deleteReachableFiles removes imported external data and the table tree") {
     val base = Files.createTempDirectory("graft-reach-").toString
     // external parquet OUTSIDE the table location (imported in place)

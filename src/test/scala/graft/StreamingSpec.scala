@@ -165,6 +165,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest() === Map("a" -> 13L, "b" -> 5L, "c" -> 7L))
   }
 
+  test("DSv2 micro-batch: readStream.table streams catalog appends incrementally") {
+    val base = Files.createTempDirectory("graft-mbs-").toString
+    spark.conf.set("spark.sql.catalog.gmb", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmb.warehouse", s"$base/wh")
+    val src = IceTable.create(spark, s"$base/wh/db/t", Schema.fresh(orders.schema))
+    src.append(orders.limit(30))
+
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def runOnce(): Unit = {
+      val before = batches.size
+      val q = spark.readStream.table("gmb.db.t")
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            batches += b.select("o_orderkey").collect().map(_.getLong(0)).toSet
+            ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      if (batches.size == before) batches += Set.empty // no batch ran
+    }
+
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+    runOnce()
+    assert(batches(0) === keys(orders.limit(30))) // first batch = full snapshot
+
+    src.append(orders.limit(40).exceptAll(orders.limit(30)))
+    // restart from the checkpoint: ONLY the 10 appended rows flow
+    runOnce()
+    assert(batches(1) === keys(orders.limit(40)) -- keys(orders.limit(30)))
+    assert(batches(1).size === 10)
+
+    runOnce() // no new snapshot: nothing moves
+    assert(batches(2).isEmpty)
+  }
+
+  test("DSv2 micro-batch maps old files through renamed schemas") {
+    val base = Files.createTempDirectory("graft-mbs-").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gmb2", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmb2.warehouse", s"$base/wh")
+    val t = IceTable.create(spark, s"$base/wh/db/t",
+      Schema.fresh(Seq((1L, "x")).toDF("id", "name").schema))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.updateSchema(_.renameColumn("name", "label"))
+    t.append(Seq((3L, "c")).toDF("id", "label"))
+
+    val q = spark.readStream.table("gmb2.db.t")
+      .writeStream.format("memory").queryName("mbs_ren")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("mbs_ren").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming source schema matches the table") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val t = IceTable.create(spark, s"$base/t", Schema.fresh(orders.schema))
