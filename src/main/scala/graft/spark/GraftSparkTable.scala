@@ -4,14 +4,16 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import graft.meta.expr.{And => GAnd, Expr => GExpr, TrueExpr}
+import graft.meta.expr.{And => GAnd, Expr => GExpr, SparkConv, TrueExpr}
 import graft.table.{IceTable, SparkFilterConv}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
 import org.apache.spark.sql.types.StructType
@@ -112,15 +114,24 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
 /** Filter + projection pushdown (ref `SparkScanBuilder.java:100`). Converted
   * filters drive metadata pruning; ALL filters are returned as post-scan
   * residuals so Spark re-applies them — pruning is an optimization, row-level
-  * semantics stay with Spark. */
+  * semantics stay with Spark.
+  *
+  * Aggregate pushdown (ref `SparkScanBuilder.pushAggregation`): unfiltered
+  * COUNT/MIN/MAX are answered from manifest metrics alone — no data files are
+  * opened. MIN/MAX only for types whose bounds are exact (strings are
+  * truncated to 16 chars at write, float/double bounds are NaN-unreliable).
+  * The partial row is re-aggregated by Spark (`supportCompletePushDown` =
+  * false), so empty tables and null-only columns keep exact SQL semantics. */
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
     streamSkipDeletes: Boolean = true)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushedExpr: GExpr = TrueExpr
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schema.struct
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val converted = filters.flatMap(f => SparkFilterConv.fromV1(f).map(f -> _))
@@ -138,9 +149,101 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
       requiredSchema.fields.flatMap(f => byName.get(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId, asOfMillis,
-      splitSize, streamSkipDeletes)
+  private def baseScan() = {
+    var s = table.newScan()
+    snapshotId.foreach(id => s = s.useSnapshot(id))
+    asOfMillis.foreach(ts => s = s.asOfTime(ts))
+    s
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (!table.meta.property("read.aggregate-pushdown.enabled", "true").toBoolean)
+      return false
+    // only whole-table aggregates; Spark never offers an aggregation while
+    // post-scan filters remain, and we always keep filters post-scan
+    if (aggregation.groupByExpressions.nonEmpty || pushedExpr != TrueExpr)
+      return false
+    val scan = baseScan()
+    if (scan.planDeletes().nonEmpty) return false // MoR deletes hide rows
+    val files = scan.planFiles().map(_.file)
+    val schema = table.meta.schema
+    def fieldIdOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 =>
+          scala.util.Try(schema.fieldId(nr.fieldNames.head)).toOption
+        case _ => None
+      }
+    def exactBounds(t: DataType): Boolean = t match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    def allNull(f: graft.meta.model.DataFileMeta, id: Int): Boolean =
+      f.nullCounts.get(id).contains(f.recordCount)
+    def bound(id: Int, lower: Boolean): Option[(DataType, Any)] = {
+      val t = schema.fieldType(id)
+      val usable = exactBounds(t) && files.forall(f =>
+        (if (lower) f.lowerBounds else f.upperBounds).contains(id) || allNull(f, id))
+      if (!usable) None
+      else {
+        val bounds = files.flatMap(f =>
+          (if (lower) f.lowerBounds else f.upperBounds).get(id))
+        val v = bounds.reduceOption { (a, b) =>
+          val c = graft.meta.expr.Literals.compare(t, a, b)
+          if ((c < 0) == lower) a else b
+        }.orNull
+        Some((t, SparkConv.catalystValue(v, t)))
+      }
+    }
+    val results: Seq[Option[(DataType, Any)]] = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((LongType, files.map(_.recordCount).sum))
+      case c: Count if !c.isDistinct => fieldIdOf(c.column).flatMap { id =>
+        if (files.forall(f => f.valueCounts.contains(id) && f.nullCounts.contains(id)))
+          Some((LongType, files.map(f => f.valueCounts(id) - f.nullCounts(id)).sum))
+        else None
+      }
+      case m: Min => fieldIdOf(m.column).flatMap(bound(_, lower = true))
+      case m: Max => fieldIdOf(m.column).flatMap(bound(_, lower = false))
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) return false
+    val fields = results.zipWithIndex.map { case (Some((t, _)), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", t)
+    }
+    aggResult = Some((StructType(fields),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        results.map(_.get._2).toArray)))
+    true
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new GraftLocalAggScan(table, aggSchema, row)
+    case None =>
+      // merge-on-read deletes need the V1 union/anti-join read plan; plain
+      // tables take the native batch scan (vectorized readers, runtime file
+      // pruning, storage-partitioned joins)
+      val v1Forced =
+        table.meta.property("read.v1-fallback.enabled", "false").toBoolean
+      if (v1Forced || baseScan().planDeletes().nonEmpty)
+        new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
+          asOfMillis, splitSize, streamSkipDeletes)
+      else
+        new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
+          snapshotId, asOfMillis, splitSize, streamSkipDeletes)
+  }
+}
+
+/** Metadata-only aggregate result as a `LocalScan` — Spark plans it as a
+  * local relation; zero Spark jobs, zero files opened. */
+final class GraftLocalAggScan(table: IceTable, aggSchema: StructType,
+    row: InternalRow) extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftAggPushdown(table=${table.location})"
 }
 
 /** The scan: metadata pruning happens here (driver-side, like ref

@@ -74,21 +74,49 @@ object ColumnBridge {
   def fileRowReader(spark: org.apache.spark.sql.SparkSession, format: String,
       dataSchema: org.apache.spark.sql.types.StructType,
       requiredSchema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    fileReader(spark, format, dataSchema, requiredSchema, Nil, vectorized = false)._1
+
+  /** Like [[fileRowReader]] but optionally vectorized: when `vectorized` and
+    * the format supports whole-batch reads for this schema, the returned
+    * iterator yields `ColumnarBatch`es (cast to `InternalRow`, the same
+    * contract `FileSourceScanExec` relies on) and the second element is true.
+    * `filters` are data-source filters in the file's own column names —
+    * parquet row-group/dictionary pruning and ORC SArg pushdown apply, and
+    * columns absent from a given file are skipped by the format itself. */
+  def fileReader(spark: org.apache.spark.sql.SparkSession, format: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      vectorized: Boolean)
+      : (org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow], Boolean) = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
-    classic.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-    classic.conf.set("spark.sql.orc.enableVectorizedReader", "false")
+    classic.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized.toString)
+    classic.conf.set("spark.sql.orc.enableVectorizedReader", vectorized.toString)
     val fmt: org.apache.spark.sql.execution.datasources.FileFormat = format match {
       case "parquet" => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       case "avro" => new graft.sources.GraftAvroFileFormat
-      case other => throw new IllegalArgumentException(s"No streaming reader for format: $other")
+      case other => throw new IllegalArgumentException(s"No file reader for format: $other")
     }
-    fmt.buildReaderWithPartitionValues(classic, dataSchema,
-      org.apache.spark.sql.types.StructType(Nil), requiredSchema, Nil,
-      Map.empty, classic.sessionState.newHadoopConf())
+    val batches = vectorized && fmt.supportBatch(classic, requiredSchema)
+    // Spark 4 requires the caller to declare whether batches are expected
+    val options = Map(
+      org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH ->
+        batches.toString)
+    (fmt.buildReaderWithPartitionValues(classic, dataSchema,
+      org.apache.spark.sql.types.StructType(Nil), requiredSchema, filters.toSeq,
+      options, classic.sessionState.newHadoopConf()), batches)
   }
+
+  /** DSv2 runtime-filter `Predicate`s → V1 `Filter`s (`PredicateUtils` is
+    * `private[sql]`); predicates with no V1 equivalent are dropped —
+    * runtime pruning is best-effort. */
+  def predicatesToV1(preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    preds.toSeq.flatMap(p =>
+      org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
 
   /** `PartitionedFile` constructor (its shape is `execution`-internal). */
   def partitionedFile(path: String, length: Long)

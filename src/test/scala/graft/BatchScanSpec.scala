@@ -1,0 +1,184 @@
+package graft
+
+import graft.spark.{GraftBatchScan, GraftSparkTable}
+import graft.table.{IceTable, Listeners}
+
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native DSv2 batch read path: vectorized scans, runtime (join-driven) file
+  * pruning, storage-partitioned joins, and metadata-only aggregate pushdown
+  * (ref `SparkBatchQueryScan.java`, `SparkScanBuilder.pushAggregation`). */
+class BatchScanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionHelper.spark
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bs_wh").toString
+    spark.conf.set("spark.sql.catalog.bs", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.bs.warehouse", dir)
+    dir
+  }
+  private lazy val lineitem =
+    spark.read.parquet(s"${SparkSessionHelper.sf0001}/lineitem.parquet")
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("SQL reads plan a native BatchScan (columnar, results match Scala path)") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.nat (k INT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO bs.db.nat VALUES (1,'a'),(1,'b'),(2,'c'),(3,'d')")
+    val df = spark.sql("SELECT k, v FROM bs.db.nat WHERE k <= 2 ORDER BY k, v")
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (1, "b"), (2, "c")))
+    val plan = ColumnBridge.executedPlan(df).toString // post-AQE final plan
+    assert(plan.contains("BatchScan"), s"expected native BatchScan in:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"), s"V1 fallback still used:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"expected vectorized read in:\n$plan")
+  }
+
+  test("merge-on-read deletes fall back to the V1 union plan and stay correct") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.mor (k INT, v STRING)")
+    spark.sql("INSERT INTO bs.db.mor VALUES (1,'a'),(2,'b'),(3,'c')")
+    val t = IceTable.load(spark, s"$warehouse/db/mor")
+    import spark.implicits._
+    t.addEqualityDeletes(Seq(2).toDF("k"), Seq("k"))
+    val df = spark.sql("SELECT k, v FROM bs.db.mor ORDER BY k")
+    val plan = ColumnBridge.executedPlan(df).toString
+    assert(!plan.contains("BatchScan"), s"MoR table must not use the native batch scan:\n$plan")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+  }
+
+  test("runtime V2 filter prunes whole files before read") {
+    warehouse
+    val schema = graft.meta.Schema.fresh(
+      spark.range(0).selectExpr("cast(id as int) k", "cast(id as string) v").schema)
+    val t = IceTable.create(spark, s"$warehouse/db/rt",
+      schema, graft.meta.PartitionSpec.builderFor(schema).identity("k").build())
+    import spark.implicits._
+    t.append((1 to 40).map(i => (i % 4, s"v$i")).toDF("k", "v"))
+
+    val sb = new GraftSparkTable(t, "bs.db.rt")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val scan = sb.build().asInstanceOf[GraftBatchScan]
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before >= 4, "expected at least one task per identity partition")
+    scan.filter(Array(new Predicate("=",
+      Array(Expressions.column("k"), Expressions.literal(2)))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime filter did not prune: $before -> $after")
+    // and the filtered partitions only hold k=2 files
+    val rows = spark.sql("SELECT * FROM bs.db.rt WHERE k = 2").count()
+    assert(rows === 10)
+  }
+
+  test("dynamic partition pruning flows into the scan on a star join") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.fact (k INT, amt DOUBLE) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO bs.db.fact SELECT id % 8, id * 1.0 FROM range(800)")
+    spark.sql("CREATE TABLE bs.db.dim (k INT, name STRING)")
+    spark.sql("INSERT INTO bs.db.dim SELECT id, concat('n', id) FROM range(8)")
+
+    val events = scala.collection.mutable.ArrayBuffer[Listeners.ScanEvent]()
+    Listeners.register(classOf[Listeners.ScanEvent]) { e =>
+      if (e.tableLocation.endsWith("db/fact")) events.synchronized { events += e }
+    }
+    val df = spark.sql(
+      """SELECT f.k, sum(f.amt) FROM bs.db.fact f
+        |JOIN bs.db.dim d ON f.k = d.k
+        |WHERE d.name = 'n3' GROUP BY f.k""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 1 && rows.head.getInt(0) === 3)
+    val planned = events.synchronized(events.map(_.plannedFiles).toSeq)
+    // the runtime-filtered re-plan must see fewer files than the full scan
+    assert(planned.exists(_ < planned.max),
+      s"no runtime-pruned re-plan observed (events: $planned)")
+  }
+
+  test("storage-partitioned join: no shuffle when both sides share the partition key") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.spj_a (k INT, a DOUBLE) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE bs.db.spj_b (k INT, b STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO bs.db.spj_a SELECT id % 4, id * 1.0 FROM range(100)")
+    spark.sql("INSERT INTO bs.db.spj_b SELECT id % 4, concat('x', id) FROM range(40)")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(
+        "SELECT a.k, count(*) FROM bs.db.spj_a a JOIN bs.db.spj_b b ON a.k = b.k GROUP BY a.k")
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected storage-partitioned join without shuffle:\n$plan")
+      // 25 a-rows × 10 b-rows per key × 4 keys
+      assert(df.collect().map(_.getLong(1)).sum === 1000L)
+    }
+  }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
+    spark.sql("INSERT INTO bs.db.agg VALUES (5,'a',1.0),(2,NULL,2.0),(9,'c',NULL)")
+    spark.sql("INSERT INTO bs.db.agg VALUES (7,'d',4.0),(1,'e',5.0)")
+    val df = spark.sql("SELECT count(*), count(s), min(k), max(k) FROM bs.db.agg")
+    val plan = ColumnBridge.executedPlan(df).toString
+    assert(plan.contains("LocalTableScan"),
+      s"expected metadata-only local scan:\n$plan")
+    assert(!plan.contains("BatchScan"), s"data files were scanned:\n$plan")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)) === ((5L, 4L, 1, 9)))
+
+    // truncated string bounds and NaN-able doubles must NOT push down
+    val s = spark.sql("SELECT min(s) FROM bs.db.agg")
+    assert(!ColumnBridge.executedPlan(s).toString.contains("LocalTableScan"))
+    assert(s.head().getString(0) === "a")
+    val f = spark.sql("SELECT max(f) FROM bs.db.agg")
+    assert(!ColumnBridge.executedPlan(f).toString.contains("LocalTableScan"))
+    assert(f.head().getDouble(0) === 5.0)
+
+    // filters keep the real scan (pruning may answer it, but never the local row)
+    val flt = spark.sql("SELECT count(*) FROM bs.db.agg WHERE k > 3")
+    assert(!ColumnBridge.executedPlan(flt).toString.contains("LocalTableScan"))
+    assert(flt.head().getLong(0) === 3L)
+  }
+
+  test("aggregate pushdown disabled by MoR deletes and by table property") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.aggmor (k INT)")
+    spark.sql("INSERT INTO bs.db.aggmor VALUES (1),(2),(3)")
+    val t = IceTable.load(spark, s"$warehouse/db/aggmor")
+    import spark.implicits._
+    t.addEqualityDeletes(Seq(2).toDF("k"), Seq("k"))
+    val df = spark.sql("SELECT count(*) FROM bs.db.aggmor")
+    assert(!ColumnBridge.executedPlan(df).toString.contains("LocalTableScan"))
+    assert(df.head().getLong(0) === 2L)
+
+    spark.sql("CREATE TABLE bs.db.aggoff (k INT) TBLPROPERTIES ('read.aggregate-pushdown.enabled'='false')")
+    spark.sql("INSERT INTO bs.db.aggoff VALUES (1),(2)")
+    val off = spark.sql("SELECT count(*) FROM bs.db.aggoff")
+    assert(!ColumnBridge.executedPlan(off).toString.contains("LocalTableScan"))
+    assert(off.head().getLong(0) === 2L)
+  }
+
+  test("sf0.001 lineitem: native scan equals DataFrame on a filtered projection") {
+    warehouse
+    spark.sql(s"CREATE TABLE bs.db.li AS SELECT * FROM parquet.`${SparkSessionHelper.sf0001}/lineitem.parquet`")
+    val got = spark.sql(
+      "SELECT l_orderkey, l_quantity FROM bs.db.li WHERE l_shipdate >= DATE '1995-01-01' AND l_discount > 0.05")
+    val want = lineitem.filter(col("l_shipdate") >= "1995-01-01" && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_quantity")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
