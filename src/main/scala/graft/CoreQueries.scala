@@ -320,6 +320,38 @@ object CoreQueries {
       s.sql("CREATE TABLE gq27.db.ct AS SELECT s_nationkey AS k, count(*) AS n, " +
         "round(sum(s_acctbal), 2) AS bal FROM q27_sup GROUP BY s_nationkey")
       s.sql("SELECT k, n, bal FROM gq27.db.ct ORDER BY k")
+    }),
+
+    // Q28 metadata-only aggregate pushdown: unfiltered COUNT/MIN/MAX over a
+    // catalog table answer from manifest metrics (LocalScan — no data files
+    // opened; BatchScanSpec pins the plan shape, this pins the values)
+    "q28_agg_pushdown" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q28").toString
+      s.conf.set("spark.sql.catalog.gq28", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq28.warehouse", tmp)
+      t(s, d, "orders").createOrReplaceTempView("q28_src")
+      s.sql("CREATE TABLE gq28.db.ord AS SELECT o_orderkey, o_custkey, o_orderpriority FROM q28_src")
+      s.sql("SELECT count(*) AS n, count(o_orderpriority) AS np, " +
+        "min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+        "min(o_custkey) AS mnc, max(o_custkey) AS mxc FROM gq28.db.ord")
+    }),
+
+    // Q29 runtime file pruning (DSv2 dynamic partition pruning): star join
+    // of an identity-partitioned fact against a selective dim filter; the
+    // runtime IN-filter re-plans the fact scan to the matching partitions
+    "q29_runtime_prune" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q29").toString
+      s.conf.set("spark.sql.catalog.gq29", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq29.warehouse", tmp)
+      t(s, d, "supplier").createOrReplaceTempView("q29_sup")
+      t(s, d, "nation").createOrReplaceTempView("q29_nat")
+      s.sql("CREATE TABLE gq29.db.sup PARTITIONED BY (s_nationkey) AS " +
+        "SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS bal FROM q29_sup")
+      s.sql("CREATE TABLE gq29.db.nat AS SELECT n_nationkey, n_name FROM q29_nat")
+      s.sql("SELECT n.n_name AS nname, count(*) AS n, round(sum(f.bal), 2) AS bal " +
+        "FROM gq29.db.sup f JOIN gq29.db.nat n ON f.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CANADA') " +
+        "GROUP BY n.n_name ORDER BY nname")
     })
   )
 
@@ -426,6 +458,15 @@ object CoreQueries {
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q27_sql_ctas" ->
       ("SELECT s_nationkey AS k, count(*) AS n, round(sum(s_acctbal), 2) AS bal " +
-        "FROM supplier GROUP BY s_nationkey ORDER BY k")
+        "FROM supplier GROUP BY s_nationkey ORDER BY k"),
+    "q28_agg_pushdown" ->
+      ("SELECT count(*) AS n, count(o_orderpriority) AS np, " +
+        "min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+        "min(o_custkey) AS mnc, max(o_custkey) AS mxc FROM orders"),
+    "q29_runtime_prune" ->
+      ("SELECT n.n_name AS nname, count(*) AS n, round(sum(round(f.s_acctbal, 2)), 2) AS bal " +
+        "FROM supplier f JOIN nation n ON f.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CANADA') " +
+        "GROUP BY n.n_name ORDER BY nname")
   )
 }
