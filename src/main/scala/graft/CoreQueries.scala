@@ -350,7 +350,7 @@ object CoreQueries {
       s.sql("CREATE TABLE gq29.db.nat AS SELECT n_nationkey, n_name FROM q29_nat")
       s.sql("SELECT n.n_name AS nname, count(*) AS n, round(sum(f.bal), 2) AS bal " +
         "FROM gq29.db.sup f JOIN gq29.db.nat n ON f.s_nationkey = n.n_nationkey " +
-        "WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CANADA') " +
+        "WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12') " +
         "GROUP BY n.n_name ORDER BY nname")
     })
   )
@@ -466,7 +466,7 @@ object CoreQueries {
     "q29_runtime_prune" ->
       ("SELECT n.n_name AS nname, count(*) AS n, round(sum(round(f.s_acctbal, 2)), 2) AS bal " +
         "FROM supplier f JOIN nation n ON f.s_nationkey = n.n_nationkey " +
-        "WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CANADA') " +
+        "WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12') " +
         "GROUP BY n.n_name ORDER BY nname")
   )
 }

@@ -66,6 +66,16 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF (inverted-file) ANN with every list probed: the index is exercised
+    // end-to-end (k-means fit, list assignment, probe join) and the result
+    // is EXACT — so it shares the brute-force SQL oracle; partial-probe
+    // recall is pinned in LlmSpec
+    "llm_ann_ivf" -> ((s, d) => {
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", AnnQueryIds, k = 5,
+          nLists = 8, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // text statistics: token counts (whitespace + BPE-ish), punct ratio
     "llm_text_stats" -> ((s, d) => {
       docs(s, d).select(col("doc_id"),
@@ -144,6 +154,16 @@ object LlmQueries {
           "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 " +
           "ORDER BY id_a, id_b"),
       "llm_ann_topk" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+          "FROM embeddings WHERE vec_id IN (0,1,2,3,4)) " +
+          "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS INT) AS rank, " +
+          "e.vec_id AS neighbor_id, " +
+          "round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
+          "FROM q, embeddings e WHERE e.vec_id != q.query_id " +
+          "QUALIFY rank <= 5 ORDER BY query_id, rank"),
+      // full-probe IVF is exact ⇒ same oracle as the brute-force baseline
+      "llm_ann_ivf" ->
         ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
           "FROM embeddings WHERE vec_id IN (0,1,2,3,4)) " +
           "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +

@@ -106,4 +106,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Per-centroid `[cosine, index]` pairs (arrays order lexicographically,
+    * so array_max/array_sort rank by similarity then index) — ONE fold over
+    * a single `array<array<double>>` literal (`typedLit`), so the plan
+    * carries one constant and each row does O(nLists×dim) codegen'd work:
+    * no row amplification, no UDF. */
+  private def listSims(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedLit(cents), (cv, i) =>
+      array(cosine(vecCol, cv), i.cast("double")))
+
+  /** Index of the nearest (max-cosine) centroid; ties break to the larger
+    * index — any deterministic rule works, rows near a tie belong to either
+    * list equally well. */
+  def nearestList(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(array_max(listSims(vecCol, cents)), 2).cast("int")
+
+  /** Lists sized so probe cost is bounded by list size, not corpus size
+    * (same contract as [[planesFor]]); capped at 16k lists — beyond that an
+    * IVF index goes hierarchical (a second quantizer level), not wider. */
+  def listsFor(corpusSize: Long, targetListSize: Long = 1L << 20): Int =
+    math.max(2, math.min(1 << 14,
+      math.ceil(corpusSize.toDouble / math.max(1L, targetListSize)).toInt))
+
+  /** Deterministic k-means (Lloyd) coarse quantizer trained as DataFrame
+    * jobs: init = the `nLists` lowest-id vectors, then `iters` rounds of
+    * assign (codegen'd argmax, no shuffle) + per-list element-wise mean
+    * (posexplode → groupBy(list, dim) — one shuffle of N×dim scalars per
+    * round). Only k×dim doubles ever reach the driver. At 100 TB train on
+    * `corpus.sample(...)`: quantizer quality needs ~100× nLists vectors,
+    * not the full corpus. */
+  def ivfFit(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]].collect().toSeq
+    (1 to iters).foreach { _ =>
+      val means = corpus
+        .select(nearestList(col(vecCol), cents).as("list"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("list")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .select(col("list"), transform(col("mv"), e => e.getField("m")).as("mv"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus partitioned into
+    * `nLists` inverted lists by nearest centroid; each query probes its
+    * `nProbe` nearest lists, so candidate cost per query is
+    * `nProbe/nLists` of the corpus (vs the LSH tables' bucket union). The
+    * probe is an equi-join on the list id with the query side broadcast —
+    * at 1000 executors each probe list streams through its own tasks, no
+    * cross join. `nProbe >= nLists` degenerates to exact brute force (the
+    * LlmSpec exactness pin). `nLists < 0` derives the list count from the
+    * corpus size. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nLists: Int = -1, nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val n = if (nLists > 0) nLists else listsFor(corpus.count())
+    val probes = math.min(math.max(1, nProbe), n)
+    val cents = ivfFit(corpus, idCol, vecCol, n, iters)
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      nearestList(col(vecCol), cents).as("list"))
+    // top-nProbe lists per query: sort the sims ascending, keep the tail
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(transform(
+          slice(array_sort(listSims(col(vecCol), cents)), -probes, probes),
+          e => element_at(e, 2).cast("int"))).as("list"))
+    // each corpus row lives in exactly ONE list and a query's probed lists
+    // are distinct, so no candidate is seen twice — no dropDuplicates
+    val joined = indexed.join(broadcast(q), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
 }

@@ -61,10 +61,8 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val DropIdFieldsRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
-  private val WriteOrderedRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
-  private val WriteUnorderedRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  private val WriteSpecRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+((?:DISTRIBUTED|LOCALLY|ORDERED|UNORDERED)\b.*?)\s*;?\s*$""".r
 
   def parseExtension(sql: String): Option[LogicalPlan] = sql match {
     case CallRe(catalog, proc, args) => Some(call(catalog, proc.toLowerCase, args))
@@ -76,8 +74,7 @@ object GraftSqlParser {
       Some(alterSpec(ident, transform, add = false))
     case SetIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = true))
     case DropIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = false))
-    case WriteOrderedRe(ident, order) => Some(writeOrdered(ident, order))
-    case WriteUnorderedRe(ident) => Some(writeUnordered(ident))
+    case WriteSpecRe(ident, spec) => Some(writeSpec(ident, spec))
     case _ => None
   }
 
@@ -373,31 +370,58 @@ object GraftSqlParser {
       Nil
     })
 
-  // ------------------------------------------------------------ WRITE ORDER
+  // ------------------------------------------------------------ WRITE SPEC
 
   private val OrderFieldRe =
-    """(?i)^`?([\w.]+)`?(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+    """(?is)^(.+?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+  private val DistributedClauseRe = """(?is)\bDISTRIBUTED\s+BY\s+PARTITION\b""".r
 
-  private def writeOrdered(ident: String, orderSql: String): LogicalPlan =
-    GraftCallCommand("write_ordered_by", Nil, { spark =>
+  /** `ALTER TABLE t WRITE [DISTRIBUTED BY PARTITION] [[LOCALLY] ORDERED BY
+    * order | UNORDERED]` (ref grammar `IcebergSqlExtensions.g4:78–88`
+    * writeSpec + `IcebergSqlExtensionsAstBuilder.visitSetWriteDistribution
+    * AndOrdering`): distribution clause ⇒ hash; UNORDERED or LOCALLY ⇒ none;
+    * plain ORDERED BY ⇒ range. Sort terms may be transforms (`bucket(8,
+    * id)`, `days(ts)`). Order + mode commit atomically (ref
+    * `SetWriteDistributionAndOrderingExec` single transaction). */
+  private def writeSpec(ident: String, specSql: String): LogicalPlan =
+    GraftCallCommand("set_write_distribution_and_ordering", Nil, { spark =>
+      val distributed = DistributedClauseRe.findAllIn(specSql).size match {
+        case 0 => false
+        case 1 => true
+        case _ => throw new IllegalArgumentException(
+          "ALTER TABLE contains multiple distribution clauses")
+      }
+      val rest = DistributedClauseRe.replaceAllIn(specSql, " ").trim
+      val (locally, unordered, orderSql) = rest match {
+        case "" => (false, false, "")
+        case r if r.matches("(?is)^UNORDERED$") => (false, true, "")
+        case r =>
+          val m = """(?is)^(LOCALLY\s+)?ORDERED\s+BY\s+(.+)$""".r
+          r match {
+            case m(loc, order) => (loc != null, false, order.trim)
+            case other => throw new IllegalArgumentException(
+              s"Cannot parse WRITE spec: $other")
+          }
+      }
+      val mode =
+        if (distributed) "hash"
+        else if (unordered || locally) "none"
+        else "range"
       val t = resolveIdent(spark, ident)
       val schema = t.schema
       val fields = splitArgs(orderSql).map {
-        case OrderFieldRe(col, dir, nulls) =>
+        case OrderFieldRe(term, dir, nulls) =>
+          val (colName, transform) = parseTransform(term.trim)
           val asc = dir == null || dir.equalsIgnoreCase("ASC")
           val nullsFirst =
             if (nulls == null) asc // SQL default: NULLS FIRST iff ASC
             else nulls.equalsIgnoreCase("FIRST")
-          graft.meta.model.SortFieldMeta(schema.fieldId(col), "identity", asc, nullsFirst)
+          graft.meta.model.SortFieldMeta(schema.fieldId(colName), transform.name,
+            asc, nullsFirst)
         case other => throw new IllegalArgumentException(s"Cannot parse sort field: $other")
       }
-      t.replaceSortOrder(graft.meta.model.SortOrderMeta(1, fields))
-      Nil
-    })
-
-  private def writeUnordered(ident: String): LogicalPlan =
-    GraftCallCommand("write_unordered", Nil, { spark =>
-      resolveIdent(spark, ident).replaceSortOrder(graft.meta.model.SortOrderMeta.unsorted)
+      t.setWriteDistributionAndOrdering(mode,
+        graft.meta.model.SortOrderMeta(1, fields))
       Nil
     })
 }

@@ -124,6 +124,24 @@ trait Lifecycle { self: IceTable =>
         lastUpdatedMillis = System.currentTimeMillis())
     }
 
+  /** Distribution mode + sort order in ONE metadata commit (ref
+    * `SetWriteDistributionAndOrderingExec`: sort-order replace and the
+    * `write.distribution-mode` property land in a single transaction). */
+  def setWriteDistributionAndOrdering(mode: String, order: SortOrderMeta): Unit =
+    ops.commitWithRetry(4) { base =>
+      val next =
+        if (order.fields.isEmpty) SortOrderMeta.unsorted
+        else order.copy(orderId = base.sortOrders.map(_.orderId).max + 1)
+      base.copy(
+        defaultSortOrderId = next.orderId,
+        sortOrders =
+          if (base.sortOrders.exists(_.orderId == next.orderId)) base.sortOrders
+          else base.sortOrders :+ next,
+        properties = base.properties +
+          (graft.meta.model.TableProperties.DistributionMode -> mode),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+
   /** Multi-operation atomic transaction (ref `core/.../BaseTransaction`):
     * data writes happen eagerly, but all metadata lands in ONE snapshot +
     * metadata-version swap. */

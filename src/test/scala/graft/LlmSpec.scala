@@ -44,6 +44,36 @@ class LlmSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@5 = $mean (per-query $recalls)")
   }
 
+  test("IVF ANN with nProbe = nLists is exactly brute force; partial probe recall >= 0.9") {
+    val qids = LlmQueries.AnnQueryIds
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // probing every list degenerates to an exact scan — results must MATCH
+    val full = Similarity.ivfTopK(embs, "vec_id", "embedding", qids, 5,
+        nLists = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach(q => assert(full(q) === exact(q), s"query $q full-probe != brute force"))
+    // partial probe: recall@5 stays high while scanning ~nProbe/nLists
+    val approx = Similarity.ivfTopK(embs, "vec_id", "embedding", qids, 5,
+        nLists = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map { q =>
+      exact(q).count(approx.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF mean recall@5 = $mean (per-query $recalls)")
+  }
+
+  test("IVF list count scales with corpus size") {
+    assert(Similarity.listsFor(500) === 2) // floor
+    assert(Similarity.listsFor(10_000_000_000L) === 9537) // ~1M vectors per list
+    assert(Similarity.listsFor(100_000_000_000L) === 1 << 14) // hierarchical beyond
+    assert(Similarity.listsFor(3L << 20) === 3)
+  }
+
   test("LSH ANN plane count scales with corpus size") {
     assert(Similarity.planesFor(500) === 3) // floor
     assert(Similarity.planesFor(1L << 24) === 4)

@@ -95,8 +95,34 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(so.fields.size === 2)
     assert(!so.fields.head.ascending && !so.fields.head.nullsFirst)
     assert(so.fields(1).ascending)
+    // ref visitSetWriteDistributionAndOrdering: plain ORDERED BY ⇒ range
+    assert(t.meta.property("write.distribution-mode", "hash") === "range")
     spark.sql(s"ALTER TABLE $name WRITE UNORDERED")
     t = IceTable.load(spark, path)
+    assert(t.meta.sortOrder.fields.isEmpty)
+    assert(t.meta.property("write.distribution-mode", "hash") === "none")
+  }
+
+  test("ALTER TABLE WRITE DISTRIBUTED BY PARTITION / LOCALLY ORDERED BY") {
+    val (name, path) = fresh()
+    // distribution clause ⇒ hash mode; transform sort terms parse
+    spark.sql(s"ALTER TABLE $name WRITE DISTRIBUTED BY PARTITION " +
+      "LOCALLY ORDERED BY bucket(4, id), data DESC")
+    var t = IceTable.load(spark, path)
+    assert(t.meta.property("write.distribution-mode", "none") === "hash")
+    val so = t.meta.sortOrder
+    assert(so.fields.size === 2)
+    assert(so.fields.head.transform === "bucket[4]")
+    assert(!so.fields(1).ascending)
+    // LOCALLY ORDERED BY alone ⇒ none + sort order
+    spark.sql(s"ALTER TABLE $name WRITE LOCALLY ORDERED BY id")
+    t = IceTable.load(spark, path)
+    assert(t.meta.property("write.distribution-mode", "hash") === "none")
+    assert(t.meta.sortOrder.fields.size === 1)
+    // DISTRIBUTED BY PARTITION alone ⇒ hash + unsorted (ref resets order)
+    spark.sql(s"ALTER TABLE $name WRITE DISTRIBUTED BY PARTITION")
+    t = IceTable.load(spark, path)
+    assert(t.meta.property("write.distribution-mode", "none") === "hash")
     assert(t.meta.sortOrder.fields.isEmpty)
   }
 
