@@ -19,14 +19,19 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
-/** One read task: a size-packed group of files sharing a writer schema (and,
-  * when key-grouped, one partition tuple), with the serialized reader
+/** A byte range of one data file (whole file, or one split of a file larger
+  * than the split target — ref `BaseTableScan.planFiles` splits at
+  * `split-size` so one huge file fans out across executors). */
+final case class FileSlice(path: String, start: Long, length: Long, fileSize: Long)
+
+/** One read task: a size-packed group of file slices sharing a writer schema
+  * (and, when key-grouped, one partition tuple), with the serialized reader
   * function Spark's `FileFormat` produced on the driver. `columnar` marks
   * that the reader yields `ColumnarBatch`es (vectorized parquet/ORC);
   * `key` is the partition tuple for storage-partitioned joins (null when the
   * scan does not report key-grouped partitioning). */
 final case class GraftInputPartition(
-    files: Array[(String, Long)],
+    files: Array[FileSlice],
     reader: PartitionedFile => Iterator[InternalRow],
     project: Option[Seq[Expression]],
     columnar: Boolean = false,
@@ -46,14 +51,14 @@ object GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       private val proj = p.project.map(UnsafeProjection.create)
-      private val it: Iterator[InternalRow] = p.files.iterator.flatMap {
-        case (path, len) =>
-          val rows = p.reader(ColumnBridge.partitionedFile(path, len))
-          // a columnar reader yields batches disguised as rows — flatten
-          if (p.columnar) rows.flatMap(b =>
-            b.asInstanceOf[AnyRef].asInstanceOf[ColumnarBatch].rowIterator()
-              .asInstanceOf[java.util.Iterator[InternalRow]].asScalaIterator)
-          else rows
+      private val it: Iterator[InternalRow] = p.files.iterator.flatMap { s =>
+        val rows = p.reader(
+          ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
+        // a columnar reader yields batches disguised as rows — flatten
+        if (p.columnar) rows.flatMap(b =>
+          b.asInstanceOf[AnyRef].asInstanceOf[ColumnarBatch].rowIterator()
+            .asInstanceOf[java.util.Iterator[InternalRow]].asScalaIterator)
+        else rows
       }
       private var row: InternalRow = _
       override def next(): Boolean =
@@ -67,10 +72,9 @@ object GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     require(p.columnar, s"partition is not columnar: $p")
     new PartitionReader[ColumnarBatch] {
-      private val it: Iterator[ColumnarBatch] = p.files.iterator.flatMap {
-        case (path, len) =>
-          p.reader(ColumnBridge.partitionedFile(path, len))
-            .asInstanceOf[Iterator[ColumnarBatch]]
+      private val it: Iterator[ColumnarBatch] = p.files.iterator.flatMap { s =>
+        p.reader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
+          .asInstanceOf[Iterator[ColumnarBatch]]
       }
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
@@ -192,8 +196,8 @@ object GraftReadPlanner {
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
           p.writeSchema, p.required, p.filters, vectorized)
         if (vectorized && !batches) return None
-        pack(p.files, splitTarget).map(filesPack => GraftInputPartition(
-          filesPack.map(f => (f.path, f.fileSizeBytes)).toArray,
+        pack(p.files, splitTarget).map(slicePack => GraftInputPartition(
+          slicePack.toArray,
           reader, p.project, columnar = vectorized && batches, key = p.key))
       }
       Some(Planned(partitions.toArray, columnar = vectorized))
@@ -202,17 +206,34 @@ object GraftReadPlanner {
       .orElse(build(vectorized = false)).get
   }
 
+  /** Byte-range slices of one file: files over the split target fan out into
+    * target-sized ranges (readers snap ranges to row-group/stripe/block
+    * boundaries), so one huge file spreads across executors instead of
+    * pinning a single task (ref `BaseTableScan.planFiles` splitting). The
+    * last slice absorbs a sub-10% tail rather than spawning a sliver task. */
+  private def slices(f: DataFileMeta, splitTarget: Long): Seq[FileSlice] =
+    if (f.fileSizeBytes <= splitTarget + splitTarget / 10)
+      Seq(FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
+    else {
+      val n = math.max(1, (f.fileSizeBytes / splitTarget).toInt)
+      (0 until n).map { i =>
+        val start = i.toLong * splitTarget
+        val len = if (i == n - 1) f.fileSizeBytes - start else splitTarget
+        FileSlice(f.path, start, len, f.fileSizeBytes)
+      }
+    }
+
   /** Greedy size-packed splits (ref `TableScanUtil.planTasks` bin-pack). */
-  private def pack(group: Seq[DataFileMeta], splitTarget: Long): Seq[Seq[DataFileMeta]] = {
+  private def pack(group: Seq[DataFileMeta], splitTarget: Long): Seq[Seq[FileSlice]] = {
     val packs = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[DataFileMeta])
+      scala.collection.mutable.ArrayBuffer.empty[FileSlice])
     var acc = 0L
-    group.foreach { f =>
-      if (acc > 0 && acc + f.fileSizeBytes > splitTarget) {
-        packs += scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+    group.flatMap(slices(_, splitTarget)).foreach { s =>
+      if (acc > 0 && acc + s.length > splitTarget) {
+        packs += scala.collection.mutable.ArrayBuffer.empty[FileSlice]
         acc = 0L
       }
-      packs.last += f; acc += f.fileSizeBytes
+      packs.last += s; acc += s.length
     }
     packs.filter(_.nonEmpty).map(_.toSeq).toSeq
   }

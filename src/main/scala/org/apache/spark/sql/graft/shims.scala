@@ -118,12 +118,20 @@ object ColumnBridge {
     preds.toSeq.flatMap(p =>
       org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
 
-  /** `PartitionedFile` constructor (its shape is `execution`-internal). */
-  def partitionedFile(path: String, length: Long)
+  /** `PartitionedFile` constructor (its shape is `execution`-internal).
+    * `start`/`length` select a byte range: parquet/ORC readers snap it to
+    * the row groups/stripes whose midpoint falls inside, Avro container
+    * files sync to the next block — the same contract Spark's own
+    * file-splitting relies on. */
+  def partitionedFile(path: String, start: Long, length: Long, fileSize: Long)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(
       org.apache.spark.sql.catalyst.InternalRow.empty,
       org.apache.spark.paths.SparkPath.fromPathString(path),
-      0L, length, Array.empty, 0L, length,
+      start, length, Array.empty, 0L, fileSize,
       Map.empty)
+
+  def partitionedFile(path: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    partitionedFile(path, 0L, length, length)
 }

@@ -47,6 +47,29 @@ class BatchScanSpec extends AnyFunSuite {
     assert(plan.contains("ColumnarToRow"), s"expected vectorized read in:\n$plan")
   }
 
+  test("a file larger than split-size fans out into multiple byte-range tasks") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.bigfile (k BIGINT, v STRING)")
+    val t = IceTable.load(spark, s"$warehouse/db/bigfile")
+    // one file, ~hundreds of KB
+    t.append(lineitem.select(col("l_orderkey").as("k"),
+      concat_ws("|", col("l_returnflag"), col("l_shipdate"),
+        col("l_extendedprice")).as("v")).coalesce(1))
+    val files = t.newScan().planFiles()
+    assert(files.size === 1)
+    val fileSize = files.head.file.fileSizeBytes
+    val split = fileSize / 4
+    val df = spark.read.format("graft").option("split-size", split.toString)
+      .load(s"$warehouse/db/bigfile")
+    assert(df.rdd.getNumPartitions >= 3,
+      s"one $fileSize-byte file with split-size=$split should fan out, got " +
+        s"${df.rdd.getNumPartitions} partitions")
+    // byte ranges snap to row groups: no row lost or duplicated
+    assert(df.count() === lineitem.count())
+    assert(df.agg(sum("k")).head.getLong(0) ===
+      lineitem.agg(sum("l_orderkey")).head.getLong(0))
+  }
+
   test("merge-on-read deletes fall back to the V1 union plan and stay correct") {
     warehouse
     spark.sql("CREATE TABLE bs.db.mor (k INT, v STRING)")
