@@ -256,7 +256,8 @@ object GraftReadPlanner {
 final class GraftBatchScan(val table: IceTable, filter: GExpr,
     projection: StructType, pushedV1: Seq[Filter],
     snapshotId: Option[Long], asOfMillis: Option[Long],
-    splitSize: Option[Long], streamSkipDeletes: Boolean)
+    splitSize: Option[Long], streamSkipDeletes: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -287,7 +288,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
-      streamSkipDeletes)
+      streamSkipDeletes, maxFilesPerTrigger)
 
   override def estimateStatistics(): Statistics = {
     val t = tasks

@@ -73,7 +73,8 @@ class GraftSparkTable(val table: IceTable, fullName: String,
     val split = Option(options.get("split-size")).map(_.toLong)
     val skipDeletes = Option(options.get("streaming-skip-delete-snapshots"))
       .forall(_.toBoolean)
-    new GraftScanBuilder(table, snap, asOf, split, skipDeletes)
+    val maxFiles = Option(options.get("max-files-per-trigger")).map(_.toInt)
+    new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -124,7 +125,7 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
   * false), so empty tables and null-only columns keep exact SQL semantics. */
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
-    streamSkipDeletes: Boolean = true)
+    streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -229,10 +230,10 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
         table.meta.property("read.v1-fallback.enabled", "false").toBoolean
       if (v1Forced || baseScan().planDeletes().nonEmpty)
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
-          asOfMillis, splitSize, streamSkipDeletes)
+          asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
       else
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
-          snapshotId, asOfMillis, splitSize, streamSkipDeletes)
+          snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
   }
 }
 
@@ -253,7 +254,8 @@ final class GraftLocalAggScan(table: IceTable, aggSchema: StructType,
   * AQE) sees post-pruning sizes, not raw table sizes. */
 final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructType,
     snapshotId: Option[Long], asOfMillis: Option[Long],
-    splitSize: Option[Long] = None, streamSkipDeletes: Boolean = true)
+    splitSize: Option[Long] = None, streamSkipDeletes: Boolean = true,
+    maxFilesPerTrigger: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
 
   /** Structured Streaming entry (ref `SparkMicroBatchStream.java`): offsets
@@ -261,7 +263,7 @@ final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructTy
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
-      streamSkipDeletes)
+      streamSkipDeletes, maxFilesPerTrigger)
 
   private def newGraftScan() = {
     var s = table.newScan()

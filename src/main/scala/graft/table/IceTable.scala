@@ -266,6 +266,24 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       .filter(_.content == FileContent.Data)
   }
 
+  /** Append snapshots in (fromId, toId], OLDEST first, with their
+    * added-data-file counts — the admission-control planning input of the
+    * micro-batch stream. Counts come from the snapshot summary counter when
+    * present (no manifest IO), manifest reads otherwise. */
+  private[graft] def appendSnapshotsBetween(m: TableMetadata, fromId: Long,
+      toId: Long): Seq[(SnapshotMeta, Long)] = {
+    val to = m.snapshot(toId).getOrElse(throw new ValidationException(s"Unknown: $toId"))
+    val lineage = Iterator.iterate(Option(to))(s =>
+        s.flatMap(_.parentId).flatMap(m.snapshot))
+      .takeWhile(s => s.isDefined && s.get.snapshotId != fromId)
+      .flatten.toSeq
+    lineage.reverse.filter(_.operation == Operation.Append).map { s =>
+      val n = s.summary.get("added-data-files").flatMap(_.toLongOption)
+        .getOrElse(addedFiles(m, s).size.toLong)
+      (s, n)
+    }
+  }
+
   private def addedFiles(m: TableMetadata, snap: SnapshotMeta): Seq[DataFileMeta] = {
     val manifests = readManifestList(m, snap)
       .filter(_.addedSnapshotId == snap.snapshotId)

@@ -205,6 +205,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches(2).isEmpty)
   }
 
+  test("max-files-per-trigger splits catch-up into bounded micro-batches") {
+    val base = Files.createTempDirectory("graft-mbs-").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gmb3", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmb3.warehouse", s"$base/wh")
+    val t = IceTable.create(spark, s"$base/wh/db/t",
+      Schema.fresh(Seq(0L).toDF("id").schema))
+    t.append(Seq(0L).toDF("id").repartition(1))
+
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def runOnce(maxFiles: Option[Int]): Unit = {
+      var r = spark.readStream
+      maxFiles.foreach(n => r = r.option("max-files-per-trigger", n.toString))
+      val q = r.table("gmb3.db.t")
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+            if (rows.nonEmpty) batches += rows
+            ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    runOnce(None) // initial load establishes the checkpoint
+    assert(batches.toSeq === Seq(Seq(0L)))
+
+    // three single-file append snapshots, then catch up with a 1-file budget:
+    // each snapshot becomes its own micro-batch instead of one giant batch
+    (1 to 3).foreach(i => t.append(Seq(i.toLong).toDF("id").repartition(1)))
+    runOnce(Some(1))
+    assert(batches.toSeq === Seq(Seq(0L), Seq(1L), Seq(2L), Seq(3L)),
+      s"expected per-snapshot batches, got $batches")
+
+    // budget 2: first batch takes two snapshots, second the remainder
+    (4 to 6).foreach(i => t.append(Seq(i.toLong).toDF("id").repartition(1)))
+    runOnce(Some(2))
+    assert(batches.drop(4).toSeq === Seq(Seq(4L, 5L), Seq(6L)),
+      s"expected 2+1 batching, got ${batches.drop(4)}")
+  }
+
   test("DSv2 micro-batch maps old files through renamed schemas") {
     val base = Files.createTempDirectory("graft-mbs-").toString
     import spark.implicits._
