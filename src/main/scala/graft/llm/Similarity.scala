@@ -171,8 +171,10 @@ object Similarity {
       queryIds: Seq[Long], k: Int, nLists: Int = -1, nProbe: Int = 2,
       iters: Int = 2): DataFrame = {
     val n = if (nLists > 0) nLists else listsFor(corpus.count())
-    val probes = math.min(math.max(1, nProbe), n)
     val cents = ivfFit(corpus, idCol, vecCol, n, iters)
+    // a corpus smaller than nLists yields fewer centroids; clamp the probe
+    // count to what exists (slice past the array length returns EMPTY)
+    val probes = math.min(math.max(1, nProbe), cents.size)
     val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       nearestList(col(vecCol), cents).as("list"))
     // top-nProbe lists per query: sort the sims ascending, keep the tail

@@ -215,10 +215,13 @@ object GraftReadPlanner {
     if (f.fileSizeBytes <= splitTarget + splitTarget / 10)
       Seq(FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
     else {
-      val n = math.max(1, (f.fileSizeBytes / splitTarget).toInt)
+      // ceil-divide then equal-size ranges: a 1.9×target file becomes two
+      // ~0.95×target slices, never one straggler ~2×target slice
+      val n = ((f.fileSizeBytes + splitTarget - 1) / splitTarget).toInt
+      val each = f.fileSizeBytes / n
       (0 until n).map { i =>
-        val start = i.toLong * splitTarget
-        val len = if (i == n - 1) f.fileSizeBytes - start else splitTarget
+        val start = i.toLong * each
+        val len = if (i == n - 1) f.fileSizeBytes - start else each
         FileSlice(f.path, start, len, f.fileSizeBytes)
       }
     }

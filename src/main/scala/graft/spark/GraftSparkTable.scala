@@ -157,6 +157,10 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     s
   }
 
+  // planned once per query: pushAggregation and build() both ask — on a
+  // table with thousands of manifests a second walk doubles compile-time IO
+  private lazy val plannedDeletes = baseScan().planDeletes()
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
@@ -166,9 +170,6 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     // post-scan filters remain, and we always keep filters post-scan
     if (aggregation.groupByExpressions.nonEmpty || pushedExpr != TrueExpr)
       return false
-    val scan = baseScan()
-    if (scan.planDeletes().nonEmpty) return false // MoR deletes hide rows
-    val files = scan.planFiles().map(_.file)
     val schema = table.meta.schema
     def fieldIdOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
       e match {
@@ -182,6 +183,19 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
            DateType | TimestampType | TimestampNTZType | _: DecimalType => true
       case _ => false
     }
+    // validate the aggregate shapes BEFORE any metadata planning: an
+    // unsupported aggregate (SUM, AVG, distinct COUNT, ...) must not pay a
+    // manifest walk just to bail out
+    val supported = aggregation.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct => fieldIdOf(c.column).isDefined
+      case m: Min => fieldIdOf(m.column).exists(id => exactBounds(schema.fieldType(id)))
+      case m: Max => fieldIdOf(m.column).exists(id => exactBounds(schema.fieldType(id)))
+      case _ => false
+    }
+    if (!supported) return false
+    if (plannedDeletes.nonEmpty) return false // MoR deletes hide rows
+    val files = baseScan().planFiles().map(_.file)
     def allNull(f: graft.meta.model.DataFileMeta, id: Int): Boolean =
       f.nullCounts.get(id).contains(f.recordCount)
     def bound(id: Int, lower: Boolean): Option[(DataType, Any)] = {
@@ -228,7 +242,7 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
       // pruning, storage-partitioned joins)
       val v1Forced =
         table.meta.property("read.v1-fallback.enabled", "false").toBoolean
-      if (v1Forced || baseScan().planDeletes().nonEmpty)
+      if (v1Forced || plannedDeletes.nonEmpty)
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
           asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
       else

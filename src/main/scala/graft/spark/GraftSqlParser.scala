@@ -291,25 +291,10 @@ object GraftSqlParser {
 
   // --------------------------------------------------- ALTER PARTITION FIELD
 
-  private val TransformArgRe = """(?i)^(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?`?([\w.]+)`?\s*\)$""".r
-
-  /** `bucket(8, id)` / `days(ts)` / `truncate(4, s)` / bare column name. */
-  private def parseTransform(s: String): (String, Transform) = s.trim match {
-    case TransformArgRe(fn, num, col) => fn.toLowerCase match {
-      case "bucket" => (col, BucketTransform(num.toInt))
-      case "truncate" => (col, TruncateTransform(num.toInt))
-      case "year" | "years" => (col, YearTransform)
-      case "month" | "months" => (col, MonthTransform)
-      case "day" | "days" => (col, DayTransform)
-      case "hour" | "hours" => (col, HourTransform)
-      case "void" => (col, VoidTransform)
-      case "identity" => (col, IdentityTransform)
-      case other => throw new UnsupportedOperationException(s"Transform: $other")
-    }
-    case bare if bare.matches("`?[\\w.]+`?") =>
-      (bare.replace("`", ""), IdentityTransform)
-    case other => throw new IllegalArgumentException(s"Cannot parse partition field: $other")
-  }
+  /** `bucket(8, id)` / `days(ts)` / `truncate(4, s)` / bare column name
+    * (shared grammar: [[graft.meta.SortSpec.parseTransformTerm]]). */
+  private def parseTransform(s: String): (String, Transform) =
+    graft.meta.SortSpec.parseTransformTerm(s)
 
   private def alterSpec(ident: String, transformSql: String, add: Boolean): LogicalPlan =
     GraftCallCommand(if (add) "add_partition_field" else "drop_partition_field",
@@ -372,8 +357,6 @@ object GraftSqlParser {
 
   // ------------------------------------------------------------ WRITE SPEC
 
-  private val OrderFieldRe =
-    """(?is)^(.+?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
   private val DistributedClauseRe = """(?is)\bDISTRIBUTED\s+BY\s+PARTITION\b""".r
 
   /** `ALTER TABLE t WRITE [DISTRIBUTED BY PARTITION] [[LOCALLY] ORDERED BY
@@ -408,18 +391,9 @@ object GraftSqlParser {
         else if (unordered || locally) "none"
         else "range"
       val t = resolveIdent(spark, ident)
-      val schema = t.schema
-      val fields = splitArgs(orderSql).map {
-        case OrderFieldRe(term, dir, nulls) =>
-          val (colName, transform) = parseTransform(term.trim)
-          val asc = dir == null || dir.equalsIgnoreCase("ASC")
-          val nullsFirst =
-            if (nulls == null) asc // SQL default: NULLS FIRST iff ASC
-            else nulls.equalsIgnoreCase("FIRST")
-          graft.meta.model.SortFieldMeta(schema.fieldId(colName), transform.name,
-            asc, nullsFirst)
-        case other => throw new IllegalArgumentException(s"Cannot parse sort field: $other")
-      }
+      val fields =
+        if (orderSql.isEmpty) Nil
+        else graft.meta.SortSpec.parseFields(t.schema, orderSql)
       t.setWriteDistributionAndOrdering(mode,
         graft.meta.model.SortOrderMeta(1, fields))
       Nil

@@ -277,6 +277,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
         s.flatMap(_.parentId).flatMap(m.snapshot))
       .takeWhile(s => s.isDefined && s.get.snapshotId != fromId)
       .flatten.toSeq
+    // same lineage validation as appendedFilesBetween: a checkpointed offset
+    // that is no longer an ancestor (e.g. after a rollback) must fail, not
+    // silently replay history from the root
+    require(lineage.lastOption.flatMap(_.parentId).contains(fromId) ||
+      lineage.isEmpty, s"$fromId is not an ancestor of $toId")
     lineage.reverse.filter(_.operation == Operation.Append).map { s =>
       val n = s.summary.get("added-data-files").flatMap(_.toLongOption)
         .getOrElse(addedFiles(m, s).size.toLong)

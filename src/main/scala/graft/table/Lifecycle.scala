@@ -118,9 +118,14 @@ trait Lifecycle { self: IceTable =>
 
   def replaceSortOrder(order: SortOrderMeta): Unit =
     ops.commitWithRetry(4) { base =>
-      val next = order.copy(orderId = base.sortOrders.map(_.orderId).max + 1)
+      val next =
+        if (order.fields.isEmpty) SortOrderMeta.unsorted
+        else base.sortOrders.find(_.fields == order.fields).getOrElse(
+          order.copy(orderId = base.sortOrders.map(_.orderId).max + 1))
       base.copy(defaultSortOrderId = next.orderId,
-        sortOrders = base.sortOrders :+ next,
+        sortOrders =
+          if (base.sortOrders.exists(_.orderId == next.orderId)) base.sortOrders
+          else base.sortOrders :+ next,
         lastUpdatedMillis = System.currentTimeMillis())
     }
 
@@ -129,9 +134,12 @@ trait Lifecycle { self: IceTable =>
     * `write.distribution-mode` property land in a single transaction). */
   def setWriteDistributionAndOrdering(mode: String, order: SortOrderMeta): Unit =
     ops.commitWithRetry(4) { base =>
+      // reuse a registered order with identical fields (ref BaseReplaceSortOrder
+      // dedups) — repeated identical DDL must not grow the metadata
       val next =
         if (order.fields.isEmpty) SortOrderMeta.unsorted
-        else order.copy(orderId = base.sortOrders.map(_.orderId).max + 1)
+        else base.sortOrders.find(_.fields == order.fields).getOrElse(
+          order.copy(orderId = base.sortOrders.map(_.orderId).max + 1))
       base.copy(
         defaultSortOrderId = next.orderId,
         sortOrders =

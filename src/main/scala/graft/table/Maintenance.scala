@@ -275,19 +275,9 @@ object Maintenance {
     val snap = m.currentSnapshot.getOrElse(return (0, 0))
     val order: SortOrderMeta = sortOrderSpec match {
       case Some(spec) =>
-        val fields = spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
-          val toks = part.split("\\s+")
-          val colName = toks.head
-          val up = part.toUpperCase
-          val asc = !up.contains(" DESC")
-          val nullsFirst =
-            if (up.contains("NULLS FIRST")) true
-            else if (up.contains("NULLS LAST")) false
-            else asc // ref SortOrder default: asc ⇒ nulls first, desc ⇒ nulls last
-          SortFieldMeta(m.schema.fieldId(colName), "identity", asc, nullsFirst)
-        }
-        // transient order: files record sortOrderId 0 (no registered-order claim)
-        SortOrderMeta(0, fields.toSeq)
+        // same grammar as WRITE ORDERED BY, incl. transform terms
+        // (`bucket(4, id) ASC`); transient order: files record sortOrderId 0
+        SortOrderMeta(0, graft.meta.SortSpec.parseFields(m.schema, spec))
       case None =>
         require(m.sortOrder.fields.nonEmpty,
           "Sort rewrite needs a table sort order (WRITE ORDERED BY) or an explicit sort_order")
@@ -312,9 +302,13 @@ object Maintenance {
     // adds the local sort (partitioned tables range-shuffle on
     // partition+sort cols, unpartitioned on the sort cols alone)
     val mm = m.copy(sortOrders = Seq(order), defaultSortOrderId = order.orderId)
+    // range-cluster on the TRANSFORMED sort terms (bucket(4, id) clusters by
+    // bucket value) — the same columns writeDataFiles' local sort uses
     val sortCols = order.fields.map { sf =>
-      val c = org.apache.spark.sql.functions.col(m.schema.fieldName(sf.sourceId))
-      val asc = if (sf.ascending) c.asc else c.desc
+      val t = graft.meta.transforms.Transform.parse(sf.transform)
+      val c = t.toColumn(
+        org.apache.spark.sql.functions.col(m.schema.fieldName(sf.sourceId)),
+        m.schema.fieldType(sf.sourceId))
       if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
       else (if (sf.ascending) c.asc_nulls_last else c.desc_nulls_last)
     }

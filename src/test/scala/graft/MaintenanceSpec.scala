@@ -97,6 +97,15 @@ class MaintenanceSpec extends AnyFunSuite {
       .head()
     assert(res.getLong(0) >= 2) // both inserts rewritten
     assert(spark.sql("SELECT count(*) FROM gsort.db.t").head().getLong(0) === 2000)
+
+    // explicit sort_order with a TRANSFORM term (same grammar as WRITE
+    // ORDERED BY): parses and re-clusters without error
+    val res2 = spark.sql(
+      "CALL gsort.system.rewrite_data_files(table => 'db.t', strategy => 'sort', " +
+        "sort_order => 'bucket(4, id) ASC, v DESC', target_file_size_bytes => 32768)")
+      .head()
+    assert(res2.getLong(1) >= 1)
+    assert(spark.sql("SELECT count(*) FROM gsort.db.t").head().getLong(0) === 2000)
   }
 
   test("imported files survive column renames (writer-schema name mapping)") {
