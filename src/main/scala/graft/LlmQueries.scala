@@ -99,6 +99,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: emails/URLs redacted to tags, with span counts (the
+    // corpus is synthetic word salad, so the spans are injected
+    // deterministically from doc_id — both engines build the same dirty text)
+    "llm_pii_scrub" -> ((s, d) => {
+      val dirty = concat(col("text"), lit(" contact: user"),
+        col("doc_id").cast("string"), lit("@example.com via https://ex.com/p?id="),
+        col("doc_id").cast("string"))
+      docs(s, d).select(col("doc_id"),
+          TextOps.piiCount(dirty).cast("long").as("n_pii"),
+          TextOps.scrubPii(dirty).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // duplicated-3-gram fraction (Gopher-style repetition/boilerplate signal)
+    "llm_repetition" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"),
+          TextOps.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")
+    }),
+
     // whitespace-normalized md5 fingerprint
     "llm_fingerprint" -> ((s, d) => {
       docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -198,6 +218,21 @@ object LlmQueries {
       "llm_fingerprint" ->
         ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
           "FROM documents ORDER BY doc_id"),
+      "llm_pii_scrub" ->
+        ("WITH t AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) " +
+          "|| '@example.com via https://ex.com/p?id=' || CAST(doc_id AS VARCHAR) AS dirty FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) " +
+          "+ len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii, " +
+          "regexp_replace(regexp_replace(dirty, 'https?://[^\\s]+', '<URL>', 'g'), " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed " +
+          "FROM t ORDER BY doc_id"),
+      "llm_repetition" ->
+        ("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+          "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+          "round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)-1), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE) / (len(toks) - 2), 4) " +
+          "ELSE 0.0 END AS rep3 FROM t ORDER BY doc_id"),
       "llm_chunking" ->
         ("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
           "c AS (SELECT doc_id, toks, unnest(range(greatest(1, " +

@@ -102,6 +102,30 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 
+  // RE2-compatible patterns (no backrefs/lookaround) so the same regex runs
+  // in Spark (java.util.regex) and columnar engines for oracle parity
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII scrub: redact emails and URLs to placeholder tags — the standard
+    * pre-training redaction pass. Pure regexp_replace: map-only at 100 TB. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
+  /** Count of PII spans that [[scrubPii]] would redact. */
+  def piiCount(c: Column): Column =
+    regexp_count(c, lit(UrlRe)) + regexp_count(c, lit(EmailRe))
+
+  /** Duplicated n-gram fraction in [0,1] (Gopher-style repetition signal):
+    * 1 - distinct/total over word n-grams; 0 for texts shorter than n
+    * tokens. High values flag boilerplate/spam for filtering. */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val total = (size(t) - lit(n) + 1).cast("double")
+    val distinctN = size(shingles(c, n)).cast("double") // shingles are distinct
+    when(total <= 0, 0.0).otherwise(round(lit(1.0) - distinctN / total, 4))
+  }
+
   /** Winnowing-style rolling-hash fingerprint set (k-gram char windows, keep
     * window minima) — driver for near-dup sketching; plain Scala for tests
     * and a Column variant via shingle hashing. */

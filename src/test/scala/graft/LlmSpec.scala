@@ -84,6 +84,25 @@ class LlmSpec extends AnyFunSuite {
     assert(probes.toDouble / (1 << p) < 0.01)
   }
 
+  test("PII scrub redacts emails and URLs; repetition flags boilerplate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to bob@corp.io or visit https://corp.io/a?b=1 today"),
+      (2L, "clean text with no contact info at all"),
+      (3L, "spam spam spam spam spam spam spam spam")).toDF("id", "t")
+    val out = df.select($"id", TextOps.scrubPii($"t").as("s"),
+        TextOps.piiCount($"t").as("n"),
+        TextOps.repetitionRatio($"t", 3).as("rep"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("s") === "write to <EMAIL> or visit <URL> today")
+    assert(out(1L).getAs[Int]("n") === 2)
+    assert(out(2L).getAs[String]("s") === "clean text with no contact info at all")
+    assert(out(2L).getAs[Int]("n") === 0)
+    // "spam"×8 has 6 trigrams, 1 distinct → rep = 1 - 1/6
+    assert(out(3L).getAs[Double]("rep") === 0.8333)
+    assert(out(2L).getAs[Double]("rep") === 0.0)
+  }
+
   test("removeDuplicates drops exactly the higher ids of verified pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
     val dupIds = pairs.select("id_b").distinct().count()
