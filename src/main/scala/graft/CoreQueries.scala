@@ -352,6 +352,26 @@ object CoreQueries {
         "FROM gq29.db.sup f JOIN gq29.db.nat n ON f.s_nationkey = n.n_nationkey " +
         "WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12') " +
         "GROUP BY n.n_name ORDER BY nname")
+    }),
+
+    // Q30 merge-on-read SQL DML: DELETE writes position-delete files and
+    // UPDATE appends updated copies (write.delete/update.mode=merge-on-read)
+    // — the read merges them; result must equal the plain relational oracle
+    "q30_mor_dml" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q30").toString
+      s.conf.set("spark.sql.catalog.gq30", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq30.warehouse", tmp)
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+      tbl.append(target0)
+      s.sql("DELETE FROM gq30.db.t WHERE seg LIKE '%MOBILE%'")
+      s.sql("UPDATE gq30.db.t SET bal = round(bal + 10.0, 2) WHERE k % 3 = 0")
+      s.sql("SELECT k, seg, bal FROM gq30.db.t ORDER BY k")
     })
   )
 
@@ -467,6 +487,12 @@ object CoreQueries {
       ("SELECT n.n_name AS nname, count(*) AS n, round(sum(round(f.s_acctbal, 2)), 2) AS bal " +
         "FROM supplier f JOIN nation n ON f.s_nationkey = n.n_nationkey " +
         "WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12') " +
-        "GROUP BY n.n_name ORDER BY nname")
+        "GROUP BY n.n_name ORDER BY nname"),
+    "q30_mor_dml" ->
+      ("SELECT c_custkey AS k, c_mktsegment AS seg, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 10.0, 2) " +
+        "ELSE round(c_acctbal, 2) END AS bal " +
+        "FROM customer WHERE c_mktsegment NOT LIKE '%MOBILE%' " +
+        "ORDER BY c_custkey")
   )
 }

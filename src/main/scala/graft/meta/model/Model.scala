@@ -165,6 +165,14 @@ object TableProperties {
   val DeleteIsolationLevel = "write.delete.isolation-level"
   val UpdateIsolationLevel = "write.update.isolation-level"
   val MergeIsolationLevel = "write.merge.isolation-level"
+  /** Row-level operation modes (ref TableProperties DELETE_MODE/UPDATE_MODE):
+    * `copy-on-write` (default) rewrites affected files; `merge-on-read`
+    * records position-delete files (+ replacement rows for UPDATE) so the
+    * write is O(changed rows) and readers merge. */
+  val DeleteMode = "write.delete.mode"
+  val UpdateMode = "write.update.mode"
+  val RowLevelCopyOnWrite = "copy-on-write"
+  val RowLevelMergeOnRead = "merge-on-read"
   // below this many live files the merge probe (dynamic file filter) is a
   // full extra pass that cannot exclude enough work to pay for itself
   val MergeProbeMinFiles = "write.merge.probe.min-files"

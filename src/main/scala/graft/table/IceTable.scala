@@ -127,18 +127,30 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   def overwrite(filter: Expr, df: DataFrame): Unit =
     RowOps.overwrite(this, filter, Option(df))
 
+  private def rowLevelMode(key: String): String =
+    meta.property(key, TableProperties.RowLevelCopyOnWrite)
+
   /** DELETE WHERE: metadata-only when file pruning can prove whole files
-    * match; otherwise copy-on-write (ref `SparkTable.canDeleteWhere`). */
-  def delete(filter: Expr): Unit = RowOps.overwrite(this, filter, None)
+    * match; otherwise per `write.delete.mode` — copy-on-write rewrite
+    * (default) or merge-on-read position-delete files (ref
+    * `SparkTable.canDeleteWhere`, TableProperties DELETE_MODE). */
+  def delete(filter: Expr): Unit =
+    if (rowLevelMode(TableProperties.DeleteMode) == TableProperties.RowLevelMergeOnRead)
+      MergeOnRead.deleteWhere(this, filter)
+    else RowOps.overwrite(this, filter, None)
 
   /** Dynamic partition overwrite: replace every partition touched by `df`
     * (ref `BaseReplacePartitions`). */
   def overwritePartitions(df: DataFrame): Unit = RowOps.overwritePartitions(this, df)
 
-  /** UPDATE SET: rewrite affected files with assignments applied where
-    * `filter` holds (ref `RewriteUpdate.scala`). */
+  /** UPDATE SET: per `write.update.mode` — rewrite affected files with
+    * assignments applied where `filter` holds (copy-on-write, default; ref
+    * `RewriteUpdate.scala`), or position-delete the matching rows and append
+    * their updated copies in one snapshot (merge-on-read). */
   def update(filter: Expr, assignments: Map[String, Column]): Unit =
-    RowOps.update(this, filter, assignments)
+    if (rowLevelMode(TableProperties.UpdateMode) == TableProperties.RowLevelMergeOnRead)
+      MergeOnRead.updateWhere(this, filter, assignments)
+    else RowOps.update(this, filter, assignments)
 
   /** MERGE INTO builder, equi-joined on `keys` (ref `RewriteMergeInto.scala`). */
   def merge(source: DataFrame, keys: Seq[String]): MergeBuilder =
@@ -153,12 +165,16 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
   /** DELETE WHERE with a condition the predicate ADT can't express: `prune`
     * is a weaker pruning bound, `rowCond` the exact condition. */
   private[graft] def deleteRows(prune: Expr, rowCond: Column): Unit =
-    RowOps.overwrite(this, prune, None, rowCond = Some(rowCond))
+    if (rowLevelMode(TableProperties.DeleteMode) == TableProperties.RowLevelMergeOnRead)
+      MergeOnRead.deleteWhere(this, prune, rowCond = Some(rowCond))
+    else RowOps.overwrite(this, prune, None, rowCond = Some(rowCond))
 
   /** UPDATE with a non-convertible condition (see [[deleteRows]]). */
   private[graft] def updateRows(prune: Expr, assignments: Map[String, Column],
       rowCond: Column): Unit =
-    RowOps.update(this, prune, assignments, rowCond = Some(rowCond))
+    if (rowLevelMode(TableProperties.UpdateMode) == TableProperties.RowLevelMergeOnRead)
+      MergeOnRead.updateWhere(this, prune, assignments, rowCond = Some(rowCond))
+    else RowOps.update(this, prune, assignments, rowCond = Some(rowCond))
 
   // ------------------------------------------------------- merge-on-read
 

@@ -68,12 +68,20 @@ object MergeOnRead {
       Map("equality-delete-files" -> files.size.toString))
   }
 
-  /** Commit a position-delete file: (file_path, pos) rows to suppress.
-    * Each delete row is scoped to the partition of its target data file
-    * (looked up from scan metadata, broadcast); unknown paths fall back to
-    * global scope. */
+  /** Commit a position-delete file: (file_path, pos) rows to suppress. */
   def addPositionDeletes(table: IceTable, posDf: DataFrame): Unit = {
-    val m = table.meta
+    val files = writePositionDeleteFiles(table, table.meta, posDf)
+    if (files.isEmpty) return // nothing matched: no-op, no empty snapshot
+    table.commitSnapshot(Operation.Delete, files, Set.empty,
+      Map("position-delete-files" -> files.size.toString))
+  }
+
+  /** Write (but do NOT commit) position-delete files for `posDf`'s
+    * (file_path, pos) rows. Each delete row is scoped to the partition of
+    * its target data file (looked up from scan metadata, broadcast);
+    * unknown paths fall back to global scope. */
+  private def writePositionDeleteFiles(table: IceTable, m: TableMetadata,
+      posDf: DataFrame): Seq[DataFileMeta] = {
     val spec = m.spec
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
     val rows = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
@@ -114,23 +122,94 @@ object MergeOnRead {
     } else {
       rows.write.parquet(outDir)
     }
-    val files = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
+    deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
       scoped = scoped)
       .filter(_.recordCount > 0)
-    if (files.isEmpty) return // nothing matched: no-op, no empty snapshot
-    table.commitSnapshot(Operation.Delete, files, Set.empty,
-      Map("position-delete-files" -> files.size.toString))
   }
 
-  /** Merge-on-read DELETE WHERE: record matching row positions as a position
-    * delete file (one job over the pruned scan; no data rewrite). */
-  def deleteWhere(table: IceTable, filter: graft.meta.expr.Expr): Unit = {
-    val positions = table.newScan().filter(filter).withRowPositions().toDF
-      .filter(graft.meta.expr.SparkConv.toColumn(
-        graft.meta.expr.Binder.bind(table.schema, filter), table.schema) <=> lit(true))
-      .select(col(TableScan.MetaFileCol).as(PosPathCol),
-        col(TableScan.MetaPosCol).as(PosPosCol))
-    addPositionDeletes(table, positions)
+  /** Merge-on-read DELETE WHERE (ref TableProperties DELETE_MODE
+    * merge-on-read): strictly-matching WHOLE files drop metadata-only —
+    * same fast path as copy-on-write — and only partially-matching files
+    * get position-delete rows, all in ONE snapshot. `rowCond` carries a
+    * condition the predicate ADT can't express; `filter` is then only a
+    * pruning bound and the metadata-only path is disabled. */
+  def deleteWhere(table: IceTable, filter: graft.meta.expr.Expr,
+      rowCond: Option[org.apache.spark.sql.Column] = None): Unit = {
+    import graft.meta.expr._
+    val m = table.meta
+    val schema = m.schema
+    val bound = Binder.bind(schema, filter)
+    val tasks = table.newScan().filter(filter).planFiles()
+    if (tasks.isEmpty) return
+    val (whole, partial) =
+      if (rowCond.nonEmpty) (Nil, tasks)
+      else tasks.partition { t =>
+        val spec = m.specById(t.file.specId)
+        val partLookup: Int => Any = { fid =>
+          val i = spec.fields.indexWhere(_.fieldId == fid)
+          if (i >= 0) t.file.partition(i) else null
+        }
+        RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
+          StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
+      }
+    val posFiles =
+      if (partial.isEmpty) Nil
+      else {
+        val df = Reads.readTasksWithDeletes(table, m,
+          partial.map(_.copy(residual = TrueExpr)),
+          table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+          rowPositions = true)
+        val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
+        val positions = df.filter(cond <=> lit(true))
+          .select(col(TableScan.MetaFileCol).as(PosPathCol),
+            col(TableScan.MetaPosCol).as(PosPosCol))
+        writePositionDeleteFiles(table, m, positions)
+      }
+    if (whole.isEmpty && posFiles.isEmpty) return
+    table.commitSnapshot(Operation.Delete, posFiles,
+      whole.map(_.file.path).toSet,
+      Map("position-delete-files" -> posFiles.size.toString,
+        "metadata-only-deleted-files" -> whole.size.toString),
+      validate = Some(ConflictValidation(m.currentSnapshotId, filter,
+        m.property(TableProperties.DeleteIsolationLevel,
+          TableProperties.IsolationSerializable))))
+  }
+
+  /** Merge-on-read UPDATE SET (ref TableProperties UPDATE_MODE
+    * merge-on-read): matching rows become position-delete entries AND their
+    * updated copies are appended — one snapshot, O(changed rows) IO instead
+    * of rewriting whole files. */
+  def updateWhere(table: IceTable, filter: graft.meta.expr.Expr,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      rowCond: Option[org.apache.spark.sql.Column] = None): Unit = {
+    import graft.meta.expr._
+    val m = table.meta
+    val schema = m.schema
+    val bound = Binder.bind(schema, filter)
+    val tasks = table.newScan().filter(filter).planFiles()
+    if (tasks.isEmpty) return
+    val df = Reads.readTasksWithDeletes(table, m,
+      tasks.map(_.copy(residual = TrueExpr)),
+      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+      rowPositions = true)
+    val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
+    val matching = df.filter(cond <=> lit(true)).cache()
+    try {
+      val posFiles = writePositionDeleteFiles(table, m, matching
+        .select(col(TableScan.MetaFileCol).as(PosPathCol),
+          col(TableScan.MetaPosCol).as(PosPosCol)))
+      if (posFiles.isEmpty) return // no matching rows anywhere
+      val updated = RowOps.applyAssignments(schema, matching, assignments,
+        lit(true))
+      val dataFiles = Writes.writeDataFiles(table.spark, table, m, updated)
+        .filter(_.recordCount > 0)
+      table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles, Set.empty,
+        Map("position-delete-files" -> posFiles.size.toString,
+          "updated-data-files" -> dataFiles.size.toString),
+        validate = Some(ConflictValidation(m.currentSnapshotId, filter,
+          m.property(TableProperties.UpdateIsolationLevel,
+            TableProperties.IsolationSerializable))))
+    } finally matching.unpersist()
   }
 
   /** Inverse of `Writes.parsePartitionValue` for internal-repr values. */

@@ -99,22 +99,15 @@ private[table] object RowOps {
         s"Cannot descend into $other with field $n")
     }
 
-  def update(table: IceTable, filter: Expr, assignments: Map[String, Column],
-      rowCond: Option[Column] = None): Unit = {
-    val m = table.meta
-    val schema = m.schema
+  /** Project `df` to the schema columns with `assignments` applied where
+    * `cond` holds (dotted keys SET nested struct fields). Shared by the
+    * copy-on-write UPDATE and the merge-on-read updated-row append. */
+  private[table] def applyAssignments(schema: graft.meta.Schema, df: DataFrame,
+      assignments: Map[String, Column], cond: Column): DataFrame = {
     // keys may be dotted paths into struct columns (nested SET)
     val byTop = assignments.groupBy(_._1.split('.').head)
     byTop.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
-    val bound = Binder.bind(schema, filter)
-    val tasks = table.newScan().filter(filter).planFiles()
-    if (tasks.isEmpty) return
-    val df = Reads.readTasksWithDeletes(table, m,
-      tasks.map(_.copy(residual = TrueExpr)),
-      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = false)
-    val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema)) <=> lit(true)
-    val updated = df.select(schema.columnNames.map { n =>
+    df.select(schema.columnNames.map { n =>
       byTop.get(n) match {
         case Some(as) =>
           val topType = schema.fieldType(schema.fieldId(n))
@@ -128,6 +121,21 @@ private[table] object RowOps {
         case None => col(n)
       }
     }: _*)
+  }
+
+  def update(table: IceTable, filter: Expr, assignments: Map[String, Column],
+      rowCond: Option[Column] = None): Unit = {
+    val m = table.meta
+    val schema = m.schema
+    val bound = Binder.bind(schema, filter)
+    val tasks = table.newScan().filter(filter).planFiles()
+    if (tasks.isEmpty) return
+    val df = Reads.readTasksWithDeletes(table, m,
+      tasks.map(_.copy(residual = TrueExpr)),
+      table.newScan().planDeletes(), schema.columnNames, TrueExpr,
+      rowPositions = false)
+    val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema)) <=> lit(true)
+    val updated = applyAssignments(schema, df, assignments, cond)
     val written = Writes.writeDataFiles(table.spark, table, m, updated)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet,

@@ -132,11 +132,29 @@ class MergeOnReadSpec extends AnyFunSuite {
     val t = IceTable.create(spark, loc, schema,
       graft.meta.PartitionSpec.builderFor(schema).identity("o_orderstatus").build())
     t.append(orders)
-    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    // a single-key delete is a PARTIAL-file match (whole-partition filters
+    // now drop files metadata-only instead of writing delete rows)
+    val victim = orders.limit(1).collect().head
+    val key = victim.getAs[Long]("o_orderkey")
+    val status = victim.getAs[String]("o_orderstatus")
+    t.deleteMergeOnRead(equalTo("o_orderkey", key))
     val deletes = t.newScan().planDeletes().map(_._1)
     assert(deletes.nonEmpty)
-    assert(deletes.forall(_.partition.head == "F"))
+    assert(deletes.forall(_.partition.head == status))
+    assert(t.toDF.filter(col("o_orderkey") === key).count() === 0)
+    assert(t.toDF.count() === orders.count() - 1)
+  }
+
+  test("whole-partition merge-on-read delete is metadata-only") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val t = IceTable.create(spark, loc, schema,
+      graft.meta.PartitionSpec.builderFor(schema).identity("o_orderstatus").build())
+    t.append(orders)
+    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    assert(t.newScan().planDeletes().isEmpty, "strict partition match ⇒ no delete files")
     assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(t.toDF.count() === orders.filter(col("o_orderstatus") =!= "F").count())
   }
 
   test("union branch count is bounded by delete commits, not data sequences") {

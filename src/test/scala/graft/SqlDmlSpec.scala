@@ -328,4 +328,57 @@ class SqlDmlSpec extends AnyFunSuite {
     val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
     assert(it.snapshots.nonEmpty)
   }
+
+  test("merge-on-read SQL DELETE writes position deletes, no data rewrite") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    val filesBefore = it.newScan().planFiles().map(_.file.path).toSet
+    // non-convertible condition (LIKE) → row-cond MoR path: data files stay,
+    // a position-delete file lands (metrics could otherwise prove the
+    // one-row file wholly matches and drop it metadata-only)
+    spark.sql(s"DELETE FROM $t WHERE data LIKE '%b%'")
+    assert(rowsOf(t) === Set((1, "a", 1.0), (3, "c", 3.0)))
+    assert(it.newScan().planFiles().map(_.file.path).toSet === filesBefore,
+      "MoR delete must not rewrite data files")
+    assert(it.newScan().planDeletes().nonEmpty, "expected a position-delete file")
+    assert(it.currentSnapshot.get.summary("position-delete-files").toInt >= 1)
+    // a strictly-provable whole-file match stays metadata-only even in MoR
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    assert(rowsOf(t) === Set((1, "a", 1.0)))
+    assert(it.newScan().planFiles().map(_.file.path).toSet.size < filesBefore.size)
+    assert(it.currentSnapshot.get.summary("metadata-only-deleted-files").toInt >= 1)
+  }
+
+  test("merge-on-read SQL UPDATE appends updated rows + position deletes") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    val filesBefore = it.newScan().planFiles().map(_.file.path).toSet
+    spark.sql(s"UPDATE $t SET qty = qty * 10 WHERE id >= 2")
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "b", 20.0), (3, "c", 30.0)))
+    // original files still live; updated rows live in NEW appended files
+    val filesAfter = it.newScan().planFiles().map(_.file.path).toSet
+    assert(filesBefore.subsetOf(filesAfter), "MoR update must keep original files")
+    assert(filesAfter.size > filesBefore.size, "expected appended updated-row files")
+    assert(it.newScan().planDeletes().nonEmpty)
+    assert(it.currentSnapshot.get.summary("updated-data-files").toInt >= 1)
+    // second update over already-updated rows stays correct (delete layering)
+    spark.sql(s"UPDATE $t SET data = 'z' WHERE qty > 15.0")
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "z", 20.0), (3, "z", 30.0)))
+  }
+
+  test("merge-on-read DELETE still drops strictly-matching whole files metadata-only") {
+    val t = freshTable(Nil, partitioned = true)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    // two partitions-worth of rows via two inserts (separate files)
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0), (4, 'd', 4.0)")
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    // delete EVERYTHING: strict metrics prove whole files match ⇒ no delete files
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 0L)
+    assert(it.newScan().planDeletes().isEmpty,
+      "whole-file MoR delete should be metadata-only, not position deletes")
+    assert(it.currentSnapshot.get.summary("metadata-only-deleted-files").toInt >= 1)
+  }
 }
