@@ -171,6 +171,7 @@ object TableProperties {
     * write is O(changed rows) and readers merge. */
   val DeleteMode = "write.delete.mode"
   val UpdateMode = "write.update.mode"
+  val MergeMode = "write.merge.mode"
   val RowLevelCopyOnWrite = "copy-on-write"
   val RowLevelMergeOnRead = "merge-on-read"
   // below this many live files the merge probe (dynamic file filter) is a

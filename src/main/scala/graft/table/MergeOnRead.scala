@@ -80,7 +80,7 @@ object MergeOnRead {
     * (file_path, pos) rows. Each delete row is scoped to the partition of
     * its target data file (looked up from scan metadata, broadcast);
     * unknown paths fall back to global scope. */
-  private def writePositionDeleteFiles(table: IceTable, m: TableMetadata,
+  private[table] def writePositionDeleteFiles(table: IceTable, m: TableMetadata,
       posDf: DataFrame): Seq[DataFileMeta] = {
     val spec = m.spec
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"

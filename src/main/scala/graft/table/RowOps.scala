@@ -284,11 +284,17 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
     }
 
+    // merge-on-read mode suppresses changed target rows with position
+    // deletes and appends only updated/inserted rows (O(changed rows));
+    // copy-on-write (default) rewrites the affected files
+    val mor = m.property(TableProperties.MergeMode,
+      TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
+
     // 3. join affected target rows with the source
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = false)
+      rowPositions = mor)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val s0 = srcKeyed.withColumn(MergeBuilder.FromSource, lit(true))
     val s = if (!skipProbe) s0 else s0.withColumn("_gf_src_cnt",
@@ -340,6 +346,59 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       withInsert.otherwise(col(n))
         .cast(schema.fieldType(schema.fieldId(n))).as(n)
     }
+    // merge-on-read: changed target rows (any fired matched clause) become
+    // position-delete entries; emitted rows are updated copies + inserts;
+    // pass-through rows stay in place untouched. ONE snapshot commits
+    // delete files + appended data files — no target file is rewritten.
+    if (mor) {
+      val firedRaw = matchedClauses.foldLeft(when(lit(false), lit(false))) {
+        (acc, c) => acc.when(clauseCond(c, matched), lit(true))
+      }.otherwise(lit(false))
+      // probe-skipped cardinality guard rides the fired VALUE (computed for
+      // every row of the cached plan, same rationale as keepGuarded below)
+      val fired = if (!skipProbe) firedRaw else
+        when(matched && col("_gf_src_cnt") > 1,
+          raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
+          .otherwise(firedRaw)
+      val emitCol = {
+        val mk = matchedClauses.foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+          c match {
+            case _: UpdateClause => acc.when(clauseCond(c, matched), lit(true))
+            case DeleteClause(_, _) => acc.when(clauseCond(c, matched), lit(false))
+            case _ => acc
+          }
+        }
+        insertClauses.foldLeft(mk) { (acc, c) =>
+          acc.when(clauseCond(c, sourceOnly), lit(true))
+        }.otherwise(lit(false))
+      }
+      val marked = joined.withColumn("_gf_fired", fired)
+        .withColumn(MergeBuilder.Keep, emitCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val posFiles = MergeOnRead.writePositionDeleteFiles(table, m, marked
+          .filter(col("_gf_fired") && col(MergeBuilder.FromTarget).isNotNull)
+          .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
+            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)))
+        val dataFiles = Writes.writeDataFiles(spark, table, m, marked
+          .filter(col(MergeBuilder.Keep))
+          .select(schema.columnNames.map(colProjection): _*))
+          .filter(_.recordCount > 0)
+        if (posFiles.nonEmpty || dataFiles.nonEmpty)
+          table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles,
+            Set.empty,
+            Map("merge-matched-files" -> affectedTasks.size.toString,
+              "position-delete-files" -> posFiles.size.toString),
+            validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
+              m.property(TableProperties.MergeIsolationLevel,
+                TableProperties.IsolationSerializable))))
+      } catch {
+        case e: Throwable if MergeBuilder.isCardinalityError(e) =>
+          throw new ValidationException(MergeBuilder.CardinalityMsg)
+      } finally marked.unpersist()
+      return
+    }
+
     // with the probe skipped, the cardinality guard rides in the keep
     // predicate: a matched row whose source key count exceeds 1 raises
     // during the rewrite job, before anything commits. The guard is the
@@ -469,10 +528,16 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     // id-stamped scan (a retry after the window shuffle would otherwise
     // reassign ids and split one target row's matches across rids)
     val affectedParquet = affectedTasks.forall(_.file.format == "parquet")
+    // merge-on-read needs the (file, pos) identity of every changed target
+    // row; positions come from the parquet reader, so non-parquet affected
+    // files fall back to copy-on-write
+    val mor = affectedParquet &&
+      m.property(TableProperties.MergeMode,
+        TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = skipProbe && affectedParquet)
+      rowPositions = mor || (skipProbe && affectedParquet))
     val t0 = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val t = if (!skipProbe || affectedParquet) t0
       else {
@@ -537,6 +602,66 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       withInsert.otherwise(col(n))
         .cast(schema.fieldType(schema.fieldId(n))).as(n)
     }
+    // merge-on-read: fired target rows (any matched / by-source clause)
+    // become position-delete entries; emitted rows are updated copies +
+    // inserts; pass-through rows stay untouched. See execute() for the
+    // equi-key variant of the same shape.
+    if (mor) {
+      val firedRaw = (matchedClauses ++ bySourceClauses)
+        .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+          val base = c match {
+            case DeleteClause(_, by) => if (by) targetOnly else matched
+            case UpdateClause(_, _, by) => if (by) targetOnly else matched
+            case _ => matched
+          }
+          acc.when(clauseCond(c, base), lit(true))
+        }.otherwise(lit(false))
+      val fired = if (!skipProbe) firedRaw else
+        when(col("_gf_card_cnt") > 1,
+          raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
+          .otherwise(firedRaw)
+      val emitCol = {
+        val mk = (matchedClauses ++ bySourceClauses)
+          .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+            c match {
+              case UpdateClause(_, _, by) =>
+                acc.when(clauseCond(c, if (by) targetOnly else matched), lit(true))
+              case DeleteClause(_, by) =>
+                acc.when(clauseCond(c, if (by) targetOnly else matched), lit(false))
+              case _ => acc
+            }
+          }
+        insertClauses.foldLeft(mk) { (acc, c) =>
+          acc.when(clauseCond(c, sourceOnly), lit(true))
+        }.otherwise(lit(false))
+      }
+      val marked = joined.withColumn("_gf_fired", fired)
+        .withColumn(MergeBuilder.Keep, emitCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val posFiles = MergeOnRead.writePositionDeleteFiles(table, m, marked
+          .filter(col("_gf_fired") && col(MergeBuilder.FromTarget).isNotNull)
+          .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
+            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)))
+        val dataFiles = Writes.writeDataFiles(spark, table, m, marked
+          .filter(col(MergeBuilder.Keep))
+          .select(schema.columnNames.map(colProjection): _*))
+          .filter(_.recordCount > 0)
+        if (posFiles.nonEmpty || dataFiles.nonEmpty)
+          table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles,
+            Set.empty,
+            Map("merge-matched-files" -> affectedTasks.size.toString,
+              "position-delete-files" -> posFiles.size.toString),
+            validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
+              m.property(TableProperties.MergeIsolationLevel,
+                TableProperties.IsolationSerializable))))
+      } catch {
+        case e: Throwable if MergeBuilder.isCardinalityError(e) =>
+          throw new ValidationException(MergeBuilder.CardinalityMsg)
+      } finally marked.unpersist()
+      return
+    }
+
     // guard as the CASE branch of the keep value — see execute()
     val keepGuarded = if (!skipProbe) keepCol else
       when(col("_gf_card_cnt") > 1,

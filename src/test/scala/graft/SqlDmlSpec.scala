@@ -368,6 +368,44 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rowsOf(t) === Set((1, "a", 1.0), (2, "z", 20.0), (3, "z", 30.0)))
   }
 
+  test("merge-on-read SQL MERGE: deletes by position, appends changes only") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    val filesBefore = it.newScan().planFiles().map(_.file.path).toSet
+    spark.sql(s"""
+      MERGE INTO $t AS target
+      USING (SELECT * FROM VALUES (2, 'B', 20.0), (3, 'C', -1.0), (5, 'e', 5.0)
+             AS src(id, data, qty)) AS src
+      ON target.id = src.id
+      WHEN MATCHED AND src.qty < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0), (5, "e", 5.0)))
+    // original files untouched; updated+inserted rows live in NEW files
+    val filesAfter = it.newScan().planFiles().map(_.file.path).toSet
+    assert(filesBefore.subsetOf(filesAfter), "MoR merge must not rewrite target files")
+    assert(filesAfter.size > filesBefore.size)
+    assert(it.newScan().planDeletes().nonEmpty, "expected position-delete files")
+    assert(it.currentSnapshot.get.summary("position-delete-files").toInt >= 1)
+    // cardinality violation still raises in MoR mode (duplicate source keys)
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t AS target
+        USING (SELECT * FROM VALUES (2, 'x', 1.0), (2, 'y', 2.0)
+               AS src(id, data, qty)) AS src
+        ON target.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+      """)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("cardinality violation")), e.getMessage)
+    // failed merge committed nothing
+    assert(rowsOf(t) === Set((1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0), (5, "e", 5.0)))
+  }
+
   test("merge-on-read DELETE still drops strictly-matching whole files metadata-only") {
     val t = freshTable(Nil, partitioned = true)
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
