@@ -223,7 +223,8 @@ object LlmQueries {
           "|| '@example.com via https://ex.com/p?id=' || CAST(doc_id AS VARCHAR) AS dirty FROM documents) " +
           "SELECT doc_id, " +
           "CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) " +
-          "+ len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii, " +
+          "+ len(regexp_extract_all(regexp_replace(dirty, 'https?://[^\\s]+', '<URL>', 'g'), " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii, " +
           "regexp_replace(regexp_replace(dirty, 'https?://[^\\s]+', '<URL>', 'g'), " +
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed " +
           "FROM t ORDER BY doc_id"),

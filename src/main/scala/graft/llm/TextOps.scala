@@ -112,9 +112,12 @@ object TextOps {
   def scrubPii(c: Column): Column =
     regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
 
-  /** Count of PII spans that [[scrubPii]] would redact. */
+  /** Count of PII spans that [[scrubPii]] would redact: URLs, then emails
+    * counted AFTER URL removal — an email embedded in a URL is one span,
+    * matching the scrub order. */
   def piiCount(c: Column): Column =
-    regexp_count(c, lit(UrlRe)) + regexp_count(c, lit(EmailRe))
+    regexp_count(c, lit(UrlRe)) +
+      regexp_count(regexp_replace(c, UrlRe, "<URL>"), lit(EmailRe))
 
   /** Duplicated n-gram fraction in [0,1] (Gopher-style repetition signal):
     * 1 - distinct/total over word n-grams; 0 for texts shorter than n

@@ -22,7 +22,13 @@ final case class FileScanTask(file: DataFileMeta, residual: Expr, seq: Long = 0L
   * `startSnapshotId`; at commit, snapshots committed after it are checked for
   * files matching `conflictFilter` when `isolation` is serializable. */
 final case class ConflictValidation(startSnapshotId: Option[Long],
-    conflictFilter: Expr, isolation: String)
+    conflictFilter: Expr, isolation: String,
+    /** Data files that must still be LIVE at commit time — the files a
+      * merge-on-read operation's position deletes reference. A concurrent
+      * rewrite of one of them would orphan the delete rows (a lost
+      * update), so this is validated under EVERY isolation level (the CoW
+      * paths are structurally protected by their removedPaths check). */
+    requiredLivePaths: Set[String] = Set.empty)
 
 /** A graft table: immutable parquet data files + snapshot-tree JSON metadata,
   * executed by Spark (SURVEY §1.4 rebuild mapping). All reads/writes are
@@ -323,6 +329,16 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     * snapshot isolation this check is skipped — only deletes of files the
     * operation rewrites conflict (the removal validation below). */
   private def validateNoConflicts(base: TableMetadata, v: ConflictValidation): Unit = {
+    if (v.requiredLivePaths.nonEmpty) {
+      val live: Set[String] = base.currentSnapshot.map(snap =>
+        liveEntries(base, snap).map(e => normPath(e.dataFile.path)).toSet)
+        .getOrElse(Set.empty)
+      val gone = v.requiredLivePaths.map(normPath) -- live
+      if (gone.nonEmpty) throw new ValidationException(
+        s"Concurrent rewrite conflict: ${gone.size} file(s) referenced by " +
+          s"this operation's position deletes are no longer live: " +
+          gone.take(3).mkString(", "))
+    }
     if (v.isolation != TableProperties.IsolationSerializable) return
     val bound = Binder.bind(base.schema, v.conflictFilter)
     val newSnaps = Iterator.iterate(base.currentSnapshot)(s =>

@@ -141,17 +141,15 @@ object MergeOnRead {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
+    // position deletes need the parquet reader's row positions — non-parquet
+    // data files fall back to copy-on-write
+    if (tasks.exists(_.file.format != "parquet")) {
+      RowOps.overwrite(table, filter, None, rowCond = rowCond)
+      return
+    }
     val (whole, partial) =
       if (rowCond.nonEmpty) (Nil, tasks)
-      else tasks.partition { t =>
-        val spec = m.specById(t.file.specId)
-        val partLookup: Int => Any = { fid =>
-          val i = spec.fields.indexWhere(_.fieldId == fid)
-          if (i >= 0) t.file.partition(i) else null
-        }
-        RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
-          StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
-      }
+      else RowOps.strictPartition(m, bound, tasks)
     val posFiles =
       if (partial.isEmpty) Nil
       else {
@@ -172,7 +170,12 @@ object MergeOnRead {
         "metadata-only-deleted-files" -> whole.size.toString),
       validate = Some(ConflictValidation(m.currentSnapshotId, filter,
         m.property(TableProperties.DeleteIsolationLevel,
-          TableProperties.IsolationSerializable))))
+          TableProperties.IsolationSerializable),
+        // a concurrent rewrite of a referenced file would orphan the
+        // position deletes — the commit must see those files still live
+        requiredLivePaths =
+          if (posFiles.isEmpty) Set.empty
+          else partial.map(_.file.path).toSet)))
   }
 
   /** Merge-on-read UPDATE SET (ref TableProperties UPDATE_MODE
@@ -188,6 +191,11 @@ object MergeOnRead {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
+    // positions need parquet; non-parquet files fall back to copy-on-write
+    if (tasks.exists(_.file.format != "parquet")) {
+      RowOps.update(table, filter, assignments, rowCond = rowCond)
+      return
+    }
     val df = Reads.readTasksWithDeletes(table, m,
       tasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
@@ -208,7 +216,8 @@ object MergeOnRead {
           "updated-data-files" -> dataFiles.size.toString),
         validate = Some(ConflictValidation(m.currentSnapshotId, filter,
           m.property(TableProperties.UpdateIsolationLevel,
-            TableProperties.IsolationSerializable))))
+            TableProperties.IsolationSerializable),
+          requiredLivePaths = tasks.map(_.file.path).toSet)))
     } finally matching.unpersist()
   }
 

@@ -22,6 +22,22 @@ private[table] object RowOps {
     * LIKE, arithmetic, …): `filter` is then only a WEAKER pruning bound, so
     * the metadata-only fast path is disabled (strictness can't be proven)
     * and every pruned-in file is rewritten against `rowCond` exactly. */
+  /** Split planned tasks into (whole, partial): whole = files where the
+    * strict partition projection or strict metrics PROVE every row matches
+    * `bound` (the metadata-only fast path, shared by CoW overwrite and the
+    * merge-on-read delete). */
+  private[table] def strictPartition(m: TableMetadata, bound: Expr,
+      tasks: Seq[FileScanTask]): (Seq[FileScanTask], Seq[FileScanTask]) =
+    tasks.partition { t =>
+      val spec = m.specById(t.file.specId)
+      val partLookup: Int => Any = { fid =>
+        val i = spec.fields.indexWhere(_.fieldId == fid)
+        if (i >= 0) t.file.partition(i) else null
+      }
+      RowEvaluator.eval(Projections.strict(spec, m.schema, bound), partLookup) ||
+        StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
+    }
+
   def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame],
       rowCond: Option[Column] = None): Unit = {
     val m = table.meta
@@ -30,15 +46,7 @@ private[table] object RowOps {
     val tasks = table.newScan().filter(filter).planFiles()
     val (whole, partial) =
       if (rowCond.nonEmpty) (Nil, tasks)
-      else tasks.partition { t =>
-        val spec = m.specById(t.file.specId)
-        val partLookup: Int => Any = { fid =>
-          val i = spec.fields.indexWhere(_.fieldId == fid)
-          if (i >= 0) t.file.partition(i) else null
-        }
-        RowEvaluator.eval(Projections.strict(spec, schema, bound), partLookup) ||
-          StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
-      }
+      else strictPartition(m, bound, tasks)
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
@@ -286,9 +294,11 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
     // merge-on-read mode suppresses changed target rows with position
     // deletes and appends only updated/inserted rows (O(changed rows));
-    // copy-on-write (default) rewrites the affected files
-    val mor = m.property(TableProperties.MergeMode,
-      TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
+    // copy-on-write (default) rewrites the affected files. Positions need
+    // the parquet reader, so non-parquet affected files fall back to CoW.
+    val mor = affectedTasks.forall(_.file.format == "parquet") &&
+      m.property(TableProperties.MergeMode,
+        TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
 
     // 3. join affected target rows with the source
     val affected = Reads.readTasksWithDeletes(table, m,
@@ -391,7 +401,12 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
               "position-delete-files" -> posFiles.size.toString),
             validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
               m.property(TableProperties.MergeIsolationLevel,
-                TableProperties.IsolationSerializable))))
+                TableProperties.IsolationSerializable),
+              // concurrent rewrites of referenced files would orphan the
+              // position deletes
+              requiredLivePaths =
+                if (posFiles.isEmpty) Set.empty
+                else affectedTasks.map(_.file.path).toSet)))
       } catch {
         case e: Throwable if MergeBuilder.isCardinalityError(e) =>
           throw new ValidationException(MergeBuilder.CardinalityMsg)
@@ -654,7 +669,12 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
               "position-delete-files" -> posFiles.size.toString),
             validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
               m.property(TableProperties.MergeIsolationLevel,
-                TableProperties.IsolationSerializable))))
+                TableProperties.IsolationSerializable),
+              // concurrent rewrites of referenced files would orphan the
+              // position deletes
+              requiredLivePaths =
+                if (posFiles.isEmpty) Set.empty
+                else affectedTasks.map(_.file.path).toSet)))
       } catch {
         case e: Throwable if MergeBuilder.isCardinalityError(e) =>
           throw new ValidationException(MergeBuilder.CardinalityMsg)

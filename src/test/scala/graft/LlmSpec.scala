@@ -89,7 +89,8 @@ class LlmSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "write to bob@corp.io or visit https://corp.io/a?b=1 today"),
       (2L, "clean text with no contact info at all"),
-      (3L, "spam spam spam spam spam spam spam spam")).toDF("id", "t")
+      (3L, "spam spam spam spam spam spam spam spam"),
+      (4L, "see https://host.com/u/bob@mail.com for details")).toDF("id", "t")
     val out = df.select($"id", TextOps.scrubPii($"t").as("s"),
         TextOps.piiCount($"t").as("n"),
         TextOps.repetitionRatio($"t", 3).as("rep"))
@@ -101,6 +102,9 @@ class LlmSpec extends AnyFunSuite {
     // "spam"×8 has 6 trigrams, 1 distinct → rep = 1 - 1/6
     assert(out(3L).getAs[Double]("rep") === 0.8333)
     assert(out(2L).getAs[Double]("rep") === 0.0)
+    // an email embedded in a URL is ONE redacted span (URL wins)
+    assert(out(4L).getAs[String]("s") === "see <URL> for details")
+    assert(out(4L).getAs[Int]("n") === 1)
   }
 
   test("removeDuplicates drops exactly the higher ids of verified pairs") {

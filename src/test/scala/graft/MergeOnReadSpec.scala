@@ -145,6 +145,22 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.toDF.count() === orders.count() - 1)
   }
 
+  test("MoR commit fails when a file its position deletes reference was concurrently removed") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(100))
+    val victim = t.newScan().planFiles().head.file.path
+    // a concurrent CoW rewrite removes the victim between plan and commit
+    t.commitSnapshot(graft.meta.model.Operation.Delete, Nil, Set(victim))
+    val e = intercept[graft.table.ValidationException] {
+      t.commitSnapshot(graft.meta.model.Operation.Delete, Nil, Set.empty,
+        Map.empty, validate = Some(graft.table.ConflictValidation(
+          None, graft.meta.expr.TrueExpr, "snapshot",
+          requiredLivePaths = Set(victim))))
+    }
+    assert(e.getMessage.contains("no longer live"))
+  }
+
   test("whole-partition merge-on-read delete is metadata-only") {
     val loc = tmpLoc()
     val schema = Schema.fresh(orders.schema)
