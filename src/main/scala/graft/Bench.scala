@@ -84,6 +84,21 @@ object Bench {
       (1 to 4).foreach(_ => t.append(li.limit(20000).repartition(4)))
       time(t.rewriteDataFiles())
     })
+
+    // --- merge-on-read read overhead: the same table scanned clean, then
+    // with live position deletes in every file (~4% of rows deleted) —
+    // the native scan must keep these within ~1.3× of each other ---
+    {
+      val t = fresh(); t.append(li)
+      def scan() = consume(spark.read.format("graft").load(t.location))
+      (1 to 2).foreach(_ => scan())
+      results("ice_read") = median((1 to 3).map(_ => time(scan())))
+      // l_quantity ≤ 2 hits a slice of every file → position deletes, no
+      // whole-file metadata drops
+      t.deleteMergeOnRead(graft.meta.expr.Exprs.lessThanOrEqual("l_quantity", 2))
+      (1 to 2).foreach(_ => scan())
+      results("mor_read") = median((1 to 3).map(_ => time(scan())))
+    }
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loc), true)
 

@@ -2,9 +2,9 @@ package graft.spark
 
 import graft.meta.PartitionSpec
 import graft.meta.expr.{And => GAnd, Expr => GExpr, SparkConv, TrueExpr}
-import graft.meta.model.{DataFileMeta, TableMetadata, TableProperties}
+import graft.meta.model.{DataFileMeta, FileContent, TableMetadata, TableProperties}
 import graft.meta.transforms.IdentityTransform
-import graft.table.{FileScanTask, IceTable, SparkFilterConv}
+import graft.table.{FileScanTask, IceTable, Reads, SparkFilterConv}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -16,13 +16,157 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A byte range of one data file (whole file, or one split of a file larger
   * than the split target — ref `BaseTableScan.planFiles` splits at
   * `split-size` so one huge file fans out across executors). */
 final case class FileSlice(path: String, start: Long, length: Long, fileSize: Long)
+
+/** One equality-delete key family of a scan class: the delete files to load,
+  * a driver-built row reader for them, and where the key columns sit in the
+  * EXTENDED output row (current-schema types). */
+final case class GraftEqDeletes(
+    slices: Array[FileSlice],
+    reader: PartitionedFile => Iterator[InternalRow],
+    ordinals: Array[Int],
+    types: Array[DataType])
+
+/** Merge-on-read delete payload of one applicability class, applied INSIDE
+  * the native scan's readers (ref `data/.../DeleteFilter.java:111` — the
+  * reference also filters deleted rows in its reader so the columnar path
+  * survives deletes). The extended output row = projected columns, then any
+  * equality-key columns not already projected, then the parquet row-index
+  * column when position deletes apply; `keepColumns` trims the extras before
+  * rows leave the reader. Delete files are loaded into executor-local hash
+  * sets — the same in-memory assumption as the reference's DeleteFilter. */
+final case class GraftDeleteApply(
+    posSlices: Array[FileSlice],
+    posReader: PartitionedFile => Iterator[InternalRow],
+    eqGroups: Array[GraftEqDeletes],
+    rowIndexOrdinal: Int,
+    keepColumns: Int,
+    outputTypes: Array[DataType])
+
+object GraftDeleteApply {
+  /** Same normalization as `IceTable.normPath`/`MergeOnRead.normPathCol`:
+    * `_metadata.file_path` writes "file:///p", listings give "file:/p". */
+  def normPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Hash-key normalization for probe values: match the V1 anti join's
+    * `<=>` semantics (NaN equals NaN via boxing; -0.0 equals 0.0 by
+    * normalizing; binary wrapped for structural equality). `copy` detaches
+    * buffer-backed values from reused reader rows before storing in a set. */
+  def keyValue(v: Any, copy: Boolean): Any = v match {
+    case null => null
+    case s: UTF8String => if (copy) s.copy() else s
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(if (copy) b.clone() else b)
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+}
+
+/** Executor-side delete sets for one input partition: position deletes keyed
+  * by normalized file path (only paths this partition reads are retained),
+  * equality deletes as key-tuple hash sets. */
+final class GraftDeleteProbe(d: GraftDeleteApply, dataPaths: Array[String]) {
+  import GraftDeleteApply.{keyValue, normPath}
+
+  private val wanted = new java.util.HashSet[String]
+  dataPaths.foreach(p => wanted.add(normPath(p)))
+
+  private val posByPath = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
+  if (d.posSlices.nonEmpty) {
+    d.posSlices.iterator.flatMap(s =>
+      d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
+      .foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val p = normPath(r.getUTF8String(0).toString)
+          if (wanted.contains(p)) {
+            var set = posByPath.get(p)
+            if (set == null) {
+              set = new java.util.HashSet[java.lang.Long]
+              posByPath.put(p, set)
+            }
+            set.add(r.getLong(1))
+          }
+        }
+      }
+  }
+
+  private val eqSets: Array[java.util.HashSet[Any]] = d.eqGroups.map { g =>
+    val set = new java.util.HashSet[Any]
+    val n = g.ordinals.length
+    g.slices.iterator.flatMap(s =>
+      g.reader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
+      .foreach { r =>
+        val key = new Array[Any](n)
+        var i = 0
+        while (i < n) { key(i) = keyValue(r.get(i, g.types(i)), copy = true); i += 1 }
+        set.add(key.toSeq)
+      }
+    set
+  }
+
+  /** Deleted positions for one data file (null = none). */
+  def posSetFor(slicePath: String): java.util.HashSet[java.lang.Long] =
+    posByPath.get(normPath(slicePath))
+
+  /** True iff the row survives every applicable delete. `row` is in extended
+    * output space (current types). */
+  def live(row: InternalRow, posSet: java.util.HashSet[java.lang.Long]): Boolean = {
+    if (posSet != null && posSet.contains(row.getLong(d.rowIndexOrdinal))) return false
+    var gi = 0
+    while (gi < d.eqGroups.length) {
+      if (!eqSets(gi).isEmpty) {
+        val g = d.eqGroups(gi)
+        val n = g.ordinals.length
+        val key = new Array[Any](n)
+        var i = 0
+        while (i < n) { key(i) = keyValue(row.get(g.ordinals(i), g.types(i)), copy = false); i += 1 }
+        if (eqSets(gi).contains(key.toSeq)) return false
+      }
+      gi += 1
+    }
+    true
+  }
+}
+
+/** Zero-copy survivor view of a column vector: logical row i reads base row
+  * `map(i)` (the same shape as the reference's vectorized delete filter,
+  * `spark/.../vectorized/ColumnVectorWithFilter` in later ref versions —
+  * built independently here on Spark's public ColumnVector API). Children
+  * are wrapped recursively so struct fields remap too; array/map reads
+  * delegate whole (offset-addressed in the base child, no remap needed). */
+final class GraftFilteredVector(base: ColumnVector, map: Array[Int])
+    extends ColumnVector(base.dataType) {
+  override def close(): Unit = () // base vectors belong to the source batch
+  override lazy val numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < map.length) { if (base.isNullAt(map(i))) c += 1; i += 1 }
+    c
+  }
+  override def hasNull: Boolean = numNulls > 0
+  override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
+  override def getByte(i: Int): Byte = base.getByte(map(i))
+  override def getShort(i: Int): Short = base.getShort(map(i))
+  override def getInt(i: Int): Int = base.getInt(map(i))
+  override def getLong(i: Int): Long = base.getLong(map(i))
+  override def getFloat(i: Int): Float = base.getFloat(map(i))
+  override def getDouble(i: Int): Double = base.getDouble(map(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(map(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(map(i))
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(map(i), p, s)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    new GraftFilteredVector(base.getChild(ordinal), map)
+}
 
 /** One read task: a size-packed group of file slices sharing a writer schema
   * (and, when key-grouped, one partition tuple), with the serialized reader
@@ -35,7 +179,8 @@ final case class GraftInputPartition(
     reader: PartitionedFile => Iterator[InternalRow],
     project: Option[Seq[Expression]],
     columnar: Boolean = false,
-    key: InternalRow = null) extends InputPartition with HasPartitionKey {
+    key: InternalRow = null,
+    deletes: GraftDeleteApply = null) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
@@ -50,20 +195,40 @@ object GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
+      private val probe =
+        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes, p.files.map(_.path))
       private val proj = p.project.map(UnsafeProjection.create)
+      // with deletes, extras (eq keys / row index) ride to the END of the
+      // output row; trim them off after probing (identity width → no trim)
+      private val trim: UnsafeProjection =
+        if (p.deletes == null || p.deletes.keepColumns == p.deletes.outputTypes.length) null
+        else UnsafeProjection.create(
+          (0 until p.deletes.keepColumns).map(i =>
+            BoundReference(i, p.deletes.outputTypes(i), nullable = true)))
       private val it: Iterator[InternalRow] = p.files.iterator.flatMap { s =>
-        val rows = p.reader(
+        val raw = p.reader(
           ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
         // a columnar reader yields batches disguised as rows — flatten
-        if (p.columnar) rows.flatMap(b =>
-          b.asInstanceOf[AnyRef].asInstanceOf[ColumnarBatch].rowIterator()
-            .asInstanceOf[java.util.Iterator[InternalRow]].asScalaIterator)
-        else rows
+        val rows =
+          if (p.columnar) raw.flatMap(b =>
+            b.asInstanceOf[AnyRef].asInstanceOf[ColumnarBatch].rowIterator()
+              .asInstanceOf[java.util.Iterator[InternalRow]].asScalaIterator)
+          else raw
+        // probe in OUTPUT space (after projection: current names/types)
+        val out = proj match {
+          case Some(pr) => rows.map(pr(_): InternalRow)
+          case None => rows
+        }
+        if (probe == null) out
+        else {
+          val posSet = probe.posSetFor(s.path)
+          out.filter(probe.live(_, posSet))
+        }
       }
       private var row: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false
-      override def get(): InternalRow = proj.map(_(row)).getOrElse(row)
+      override def get(): InternalRow = if (trim == null) row else trim(row)
       override def close(): Unit = ()
     }
   }
@@ -72,9 +237,42 @@ object GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     require(p.columnar, s"partition is not columnar: $p")
     new PartitionReader[ColumnarBatch] {
+      private val probe =
+        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes, p.files.map(_.path))
       private val it: Iterator[ColumnarBatch] = p.files.iterator.flatMap { s =>
-        p.reader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
+        val batches = p.reader(
+          ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
           .asInstanceOf[Iterator[ColumnarBatch]]
+        if (probe == null) batches
+        else {
+          val posSet = probe.posSetFor(s.path)
+          batches.map(filterBatch(_, posSet))
+        }
+      }
+      /** Drop deleted rows + the extra probe columns: survivors become a
+        * row-id mapping over the base vectors — zero copy, stays columnar. */
+      private def filterBatch(b: ColumnarBatch,
+          posSet: java.util.HashSet[java.lang.Long]): ColumnarBatch = {
+        val d = p.deletes
+        val n = b.numRows()
+        val map = new Array[Int](n)
+        var kept = 0
+        var i = 0
+        while (i < n) {
+          if (probe.live(b.getRow(i), posSet)) { map(kept) = i; kept += 1 }
+          i += 1
+        }
+        val cols = new Array[ColumnVector](d.keepColumns)
+        var j = 0
+        if (kept == n) {
+          while (j < d.keepColumns) { cols(j) = b.column(j); j += 1 }
+        } else {
+          val m = java.util.Arrays.copyOf(map, kept)
+          while (j < d.keepColumns) {
+            cols(j) = new GraftFilteredVector(b.column(j), m); j += 1
+          }
+        }
+        new ColumnarBatch(cols, kept)
       }
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
@@ -112,13 +310,33 @@ object GraftReadPlanner {
     *                 (caller guarantees a single all-identity spec)
     * @param pushedV1 data-source filters in CURRENT-schema names; forwarded
     *                 to the file reader for row-group/SArg pruning only where
-    *                 writer-era names and types match exactly */
+    *                 writer-era names and types match exactly
+    * @param deletes merge-on-read delete files applying to EVERY file in
+    *                `files` (the caller groups by applicability class);
+    *                readers then filter deleted rows in place */
   def plan(spark: SparkSession, m: TableMetadata, files: Seq[DataFileMeta],
       names: Seq[String], pushedV1: Seq[Filter], splitTarget: Long,
-      wantColumnar: Boolean, wantKeys: Boolean): Planned = {
+      wantColumnar: Boolean, wantKeys: Boolean,
+      deletes: Seq[DataFileMeta] = Nil): Planned = {
     if (files.isEmpty) return Planned(Array.empty, columnar = false)
     val schema = m.schema
     val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
+
+    // merge-on-read probe columns: eq-delete keys not already projected ride
+    // along (resolved through the same writer-schema machinery), plus the
+    // parquet row-index column when position deletes apply; readers trim
+    // them after filtering
+    val posDeletes = deletes.filter(_.content == FileContent.PositionDeletes)
+    val eqMetaGroups = deletes.filter(_.content == FileContent.EqualityDeletes)
+      .groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
+    val eqKeyNames = eqMetaGroups.flatMap(_._1).distinct.map(schema.fieldName)
+    val extNames = names ++ eqKeyNames.filterNot(names.contains)
+    val needRid = posDeletes.nonEmpty
+    // must stay nullable: the vectorized reader's required-column check runs
+    // before its row-index special-casing and rejects a non-nullable field
+    val ridField = StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
 
     val groups = files.groupBy(f => (f.schemaId, f.format,
       if (inject || wantKeys) f.partition else Nil, f.specId))
@@ -141,15 +359,16 @@ object GraftReadPlanner {
       }.toMap
       // writer-era names/types; columns the writer never had keep their
       // current name (absent from the file → read as null)
-      val required = StructType(names.map { name =>
+      val required0 = StructType(extNames.map { name =>
         val id = schema.fieldId(name)
         writeSchema.idToName.get(id) match {
           case Some(old) => StructField(old, writeSchema.fieldType(id))
           case None => StructField(name, schema.fieldType(id))
         }
       })
+      val required = if (needRid) StructType(required0.fields :+ ridField) else required0
       // field-ID projection writer row → current row
-      val exprs: Seq[Expression] = names.zipWithIndex.map { case (name, i) =>
+      val exprs0: Seq[Expression] = extNames.zipWithIndex.map { case (name, i) =>
         val id = schema.fieldId(name)
         val cur = schema.fieldType(id)
         if (constants.contains(id))
@@ -160,6 +379,9 @@ object GraftReadPlanner {
           else Cast(in, cur, Some(java.time.ZoneOffset.UTC.getId))
         }
       }
+      val exprs = if (needRid)
+        exprs0 :+ BoundReference(extNames.length, LongType, nullable = true)
+      else exprs0
       val identity = exprs.zipWithIndex.forall {
         case (b: BoundReference, i) => b.ordinal == i
         case _ => false
@@ -190,6 +412,29 @@ object GraftReadPlanner {
     val columnar = wantColumnar && plans.forall(p =>
       p.project.isEmpty && (p.format == "parquet" || p.format == "orc"))
 
+    // one payload per class: delete files + their readers + probe ordinals
+    // in extended-output space (shared across this class's partitions)
+    val deleteApply: GraftDeleteApply = if (deletes.isEmpty) null else {
+      def whole(f: DataFileMeta) = FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes)
+      val outTypes = (extNames.map(n => schema.fieldType(schema.fieldId(n))) ++
+        (if (needRid) Seq(LongType) else Nil)).toArray[DataType]
+      val posSchema = StructType(Seq(
+        StructField(graft.table.MergeOnRead.PosPathCol, StringType),
+        StructField(graft.table.MergeOnRead.PosPosCol, LongType)))
+      val posReader = if (posDeletes.isEmpty) null
+        else ColumnBridge.fileRowReader(spark, "parquet", posSchema, posSchema)
+      val eqGroups = eqMetaGroups.map { case (ids, fs) =>
+        val keySchema = StructType(ids.map(id =>
+          StructField(schema.fieldName(id), schema.fieldType(id))))
+        GraftEqDeletes(fs.map(whole).toArray,
+          ColumnBridge.fileRowReader(spark, "parquet", keySchema, keySchema),
+          ids.map(id => extNames.indexOf(schema.fieldName(id))).toArray,
+          ids.map(id => schema.fieldType(id): DataType).toArray)
+      }
+      GraftDeleteApply(posDeletes.map(whole).toArray, posReader, eqGroups.toArray,
+        if (needRid) extNames.length else -1, names.length, outTypes)
+    }
+
     // build readers; if any format declines batch output, fall back to rows
     def build(vectorized: Boolean): Option[Planned] = {
       val partitions = plans.flatMap { p =>
@@ -198,7 +443,8 @@ object GraftReadPlanner {
         if (vectorized && !batches) return None
         pack(p.files, splitTarget).map(slicePack => GraftInputPartition(
           slicePack.toArray,
-          reader, p.project, columnar = vectorized && batches, key = p.key))
+          reader, p.project, columnar = vectorized && batches, key = p.key,
+          deletes = deleteApply))
       }
       Some(Planned(partitions.toArray, columnar = vectorized))
     }
@@ -244,8 +490,12 @@ object GraftReadPlanner {
 
 /** Native DSv2 batch scan (ref `spark3/.../source/SparkBatchQueryScan.java`):
   * metadata pruning on the driver, Spark `FileFormat` readers (vectorized
-  * where possible) on executors. Used when no merge-on-read delete files
-  * apply — the V1 fallback handles those via the union/anti-join plan.
+  * where possible) on executors. Merge-on-read delete files are applied
+  * INSIDE the readers (position deletes via the parquet row-index column,
+  * equality deletes via executor-local key sets — ref
+  * `data/.../DeleteFilter.java`), so tables with live deletes keep the
+  * columnar path; only delete shapes the readers can't express fall back to
+  * the V1 union/anti-join plan.
   *
   *  - `SupportsRuntimeV2Filtering`: join-driven runtime predicates (dynamic
   *    partition pruning) re-run the pruning cascade and drop whole files
@@ -260,7 +510,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     projection: StructType, pushedV1: Seq[Filter],
     snapshotId: Option[Long], asOfMillis: Option[Long],
     splitSize: Option[Long], streamSkipDeletes: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    deletes: Seq[(DataFileMeta, Long)] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -303,10 +554,14 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     }
   }
 
-  /** All-identity current spec covering every planned file → key-grouped. */
+  /** All-identity current spec covering every planned file → key-grouped.
+    * Disabled under merge-on-read deletes: applicability classes can split
+    * one partition tuple across input partitions, which would break the
+    * HasPartitionKey contract (all rows of a key in one partition). */
   private def keyedSpec: Option[PartitionSpec] = {
     val s = table.meta.spec
-    if (s.isPartitioned && s.fields.forall(_.transform == IdentityTransform) &&
+    if (deletes.isEmpty && s.isPartitioned &&
+      s.fields.forall(_.transform == IdentityTransform) &&
       tasks.nonEmpty && tasks.forall(_.file.specId == s.specId)) Some(s)
     else None
   }
@@ -327,9 +582,21 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       val split = splitSize
         .orElse(m.properties.get(TableProperties.SplitSize).map(_.toLong))
         .getOrElse(TableProperties.SplitSizeDefault)
-      cachedPlan = GraftReadPlanner.plan(table.spark, m, tasks.map(_.file),
-        projection.fieldNames.toSeq, pushedV1 ++ runtimeV1, split,
-        wantColumnar = true, wantKeys = keyedSpec.nonEmpty)
+      // merge-on-read: plan per delete-applicability class (two files share a
+      // class iff the same delete set applies — `Reads.groupTasksByDeletes`);
+      // each class's partitions carry that class's delete payload
+      val classes =
+        if (deletes.isEmpty) Seq((Seq.empty[DataFileMeta], tasks))
+        else Reads.groupTasksByDeletes(tasks, deletes)
+      val planned = classes.map { case (applicable, group) =>
+        GraftReadPlanner.plan(table.spark, m, group.map(_.file),
+          projection.fieldNames.toSeq, pushedV1 ++ runtimeV1, split,
+          wantColumnar = true, wantKeys = keyedSpec.nonEmpty,
+          deletes = applicable)
+      }
+      cachedPlan = GraftReadPlanner.Planned(
+        planned.flatMap(_.partitions).toArray,
+        columnar = planned.forall(_.columnar))
     }
     cachedPlan.partitions.toArray[InputPartition]
   }
@@ -357,5 +624,6 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
   }
 
   override def description(): String =
-    s"GraftBatchScan(table=${table.location}, filter=$filter, runtime=$runtimeExpr)"
+    s"GraftBatchScan(table=${table.location}, filter=$filter, " +
+      s"runtime=$runtimeExpr, deletes=${deletes.size})"
 }

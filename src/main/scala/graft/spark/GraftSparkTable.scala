@@ -159,7 +159,8 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
 
   // planned once per query: pushAggregation and build() both ask — on a
   // table with thousands of manifests a second walk doubles compile-time IO
-  private lazy val plannedDeletes = baseScan().planDeletes()
+  private lazy val plannedContent = baseScan().planContent()
+  private def plannedDeletes = plannedContent._1
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
@@ -234,20 +235,40 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     true
   }
 
+  /** Merge-on-read deletes the native scan can apply in its readers:
+    * position deletes need the parquet row-index column (so every live data
+    * file must be parquet), equality probing needs hashable atomic key
+    * types. Anything else takes the V1 union/anti-join plan. */
+  private def nativeMoRSupported: Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SStructType}
+    val (deletes, dataFormats) = plannedContent
+    val posOk = !deletes.exists(_._1.content == graft.meta.model.FileContent.PositionDeletes) ||
+      dataFormats.subsetOf(Set("parquet"))
+    val eqOk = deletes.iterator.flatMap(_._1.equalityIds).toSeq.distinct.forall { id =>
+      table.meta.schema.fieldType(id) match {
+        case _: ArrayType | _: MapType | _: SStructType => false
+        case _ => true
+      }
+    }
+    posOk && eqOk
+  }
+
   override def build(): Scan = aggResult match {
     case Some((aggSchema, row)) => new GraftLocalAggScan(table, aggSchema, row)
     case None =>
-      // merge-on-read deletes need the V1 union/anti-join read plan; plain
-      // tables take the native batch scan (vectorized readers, runtime file
-      // pruning, storage-partitioned joins)
+      // native batch scan (vectorized readers, runtime file pruning,
+      // storage-partitioned joins) — including merge-on-read tables, whose
+      // deletes the readers apply in place; the V1 union/anti-join plan
+      // remains only for delete shapes the readers can't express
       val v1Forced =
         table.meta.property("read.v1-fallback.enabled", "false").toBoolean
-      if (v1Forced || plannedDeletes.nonEmpty)
+      if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported))
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
           asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
       else
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
-          snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
+          snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
+          deletes = plannedDeletes)
   }
 }
 

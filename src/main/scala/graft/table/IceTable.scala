@@ -649,12 +649,19 @@ final class TableScan private[table] (table: IceTable) {
   }
 
   /** Live delete files of the scanned snapshot with their sequence numbers. */
-  def planDeletes(): Seq[(DataFileMeta, Long)] = {
+  def planDeletes(): Seq[(DataFileMeta, Long)] = planContent()._1
+
+  /** One live-entries walk: (delete files with sequence numbers, the set of
+    * live data-file formats). The scan builder needs both to pick the
+    * merge-on-read read path without a second metadata pass. */
+  def planContent(): (Seq[(DataFileMeta, Long)], Set[String]) = {
     val m = table.meta
-    chooseSnapshot(m).toSeq.flatMap { snap =>
-      table.liveEntries(m, snap)
-        .filter(_.dataFile.content != FileContent.Data)
-        .map(e => (e.dataFile, e.sequenceNumber))
+    chooseSnapshot(m) match {
+      case None => (Nil, Set.empty)
+      case Some(snap) =>
+        val entries = table.liveEntries(m, snap)
+        val (del, data) = entries.partition(_.dataFile.content != FileContent.Data)
+        (del.map(e => (e.dataFile, e.sequenceNumber)), data.map(_.dataFile.format).toSet)
     }
   }
 

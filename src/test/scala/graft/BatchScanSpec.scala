@@ -70,7 +70,7 @@ class BatchScanSpec extends AnyFunSuite {
       lineitem.agg(sum("l_orderkey")).head.getLong(0))
   }
 
-  test("merge-on-read deletes fall back to the V1 union plan and stay correct") {
+  test("merge-on-read equality deletes stay on the native columnar scan") {
     warehouse
     spark.sql("CREATE TABLE bs.db.mor (k INT, v STRING)")
     spark.sql("INSERT INTO bs.db.mor VALUES (1,'a'),(2,'b'),(3,'c')")
@@ -78,9 +78,38 @@ class BatchScanSpec extends AnyFunSuite {
     import spark.implicits._
     t.addEqualityDeletes(Seq(2).toDF("k"), Seq("k"))
     val df = spark.sql("SELECT k, v FROM bs.db.mor ORDER BY k")
-    val plan = ColumnBridge.executedPlan(df).toString
-    assert(!plan.contains("BatchScan"), s"MoR table must not use the native batch scan:\n$plan")
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+    val plan = ColumnBridge.executedPlan(df).toString // post-AQE final plan
+    assert(plan.contains("BatchScan"), s"MoR table lost the native batch scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"MoR read is not vectorized:\n$plan")
+    // eq-delete key column (k) not in the projection: probe column is read
+    // and trimmed invisibly
+    assert(spark.sql("SELECT v FROM bs.db.mor ORDER BY v")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "c"))
+  }
+
+  test("merge-on-read position deletes stay columnar across a second append") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.morpos (k INT, v STRING)")
+    val t = IceTable.load(spark, s"$warehouse/db/morpos")
+    import spark.implicits._
+    // ONE data file: a whole-file delete would go metadata-only and write no
+    // delete files; a single-key delete in a multi-key file must be positional
+    t.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    spark.sql("ALTER TABLE bs.db.morpos SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM bs.db.morpos WHERE k = 2")
+    assert(t.newScan().planDeletes().nonEmpty, "expected live position-delete files")
+    // second append AFTER the delete: its file is in a different
+    // applicability class (the delete must not touch it)
+    spark.sql("INSERT INTO bs.db.morpos VALUES (2,'e')")
+    val df = spark.sql("SELECT k, v FROM bs.db.morpos ORDER BY k, v")
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "e"), (3, "c"), (4, "d")))
+    val plan = ColumnBridge.executedPlan(df).toString // post-AQE final plan
+    assert(plan.contains("BatchScan"), s"MoR table lost the native batch scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"MoR read is not vectorized:\n$plan")
+    // count(*) with zero projected columns still probes positions
+    assert(spark.sql("SELECT count(*) FROM bs.db.morpos").head.getLong(0) === 4L)
   }
 
   test("runtime V2 filter prunes whole files before read") {
