@@ -99,6 +99,18 @@ object Bench {
       (1 to 2).foreach(_ => scan())
       results("mor_read") = median((1 to 3).map(_ => time(scan())))
     }
+
+    // --- persisted-IVF probe: index built ONCE (untimed — that's the
+    // amortized cost), queries pay only the partition-pruned probe ---
+    {
+      val embs = Tables.load(spark, sfDir, "embeddings")
+      val idx = graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
+        s"$loc/ann_idx", nLists = 8)
+      def probe() = consume(
+        idx.topK(LlmQueries.AnnQueryIds, k = 5, nProbe = 2))
+      (1 to 2).foreach(_ => probe())
+      results("llm_ann_ivf_probe") = median((1 to 5).map(_ => time(probe())))
+    }
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loc), true)
 

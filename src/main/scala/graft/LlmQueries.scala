@@ -66,14 +66,17 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF (inverted-file) ANN with every list probed: the index is exercised
-    // end-to-end (k-means fit, list assignment, probe join) and the result
-    // is EXACT — so it shares the brute-force SQL oracle; partial-probe
-    // recall is pinned in LlmSpec
+    // IVF (inverted-file) ANN through the PERSISTED index with every list
+    // probed: exercises the full index lifecycle (fit, list-partitioned
+    // index table, centroid persistence, partition-pruned probe) and the
+    // full probe is EXACT — so it shares the brute-force SQL oracle;
+    // partial-probe recall and append-sync are pinned in LlmSpec
     "llm_ann_ivf" -> ((s, d) => {
-      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", AnnQueryIds, k = 5,
-          nLists = 8, nProbe = 8)
-        .orderBy("query_id", "rank")
+      val loc = java.nio.file.Files.createTempDirectory("graft-ivf-")
+        .toString + "/idx"
+      val idx = graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
+        loc, nLists = 8)
+      idx.topK(AnnQueryIds, k = 5, nProbe = 8).orderBy("query_id", "rank")
     }),
 
     // text statistics: token counts (whitespace + BPE-ish), punct ratio

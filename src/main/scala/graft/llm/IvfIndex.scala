@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.meta.{PartitionSpec, Schema}
+import graft.meta.expr.Exprs
+import graft.table.{FileIO, IceTable}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index: a graft TABLE identity-
+  * partitioned by the inverted-list id (the reference has no ANN surface;
+  * the design is FAISS-style IVF re-expressed as a lakehouse table — the
+  * index IS a list-partitioned copy of (id, vector), so a probe is a
+  * partition-pruned scan of the `nProbe` nearest lists: no join against the
+  * corpus, no shuffle beyond the final top-k window, and the existing
+  * metadata cascade does the pruning).
+  *
+  * Layout at the index location:
+  *  - graft table `(idCol, vecCol, list int)` partitioned by identity(list)
+  *  - `ann/centroids.json` — the frozen coarse quantizer (k×dim doubles;
+  *    kept OUT of table properties so a 16k-list × 768-dim quantizer never
+  *    bloats every metadata.json)
+  *  - properties `ann.id-col` / `ann.vec-col` / `ann.n-lists`
+  *
+  * The quantizer is FROZEN at build time: [[IvfIndex.sync]] assigns NEW
+  * vectors against the stored centroids and appends them into their list
+  * partitions — queries pay probe cost only, never the ~5 full corpus
+  * passes a re-fit costs. Re-fit is explicit: [[IvfIndex.build]] again (or
+  * SQL `CALL system.rebuild_ann_index`).
+  */
+final class IvfIndex private (val table: IceTable,
+    val centroids: Seq[Seq[Double]]) {
+
+  private def prop(k: String): String = table.meta.properties(k)
+  def idCol: String = prop(IvfIndex.IdColProp)
+  def vecCol: String = prop(IvfIndex.VecColProp)
+
+  /** Assign `delta` rows (id, vector) to lists with the FROZEN centroids and
+    * append the not-yet-indexed ones. The anti join touches only the index's
+    * id column (column-pruned scan); at scale feed `delta` from an
+    * incremental appends scan of the corpus rather than the full corpus. */
+  def sync(delta: DataFrame): Long = {
+    val assigned = delta.select(col(idCol), col(vecCol),
+      Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol))
+    val existing = table.newScan().select(idCol).toDF
+    val fresh = assigned.join(existing, Seq(idCol), "left_anti")
+    val n = fresh.count()
+    if (n > 0) table.append(fresh)
+    n
+  }
+
+  /** Probe-only approximate top-k: query vectors are looked up by id (a
+    * metrics-pruned scan + tiny collect), each query's `nProbe` nearest
+    * lists are ranked on the driver against the local centroids, and ONLY
+    * those list partitions are scanned — `filter(list IN ...)` prunes
+    * through manifest summaries and partition values before any file opens.
+    * `nProbe >= nLists` degenerates to exact brute force. */
+  def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = table.spark
+    val probes = math.min(math.max(1, nProbe), centroids.size)
+    val qLocal: Seq[(Long, Seq[Double])] = table.newScan()
+      .filter(Exprs.in(idCol, queryIds: _*)).select(idCol, vecCol).toDF
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // same ranking rule as Similarity.listSims ([cosine, index] lexicographic,
+    // ties to the larger index): a probe choice here matches what a full
+    // in-Spark ranking would pick
+    val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
+        .sorted.takeRight(probes)
+        .map { case (_, list) => (qid, list) }
+    }
+    val allLists = probed.map(_._2).distinct
+    val qRows = probed.map { case (qid, list) =>
+      val qv = qLocal.find(_._1 == qid).get._2
+      Row(qid, qv, list)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField(IvfIndex.ListCol,
+        org.apache.spark.sql.types.IntegerType)))
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    val cand = table.newScan()
+      .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)).toDF
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(IvfIndex.ListCol))
+    val joined = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}
+
+object IvfIndex {
+  val ListCol = "list"
+  val IdColProp = "ann.id-col"
+  val VecColProp = "ann.vec-col"
+  val NListsProp = "ann.n-lists"
+
+  private def centroidsPath(location: String) = s"$location/ann/centroids.json"
+
+  private[llm] def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Fit the quantizer on `corpus` (k-means as DataFrame jobs — see
+    * [[Similarity.ivfFit]]), write the list-partitioned index table at
+    * `location`, persist the centroids beside it. An existing index at
+    * `location` is replaced. At 100 TB fit on `corpus.sample(...)` — the
+    * quantizer needs ~100× nLists vectors, not the full corpus — and let
+    * the full assignment run as the one distributed append here. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, location: String, nLists: Int = -1,
+      iters: Int = 2): IvfIndex = {
+    val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
+    val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      Similarity.nearestList(col(vecCol), cents).as(ListCol))
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    if (io.exists(location)) io.deleteRecursive(location)
+    val schema = Schema.fresh(assigned.schema)
+    val spec = PartitionSpec.builderFor(schema).identity(ListCol).build()
+    val t = IceTable.create(spark, location, schema, spec,
+      properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
+        NListsProp -> n.toString,
+        // many small list partitions per append: fanout avoids a sort
+        graft.meta.model.TableProperties.FanoutEnabled -> "true"))
+    io.writeString(centroidsPath(location), centroidsJson(cents))
+    t.append(assigned)
+    new IvfIndex(t, cents)
+  }
+
+  def load(spark: SparkSession, location: String): IvfIndex = {
+    val t = IceTable.load(spark, location)
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    new IvfIndex(t, parseCentroids(io.readString(centroidsPath(location))))
+  }
+
+  // centroids are a rectangular double matrix — hand-rolled JSON keeps the
+  // on-disk format obvious and avoids dragging a JSON mapper into llm/
+  private[llm] def centroidsJson(cents: Seq[Seq[Double]]): String =
+    cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private[llm] def parseCentroids(s: String): Seq[Seq[Double]] = {
+    val trimmed = s.trim.stripPrefix("[").stripSuffix("]")
+    if (trimmed.isEmpty) Nil
+    else trimmed.split("""\]\s*,\s*\[""").toSeq
+      .map(_.stripPrefix("[").stripSuffix("]"))
+      .map(row => row.split(',').toSeq.map(_.trim.toDouble))
+  }
+}

@@ -166,7 +166,12 @@ object Similarity {
     * at 1000 executors each probe list streams through its own tasks, no
     * cross join. `nProbe >= nLists` degenerates to exact brute force (the
     * LlmSpec exactness pin). `nLists < 0` derives the list count from the
-    * corpus size. */
+    * corpus size.
+    *
+    * ONE-SHOT form: fits the quantizer and assigns every row per call
+    * (~5 corpus passes before the probe). For repeated queries build a
+    * [[IvfIndex]] once — its `topK` is probe-only against the persisted,
+    * list-partitioned index table. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, nLists: Int = -1, nProbe: Int = 2,
       iters: Int = 2): DataFrame = {

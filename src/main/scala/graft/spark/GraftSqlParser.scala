@@ -271,6 +271,27 @@ object GraftSqlParser {
               "snapshot-source" -> source))
           Seq(Row(t.newScan().planFiles().size.toLong))
         })
+      case "rebuild_ann_index" =>
+        // explicit re-fit of a persisted IVF ANN index (quantizer + full
+        // reassignment); between rebuilds, appends only sync assignments
+        GraftCallCommand(proc, Seq(attr("index_location", StringType),
+          attr("n_lists", LongType), attr("indexed_count", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val idCol = named.get("id_col").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException(
+              "rebuild_ann_index requires id_col")).toString
+          val vecCol = named.get("vec_col").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              "rebuild_ann_index requires vec_col")).toString
+          val loc = named.get("index_location").orElse(pos.lift(3))
+            .map(_.toString).getOrElse(s"${t.location}_ann_index")
+          val nLists = named.get("n_lists").orElse(pos.lift(4))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(-1)
+          val idx = graft.llm.IvfIndex.build(spark, t.newScan().toDF,
+            idCol, vecCol, loc, nLists)
+          val count = idx.table.newScan().planFiles().map(_.file.recordCount).sum
+          Seq(Row(loc, idx.centroids.size.toLong, count))
+        })
       case "add_files" =>
         GraftCallCommand(proc, Seq(attr("added_files_count", LongType)), { spark =>
           val source = named.get("source_table").orElse(named.get("source"))

@@ -67,6 +67,49 @@ class LlmSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"IVF mean recall@5 = $mean (per-query $recalls)")
   }
 
+  test("persisted IVF index: full probe exact, load round-trip, sync on append") {
+    import graft.llm.IvfIndex
+    val qids = LlmQueries.AnnQueryIds
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfidx-")
+      .toString + "/idx"
+    val idx = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 8)
+    // the index table is identity-partitioned by list with frozen centroids
+    assert(idx.table.meta.spec.fields.map(_.name) === Seq("list"))
+    assert(idx.centroids.size === 8)
+    // full probe through the persisted index == brute force
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val full = idx.topK(qids, 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach(q => assert(full(q) === exact(q), s"query $q full-probe != brute force"))
+    // partial probe recall stays high, probe-only (no re-fit)
+    val approx = idx.topK(qids, 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map { q =>
+      exact(q).count(approx.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"persisted-IVF recall ${recalls.sum / recalls.size}")
+    // load round-trip: centroids and properties survive
+    val loaded = IvfIndex.load(spark, loc)
+    assert(loaded.centroids === idx.centroids)
+    assert(loaded.idCol === "vec_id" && loaded.vecCol === "embedding")
+    // sync: an appended vector gets an assignment (and only new ids append)
+    val before = loaded.table.newScan().toDF.count()
+    val novel = embs.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    assert(loaded.sync(novel.unionByName(embs.limit(3))) === 1L)
+    assert(loaded.table.newScan().toDF.count() === before + 1)
+    // the synced vector is findable: probing near its own embedding returns
+    // its duplicate (vec_id 7) as a top neighbor
+    val dup = loaded.topK(Seq(1000007L), k = 1, nProbe = 8).collect().head
+    assert(dup.getLong(2) === 7L, s"expected synced twin, got $dup")
+    assert(dup.getDouble(3) === 1.0)
+  }
+
   test("IVF list count scales with corpus size") {
     assert(Similarity.listsFor(500) === 2) // floor
     assert(Similarity.listsFor(10_000_000_000L) === 9537) // ~1M vectors per list

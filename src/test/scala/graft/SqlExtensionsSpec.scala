@@ -214,6 +214,23 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(spark.read.parquet(src).count() === 100)
   }
 
+  test("CALL rebuild_ann_index builds a persisted IVF index over a table") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO gx.db.vecs SELECT id, transform(sequence(1, 8), " +
+      "x -> cast(sin(id * 31 + x) as float)) FROM range(64)")
+    val out = spark.sql("CALL gx.system.rebuild_ann_index(table => 'db.vecs', " +
+      "id_col => 'vec_id', vec_col => 'embedding', " +
+      s"index_location => '$warehouse/db/vecs_idx', n_lists => 4)").head()
+    assert(out.getString(0) === s"$warehouse/db/vecs_idx")
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === 64L)
+    val idx = graft.llm.IvfIndex.load(spark, s"$warehouse/db/vecs_idx")
+    assert(idx.centroids.size === 4)
+    // probe-only query returns k neighbors per query id
+    assert(idx.topK(Seq(0L), k = 3, nProbe = 4).count() === 3)
+  }
+
   test("normal SQL still parses through the delegate") {
     warehouse
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
