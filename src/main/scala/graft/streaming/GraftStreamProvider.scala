@@ -48,12 +48,27 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
       // stream; false fails the batch so data loss is surfaced
       parameters.getOrElse("streaming-skip-delete-snapshots", "true").toBoolean)
 
+  /** Sink modes: plain epoch-idempotent append (default), or keyed UPSERT
+    * via `option("mode", "upsert")` / `option("upsert-keys", "a,b")` — each
+    * epoch commits an equality-delete of the batch keys plus the new rows
+    * in one snapshot (keys default to the table's identifier fields). */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append,
-      s"graft-stream sink supports Append output mode only, got $outputMode")
-    new GraftStreamSink(tableOf(sqlContext, parameters),
-      parameters.getOrElse("queryId", "graft-stream"))
+    val upsertKeys = parameters.get("upsert-keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val upsert = parameters.get("mode").exists(_.equalsIgnoreCase("upsert")) ||
+      upsertKeys.nonEmpty
+    val queryId = parameters.getOrElse("queryId", "graft-stream")
+    if (upsert) {
+      require(outputMode == OutputMode.Append || outputMode == OutputMode.Update,
+        s"graft-stream upsert sink supports Append/Update output modes, got $outputMode")
+      new GraftUpsertSink(tableOf(sqlContext, parameters), queryId,
+        upsertKeys.getOrElse(Nil))
+    } else {
+      require(outputMode == OutputMode.Append,
+        s"graft-stream sink supports Append output mode only, got $outputMode")
+      new GraftStreamSink(tableOf(sqlContext, parameters), queryId)
+    }
   }
 }
 
@@ -93,13 +108,26 @@ private final class GraftStreamSource(table: IceTable,
 /** Idempotent append sink: replayed epochs (restart recovery) are skipped via
   * the (queryId, epochId) marker in the snapshot summary. */
 private final class GraftStreamSink(table: IceTable, queryId: String) extends Sink {
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    // re-anchor on the physical rows: the incoming frame belongs to the
-    // streaming query's IncrementalExecution and can't be re-analyzed
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    Streaming.appendOnce(table, queryId, GraftStreamSink.reanchor(data), batchId)
+}
+
+private object GraftStreamSink {
+  /** Re-anchor on the physical rows: the incoming frame belongs to the
+    * streaming query's IncrementalExecution and can't be re-analyzed. */
+  def reanchor(data: DataFrame): DataFrame = {
     val spark = data.sparkSession
     val rows = org.apache.spark.sql.graft.ColumnBridge.toInternalRdd(data)
-    val df = org.apache.spark.sql.graft.ColumnBridge
+    org.apache.spark.sql.graft.ColumnBridge
       .internalCreateDataFrame(spark, rows, data.schema)
-    Streaming.appendOnce(table, queryId, df, batchId)
   }
+}
+
+/** Keyed upsert sink: per epoch, ONE snapshot of (equality-delete file of
+  * the batch's keys + appended rows) — CDC upserts with no target scan. */
+private final class GraftUpsertSink(table: IceTable, queryId: String,
+    keys: Seq[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    Streaming.upsertOnce(table, queryId, keys,
+      GraftStreamSink.reanchor(data), batchId)
 }

@@ -31,6 +31,36 @@ object Streaming {
       .find(_.summary.get("streaming-query-id").contains(queryId))
       .flatMap(_.summary.get("streaming-epoch-id")).map(_.toLong)
 
+  /** Sink for a KEYED CDC/upsert stream
+    * (`df.writeStream.foreachBatch(Streaming.upsertSink(table, "q1"))`):
+    * each epoch becomes ONE snapshot holding an equality-delete file of the
+    * batch's keys plus the appended rows — the ref's Flink CDC shape
+    * (`EqualityDeleteWriter.java` + row delta). No target data file is read
+    * or rewritten: old rows with the same keys are suppressed at read time
+    * by the sequence rule (eq deletes apply only to STRICTLY earlier data,
+    * so the rows appended in the same snapshot survive). `keys` defaults to
+    * the table's identifier fields (`ALTER TABLE ... SET IDENTIFIER
+    * FIELDS`). Batches carrying several rows per key are reduced with
+    * `dropDuplicates(keys)` — emit at most one row per key per epoch
+    * upstream if the choice matters. */
+  def upsertSink(table: IceTable, queryId: String,
+      keys: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) =>
+      upsertOnce(table, queryId, keys, batch, epochId)
+
+  def upsertOnce(table: IceTable, queryId: String, keys: Seq[String],
+      batch: DataFrame, epochId: Long): Unit = {
+    if (lastCommittedEpoch(table, queryId).exists(_ >= epochId)) return // replay
+    val m = table.meta
+    val keyCols = if (keys.nonEmpty) keys else m.schema.identifierFieldNames
+    require(keyCols.nonEmpty,
+      "upsert sink needs key columns: pass keys or set table identifier fields")
+    val rows = batch.dropDuplicates(keyCols)
+    graft.table.MergeOnRead.upsertDelta(table, keyCols, rows,
+      Map("streaming-query-id" -> queryId,
+        "streaming-epoch-id" -> epochId.toString))
+  }
+
   /** Micro-batch incremental reader: each `next()` returns the rows appended
     * since the checkpointed snapshot (or everything on first call), advancing
     * the offset only when `commit()` is called — at-least-once, exactly-once

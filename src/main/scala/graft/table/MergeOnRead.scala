@@ -41,7 +41,17 @@ object MergeOnRead {
     * Partition-scoped per delete row when `keys` cover all partition
     * sources; global otherwise. */
   def addEqualityDeletes(table: IceTable, keysDf: DataFrame, keys: Seq[String]): Unit = {
-    val m = table.meta
+    val files = writeEqualityDeleteFiles(table, table.meta, keysDf, keys)
+    table.commitSnapshot(Operation.Delete, files, Set.empty,
+      Map("equality-delete-files" -> files.size.toString))
+  }
+
+  /** Write (but do NOT commit) equality-delete files for `keysDf`'s key
+    * tuples — the building block the streaming upsert sink combines with a
+    * data append in ONE snapshot (ref `EqualityDeleteWriter.java` used by
+    * the Flink CDC writer). */
+  private[graft] def writeEqualityDeleteFiles(table: IceTable, m: TableMetadata,
+      keysDf: DataFrame, keys: Seq[String]): Seq[DataFileMeta] = {
     val schema = m.schema
     val spec = m.spec
     val ids = keys.map(schema.fieldId)
@@ -62,10 +72,27 @@ object MergeOnRead {
     } else {
       distinctKeys.write.parquet(outDir)
     }
-    val files = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
+    deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
       scoped = scoped)
-    table.commitSnapshot(Operation.Delete, files, Set.empty,
-      Map("equality-delete-files" -> files.size.toString))
+  }
+
+  /** ONE-snapshot keyed upsert delta (ref Flink CDC writer semantics): an
+    * equality-delete file of `rows`' key tuples plus the appended rows,
+    * committed together. Both carry the SAME sequence number, and equality
+    * deletes apply only to STRICTLY earlier sequences — so the delta's own
+    * rows survive while every older row with a matching key is suppressed.
+    * No target data file is read or rewritten. */
+  private[graft] def upsertDelta(table: IceTable, keys: Seq[String],
+      rows: DataFrame, extraSummary: Map[String, String] = Map.empty): Unit = {
+    val m = table.meta
+    val eqFiles = writeEqualityDeleteFiles(table, m,
+      rows.select(keys.map(col): _*), keys)
+    val dataFiles = Writes.writeDataFiles(table.spark, table, m, rows)
+      .filter(_.recordCount > 0)
+    table.commitSnapshot(Operation.Overwrite, eqFiles ++ dataFiles, Set.empty,
+      extraSummary ++ Map(
+        "equality-delete-files" -> eqFiles.size.toString,
+        "upserted-data-files" -> dataFiles.size.toString))
   }
 
   /** Commit a position-delete file: (file_path, pos) rows to suppress. */

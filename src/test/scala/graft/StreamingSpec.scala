@@ -46,6 +46,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.snapshots.forall(_.summary.contains("streaming-epoch-id")))
   }
 
+  test("keyed upsert sink: last writer wins over 3 epochs, no data file rewritten") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val srcLoc = s"$base/src"; val dstLoc = s"$base/dst"; val cp = s"$base/cp"
+    import spark.implicits._
+    val src = IceTable.create(spark, srcLoc,
+      Schema.fresh(Seq((1L, "x", 0)).toDF("k", "v", "epoch").schema))
+    val dst = IceTable.create(spark, dstLoc,
+      Schema.fresh(Seq((1L, "x", 0)).toDF("k", "v", "epoch").schema))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-stream").option("path", srcLoc).load()
+        .writeStream.format("graft-stream").option("path", dstLoc)
+        .option("mode", "upsert").option("upsert-keys", "k")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    // epoch 1: keys 1..4; epoch 2: update 2,3; epoch 3: update 3 + insert 5
+    val epochs = Seq(
+      Seq((1L, "a1", 1), (2L, "b1", 1), (3L, "c1", 1), (4L, "d1", 1)),
+      Seq((2L, "b2", 2), (3L, "c2", 2)),
+      Seq((3L, "c3", 3), (5L, "e3", 3)))
+    epochs.foreach { rows =>
+      src.append(rows.toDF("k", "v", "epoch"))
+      runOnce()
+    }
+    // last-writer-wins oracle
+    val got = dst.toDF.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1", 5L -> "e3"))
+    assert(dst.toDF.count() === 5)
+    // no data file was rewritten: every epoch's data files are still live,
+    // and suppression happened via equality-delete files only
+    val live = dst.newScan().planFiles()
+    assert(dst.newScan().planDeletes()
+      .count(_._1.content === graft.meta.model.FileContent.EqualityDeletes) >= 2)
+    // rows physically present across live data files = all 8 upserted rows
+    val rawRows = live.map(_.file.recordCount).sum
+    assert(rawRows === 8, s"expected all epoch rows still on disk, got $rawRows")
+    // replayed epoch: re-running with same checkpoint moves nothing
+    runOnce()
+    assert(dst.toDF.count() === 5)
+  }
+
   test("appendsBetween: delete snapshots skipped by default, rejected when strict") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val t = IceTable.create(spark, s"$base/t", Schema.fresh(orders.schema))
