@@ -390,11 +390,53 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
     * that no longer exists fails validation (serializable isolation for
     * overwrites; ref `BaseOverwriteFiles.java:98`).
     */
+  /** Conservative manifest-level prune for removal commits (ref
+    * `ManifestFilterManager.java:167` canContainDeletedFiles): a manifest
+    * cannot contain a removed file unless their spec ids match AND the
+    * file's partition tuple falls inside the manifest's partition-range
+    * summaries. Any doubt (missing summaries, arity drift) keeps the
+    * manifest as a candidate. */
+  private def mayContainRemoved(base: TableMetadata, mf: ManifestFileMeta,
+      removed: Seq[DataFileMeta]): Boolean = {
+    val candidates = removed.filter(_.specId == mf.specId)
+    if (candidates.isEmpty) return false
+    val spec = base.specById(mf.specId)
+    if (spec.fields.isEmpty ||
+      mf.partitionSummaries.size != spec.fields.size) return true
+    candidates.exists { f =>
+      f.partition.size == spec.fields.size && spec.fields.indices.forall { i =>
+        val s = mf.partitionSummaries(i)
+        val v = f.partition(i)
+        if (v == null) s.containsNull
+        else {
+          val t = spec.fieldType(base.schema, spec.fields(i))
+          if (Literals.isNaN(v)) s.containsNan.getOrElse(true)
+          else (s.lowerBound, s.upperBound) match {
+            case (Some(lo), Some(hi)) =>
+              Literals.compare(t, v, lo) >= 0 && Literals.compare(t, v, hi) <= 0
+            case _ => false // only null/NaN values live in this manifest
+          }
+        }
+      }
+    }
+  }
+
+  /** @param removedMeta the full metadata of the removed files when the
+    *                    caller has it: enables partition-summary pruning so
+    *                    a removal commit opens only the manifests that can
+    *                    contain the removed files (must cover every path in
+    *                    `removedPaths`, else ignored). */
   private[graft] def commitSnapshot(op: String, added: Seq[DataFileMeta],
       removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty,
       metaTransform: Option[TableMetadata => TableMetadata] = None,
-      validate: Option[ConflictValidation] = None): Unit = {
+      validate: Option[ConflictValidation] = None,
+      removedMeta: Seq[DataFileMeta] = Nil): Unit = {
     val removedNorm = removedPaths.map(normPath)
+    val pruneMeta =
+      if (removedMeta.nonEmpty &&
+        removedNorm.subsetOf(removedMeta.map(f => normPath(f.path)).toSet))
+        removedMeta
+      else Nil
     ops.commitWithRetry(retries(meta)) { base0 =>
       val base = metaTransform.map(_(base0)).getOrElse(base0)
       validate.foreach(validateNoConflicts(base, _))
@@ -410,20 +452,34 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       var removedRows = 0L
       val keptManifests: Seq[ManifestFileMeta] =
         if (removedNorm.isEmpty) currentManifests
-        else currentManifests.flatMap { mf =>
-          val entries = ManifestIO.read(io, mf.path, schema, base.specById)
-            .filter(_.status != EntryStatus.Deleted)
-          val (rm, keep) = entries.partition(e => removedNorm.contains(normPath(e.dataFile.path)))
-          if (rm.isEmpty) Some(mf)
-          else {
-            removedCount += rm.size
-            removedRows += rm.map(_.dataFile.recordCount).sum
-            if (keep.isEmpty) None
-            else {
-              val spec = base.specById(mf.specId)
-              val path = ManifestIO.newPath(mdir, base)
-              val kept = keep.map(e => e.copy(status = EntryStatus.Existing))
-              Some(ManifestIO.write(io, path, kept, schema, spec))
+        else {
+          // candidates only (summary-pruned when the caller gave metadata),
+          // read on the manifest worker pool instead of serially
+          val candidates =
+            if (pruneMeta.isEmpty) currentManifests
+            else currentManifests.filter(mayContainRemoved(base, _, pruneMeta))
+          val readEntries: Map[String, Seq[ManifestEntry]] =
+            ManifestIO.readAll(io, candidates, schema, base.specById)
+              .map { case (mf, es) => mf.path -> es }.toMap
+          currentManifests.flatMap { mf =>
+            readEntries.get(mf.path) match {
+              case None => Some(mf) // pruned: cannot contain a removed file
+              case Some(entries0) =>
+                val entries = entries0.filter(_.status != EntryStatus.Deleted)
+                val (rm, keep) = entries.partition(e =>
+                  removedNorm.contains(normPath(e.dataFile.path)))
+                if (rm.isEmpty) Some(mf)
+                else {
+                  removedCount += rm.size
+                  removedRows += rm.map(_.dataFile.recordCount).sum
+                  if (keep.isEmpty) None
+                  else {
+                    val spec = base.specById(mf.specId)
+                    val path = ManifestIO.newPath(mdir, base)
+                    val kept = keep.map(e => e.copy(status = EntryStatus.Existing))
+                    Some(ManifestIO.write(io, path, kept, schema, spec))
+                  }
+                }
             }
           }
         }

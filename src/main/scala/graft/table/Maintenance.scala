@@ -255,7 +255,8 @@ object Maintenance {
     val written = Writes.writeDataFiles(spark, table, m, df)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Replace, written,
-      toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"))
+      toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"),
+      removedMeta = toRewrite)
     (toRewrite.size, written.size)
   }
 
@@ -321,7 +322,8 @@ object Maintenance {
       .filter(_.recordCount > 0)
       .map(f => f.copy(sortOrderId = order.orderId))
     table.commitSnapshot(Operation.Replace, written,
-      toRewrite.map(_.path).toSet, Map("compaction" -> "sort"))
+      toRewrite.map(_.path).toSet, Map("compaction" -> "sort"),
+      removedMeta = toRewrite)
     (toRewrite.size, written.size)
   }
 

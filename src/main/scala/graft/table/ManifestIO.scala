@@ -70,10 +70,16 @@ object ManifestIO {
       partitionSummaries = summaries)
   }
 
+  /** Manifests opened via [[read]] — lets tests assert pruning (how many
+    * manifests a commit or scan actually opened) without timing. */
+  private[graft] val readCounter = new java.util.concurrent.atomic.AtomicLong()
+
   def read(io: FileIO, path: String, schema: Schema,
-      specById: Int => PartitionSpec): Seq[ManifestEntry] =
+      specById: Int => PartitionSpec): Seq[ManifestEntry] = {
+    readCounter.incrementAndGet()
     if (path.endsWith(".parquet")) ParquetManifests.read(io, path, schema, specById)
     else io.readLines(path).map(JsonCodecs.entryFromJson(_, schema, specById)).toSeq
+  }
 
   /** Only the file paths of a manifest — parquet manifests read a single
     * projected column (maintenance jobs at millions of files scan paths

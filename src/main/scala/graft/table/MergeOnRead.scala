@@ -202,7 +202,8 @@ object MergeOnRead {
         // position deletes — the commit must see those files still live
         requiredLivePaths =
           if (posFiles.isEmpty) Set.empty
-          else partial.map(_.file.path).toSet)))
+          else partial.map(_.file.path).toSet)),
+      removedMeta = whole.map(_.file))
   }
 
   /** Merge-on-read UPDATE SET (ref TableProperties UPDATE_MODE

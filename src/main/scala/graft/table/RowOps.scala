@@ -72,7 +72,8 @@ private[table] object RowOps {
       else TableProperties.IsolationSnapshot)
     table.commitSnapshot(op, added, removed,
       Map("metadata-only-deleted-files" -> whole.size.toString),
-      validate = Some(ConflictValidation(m.currentSnapshotId, filter, isolation)))
+      validate = Some(ConflictValidation(m.currentSnapshotId, filter, isolation)),
+      removedMeta = tasks.map(_.file))
   }
 
   /** Dynamic partition overwrite (ref `BaseReplacePartitions`): write the
@@ -83,15 +84,17 @@ private[table] object RowOps {
     require(m.spec.isPartitioned, "overwritePartitions requires a partitioned table")
     val written = Writes.writeDataFiles(table.spark, table, m, df)
     val touched = written.map(_.partition).toSet
-    val removed = m.currentSnapshot.map { snap =>
+    val removedFiles = m.currentSnapshot.map { snap =>
       table.liveEntries(m, snap)
         .filter(e => e.dataFile.content == FileContent.Data &&
           e.dataFile.specId == m.defaultSpecId &&
           touched.contains(e.dataFile.partition))
-        .map(_.dataFile.path).toSet
-    }.getOrElse(Set.empty)
-    table.commitSnapshot(Operation.Overwrite, written, removed,
-      Map("replaced-partitions" -> touched.size.toString))
+        .map(_.dataFile)
+    }.getOrElse(Nil)
+    table.commitSnapshot(Operation.Overwrite, written,
+      removedFiles.map(_.path).toSet,
+      Map("replaced-partitions" -> touched.size.toString),
+      removedMeta = removedFiles)
   }
 
   /** UPDATE SET: single-job rewrite of affected files with
@@ -149,7 +152,8 @@ private[table] object RowOps {
     table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet,
       validate = Some(ConflictValidation(m.currentSnapshotId, filter,
         m.property(TableProperties.UpdateIsolationLevel,
-          TableProperties.IsolationSerializable))))
+          TableProperties.IsolationSerializable))),
+      removedMeta = tasks.map(_.file))
   }
 }
 
@@ -442,7 +446,8 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       Map("merge-matched-files" -> affectedTasks.size.toString),
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
-          TableProperties.IsolationSerializable))))
+          TableProperties.IsolationSerializable))),
+      removedMeta = affectedTasks.map(_.file))
     } finally src.unpersist(false)
   }
 
@@ -704,7 +709,8 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       Map("merge-matched-files" -> affectedTasks.size.toString),
       validate = Some(ConflictValidation(m.currentSnapshotId, TrueExpr,
         m.property(TableProperties.MergeIsolationLevel,
-          TableProperties.IsolationSerializable))))
+          TableProperties.IsolationSerializable))),
+      removedMeta = affectedTasks.map(_.file))
     } finally {
       src0.unpersist(false)
       pinnedScan.foreach(_.unpersist(false))

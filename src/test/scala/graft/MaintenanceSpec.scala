@@ -17,6 +17,36 @@ class MaintenanceSpec extends AnyFunSuite {
 
   private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
 
+  test("removal commit opens only manifests that can contain the removed files") {
+    import graft.meta.model.Operation
+    import graft.table.ManifestIO
+    val loc = tmpLoc()
+    import spark.implicits._
+    val df1 = Seq((1, "a")).toDF("k", "v")
+    val schema = Schema.fresh(df1.schema)
+    val t = IceTable.create(spark, loc, schema,
+      PartitionSpec.builderFor(schema).identity("k").build())
+    // three appends, one partition each → three manifests with disjoint
+    // partition summaries
+    (1 to 3).foreach(k => t.append(Seq((k, s"v$k")).toDF("k", "v")))
+    val file2 = t.newScan().planFiles()
+      .find(_.file.partition.head == 2).get.file
+    val before = ManifestIO.readCounter.get()
+    t.commitSnapshot(Operation.Delete, Nil, Set(file2.path),
+      removedMeta = Seq(file2))
+    val opened = ManifestIO.readCounter.get() - before
+    assert(opened === 1L,
+      s"summary pruning should open exactly the k=2 manifest, opened $opened")
+    assert(t.toDF.select("k").collect().map(_.getInt(0)).sorted === Array(1, 3))
+    // without metadata, every manifest is a candidate (k=1 and k=3 remain)
+    val file1 = t.newScan().planFiles()
+      .find(_.file.partition.head == 1).get.file
+    val before2 = ManifestIO.readCounter.get()
+    t.commitSnapshot(Operation.Delete, Nil, Set(file1.path))
+    assert(ManifestIO.readCounter.get() - before2 === 2L)
+    assert(t.toDF.select("k").collect().map(_.getInt(0)) === Array(3))
+  }
+
   test("compaction bin-packs small files and preserves data") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
