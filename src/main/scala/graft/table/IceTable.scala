@@ -1003,6 +1003,7 @@ private[table] object Writes {
       outDir: String, format: String = "parquet"): Seq[DataFileMeta] = {
     val schema = m.schema
     val spec = m.spec
+    val modeOf = MetricsModes.forTable(m)
     val conf = spark.sparkContext.hadoopConfiguration
     val files = table.io.listRecursive(outDir)
       .filter(s => s.getPath.getName.endsWith("." + format) ||
@@ -1047,7 +1048,7 @@ private[table] object Writes {
           else parsePartitionValue(raw, spec.fieldType(schema, pf))
         }
       }
-      val metrics = metricsByPath(path)
+      val metrics = MetricsModes.apply(metricsByPath(path), schema, modeOf)
       DataFileMeta(
         path = path,
         format = format,

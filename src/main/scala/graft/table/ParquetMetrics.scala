@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
 
 /** Per-file column metrics from parquet footers (ref
   * `parquet/.../ParquetUtil.java` footerMetrics): value/null counts and
-  * min/max bounds keyed by field ID, in internal repr. String bounds are
-  * truncated to 16 chars, upper bounds rounded *up* (ref
-  * `core/.../MetricsModes.java:98` truncate(16) default).
+  * min/max bounds keyed by field ID, in internal repr. Bounds are FULL
+  * here — [[MetricsModes]] applies the per-column mode (default
+  * truncate(16), upper bounds rounded *up*) when manifest entries are
+  * built, so one footer read serves every mode.
   */
 object ParquetMetrics {
   val BoundTruncateLength = 16
@@ -69,19 +70,10 @@ object ParquetMetrics {
         }
       }
       statsBroken.foreach { id => lowers.remove(id); uppers.remove(id); nullCounts.remove(id) }
-      // truncate long string bounds (lower: plain cut; upper: next-greater prefix)
-      val truncLo = lowers.map {
-        case (id, s: String) if s.length > BoundTruncateLength =>
-          id -> s.substring(0, BoundTruncateLength)
-        case kv => kv
-      }.toMap
-      val truncHi = uppers.flatMap {
-        case (id, s: String) if s.length > BoundTruncateLength =>
-          incrementString(s.substring(0, BoundTruncateLength)).map(id -> _)
-        case kv => Some(kv)
-      }.toMap
+      // bounds are FULL here; per-column metrics modes (incl. the default
+      // truncate(16)) are applied by MetricsModes at manifest-entry build
       FileMetrics(recordCount, valueCounts.toMap, nullCounts.toMap, Map.empty,
-        truncLo, truncHi, splitOffsets)
+        lowers.toMap, uppers.toMap, splitOffsets)
     } finally reader.close()
   }
 

@@ -67,7 +67,8 @@ object TableImport {
           else Writes.parsePartitionValue(raw, spec.fieldType(schema, pf))
         }
       }
-      val metrics = ParquetMetrics.read(conf, p, schema)
+      val metrics = MetricsModes.apply(ParquetMetrics.read(conf, p, schema),
+        schema, MetricsModes.forTable(m))
       val st = table.io.listRecursive(p).headOption
       DataFileMeta(
         path = p, format = "parquet", specId = spec.specId, partition = partValues,

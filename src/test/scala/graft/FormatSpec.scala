@@ -211,6 +211,70 @@ class FormatSpec extends AnyFunSuite {
     assert(df.exceptAll(back).count() === 0)
   }
 
+  test("per-column metrics modes: none/counts/truncate(N)/full") {
+    import graft.table.MetricsModes
+    val loc = Files.createTempDirectory("graft-mmode-").toString + "/t"
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a" * 40 + "x", "keep1", 1.5),
+      (2L, "b" * 40 + "y", "keep2", 2.5)).toDF("id", "blob", "s", "d")
+    val t = IceTable.create(spark, loc, Schema.fresh(df.schema),
+      properties = Map(
+        MetricsModes.ColumnPropPrefix + "blob" -> "none",
+        MetricsModes.ColumnPropPrefix + "s" -> "full",
+        MetricsModes.ColumnPropPrefix + "d" -> "counts",
+        MetricsModes.DefaultProp -> "truncate(4)"))
+    t.append(df.coalesce(1))
+    val f = t.newScan().planFiles().head.file
+    val blobId = t.schema.fieldId("blob"); val sId = t.schema.fieldId("s")
+    val dId = t.schema.fieldId("d"); val idId = t.schema.fieldId("id")
+    // none: no counts, no bounds
+    assert(!f.valueCounts.contains(blobId) && !f.nullCounts.contains(blobId))
+    assert(!f.lowerBounds.contains(blobId) && !f.upperBounds.contains(blobId))
+    // counts: counts but no bounds
+    assert(f.valueCounts.contains(dId) && !f.lowerBounds.contains(dId))
+    // full: untruncated bounds
+    assert(f.lowerBounds(sId) === "keep1" && f.upperBounds(sId) === "keep2")
+    // default truncate(4) applies to unlisted columns (id: numeric, kept whole)
+    assert(f.lowerBounds(idId) === 1L && f.upperBounds(idId) === 2L)
+    // reads stay correct; a filter on the none column cannot prune (no
+    // stats ⇒ conservative) but still evaluates exactly
+    assert(t.toDF.count() === 2)
+    assert(t.newScan().filter(equalTo("blob", "nope")).toDF.count() === 0)
+    assert(t.toDF.filter(col("blob").startsWith("a")).count() === 1)
+    // truncate(4) on a long string column: lower is a prefix, upper rounds up
+    val loc2 = Files.createTempDirectory("graft-mmode-").toString + "/t"
+    val t2 = IceTable.create(spark, loc2, Schema.fresh(df.schema),
+      properties = Map(MetricsModes.DefaultProp -> "truncate(4)"))
+    t2.append(df.coalesce(1))
+    val f2 = t2.newScan().planFiles().head.file
+    assert(f2.lowerBounds(blobId) === "aaaa")
+    assert(f2.upperBounds(blobId) === "bbbc") // "bbbb" rounded up covers "bbb…y"
+    // truncated bounds still prune soundly
+    assert(t2.newScan().filter(equalTo("blob", "zzzz")).planFiles().isEmpty)
+    assert(t2.newScan().filter(equalTo("blob", "a" * 40 + "x")).planFiles().size === 1)
+    // invalid mode rejected
+    intercept[IllegalArgumentException] { MetricsModes.parse("bogus") }
+  }
+
+  test("metrics modes: aggregate pushdown declines when stats are off") {
+    import graft.table.MetricsModes
+    val dir = Files.createTempDirectory("graft-mmagg").toString
+    spark.conf.set("spark.sql.catalog.mm", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mm.warehouse", dir)
+    spark.sql("CREATE TABLE mm.db.t (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('write.metadata.metrics.default'='none')")
+    spark.sql("INSERT INTO mm.db.t SELECT id, concat('v', id) FROM range(100)")
+    // counts/bounds absent ⇒ COUNT/MIN/MAX cannot be answered from metadata;
+    // results must still be exact through the scan
+    val r = spark.sql("SELECT count(id), min(id), max(id) FROM mm.db.t").head()
+    assert(r.getLong(0) === 100L && r.getLong(1) === 0L && r.getLong(2) === 99L)
+    val plan = org.apache.spark.sql.graft.ColumnBridge.executedPlan(
+      spark.sql("SELECT count(id) FROM mm.db.t")).toString
+    assert(!plan.contains("GraftAggPushdown"),
+      s"pushdown must decline without value counts:\n$plan")
+  }
+
   test("large commits collect footer metrics via a distributed job") {
     val loc = Files.createTempDirectory("graft-dist-").toString + "/t"
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
