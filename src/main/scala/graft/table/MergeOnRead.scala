@@ -42,6 +42,7 @@ object MergeOnRead {
     * sources; global otherwise. */
   def addEqualityDeletes(table: IceTable, keysDf: DataFrame, keys: Seq[String]): Unit = {
     val files = writeEqualityDeleteFiles(table, table.meta, keysDf, keys)
+    if (files.isEmpty) return // no key tuples: no-op, no empty snapshot
     table.commitSnapshot(Operation.Delete, files, Set.empty,
       Map("equality-delete-files" -> files.size.toString))
   }
@@ -72,8 +73,11 @@ object MergeOnRead {
     } else {
       distinctKeys.write.parquet(outDir)
     }
-    deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
+    val metas = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
       scoped = scoped)
+      .filter(_.recordCount > 0)
+    if (metas.isEmpty) table.io.deleteRecursive(outDir) // no orphan empties
+    metas
   }
 
   /** ONE-snapshot keyed upsert delta (ref Flink CDC writer semantics): an
@@ -97,7 +101,7 @@ object MergeOnRead {
 
   /** Commit a position-delete file: (file_path, pos) rows to suppress. */
   def addPositionDeletes(table: IceTable, posDf: DataFrame): Unit = {
-    val files = writePositionDeleteFiles(table, table.meta, posDf)
+    val (files, _) = writePositionDeleteFiles(table, table.meta, posDf)
     if (files.isEmpty) return // nothing matched: no-op, no empty snapshot
     table.commitSnapshot(Operation.Delete, files, Set.empty,
       Map("position-delete-files" -> files.size.toString))
@@ -106,9 +110,24 @@ object MergeOnRead {
   /** Write (but do NOT commit) position-delete files for `posDf`'s
     * (file_path, pos) rows. Each delete row is scoped to the partition of
     * its target data file (looked up from scan metadata, broadcast);
-    * unknown paths fall back to global scope. */
+    * unknown paths fall back to global scope.
+    *
+    * Returns (delete-file metas, data-file paths the delete rows reference).
+    * Callers put the referenced paths — NOT their whole planned task set —
+    * into `requiredLivePaths`, so a concurrent rewrite of an untouched file
+    * never spuriously aborts the commit (ref validates only
+    * delete-referenced files). When nothing matched, the written directory
+    * is removed again — no orphan empty parquet for maintenance to sweep.
+    *
+    * `affected`: the data files whose positions can appear in `posDf` —
+    * callers that planned a scan pass their task set so the partition
+    * lookup stays affected-file-sized instead of broadcasting every live
+    * file in the table (at millions of files the full lookup is a
+    * needlessly large broadcast). `None` (public addPositionDeletes, where
+    * posDf is arbitrary) falls back to all live files. */
   private[table] def writePositionDeleteFiles(table: IceTable, m: TableMetadata,
-      posDf: DataFrame): Seq[DataFileMeta] = {
+      posDf: DataFrame,
+      affected: Option[Seq[FileScanTask]] = None): (Seq[DataFileMeta], Set[String]) = {
     val spec = m.spec
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
     val rows = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
@@ -120,7 +139,7 @@ object MergeOnRead {
       val schema = m.schema
       val spark = table.spark
       val helperNames = spec.fields.map(pf => Writes.HelperPrefix + pf.name)
-      val lookupRows = table.newScan().planFiles()
+      val lookupRows = affected.getOrElse(table.newScan().planFiles())
         .filter(_.file.specId == spec.specId)
         .map { t =>
           val parts = spec.fields.zipWithIndex.map { case (pf, i) =>
@@ -149,9 +168,18 @@ object MergeOnRead {
     } else {
       rows.write.parquet(outDir)
     }
-    deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
+    val metas = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
       scoped = scoped)
       .filter(_.recordCount > 0)
+    if (metas.isEmpty) {
+      table.io.deleteRecursive(outDir) // nothing matched: no orphan files
+      (Nil, Set.empty)
+    } else {
+      // distinct referenced targets, read back from the (small) delete files
+      val referenced = table.spark.read.parquet(metas.map(_.path): _*)
+        .select(PosPathCol).distinct().collect().map(_.getString(0)).toSet
+      (metas, referenced)
+    }
   }
 
   /** Merge-on-read DELETE WHERE (ref TableProperties DELETE_MODE
@@ -177,8 +205,8 @@ object MergeOnRead {
     val (whole, partial) =
       if (rowCond.nonEmpty) (Nil, tasks)
       else RowOps.strictPartition(m, bound, tasks)
-    val posFiles =
-      if (partial.isEmpty) Nil
+    val (posFiles, refPaths) =
+      if (partial.isEmpty) (Nil, Set.empty[String])
       else {
         val df = Reads.readTasksWithDeletes(table, m,
           partial.map(_.copy(residual = TrueExpr)),
@@ -188,7 +216,7 @@ object MergeOnRead {
         val positions = df.filter(cond <=> lit(true))
           .select(col(TableScan.MetaFileCol).as(PosPathCol),
             col(TableScan.MetaPosCol).as(PosPosCol))
-        writePositionDeleteFiles(table, m, positions)
+        writePositionDeleteFiles(table, m, positions, affected = Some(partial))
       }
     if (whole.isEmpty && posFiles.isEmpty) return
     table.commitSnapshot(Operation.Delete, posFiles,
@@ -200,9 +228,9 @@ object MergeOnRead {
           TableProperties.IsolationSerializable),
         // a concurrent rewrite of a referenced file would orphan the
         // position deletes — the commit must see those files still live
-        requiredLivePaths =
-          if (posFiles.isEmpty) Set.empty
-          else partial.map(_.file.path).toSet)),
+        // (only the files the deletes actually reference, not every
+        // planned file)
+        requiredLivePaths = refPaths)),
       removedMeta = whole.map(_.file))
   }
 
@@ -231,9 +259,9 @@ object MergeOnRead {
     val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
     val matching = df.filter(cond <=> lit(true)).cache()
     try {
-      val posFiles = writePositionDeleteFiles(table, m, matching
+      val (posFiles, refPaths) = writePositionDeleteFiles(table, m, matching
         .select(col(TableScan.MetaFileCol).as(PosPathCol),
-          col(TableScan.MetaPosCol).as(PosPosCol)))
+          col(TableScan.MetaPosCol).as(PosPosCol)), affected = Some(tasks))
       if (posFiles.isEmpty) return // no matching rows anywhere
       val updated = RowOps.applyAssignments(schema, matching, assignments,
         lit(true))
@@ -245,7 +273,7 @@ object MergeOnRead {
         validate = Some(ConflictValidation(m.currentSnapshotId, filter,
           m.property(TableProperties.UpdateIsolationLevel,
             TableProperties.IsolationSerializable),
-          requiredLivePaths = tasks.map(_.file.path).toSet)))
+          requiredLivePaths = refPaths)))
     } finally matching.unpersist()
   }
 

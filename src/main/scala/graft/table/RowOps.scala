@@ -13,15 +13,6 @@ import org.apache.spark.sql.functions._
   */
 private[table] object RowOps {
 
-  /** DELETE (df=None) / overwrite-by-filter (df=Some): files whose every row
-    * matches are dropped metadata-only; partially-matching files are
-    * rewritten keeping rows where the condition is not TRUE (null-safe,
-    * like ref's `Not(EqualNullSafe(cond, true))`).
-    *
-    * `rowCond` carries a condition the predicate ADT can't express (SQL
-    * LIKE, arithmetic, …): `filter` is then only a WEAKER pruning bound, so
-    * the metadata-only fast path is disabled (strictness can't be proven)
-    * and every pruned-in file is rewritten against `rowCond` exactly. */
   /** Split planned tasks into (whole, partial): whole = files where the
     * strict partition projection or strict metrics PROVE every row matches
     * `bound` (the metadata-only fast path, shared by CoW overwrite and the
@@ -38,6 +29,15 @@ private[table] object RowOps {
         StrictMetricsEvaluator.eval(bound, Reads.statsOf(t.file))
     }
 
+  /** DELETE (df=None) / overwrite-by-filter (df=Some): files whose every row
+    * matches are dropped metadata-only; partially-matching files are
+    * rewritten keeping rows where the condition is not TRUE (null-safe,
+    * like ref's `Not(EqualNullSafe(cond, true))`).
+    *
+    * `rowCond` carries a condition the predicate ADT can't express (SQL
+    * LIKE, arithmetic, …): `filter` is then only a WEAKER pruning bound, so
+    * the metadata-only fast path is disabled (strictness can't be proven)
+    * and every pruned-in file is rewritten against `rowCond` exactly. */
   def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame],
       rowCond: Option[Column] = None): Unit = {
     val m = table.meta
@@ -390,10 +390,12 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
         .withColumn(MergeBuilder.Keep, emitCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val posFiles = MergeOnRead.writePositionDeleteFiles(table, m, marked
+        val (posFiles, refPaths) = MergeOnRead.writePositionDeleteFiles(table, m,
+          marked
           .filter(col("_gf_fired") && col(MergeBuilder.FromTarget).isNotNull)
           .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
-            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)))
+            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)),
+          affected = Some(affectedTasks))
         val dataFiles = Writes.writeDataFiles(spark, table, m, marked
           .filter(col(MergeBuilder.Keep))
           .select(schema.columnNames.map(colProjection): _*))
@@ -407,10 +409,8 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
               m.property(TableProperties.MergeIsolationLevel,
                 TableProperties.IsolationSerializable),
               // concurrent rewrites of referenced files would orphan the
-              // position deletes
-              requiredLivePaths =
-                if (posFiles.isEmpty) Set.empty
-                else affectedTasks.map(_.file.path).toSet)))
+              // position deletes; only the referenced files must stay live
+              requiredLivePaths = refPaths)))
       } catch {
         case e: Throwable if MergeBuilder.isCardinalityError(e) =>
           throw new ValidationException(MergeBuilder.CardinalityMsg)
@@ -659,10 +659,12 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
         .withColumn(MergeBuilder.Keep, emitCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val posFiles = MergeOnRead.writePositionDeleteFiles(table, m, marked
+        val (posFiles, refPaths) = MergeOnRead.writePositionDeleteFiles(table, m,
+          marked
           .filter(col("_gf_fired") && col(MergeBuilder.FromTarget).isNotNull)
           .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
-            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)))
+            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)),
+          affected = Some(affectedTasks))
         val dataFiles = Writes.writeDataFiles(spark, table, m, marked
           .filter(col(MergeBuilder.Keep))
           .select(schema.columnNames.map(colProjection): _*))
@@ -676,10 +678,8 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
               m.property(TableProperties.MergeIsolationLevel,
                 TableProperties.IsolationSerializable),
               // concurrent rewrites of referenced files would orphan the
-              // position deletes
-              requiredLivePaths =
-                if (posFiles.isEmpty) Set.empty
-                else affectedTasks.map(_.file.path).toSet)))
+              // position deletes; only the referenced files must stay live
+              requiredLivePaths = refPaths)))
       } catch {
         case e: Throwable if MergeBuilder.isCardinalityError(e) =>
           throw new ValidationException(MergeBuilder.CardinalityMsg)
