@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (NEW; SURVEY §7 item 10). Shapes are chosen for
@@ -21,12 +20,17 @@ object Dedup {
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
       ColumnBridge.expression(c), ColumnBridge.expression(n)))
 
-  /** Exact dedup: keep the lowest-id row per distinct value of `on`.
-    * One hash shuffle; at scale prefer this groupBy form over windows. */
+  /** Exact dedup: keep the lowest-id row per distinct value of `on`
+    * (`idCol` assumed unique). Skew-safe shape: the keeper set is a
+    * map-side-combined groupBy (a hot key partially aggregates on every
+    * input partition before one shuffle), and the semi-join hashes on
+    * (key, id) so even a pathological key never lands on a single task —
+    * unlike a window, which sorts ALL rows of a hot key in one partition.
+    * Null-safe on the key: rows with a null key form their own group. */
   def exactDedup(df: DataFrame, idCol: String, on: Column): DataFrame = {
-    val w = Window.partitionBy(on).orderBy(col(idCol))
-    df.withColumn("_gf_rn", row_number().over(w))
-      .filter(col("_gf_rn") === 1).drop("_gf_rn")
+    val keepers = df.groupBy(on.as("_gf_key")).agg(min(col(idCol)).as("_gf_keep"))
+    df.join(keepers,
+      (on <=> col("_gf_key")) && col(idCol) === col("_gf_keep"), "left_semi")
   }
 
   /** Per-duplicate-group stats: keeper id + member count. */

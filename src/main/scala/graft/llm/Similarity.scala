@@ -73,6 +73,14 @@ object Similarity {
       queryIds: Seq[Long], k: Int, numPlanes: Int = -1, dim: Int = 64,
       probeRadius: Int = 2, numTables: Int = 2): DataFrame = {
     val nPlanes = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
+    // small-corpus guard: with few planes the multiprobe visits most of the
+    // bucket space — numTables × probedCells / 2^planes is the fraction of
+    // the corpus scanned (×tables); at ≥ 1 the "approximation" costs more
+    // than the exact scan it approximates, so delegate to it
+    val probedCells = (0 to math.min(probeRadius, nPlanes))
+      .map(w => (0 until nPlanes).combinations(w).size.toLong).sum
+    if (numTables * probedCells >= (1L << nPlanes))
+      return bruteForceTopK(corpus, idCol, vecCol, queryIds, k)
     val tables = (0 until numTables)
       .map(t => hyperplanes(nPlanes, dim, seed = 42L + 7919L * t))
     // corpus indexed once per table: (table, bucket) rows
