@@ -296,6 +296,59 @@ class StreamingSpec extends AnyFunSuite {
       s"expected 2+1 batching, got ${batches.drop(4)}")
   }
 
+  test("initial catch-up honors max-files-per-trigger (file-index offsets)") {
+    val base = Files.createTempDirectory("graft-mbs-").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gmb4", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmb4.warehouse", s"$base/wh")
+    val t = IceTable.create(spark, s"$base/wh/db/t",
+      Schema.fresh(Seq(0L).toDF("id").schema))
+    // 4 files across 2 snapshots BEFORE the stream ever starts
+    t.append((0L to 5L).toDF("id").repartition(2))
+    t.append((6L to 11L).toDF("id").repartition(2))
+
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("gmb4.db.t")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+        ()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    // one batch per file instead of one giant catch-up batch
+    assert(batches.size === 4, s"expected 4 single-file batches, got $batches")
+    assert(batches.forall(_.nonEmpty))
+    assert(batches.flatten.sorted === (0L to 11L))
+    // a later run resumes incrementally from the drained catch-up offset
+    t.append(Seq(12L).toDF("id").repartition(1))
+    val q2 = spark.readStream.table("gmb4.db.t")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+        ()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(batches.flatten.sorted === (0L to 12L))
+  }
+
+  test("stream offsets: json round-trip and legacy bare-long checkpoints") {
+    import graft.streaming.GraftStreamOffset
+    val o = GraftStreamOffset(42L, 7L, scanAll = true)
+    assert(GraftStreamOffset.fromJson(o.json()) === o)
+    val plain = GraftStreamOffset(99L)
+    assert(GraftStreamOffset.fromJson(plain.json()) === plain)
+    // pre-file-index checkpoints stored the bare snapshot id
+    assert(GraftStreamOffset.fromJson("12345") === GraftStreamOffset(12345L))
+    assert(GraftStreamOffset.fromJson("-1") === GraftStreamOffset(-1L))
+  }
+
   test("DSv2 micro-batch maps old files through renamed schemas") {
     val base = Files.createTempDirectory("graft-mbs-").toString
     import spark.implicits._
