@@ -372,6 +372,31 @@ object CoreQueries {
       s.sql("DELETE FROM gq30.db.t WHERE seg LIKE '%MOBILE%'")
       s.sql("UPDATE gq30.db.t SET bal = round(bal + 10.0, 2) WHERE k % 3 = 0")
       s.sql("SELECT k, seg, bal FROM gq30.db.t ORDER BY k")
+    }),
+
+    // Q31 delete-file maintenance: several merge-on-read DELETEs accumulate
+    // position-delete files; rewritePositionDeleteFiles compacts them to
+    // one per partition, bin-pack compaction re-sequences the data, and
+    // removeDanglingDeletes drops the now-dead delete files — the visible
+    // rows never change through any of it
+    "q31_delete_maintenance" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q31").toString
+      s.conf.set("spark.sql.catalog.gq31", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq31.warehouse", tmp)
+      val target0 = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey").as("nk"),
+          round(col("s_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      tbl.append(target0)
+      s.sql("DELETE FROM gq31.db.t WHERE k % 7 = 1")
+      s.sql("DELETE FROM gq31.db.t WHERE k % 11 = 2")
+      s.sql("DELETE FROM gq31.db.t WHERE bal < 0 AND k % 2 = 0")
+      tbl.rewritePositionDeleteFiles()
+      tbl.rewriteDataFiles()
+      tbl.removeDanglingDeletes()
+      s.sql("SELECT k, nk, bal FROM gq31.db.t ORDER BY k")
     })
   )
 
@@ -493,6 +518,12 @@ object CoreQueries {
         "CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 10.0, 2) " +
         "ELSE round(c_acctbal, 2) END AS bal " +
         "FROM customer WHERE c_mktsegment NOT LIKE '%MOBILE%' " +
-        "ORDER BY c_custkey")
+        "ORDER BY c_custkey"),
+    "q31_delete_maintenance" ->
+      ("SELECT s_suppkey AS k, s_nationkey AS nk, round(s_acctbal, 2) AS bal " +
+        "FROM supplier " +
+        "WHERE NOT (s_suppkey % 7 = 1) AND NOT (s_suppkey % 11 = 2) " +
+        "AND NOT (round(s_acctbal, 2) < 0 AND s_suppkey % 2 = 0) " +
+        "ORDER BY s_suppkey")
   )
 }

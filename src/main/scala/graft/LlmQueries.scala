@@ -137,6 +137,16 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // eval-set decontamination: corpus docs sharing ANY word 3-gram with
+    // the eval slice (doc_id % 50 = 0) are dropped; survivors pass through
+    "llm_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      val evalSet = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      Dedup.decontaminate(corpus, "doc_id", "text", evalSet, "text", n = 3)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // multimodal: binary payload column + size/checksum metadata (the
     // SQL-checkable half; stubbed decode fields are state-tested)
     "llm_mm_meta" -> ((s, d) => {
@@ -170,6 +180,12 @@ object LlmQueries {
           "GROUP BY text ORDER BY keep_id"),
       "llm_dedup_ngram" -> pairSql,
       "llm_dedup_minhash" -> pairSql,
+      "llm_decontaminate" ->
+        (s"$shingles SELECT c.doc_id FROM s c " +
+          "WHERE c.doc_id % 50 != 0 " +
+          "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
+          "AND len(list_intersect(c.sh, e.sh)) > 0) " +
+          "ORDER BY c.doc_id"),
       "llm_dedup_embed" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
           "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +

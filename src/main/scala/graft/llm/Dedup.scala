@@ -39,6 +39,25 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
       .drop("_gf_key")
 
+  /** Eval-set decontamination (GPT/Gopher-style): drop every corpus
+    * document sharing ANY word n-gram with the eval set. Scale shape: the
+    * eval side collapses to a distinct set of 64-bit shingle hashes (eval
+    * sets are benchmark-sized — broadcastable), the corpus explodes its
+    * hashes map-side into a broadcast semi-join, and the contaminated-id
+    * set anti-joins back. Two map passes over the corpus text, no
+    * corpus-sized shuffle. Exact modulo 64-bit hash collisions. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, n: Int = 3): DataFrame = {
+    val evalHashes = evalSet
+      .select(explode(TextOps.shingleHashes(col(evalTextCol), n)).as("_gf_h"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(TextOps.shingleHashes(col(textCol), n)).as("_gf_h"))
+      .join(broadcast(evalHashes), Seq("_gf_h"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force word-n-gram Jaccard pairs ≥ `threshold` (exact; O(n²) —
     * the verification oracle. Use [[minHashLshPairs]] at scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

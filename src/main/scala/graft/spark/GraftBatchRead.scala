@@ -511,7 +511,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     snapshotId: Option[Long], asOfMillis: Option[Long],
     splitSize: Option[Long], streamSkipDeletes: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    deletes: Seq[(DataFileMeta, Long)] = Nil)
+    deletes: Seq[(DataFileMeta, Long)] = Nil,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -530,8 +531,27 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     s
   }
 
+  /** LIMIT n file cap: every planned row is visible (builder pushes a limit
+    * only with no filter and no deletes), so the shortest file prefix whose
+    * record counts reach n satisfies the query — a LIMIT 10 over a
+    * million-file table plans ONE file. Guarded off under runtime filters
+    * (they hide rows after planning; limits don't push through joins, so
+    * the combination is theoretical — the guard keeps it correct anyway). */
+  private def capByLimit(ts: Seq[FileScanTask]): Seq[FileScanTask] =
+    pushedLimit match {
+      case Some(n) if runtimeExpr == TrueExpr =>
+        var acc = 0L
+        val b = Seq.newBuilder[FileScanTask]
+        val it = ts.iterator
+        while (acc < n && it.hasNext) {
+          val t = it.next(); b += t; acc += t.file.recordCount
+        }
+        b.result()
+      case _ => ts
+    }
+
   private def tasks: Seq[FileScanTask] = synchronized {
-    if (cachedTasks == null) cachedTasks = newGraftScan().planFiles()
+    if (cachedTasks == null) cachedTasks = capByLimit(newGraftScan().planFiles())
     cachedTasks
   }
 

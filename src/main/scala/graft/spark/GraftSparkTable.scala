@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
 import org.apache.spark.sql.types.StructType
@@ -127,12 +127,27 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
     streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushedExpr: GExpr = TrueExpr
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schema.struct
   private var aggResult: Option[(StructType, InternalRow)] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown as a FILE-PLANNING cap (partial push — Spark keeps its
+    * own limit operator): with no pushed filter and no merge-on-read
+    * deletes, every planned row is visible, so planning stops at the first
+    * files whose record counts cover the limit. With filters or deletes the
+    * counts over-estimate visible rows and a cap could under-deliver, so
+    * the push is declined. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedExpr == TrueExpr && plannedDeletes.isEmpty) {
+      pushedLimit = Some(limit); true
+    } else false
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val converted = filters.flatMap(f => SparkFilterConv.fromV1(f).map(f -> _))
@@ -268,7 +283,7 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
       else
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
-          deletes = plannedDeletes)
+          deletes = plannedDeletes, pushedLimit = pushedLimit)
   }
 }
 

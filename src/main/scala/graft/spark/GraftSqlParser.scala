@@ -200,6 +200,18 @@ object GraftSqlParser {
         GraftCallCommand(proc, Seq(attr("rewritten_manifests_count", LongType)), { spark =>
           Seq(Row(resolve(spark, tableArg).rewriteManifests().toLong))
         })
+      case "rewrite_position_delete_files" =>
+        GraftCallCommand(proc,
+          Seq(attr("rewritten_delete_files_count", LongType),
+            attr("added_delete_files_count", LongType)), { spark =>
+          val (rw, add) = resolve(spark, tableArg).rewritePositionDeleteFiles()
+          Seq(Row(rw.toLong, add.toLong))
+        })
+      case "remove_dangling_deletes" =>
+        GraftCallCommand(proc,
+          Seq(attr("removed_delete_files_count", LongType)), { spark =>
+          Seq(Row(resolve(spark, tableArg).removeDanglingDeletes().toLong))
+        })
       case "rollback_to_snapshot" =>
         GraftCallCommand(proc, Seq(attr("previous_snapshot_id", LongType),
           attr("current_snapshot_id", LongType)), { spark =>

@@ -125,6 +125,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOperations)
       sortOrderSpec: Option[String] = None): (Int, Int) =
     Maintenance.rewriteDataFilesSorted(this, targetSizeBytes, sortOrderSpec)
   def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
+
+  def rewritePositionDeleteFiles(): (Int, Int) =
+    Maintenance.rewritePositionDeleteFiles(this)
+
+  def removeDanglingDeletes(): Int = Maintenance.removeDanglingDeletes(this)
   def deleteReachableFiles(): (Long, Long) = Maintenance.deleteReachableFiles(this)
 
   /** Overwrite rows matching `filter` with `df` (copy-on-write; ref

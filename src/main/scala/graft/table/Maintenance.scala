@@ -327,6 +327,91 @@ object Maintenance {
     (toRewrite.size, written.size)
   }
 
+  // ------------------------------------------------------- delete files
+
+  /** Drop delete files that can no longer suppress anything, decided from
+    * manifest metadata alone: a delete file applies only to live data files
+    * with an older sequence number inside its partition scope
+    * (`MergeOnRead.applies`), so once compaction has re-sequenced every such
+    * file the delete is dead weight — each scan still reads and anti-joins
+    * it. O(deletes + data) via per-scope minimum data sequences, no file IO
+    * beyond one removal commit. Returns #removed. */
+  def removeDanglingDeletes(table: IceTable): Int = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(return 0)
+    val entries = table.liveEntries(m, snap)
+    val (delEntries, dataEntries) =
+      entries.partition(_.dataFile.content != FileContent.Data)
+    if (delEntries.isEmpty) return 0
+    // min live data sequence per (specId, partition), per specId, and global:
+    // a scoped delete applies to same-spec files only in ITS partition, but
+    // to every file of a different spec (scope can't prove disjointness)
+    val minBySpecPart = dataEntries.groupBy(e =>
+      (e.dataFile.specId, e.dataFile.partition))
+      .view.mapValues(_.map(_.sequenceNumber).min).toMap
+    val minBySpec = dataEntries.groupBy(_.dataFile.specId)
+      .view.mapValues(_.map(_.sequenceNumber).min).toMap
+    val dangling = delEntries.filter { e =>
+      val d = e.dataFile
+      val global = d.partition.isEmpty || d.partition.forall(_ == null)
+      val minSeq: Option[Long] =
+        if (global) minBySpec.values.minOption
+        else {
+          val same = minBySpecPart.get((d.specId, d.partition))
+          val other = minBySpec.collect {
+            case (sid, s) if sid != d.specId => s
+          }.minOption
+          (same.toSeq ++ other.toSeq).minOption
+        }
+      // position deletes apply to seq <= theirs, equality to seq < theirs
+      minSeq.forall(s =>
+        if (d.content == FileContent.PositionDeletes) s > e.sequenceNumber
+        else s >= e.sequenceNumber)
+    }
+    if (dangling.isEmpty) return 0
+    table.commitSnapshot(Operation.Replace, Nil,
+      dangling.map(_.dataFile.path).toSet,
+      Map("removed-dangling-delete-files" -> dangling.size.toString),
+      removedMeta = dangling.map(_.dataFile))
+    dangling.size
+  }
+
+  /** Compact the live position-delete files: read them all, drop rows whose
+    * target data file is no longer live, and rewrite the survivors as at
+    * most one delete file per partition (ref delete-file maintenance;
+    * `PositionDeleteWriter.java` shape). A CDC-heavy table accumulates one
+    * small delete file per DML commit — every scan then opens and
+    * anti-joins all of them; after this action it reads one per partition.
+    * Re-sequencing is SAFE for position deletes (they match by exact file
+    * path, and paths are never reused) where it would be wrong for
+    * equality deletes (their strictly-older-sequence rule encodes
+    * re-insert history), so equality deletes are left untouched.
+    * Returns (#rewritten, #added). */
+  def rewritePositionDeleteFiles(table: IceTable): (Int, Int) = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    val entries = table.liveEntries(m, snap)
+    val posDeletes = entries
+      .filter(_.dataFile.content == FileContent.PositionDeletes).map(_.dataFile)
+    if (posDeletes.isEmpty) return (0, 0)
+    val spark = table.spark
+    import spark.implicits._
+    val livePaths = entries.filter(_.dataFile.content == FileContent.Data)
+      .map(e => table.normPath(e.dataFile.path))
+    val liveDf = spark.createDataset(livePaths).toDF("_gf_live")
+    val rows = spark.read.parquet(posDeletes.map(_.path): _*)
+      .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))
+      .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===
+        col("_gf_live"), "left_semi")
+    val (newFiles, _) = MergeOnRead.writePositionDeleteFiles(table, m, rows)
+    table.commitSnapshot(Operation.Replace, newFiles,
+      posDeletes.map(_.path).toSet,
+      Map("rewritten-position-delete-files" -> posDeletes.size.toString,
+        "added-position-delete-files" -> newFiles.size.toString),
+      removedMeta = posDeletes)
+    (posDeletes.size, newFiles.size)
+  }
+
   /** Rewrite all live manifests into one per partition spec, clustering
     * entries (ref `BaseRewriteManifestsSparkAction`). */
   def rewriteManifests(table: IceTable): Int = {

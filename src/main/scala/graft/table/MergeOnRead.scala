@@ -392,7 +392,7 @@ object MergeOnRead {
 
   /** Strip the URI scheme from a path column (Column analogue of
     * `IceTable.normPath`). */
-  private def normPathCol(c: Column): Column =
+  private[table] def normPathCol(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
 }
 

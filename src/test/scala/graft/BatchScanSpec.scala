@@ -135,6 +135,41 @@ class BatchScanSpec extends AnyFunSuite {
     assert(rows === 10)
   }
 
+  test("LIMIT pushdown plans only the file prefix covering the limit") {
+    import org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    warehouse
+    import spark.implicits._
+    val t = IceTable.create(spark, s"$warehouse/db/lim",
+      graft.meta.Schema.fresh(Seq(0L).toDF("id").schema))
+    // five single-file appends of 10 rows each
+    (0 until 5).foreach(i =>
+      t.append(((i * 10L) until (i * 10L + 10)).toDF("id").coalesce(1)))
+    def builder() = new GraftSparkTable(t, "bs.db.lim")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val sb = builder()
+    assert(sb.asInstanceOf[SupportsPushDownLimit].pushLimit(10))
+    val scan = sb.build().asInstanceOf[GraftBatchScan]
+    assert(scan.toBatch.planInputPartitions().length === 1,
+      "LIMIT 10 over 5x10-row files must plan exactly one file")
+    // a pushed filter makes record counts over-estimates: push declined
+    val sb2 = builder()
+    sb2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", 45L)))
+    assert(!sb2.asInstanceOf[SupportsPushDownLimit].pushLimit(3))
+    // end to end: SQL LIMIT stays exact
+    assert(spark.sql("SELECT * FROM bs.db.lim LIMIT 7").count() === 7)
+    assert(spark.sql("SELECT * FROM bs.db.lim").count() === 50)
+    // merge-on-read deletes hide rows: push declined
+    spark.sql("ALTER TABLE bs.db.lim SET TBLPROPERTIES" +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM bs.db.lim WHERE id = 3")
+    val t2 = IceTable.load(spark, s"$warehouse/db/lim")
+    val sb3 = new GraftSparkTable(t2, "bs.db.lim")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    assert(!sb3.asInstanceOf[SupportsPushDownLimit].pushLimit(3))
+    assert(spark.sql("SELECT * FROM bs.db.lim LIMIT 49").count() === 49)
+  }
+
   test("dynamic partition pruning flows into the scan on a star join") {
     warehouse
     spark.sql("CREATE TABLE bs.db.fact (k INT, amt DOUBLE) PARTITIONED BY (k)")

@@ -182,6 +182,22 @@ class LlmSpec extends AnyFunSuite {
     assert(d.agg(max("doc_id")).collect()(0).getLong(0) === 6)
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", evalSet, "text", 3)
+    // truth via STRING shingle intersection (validates the hash shortcut)
+    val evalSh = evalSet
+      .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+    val contaminated = corpus
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      .join(evalSh, Seq("sh"), "left_semi").select("doc_id").distinct()
+    assert(contaminated.count() > 0, "test corpus must contain contamination")
+    val expect = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(kept.count() === expect.count())
+    assert(kept.select("doc_id").exceptAll(expect.select("doc_id")).count() === 0)
+  }
+
   test("exactDedup (skew-safe join form) matches the window form, incl. null keys") {
     val df = docs.select(col("doc_id"),
       when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("doc_id") % 7).as("k"))

@@ -344,6 +344,82 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.currentSnapshot.get.operation === "delete")
   }
 
+  test("removeDanglingDeletes drops deletes that no live data file can match") {
+    import graft.meta.expr.Exprs._
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(60).repartition(3))
+    // one position-delete and one equality-delete commit
+    val victim = orders.limit(1).collect().head.getAs[Long]("o_orderkey")
+    t.deleteMergeOnRead(equalTo("o_orderkey", victim))
+    t.addEqualityDeletes(orders.limit(5).filter(col("o_orderkey") =!= victim)
+      .limit(2).select("o_orderkey"), Seq("o_orderkey"))
+    val expected = t.toDF.count()
+    assert(t.newScan().planDeletes().size >= 2)
+    // still applicable (data older than the deletes): nothing to remove
+    assert(t.removeDanglingDeletes() === 0)
+    // compaction re-sequences every data file past the deletes
+    t.rewriteDataFiles()
+    assert(t.toDF.count() === expected)
+    val removed = t.removeDanglingDeletes()
+    assert(removed >= 2, s"expected all delete files dangling, removed $removed")
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(t.toDF.count() === expected)
+  }
+
+  test("rewritePositionDeleteFiles compacts delete files and drops dead rows") {
+    import graft.meta.expr.Exprs._
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    t.append(orders.limit(80).repartition(2))
+    // three DML commits → three position-delete files
+    val keys = orders.limit(6).collect().map(_.getAs[Long]("o_orderkey"))
+    keys.grouped(2).foreach { ks =>
+      t.deleteMergeOnRead(in("o_orderkey", ks.toSeq: _*))
+    }
+    val expected = t.toDF.count()
+    assert(expected === 80 - 6)
+    val before = t.newScan().planDeletes()
+    assert(before.size === 3)
+    val (rw, add) = t.rewritePositionDeleteFiles()
+    assert(rw === 3 && add === 1, s"expected 3 -> 1, got $rw -> $add")
+    assert(t.newScan().planDeletes().size === 1)
+    assert(t.toDF.count() === expected)
+    // a CoW delete rewrites one file: its position-delete rows go dead and
+    // the next rewrite drops them (row count of the delete file shrinks)
+    val deadKey = orders.limit(80).filter(col("o_orderkey") > keys.max)
+      .limit(1).collect().head.getAs[Long]("o_orderkey")
+    t.delete(equalTo("o_orderkey", deadKey)) // CoW: rewrites the file
+    val liveRows = t.newScan().planDeletes().map(_._1.recordCount).sum
+    t.rewritePositionDeleteFiles()
+    val after = t.newScan().planDeletes()
+    assert(after.map(_._1.recordCount).sum < liveRows,
+      s"dead rows not dropped: before $liveRows, after ${after.map(_._1.recordCount).sum}")
+    assert(t.toDF.count() === expected - 1)
+  }
+
+  test("CALL rewrite_position_delete_files / remove_dangling_deletes") {
+    val base = Files.createTempDirectory("graft-calls-").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gmnt", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmnt.warehouse", base)
+    spark.sql("CREATE TABLE gmnt.db.t (id BIGINT, v STRING) TBLPROPERTIES" +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO gmnt.db.t SELECT id, concat('v', id) FROM range(100)")
+    spark.sql("DELETE FROM gmnt.db.t WHERE id = 3")
+    spark.sql("DELETE FROM gmnt.db.t WHERE id = 7")
+    val r = spark.sql("CALL gmnt.system.rewrite_position_delete_files(table => 'db.t')")
+      .collect().head
+    assert(r.getLong(0) === 2 && r.getLong(1) === 1)
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.t").head().getLong(0) === 98)
+    // compact, then the delete file dangles
+    spark.sql("CALL gmnt.system.rewrite_data_files(table => 'db.t')")
+    val d = spark.sql("CALL gmnt.system.remove_dangling_deletes(table => 'db.t')")
+      .collect().head
+    assert(d.getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM gmnt.db.t").head().getLong(0) === 98)
+  }
+
   test("rewriteManifests compacts to one manifest per spec") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
