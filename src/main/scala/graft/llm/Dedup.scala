@@ -20,18 +20,18 @@ object Dedup {
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
       ColumnBridge.expression(c), ColumnBridge.expression(n)))
 
-  /** Exact dedup: keep the lowest-id row per distinct value of `on`
-    * (`idCol` assumed unique). Skew-safe shape: the keeper set is a
-    * map-side-combined groupBy (a hot key partially aggregates on every
-    * input partition before one shuffle), and the semi-join hashes on
-    * (key, id) so even a pathological key never lands on a single task —
-    * unlike a window, which sorts ALL rows of a hot key in one partition.
-    * Null-safe on the key: rows with a null key form their own group. */
-  def exactDedup(df: DataFrame, idCol: String, on: Column): DataFrame = {
-    val keepers = df.groupBy(on.as("_gf_key")).agg(min(col(idCol)).as("_gf_keep"))
-    df.join(keepers,
-      (on <=> col("_gf_key")) && col(idCol) === col("_gf_keep"), "left_semi")
-  }
+  /** Exact dedup: keep ONE lowest-id row per distinct value of `on`.
+    * Skew-safe shape: a single min_by aggregation over the whole row —
+    * partial aggregation collapses a hot key to one candidate row per
+    * input partition BEFORE the only shuffle, so even a pathological key
+    * moves O(partitions) rows, unlike a window which sorts ALL rows of a
+    * hot key in one task. Exactly one survivor per key by construction
+    * ((key, id) ties break arbitrarily, like the window form's tied
+    * row_number). Null-safe: rows with a null key form their own group. */
+  def exactDedup(df: DataFrame, idCol: String, on: Column): DataFrame =
+    df.groupBy(on.as("_gf_key"))
+      .agg(min_by(struct(df.columns.map(col).toIndexedSeq: _*), col(idCol)).as("_gf_row"))
+      .select(col("_gf_row.*"))
 
   /** Per-duplicate-group stats: keeper id + member count. */
   def exactDupGroups(df: DataFrame, idCol: String, on: Column): DataFrame =

@@ -43,10 +43,15 @@ final class IvfIndex private (val table: IceTable,
     val assigned = delta.select(col(idCol), col(vecCol),
       Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol))
     val existing = table.newScan().select(idCol).toDF
+    // persisted so the assignment + anti join run ONCE (count reads the
+    // cache, append writes from it) instead of twice per micro-batch
     val fresh = assigned.join(existing, Seq(idCol), "left_anti")
-    val n = fresh.count()
-    if (n > 0) table.append(fresh)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) table.append(fresh)
+      n
+    } finally fresh.unpersist()
   }
 
   /** Probe-only approximate top-k: query vectors are looked up by id (a
@@ -131,17 +136,31 @@ object IvfIndex {
     val assigned = corpus.select(col(idCol), col(vecCol),
       Similarity.nearestList(col(vecCol), cents).as(ListCol))
     val io = new FileIO(spark.sparkContext.hadoopConfiguration)
-    if (io.exists(location)) io.deleteRecursive(location)
+    // build into a staging dir and swap at the very end: a failure during
+    // the fit or the (large, distributed) assignment append must leave the
+    // previous working index in place, not a half-written or missing one
+    val staging = s"$location.staging-${java.util.UUID.randomUUID()}"
     val schema = Schema.fresh(assigned.schema)
     val spec = PartitionSpec.builderFor(schema).identity(ListCol).build()
-    val t = IceTable.create(spark, location, schema, spec,
-      properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
-        NListsProp -> n.toString,
-        // many small list partitions per append: fanout avoids a sort
-        graft.meta.model.TableProperties.FanoutEnabled -> "true"))
-    io.writeString(centroidsPath(location), centroidsJson(cents))
-    t.append(assigned)
-    new IvfIndex(t, cents)
+    try {
+      val t = IceTable.create(spark, staging, schema, spec,
+        properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
+          NListsProp -> n.toString,
+          // many small list partitions per append: fanout avoids a sort
+          graft.meta.model.TableProperties.FanoutEnabled -> "true"))
+      io.writeString(centroidsPath(staging), centroidsJson(cents))
+      t.append(assigned)
+    } catch {
+      case e: Throwable => io.deleteRecursive(staging); throw e
+    }
+    if (io.exists(location)) io.deleteRecursive(location)
+    if (!io.rename(staging, location)) {
+      io.deleteRecursive(staging)
+      throw new IllegalStateException(s"Could not move built index into $location")
+    }
+    // metadata still holds absolute staging paths — rewrite them in place
+    IceTable.relocate(spark, location)
+    load(spark, location)
   }
 
   def load(spark: SparkSession, location: String): IvfIndex = {

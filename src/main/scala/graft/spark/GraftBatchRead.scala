@@ -69,46 +69,82 @@ object GraftDeleteApply {
   }
 }
 
+/** Executor-local (JVM-wide) cache of parsed delete files, keyed by the
+  * delete-file slice set: every input partition of an applicability class
+  * carries the SAME delete payload, and without a cache each of the class's
+  * partitions would re-read and re-hash every delete file — 2000 partitions
+  * × 500 MB of deletes is ~1 TB of redundant IO per query (the reference
+  * caches its DeleteFilter loads the same way). Soft references let the
+  * sets drop under executor memory pressure and reload on next use; the
+  * load runs inside the lock so concurrent tasks of one class build the
+  * set once instead of racing N copies. */
+private object GraftDeleteCache {
+  private val MaxEntries = 16
+  private val cache =
+    new java.util.LinkedHashMap[String, java.lang.ref.SoftReference[AnyRef]](
+      32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.ref.SoftReference[AnyRef]]): Boolean =
+        size() > MaxEntries
+    }
+
+  def key(slices: Array[FileSlice]): String =
+    slices.iterator.map(s => s"${s.path}@${s.start}+${s.length}").mkString(";")
+
+  def getOrLoad[A <: AnyRef](k: String)(load: => A): A = cache.synchronized {
+    val ref = cache.get(k)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = load
+      cache.put(k, new java.lang.ref.SoftReference[AnyRef](v))
+      v
+    }
+  }
+}
+
 /** Executor-side delete sets for one input partition: position deletes keyed
-  * by normalized file path (only paths this partition reads are retained),
-  * equality deletes as key-tuple hash sets. */
-final class GraftDeleteProbe(d: GraftDeleteApply, dataPaths: Array[String]) {
+  * by normalized file path, equality deletes as key-tuple hash sets — both
+  * loaded through [[GraftDeleteCache]] (once per executor per class, shared
+  * read-only across that class's tasks). */
+final class GraftDeleteProbe(d: GraftDeleteApply) {
   import GraftDeleteApply.{keyValue, normPath}
 
-  private val wanted = new java.util.HashSet[String]
-  dataPaths.foreach(p => wanted.add(normPath(p)))
-
-  private val posByPath = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
-  if (d.posSlices.nonEmpty) {
-    d.posSlices.iterator.flatMap(s =>
-      d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
-      .foreach { r =>
-        if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val p = normPath(r.getUTF8String(0).toString)
-          if (wanted.contains(p)) {
-            var set = posByPath.get(p)
+  private val posByPath: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    if (d.posSlices.isEmpty)
+      new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
+    else GraftDeleteCache.getOrLoad("pos:" + GraftDeleteCache.key(d.posSlices)) {
+      val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
+      d.posSlices.iterator.flatMap(s =>
+        d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
+        .foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val p = normPath(r.getUTF8String(0).toString)
+            var set = m.get(p)
             if (set == null) {
               set = new java.util.HashSet[java.lang.Long]
-              posByPath.put(p, set)
+              m.put(p, set)
             }
             set.add(r.getLong(1))
           }
         }
-      }
-  }
+      m
+    }
 
   private val eqSets: Array[java.util.HashSet[Any]] = d.eqGroups.map { g =>
-    val set = new java.util.HashSet[Any]
-    val n = g.ordinals.length
-    g.slices.iterator.flatMap(s =>
-      g.reader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
-      .foreach { r =>
-        val key = new Array[Any](n)
-        var i = 0
-        while (i < n) { key(i) = keyValue(r.get(i, g.types(i)), copy = true); i += 1 }
-        set.add(key.toSeq)
-      }
-    set
+    GraftDeleteCache.getOrLoad("eq:" + GraftDeleteCache.key(g.slices)) {
+      val set = new java.util.HashSet[Any]
+      val n = g.ordinals.length
+      g.slices.iterator.flatMap(s =>
+        g.reader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
+        .foreach { r =>
+          val key = new Array[Any](n)
+          var i = 0
+          while (i < n) { key(i) = keyValue(r.get(i, g.types(i)), copy = true); i += 1 }
+          set.add(key.toSeq)
+        }
+      set
+    }
   }
 
   /** Deleted positions for one data file (null = none). */
@@ -196,7 +232,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       private val probe =
-        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes, p.files.map(_.path))
+        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes)
       private val proj = p.project.map(UnsafeProjection.create)
       // with deletes, extras (eq keys / row index) ride to the END of the
       // output row; trim them off after probing (identity width → no trim)
@@ -238,7 +274,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
     require(p.columnar, s"partition is not columnar: $p")
     new PartitionReader[ColumnarBatch] {
       private val probe =
-        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes, p.files.map(_.path))
+        if (p.deletes == null) null else new GraftDeleteProbe(p.deletes)
       private val it: Iterator[ColumnarBatch] = p.files.iterator.flatMap { s =>
         val batches = p.reader(
           ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))

@@ -68,6 +68,10 @@ final class FileIO(@transient val conf: Configuration) extends Serializable {
 
   def mkdirs(path: String): Unit = { val p = new Path(path); fs(p).mkdirs(p) }
 
+  def rename(from: String, to: String): Boolean = {
+    val f = new Path(from); fs(f).rename(f, new Path(to))
+  }
+
   def listRecursive(dir: String): Seq[FileStatus] = {
     val p = new Path(dir)
     val f = fs(p)

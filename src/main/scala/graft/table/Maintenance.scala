@@ -228,16 +228,16 @@ object Maintenance {
       .filter(_.dataFile.content == FileContent.Data)
     val groups = entries.groupBy(e => (e.dataFile.specId, e.dataFile.partition))
       .values.map { es =>
-        val fs = es.map(_.dataFile)
-        val small = fs.filter(_.fileSizeBytes < minSize)
-        val big = fs.filter(_.fileSizeBytes > maxSize)
+        val small = es.filter(_.dataFile.fileSizeBytes < minSize)
+        val big = es.filter(_.dataFile.fileSizeBytes > maxSize)
         if (small.size >= minInputFiles || big.nonEmpty) small ++ big else Nil
       }
       .filter(_.nonEmpty)
       .toSeq
     if (groups.isEmpty) return (0, 0)
     val spark = table.spark
-    val toRewrite = groups.flatten
+    val toRewriteEntries = groups.flatten
+    val toRewrite = toRewriteEntries.map(_.dataFile)
     // bin-pack on the READ side: plan the rewrite scan with target-size
     // splits (maxPartitionBytes = target, no open-cost padding, no minimum
     // partition count), so each read task carries ~targetSize bytes of small
@@ -248,8 +248,13 @@ object Maintenance {
     packSession.conf.set("spark.sql.files.maxPartitionBytes", targetSizeBytes.toString)
     packSession.conf.set("spark.sql.files.openCostInBytes", "0")
     packSession.conf.set("spark.sql.files.minPartitionNum", "1")
+    // CARRY each file's data sequence number: equality deletes apply only
+    // to STRICTLY older sequences, and a defaulted seq=0 would make every
+    // delete apply — silently dropping rows a same-sequence upsert delta
+    // (eq delete + data in one snapshot) legitimately kept live
     val df = Reads.readTasksWithDeletes(table, m,
-      toRewrite.map(f => FileScanTask(f, graft.meta.expr.TrueExpr)),
+      toRewriteEntries.map(e =>
+        FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
       table.newScan().planDeletes(), m.schema.columnNames,
       graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
     val written = Writes.writeDataFiles(spark, table, m, df)
@@ -284,8 +289,9 @@ object Maintenance {
           "Sort rewrite needs a table sort order (WRITE ORDERED BY) or an explicit sort_order")
         m.sortOrder
     }
-    val toRewrite = table.liveEntries(m, snap)
-      .filter(_.dataFile.content == FileContent.Data).map(_.dataFile)
+    val toRewriteEntries = table.liveEntries(m, snap)
+      .filter(_.dataFile.content == FileContent.Data)
+    val toRewrite = toRewriteEntries.map(_.dataFile)
     if (toRewrite.isEmpty) return (0, 0)
     val spark = table.spark
     // one range exchange sized so each output task carries ~targetSize bytes
@@ -295,8 +301,10 @@ object Maintenance {
     rangeSession.conf.set("spark.sql.shuffle.partitions", nOut.toString)
     // AQE coalescing would merge the ranges back into few fat tasks
     rangeSession.conf.set("spark.sql.adaptive.enabled", "false")
+    // real data sequence numbers — see rewriteDataFiles
     val df = Reads.readTasksWithDeletes(table, m,
-      toRewrite.map(f => FileScanTask(f, graft.meta.expr.TrueExpr)),
+      toRewriteEntries.map(e =>
+        FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
       table.newScan().planDeletes(), m.schema.columnNames,
       graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession))
     // write under the chosen order with range distribution; writeDataFiles
@@ -403,7 +411,8 @@ object Maintenance {
       .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))
       .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===
         col("_gf_live"), "left_semi")
-    val (newFiles, _) = MergeOnRead.writePositionDeleteFiles(table, m, rows)
+    val (newFiles, _) = MergeOnRead.writePositionDeleteFiles(table, m, rows,
+      compact = true, wantRefs = false)
     table.commitSnapshot(Operation.Replace, newFiles,
       posDeletes.map(_.path).toSet,
       Map("rewritten-position-delete-files" -> posDeletes.size.toString,

@@ -124,14 +124,24 @@ object MergeOnRead {
     * lookup stays affected-file-sized instead of broadcasting every live
     * file in the table (at millions of files the full lookup is a
     * needlessly large broadcast). `None` (public addPositionDeletes, where
-    * posDf is arbitrary) falls back to all live files. */
+    * posDf is arbitrary) falls back to all live files.
+    *
+    * `compact`: one exchange on the partition value before the write, so
+    * each partition emits exactly ONE delete file (the
+    * rewritePositionDeleteFiles contract); DML writes skip it — their
+    * delete sets are small and an extra shuffle per commit isn't worth it.
+    * `wantRefs = false` skips the referenced-path read-back job for callers
+    * that discard the set. */
   private[table] def writePositionDeleteFiles(table: IceTable, m: TableMetadata,
       posDf: DataFrame,
-      affected: Option[Seq[FileScanTask]] = None): (Seq[DataFileMeta], Set[String]) = {
+      affected: Option[Seq[FileScanTask]] = None,
+      compact: Boolean = false,
+      wantRefs: Boolean = true): (Seq[DataFileMeta], Set[String]) = {
     val spec = m.spec
     val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
-    val rows = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
+    val rows0 = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
       .dropDuplicates(PosPathCol, PosPosCol)
+    val rows = if (compact && !spec.isPartitioned) rows0.coalesce(1) else rows0
     val scoped = spec.isPartitioned
     if (scoped) {
       // path -> stringified partition tuple of the live default-spec files;
@@ -164,7 +174,10 @@ object MergeOnRead {
       val filled = helperNames.foldLeft(joined)((df, n) =>
         df.withColumn(n, coalesce(col(n),
           lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))))
-      filled.write.partitionBy(helperNames: _*).parquet(outDir)
+      // compact: hash-exchange on the partition tuple puts every row of one
+      // partition in one task → exactly one file per partition dir
+      val out = if (compact) filled.repartition(helperNames.map(col): _*) else filled
+      out.write.partitionBy(helperNames: _*).parquet(outDir)
     } else {
       rows.write.parquet(outDir)
     }
@@ -174,6 +187,8 @@ object MergeOnRead {
     if (metas.isEmpty) {
       table.io.deleteRecursive(outDir) // nothing matched: no orphan files
       (Nil, Set.empty)
+    } else if (!wantRefs) {
+      (metas, Set.empty)
     } else {
       // distinct referenced targets, read back from the (small) delete files
       val referenced = table.spark.read.parquet(metas.map(_.path): _*)

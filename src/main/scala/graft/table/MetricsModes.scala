@@ -46,13 +46,19 @@ object MetricsModes {
       s"Invalid metrics mode: $other (none|counts|truncate(N)|full)")
   }
 
-  /** fieldId → mode for the current schema under `m`'s properties. */
+  /** fieldId → mode for the current schema under `m`'s properties.
+    * LENIENT like the reference's config reading: a property naming a
+    * column that no longer exists (dropped/renamed after the property was
+    * set) is skipped, and an unparseable mode value falls back to the
+    * default — a stale table property must never fail every write. */
   def forTable(m: TableMetadata): Int => Mode = {
-    val default = m.properties.get(DefaultProp).map(parse).getOrElse(Default)
-    val byId: Map[Int, Mode] = m.properties.collect {
+    val default = m.properties.get(DefaultProp)
+      .flatMap(v => scala.util.Try(parse(v)).toOption).getOrElse(Default)
+    val byId: Map[Int, Mode] = m.properties.iterator.collect {
       case (k, v) if k.startsWith(ColumnPropPrefix) =>
-        m.schema.fieldId(k.stripPrefix(ColumnPropPrefix)) -> parse(v)
-    }
+        scala.util.Try(m.schema.fieldId(k.stripPrefix(ColumnPropPrefix)))
+          .toOption.map(_ -> scala.util.Try(parse(v)).getOrElse(default))
+    }.flatten.toMap
     id => byId.getOrElse(id, default)
   }
 

@@ -257,6 +257,24 @@ class FormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { MetricsModes.parse("bogus") }
   }
 
+  test("stale or invalid metrics-mode properties never fail writes") {
+    import graft.table.MetricsModes
+    val loc = Files.createTempDirectory("graft-mmstale-").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val t = IceTable.create(spark, loc, Schema.fresh(df.schema),
+      properties = Map(
+        MetricsModes.ColumnPropPrefix + "ghost" -> "none", // dropped column
+        MetricsModes.ColumnPropPrefix + "v" -> "bogus(mode", // unparseable
+        MetricsModes.DefaultProp -> "alsobogus")) // unparseable default
+    t.append(df.coalesce(1)) // must not throw
+    val f = t.newScan().planFiles().head.file
+    // everything falls back to the built-in default truncate(16)
+    assert(f.lowerBounds.contains(t.schema.fieldId("id")))
+    assert(f.lowerBounds.contains(t.schema.fieldId("v")))
+    assert(t.toDF.count() === 1)
+  }
+
   test("metrics modes: aggregate pushdown declines when stats are off") {
     import graft.table.MetricsModes
     val dir = Files.createTempDirectory("graft-mmagg").toString

@@ -213,6 +213,16 @@ class LlmSpec extends AnyFunSuite {
     assert(d.filter(col("k").isNull).count() === 1)
   }
 
+  test("exactDedup returns one row per key even when ids tie") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "r1"), (1L, "a", "r2"), (2L, "a", "r3"),
+      (5L, "b", "r4")).toDF("id", "k", "payload")
+    val d = Dedup.exactDedup(df, "id", col("k"))
+    assert(d.count() === 2) // one per key, despite two rows tying at (a, 1)
+    assert(d.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    assert(d.columns.toSeq === Seq("id", "k", "payload")) // schema unchanged
+  }
+
   test("multimodal: stubbed decode plumbing produces typed metadata + frames") {
     val packed = Multimodal.packFakeMedia(docs.limit(20), "text")
     val meta = Multimodal.extractMeta(packed, "media")

@@ -344,6 +344,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.currentSnapshot.get.operation === "delete")
   }
 
+  test("compaction preserves rows committed by a same-sequence upsert delta") {
+    // an upsert delta commits (eq-delete keys + replacement rows) at ONE
+    // sequence number; the delete applies only to STRICTLY older data. A
+    // rewrite that dropped the files' real sequence numbers would apply the
+    // delta's own delete to its own rows and silently lose them.
+    val loc = tmpLoc()
+    import spark.implicits._
+    val df0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t = IceTable.create(spark, loc, Schema.fresh(df0.schema))
+    t.append(df0.coalesce(1))
+    graft.table.MergeOnRead.upsertDelta(t, Seq("k"),
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v").coalesce(1))
+    def state() = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+    assert(state() === expected)
+    t.rewriteDataFiles()
+    assert(state() === expected, "compaction lost same-sequence upsert rows")
+    t.removeDanglingDeletes()
+    assert(state() === expected)
+    assert(t.newScan().planDeletes().isEmpty)
+  }
+
   test("removeDanglingDeletes drops deletes that no live data file can match") {
     import graft.meta.expr.Exprs._
     val loc = tmpLoc()
