@@ -34,10 +34,22 @@ final class TableOperations(val location: String, val io: FileIO) {
     if (io.exists(metadataFile(v))) v else 0
   }
 
+  // metadata files are immutable once written (CAS creates v+1, never
+  // rewrites v), so parsing each version once is safe; without this every
+  // `.meta` access re-reads and re-parses the full JSON — on a table with
+  // thousands of snapshots that's the dominant driver-side planning cost
+  @volatile private var cached: (Int, TableMetadata) = _
+
   def current(): (Int, TableMetadata) = {
     val v = currentVersion()
     if (v == 0) throw new NoSuchTableException(s"No table at $location")
-    (v, JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v))))
+    val c = cached
+    if (c != null && c._1 == v) c
+    else {
+      val fresh = (v, JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v))))
+      cached = fresh
+      fresh
+    }
   }
 
   def currentOption(): Option[(Int, TableMetadata)] =
