@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time travel: `VERSION AS OF <snapshotId>` / `TIMESTAMP AS OF <ts>` map to
   * snapshot-id / as-of-time scans (ref `SparkCatalog.load` selector paths).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -50,6 +51,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   private def fullName(ident: Identifier): String =
     (catalogName +: (ident.namespace().toSeq :+ ident.name())).mkString(".")
+
+  // ------------------------------------------------------------- functions
+
+  /** Partition-transform SQL functions in the `system` (or bare) namespace
+    * — `SELECT cat.system.bucket(16, id)` uses the byte-exact writer
+    * transform (later-ref SparkFunctions shape). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ns = ident.namespace()
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      GraftFunctions.load(ident.name()).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
 
   // ---------------------------------------------------------------- tables
 

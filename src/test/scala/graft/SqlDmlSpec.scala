@@ -329,6 +329,16 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(it.snapshots.nonEmpty)
   }
 
+  test("TRUNCATE TABLE empties the table, keeps history, stays appendable") {
+    val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 0L)
+    val it = IceTable.load(spark, s"$warehouse/db/${t.split('.').last}")
+    assert(it.snapshots.size >= 2) // append + truncate
+    spark.sql(s"INSERT INTO $t VALUES (9, 'z', 9.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 1L)
+  }
+
   test("merge-on-read SQL DELETE writes position deletes, no data rewrite") {
     val t = freshTable(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
