@@ -16,129 +16,195 @@ import org.apache.spark.unsafe.types.UTF8String
   * layout. Resolution goes through [[GraftCatalog.loadFunction]] in the
   * `system` (or empty) namespace.
   *
-  * Each function binds per input type to a [[ScalarFunction]] whose
-  * `produceResult` dispatches to the same static [[TransformEval]] methods
-  * the codegen'd Catalyst expressions call — one implementation, three
-  * surfaces (writer, Column API, SQL). */
+  * Every bound function exposes the V2 MAGIC method (`invoke` with exact
+  * internal argument types), so Spark plans it as a codegen'd `Invoke`
+  * instead of the row-boxing `produceResult` path — which stays as the
+  * documented fallback. Both dispatch to the same static
+  * [[TransformEval]] methods the Catalyst transform expressions call: one
+  * implementation, three surfaces (writer, Column API, SQL). */
 object GraftFunctions {
 
   val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
-    case "bucket" => Some(BucketFunction)
-    case "truncate" => Some(TruncateFunction)
-    case "years" => Some(timeFunction("years"))
-    case "months" => Some(timeFunction("months"))
-    case "days" => Some(timeFunction("days"))
-    case "hours" => Some(timeFunction("hours"))
+    case "bucket" => Some(BucketUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case "years" => Some(new TimeUnbound("years"))
+    case "months" => Some(new TimeUnbound("months"))
+    case "days" => Some(new TimeUnbound("days"))
+    case "hours" => Some(new TimeUnbound("hours"))
     case _ => None
   }
 
-  private def widthType(t: DataType): Boolean = t match {
-    case IntegerType | ShortType | ByteType => true
-    case _ => false
+  private def requireIntegral(t: DataType, what: String): Unit = t match {
+    case IntegerType | ShortType | ByteType => ()
+    case other => throw new UnsupportedOperationException(
+      s"$what width must be integral, got: ${other.simpleString}")
   }
 
-  private abstract class Scalar2(fnName: String, arg0: DataType, arg1: DataType,
-      out: DataType) extends ScalarFunction[Any] {
-    override def inputTypes(): Array[DataType] = Array(arg0, arg1)
+  abstract class GraftScalar(fnName: String, in: Array[DataType], out: DataType)
+      extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = in
     override def resultType(): DataType = out
     override def name(): String = fnName
-    override def canonicalName(): String = s"graft.$fnName(${arg1.simpleString})"
+    override def canonicalName(): String =
+      s"graft.$fnName(${in.map(_.simpleString).mkString(",")})"
     override def isResultNullable: Boolean = true
   }
 
-  private object BucketFunction extends UnboundFunction {
+  object BucketUnbound extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
       "bucket(numBuckets, col): graft/iceberg murmur3 bucket transform"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
-        "bucket takes (numBuckets int, col)")
-      require(widthType(inputType.fields(0).dataType),
-        s"bucket width must be integral: ${inputType.fields(0).dataType}")
-      val t = inputType.fields(1).dataType
-      new Scalar2("bucket", IntegerType, t, IntegerType) {
-        override def produceResult(input: InternalRow): Any = {
-          if (input.isNullAt(0) || input.isNullAt(1)) return null
-          val n = input.getInt(0)
-          t match {
-            case IntegerType | DateType => TransformEval.bucketInt(n, input.getInt(1))
-            case LongType | TimestampType | TimestampNTZType =>
-              TransformEval.bucketLong(n, input.getLong(1))
-            case FloatType => TransformEval.bucketFloat(n, input.getFloat(1))
-            case DoubleType => TransformEval.bucketDouble(n, input.getDouble(1))
-            case StringType => TransformEval.bucketUtf8(n, input.getUTF8String(1))
-            case BinaryType => TransformEval.bucketBytes(n, input.getBinary(1))
-            case d: DecimalType =>
-              TransformEval.bucketDecimal(n, input.getDecimal(1, d.precision, d.scale))
-            case other =>
-              throw new UnsupportedOperationException(s"Cannot bucket type: $other")
-          }
-        }
+      require(inputType.fields.length == 2, "bucket takes (numBuckets int, col)")
+      requireIntegral(inputType.fields(0).dataType, "bucket")
+      inputType.fields(1).dataType match {
+        case IntegerType | DateType => new BucketIntFn(inputType.fields(1).dataType)
+        case LongType | TimestampType | TimestampNTZType =>
+          new BucketLongFn(inputType.fields(1).dataType)
+        case FloatType => new BucketFloatFn
+        case DoubleType => new BucketDoubleFn
+        case StringType => new BucketStringFn
+        case BinaryType => new BucketBinaryFn
+        case d: DecimalType => new BucketDecimalFn(d)
+        case other =>
+          throw new UnsupportedOperationException(s"Cannot bucket type: $other")
       }
     }
   }
 
-  private object TruncateFunction extends UnboundFunction {
+  final class BucketIntFn(t: DataType)
+      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) {
+    def invoke(n: Int, v: Int): Int = TransformEval.bucketInt(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getInt(1))
+  }
+  final class BucketLongFn(t: DataType)
+      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) {
+    def invoke(n: Int, v: Long): Int = TransformEval.bucketLong(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getLong(1))
+  }
+  final class BucketFloatFn
+      extends GraftScalar("bucket", Array(IntegerType, FloatType), IntegerType) {
+    def invoke(n: Int, v: Float): Int = TransformEval.bucketFloat(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getFloat(1))
+  }
+  final class BucketDoubleFn
+      extends GraftScalar("bucket", Array(IntegerType, DoubleType), IntegerType) {
+    def invoke(n: Int, v: Double): Int = TransformEval.bucketDouble(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getDouble(1))
+  }
+  final class BucketStringFn
+      extends GraftScalar("bucket", Array(IntegerType, StringType), IntegerType) {
+    def invoke(n: Int, v: UTF8String): Int = TransformEval.bucketUtf8(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getUTF8String(1))
+  }
+  final class BucketBinaryFn
+      extends GraftScalar("bucket", Array(IntegerType, BinaryType), IntegerType) {
+    def invoke(n: Int, v: Array[Byte]): Int = TransformEval.bucketBytes(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
+  }
+  final class BucketDecimalFn(d: DecimalType)
+      extends GraftScalar("bucket", Array(IntegerType, d), IntegerType) {
+    def invoke(n: Int, v: Decimal): Int = TransformEval.bucketDecimal(n, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null
+      else invoke(r.getInt(0), r.getDecimal(1, d.precision, d.scale))
+  }
+
+  object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"
     override def description(): String =
       "truncate(width, col): graft/iceberg truncate transform"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 2, "truncate takes (width int, col)")
-      require(widthType(inputType.fields(0).dataType),
-        s"truncate width must be integral: ${inputType.fields(0).dataType}")
-      val t = inputType.fields(1).dataType
-      new Scalar2("truncate", IntegerType, t, t) {
-        override def produceResult(input: InternalRow): Any = {
-          if (input.isNullAt(0) || input.isNullAt(1)) return null
-          val w = input.getInt(0)
-          t match {
-            case IntegerType => TransformEval.truncateInt(w, input.getInt(1))
-            case LongType => TransformEval.truncateLong(w, input.getLong(1))
-            case StringType => TransformEval.truncateUtf8(w, input.getUTF8String(1))
-            case BinaryType => TransformEval.truncateBytes(w, input.getBinary(1))
-            case d: DecimalType =>
-              TransformEval.truncateDecimal(w, input.getDecimal(1, d.precision, d.scale))
-            case other =>
-              throw new UnsupportedOperationException(s"Cannot truncate type: $other")
-          }
-        }
+      requireIntegral(inputType.fields(0).dataType, "truncate")
+      inputType.fields(1).dataType match {
+        case IntegerType => new TruncateIntFn
+        case LongType => new TruncateLongFn
+        case StringType => new TruncateStringFn
+        case BinaryType => new TruncateBinaryFn
+        case d: DecimalType => new TruncateDecimalFn(d)
+        case other =>
+          throw new UnsupportedOperationException(s"Cannot truncate type: $other")
       }
     }
   }
 
-  private def timeFunction(fnName: String): UnboundFunction = new UnboundFunction {
+  final class TruncateIntFn
+      extends GraftScalar("truncate", Array(IntegerType, IntegerType), IntegerType) {
+    def invoke(w: Int, v: Int): Int = TransformEval.truncateInt(w, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getInt(1))
+  }
+  final class TruncateLongFn
+      extends GraftScalar("truncate", Array(IntegerType, LongType), LongType) {
+    def invoke(w: Int, v: Long): Long = TransformEval.truncateLong(w, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getLong(1))
+  }
+  final class TruncateStringFn
+      extends GraftScalar("truncate", Array(IntegerType, StringType), StringType) {
+    def invoke(w: Int, v: UTF8String): UTF8String = TransformEval.truncateUtf8(w, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getUTF8String(1))
+  }
+  final class TruncateBinaryFn
+      extends GraftScalar("truncate", Array(IntegerType, BinaryType), BinaryType) {
+    def invoke(w: Int, v: Array[Byte]): Array[Byte] = TransformEval.truncateBytes(w, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
+  }
+  final class TruncateDecimalFn(d: DecimalType)
+      extends GraftScalar("truncate", Array(IntegerType, d), d) {
+    def invoke(w: Int, v: Decimal): Decimal = TransformEval.truncateDecimal(w, v)
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0) || r.isNullAt(1)) null
+      else invoke(r.getInt(0), r.getDecimal(1, d.precision, d.scale))
+  }
+
+  final class TimeUnbound(fnName: String) extends UnboundFunction {
     override def name(): String = fnName
     override def description(): String =
       s"$fnName(col): graft/iceberg time-ordinal transform over date/timestamp"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1, s"$fnName takes (date|timestamp)")
-      val t = inputType.fields(0).dataType
-      require(t == DateType || t == TimestampType || t == TimestampNTZType,
-        s"$fnName needs a date/timestamp column: $t")
-      require(!(fnName == "hours" && t == DateType),
-        "hours() is not defined for date")
-      new ScalarFunction[Any] {
-        override def inputTypes(): Array[DataType] = Array(t)
-        override def resultType(): DataType = IntegerType
-        override def name(): String = fnName
-        override def canonicalName(): String = s"graft.$fnName(${t.simpleString})"
-        override def isResultNullable: Boolean = true
-        override def produceResult(input: InternalRow): Any = {
-          if (input.isNullAt(0)) return null
-          (fnName, t) match {
-            case ("years", DateType) => TransformEval.yearsFromDays(input.getInt(0))
-            case ("years", _) => TransformEval.yearsFromMicros(input.getLong(0))
-            case ("months", DateType) => TransformEval.monthsFromDays(input.getInt(0))
-            case ("months", _) => TransformEval.monthsFromMicros(input.getLong(0))
-            case ("days", DateType) => input.getInt(0)
-            case ("days", _) => TransformEval.daysFromMicros(input.getLong(0))
-            case ("hours", _) => TransformEval.hoursFromMicros(input.getLong(0))
-            case _ => throw new IllegalStateException(fnName)
-          }
-        }
+      inputType.fields(0).dataType match {
+        case DateType if fnName == "hours" =>
+          throw new UnsupportedOperationException("hours() is not defined for date")
+        case DateType => new TimeDaysFn(fnName)
+        case t @ (TimestampType | TimestampNTZType) => new TimeMicrosFn(fnName, t)
+        case other => throw new UnsupportedOperationException(
+          s"$fnName needs a date/timestamp column: $other")
       }
     }
+  }
+
+  final class TimeDaysFn(fnName: String)
+      extends GraftScalar(fnName, Array(DateType), IntegerType) {
+    def invoke(days: Int): Int = fnName match {
+      case "years" => TransformEval.yearsFromDays(days)
+      case "months" => TransformEval.monthsFromDays(days)
+      case _ => days // "days": identity on the date ordinal
+    }
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0)) null else invoke(r.getInt(0))
+  }
+  final class TimeMicrosFn(fnName: String, t: DataType)
+      extends GraftScalar(fnName, Array(t), IntegerType) {
+    def invoke(micros: Long): Int = fnName match {
+      case "years" => TransformEval.yearsFromMicros(micros)
+      case "months" => TransformEval.monthsFromMicros(micros)
+      case "days" => TransformEval.daysFromMicros(micros)
+      case _ => TransformEval.hoursFromMicros(micros)
+    }
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0)) null else invoke(r.getLong(0))
   }
 }

@@ -67,6 +67,12 @@ class CatalogSpec extends AnyFunSuite {
         graft.functions.ice_bucket(7, col("id")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaSql === viaCol)
+    // the MAGIC `invoke` path plans as a codegen'd Invoke, not the
+    // row-boxing ApplyFunctionExpression fallback
+    val plan = org.apache.spark.sql.graft.ColumnBridge.executedPlan(
+      spark.sql("SELECT gr.system.bucket(7, id) AS b FROM fn_ids")).toString
+    assert(!plan.toLowerCase.contains("applyfunction"),
+      s"magic invoke not used:\n$plan")
   }
 
   test("SQL read goes through the pruning cascade (ScanEvent file counts match Scala path)") {

@@ -124,4 +124,40 @@ class PruningFuzzSpec extends AnyFunSuite {
     // partition-value pruning still works without file metrics
     assert(prunedAtLeastOnce, "avro fuzz never exercised partition pruning")
   }
+
+  /** metrics mode `none` strips counts AND bounds from manifest entries —
+    * like avro's absent stats, pruning must degrade to partition values
+    * only, never dropping matching rows; `counts` keeps null counts but no
+    * bounds, exercising the counts-without-bounds evaluator branches. */
+  private lazy val noStatsTable: IceTable = {
+    val loc = Files.createTempDirectory("graft-fuzz-nostats-").toString + "/t"
+    val schema = Schema.fresh(li.schema)
+    val spec = PartitionSpec.builderFor(schema)
+      .bucket("l_orderkey", 4).month("l_shipdate").build()
+    val t = IceTable.create(spark, loc, schema, spec, properties = Map(
+      graft.table.MetricsModes.DefaultProp -> "none",
+      graft.table.MetricsModes.ColumnPropPrefix + "l_quantity" -> "counts"))
+    t.append(li.filter(col("l_orderkey") % 2 === 0))
+    t.append(li.filter(col("l_orderkey") % 2 === 1))
+    t
+  }
+
+  test("20 random predicates under metrics mode none/counts: no over-pruning") {
+    val files = noStatsTable.newScan().planFiles().map(_.file)
+    assert(files.forall(_.lowerBounds.isEmpty), "mode none must strip bounds")
+    assert(files.forall(f => f.nullCounts.keySet subsetOf
+      Set(noStatsTable.schema.fieldId("l_quantity"))))
+    var prunedAtLeastOnce = false
+    val total = files.size
+    (1 to 20).foreach { i =>
+      val (expr, column) = randomPredicate()
+      val scan = noStatsTable.newScan().filter(expr)
+      val planned = scan.planFiles().size
+      if (planned < total) prunedAtLeastOnce = true
+      val got = scan.toDF.count()
+      val exp = li.filter(column).count()
+      assert(got === exp, s"iteration $i: $expr planned=$planned/$total")
+    }
+    assert(prunedAtLeastOnce, "no-stats fuzz never exercised partition pruning")
+  }
 }
