@@ -31,6 +31,10 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, on: Column): DataFrame =
     df.groupBy(on.as("_gf_key"))
       .agg(min_by(struct(df.columns.map(col).toIndexedSeq: _*), col(idCol)).as("_gf_row"))
+      // min_by skips null ordering values: a group whose ids are ALL null
+      // aggregates to a null struct — drop it rather than expanding a
+      // phantom all-null row
+      .where(col("_gf_row").isNotNull)
       .select(col("_gf_row.*"))
 
   /** Per-duplicate-group stats: keeper id + member count. */

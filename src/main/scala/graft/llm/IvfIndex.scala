@@ -155,8 +155,10 @@ object IvfIndex {
     }
     if (io.exists(location)) io.deleteRecursive(location)
     if (!io.rename(staging, location)) {
-      io.deleteRecursive(staging)
-      throw new IllegalStateException(s"Could not move built index into $location")
+      // the old index is already gone at this point — keep the staging
+      // copy so the complete new index survives for manual recovery
+      throw new IllegalStateException(
+        s"Could not move built index into $location; intact copy left at $staging")
     }
     // metadata still holds absolute staging paths — rewrite them in place
     IceTable.relocate(spark, location)

@@ -91,15 +91,29 @@ private object GraftDeleteCache {
   def key(slices: Array[FileSlice]): String =
     slices.iterator.map(s => s"${s.path}@${s.start}+${s.length}").mkString(";")
 
-  def getOrLoad[A <: AnyRef](k: String)(load: => A): A = cache.synchronized {
+  // per-key load locks: the cache monitor is held only for map access, so
+  // concurrent tasks of DIFFERENT classes load in parallel while same-key
+  // tasks still build the set once
+  private val loading = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  private def cached[A <: AnyRef](k: String): A = cache.synchronized {
     val ref = cache.get(k)
-    val hit = if (ref == null) null else ref.get()
-    if (hit != null) hit.asInstanceOf[A]
-    else {
-      val v = load
-      cache.put(k, new java.lang.ref.SoftReference[AnyRef](v))
-      v
-    }
+    (if (ref == null) null else ref.get()).asInstanceOf[A]
+  }
+
+  def getOrLoad[A <: AnyRef](k: String)(load: => A): A = {
+    val hit = cached[A](k)
+    if (hit != null) return hit
+    val lock = loading.computeIfAbsent(k, _ => new Object)
+    try lock.synchronized {
+      val again = cached[A](k)
+      if (again != null) again
+      else {
+        val v = load
+        cache.synchronized { cache.put(k, new java.lang.ref.SoftReference[AnyRef](v)) }
+        v
+      }
+    } finally loading.remove(k)
   }
 }
 
@@ -132,7 +146,12 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
     }
 
   private val eqSets: Array[java.util.HashSet[Any]] = d.eqGroups.map { g =>
-    GraftDeleteCache.getOrLoad("eq:" + GraftDeleteCache.key(g.slices)) {
+    // key types are part of the cache key: the set's tuples are built with
+    // the CURRENT schema's types, so a type promotion (int→bigint) between
+    // queries on one executor must not serve the old set
+    GraftDeleteCache.getOrLoad(
+        "eq:" + g.types.map(_.catalogString).mkString(",") + ":" +
+          GraftDeleteCache.key(g.slices)) {
       val set = new java.util.HashSet[Any]
       val n = g.ordinals.length
       g.slices.iterator.flatMap(s =>

@@ -60,6 +60,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier)

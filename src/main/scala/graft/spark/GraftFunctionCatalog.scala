@@ -98,21 +98,28 @@ object GraftFunctions {
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getDouble(1))
   }
+  // Reference-typed magic args (UTF8String/Array[Byte]/Decimal) are NOT
+  // auto-null-checked by Spark's Invoke (propagateNull=false; only
+  // primitive args get a guard), so these null-check inside invoke and
+  // return a boxed result.
   final class BucketStringFn
       extends GraftScalar("bucket", Array(IntegerType, StringType), IntegerType) {
-    def invoke(n: Int, v: UTF8String): Int = TransformEval.bucketUtf8(n, v)
+    def invoke(n: Int, v: UTF8String): Integer =
+      if (v == null) null else Integer.valueOf(TransformEval.bucketUtf8(n, v))
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getUTF8String(1))
   }
   final class BucketBinaryFn
       extends GraftScalar("bucket", Array(IntegerType, BinaryType), IntegerType) {
-    def invoke(n: Int, v: Array[Byte]): Int = TransformEval.bucketBytes(n, v)
+    def invoke(n: Int, v: Array[Byte]): Integer =
+      if (v == null) null else Integer.valueOf(TransformEval.bucketBytes(n, v))
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
   }
   final class BucketDecimalFn(d: DecimalType)
       extends GraftScalar("bucket", Array(IntegerType, d), IntegerType) {
-    def invoke(n: Int, v: Decimal): Int = TransformEval.bucketDecimal(n, v)
+    def invoke(n: Int, v: Decimal): Integer =
+      if (v == null) null else Integer.valueOf(TransformEval.bucketDecimal(n, v))
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null
       else invoke(r.getInt(0), r.getDecimal(1, d.precision, d.scale))
@@ -151,19 +158,22 @@ object GraftFunctions {
   }
   final class TruncateStringFn
       extends GraftScalar("truncate", Array(IntegerType, StringType), StringType) {
-    def invoke(w: Int, v: UTF8String): UTF8String = TransformEval.truncateUtf8(w, v)
+    def invoke(w: Int, v: UTF8String): UTF8String =
+      if (v == null) null else TransformEval.truncateUtf8(w, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getUTF8String(1))
   }
   final class TruncateBinaryFn
       extends GraftScalar("truncate", Array(IntegerType, BinaryType), BinaryType) {
-    def invoke(w: Int, v: Array[Byte]): Array[Byte] = TransformEval.truncateBytes(w, v)
+    def invoke(w: Int, v: Array[Byte]): Array[Byte] =
+      if (v == null) null else TransformEval.truncateBytes(w, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
   }
   final class TruncateDecimalFn(d: DecimalType)
       extends GraftScalar("truncate", Array(IntegerType, d), d) {
-    def invoke(w: Int, v: Decimal): Decimal = TransformEval.truncateDecimal(w, v)
+    def invoke(w: Int, v: Decimal): Decimal =
+      if (v == null) null else TransformEval.truncateDecimal(w, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null
       else invoke(r.getInt(0), r.getDecimal(1, d.precision, d.scale))

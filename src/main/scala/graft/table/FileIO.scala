@@ -58,6 +58,12 @@ final class FileIO(@transient val conf: Configuration) extends Serializable {
 
   def exists(path: String): Boolean = { val p = new Path(path); fs(p).exists(p) }
 
+  def stat(path: String): Option[FileStatus] = {
+    val p = new Path(path)
+    try Some(fs(p).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
   def delete(path: String): Boolean = {
     val p = new Path(path); fs(p).delete(p, false)
   }

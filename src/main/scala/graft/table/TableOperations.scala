@@ -37,18 +37,23 @@ final class TableOperations(val location: String, val io: FileIO) {
   // metadata files are immutable once written (CAS creates v+1, never
   // rewrites v), so parsing each version once is safe; without this every
   // `.meta` access re-reads and re-parses the full JSON — on a table with
-  // thousands of snapshots that's the dominant driver-side planning cost
-  @volatile private var cached: (Int, TableMetadata) = _
+  // thousands of snapshots that's the dominant driver-side planning cost.
+  // The file's (length, mtime) ride along in the key: a table dropped and
+  // rebuilt at the same location restarts version numbering, so the same
+  // v-N name can hold DIFFERENT content (e.g. IvfIndex.build's staged swap)
+  @volatile private var cached: (Int, Long, Long, TableMetadata) = _
 
   def current(): (Int, TableMetadata) = {
     val v = currentVersion()
     if (v == 0) throw new NoSuchTableException(s"No table at $location")
+    val (len, mod) = io.stat(metadataFile(v))
+      .map(s => (s.getLen, s.getModificationTime)).getOrElse((-1L, -1L))
     val c = cached
-    if (c != null && c._1 == v) c
+    if (c != null && c._1 == v && c._2 == len && c._3 == mod) (c._1, c._4)
     else {
-      val fresh = (v, JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v))))
-      cached = fresh
-      fresh
+      val fresh = JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v)))
+      cached = (v, len, mod, fresh)
+      (v, fresh)
     }
   }
 

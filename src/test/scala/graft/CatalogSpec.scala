@@ -75,6 +75,36 @@ class CatalogSpec extends AnyFunSuite {
       s"magic invoke not used:\n$plan")
   }
 
+  test("system functions: NULL reference-typed column values through magic invoke") {
+    warehouse
+    import spark.implicits._
+    // Invoke only auto-null-checks primitive args, so null UTF8String /
+    // Array[Byte] / Decimal inputs must be handled inside the functions —
+    // values come from a real column (a NULL literal folds before Invoke)
+    Seq(("a", Some("graft"), Some(BigDecimal("12.30"))),
+        ("b", None, None))
+      .toDF("k", "s", "dec")
+      .withColumn("dec", col("dec").cast("decimal(9,2)"))
+      .withColumn("bin", encode(col("s"), "UTF-8"))
+      .createOrReplaceTempView("fn_nulls")
+    val rows = spark.sql(
+      """SELECT k, gr.system.bucket(16, s) bs, gr.system.bucket(16, bin) bb,
+        |  gr.system.bucket(16, dec) bd, gr.system.truncate(3, s) ts,
+        |  gr.system.truncate(2, bin) tb, gr.system.truncate(10, dec) td
+        |FROM fn_nulls ORDER BY k""".stripMargin).collect()
+    assert(rows(0).toSeq.drop(1).forall(_ != null), s"row a: ${rows(0)}")
+    assert(rows(0).getString(4) === "gra")
+    assert((1 to 6).forall(rows(1).isNullAt), s"row b should be all null: ${rows(1)}")
+  }
+
+  test("SHOW FUNCTIONS in an existing data namespace does not throw") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.fndb")
+    // contract: only a MISSING namespace raises NoSuchNamespaceException
+    assert(spark.sql("SHOW FUNCTIONS IN gr.fndb").collect() != null)
+    intercept[Exception] { spark.sql("SHOW FUNCTIONS IN gr.no_such_db").collect() }
+  }
+
   test("SQL read goes through the pruning cascade (ScanEvent file counts match Scala path)") {
     warehouse
     val t = IceTable.create(spark, s"$warehouse/db/t2",

@@ -213,6 +213,16 @@ class LlmSpec extends AnyFunSuite {
     assert(d.filter(col("k").isNull).count() === 1)
   }
 
+  test("exactDedup drops groups whose ids are all null instead of fabricating rows") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("a")), (None, Some("a")), (None, None))
+      .toDF("id", "k")
+    val d = Dedup.exactDedup(df, "id", col("k")).collect()
+    // group "a" keeps id=1; the (null,null) group has no non-null id — no
+    // phantom all-null row may appear
+    assert(d.length === 1 && d(0).getLong(0) === 1L)
+  }
+
   test("exactDedup returns one row per key even when ids tie") {
     import spark.implicits._
     val df = Seq((1L, "a", "r1"), (1L, "a", "r2"), (2L, "a", "r3"),
