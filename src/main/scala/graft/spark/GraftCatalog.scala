@@ -31,11 +31,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  private var catalogName: String = _
-  private var warehouse: String = _
+  protected var catalogName: String = _
+  protected var warehouse: String = _
 
-  private def spark: SparkSession = SparkSession.active
-  private def io: FileIO = new FileIO(spark.sparkContext.hadoopConfiguration)
+  protected def spark: SparkSession = SparkSession.active
+  protected def io: FileIO = new FileIO(spark.sparkContext.hadoopConfiguration)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -46,10 +46,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): String =
+  protected def tablePath(ident: Identifier): String =
     (warehouse +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
 
-  private def fullName(ident: Identifier): String =
+  protected def fullName(ident: Identifier): String =
     (catalogName +: (ident.namespace().toSeq :+ ident.name())).mkString(".")
 
   // ------------------------------------------------------------- functions
@@ -84,7 +84,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def tableExists(ident: Identifier): Boolean =
     IceTable.exists(spark, tablePath(ident))
 
-  private val MetadataTableNames = Set("snapshots", "history", "manifests",
+  /** Resolve an identifier to a loaded table — the storage-backend hook
+    * shared by plain loads, time travel, metadata tables, and ALTER. */
+  protected def loadIce(ident: Identifier): IceTable =
+    IceTable.load(spark, tablePath(ident))
+
+  protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
     "all_data_files", "all_files", "partitions")
 
@@ -97,27 +102,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         val parent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         if (tableExists(parent)) {
-          val t = IceTable.load(spark, tablePath(parent))
+          val t = loadIce(parent)
           return new GraftMetadataTable(t, ident.name().toLowerCase,
             s"${fullName(parent)}.${ident.name()}")
         }
       }
       throw new NoSuchTableException(ident)
     }
-    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident))
+    new GraftSparkTable(loadIce(ident), fullName(ident))
   }
 
   /** `VERSION AS OF <snapshot-id>` */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident),
+    new GraftSparkTable(loadIce(ident), fullName(ident),
       snapshotId = Some(version.toLong))
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(IceTable.load(spark, tablePath(ident)), fullName(ident),
+    new GraftSparkTable(loadIce(ident), fullName(ident),
       asOfMillis = Some(timestampMicros / 1000L))
   }
 
@@ -133,7 +138,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = IceTable.load(spark, tablePath(ident))
+    val t = loadIce(ident)
     val setProps = changes.collect { case c: TableChange.SetProperty =>
       c.property -> c.value }.toMap
     val rmProps = changes.collect { case c: TableChange.RemoveProperty => c.property }.toSet
@@ -171,7 +176,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * `StagedSparkTable.java`): the table is built at a hidden staging path;
     * only a successful write publishes it (rename + path relocation), so a
     * failed CTAS leaves no committed table behind. */
-  private def stage(ident: Identifier, schema: StructType,
+  protected def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, orCreate: Boolean): StagedTable = {
     if (!replace && tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -315,7 +320,7 @@ final class StagedGraftTable(delegate: GraftSparkTable, spark: SparkSession,
 
 object GraftCatalog {
 
-  private val ReservedProps =
+  private[spark] val ReservedProps =
     Set("provider", "location", "owner", "external", "comment")
 
   /** Spark `Transform[]` (from `PARTITIONED BY (...)`) → partition spec. */

@@ -35,7 +35,7 @@ final case class ConflictValidation(startSnapshotId: Option[Long],
   * DataFrame programs; only planning/commit is driver-side Scala, and the
   * driver never touches row data.
   */
-final class IceTable private (val spark: SparkSession, val ops: TableOperations)
+final class IceTable private (val spark: SparkSession, val ops: TableOps)
     extends Lifecycle {
 
   def location: String = ops.location
@@ -527,9 +527,18 @@ object IceTable {
   def create(spark: SparkSession, location: String, schema: Schema,
       spec: PartitionSpec = PartitionSpec.unpartitioned,
       sortOrder: SortOrderMeta = SortOrderMeta.unsorted,
+      properties: Map[String, String] = Map.empty): IceTable =
+    createWith(spark,
+      new TableOperations(location, new FileIO(spark.sparkContext.hadoopConfiguration)),
+      schema, spec, sortOrder, properties)
+
+  /** Create through caller-supplied [[TableOps]] (e.g. a JDBC-pointer
+    * backend); the commit protocol is identical, only the pointer differs. */
+  def createWith(spark: SparkSession, ops: TableOps, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrderMeta = SortOrderMeta.unsorted,
       properties: Map[String, String] = Map.empty): IceTable = {
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
-    val ops = new TableOperations(location, io)
+    val location = ops.location
     require(!ops.exists, s"Table already exists: $location")
     val nowMs = System.currentTimeMillis()
     val m = TableMetadata(
@@ -556,10 +565,12 @@ object IceTable {
     new IceTable(spark, ops)
   }
 
-  def load(spark: SparkSession, location: String): IceTable = {
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
-    val ops = new TableOperations(location, io)
-    if (!ops.exists) throw new NoSuchTableException(s"No table at $location")
+  def load(spark: SparkSession, location: String): IceTable =
+    loadWith(spark,
+      new TableOperations(location, new FileIO(spark.sparkContext.hadoopConfiguration)))
+
+  def loadWith(spark: SparkSession, ops: TableOps): IceTable = {
+    if (!ops.exists) throw new NoSuchTableException(s"No table at ${ops.location}")
     new IceTable(spark, ops)
   }
 

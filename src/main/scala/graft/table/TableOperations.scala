@@ -8,13 +8,46 @@ class CommitFailedException(msg: String) extends RuntimeException(msg)
 class ValidationException(msg: String) extends RuntimeException(msg)
 class NoSuchTableException(msg: String) extends RuntimeException(msg)
 
-/** Versioned metadata pointer with optimistic CAS commit (ref
+/** A table's versioned metadata pointer: read the current (version,
+  * metadata) and CAS-commit a successor. Where the pointer lives is the
+  * backend's choice — an atomically-renamed file ([[TableOperations]]) or a
+  * database row ([[JdbcTableOperations]]); metadata JSON files themselves
+  * always live under `<location>/metadata/`. */
+trait TableOps {
+  def location: String
+  def io: FileIO
+  def exists: Boolean
+  def current(): (Int, TableMetadata)
+  /** CAS-commit `meta` as version `expectedVersion + 1`; false on conflict. */
+  def commit(expectedVersion: Int, meta: TableMetadata): Boolean
+
+  def currentOption(): Option[(Int, TableMetadata)] =
+    if (exists) Some(current()) else None
+
+  /** Optimistic retry loop (ref `Tasks.foreach` w/ 4 retries + backoff). */
+  def commitWithRetry(retries: Int)(update: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val (version, base) = current()
+      val newMeta = update(base)
+      if (commit(version, newMeta)) return newMeta
+      attempt += 1
+      if (attempt > retries)
+        throw new CommitFailedException(
+          s"Commit failed after $retries retries at $location (version $version)")
+      Thread.sleep(math.min(100L << attempt, 2000L))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Filesystem-backed [[TableOps]] with optimistic CAS commit (ref
   * `core/.../hadoop/HadoopTableOperations.java` + the retry loop of
   * `core/.../SnapshotProducer.java:270`). Metadata lives at
   * `<location>/metadata/v{N}.metadata.json`; `version-hint.text` caches the
   * latest N (advisory — the scan fallback is authoritative).
   */
-final class TableOperations(val location: String, val io: FileIO) {
+final class TableOperations(val location: String, val io: FileIO) extends TableOps {
   private def metadataDir = s"$location/metadata"
   private def metadataFile(v: Int) = s"$metadataDir/v$v.metadata.json"
   private def versionHint = s"$metadataDir/version-hint.text"
@@ -57,11 +90,8 @@ final class TableOperations(val location: String, val io: FileIO) {
     }
   }
 
-  def currentOption(): Option[(Int, TableMetadata)] =
-    if (exists) Some(current()) else None
-
   /** CAS-commit `meta` as version `expectedVersion + 1`. */
-  def commit(expectedVersion: Int, meta: TableMetadata): Boolean = {
+  override def commit(expectedVersion: Int, meta: TableMetadata): Boolean = {
     val nowMs = System.currentTimeMillis()
     val withLog =
       if (expectedVersion == 0) meta
@@ -72,21 +102,5 @@ final class TableOperations(val location: String, val io: FileIO) {
       JsonCodecs.tableMetadataToJson(withLog))
     if (ok) io.writeString(versionHint, (expectedVersion + 1).toString)
     ok
-  }
-
-  /** Optimistic retry loop (ref `Tasks.foreach` w/ 4 retries + backoff). */
-  def commitWithRetry(retries: Int)(update: TableMetadata => TableMetadata): TableMetadata = {
-    var attempt = 0
-    while (true) {
-      val (version, base) = current()
-      val newMeta = update(base)
-      if (commit(version, newMeta)) return newMeta
-      attempt += 1
-      if (attempt > retries)
-        throw new CommitFailedException(
-          s"Commit failed after $retries retries at $location (version $version)")
-      Thread.sleep(math.min(100L << attempt, 2000L))
-    }
-    throw new IllegalStateException("unreachable")
   }
 }
