@@ -33,6 +33,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   protected var catalogName: String = _
   protected var warehouse: String = _
+  private var cacheEnabled: Boolean = true
+
+  // table-handle cache (ref `core/.../CachingCatalog.java`, default-on like
+  // the ref): repeated loadTable calls reuse one IceTable, whose versioned
+  // pointer reads make staleness self-correcting — a cached handle re-stats
+  // the pointer per access and only skips the metadata JSON re-parse, so no
+  // expiration interval is needed. Disable with `cache-enabled=false`.
+  private val iceCache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]
+
+  protected final def cachedIce(key: String)(load: => IceTable): IceTable =
+    if (!cacheEnabled) load
+    else iceCache.computeIfAbsent(key, _ => load)
+
+  protected final def evictIce(key: String): Unit = iceCache.remove(key)
 
   protected def spark: SparkSession = SparkSession.active
   protected def io: FileIO = new FileIO(spark.sparkContext.hadoopConfiguration)
@@ -42,6 +56,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     warehouse = options.get("warehouse")
     require(warehouse != null && warehouse.nonEmpty,
       s"Catalog $name requires spark.sql.catalog.$name.warehouse")
+    cacheEnabled = options.getBoolean("cache-enabled", true)
   }
 
   override def name(): String = catalogName
@@ -87,7 +102,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   /** Resolve an identifier to a loaded table — the storage-backend hook
     * shared by plain loads, time travel, metadata tables, and ALTER. */
   protected def loadIce(ident: Identifier): IceTable =
-    IceTable.load(spark, tablePath(ident))
+    cachedIce(tablePath(ident))(IceTable.load(spark, tablePath(ident)))
 
   protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
@@ -226,6 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
+    evictIce(tablePath(ident))
     io.deleteRecursive(tablePath(ident))
   }
 
@@ -240,6 +256,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"Rename failed: $src -> $dst")
+    evictIce(tablePath(from))
     // metadata stores absolute paths — rewrite them for the new location
     IceTable.relocate(spark, tablePath(to))
   }

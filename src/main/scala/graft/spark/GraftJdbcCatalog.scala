@@ -53,6 +53,9 @@ class GraftJdbcCatalog extends GraftCatalog {
 
   private def ns(namespace: Array[String]): String = namespace.mkString(".")
 
+  private def cacheKey(ident: Identifier): String =
+    ns(ident.namespace()) + "\u0000" + ident.name()
+
   private def jdbcOps(ident: Identifier, location: String,
       staged: Boolean = false): JdbcTableOperations =
     new JdbcTableOperations(location, io, store, ns(ident.namespace()),
@@ -69,7 +72,10 @@ class GraftJdbcCatalog extends GraftCatalog {
   override protected def loadIce(ident: Identifier): IceTable = {
     val (_, _, loc) = store.getPointer(ns(ident.namespace()), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
-    IceTable.loadWith(spark, jdbcOps(ident, loc))
+    // keyed by IDENT, not location: the ops inside the handle query the
+    // row by identifier, so rename/drop must evict (a replaced table gets
+    // a fresh location AND a fresh row, handled by the same eviction)
+    cachedIce(cacheKey(ident))(IceTable.loadWith(spark, jdbcOps(ident, loc)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -99,7 +105,7 @@ class GraftJdbcCatalog extends GraftCatalog {
     val ops = jdbcOps(ident, location, staged = true)
     val t = IceTable.createWith(spark, ops, gSchema, spec, properties = props)
     new StagedJdbcTable(new GraftSparkTable(t, fullName(ident)), ops, io,
-      location, replace)
+      location, replace, () => evictIce(cacheKey(ident)))
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -107,7 +113,7 @@ class GraftJdbcCatalog extends GraftCatalog {
       case None => false
       case Some((_, _, loc)) =>
         val ok = store.dropPointer(ns(ident.namespace()), ident.name())
-        if (ok) io.deleteRecursive(loc)
+        if (ok) { evictIce(cacheKey(ident)); io.deleteRecursive(loc) }
         ok
     }
 
@@ -117,6 +123,7 @@ class GraftJdbcCatalog extends GraftCatalog {
     if (!store.renamePointer(ns(from.namespace()), from.name(),
         ns(to.namespace()), to.name()))
       throw new IllegalStateException(s"Rename failed: $from -> $to")
+    evictIce(cacheKey(from))
   }
 
   // ------------------------------------------------------------ namespaces
@@ -155,7 +162,8 @@ class GraftJdbcCatalog extends GraftCatalog {
   * it by inserting (or swapping) the pointer row, abort deletes the files.
   * No directory rename exists in the commit path at all. */
 final class StagedJdbcTable(delegate: GraftSparkTable, ops: JdbcTableOperations,
-    io: graft.table.FileIO, location: String, replace: Boolean)
+    io: graft.table.FileIO, location: String, replace: Boolean,
+    evict: () => Unit)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -170,7 +178,7 @@ final class StagedJdbcTable(delegate: GraftSparkTable, ops: JdbcTableOperations,
     delegate.newWriteBuilder(info)
 
   override def commitStagedChanges(): Unit =
-    if (replace) ops.publishReplace().foreach(io.deleteRecursive)
+    if (replace) { ops.publishReplace().foreach(io.deleteRecursive); evict() }
     else if (!ops.publish())
       throw new TableAlreadyExistsException(
         Identifier.of(Array.empty[String], name()))

@@ -97,6 +97,27 @@ class CatalogSpec extends AnyFunSuite {
     assert((1 to 6).forall(rows(1).isNullAt), s"row b should be all null: ${rows(1)}")
   }
 
+  test("catalog table cache reuses the handle and never serves stale metadata") {
+    warehouse
+    spark.sql("CREATE TABLE gr.db.cached (id BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog("gr")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "cached")
+    def ice() = cat.loadTable(ident).asInstanceOf[graft.spark.GraftSparkTable].table
+    val h = ice()
+    assert(ice() eq h, "second load must reuse the cached IceTable")
+    // the cached handle re-reads the versioned pointer per access, so a
+    // commit through a DIFFERENT handle is visible immediately — the cache
+    // skips the JSON re-parse, not the staleness check
+    IceTable.load(spark, s"$warehouse/db/cached")
+      .append(spark.range(5).toDF("id"))
+    assert(spark.sql("SELECT count(*) c FROM gr.db.cached").head().getLong(0) === 5L)
+    spark.sql("DROP TABLE gr.db.cached")
+    spark.sql("CREATE TABLE gr.db.cached (id BIGINT)")
+    assert(ice() ne h, "drop must evict the cached handle")
+    assert(spark.sql("SELECT count(*) c FROM gr.db.cached").head().getLong(0) === 0L)
+  }
+
   test("SHOW FUNCTIONS in an existing data namespace does not throw") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.fndb")
