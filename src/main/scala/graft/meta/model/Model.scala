@@ -180,6 +180,15 @@ object TableProperties {
   val MergeProbeMinFilesDefault = "8"
   val IsolationSerializable = "serializable"
   val IsolationSnapshot = "snapshot"
+  /** Commit-time manifest auto-merge (ref `TableProperties.java:51-58`):
+    * small same-spec manifests are rewritten into ~target-size ones during
+    * commits, so planning stays O(live data) instead of O(commit count). */
+  val ManifestMergeEnabled = "commit.manifest-merge.enabled"
+  val ManifestMergeEnabledDefault = "true"
+  val ManifestTargetSizeBytes = "commit.manifest.target-size-bytes"
+  val ManifestTargetSizeBytesDefault: Long = 8L * 1024 * 1024 // ref :52
+  val ManifestMinMergeCount = "commit.manifest.min-count-to-merge"
+  val ManifestMinMergeCountDefault = 100 // ref :55
   val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
   val MaxSnapshotAgeMsDefault: Long = 5L * 24 * 60 * 60 * 1000 // ref :166
   /** `false` on snapshot-imported tables whose data files are shared with

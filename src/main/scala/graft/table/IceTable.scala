@@ -426,6 +426,66 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     }
   }
 
+  /** Commit-time manifest auto-merge (ref `MergingSnapshotProducer.java`,
+    * `ManifestMergeManager.java:79-120`): without it a table accreted by
+    * thousands of appends carries thousands of tiny manifests and every
+    * plan degrades linearly with commit count rather than data size. Per
+    * spec, manifests are greedily packed from the OLD end of the list into
+    * `commit.manifest.target-size-bytes` bins (lookback 1, so list order is
+    * preserved); a multi-manifest bin is rewritten as one manifest — except
+    * the bin holding this commit's fresh manifest, which only merges once
+    * `commit.manifest.min-count-to-merge` manifests pile up, so recent
+    * commits aren't rewritten on every append. Carried entries keep their
+    * snapshot and sequence numbers; foreign `Added` entries become
+    * `Existing` and the merged manifest is stamped with the committing
+    * snapshot id, which keeps [[addedFiles]]' manifest-level
+    * `addedSnapshotId` pruning and entry-level status filter exact (ref
+    * `ManifestMergeManager.createManifest`). */
+  private def mergeSmallManifests(base: TableMetadata,
+      manifests: Seq[ManifestFileMeta], snapId: Long,
+      mdir: String): Seq[ManifestFileMeta] = {
+    if (manifests.size < 2) return manifests
+    val targetSize = base.property(TableProperties.ManifestTargetSizeBytes,
+      TableProperties.ManifestTargetSizeBytesDefault.toString).toLong
+    val minCount = base.property(TableProperties.ManifestMinMergeCount,
+      TableProperties.ManifestMinMergeCountDefault.toString).toInt
+    // min-count protects the bin holding the head of the fresh-first list
+    // (the just-written manifest when the commit added files; ref
+    // `ManifestMergeManager.mergeManifests` takes `manifests.get(0)`) — so
+    // pure-removal commits don't churn manifests on every commit either
+    val firstPath = manifests.head.path
+    manifests.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (specId, group) =>
+      // pack from the old end (the list is fresh-first) with lookback 1
+      val bins = scala.collection.mutable.ArrayBuffer[List[ManifestFileMeta]]()
+      var cur = List.empty[ManifestFileMeta]
+      var curSize = 0L
+      group.reverse.foreach { mf =>
+        if (cur.nonEmpty && curSize + mf.length > targetSize) {
+          bins += cur; cur = Nil; curSize = 0L
+        }
+        cur = mf :: cur // cons while walking old→new keeps each bin fresh-first
+        curSize += mf.length
+      }
+      if (cur.nonEmpty) bins += cur
+      bins.reverseIterator.flatMap { bin =>
+        val merge = bin.size > 1 &&
+          !(bin.exists(_.path == firstPath) && bin.size < minCount)
+        if (!merge) bin
+        else {
+          val entries = ManifestIO.readAll(io, bin, base.schema, base.specById)
+            .flatMap(_._2)
+            .filter(_.status != EntryStatus.Deleted)
+            .map(e =>
+              if (e.status == EntryStatus.Added && e.snapshotId == snapId) e
+              else e.copy(status = EntryStatus.Existing))
+          if (entries.isEmpty) Nil
+          else Seq(ManifestIO.write(io, ManifestIO.newPath(mdir, base), entries,
+            base.schema, base.specById(specId), addedSnapshotId = Some(snapId)))
+        }
+      }
+    }
+  }
+
   /** @param removedMeta the full metadata of the removed files when the
     *                    caller has it: enables partition-summary pruning so
     *                    a removal commit opens only the manifests that can
@@ -500,7 +560,12 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         Some(ManifestIO.write(io, path, entries, schema, spec))
       }
 
-      val allManifests = addedManifest.toSeq ++ keptManifests
+      val unmerged = addedManifest.toSeq ++ keptManifests
+      val allManifests =
+        if (base.property(TableProperties.ManifestMergeEnabled,
+            TableProperties.ManifestMergeEnabledDefault).toBoolean)
+          mergeSmallManifests(base, unmerged, snapId, mdir)
+        else unmerged
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"
       io.writeString(listPath, JsonCodecs.manifestListToJson(allManifests, schema, base.specById))
 

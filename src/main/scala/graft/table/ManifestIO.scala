@@ -32,8 +32,12 @@ object ManifestIO {
     s"$metadataDir/manifest-${java.util.UUID.randomUUID()}.$ext"
   }
 
+  /** @param addedSnapshotId override for commit-time merged manifests (ref
+    *   `ManifestMergeManager.createManifest` stamps the committing snapshot);
+    *   by default the first entry's snapshot id. */
   def write(io: FileIO, path: String, entries: Seq[ManifestEntry],
-      schema: Schema, spec: PartitionSpec): ManifestFileMeta = {
+      schema: Schema, spec: PartitionSpec,
+      addedSnapshotId: Option[Long] = None): ManifestFileMeta = {
     val length =
       if (path.endsWith(".parquet")) ParquetManifests.write(io, path, entries, schema, spec)
       else io.writeString(path,
@@ -59,7 +63,8 @@ object ManifestIO {
       path = path,
       length = length,
       specId = spec.specId,
-      addedSnapshotId = entries.headOption.map(_.snapshotId).getOrElse(-1L),
+      addedSnapshotId = addedSnapshotId
+        .orElse(entries.headOption.map(_.snapshotId)).getOrElse(-1L),
       minSequenceNumber = (Long.MaxValue +: entries.map(_.sequenceNumber)).min,
       addedFilesCount = added.size,
       existingFilesCount = existing.size,

@@ -323,6 +323,66 @@ class TableSpec extends AnyFunSuite {
     assert(t1.snapshots.size === 2)
   }
 
+  test("commit-time manifest auto-merge compacts small manifests") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map("commit.manifest.min-count-to-merge" -> "4"))
+    val batches = (0 until 6).map(i => orders.orderBy("o_orderkey")
+      .limit(10 * (i + 1)).exceptAll(orders.orderBy("o_orderkey").limit(10 * i)))
+    batches.foreach(t.append)
+    // merge fires at commit 4 (bin reaches min-count): 4th list = 1 merged
+    // manifest; commits 5-6 stack on top of it → 3, not 6
+    assert(t.metadataTable("manifests").count() === 3)
+    // merged manifest is stamped with its committing snapshot
+    val snap4 = t.snapshots.sortBy(_.sequenceNumber).apply(3).snapshotId
+    assert(t.metadataTable("manifests")
+      .filter(col("added_snapshot_id") === snap4).count() === 1)
+    // data round-trips exactly
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.select("o_orderkey").distinct().count() === 60)
+    // incremental scan across the merge boundary stays exact: foreign
+    // entries were rewritten as Existing, fresh ones stayed Added
+    val snaps = t.snapshots.sortBy(_.sequenceNumber).map(_.snapshotId)
+    assert(t.appendsBetween(snaps(2), snaps(3)).count() === 10) // the merging commit
+    assert(t.appendsBetween(snaps(0), snaps(5)).count() === 50)
+    // time travel to a pre-merge snapshot reads the old, untouched lists
+    assert(t.newScan().useSnapshot(snaps(1)).toDF.count() === 20)
+  }
+
+  test("manifest auto-merge can be disabled; default leaves few commits alone") {
+    val loc = tmpLoc()
+    val off = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map("commit.manifest-merge.enabled" -> "false",
+        "commit.manifest.min-count-to-merge" -> "2"))
+    (0 until 4).foreach(_ => off.append(orders.limit(5)))
+    assert(off.metadataTable("manifests").count() === 4)
+    // default min-count (100) never triggers on a handful of commits
+    val dflt = IceTable.create(spark, tmpLoc(), Schema.fresh(orders.schema))
+    (0 until 4).foreach(_ => dflt.append(orders.limit(5)))
+    assert(dflt.metadataTable("manifests").count() === 4)
+  }
+
+  test("manifest auto-merge preserves merge-on-read delete applicability") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map("commit.manifest.min-count-to-merge" -> "2"))
+    t.append(orders.limit(100))
+    val keys = orders.orderBy("o_orderkey").limit(10).select("o_orderkey")
+    t.deleteMergeOnRead(in("o_orderkey",
+      keys.collect().map(_.getLong(0)).toSeq: _*))
+    // every commit merges now: delete + data entries share one manifest
+    t.append(orders.orderBy(desc("o_orderkey")).limit(20))
+    assert(t.metadataTable("manifests").count() === 1)
+    assert(t.toDF.count() === 110)
+    // deletes still apply (sequence numbers survived the rewrite)...
+    assert(t.toDF.join(keys, Seq("o_orderkey"), "left_semi").count() === 0)
+    // ...but only to files older than the delete: re-appending a deleted
+    // key after the merge must remain visible
+    val victim = orders.orderBy("o_orderkey").limit(1)
+    t.append(victim)
+    assert(t.toDF.join(keys, Seq("o_orderkey"), "left_semi").count() === 1)
+  }
+
   test("sort-order write produces sorted files") {
     val loc = tmpLoc()
     val schema = Schema.fresh(lineitem.schema)
