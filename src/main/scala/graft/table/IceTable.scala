@@ -269,6 +269,13 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       m.schema.columnNames, TrueExpr)
   }
 
+  /** Row-level CDC changelog over the snapshot range (fromId, toId]: table
+    * columns plus `_change_type`/`_commit_snapshot_id`/`_change_ordinal`.
+    * `fromId = None` starts from the table's beginning; `toId = None` ends at
+    * the current snapshot. See [[Changelog]] for semantics. */
+  def changelog(fromId: Option[Long] = None, toId: Option[Long] = None): DataFrame =
+    Changelog.changes(this, fromId, toId)
+
   /** The data files appended in (fromId, toId] (planning half of
     * [[appendsBetween]]; also the micro-batch planner's input). */
   private[graft] def appendedFilesBetween(m: TableMetadata, fromId: Long,
