@@ -397,6 +397,32 @@ object CoreQueries {
       tbl.rewriteDataFiles()
       tbl.removeDanglingDeletes()
       s.sql("SELECT k, nk, bal FROM gq31.db.t ORDER BY k")
+    }),
+
+    // Q32 row-level CDC changelog: a scripted merge-on-read DML sequence
+    // (append, MoR DELETE, MoR UPDATE) replayed as net row changes — the
+    // update surfaces as delete(old)+insert(new) under one ordinal. The
+    // oracle reconstructs the same change stream relationally; snapshot ids
+    // are run-dependent, so the query projects change type + dense ordinal.
+    "q32_changelog" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q32").toString
+      s.conf.set("spark.sql.catalog.gq32", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq32.warehouse", tmp)
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+      tbl.append(target0)
+      s.sql("DELETE FROM gq32.db.t WHERE k % 7 = 1")
+      s.sql("UPDATE gq32.db.t SET bal = round(bal + 5.0, 2) WHERE k % 5 = 0")
+      tbl.changelog()
+        .select(col("k"), col("seg"), col("bal"),
+          col(graft.table.Changelog.ChangeTypeCol).as("ctype"),
+          col(graft.table.Changelog.OrdinalCol).as("ord"))
+        .orderBy("ord", "ctype", "k")
     })
   )
 
@@ -524,6 +550,17 @@ object CoreQueries {
         "FROM supplier " +
         "WHERE NOT (s_suppkey % 7 = 1) AND NOT (s_suppkey % 11 = 2) " +
         "AND NOT (round(s_acctbal, 2) < 0 AND s_suppkey % 2 = 0) " +
-        "ORDER BY s_suppkey")
+        "ORDER BY s_suppkey"),
+    "q32_changelog" ->
+      ("WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, " +
+        "round(c_acctbal, 2) AS bal FROM customer) " +
+        "SELECT k, seg, bal, 'insert' AS ctype, 0 AS ord FROM base " +
+        "UNION ALL SELECT k, seg, bal, 'delete' AS ctype, 1 AS ord " +
+        "FROM base WHERE k % 7 = 1 " +
+        "UNION ALL SELECT k, seg, bal, 'delete' AS ctype, 2 AS ord " +
+        "FROM base WHERE k % 5 = 0 AND NOT (k % 7 = 1) " +
+        "UNION ALL SELECT k, seg, round(bal + 5.0, 2) AS bal, 'insert' AS ctype, 2 AS ord " +
+        "FROM base WHERE k % 5 = 0 AND NOT (k % 7 = 1) " +
+        "ORDER BY ord, ctype, k")
   )
 }

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * Emits the table's columns plus:
   *  - `_change_type`          "insert" | "delete"
   *  - `_commit_snapshot_id`   the snapshot that committed the change
-  *  - `_change_ordinal`       commit order within the range, 0-based
+  *  - `_change_ordinal`       commit order within the range, 0-based and
+  *    DENSE over the emitting (non-`replace`) snapshots — compactions are
+  *    skipped entirely and consume no ordinal
   *
   * Per snapshot in `(from, to]`, oldest first (compaction `replace`
   * snapshots are skipped — they change layout, not rows):
@@ -25,6 +27,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *  - data files REMOVED      → their rows AS VISIBLE AT THE PARENT
   *    (merge-on-read deletes already applicable then are applied first,
   *    so a CoW rewrite doesn't resurrect rows a delete file suppressed)
+  *  - when a snapshot both adds and removes data files (CoW rewrites),
+  *    carryover rows — identical rows present on both sides — are
+  *    cancelled multiset-exactly, so only net row changes are emitted
   *  - delete files ADDED      → the suppressed rows, reconstituted from the
   *    referenced data files at parent visibility, as deletes
   *
@@ -32,11 +37,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * one snapshot) therefore surfaces as delete(old row) + insert(new row)
   * with the same `_commit_snapshot_id` — standard changelog form.
   *
-  * Scale shape: the lineage walk and live-set diffs are metadata-only on
-  * the driver (the same manifests a plan reads); row reconstitution reads
-  * only the files the snapshot touched, not the table, and the delete
-  * semi-joins broadcast the (small) delete-file tuples. Nothing here is
-  * O(table) except a changelog that genuinely spans the whole history.
+  * Scale shape: the walk is lineage-bounded. Manifests are immutable, so
+  * each manifest PATH is read at most once for the whole changelog (entries
+  * are cached by path while the path stays referenced); per snapshot the
+  * only new IO is its manifest list plus the manifests that snapshot wrote
+  * (ref incremental scan's `addedSnapshotId` pruning
+  * `IncrementalDataTableScan.java:57-104` — same bound, reached via the
+  * cache because removal commits rewrite manifests in place of writing
+  * tombstone entries here). Total driver IO = O(from-snapshot live set +
+  * manifests written in the range), not O(snapshots × all manifests). Row
+  * reconstitution reads only the files each snapshot touched, and the
+  * delete semi-joins broadcast the (small) delete-file tuples.
   */
 object Changelog {
 
@@ -58,6 +69,15 @@ object Changelog {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outType)
 
+    // an expired `from` must fail loudly: expire leaves children's parentId
+    // pointing at the gone snapshot, so the ancestor walk below would stop at
+    // the retention boundary and replay the first retained snapshot's entire
+    // live set as inserts (ref `IncrementalDataTableScan.validateSnapshotIds`
+    // throws for exactly this)
+    fromId.foreach { fid =>
+      require(m.snapshot(fid).isDefined,
+        s"From snapshot no longer exists (expired?): $fid")
+    }
     val to = toId
       .map(id => m.snapshot(id).getOrElse(
         throw new ValidationException(s"Unknown snapshot: $id")))
@@ -76,11 +96,23 @@ object Changelog {
     }
     if (lineage.isEmpty) return empty
 
-    // live (data, delete) file maps keyed by normalized path; the walk diffs
-    // consecutive snapshots, so "removed" needs no tombstone entries
+    // manifest entry cache: manifests are immutable, so entries read for one
+    // snapshot's live set are reused verbatim for every later snapshot that
+    // still references the same manifest — the walk reads each PATH once.
+    // Paths dropped from a manifest list never reappear down the parent
+    // chain, so evicting unreferenced keys keeps memory at one live set.
+    val entryCache = scala.collection.mutable.Map[String, Seq[ManifestEntry]]()
     def liveMaps(snap: SnapshotMeta)
         : (Map[String, (DataFileMeta, Long)], Map[String, (DataFileMeta, Long)]) = {
-      val (del, data) = table.liveEntries(m, snap)
+      val mfs = table.readManifestList(m, snap).filter(_.hasLiveFiles)
+      val paths = mfs.map(_.path).toSet
+      val missing = mfs.filterNot(mf => entryCache.contains(mf.path))
+      ManifestIO.readAll(table.io, missing, m.schema, m.specById).foreach {
+        case (mf, es) =>
+          entryCache(mf.path) = es.filter(_.status != EntryStatus.Deleted)
+      }
+      entryCache.keysIterator.filterNot(paths).toSeq.foreach(entryCache.remove)
+      val (del, data) = mfs.flatMap(mf => entryCache(mf.path))
         .partition(_.dataFile.content != FileContent.Data)
       (data.map(e => table.normPath(e.dataFile.path) -> (e.dataFile, e.sequenceNumber)).toMap,
         del.map(e => table.normPath(e.dataFile.path) -> (e.dataFile, e.sequenceNumber)).toMap)
@@ -92,7 +124,8 @@ object Changelog {
           Map.empty[String, (DataFileMeta, Long)]))
 
     val branches = Seq.newBuilder[DataFrame]
-    lineage.zipWithIndex.foreach { case (snap, ord) =>
+    var ord = 0
+    lineage.foreach { snap =>
       val (curData, curDeletes) = liveMaps(snap)
       if (snap.operation != Operation.Replace) {
         def stamp(df: DataFrame, tpe: String): DataFrame = df
@@ -106,22 +139,37 @@ object Changelog {
         val parentDeletes = prevDeletes.values.toSeq
 
         // inserts: rows of freshly added data files, read plain
-        if (addedData.nonEmpty) {
+        val addedDf = if (addedData.isEmpty) None else {
           val tasks = addedData.map { case (f, seq) => FileScanTask(f, TrueExpr, seq) }
-          branches += stamp(Reads.readFiles(spark, table, m, tasks,
-            schema.columnNames, TrueExpr), Insert)
+          Some(Reads.readFiles(spark, table, m, tasks,
+            schema.columnNames, TrueExpr))
         }
         // deletes: rows of removed data files, at parent visibility
-        if (removedData.nonEmpty) {
+        val removedDf = if (removedData.isEmpty) None else {
           val tasks = removedData.map { case (f, seq) => FileScanTask(f, TrueExpr, seq) }
-          branches += stamp(Reads.readTasksWithDeletes(table, m, tasks,
-            parentDeletes, schema.columnNames, TrueExpr, rowPositions = false), Delete)
+          Some(Reads.readTasksWithDeletes(table, m, tasks,
+            parentDeletes, schema.columnNames, TrueExpr, rowPositions = false))
+        }
+        // carryover removal (ref later ChangelogIterator semantics): a CoW
+        // rewrite copies every untouched row into the new file — without
+        // cancellation a DELETE of 1 row from a 1M-row file would emit 1M
+        // deletes + 999 999 inserts. Multiset EXCEPT ALL over the touched
+        // files' rows (shuffle bounded by files the commit rewrote, not the
+        // table) leaves exactly the net row changes.
+        (addedDf, removedDf) match {
+          case (Some(a), Some(r)) =>
+            branches += stamp(a.exceptAll(r), Insert)
+            branches += stamp(r.exceptAll(a), Delete)
+          case (Some(a), None) => branches += stamp(a, Insert)
+          case (None, Some(r)) => branches += stamp(r, Delete)
+          case _ =>
         }
         // deletes: rows suppressed by freshly added delete files,
         // reconstituted from the referenced data files at parent visibility
         if (addedDeletes.nonEmpty)
           branches ++= deleteFileRows(table, m, addedDeletes, prevData, parentDeletes)
             .map(stamp(_, Delete))
+        ord += 1
       }
       prevData = curData
       prevDeletes = curDeletes
@@ -135,9 +183,12 @@ object Changelog {
   /** Rows a batch of freshly committed delete files suppress. Position
     * deletes name their target files outright (the tuple scan is
     * metadata-sized); equality deletes are scoped to the parent-live data
-    * files they can apply to by the sequence/partition rule. Rows are
-    * identified by (file, pos), so overlapping position and equality matches
-    * within one snapshot dedup exactly. */
+    * files they can apply to by the sequence/partition rule. Pos-referenced
+    * candidates (parquet by construction — position deletes are only written
+    * over parquet) are read WITH row positions so overlapping position and
+    * equality matches dedup exactly by (file, pos); eq-only candidates may
+    * be any format and are read without positions — they share no file with
+    * the pos branch, so no cross-branch dedup is needed. */
   private def deleteFileRows(table: IceTable, m: TableMetadata,
       addedDeletes: Seq[(DataFileMeta, Long)],
       parentData: Map[String, (DataFileMeta, Long)],
@@ -147,7 +198,6 @@ object Changelog {
     val posFiles = addedDeletes.filter(_._1.content == FileContent.PositionDeletes)
     val eqFiles = addedDeletes.filter(_._1.content == FileContent.EqualityDeletes)
 
-    // candidate data files the new deletes can touch (parent-live only)
     val posTuples =
       if (posFiles.isEmpty) None
       else Some(spark.read.parquet(posFiles.map(_._1.path): _*)
@@ -159,41 +209,62 @@ object Changelog {
         .distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
 
-    val candidates: Seq[FileScanTask] = parentData.collect {
-      case (norm, (f, seq))
-          if posPaths.contains(norm) || eqFiles.exists { case (d, dseq) =>
-            MergeOnRead.applies(d, dseq, FileScanTask(f, TrueExpr, seq)) } =>
+    def eqApplicable(f: DataFileMeta, seq: Long): Boolean =
+      eqFiles.exists { case (d, dseq) =>
+        MergeOnRead.applies(d, dseq, FileScanTask(f, TrueExpr, seq)) }
+
+    val posCandidates: Seq[FileScanTask] = parentData.collect {
+      case (norm, (f, seq)) if posPaths.contains(norm) =>
         FileScanTask(f, TrueExpr, seq)
     }.toSeq
-    if (candidates.isEmpty) return Nil
+    val eqOnlyCandidates: Seq[FileScanTask] = parentData.collect {
+      case (norm, (f, seq)) if !posPaths.contains(norm) && eqApplicable(f, seq) =>
+        FileScanTask(f, TrueExpr, seq)
+    }.toSeq
 
-    // (file, pos) identity needs parquet metadata columns; position deletes
-    // only exist over parquet, so needing them implies having them
-    val needPos = posFiles.nonEmpty
-    val visible = Reads.readTasksWithDeletes(table, m, candidates, parentDeletes,
-      schema.columnNames, TrueExpr, rowPositions = needPos)
+    // equality matches against `visible`, one semi-join per equality-id
+    // family; later families anti-join the earlier families' keys so a row
+    // matched by two distinct key sets still emits exactly once
+    def eqMatches(visible: DataFrame): Seq[DataFrame] = {
+      var earlier = Seq.empty[(Seq[String], DataFrame)]
+      eqFiles.groupBy(_._1.equalityIds).toSeq
+        .sortBy(_._1.mkString(",")).map { case (ids, fs) =>
+          val keyNames = ids.map(schema.fieldName)
+          val keys = spark.read.parquet(fs.map(_._1.path): _*)
+            .select(keyNames.map(col): _*).dropDuplicates(keyNames)
+          var matched = visible.join(broadcast(keys),
+            keyNames.map(n => visible(n) <=> keys(n)).reduce(_ && _), "left_semi")
+          earlier.foreach { case (pn, pk) =>
+            matched = matched.join(broadcast(pk),
+              pn.map(n => matched(n) <=> pk(n)).reduce(_ && _), "left_anti")
+          }
+          earlier :+= (keyNames, keys)
+          matched
+        }
+    }
 
-    var matched = Seq.empty[DataFrame]
-    posTuples.foreach { pos =>
-      matched :+= visible.join(broadcast(pos),
-        visible(TableScan.MetaFileCol) === pos(MergeOnRead.PosPathCol) &&
-          visible(TableScan.MetaPosCol) === pos(MergeOnRead.PosPosCol),
-        "left_semi")
-    }
-    eqFiles.groupBy(_._1.equalityIds).foreach { case (ids, fs) =>
-      val keyNames = ids.map(schema.fieldName)
-      val keys = spark.read.parquet(fs.map(_._1.path): _*)
-        .select(keyNames.map(col): _*).dropDuplicates(keyNames)
-      val kdf = broadcast(keys)
-      val cond = keyNames.map(n => visible(n) <=> kdf(n)).reduce(_ && _)
-      matched :+= visible.join(kdf, cond, "left_semi")
-    }
-    if (!needPos) matched
-    else {
+    var out = Seq.empty[DataFrame]
+    if (posCandidates.nonEmpty) {
+      val visible = Reads.readTasksWithDeletes(table, m, posCandidates,
+        parentDeletes, schema.columnNames, TrueExpr, rowPositions = true)
+      var matched = Seq.empty[DataFrame]
+      posTuples.foreach { pos =>
+        matched :+= visible.join(broadcast(pos),
+          visible(TableScan.MetaFileCol) === pos(MergeOnRead.PosPathCol) &&
+            visible(TableScan.MetaPosCol) === pos(MergeOnRead.PosPosCol),
+          "left_semi")
+      }
+      matched ++= eqMatches(visible)
       // exact row-identity dedup across overlapping pos/eq matches
       val merged = matched.reduce(_ unionByName _)
         .dropDuplicates(TableScan.MetaFileCol, TableScan.MetaPosCol)
-      Seq(merged.drop(TableScan.MetaFileCol, TableScan.MetaPosCol))
+      out :+= merged.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
     }
+    if (eqOnlyCandidates.nonEmpty) {
+      val visible = Reads.readTasksWithDeletes(table, m, eqOnlyCandidates,
+        parentDeletes, schema.columnNames, TrueExpr, rowPositions = false)
+      out ++= eqMatches(visible)
+    }
+    out
   }
 }
