@@ -32,7 +32,39 @@ object ParquetMetrics {
 
   def read(conf: Configuration, path: String, schema: Schema): FileMetrics = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try metricsOf(reader, schema) finally reader.close()
+  }
+
+  /** Footer read for files we did not write (import): one open resolves the
+    * write schema AND computes metrics keyed by its field IDs. The physical
+    * top-level column names are matched against each candidate schema —
+    * most names in common wins, ties prefer `preferredId` — so a file that
+    * predates a rename binds to the historical schema carrying its naming
+    * (the rebuild's name-mapping equivalent; ref
+    * `core/.../mapping/NameMapping.java` applied via
+    * `ParquetSchemaUtil.applyNameMapping`: there IDs are grafted onto the
+    * file schema, here the chosen schema version IS the name→ID mapping).
+    * Returns (chosen schemaId, metrics, file length). */
+  def readResolved(conf: Configuration, path: String, candidates: Seq[Schema],
+      preferredId: Int): (Int, FileMetrics, Long) = {
+    val in = HadoopInputFile.fromPath(new Path(path), conf)
+    val reader = ParquetFileReader.open(in)
     try {
+      val physical = reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet
+      val schema = candidates
+        .maxByOption { s =>
+          val hits = s.nameToId.keySet.count(physical)
+          // score by coverage; break ties toward the preferred, then newest
+          (hits, if (s.schemaId == preferredId) 1 else 0, s.schemaId)
+        }
+        .getOrElse(throw new IllegalArgumentException("No candidate schemas"))
+      (schema.schemaId, metricsOf(reader, schema), in.getLength)
+    } finally reader.close()
+  }
+
+  private def metricsOf(reader: ParquetFileReader, schema: Schema): FileMetrics = {
+    {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq
       val recordCount = blocks.map(_.getRowCount).sum
@@ -74,7 +106,7 @@ object ParquetMetrics {
       // truncate(16)) are applied by MetricsModes at manifest-entry build
       FileMetrics(recordCount, valueCounts.toMap, nullCounts.toMap, Map.empty,
         lowers.toMap, uppers.toMap, splitOffsets)
-    } finally reader.close()
+    }
   }
 
   /** Next string ≥ every string with this prefix (bump last bumpable char;
