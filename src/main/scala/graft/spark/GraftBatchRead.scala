@@ -124,24 +124,29 @@ private object GraftDeleteCache {
 final class GraftDeleteProbe(d: GraftDeleteApply) {
   import GraftDeleteApply.{keyValue, normPath}
 
-  private val posByPath: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
-    if (d.posSlices.isEmpty)
-      new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
+  // deleted positions per data file as SORTED PRIMITIVE long arrays probed
+  // by binary search — no per-row boxing, no hash probes, cache-friendly
+  // (the shape later reference versions reach with roaring bitmaps;
+  // sorted-array binary search is equivalent at delete-file scale)
+  private val posByPath: java.util.HashMap[String, Array[Long]] =
+    if (d.posSlices.isEmpty) new java.util.HashMap[String, Array[Long]]
     else GraftDeleteCache.getOrLoad("pos:" + GraftDeleteCache.key(d.posSlices)) {
-      val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]
+      val grow = new java.util.HashMap[String, GraftDeleteProbe.LongList]
       d.posSlices.iterator.flatMap(s =>
         d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
         .foreach { r =>
           if (!r.isNullAt(0) && !r.isNullAt(1)) {
             val p = normPath(r.getUTF8String(0).toString)
-            var set = m.get(p)
-            if (set == null) {
-              set = new java.util.HashSet[java.lang.Long]
-              m.put(p, set)
+            var list = grow.get(p)
+            if (list == null) {
+              list = new GraftDeleteProbe.LongList
+              grow.put(p, list)
             }
-            set.add(r.getLong(1))
+            list.add(r.getLong(1))
           }
         }
+      val m = new java.util.HashMap[String, Array[Long]](grow.size() * 2)
+      grow.forEach((p, list) => m.put(p, list.sortedArray))
       m
     }
 
@@ -166,14 +171,25 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
     }
   }
 
-  /** Deleted positions for one data file (null = none). */
-  def posSetFor(slicePath: String): java.util.HashSet[java.lang.Long] =
+  /** Deleted positions for one data file, sorted ascending (null = none). */
+  def posSetFor(slicePath: String): Array[Long] =
     posByPath.get(normPath(slicePath))
+
+  /** Any non-empty equality-delete set in scope? When false the columnar
+    * path probes the row-index vector directly and never materializes rows. */
+  val hasEqDeletes: Boolean = eqSets.exists(!_.isEmpty)
 
   /** True iff the row survives every applicable delete. `row` is in extended
     * output space (current types). */
-  def live(row: InternalRow, posSet: java.util.HashSet[java.lang.Long]): Boolean = {
-    if (posSet != null && posSet.contains(row.getLong(d.rowIndexOrdinal))) return false
+  def live(row: InternalRow, posSet: Array[Long]): Boolean = {
+    if (posSet != null &&
+      java.util.Arrays.binarySearch(posSet, row.getLong(d.rowIndexOrdinal)) >= 0)
+      return false
+    liveEq(row)
+  }
+
+  /** Equality-delete half of [[live]] only. */
+  def liveEq(row: InternalRow): Boolean = {
     var gi = 0
     while (gi < d.eqGroups.length) {
       if (!eqSets(gi).isEmpty) {
@@ -187,6 +203,40 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
       gi += 1
     }
     true
+  }
+}
+
+private object GraftDeleteProbe {
+  /** Growable primitive long buffer (build-side only; probe side is the
+    * sorted array it yields). */
+  final class LongList {
+    private var a = new Array[Long](16)
+    private var n = 0
+    def add(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def sortedArray: Array[Long] = {
+      val out = java.util.Arrays.copyOf(a, n)
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  /** Merge cursor over one slice's sorted delete positions: parquet row
+    * indexes ascend through a slice, so the whole slice costs
+    * O(rows + deletes) instead of a search per row. Falls back to a full
+    * binary search if the input ever goes backwards (defensive — the
+    * reader contract says it can't). */
+  final class PosCursor {
+    private var i = 0
+    private var last = Long.MinValue
+    def deleted(arr: Array[Long], pos: Long): Boolean = {
+      if (pos < last) return java.util.Arrays.binarySearch(arr, pos) >= 0
+      last = pos
+      while (i < arr.length && arr(i) < pos) i += 1
+      i < arr.length && arr(i) == pos
+    }
   }
 }
 
@@ -301,21 +351,38 @@ object GraftReaderFactory extends PartitionReaderFactory {
         if (probe == null) batches
         else {
           val posSet = probe.posSetFor(s.path)
-          batches.map(filterBatch(_, posSet))
+          val cursor = if (posSet == null) null else new GraftDeleteProbe.PosCursor
+          batches.map(filterBatch(_, posSet, cursor))
         }
       }
       /** Drop deleted rows + the extra probe columns: survivors become a
         * row-id mapping over the base vectors — zero copy, stays columnar. */
-      private def filterBatch(b: ColumnarBatch,
-          posSet: java.util.HashSet[java.lang.Long]): ColumnarBatch = {
+      private def filterBatch(b: ColumnarBatch, posSet: Array[Long],
+          cursor: GraftDeleteProbe.PosCursor): ColumnarBatch = {
         val d = p.deletes
         val n = b.numRows()
         val map = new Array[Int](n)
         var kept = 0
         var i = 0
-        while (i < n) {
-          if (probe.live(b.getRow(i), posSet)) { map(kept) = i; kept += 1 }
-          i += 1
+        if (!probe.hasEqDeletes) {
+          // position-only fast path: probe the row-index VECTOR directly —
+          // no row materialization, no boxing; the slice-scoped merge
+          // cursor makes the whole slice O(rows + deletes)
+          if (posSet == null) {
+            while (i < n) { map(i) = i; i += 1 }
+            kept = n
+          } else {
+            val posVec = b.column(d.rowIndexOrdinal)
+            while (i < n) {
+              if (!cursor.deleted(posSet, posVec.getLong(i))) { map(kept) = i; kept += 1 }
+              i += 1
+            }
+          }
+        } else {
+          while (i < n) {
+            if (probe.live(b.getRow(i), posSet)) { map(kept) = i; kept += 1 }
+            i += 1
+          }
         }
         val cols = new Array[ColumnVector](d.keepColumns)
         var j = 0
