@@ -122,12 +122,41 @@ object IvfIndex {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private val VersionPrefix = "ix-v"
+  private def committedMarker(dir: String) = s"$dir/ann.committed"
+
+  /** `(version, dir)` pairs under `location`, committed or not. */
+  private def versionDirs(io: FileIO, location: String): Seq[(Int, String)] =
+    if (!io.exists(location)) Nil
+    else io.list(location).filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName.stripPrefix(VersionPrefix).toIntOption
+        .filter(_ => st.getPath.getName.startsWith(VersionPrefix))
+        .map(_ -> st.getPath.toString)
+    }
+
+  /** The directory holding the current committed index: the highest
+    * marker-bearing version, falling back to the pre-versioned single-dir
+    * layout (a table directly at `location`). */
+  private def currentDir(io: FileIO, location: String): Option[String] =
+    versionDirs(io, location)
+      .filter { case (_, dir) => io.exists(committedMarker(dir)) }
+      .sortBy(-_._1).headOption.map(_._2)
+      .orElse(Some(location).filter(l => io.exists(s"$l/metadata")))
+
   /** Fit the quantizer on `corpus` (k-means as DataFrame jobs — see
-    * [[Similarity.ivfFit]]), write the list-partitioned index table at
-    * `location`, persist the centroids beside it. An existing index at
-    * `location` is replaced. At 100 TB fit on `corpus.sample(...)` — the
-    * quantizer needs ~100× nLists vectors, not the full corpus — and let
-    * the full assignment run as the one distributed append here. */
+    * [[Similarity.ivfFit]]), write the list-partitioned index table, persist
+    * the centroids beside it. An existing index at `location` is replaced.
+    * At 100 TB fit on `corpus.sample(...)` — the quantizer needs ~100×
+    * nLists vectors, not the full corpus — and let the full assignment run
+    * as the one distributed append here.
+    *
+    * Crash-atomic publish (same shape as the table commit protocol): each
+    * build writes a fresh immutable `ix-v{N}` directory at its FINAL path
+    * and commits it by creating an `ann.committed` marker (create-new
+    * atomic). Readers only load marker-bearing versions, so a crash at any
+    * point leaves the previous index loadable — there is never a window
+    * with no index at `location`. Older versions are retired marker-first
+    * only after the new marker lands. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int = -1,
       iters: Int = 2): IvfIndex = {
@@ -136,39 +165,45 @@ object IvfIndex {
     val assigned = corpus.select(col(idCol), col(vecCol),
       Similarity.nearestList(col(vecCol), cents).as(ListCol))
     val io = new FileIO(spark.sparkContext.hadoopConfiguration)
-    // build into a staging dir and swap at the very end: a failure during
-    // the fit or the (large, distributed) assignment append must leave the
-    // previous working index in place, not a half-written or missing one
-    val staging = s"$location.staging-${java.util.UUID.randomUUID()}"
+    val existing = versionDirs(io, location)
+    val next = (0 +: existing.map(_._1)).max + 1
+    val target = s"$location/$VersionPrefix$next"
     val schema = Schema.fresh(assigned.schema)
     val spec = PartitionSpec.builderFor(schema).identity(ListCol).build()
     try {
-      val t = IceTable.create(spark, staging, schema, spec,
+      val t = IceTable.create(spark, target, schema, spec,
         properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
           NListsProp -> n.toString,
           // many small list partitions per append: fanout avoids a sort
           graft.meta.model.TableProperties.FanoutEnabled -> "true"))
-      io.writeString(centroidsPath(staging), centroidsJson(cents))
+      io.writeString(centroidsPath(target), centroidsJson(cents))
       t.append(assigned)
+      // the commit point: create-new is atomic, and everything above wrote
+      // only inside the yet-uncommitted version directory
+      if (!io.writeAtomic(committedMarker(target), "committed"))
+        throw new IllegalStateException(
+          s"Concurrent build committed $target first")
     } catch {
-      case e: Throwable => io.deleteRecursive(staging); throw e
+      case e: Throwable => io.deleteRecursive(target); throw e
     }
-    if (io.exists(location)) io.deleteRecursive(location)
-    if (!io.rename(staging, location)) {
-      // the old index is already gone at this point — keep the staging
-      // copy so the complete new index survives for manual recovery
-      throw new IllegalStateException(
-        s"Could not move built index into $location; intact copy left at $staging")
+    // retire superseded versions AFTER the new marker lands: marker first
+    // (a half-deleted tree can never be mistaken for current), then the tree
+    existing.foreach { case (_, dir) =>
+      io.delete(committedMarker(dir))
+      io.deleteRecursive(dir)
     }
-    // metadata still holds absolute staging paths — rewrite them in place
-    IceTable.relocate(spark, location)
+    // pre-versioned single-dir layout: the old index lived AT location
+    Seq("data", "metadata", "ann").map(s => s"$location/$s")
+      .filter(io.exists).foreach(io.deleteRecursive)
     load(spark, location)
   }
 
   def load(spark: SparkSession, location: String): IvfIndex = {
-    val t = IceTable.load(spark, location)
     val io = new FileIO(spark.sparkContext.hadoopConfiguration)
-    new IvfIndex(t, parseCentroids(io.readString(centroidsPath(location))))
+    val dir = currentDir(io, location).getOrElse(
+      throw new graft.table.NoSuchTableException(s"No ANN index at $location"))
+    val t = IceTable.load(spark, dir)
+    new IvfIndex(t, parseCentroids(io.readString(centroidsPath(dir))))
   }
 
   // centroids are a rectangular double matrix — hand-rolled JSON keeps the

@@ -68,11 +68,15 @@ object Similarity {
     * plateaus. The join is an equi-join on (table, bucket) — candidate cost
     * per query is `numTables × probes × bucketSize`, bounded by
     * [[planesFor]]'s bucket sizing, not corpus size. `numPlanes` < 0 derives
-    * the plane count from the corpus size. */
+    * the plane count from the corpus size; pass `corpusSize` when the
+    * caller already knows it (graft-table record-count metadata, a memoized
+    * count) — deriving it here otherwise costs a full corpus pass PER CALL,
+    * which at scale rivals the query itself. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, numPlanes: Int = -1, dim: Int = 64,
-      probeRadius: Int = 2, numTables: Int = 2): DataFrame = {
-    val nPlanes = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
+      probeRadius: Int = 2, numTables: Int = 2, corpusSize: Long = -1L): DataFrame = {
+    val nPlanes = if (numPlanes > 0) numPlanes
+      else planesFor(if (corpusSize >= 0) corpusSize else corpus.count())
     // small-corpus guard: with few planes the multiprobe visits most of the
     // bucket space — numTables × probedCells / 2^planes is the fraction of
     // the corpus scanned (×tables); at ≥ 1 the "approximation" costs more

@@ -128,6 +128,27 @@ class LlmSpec extends AnyFunSuite {
     assert(dup.getDouble(3) === 1.0)
   }
 
+  test("IVF publish is crash-atomic: an interrupted build never hides the index") {
+    import graft.llm.IvfIndex
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfatomic-")
+      .toString + "/idx"
+    val io = new graft.table.FileIO(spark.sparkContext.hadoopConfiguration)
+    val idx1 = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 4)
+    val cents1 = idx1.centroids
+    // a build that died mid-way leaves an UNCOMMITTED version dir (no
+    // ann.committed marker) — loads must keep serving the old index
+    io.mkdirs(s"$loc/ix-v2/metadata")
+    io.writeString(s"$loc/ix-v2/metadata/garbage.json", "{not an index}")
+    val afterCrash = IvfIndex.load(spark, loc)
+    assert(afterCrash.centroids === cents1)
+    assert(afterCrash.topK(LlmQueries.AnnQueryIds, 3, nProbe = 4).count() > 0)
+    // a completed rebuild commits a higher version and retires the rest
+    val idx3 = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 4)
+    assert(io.exists(s"$loc/ix-v3/ann.committed"))
+    assert(!io.exists(s"$loc/ix-v1"), "superseded version not retired")
+    assert(IvfIndex.load(spark, loc).centroids === idx3.centroids)
+  }
+
   test("IVF list count scales with corpus size") {
     assert(Similarity.listsFor(500) === 2) // floor
     assert(Similarity.listsFor(10_000_000_000L) === 9537) // ~1M vectors per list
