@@ -39,7 +39,8 @@ private[table] object RowOps {
     * the metadata-only fast path is disabled (strictness can't be proven)
     * and every pruned-in file is rewritten against `rowCond` exactly. */
   def overwrite(table: IceTable, filter: Expr, replacement: Option[DataFrame],
-      rowCond: Option[Column] = None): Unit = {
+      rowCond: Option[Column] = None,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val m = table.meta
     val schema = m.schema
     val bound = Binder.bind(schema, filter)
@@ -71,7 +72,7 @@ private[table] object RowOps {
       if (replacement.isEmpty) TableProperties.IsolationSerializable
       else TableProperties.IsolationSnapshot)
     table.commitSnapshot(op, added, removed,
-      Map("metadata-only-deleted-files" -> whole.size.toString),
+      Map("metadata-only-deleted-files" -> whole.size.toString) ++ extraSummary,
       validate = Some(ConflictValidation(m.currentSnapshotId, filter, isolation)),
       removedMeta = tasks.map(_.file))
   }
@@ -135,7 +136,8 @@ private[table] object RowOps {
   }
 
   def update(table: IceTable, filter: Expr, assignments: Map[String, Column],
-      rowCond: Option[Column] = None): Unit = {
+      rowCond: Option[Column] = None,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val m = table.meta
     val schema = m.schema
     val bound = Binder.bind(schema, filter)
@@ -150,6 +152,7 @@ private[table] object RowOps {
     val written = Writes.writeDataFiles(table.spark, table, m, updated)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet,
+      extraSummary,
       validate = Some(ConflictValidation(m.currentSnapshotId, filter,
         m.property(TableProperties.UpdateIsolationLevel,
           TableProperties.IsolationSerializable))),

@@ -75,6 +75,47 @@ class FormatSpec extends AnyFunSuite {
     assert(t.toDF.count() === orders.count() - exp)
   }
 
+  test("merge-on-read DML on ORC falls back to copy-on-write, user-visibly") {
+    import graft.table.MergeOnRead
+    val loc = Files.createTempDirectory("graft-orcmor-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "orc",
+        TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead,
+        TableProperties.UpdateMode -> TableProperties.RowLevelMergeOnRead))
+    t.append(orders)
+    val exp = orders.filter(!(col("o_orderstatus") === "F")).count()
+    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    // correct rows, NO delete files (position deletes need parquet row
+    // indexes), and the snapshot summary says the mode fell back
+    assert(t.toDF.count() === exp)
+    assert(t.newScan().planDeletes().isEmpty)
+    val delSnap = t.currentSnapshot.get
+    assert(delSnap.summary.get(MergeOnRead.FallbackSummaryKey)
+      .contains(MergeOnRead.FallbackSummaryValue))
+    // the marker is queryable through the snapshots metadata table
+    val viaMeta = t.metadataTable("snapshots")
+      .filter(col("snapshot_id") === delSnap.snapshotId)
+      .select(element_at(col("summary"), MergeOnRead.FallbackSummaryKey))
+      .collect().head.getString(0)
+    assert(viaMeta === MergeOnRead.FallbackSummaryValue)
+    // UPDATE takes the same fallback
+    t.update(equalTo("o_orderstatus", "O"),
+      Map("o_totalprice" -> lit(1.0)))
+    assert(t.currentSnapshot.get.summary.get(MergeOnRead.FallbackSummaryKey)
+      .contains(MergeOnRead.FallbackSummaryValue))
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(t.toDF.filter(col("o_orderstatus") === "O")
+      .filter(col("o_totalprice") =!= 1.0).count() === 0)
+    // a parquet table under the same settings does NOT mark a fallback
+    val loc2 = Files.createTempDirectory("graft-pqmor-").toString + "/t"
+    val tp = IceTable.create(spark, loc2, Schema.fresh(orders.schema),
+      properties = Map(TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead))
+    tp.append(orders)
+    tp.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    assert(!tp.currentSnapshot.get.summary.contains(MergeOnRead.FallbackSummaryKey))
+    assert(tp.newScan().planDeletes().nonEmpty)
+  }
+
   test("catalog: create/CTAS/load/list/drop") {
     val wh = Files.createTempDirectory("graft-cat-").toString
     val cat = new HadoopCatalog(spark, wh)
