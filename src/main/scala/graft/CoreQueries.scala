@@ -423,6 +423,28 @@ object CoreQueries {
           col(graft.table.Changelog.ChangeTypeCol).as("ctype"),
           col(graft.table.Changelog.OrdinalCol).as("ord"))
         .orderBy("ord", "ctype", "k")
+    }),
+
+    // Q33 merge-on-read DML over ORC data files: position deletes carry
+    // SYNTHESIZED row ordinals (ORC has no reader row-index column — readers
+    // count whole-file rows in order), yet the result must match the same
+    // relational oracle as the parquet path
+    "q33_orc_mor" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q33").toString
+      s.conf.set("spark.sql.catalog.gq33", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq33.warehouse", tmp)
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema),
+        properties = Map("write.format.default" -> "orc",
+          "write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+      tbl.append(target0)
+      s.sql("DELETE FROM gq33.db.t WHERE seg LIKE '%MOBILE%'")
+      s.sql("UPDATE gq33.db.t SET bal = round(bal + 10.0, 2) WHERE k % 3 = 0")
+      s.sql("SELECT k, seg, bal FROM gq33.db.t ORDER BY k")
     })
   )
 
@@ -561,6 +583,12 @@ object CoreQueries {
         "FROM base WHERE k % 5 = 0 AND NOT (k % 7 = 1) " +
         "UNION ALL SELECT k, seg, round(bal + 5.0, 2) AS bal, 'insert' AS ctype, 2 AS ord " +
         "FROM base WHERE k % 5 = 0 AND NOT (k % 7 = 1) " +
-        "ORDER BY ord, ctype, k")
+        "ORDER BY ord, ctype, k"),
+    "q33_orc_mor" ->
+      ("SELECT c_custkey AS k, c_mktsegment AS seg, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 10.0, 2) " +
+        "ELSE round(c_acctbal, 2) END AS bal " +
+        "FROM customer WHERE c_mktsegment NOT LIKE '%MOBILE%' " +
+        "ORDER BY c_custkey")
   )
 }

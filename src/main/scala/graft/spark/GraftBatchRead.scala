@@ -278,14 +278,19 @@ final class GraftFilteredVector(base: ColumnVector, map: Array[Int])
   * function Spark's `FileFormat` produced on the driver. `columnar` marks
   * that the reader yields `ColumnarBatch`es (vectorized parquet/ORC);
   * `key` is the partition tuple for storage-partitioned joins (null when the
-  * scan does not report key-grouped partitioning). */
+  * scan does not report key-grouped partitioning). `synthPos` marks a
+  * non-parquet group under position deletes: its reader has no row-index
+  * column, so readers SYNTHESIZE positions as the running row ordinal —
+  * sound because such groups are planned as whole-file slices with no
+  * reader-level filters (every row of the file streams through in order). */
 final case class GraftInputPartition(
     files: Array[FileSlice],
     reader: PartitionedFile => Iterator[InternalRow],
     project: Option[Seq[Expression]],
     columnar: Boolean = false,
     key: InternalRow = null,
-    deletes: GraftDeleteApply = null) extends InputPartition with HasPartitionKey {
+    deletes: GraftDeleteApply = null,
+    synthPos: Boolean = false) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
@@ -325,9 +330,20 @@ object GraftReaderFactory extends PartitionReaderFactory {
           case None => rows
         }
         if (probe == null) out
-        else {
+        else if (!p.synthPos) {
           val posSet = probe.posSetFor(s.path)
           out.filter(probe.live(_, posSet))
+        } else {
+          // synthesized positions: the slice is a whole file read with no
+          // reader filters, so the running ordinal IS the row position
+          val posSet = probe.posSetFor(s.path)
+          val cursor =
+            if (posSet == null) null else new GraftDeleteProbe.PosCursor
+          var pos = -1L
+          out.filter { r =>
+            pos += 1
+            (posSet == null || !cursor.deleted(posSet, pos)) && probe.liveEq(r)
+          }
         }
       }
       private var row: InternalRow = _
@@ -352,13 +368,19 @@ object GraftReaderFactory extends PartitionReaderFactory {
         else {
           val posSet = probe.posSetFor(s.path)
           val cursor = if (posSet == null) null else new GraftDeleteProbe.PosCursor
-          batches.map(filterBatch(_, posSet, cursor))
+          // synthesized positions: batches of one whole-file slice are
+          // consecutive, so a running base + in-batch offset is the ordinal
+          var base = 0L
+          batches.map { b =>
+            val out = filterBatch(b, posSet, cursor, base)
+            base += b.numRows(); out
+          }
         }
       }
       /** Drop deleted rows + the extra probe columns: survivors become a
         * row-id mapping over the base vectors — zero copy, stays columnar. */
       private def filterBatch(b: ColumnarBatch, posSet: Array[Long],
-          cursor: GraftDeleteProbe.PosCursor): ColumnarBatch = {
+          cursor: GraftDeleteProbe.PosCursor, base: Long): ColumnarBatch = {
         val d = p.deletes
         val n = b.numRows()
         val map = new Array[Int](n)
@@ -371,12 +393,23 @@ object GraftReaderFactory extends PartitionReaderFactory {
           if (posSet == null) {
             while (i < n) { map(i) = i; i += 1 }
             kept = n
+          } else if (p.synthPos) {
+            while (i < n) {
+              if (!cursor.deleted(posSet, base + i)) { map(kept) = i; kept += 1 }
+              i += 1
+            }
           } else {
             val posVec = b.column(d.rowIndexOrdinal)
             while (i < n) {
               if (!cursor.deleted(posSet, posVec.getLong(i))) { map(kept) = i; kept += 1 }
               i += 1
             }
+          }
+        } else if (p.synthPos) {
+          while (i < n) {
+            if ((posSet == null || !cursor.deleted(posSet, base + i)) &&
+              probe.liveEq(b.getRow(i))) { map(kept) = i; kept += 1 }
+            i += 1
           }
         } else {
           while (i < n) {
@@ -469,9 +502,15 @@ object GraftReadPlanner {
     final case class GroupPlan(files: Seq[DataFileMeta], format: String,
         writeSchema: StructType, required: StructType,
         project: Option[Seq[Expression]], filters: Seq[Filter],
-        key: InternalRow)
+        key: InternalRow, synthPos: Boolean)
 
     val plans = groups.map { case ((schemaId, format, partValues, specId), group) =>
+      // only parquet exposes a real row-index column; other formats under
+      // position deletes get SYNTHESIZED positions — whole-file slices, no
+      // reader filters, readers count rows (ref DeleteFilter.java:111
+      // applies pos deletes format-agnostically in its row readers)
+      val hasRid = needRid && format == "parquet"
+      val synthPos = needRid && format != "parquet"
       val writeSchema = m.schemas.find(_.schemaId == schemaId).getOrElse(schema)
       val spec0 = m.specById(specId)
       val constants: Map[Int, Any] = if (!inject) Map.empty
@@ -488,7 +527,7 @@ object GraftReadPlanner {
           case None => StructField(name, schema.fieldType(id))
         }
       })
-      val required = if (needRid) StructType(required0.fields :+ ridField) else required0
+      val required = if (hasRid) StructType(required0.fields :+ ridField) else required0
       // field-ID projection writer row → current row
       val exprs0: Seq[Expression] = extNames.zipWithIndex.map { case (name, i) =>
         val id = schema.fieldId(name)
@@ -501,7 +540,7 @@ object GraftReadPlanner {
           else Cast(in, cur, Some(java.time.ZoneOffset.UTC.getId))
         }
       }
-      val exprs = if (needRid)
+      val exprs = if (hasRid)
         exprs0 :+ BoundReference(extNames.length, LongType, nullable = true)
       else exprs0
       val identity = exprs.zipWithIndex.forall {
@@ -519,7 +558,11 @@ object GraftReadPlanner {
             writeSchema.fieldType(id) == schema.fieldType(id)
         }
       }
-      val safeFilters = pushedV1.filter(_.references.forall(safeRef))
+      // synthesized positions count EVERY row of the file: reader-level
+      // filters would skip rows and corrupt the ordinals (Spark re-evaluates
+      // all pushed filters post-scan, so dropping them here is safe)
+      val safeFilters =
+        if (synthPos) Nil else pushedV1.filter(_.references.forall(safeRef))
       val key: InternalRow = if (!wantKeys) null else {
         val values = spec0.fields.zipWithIndex.map { case (pf, i) =>
           SparkConv.catalystValue(partValues.asInstanceOf[Seq[Any]](i),
@@ -528,7 +571,7 @@ object GraftReadPlanner {
         new GenericInternalRow(values.toArray)
       }
       GroupPlan(group, format, writeSchema.struct, required,
-        if (identity) None else Some(exprs), safeFilters, key)
+        if (identity) None else Some(exprs), safeFilters, key, synthPos)
     }
 
     val columnar = wantColumnar && plans.forall(p =>
@@ -563,10 +606,12 @@ object GraftReadPlanner {
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
           p.writeSchema, p.required, p.filters, vectorized)
         if (vectorized && !batches) return None
-        pack(p.files, splitTarget).map(slicePack => GraftInputPartition(
-          slicePack.toArray,
-          reader, p.project, columnar = vectorized && batches, key = p.key,
-          deletes = deleteApply))
+        // synthesized positions need the whole file in one slice (a byte
+        // range's first-row ordinal is unknown without reading the file)
+        pack(p.files, splitTarget, wholeFiles = p.synthPos).map(slicePack =>
+          GraftInputPartition(slicePack.toArray,
+            reader, p.project, columnar = vectorized && batches, key = p.key,
+            deletes = deleteApply, synthPos = p.synthPos))
       }
       Some(Planned(partitions.toArray, columnar = vectorized))
     }
@@ -594,12 +639,18 @@ object GraftReadPlanner {
       }
     }
 
-  /** Greedy size-packed splits (ref `TableScanUtil.planTasks` bin-pack). */
-  private def pack(group: Seq[DataFileMeta], splitTarget: Long): Seq[Seq[FileSlice]] = {
+  /** Greedy size-packed splits (ref `TableScanUtil.planTasks` bin-pack).
+    * `wholeFiles` keeps each file a single slice (synthesized positions). */
+  private def pack(group: Seq[DataFileMeta], splitTarget: Long,
+      wholeFiles: Boolean = false): Seq[Seq[FileSlice]] = {
     val packs = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[FileSlice])
     var acc = 0L
-    group.flatMap(slices(_, splitTarget)).foreach { s =>
+    val sliced =
+      if (wholeFiles)
+        group.map(f => FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
+      else group.flatMap(slices(_, splitTarget))
+    sliced.foreach { s =>
       if (acc > 0 && acc + s.length > splitTarget) {
         packs += scala.collection.mutable.ArrayBuffer.empty[FileSlice]
         acc = 0L

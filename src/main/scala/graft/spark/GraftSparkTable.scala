@@ -251,14 +251,15 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   }
 
   /** Merge-on-read deletes the native scan can apply in its readers:
-    * position deletes need the parquet row-index column (so every live data
-    * file must be parquet), equality probing needs hashable atomic key
-    * types. Anything else takes the V1 union/anti-join plan. */
+    * position deletes read the parquet row-index column, or — for ORC/Avro
+    * data files — synthesized whole-file row ordinals; equality probing
+    * needs hashable atomic key types. Anything else takes the V1
+    * union/anti-join plan. */
   private def nativeMoRSupported: Boolean = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SStructType}
     val (deletes, dataFormats) = plannedContent
     val posOk = !deletes.exists(_._1.content == graft.meta.model.FileContent.PositionDeletes) ||
-      dataFormats.subsetOf(Set("parquet"))
+      dataFormats.subsetOf(Set("parquet", "orc", "avro"))
     val eqOk = deletes.iterator.flatMap(_._1.equalityIds).toSeq.distinct.forall { id =>
       table.meta.schema.fieldType(id) match {
         case _: ArrayType | _: MapType | _: SStructType => false

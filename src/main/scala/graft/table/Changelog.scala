@@ -184,11 +184,11 @@ object Changelog {
     * deletes name their target files outright (the tuple scan is
     * metadata-sized); equality deletes are scoped to the parent-live data
     * files they can apply to by the sequence/partition rule. Pos-referenced
-    * candidates (parquet by construction — position deletes are only written
-    * over parquet) are read WITH row positions so overlapping position and
-    * equality matches dedup exactly by (file, pos); eq-only candidates may
-    * be any format and are read without positions — they share no file with
-    * the pos branch, so no cross-branch dedup is needed. */
+    * candidates are read WITH row positions (parquet via the row-index
+    * column, ORC/Avro via synthesized whole-file ordinals) so overlapping
+    * position and equality matches dedup exactly by (file, pos); eq-only
+    * candidates are read without positions — they share no file with the
+    * pos branch, so no cross-branch dedup is needed. */
   private def deleteFileRows(table: IceTable, m: TableMetadata,
       addedDeletes: Seq[(DataFileMeta, Long)],
       parentData: Map[String, (DataFileMeta, Long)],

@@ -923,8 +923,11 @@ private[graft] object Reads {
     val groups = tasks.groupBy(t =>
       (t.file.schemaId, t.file.format, if (inject) t.file.partition else Nil))
     val dfs = groups.toSeq.map { case ((schemaId, format, partValues), group) =>
-      require(!withMeta || format == "parquet",
-        "row-position metadata (position deletes) requires parquet data files")
+      // parquet exposes real `_metadata.row_index`; ORC/Avro groups under
+      // `withMeta` get SYNTHESIZED positions: whole-file per-file readers
+      // with no pushed filters count row ordinals (ref DeleteFilter.java:111
+      // applies position deletes format-agnostically in its row readers)
+      val synthMeta = withMeta && format != "parquet"
       val writeSchema = m.schemas.find(_.schemaId == schemaId).getOrElse(schema)
       val spec0 = m.specById(group.head.file.specId)
       val constants: Map[Int, Any] = if (!inject) Map.empty
@@ -932,8 +935,21 @@ private[graft] object Reads {
         case (pf, i) if pf.transform == graft.meta.transforms.IdentityTransform =>
           pf.sourceId -> partValues.asInstanceOf[Seq[Any]](i)
       }.toMap
-      val df = spark.read.schema(writeSchema.struct)
-        .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
+      // filter in the writer-schema name space (pushdown-friendly), then
+      // map; predicates on injected-constant columns fold against the
+      // constant first (files hold no values for them)
+      val folded =
+        if (constants.isEmpty) boundFilter
+        else foldConstants(boundFilter, constants)
+      val applyFilter = !allResidualTrue && folded != TrueExpr
+      val df =
+        if (!synthMeta)
+          spark.read.schema(writeSchema.struct)
+            .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
+        else synthMetaFrame(spark, writeSchema, format, group,
+          neededIds = (projection.map(schema.fieldId).filterNot(constants.contains) ++
+            (if (applyFilter) referencedIds(renameToWriter(folded, writeSchema)) else Nil))
+            .distinct)
       val mapped = projection.map { name =>
         val id = schema.fieldId(name)
         if (constants.contains(id)) {
@@ -949,23 +965,68 @@ private[graft] object Reads {
               .cast(schema.fieldType(id)).as(name)
         }
       }
-      // filter in the writer-schema name space (pushdown-friendly), then
-      // map; predicates on injected-constant columns fold against the
-      // constant first (files hold no values for them)
-      val folded =
-        if (constants.isEmpty) boundFilter
-        else foldConstants(boundFilter, constants)
       val filtered =
-        if (allResidualTrue || folded == TrueExpr) df
+        if (!applyFilter) df
         else df.filter(SparkConv.toColumn(renameToWriter(folded, writeSchema), writeSchema))
       val withMetaCols =
         if (!withMeta) mapped
+        else if (synthMeta) mapped ++ Seq(
+          col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
         else mapped ++ Seq(
           col("_metadata.file_path").as(TableScan.MetaFileCol),
           col("_metadata.row_index").as(TableScan.MetaPosCol))
       filtered.select(withMetaCols: _*)
     }
     dfs.reduce(_ unionByName _)
+  }
+
+  /** A DataFrame over non-parquet files with synthesized `_gf_file`/`_gf_pos`
+    * metadata columns: one whole-file reader per file (positions are the
+    * in-order row ordinal; filters stay ABOVE the frame so no row is
+    * skipped), distributed one file per task. `neededIds` prunes the read to
+    * the referenced writer columns. */
+  private def synthMetaFrame(spark: SparkSession, writeSchema: Schema,
+      format: String, group: Seq[FileScanTask], neededIds: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val readerFields = neededIds.flatMap(id => writeSchema.idToName.get(id)
+      .map(n => StructField(n, writeSchema.fieldType(id))))
+    val readerSchema = StructType(readerFields)
+    val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
+      spark, format, writeSchema.struct, readerSchema)
+    val files = group.map(t => (t.file.path, t.file.fileSizeBytes))
+    val par = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext.parallelize(files, par).mapPartitions { it =>
+      it.flatMap { case (path, size) =>
+        val meta = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+          Seq(StringType, LongType))
+        meta.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(path))
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        var pos = -1L
+        reader(org.apache.spark.sql.graft.ColumnBridge.partitionedFile(path, size))
+          .map { r =>
+            pos += 1
+            meta.setLong(1, pos)
+            joined(r, meta): InternalRow
+          }
+      }
+    }
+    val synthSchema = StructType(readerFields :+
+      StructField(TableScan.MetaFileCol, StringType) :+
+      StructField(TableScan.MetaPosCol, LongType))
+    org.apache.spark.sql.graft.ColumnBridge.internalCreateDataFrame(
+      spark, rdd, synthSchema)
+  }
+
+  /** Field IDs a bound predicate references (after any renameToWriter the
+    * remaining predicates all resolve in the writer schema). */
+  private def referencedIds(e: Expr): Seq[Int] = e match {
+    case And(l, r) => referencedIds(l) ++ referencedIds(r)
+    case Or(l, r) => referencedIds(l) ++ referencedIds(r)
+    case Not(c) => referencedIds(c)
+    case p: BoundPred => Seq(p.fieldId)
+    case _ => Nil
   }
 
   /** Partially evaluate a bound filter against per-file constant columns. */

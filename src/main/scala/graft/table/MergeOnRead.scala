@@ -34,12 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object MergeOnRead {
 
-  /** Snapshot-summary marker a merge-on-read DML writes when it had to run
-    * copy-on-write instead (non-parquet data files in scope — no row
-    * positions): `SELECT summary FROM db.t.snapshots` surfaces it. */
-  val FallbackSummaryKey = "row-level-mode-fallback"
-  val FallbackSummaryValue = "copy-on-write (non-parquet data files in scope)"
-
   val PosPathCol = "file_path"
   val PosPosCol = "pos"
 
@@ -217,17 +211,6 @@ object MergeOnRead {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
-    // position deletes need the parquet reader's row positions — non-parquet
-    // data files fall back to copy-on-write, USER-VISIBLY: the committed
-    // snapshot's summary records the fallback (ref DeleteFilter.java:111
-    // applies pos deletes format-agnostically through its generic row
-    // readers; our scan is Spark's vectorized readers, where only parquet
-    // exposes row indexes)
-    if (tasks.exists(_.file.format != "parquet")) {
-      RowOps.overwrite(table, filter, None, rowCond = rowCond,
-        extraSummary = Map(FallbackSummaryKey -> FallbackSummaryValue))
-      return
-    }
     val (whole, partial) =
       if (rowCond.nonEmpty) (Nil, tasks)
       else RowOps.strictPartition(m, bound, tasks)
@@ -273,13 +256,6 @@ object MergeOnRead {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
-    // positions need parquet; non-parquet files fall back to copy-on-write
-    // (recorded in the snapshot summary — see deleteWhere)
-    if (tasks.exists(_.file.format != "parquet")) {
-      RowOps.update(table, filter, assignments, rowCond = rowCond,
-        extraSummary = Map(FallbackSummaryKey -> FallbackSummaryValue))
-      return
-    }
     val df = Reads.readTasksWithDeletes(table, m,
       tasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,

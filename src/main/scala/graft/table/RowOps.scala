@@ -285,12 +285,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       TableProperties.MergeProbeMinFilesDefault).toInt
     val skipProbe = allTasks.size <= probeMinFiles
     val affectedTasks = if (skipProbe) allTasks else {
-      val targetKeys = table.newScan().select(keys: _*).toDF
-        .withColumn("_gf_file", input_file_name())
+      // _gf_file via withRowPositions, NOT input_file_name(): rows of
+      // synthesized-position groups (ORC/Avro under pos deletes) come from
+      // an internal-RDD frame where input_file_name() is empty
+      val targetKeys = table.newScan().select(keys: _*).withRowPositions().toDF
       val srcKeyCounts = srcKeyed.select(keys.map(col): _*)
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
       val probe = targetKeys.join(srcKeyCounts, keys, "inner")
-        .groupBy(col("_gf_file")).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
+        .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
         .collect()
       if (probe.exists(_.getLong(1) > 1))
         throw new ValidationException(MergeBuilder.CardinalityMsg)
@@ -301,11 +303,11 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
     // merge-on-read mode suppresses changed target rows with position
     // deletes and appends only updated/inserted rows (O(changed rows));
-    // copy-on-write (default) rewrites the affected files. Positions need
-    // the parquet reader, so non-parquet affected files fall back to CoW.
-    val mor = affectedTasks.forall(_.file.format == "parquet") &&
-      m.property(TableProperties.MergeMode,
-        TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
+    // copy-on-write (default) rewrites the affected files. Positions come
+    // from the parquet row-index column or, for ORC/Avro files, synthesized
+    // whole-file row ordinals — every format supports merge-on-read.
+    val mor = m.property(TableProperties.MergeMode,
+      TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
 
     // 3. join affected target rows with the source
     val affected = Reads.readTasksWithDeletes(table, m,
@@ -515,21 +517,18 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
     // source runs twice (probe + rewrite join) — materialize once, see execute()
     val src0 = srcPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pinnedScan: Option[DataFrame] = None // id-stamped non-parquet rewrite scan
     try {
     // probe: per-target-row source-match counts, keyed by (_gf_file, _gf_pos)
     // — one job yields the affected-file set AND the cardinality guard. The
     // probe is SKIPPED (like execute()) when it cannot pay off: few files,
-    // NOT MATCHED BY SOURCE present (every file is affected anyway), or
-    // non-parquet data files (row positions need the parquet reader). The
-    // cardinality guard then rides in the rewrite join, keyed by a row id
-    // synthesized during the single rewrite scan.
+    // or NOT MATCHED BY SOURCE present (every file is affected anyway). The
+    // cardinality guard then rides in the rewrite join as a window count
+    // over the row identity.
     val allTasks = table.newScan().planFiles()
     val probeMinFiles = m.property(TableProperties.MergeProbeMinFiles,
       TableProperties.MergeProbeMinFilesDefault).toInt
     val skipProbe = bySourceClauses.nonEmpty ||
-      allTasks.size <= probeMinFiles ||
-      !allTasks.forall(_.file.format == "parquet")
+      allTasks.size <= probeMinFiles
     val affectedTasks = if (skipProbe) allTasks else {
       val probeT = table.newScan().select(condTargetCols: _*).withRowPositions().toDF
       val probe = probeT.join(src0, cond, "inner")
@@ -544,34 +543,19 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     }
     if (affectedTasks.isEmpty && insertClauses.isEmpty) return
 
-    // the in-join cardinality guard needs a per-target-row identity. For
-    // parquet files the (_gf_file, _gf_pos) metadata columns are DETERMINISTIC
-    // across task retries; for other formats fall back to
-    // monotonically_increasing_id and pin the assignment by persisting the
-    // id-stamped scan (a retry after the window shuffle would otherwise
-    // reassign ids and split one target row's matches across rids)
-    val affectedParquet = affectedTasks.forall(_.file.format == "parquet")
-    // merge-on-read needs the (file, pos) identity of every changed target
-    // row; positions come from the parquet reader, so non-parquet affected
-    // files fall back to copy-on-write
-    val mor = affectedParquet &&
-      m.property(TableProperties.MergeMode,
-        TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
+    val mor = m.property(TableProperties.MergeMode,
+      TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
+    // the in-join cardinality guard and merge-on-read both key rows by the
+    // (_gf_file, _gf_pos) identity — DETERMINISTIC across task retries for
+    // every format (parquet reads the row-index column; ORC/Avro positions
+    // are synthesized whole-file ordinals, stable per file)
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = mor || (skipProbe && affectedParquet))
-    val t0 = affected.withColumn(MergeBuilder.FromTarget, lit(true))
-    val t = if (!skipProbe || affectedParquet) t0
-      else {
-        val stamped = t0.withColumn("_gf_rid", monotonically_increasing_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pinnedScan = Some(stamped)
-        stamped
-      }
+      rowPositions = mor || skipProbe)
+    val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val ridCols: Seq[Column] =
-      if (affectedParquet) Seq(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
-      else Seq(col("_gf_rid"))
+      Seq(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
     val s = src0.withColumn(MergeBuilder.FromSource, lit(true))
     // LEFT ∪ LEFT ANTI instead of FULL OUTER — see execute(): broadcastable
     val leftPart0 = t.join(s, cond, "left")
@@ -716,7 +700,6 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       removedMeta = affectedTasks.map(_.file))
     } finally {
       src0.unpersist(false)
-      pinnedScan.foreach(_.unpersist(false))
     }
   }
 }

@@ -75,45 +75,73 @@ class FormatSpec extends AnyFunSuite {
     assert(t.toDF.count() === orders.count() - exp)
   }
 
-  test("merge-on-read DML on ORC falls back to copy-on-write, user-visibly") {
-    import graft.table.MergeOnRead
+  test("merge-on-read DML on ORC: real position deletes, no file rewrite") {
+    import graft.meta.model.FileContent
     val loc = Files.createTempDirectory("graft-orcmor-").toString + "/t"
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
       properties = Map(TableProperties.DefaultFileFormat -> "orc",
         TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead,
         TableProperties.UpdateMode -> TableProperties.RowLevelMergeOnRead))
     t.append(orders)
+    val dataPaths = t.newScan().planFiles().map(_.file.path).toSet
     val exp = orders.filter(!(col("o_orderstatus") === "F")).count()
     t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
-    // correct rows, NO delete files (position deletes need parquet row
-    // indexes), and the snapshot summary says the mode fell back
+    // position-delete files committed (synthesized ORC row ordinals), the
+    // ORC data files untouched — O(changed rows), not a rewrite
+    val deletes = t.newScan().planDeletes()
+    assert(deletes.nonEmpty &&
+      deletes.forall(_._1.content == FileContent.PositionDeletes))
+    assert(t.newScan().planFiles().map(_.file.path).toSet === dataPaths)
+    // V1 scan (anti join on synthesized _gf_file/_gf_pos) and the native
+    // DSv2 scan (whole-file readers counting ordinals) agree
     assert(t.toDF.count() === exp)
-    assert(t.newScan().planDeletes().isEmpty)
-    val delSnap = t.currentSnapshot.get
-    assert(delSnap.summary.get(MergeOnRead.FallbackSummaryKey)
-      .contains(MergeOnRead.FallbackSummaryValue))
-    // the marker is queryable through the snapshots metadata table
-    val viaMeta = t.metadataTable("snapshots")
-      .filter(col("snapshot_id") === delSnap.snapshotId)
-      .select(element_at(col("summary"), MergeOnRead.FallbackSummaryKey))
-      .collect().head.getString(0)
-    assert(viaMeta === MergeOnRead.FallbackSummaryValue)
-    // UPDATE takes the same fallback
-    t.update(equalTo("o_orderstatus", "O"),
-      Map("o_totalprice" -> lit(1.0)))
-    assert(t.currentSnapshot.get.summary.get(MergeOnRead.FallbackSummaryKey)
-      .contains(MergeOnRead.FallbackSummaryValue))
-    assert(t.newScan().planDeletes().isEmpty)
+    assert(spark.read.format("graft").load(loc).count() === exp)
+    assert(spark.read.format("graft").load(loc)
+      .filter(col("o_orderstatus") === "F").count() === 0)
+    // pushed filters must not reach the synthesized-position reader (they
+    // would skip rows and shift ordinals); Spark re-filters above the scan
+    val expF = orders.filter(!(col("o_orderstatus") === "F"))
+      .filter(col("o_totalprice") > 100000.0).count()
+    assert(spark.read.format("graft").load(loc)
+      .filter(col("o_totalprice") > 100000.0).count() === expF)
+    // a tiny split target must NOT byte-slice files under synthesized
+    // positions (a slice's first-row ordinal is unknowable)
+    assert(spark.read.format("graft").option("split-size", "16384")
+      .load(loc).count() === exp)
+    // MoR UPDATE: pos deletes + updated copies, original files still live
+    t.update(equalTo("o_orderstatus", "O"), Map("o_totalprice" -> lit(1.0)))
     assert(t.toDF.filter(col("o_orderstatus") === "O")
       .filter(col("o_totalprice") =!= 1.0).count() === 0)
-    // a parquet table under the same settings does NOT mark a fallback
-    val loc2 = Files.createTempDirectory("graft-pqmor-").toString + "/t"
-    val tp = IceTable.create(spark, loc2, Schema.fresh(orders.schema),
-      properties = Map(TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead))
-    tp.append(orders)
-    tp.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
-    assert(!tp.currentSnapshot.get.summary.contains(MergeOnRead.FallbackSummaryKey))
-    assert(tp.newScan().planDeletes().nonEmpty)
+    assert(spark.read.format("graft").load(loc)
+      .filter(col("o_orderstatus") === "O")
+      .filter(col("o_totalprice") =!= 1.0).count() === 0)
+    assert(dataPaths.subsetOf(t.newScan().planFiles().map(_.file.path).toSet))
+    // totals agree between scan paths after both DMLs
+    assert(spark.read.format("graft").load(loc).count() === t.toDF.count())
+  }
+
+  test("merge-on-read delete on Avro and mixed-format tables") {
+    import graft.meta.model.FileContent
+    val loc = Files.createTempDirectory("graft-avromor-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro",
+        TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead))
+    t.append(orders.filter(col("o_orderkey") % 4 === 0))
+    // second append as parquet → the table mixes formats, and one MoR DELETE
+    // must position-delete across both
+    t.updateProperties(Map(TableProperties.DefaultFileFormat -> "parquet"))
+    t.append(orders.filter(col("o_orderkey") % 4 =!= 0))
+    val formats = t.newScan().planFiles().map(_.file.format).toSet
+    assert(formats === Set("avro", "parquet"))
+    val exp = orders.filter(!(col("o_orderstatus") === "F")).count()
+    t.deleteMergeOnRead(equalTo("o_orderstatus", "F"))
+    val deletes = t.newScan().planDeletes()
+    assert(deletes.nonEmpty &&
+      deletes.forall(_._1.content == FileContent.PositionDeletes))
+    assert(t.toDF.count() === exp)
+    assert(spark.read.format("graft").load(loc).count() === exp)
+    assert(spark.read.format("graft").load(loc)
+      .filter(col("o_orderstatus") === "F").count() === 0)
   }
 
   test("catalog: create/CTAS/load/list/drop") {

@@ -259,8 +259,8 @@ class SqlDmlSpec extends AnyFunSuite {
   }
 
   test("SQL MERGE works on non-parquet (ORC) tables") {
-    // the probe needs parquet row positions; ORC/Avro tables take the
-    // probe-free path with the in-join cardinality guard
+    // ORC rows get synthesized (file, pos) identities; a small table takes
+    // the probe-free path with the in-join cardinality guard
     warehouse
     spark.sql("CREATE TABLE gd.db.orct (id INT, data STRING, qty DOUBLE) " +
       "TBLPROPERTIES ('write.format.default'='orc')")
