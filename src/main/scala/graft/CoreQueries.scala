@@ -445,6 +445,24 @@ object CoreQueries {
       s.sql("DELETE FROM gq33.db.t WHERE seg LIKE '%MOBILE%'")
       s.sql("UPDATE gq33.db.t SET bal = round(bal + 10.0, 2) WHERE k % 3 = 0")
       s.sql("SELECT k, seg, bal FROM gq33.db.t ORDER BY k")
+    }),
+
+    // Q34 snapshot branches: writes to an audit branch stay invisible on
+    // main; reading each side and labeling it exercises ref-targeted commits
+    // and ref reads in one relationally-checkable result
+    "q34_branch" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q34").toString
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/t",
+        graft.meta.Schema.fresh(base.schema))
+      tbl.append(base.filter(col("k") % 2 === 0))
+      tbl.createBranch("audit")
+      tbl.appendToBranch("audit", base.filter(col("k") % 2 =!= 0))
+      val main = tbl.toDF.withColumn("side", lit("main"))
+      val branch = tbl.newScan().useRef("audit").toDF
+        .withColumn("side", lit("branch"))
+      main.unionByName(branch).orderBy("side", "k")
     })
   )
 
@@ -589,6 +607,12 @@ object CoreQueries {
         "CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 10.0, 2) " +
         "ELSE round(c_acctbal, 2) END AS bal " +
         "FROM customer WHERE c_mktsegment NOT LIKE '%MOBILE%' " +
-        "ORDER BY c_custkey")
+        "ORDER BY c_custkey"),
+    "q34_branch" ->
+      ("SELECT c_custkey AS k, c_mktsegment AS seg, 'main' AS side " +
+        "FROM customer WHERE c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey AS k, c_mktsegment AS seg, 'branch' AS side " +
+        "FROM customer " +
+        "ORDER BY side, k")
   )
 }

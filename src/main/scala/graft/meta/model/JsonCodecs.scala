@@ -295,6 +295,17 @@ object JsonCodecs {
     m.metadataLog.foreach { e =>
       mlog.addObject().put("timestamp-ms", e.timestampMillis).put("metadata-file", e.file)
     }
+    if (m.refs.nonEmpty) {
+      val rn = node.putObject("refs")
+      m.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val o = rn.putObject(name)
+        o.put("snapshot-id", r.snapshotId)
+        o.put("type", r.refType)
+        r.minSnapshotsToKeep.foreach(o.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(o.put("max-snapshot-age-ms", _))
+        r.maxRefAgeMs.foreach(o.put("max-ref-age-ms", _))
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
@@ -335,6 +346,15 @@ object JsonCodecs {
       }.toSeq,
       metadataLog = n.get("metadata-log").elements.asScala.map { e =>
         MetadataLogEntry(e.get("timestamp-ms").asLong, e.get("metadata-file").asText)
-      }.toSeq)
+      }.toSeq,
+      refs = Option(n.get("refs")).map(_.properties().asScala.map { e =>
+        val o = e.getValue
+        e.getKey -> SnapshotRefMeta(
+          snapshotId = o.get("snapshot-id").asLong,
+          refType = o.get("type").asText,
+          minSnapshotsToKeep = Option(o.get("min-snapshots-to-keep")).map(_.asInt),
+          maxSnapshotAgeMs = Option(o.get("max-snapshot-age-ms")).map(_.asLong),
+          maxRefAgeMs = Option(o.get("max-ref-age-ms")).map(_.asLong))
+      }.toMap).getOrElse(Map.empty))
   }
 }

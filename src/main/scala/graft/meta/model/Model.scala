@@ -100,6 +100,26 @@ object SortOrderMeta { val unsorted: SortOrderMeta = SortOrderMeta(0, Nil) }
 final case class SnapshotLogEntry(timestampMillis: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMillis: Long, file: String)
 
+/** A named snapshot reference: a `branch` head advances when commits target
+  * the branch, a `tag` is an immutable pointer. Retention knobs feed
+  * expireSnapshots — `maxRefAgeMs` ages out the ref itself, the other two
+  * scope how much of a branch's ancestry must survive. (Snapshot refs
+  * post-date the reference era — original surface, modeled on the published
+  * table-format spec's `refs` map.) */
+final case class SnapshotRefMeta(
+    snapshotId: Long,
+    refType: String,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None) extends Serializable
+
+object SnapshotRefMeta {
+  val Branch = "branch"
+  val Tag = "tag"
+  /** The implicit main branch: `currentSnapshotId`, never stored in `refs`. */
+  val MainBranch = "main"
+}
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -118,7 +138,8 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[SnapshotMeta],
     snapshotLog: Seq[SnapshotLogEntry],
-    metadataLog: Seq[MetadataLogEntry]) extends Serializable {
+    metadataLog: Seq[MetadataLogEntry],
+    refs: Map[String, SnapshotRefMeta] = Map.empty) extends Serializable {
 
   def schema: Schema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: PartitionSpec = specs.find(_.specId == defaultSpecId).get

@@ -106,7 +106,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
-    "all_data_files", "all_files", "partitions")
+    "all_data_files", "all_files", "partitions", "refs")
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {
@@ -127,11 +127,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     new GraftSparkTable(loadIce(ident), fullName(ident))
   }
 
-  /** `VERSION AS OF <snapshot-id>` */
+  /** `VERSION AS OF <snapshot-id | 'branch' | 'tag'>` — a non-numeric
+    * version string resolves through the table's named refs. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(loadIce(ident), fullName(ident),
-      snapshotId = Some(version.toLong))
+    val t = loadIce(ident)
+    val snapId = version.toLongOption.getOrElse {
+      if (version == graft.meta.model.SnapshotRefMeta.MainBranch)
+        t.meta.currentSnapshotId.getOrElse(
+          throw new graft.table.ValidationException("Table has no current snapshot"))
+      else t.meta.refs.getOrElse(version,
+        throw new graft.table.ValidationException(
+          s"Unknown snapshot or ref: $version")).snapshotId
+    }
+    new GraftSparkTable(t, fullName(ident), snapshotId = Some(snapId))
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */

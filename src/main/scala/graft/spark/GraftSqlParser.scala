@@ -63,6 +63,12 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val WriteSpecRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+((?:DISTRIBUTED|LOCALLY|ORDERED|UNORDERED)\b.*?)\s*;?\s*$""".r
+  private val CreateRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*$""".r
+  private val ReplaceBranchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+BRANCH\s+(\w+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*$""".r
 
   def parseExtension(sql: String): Option[LogicalPlan] = sql match {
     case CallRe(catalog, proc, args) => Some(call(catalog, proc.toLowerCase, args))
@@ -75,8 +81,25 @@ object GraftSqlParser {
     case SetIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = true))
     case DropIdFieldsRe(ident, cols) => Some(identifierFields(ident, cols, set = false))
     case WriteSpecRe(ident, spec) => Some(writeSpec(ident, spec))
+    case CreateRefRe(ident, kind, name, ver) =>
+      Some(refCommand(s"create_${kind.toLowerCase}", ident) { t =>
+        val snap = Option(ver).map(_.toLong)
+        if (kind.equalsIgnoreCase("BRANCH")) t.createBranch(name, snap)
+        else t.createTag(name, snap)
+      })
+    case DropRefRe(ident, kind, name) =>
+      Some(refCommand(s"drop_${kind.toLowerCase}", ident)(_.removeRef(name)))
+    case ReplaceBranchRe(ident, name, ver) =>
+      Some(refCommand("replace_branch", ident)(_.replaceBranch(name, ver.toLong)))
     case _ => None
   }
+
+  /** A no-output command over a resolved table (branch/tag DDL). */
+  private def refCommand(cmd: String, ident: String)(
+      body: IceTable => Unit): LogicalPlan =
+    GraftCallCommand(cmd, Nil, { spark =>
+      body(resolveIdent(spark, ident)); Nil
+    })
 
   private def attr(name: String, t: DataType): Attribute =
     AttributeReference(name, t, nullable = true)()
@@ -237,6 +260,26 @@ object GraftSqlParser {
           val target = longArg("snapshot_id", 1)
           t.setCurrentSnapshot(target)
           Seq(Row(prev, target))
+        })
+      case "fast_forward" =>
+        // ref SQL procedure shape: fast_forward(table, branch, to) — `to`
+        // is a ref name or a snapshot id; requires `to` to be a descendant
+        GraftCallCommand(proc, Seq(attr("branch_updated", StringType),
+          attr("previous_ref", LongType), attr("updated_ref", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          def headOf(name: String): Option[Long] =
+            if (name == graft.meta.model.SnapshotRefMeta.MainBranch)
+              t.currentSnapshot.map(_.snapshotId)
+            else t.refs.get(name).map(_.snapshotId)
+          val branch = named.get("branch").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException("fast_forward requires branch")).toString
+          val to = named.get("to").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException("fast_forward requires to")).toString
+          val prev = headOf(branch).getOrElse(-1L)
+          val toId = to.toLongOption.orElse(headOf(to)).getOrElse(
+            throw new IllegalArgumentException(s"Unknown ref: $to"))
+          t.fastForward(branch, toId)
+          Seq(Row(branch, prev, toId))
         })
       case "cherrypick_snapshot" =>
         GraftCallCommand(proc, Seq(attr("source_snapshot_id", LongType),

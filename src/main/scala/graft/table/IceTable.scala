@@ -253,6 +253,103 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       snap.summary.get("wap.id").map("published-wap-id" -> _).toMap)
   }
 
+  // ------------------------------------------------------------------ refs
+
+  /** Named snapshot refs (branches + tags); `main` is implicit. */
+  def refs: Map[String, SnapshotRefMeta] = meta.refs
+
+  /** Create a branch at `snapshotId` (default: current snapshot). Branch
+    * commits (`appendToBranch`) advance the ref without touching main —
+    * the write-audit-publish pattern generalized. */
+  def createBranch(name: String, snapshotId: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit =
+    createRef(name, SnapshotRefMeta.Branch, snapshotId,
+      minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)
+
+  /** Create an immutable tag at `snapshotId` (default: current snapshot). */
+  def createTag(name: String, snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit =
+    createRef(name, SnapshotRefMeta.Tag, snapshotId, None, None, maxRefAgeMs)
+
+  private def createRef(name: String, refType: String, snapshotId: Option[Long],
+      minKeep: Option[Int], maxSnapAge: Option[Long], maxRefAge: Option[Long]): Unit =
+    ops.commitWithRetry(retries(meta)) { base =>
+      if (name == SnapshotRefMeta.MainBranch || base.refs.contains(name))
+        throw new ValidationException(s"Ref already exists: $name")
+      val id = snapshotId.orElse(base.currentSnapshotId).getOrElse(
+        throw new ValidationException("Table has no current snapshot to reference"))
+      if (base.snapshot(id).isEmpty)
+        throw new ValidationException(s"Unknown snapshot: $id")
+      base.copy(
+        refs = base.refs + (name -> SnapshotRefMeta(id, refType, minKeep,
+          maxSnapAge, maxRefAge)),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+
+  def removeRef(name: String): Unit =
+    ops.commitWithRetry(retries(meta)) { base =>
+      if (!base.refs.contains(name))
+        throw new ValidationException(s"Unknown ref: $name")
+      base.copy(refs = base.refs - name,
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+
+  /** Move a branch head to an arbitrary existing snapshot (rollback's
+    * branch analogue; no ancestry requirement). */
+  def replaceBranch(name: String, snapshotId: Long): Unit =
+    ops.commitWithRetry(retries(meta)) { base =>
+      val r = base.refs.getOrElse(name,
+        throw new ValidationException(s"Unknown branch: $name"))
+      if (r.refType != SnapshotRefMeta.Branch)
+        throw new ValidationException(s"Not a branch: $name")
+      if (base.snapshot(snapshotId).isEmpty)
+        throw new ValidationException(s"Unknown snapshot: $snapshotId")
+      base.copy(refs = base.refs.updated(name, r.copy(snapshotId = snapshotId)),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+
+  /** Fast-forward `name` (a branch, or `main`) to `toSnapshotId`, requiring
+    * the target to be a DESCENDANT of the current head — the branch-publish
+    * path: audit on a branch, then fast-forward main onto it. */
+  def fastForward(name: String, toSnapshotId: Long): Unit =
+    ops.commitWithRetry(retries(meta)) { base =>
+      val headId: Option[Long] =
+        if (name == SnapshotRefMeta.MainBranch) base.currentSnapshotId
+        else {
+          val r = base.refs.getOrElse(name,
+            throw new ValidationException(s"Unknown branch: $name"))
+          if (r.refType != SnapshotRefMeta.Branch)
+            throw new ValidationException(s"Not a branch: $name")
+          Some(r.snapshotId)
+        }
+      if (base.snapshot(toSnapshotId).isEmpty)
+        throw new ValidationException(s"Unknown snapshot: $toSnapshotId")
+      val ancestors = Iterator.iterate(base.snapshot(toSnapshotId))(
+          _.flatMap(_.parentId).flatMap(base.snapshot))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+      if (!headId.forall(ancestors.contains))
+        throw new ValidationException(
+          s"$toSnapshotId is not a descendant of $name's head $headId")
+      val nowMs = System.currentTimeMillis()
+      if (name == SnapshotRefMeta.MainBranch)
+        base.copy(currentSnapshotId = Some(toSnapshotId), lastUpdatedMillis = nowMs,
+          snapshotLog = base.snapshotLog :+ SnapshotLogEntry(nowMs, toSnapshotId))
+      else
+        base.copy(refs = base.refs.updated(name,
+          base.refs(name).copy(snapshotId = toSnapshotId)),
+          lastUpdatedMillis = nowMs)
+    }
+
+  /** Append `df` as a new snapshot on branch `name`; main is untouched. */
+  def appendToBranch(name: String, df: DataFrame,
+      summary: Map[String, String] = Map.empty): Unit = {
+    val files = Writes.writeDataFiles(spark, this, meta, df)
+    commitSnapshot(Operation.Append, files, Set.empty, summary,
+      branch = Some(name))
+  }
+
   // ---------------------------------------------------------- incremental
 
   /** Files appended in snapshot range (fromId, toId] (ref
@@ -502,7 +599,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       removedPaths: Set[String], extraSummary: Map[String, String] = Map.empty,
       metaTransform: Option[TableMetadata => TableMetadata] = None,
       validate: Option[ConflictValidation] = None,
-      removedMeta: Seq[DataFileMeta] = Nil): Unit = {
+      removedMeta: Seq[DataFileMeta] = Nil,
+      branch: Option[String] = None): Unit = {
     val removedNorm = removedPaths.map(normPath)
     val pruneMeta =
       if (removedMeta.nonEmpty &&
@@ -517,8 +615,19 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val seq = base.lastSequenceNumber + 1
       val schema = base.schema
       val mdir = s"$location/metadata"
+      // a branch commit builds on the BRANCH head, not the main head, and
+      // advances only that ref at publish
+      val headSnap: Option[SnapshotMeta] = branch match {
+        case Some(b) =>
+          val r = base.refs.getOrElse(b,
+            throw new ValidationException(s"Unknown branch: $b"))
+          if (r.refType != SnapshotRefMeta.Branch)
+            throw new ValidationException(s"Cannot commit to tag: $b")
+          base.snapshot(r.snapshotId)
+        case None => base.currentSnapshot
+      }
       val currentManifests: Seq[ManifestFileMeta] =
-        base.currentSnapshot.map(readManifestList(base, _)).getOrElse(Nil)
+        headSnap.map(readManifestList(base, _)).getOrElse(Nil)
 
       var removedCount = 0
       var removedRows = 0L
@@ -584,10 +693,24 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         "total-data-files" -> (allManifests.map(f =>
           f.addedFilesCount + f.existingFilesCount).sum).toString) ++ extraSummary
 
-      base.withSnapshot(SnapshotMeta(snapId, base.currentSnapshotId, seq, nowMs,
-        op, summary, listPath), nowMs)
+      val snap = SnapshotMeta(snapId, headSnap.map(_.snapshotId), seq, nowMs,
+        op, summary, listPath)
+      branch match {
+        case Some(b) => base.copy(
+          lastSequenceNumber = math.max(base.lastSequenceNumber, seq),
+          lastUpdatedMillis = nowMs,
+          snapshots = base.snapshots :+ snap,
+          // snapshot-log stays main-lineage only (time travel by timestamp
+          // resolves against main, like the published format spec)
+          refs = base.refs.updated(b, base.refs(b).copy(snapshotId = snapId)))
+        case None => base.withSnapshot(snap, nowMs)
+      }
     }
-    meta.currentSnapshot.foreach { s =>
+    val committed = branch match {
+      case Some(b) => meta.refs.get(b).flatMap(r => meta.snapshot(r.snapshotId))
+      case None => meta.currentSnapshot
+    }
+    committed.foreach { s =>
       Listeners.notifyAll(Listeners.CreateSnapshotEvent(
         location, s.operation, s.snapshotId, s.sequenceNumber, s.summary))
     }
@@ -734,6 +857,12 @@ final class TableScan private[table] (table: IceTable) {
       org.apache.spark.sql.graft.ColumnBridge.parseExpression(table.spark, sql)))
   def select(cols: String*): TableScan = { projection = Some(cols); this }
   def useSnapshot(id: Long): TableScan = { snapshotId = Some(id); this }
+
+  /** Scan the head of a named ref (branch or tag); `main` is a no-op. */
+  def useRef(name: String): TableScan =
+    if (name == SnapshotRefMeta.MainBranch) this
+    else useSnapshot(table.meta.refs.getOrElse(name,
+      throw new ValidationException(s"Unknown ref: $name")).snapshotId)
   def asOfTime(timestampMillis: Long): TableScan = { asOfMillis = Some(timestampMillis); this }
 
   private def chooseSnapshot(m: TableMetadata): Option[SnapshotMeta] =

@@ -42,11 +42,32 @@ object Maintenance {
         _.flatMap(_.parentId).flatMap(byId.get))
       .takeWhile(_.isDefined).take(retainLast)
       .flatten.map(_.snapshotId).toSet
+    // refs pin snapshots: a tag pins its snapshot, a branch pins a contiguous
+    // ancestry prefix per its retention knobs (min-snapshots-to-keep /
+    // max-snapshot-age-ms, defaulting to head-only / the caller's cutoff);
+    // refs aged past max-ref-age-ms die with this expire and pin nothing
+    val nowMs = System.currentTimeMillis()
+    val (liveRefs, deadRefs) = before.refs.partition { case (_, r) =>
+      r.maxRefAgeMs.forall(maxAge =>
+        byId.get(r.snapshotId).forall(s => nowMs - s.timestampMillis <= maxAge))
+    }
+    val refRetained: Set[Long] = liveRefs.values.iterator.flatMap { r =>
+      if (r.refType == SnapshotRefMeta.Tag) Iterator.single(r.snapshotId)
+      else {
+        val minKeep = math.max(1, r.minSnapshotsToKeep.getOrElse(1))
+        val cutoff = r.maxSnapshotAgeMs.map(nowMs - _).getOrElse(olderThanMillis)
+        Iterator.iterate(byId.get(r.snapshotId))(_.flatMap(_.parentId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.zipWithIndex
+          .takeWhile { case (s, i) => i < minKeep || s.timestampMillis >= cutoff }
+          .map(_._1.snapshotId)
+      }
+    }.toSet
     val expired = before.snapshots.filter(s =>
       s.timestampMillis < olderThanMillis &&
         !retained.contains(s.snapshotId) &&
+        !refRetained.contains(s.snapshotId) &&
         !before.currentSnapshotId.contains(s.snapshotId))
-    if (expired.isEmpty) return (0, 0L, 0L)
+    if (expired.isEmpty && deadRefs.isEmpty) return (0, 0L, 0L)
     val expiredIds = expired.map(_.snapshotId).toSet
 
     table.ops.commitWithRetry(4) { base =>
@@ -54,8 +75,10 @@ object Maintenance {
       base.copy(
         snapshots = keep,
         snapshotLog = base.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
+        refs = base.refs -- deadRefs.keys,
         lastUpdatedMillis = System.currentTimeMillis())
     }
+    if (expired.isEmpty) return (0, 0L, 0L)
 
     val after = table.meta
     val beforeManifests = manifestsOf(table, before, before.snapshots)

@@ -133,8 +133,32 @@ object MetadataTables {
       .orderBy("partition")
   }
 
+  /** Branches and tags, main included (ref-era tables lack this; modeled on
+    * the published format spec's `refs`). */
+  def refsTable(t: IceTable): DataFrame = {
+    val m = t.meta
+    val mainRow = m.currentSnapshotId.map(id => Row(
+      SnapshotRefMeta.MainBranch, SnapshotRefMeta.Branch, id,
+      null, null, null)).toSeq
+    val rows = mainRow ++ m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, r.refType, r.snapshotId,
+        r.maxRefAgeMs.orNull, r.maxSnapshotAgeMs.orNull,
+        r.minSnapshotsToKeep.orNull)
+    }
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("max_reference_age_in_ms", LongType),
+        StructField("max_snapshot_age_in_ms", LongType),
+        StructField("min_snapshots_to_keep", IntegerType))))
+  }
+
   def apply(t: IceTable, name: String): DataFrame = name.toLowerCase match {
     case "snapshots" => snapshots(t)
+    case "refs" => refsTable(t)
     case "history" => history(t)
     case "manifests" => manifests(t)
     case "all_manifests" => allManifests(t)
