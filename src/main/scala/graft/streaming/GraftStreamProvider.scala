@@ -35,14 +35,26 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     IceTable.load(sqlContext.sparkSession, path)
   }
 
+  private def readChanges(parameters: Map[String, String]): Boolean =
+    parameters.get("read-changes").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-stream", tableOf(sqlContext, parameters).schema.struct)
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val t = tableOf(sqlContext, parameters)
+    val s = if (readChanges(parameters)) GraftChangelogSource.schemaOf(t)
+      else t.schema.struct
+    ("graft-stream", s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(tableOf(sqlContext, parameters),
+    if (readChanges(parameters))
+      // CDC mode: each micro-batch is the row-level changelog of the
+      // committed snapshot range — inserts AND deletes, with change metadata
+      new GraftChangelogSource(tableOf(sqlContext, parameters),
+        parameters.get("starting-snapshot-id").map(_.toLong))
+    else new GraftStreamSource(tableOf(sqlContext, parameters),
       // ref SparkReadOptions.java:55 STREAMING_SKIP_DELETE_SNAPSHOTS:
       // true (default) silently skips delete/overwrite snapshots in the
       // stream; false fails the batch so data loss is surfaced
@@ -103,6 +115,46 @@ private final class GraftStreamSource(table: IceTable,
   }
 
   override def stop(): Unit = ()
+}
+
+/** CDC streaming source: offsets are snapshot ids, each micro-batch is the
+  * row-level changelog of `(start, end]` — inserts and deletes with
+  * `_change_type` / `_commit_snapshot_id` / `_change_ordinal` (ordinals are
+  * dense WITHIN a batch). The first batch replays history from the table's
+  * first snapshot (or from the exclusive `starting-snapshot-id` option), so
+  * a downstream keyed state bootstrap sees the initial rows as inserts.
+  * Compaction (`replace`) snapshots emit nothing, and an expired `from`
+  * offset fails loudly instead of replaying the table (Changelog's
+  * validation). */
+private final class GraftChangelogSource(table: IceTable,
+    startingSnapshotId: Option[Long]) extends Source {
+
+  override def schema: StructType = GraftChangelogSource.schemaOf(table)
+
+  override def getOffset: Option[V1Offset] =
+    table.meta.currentSnapshotId.map(GraftSnapshotOffset)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = end.json().toLong
+    val from = start.map(_.json().toLong).orElse(startingSnapshotId)
+    val batch = table.changelog(from, Some(endId))
+    val spark = table.spark
+    org.apache.spark.sql.graft.ColumnBridge.internalCreateDataFrame(spark,
+      org.apache.spark.sql.graft.ColumnBridge.toInternalRdd(batch),
+      batch.schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private object GraftChangelogSource {
+  def schemaOf(table: IceTable): StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    table.schema.struct
+      .add(graft.table.Changelog.ChangeTypeCol, StringType, nullable = false)
+      .add(graft.table.Changelog.SnapshotIdCol, LongType, nullable = false)
+      .add(graft.table.Changelog.OrdinalCol, IntegerType, nullable = false)
+  }
 }
 
 /** Idempotent append sink: replayed epochs (restart recovery) are skipped via

@@ -379,4 +379,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.schema === t.schema.struct)
     assert(stream.isStreaming)
   }
+
+  test("CDC stream (read-changes): inserts and deletes flow as changelog rows") {
+    import graft.table.Changelog
+    val base = Files.createTempDirectory("graft-cdc-").toString
+    val srcLoc = s"$base/src"; val dstLoc = s"$base/dst"; val cp = s"$base/cp"
+    import spark.implicits._
+    val src = IceTable.create(spark,
+      srcLoc, Schema.fresh(Seq((1L, "x")).toDF("k", "v").schema),
+      properties = Map(graft.meta.model.TableProperties.DeleteMode ->
+        graft.meta.model.TableProperties.RowLevelMergeOnRead))
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+
+    // stream schema = table columns + change metadata
+    val stream = spark.readStream.format("graft-stream").option("path", srcLoc)
+      .option("read-changes", "true").load()
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("k", "v", Changelog.ChangeTypeCol, Changelog.SnapshotIdCol,
+        Changelog.OrdinalCol))
+
+    // sink: a graft table shaped like the changelog (memory sink cannot
+    // resume from a checkpoint across restarts)
+    val dst = IceTable.create(spark, dstLoc, Schema.fresh(stream.schema))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-stream").option("path", srcLoc)
+        .option("read-changes", "true").load()
+        .writeStream.format("graft-stream").option("path", dstLoc)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    runOnce() // initial replay: 3 inserts
+    def rowsNow = dst.toDF.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rowsNow.toSet === Set((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert")))
+
+    // a MoR delete + an append, in new commits → next batch carries exactly
+    // the delta: one delete row and one insert row
+    src.delete(graft.meta.expr.Exprs.equalTo("k", 2L))
+    src.append(Seq((4L, "d")).toDF("k", "v"))
+    runOnce()
+    assert(rowsNow.size === 5)
+    assert(rowsNow.count(_._3 == "delete") === 1)
+    assert(rowsNow.filter(_._3 == "delete").head._1 === 2L)
+    assert(rowsNow.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // no new commits: restart moves nothing (offset checkpointing)
+    runOnce()
+    assert(rowsNow.size === 5)
+  }
+
+  test("CDC stream starts after starting-snapshot-id (no history replay)") {
+    val base = Files.createTempDirectory("graft-cdc2-").toString
+    val srcLoc = s"$base/src"
+    import spark.implicits._
+    val src = IceTable.create(spark, srcLoc,
+      Schema.fresh(Seq((1L, "x")).toDF("k", "v").schema))
+    src.append(Seq((1L, "a")).toDF("k", "v"))
+    val bootSnap = src.currentSnapshot.get.snapshotId
+    src.append(Seq((2L, "b")).toDF("k", "v"))
+    val q = spark.readStream.format("graft-stream").option("path", srcLoc)
+      .option("read-changes", "true")
+      .option("starting-snapshot-id", bootSnap.toString).load()
+      .writeStream.format("memory").queryName("cdc_boot")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("cdc_boot").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((2L, "b"))) // only the post-boot commit
+  }
 }
