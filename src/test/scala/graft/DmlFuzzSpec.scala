@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.meta.Schema
+import graft.meta.expr.Exprs._
+import graft.meta.model.TableProperties
+import graft.table.IceTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based DML fuzz: a deterministic random sequence of appends,
+  * deletes/updates in BOTH row-level modes, keyed merges, compactions, and
+  * maintenance runs against one table per file format, checked after every
+  * op against an in-memory model of the expected rows. This is the
+  * interleaving torture test for the merge-on-read machinery — parquet's
+  * row-index positions and ORC/Avro's synthesized ordinals must survive any
+  * op order, including deletes stacked on deletes and compaction mid-stream.
+  */
+class DmlFuzzSpec extends AnyFunSuite {
+  import SparkSessionHelper._
+
+  private def df(rows: Seq[(Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v", "q")
+  }
+
+  private def runFuzz(format: String, seed: Int, ops: Int): Unit = {
+    val rng = new scala.util.Random(seed)
+    val loc = Files.createTempDirectory(s"graft-fuzz-$format-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(df(Seq((1L, "x", 1.0))).schema),
+      properties = Map(TableProperties.DefaultFileFormat -> format))
+    val model = scala.collection.mutable.Map[Long, (String, Double)]()
+    var nextKey = 0L
+
+    def freshRows(n: Int): Seq[(Long, String, Double)] = (1 to n).map { _ =>
+      nextKey += 1
+      (nextKey, s"v${rng.nextInt(5)}", rng.nextInt(100).toDouble)
+    }
+    def keyRange(): (Long, Long) = {
+      if (nextKey == 0) return (0L, 0L)
+      val a = rng.nextLong(nextKey) + 1
+      val b = math.min(nextKey, a + rng.nextLong(math.max(1, nextKey / 3)) + 1)
+      (a, b)
+    }
+    def setMode(key: String): Unit = {
+      val mode = if (rng.nextBoolean()) TableProperties.RowLevelMergeOnRead
+        else TableProperties.RowLevelCopyOnWrite
+      t.updateProperties(Map(key -> mode))
+    }
+    def check(op: String): Unit = {
+      val got = t.toDF.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(got === model.toMap, s"[$format seed=$seed] mismatch after $op")
+    }
+
+    (1 to ops).foreach { i =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 => // append
+          val rows = freshRows(rng.nextInt(40) + 10)
+          t.append(df(rows))
+          rows.foreach { case (k, v, q) => model(k) = (v, q) }
+          check(s"append#$i")
+        case 3 | 4 => // ranged delete, random row-level mode
+          setMode(TableProperties.DeleteMode)
+          val (a, b) = keyRange()
+          t.delete(and(greaterThanOrEqual("k", a), lessThanOrEqual("k", b)))
+          (a to b).foreach(model.remove)
+          check(s"delete[$a,$b]#$i")
+        case 5 | 6 => // ranged update, random row-level mode
+          setMode(TableProperties.UpdateMode)
+          val (a, b) = keyRange()
+          t.update(and(greaterThanOrEqual("k", a), lessThanOrEqual("k", b)),
+            Map("q" -> (col("q") + 1.0)))
+          (a to b).foreach(k => model.get(k).foreach { case (v, q) =>
+            model(k) = (v, q + 1.0) })
+          check(s"update[$a,$b]#$i")
+        case 7 => // keyed merge upsert: half existing keys touched, half new
+          setMode(TableProperties.MergeMode)
+          val (a, b) = keyRange()
+          val upd = (a to b).filter(model.contains)
+            .map(k => (k, "merged", rng.nextInt(100).toDouble))
+          val ins = freshRows(rng.nextInt(10) + 1)
+          val src = upd ++ ins
+          if (src.nonEmpty) {
+            t.merge(df(src), Seq("k"))
+              .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+            src.foreach { case (k, v, q) => model(k) = (v, q) }
+          }
+          check(s"merge#$i")
+        case 8 => // layout maintenance must never change visible rows
+          rng.nextInt(3) match {
+            case 0 => t.rewriteDataFiles(minInputFiles = 2)
+            case 1 => t.rewritePositionDeleteFiles(); t.removeDanglingDeletes()
+            case 2 => t.rewriteManifests()
+          }
+          check(s"maintenance#$i")
+        case 9 => // expire old snapshots (metadata-only for visible rows)
+          t.expireSnapshots(System.currentTimeMillis() + 1000)
+          check(s"expire#$i")
+      }
+    }
+    // final cross-check: the native DSv2 scan agrees with the V1 path
+    val native = spark.read.format("graft").load(loc).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(native === model.toMap, s"[$format seed=$seed] native scan mismatch")
+  }
+
+  for (format <- Seq("parquet", "orc", "avro")) {
+    test(s"random DML interleaving matches the model ($format)") {
+      runFuzz(format, seed = 20260814, ops = 24)
+    }
+  }
+
+  test("random DML interleaving, second seed (parquet)") {
+    runFuzz("parquet", seed = 7, ops = 24)
+  }
+}
