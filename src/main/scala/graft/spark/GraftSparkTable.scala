@@ -63,12 +63,22 @@ class GraftSparkTable(val table: IceTable, fullName: String,
       TableCapability.TRUNCATE)
 
   /** Read options (ref `SparkReadOptions.java`): `snapshot-id`,
-    * `as-of-timestamp` (time travel via `spark.read.option`), `split-size`
-    * (per-read task sizing), `streaming-skip-delete-snapshots` (stream CDC
-    * convention). SQL `VERSION/TIMESTAMP AS OF` arrives through the
-    * constructor instead; an explicit option wins. */
+    * `as-of-timestamp` (time travel via `spark.read.option`), `branch` /
+    * `tag` (named-ref reads), `split-size` (per-read task sizing),
+    * `streaming-skip-delete-snapshots` (stream CDC convention). SQL
+    * `VERSION/TIMESTAMP AS OF` arrives through the constructor instead; an
+    * explicit option wins. */
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
-    val snap = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
+    val refSnap = Option(options.get("branch")).orElse(Option(options.get("tag")))
+      .map { name =>
+        if (name == graft.meta.model.SnapshotRefMeta.MainBranch)
+          table.meta.currentSnapshotId.getOrElse(throw new graft.table.ValidationException(
+            "Table has no current snapshot"))
+        else table.meta.refs.getOrElse(name,
+          throw new graft.table.ValidationException(s"Unknown ref: $name")).snapshotId
+      }
+    val snap = Option(options.get("snapshot-id")).map(_.toLong)
+      .orElse(refSnap).orElse(snapshotId)
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong).orElse(asOfMillis)
     val split = Option(options.get("split-size")).map(_.toLong)
     val skipDeletes = Option(options.get("streaming-skip-delete-snapshots"))
@@ -78,7 +88,8 @@ class GraftSparkTable(val table: IceTable, fullName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, GraftWriteBuilder.overrides(info))
+    new GraftWriteBuilder(table, GraftWriteBuilder.overrides(info),
+      branch = Option(info.options.get("branch")))
 }
 
 /** Read-only DSv2 facade over one metadata table (`db.t.snapshots` etc.;
@@ -385,7 +396,8 @@ object GraftWriteBuilder {
 }
 
 final class GraftWriteBuilder(table: IceTable,
-    writeOverrides: Map[String, String] = Map.empty)
+    writeOverrides: Map[String, String] = Map.empty,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -410,10 +422,19 @@ final class GraftWriteBuilder(table: IceTable,
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        if (dynamic) table.overwritePartitions(data)
-        else overwriteExpr match {
-          case Some(e) => table.overwrite(e, data)
-          case None => table.append(data, Map.empty, writeOverrides)
+        branch match {
+          case Some(b) =>
+            // branch writes are append-only (the audit-branch pattern)
+            if (dynamic || overwriteExpr.nonEmpty)
+              throw new UnsupportedOperationException(
+                "Only appends can target a branch (option(\"branch\", ...))")
+            table.appendToBranch(b, data)
+          case None =>
+            if (dynamic) table.overwritePartitions(data)
+            else overwriteExpr match {
+              case Some(e) => table.overwrite(e, data)
+              case None => table.append(data, Map.empty, writeOverrides)
+            }
         }
       }
     }

@@ -156,9 +156,28 @@ object MetadataTables {
         StructField("min_snapshots_to_keep", IntegerType))))
   }
 
+  /** The metadata-file history (ref `MetadataLogEntriesTable` shape): one
+    * row per previous metadata version, with the snapshot that was current
+    * when it was written. */
+  def metadataLogEntries(t: IceTable): DataFrame = {
+    val m = t.meta
+    val rows = m.metadataLog.map { e =>
+      val snapAtTime = m.snapshotLog.filter(_.timestampMillis <= e.timestampMillis)
+        .lastOption.map(_.snapshotId)
+      Row(new java.sql.Timestamp(e.timestampMillis), e.file, snapAtTime.orNull)
+    }
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("timestamp", TimestampType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("latest_snapshot_id", LongType))))
+  }
+
   def apply(t: IceTable, name: String): DataFrame = name.toLowerCase match {
     case "snapshots" => snapshots(t)
     case "refs" => refsTable(t)
+    case "metadata_log_entries" => metadataLogEntries(t)
     case "history" => history(t)
     case "manifests" => manifests(t)
     case "all_manifests" => allManifests(t)

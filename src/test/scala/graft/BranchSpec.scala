@@ -188,6 +188,44 @@ class BranchSpec extends AnyFunSuite {
     assert(t.snapshots.map(_.snapshotId).toSet === ancestry.take(2).toSet)
   }
 
+  test("DataFrame options: read branch/tag, write to branch") {
+    val wh = Files.createTempDirectory("graft-branch-opt-").toString
+    spark.conf.set("spark.sql.catalog.gbo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbo.warehouse", wh)
+    evens.createOrReplaceTempView("branch_opt_evens")
+    spark.sql("CREATE TABLE gbo.db.c AS SELECT * FROM branch_opt_evens")
+    val loc = s"$wh/db/c"
+    val t = IceTable.load(spark, loc)
+    t.createBranch("dev")
+    t.createTag("v1")
+    // write-to-branch via writeTo option; main untouched
+    odds.writeTo("gbo.db.c").option("branch", "dev").append()
+    assert(spark.read.format("graft").load(loc).count() === evens.count())
+    assert(spark.read.format("graft").option("branch", "dev").load(loc).count()
+      === customer.count())
+    assert(spark.read.format("graft").option("tag", "v1").load(loc).count()
+      === evens.count())
+    assert(spark.read.format("graft").option("branch", "main").load(loc).count()
+      === evens.count())
+    intercept[Exception](
+      spark.read.format("graft").option("branch", "nope").load(loc).count())
+    // overwrite cannot target a branch
+    intercept[Exception](
+      odds.writeTo("gbo.db.c").option("branch", "dev").overwritePartitions())
+  }
+
+  test("metadata_log_entries lists prior metadata versions") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(customer.schema))
+    t.append(evens)
+    t.append(odds)
+    val log = t.metadataTable("metadata_log_entries").collect()
+    assert(log.length >= 2) // create + first append at least
+    assert(log.forall(_.getString(1).contains("metadata")))
+    // the latest entry resolves to a snapshot that existed at that time
+    assert(log.last.get(2) != null)
+  }
+
   test("refs round-trip through metadata JSON") {
     val t = IceTable.create(spark, tmpLoc(), Schema.fresh(customer.schema))
     t.append(evens)
