@@ -214,8 +214,12 @@ object GraftSqlParser {
           val (rw, add) = strategy match {
             case "binpack" if sortSpec.isEmpty => t.rewriteDataFiles(target)
             case "sort" | "binpack" => t.rewriteDataFilesSorted(target, sortSpec)
+            case "zorder" => t.rewriteDataFilesZOrder(
+              sortSpec.getOrElse(throw new IllegalArgumentException(
+                "zorder needs sort_order => 'colA,colB'"))
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq, target)
             case other => throw new IllegalArgumentException(
-              s"Unknown rewrite strategy: $other (binpack|sort)")
+              s"Unknown rewrite strategy: $other (binpack|sort|zorder)")
           }
           Seq(Row(rw.toLong, add.toLong))
         })

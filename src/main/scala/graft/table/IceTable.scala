@@ -124,6 +124,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
   def rewriteDataFilesSorted(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       sortOrderSpec: Option[String] = None): (Int, Int) =
     Maintenance.rewriteDataFilesSorted(this, targetSizeBytes, sortOrderSpec)
+  def rewriteDataFilesZOrder(zCols: Seq[String],
+      targetSizeBytes: Long = TableProperties.TargetFileSizeDefault): (Int, Int) =
+    Maintenance.rewriteDataFilesZOrder(this, zCols, targetSizeBytes)
   def rewriteManifests(): Int = Maintenance.rewriteManifests(this)
 
   def rewritePositionDeleteFiles(): (Int, Int) =

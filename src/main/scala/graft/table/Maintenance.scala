@@ -236,6 +236,114 @@ object Maintenance {
     * coalesce into one task and oversized files fan out across several, with
     * no shuffle either way. A group must have `minInputFiles` small files or
     * any oversized file to be rewritten. Returns (#rewritten, #added). */
+  /** Z-ORDER rewrite: cluster files on the bit-interleaving of several
+    * columns' ranks, so file metrics prune on EVERY z-ordered column rather
+    * than only a lexicographic sort's leading column. Each column is scaled
+    * to a 16-bit rank over uniform min..max buckets (bounds come free from
+    * file metrics when present, one agg job otherwise); ranks interleave
+    * into one z-value; one range exchange on the z-value clusters the
+    * rewrite. Everything is Column arithmetic — codegen'd, no UDF. Numeric
+    * and date/timestamp columns only (string ranges don't bucket uniformly).
+    * Z-order post-dates the reference era — original surface, same role as
+    * later versions' zorder rewrite strategy. */
+  def rewriteDataFilesZOrder(table: IceTable, zCols: Seq[String],
+      targetSizeBytes: Long = TableProperties.TargetFileSizeDefault): (Int, Int) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    require(zCols.size >= 2, s"z-order needs >= 2 columns, got $zCols")
+    val m = table.meta
+    val schema = m.schema
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    zCols.foreach { c =>
+      schema.fieldType(schema.fieldId(c)) match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"z-order column $c has unsupported type ${other.catalogString} " +
+            "(numeric/date/timestamp only)")
+      }
+    }
+    val toRewriteEntries = table.liveEntries(m, snap)
+      .filter(_.dataFile.content == FileContent.Data)
+    val toRewrite = toRewriteEntries.map(_.dataFile)
+    if (toRewrite.isEmpty) return (0, 0)
+    val spark = table.spark
+
+    val nOut = math.max(1, math.ceil(
+      toRewrite.map(_.fileSizeBytes).sum.toDouble / targetSizeBytes).toInt)
+    val rangeSession = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
+    rangeSession.conf.set("spark.sql.shuffle.partitions", nOut.toString)
+    rangeSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Reads.readTasksWithDeletes(table, m,
+      toRewriteEntries.map(e =>
+        FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
+      table.newScan().planDeletes(), m.schema.columnNames,
+      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession))
+
+    // numeric view of a metrics bound value (internal repr per type)
+    def toD(v: Any): Option[Double] = v match {
+      case null => None
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case b: java.math.BigDecimal => Some(b.doubleValue())
+      case _ => None
+    }
+    // bounds per column: file metrics when every file has them, else one agg
+    val ids = zCols.map(schema.fieldId)
+    val metricBounds: Seq[Option[(Double, Double)]] = ids.map { id =>
+      val los = toRewrite.map(f => f.lowerBounds.get(id).flatMap(toD))
+      val his = toRewrite.map(f => f.upperBounds.get(id).flatMap(toD))
+      if (los.forall(_.isDefined) && his.forall(_.isDefined))
+        Some((los.flatten.min, his.flatten.max))
+      else None
+    }
+    val bounds: Seq[(Double, Double)] =
+      if (metricBounds.forall(_.isDefined)) metricBounds.flatten
+      else {
+        val aggs = zCols.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double"))))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        zCols.indices.map { i =>
+          (Option(row.get(2 * i)).map(_.asInstanceOf[Double]).getOrElse(0.0),
+            Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0))
+        }
+      }
+
+    // 16-bit rank per column (nulls -> bucket 0), interleaved: bit i of
+    // column j lands at position i*nCols + j of the z-value
+    val bitsPer = 16
+    val maxRank = (1 << bitsPer) - 1
+    def rank(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      when(col(c).isNull, lit(0L)).otherwise(
+        least(lit(maxRank.toLong), greatest(lit(0L),
+          (((col(c).cast("double") - lo) / span) * maxRank).cast("long"))))
+    }
+    val n = zCols.size
+    val ranks = zCols.zip(bounds).map { case (c, (lo, hi)) => rank(c, lo, hi) }
+    val zval = (0 until bitsPer).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+
+    // suppress the table sort order for this write: the z-clustering IS the
+    // layout, a declared lexicographic order would destroy it
+    val mm = m.copy(sortOrders = Seq(SortOrderMeta.unsorted), defaultSortOrderId = 0)
+    val zc = df.withColumn("_gf_z", zval)
+    val clustered = zc.repartitionByRange(nOut, col("_gf_z"))
+      .sortWithinPartitions("_gf_z")
+    val written = Writes.writeDataFiles(spark, table, mm, clustered,
+      overrides = Map(TableProperties.DistributionMode -> "none"))
+      .filter(_.recordCount > 0)
+    table.commitSnapshot(Operation.Replace, written,
+      toRewrite.map(_.path).toSet,
+      Map("compaction" -> "zorder", "zorder-columns" -> zCols.mkString(",")),
+      removedMeta = toRewrite)
+    (toRewrite.size, written.size)
+  }
+
   def rewriteDataFiles(table: IceTable,
       targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       minInputFiles: Int = 2,

@@ -112,6 +112,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sortedKeys.toSet === orders.select("o_orderkey").collect().map(_.getLong(0)).toSet)
   }
 
+  test("z-order rewrite makes BOTH dimensions prunable; rows unchanged") {
+    val loc = tmpLoc()
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
+    // interleaved appends: every file spans the full range of both columns
+    (0 until 4).foreach(i =>
+      t.append(orders.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    val total = t.toDF.count()
+    val before = t.newScan().planFiles().size
+    val kr = orders.agg(min("o_orderkey"), max("o_orderkey"),
+      min("o_custkey"), max("o_custkey")).head()
+    val kMid = (kr.getLong(0) + kr.getLong(1)) / 2
+    val cMid = (kr.getLong(2) + kr.getLong(3)) / 2
+    def pruned(kHi: Boolean, cHi: Boolean): Int = {
+      import graft.meta.expr.Exprs._
+      t.newScan().filter(and(
+        if (kHi) greaterThan("o_orderkey", kMid) else lessThan("o_orderkey", kMid),
+        if (cHi) greaterThan("o_custkey", cMid) else lessThan("o_custkey", cMid)))
+        .planFiles().size
+    }
+    assert(pruned(kHi = true, cHi = true) === before) // nothing prunable yet
+
+    val (rw, added) = t.rewriteDataFilesZOrder(
+      Seq("o_orderkey", "o_custkey"), targetSizeBytes = 16L * 1024)
+    assert(rw === before)
+    assert(added >= 4)
+    assert(t.toDF.count() === total)
+    assert(t.currentSnapshot.get.summary("compaction") === "zorder")
+    val after = t.newScan().planFiles().size
+    // every quadrant predicate prunes files — that is the z-order property
+    // a lexicographic sort cannot give (its trailing column never prunes)
+    Seq((true, true), (true, false), (false, true), (false, false)).foreach {
+      case (k, c) => assert(pruned(k, c) < after,
+        s"quadrant (kHi=$k,cHi=$c) did not prune: ${pruned(k, c)} of $after")
+    }
+    // content identical to the pre-rewrite table
+    assert(t.toDF.exceptAll(orders).count() === 0)
+    assert(orders.exceptAll(t.toDF).count() === 0)
+    // unsupported column type fails loudly
+    intercept[IllegalArgumentException](
+      t.rewriteDataFilesZOrder(Seq("o_orderkey", "o_orderstatus")))
+  }
+
+  test("z-order rewrite via CALL procedure") {
+    val loc = tmpLoc()
+    spark.conf.set("spark.sql.catalog.gzo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gzo.warehouse",
+      Files.createTempDirectory("graft-zowh-").toString)
+    spark.sql("CREATE TABLE gzo.db.t (a BIGINT, b BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gzo.db.t SELECT CAST(id * 37 % 1000 AS BIGINT), " +
+      "CAST(id * 53 % 1000 AS BIGINT), CAST(id AS DOUBLE) FROM range(2000)")
+    spark.sql("INSERT INTO gzo.db.t SELECT CAST(id * 11 % 1000 AS BIGINT), " +
+      "CAST(id * 7 % 1000 AS BIGINT), CAST(id AS DOUBLE) FROM range(2000)")
+    val res = spark.sql(
+      "CALL gzo.system.rewrite_data_files(table => 'db.t', strategy => 'zorder', " +
+        "sort_order => 'a,b', target_file_size_bytes => 16384)").head()
+    assert(res.getLong(0) >= 2)
+    assert(spark.sql("SELECT count(*) FROM gzo.db.t").head().getLong(0) === 4000)
+  }
+
   test("sort rewrite via CALL uses the declared table sort order") {
     val loc = tmpLoc()
     spark.conf.set("spark.sql.catalog.gsort", "graft.spark.GraftCatalog")
