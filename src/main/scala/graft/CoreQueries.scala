@@ -463,6 +463,28 @@ object CoreQueries {
       val branch = tbl.newScan().useRef("audit").toDF
         .withColumn("side", lit("branch"))
       main.unionByName(branch).orderBy("side", "k")
+    }),
+
+    // Q35 ANALYZE (compute_table_stats): the one-pass column profile's EXACT
+    // components — row count and per-column null counts — surfaced from the
+    // persisted snapshot-pinned stats file (NDV is an HLL++ estimate, so it
+    // is gated by StatsSpec tolerance tests instead of a hash oracle)
+    "q35_table_stats" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q35").toString
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_mktsegment"))
+            .as("seg"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/t",
+        graft.meta.Schema.fresh(base.schema))
+      tbl.append(base)
+      val ref = tbl.computeStats()
+      val (rowCount, stats) = graft.table.TableStats.read(tbl.io, ref.path)
+      val schema = tbl.meta.schema
+      import s.implicits._
+      stats.map(st => (schema.fieldName(st.fieldId), st.nullCount, rowCount))
+        .toDF("colname", "null_count", "row_count")
+        .orderBy("colname")
     })
   )
 
@@ -613,6 +635,15 @@ object CoreQueries {
         "FROM customer WHERE c_custkey % 2 = 0 " +
         "UNION ALL SELECT c_custkey AS k, c_mktsegment AS seg, 'branch' AS side " +
         "FROM customer " +
-        "ORDER BY side, k")
+        "ORDER BY side, k"),
+    "q35_table_stats" ->
+      ("WITH src AS (SELECT c_custkey AS k, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg " +
+        "FROM customer) " +
+        "SELECT 'k' AS colname, count(*) - count(k) AS null_count, " +
+        "count(*) AS row_count FROM src " +
+        "UNION ALL SELECT 'seg' AS colname, count(*) - count(seg) AS null_count, " +
+        "count(*) AS row_count FROM src " +
+        "ORDER BY colname")
   )
 }

@@ -164,6 +164,24 @@ object LlmQueries {
         .select(col("doc_id"), col("meta.size_bytes").as("size_bytes"),
           col("meta.checksum").as("checksum"))
         .orderBy("doc_id")
+    }),
+
+    // sequence packing: bin documents into 80-token training sequences
+    // (shard-local FFD — llm/Packing.scala). Bin ASSIGNMENT is shard-layout-
+    // dependent, so the oracled result is the exact conservation profile:
+    // every doc packed exactly once, token totals preserved, budget held
+    "llm_packing" -> ((s, d) => {
+      val budget = 80
+      val packed = graft.llm.Packing.packSequences(
+        docs(s, d), "doc_id", TextOps.tokenCount(col("text")), budget, shards = 8)
+      val bins = graft.llm.Packing.packedBins(packed, budget)
+      bins.agg(
+        sum("n_docs").cast("long").as("n_docs"),
+        sum("bin_tokens").cast("long").as("total_tokens"),
+        sum(when(col("oversized"), col("n_docs")).otherwise(lit(0L)))
+          .cast("long").as("oversized_docs"),
+        (coalesce(max(when(!col("oversized"), col("bin_tokens"))), lit(0L))
+          <= budget).as("within_budget"))
     })
   )
 
@@ -273,7 +291,13 @@ object LlmQueries {
       "llm_mm_meta" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, " +
           "substr(lower(hex(encode(text))), 1, 8) AS checksum " +
-          "FROM documents ORDER BY doc_id")
+          "FROM documents ORDER BY doc_id"),
+      "llm_packing" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(CASE WHEN len(string_split(lower(text), ' ')) > 80 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS oversized_docs, " +
+          "TRUE AS within_budget FROM documents")
       // llm_dedup_simhash / llm_ann_lsh: hash-family-specific → rows-only
     )
   }

@@ -306,6 +306,15 @@ object JsonCodecs {
         r.maxRefAgeMs.foreach(o.put("max-ref-age-ms", _))
       }
     }
+    if (m.statsFiles.nonEmpty) {
+      val st = node.putArray("statistics")
+      m.statsFiles.foreach { f =>
+        st.addObject()
+          .put("snapshot-id", f.snapshotId)
+          .put("statistics-path", f.path)
+          .put("file-size-in-bytes", f.fileSizeBytes)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
@@ -355,6 +364,12 @@ object JsonCodecs {
           minSnapshotsToKeep = Option(o.get("min-snapshots-to-keep")).map(_.asInt),
           maxSnapshotAgeMs = Option(o.get("max-snapshot-age-ms")).map(_.asLong),
           maxRefAgeMs = Option(o.get("max-ref-age-ms")).map(_.asLong))
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      statsFiles = Option(n.get("statistics")).map(_.elements.asScala.map { e =>
+        StatsFileMeta(
+          snapshotId = e.get("snapshot-id").asLong,
+          path = e.get("statistics-path").asText,
+          fileSizeBytes = e.get("file-size-in-bytes").asLong)
+      }.toSeq).getOrElse(Nil))
   }
 }

@@ -97,6 +97,25 @@ final case class SortOrderMeta(orderId: Int, fields: Seq[SortFieldMeta])
     extends Serializable
 object SortOrderMeta { val unsorted: SortOrderMeta = SortOrderMeta(0, Nil) }
 
+/** Table-level column statistics for the CBO, persisted per snapshot (ref-era
+  * tables had only per-file metrics; modeled on the published table-format
+  * spec's `statistics` list of sketch files). `distinctCount` is an HLL++
+  * estimate (`approx_count_distinct`), the rest are exact — all computed in
+  * ONE distributed pass by [[graft.table.TableStats]]. */
+final case class ColumnStatMeta(
+    fieldId: Int,
+    distinctCount: Long,
+    nullCount: Long,
+    avgLen: Option[Long] = None,
+    maxLen: Option[Long] = None) extends Serializable
+
+/** Pointer from table metadata to a stats file: stats are valid only for
+  * reads of exactly `snapshotId` (appends change every column's profile). */
+final case class StatsFileMeta(
+    snapshotId: Long,
+    path: String,
+    fileSizeBytes: Long) extends Serializable
+
 final case class SnapshotLogEntry(timestampMillis: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMillis: Long, file: String)
 
@@ -139,7 +158,8 @@ final case class TableMetadata(
     snapshots: Seq[SnapshotMeta],
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
-    refs: Map[String, SnapshotRefMeta] = Map.empty) extends Serializable {
+    refs: Map[String, SnapshotRefMeta] = Map.empty,
+    statsFiles: Seq[StatsFileMeta] = Nil) extends Serializable {
 
   def schema: Schema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: PartitionSpec = specs.find(_.specId == defaultSpecId).get

@@ -737,13 +737,60 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
       streamSkipDeletes, maxFilesPerTrigger)
 
+  /** The snapshot this scan reads (explicit pin > time travel > current). */
+  private def effectiveSnapshotId: Option[Long] = {
+    val m = table.meta
+    snapshotId
+      .orElse(asOfMillis.flatMap(ts => m.snapshotAsOf(ts).map(_.snapshotId)))
+      .orElse(m.currentSnapshotId)
+  }
+
+  /** Column stats from the snapshot-pinned stats file (if ANALYZE ran for
+    * exactly this snapshot) for the projected columns, keyed the way
+    * `DataSourceV2Relation.transformV2Stats` matches attributes. NDV /
+    * null counts are table-level (not scaled by pruning) — same contract
+    * as per-attribute catalog stats, and what join-order estimation wants. */
+  private lazy val reportedColumnStats
+      : java.util.Map[NamedReference, org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    for {
+      snap <- effectiveSnapshotId
+      stats <- graft.table.TableStats.forSnapshot(table, snap)
+    } {
+      val idToName = table.meta.schema.idToName
+      val projected = projection.fieldNames.toSet
+      stats.foreach { s =>
+        idToName.get(s.fieldId).filter(projected.contains).foreach { name =>
+          out.put(Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(s.distinctCount)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(s.nullCount)
+              override def avgLen(): java.util.OptionalLong =
+                s.avgLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty)
+              override def maxLen(): java.util.OptionalLong =
+                s.maxLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty)
+            })
+        }
+      }
+    }
+    out
+  }
+
   override def estimateStatistics(): Statistics = {
     val t = tasks
     val bytes = t.map(_.file.fileSizeBytes).sum
     val rows = t.map(_.file.recordCount).sum
+    val cols = reportedColumnStats
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
   }
 

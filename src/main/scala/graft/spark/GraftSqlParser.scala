@@ -234,6 +234,18 @@ object GraftSqlParser {
           val (rw, add) = resolve(spark, tableArg).rewritePositionDeleteFiles()
           Seq(Row(rw.toLong, add.toLong))
         })
+      case "compute_table_stats" =>
+        // ANALYZE: one distributed pass → snapshot-pinned stats file the
+        // scan reports to the CBO (TableStats.scala)
+        GraftCallCommand(proc, Seq(attr("statistics_file", StringType),
+          attr("analyzed_columns_count", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val cols = named.get("columns").map(_.toString)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          val ref = graft.table.TableStats.compute(t, cols)
+          val n = graft.table.TableStats.read(t.io, ref.path)._2.size
+          Seq(Row(ref.path, n.toLong))
+        })
       case "remove_dangling_deletes" =>
         GraftCallCommand(proc,
           Seq(attr("removed_delete_files_count", LongType)), { spark =>

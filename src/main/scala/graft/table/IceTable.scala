@@ -133,6 +133,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     Maintenance.rewritePositionDeleteFiles(this)
 
   def removeDanglingDeletes(): Int = Maintenance.removeDanglingDeletes(this)
+
+  /** ANALYZE: one-pass column NDV/null profile of the current snapshot,
+    * persisted for the CBO ([[TableStats]]). */
+  def computeStats(columns: Seq[String] = Nil): graft.meta.model.StatsFileMeta =
+    TableStats.compute(this, columns)
   def deleteReachableFiles(): (Long, Long) = Maintenance.deleteReachableFiles(this)
 
   /** Overwrite rows matching `filter` with `df` (copy-on-write; ref
@@ -634,6 +639,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
 
       var removedCount = 0
       var removedRows = 0L
+      var removedBytes = 0L
       val keptManifests: Seq[ManifestFileMeta] =
         if (removedNorm.isEmpty) currentManifests
         else {
@@ -656,6 +662,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
                 else {
                   removedCount += rm.size
                   removedRows += rm.map(_.dataFile.recordCount).sum
+                  removedBytes += rm.map(_.dataFile.fileSizeBytes).sum
                   if (keep.isEmpty) None
                   else {
                     val spec = base.specById(mf.specId)
@@ -688,13 +695,28 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"
       io.writeString(listPath, JsonCodecs.manifestListToJson(allManifests, schema, base.specById))
 
+      // running totals (ref SnapshotSummary total-records/total-files-size):
+      // carried forward from the head so writes can derive the table's
+      // on-disk row width without reading any manifest. A pre-counter head
+      // snapshot has no baseline — totals resume once history rolls over.
+      val addedBytes = added.map(_.fileSizeBytes).sum
+      val addedRecords = added.map(_.recordCount).sum
+      def carried(key: String, delta: Long): Option[(String, String)] = headSnap match {
+        case None => Some(key -> delta.toString)
+        case Some(h) => h.summary.get(key).flatMap(_.toLongOption)
+          .map(prev => key -> (prev + delta).toString)
+      }
       val summary = Map(
         "added-data-files" -> added.size.toString,
-        "added-records" -> added.map(_.recordCount).sum.toString,
+        "added-records" -> addedRecords.toString,
+        "added-files-size" -> addedBytes.toString,
         "deleted-data-files" -> removedCount.toString,
         "deleted-records" -> removedRows.toString,
+        "removed-files-size" -> removedBytes.toString,
         "total-data-files" -> (allManifests.map(f =>
-          f.addedFilesCount + f.existingFilesCount).sum).toString) ++ extraSummary
+          f.addedFilesCount + f.existingFilesCount).sum).toString) ++
+        carried("total-records", addedRecords - removedRows) ++
+        carried("total-files-size", addedBytes - removedBytes) ++ extraSummary
 
       val snap = SnapshotMeta(snapId, headSnap.map(_.snapshotId), seq, nowMs,
         op, summary, listPath)
@@ -1234,9 +1256,28 @@ private[table] object Writes {
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = s"${table.location}/data/${UUID.randomUUID()}"
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
+    // Roll output files at ~write.target-file-size-bytes (ref rolling file
+    // writers, `TableProperties.java:145`): Spark rolls by RECORD count, so
+    // convert the byte target through the table's observed on-disk row width
+    // (the snapshot summary's running total-files-size / total-records —
+    // zero extra IO). A 1000-executor job writing one hot partition then
+    // emits ~target-size files instead of one monolith. An empty table (or
+    // pre-counter history) has no width estimate and keeps Spark's default
+    // of one file per task.
+    val maxRecords: Option[Long] = for {
+      snap <- m.currentSnapshot
+      bytes <- snap.summary.get("total-files-size").flatMap(_.toLongOption)
+      rows <- snap.summary.get("total-records").flatMap(_.toLongOption)
+      if rows > 0 && bytes > 0
+      targetBytes = prop(TableProperties.TargetFileSize,
+        TableProperties.TargetFileSizeDefault.toString).toLong
+    } yield math.max(1L, targetBytes / math.max(1L, bytes / rows))
+    def withRolling(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n))
 
     if (spec.isUnpartitioned) {
-      sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)).save(outDir)
+      withRolling(sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)))
+        .save(outDir)
     } else {
       val helperCols = spec.fields.map { pf =>
         val srcName = schema.fieldName(pf.sourceId)
@@ -1255,8 +1296,8 @@ private[table] object Writes {
           (helperNames.map(col) ++ sortCols(m, schema)): _*)
         case _ => withHelpers
       }
-      sorted(m, schema, distributed, helperNames)
-        .write.partitionBy(helperNames: _*).format(sparkFormat(format)).save(outDir)
+      withRolling(sorted(m, schema, distributed, helperNames)
+        .write.partitionBy(helperNames: _*).format(sparkFormat(format))).save(outDir)
     }
     collectDataFiles(spark, table, m, outDir, format)
   }

@@ -70,14 +70,18 @@ object Maintenance {
     if (expired.isEmpty && deadRefs.isEmpty) return (0, 0L, 0L)
     val expiredIds = expired.map(_.snapshotId).toSet
 
+    // stats files are snapshot-pinned: expire the entry with its snapshot
+    val expiredStats = before.statsFiles.filter(f => expiredIds.contains(f.snapshotId))
     table.ops.commitWithRetry(4) { base =>
       val keep = base.snapshots.filterNot(s => expiredIds.contains(s.snapshotId))
       base.copy(
         snapshots = keep,
         snapshotLog = base.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
         refs = base.refs -- deadRefs.keys,
+        statsFiles = base.statsFiles.filterNot(f => expiredIds.contains(f.snapshotId)),
         lastUpdatedMillis = System.currentTimeMillis())
     }
+    expiredStats.foreach(f => table.io.delete(f.path))
     if (expired.isEmpty) return (0, 0L, 0L)
 
     val after = table.meta
@@ -115,6 +119,7 @@ object Maintenance {
       if (table.io.delete(p)) metaDeleted += 1)
     m.snapshots.foreach(s => if (table.io.delete(s.manifestList)) metaDeleted += 1)
     m.metadataLog.foreach(e => if (table.io.delete(e.file)) metaDeleted += 1)
+    m.statsFiles.foreach(f => if (table.io.delete(f.path)) metaDeleted += 1)
     table.io.deleteRecursive(table.location)
     (dataDeleted, metaDeleted)
   }
@@ -335,7 +340,8 @@ object Maintenance {
     val clustered = zc.repartitionByRange(nOut, col("_gf_z"))
       .sortWithinPartitions("_gf_z")
     val written = Writes.writeDataFiles(spark, table, mm, clustered,
-      overrides = Map(TableProperties.DistributionMode -> "none"))
+      overrides = Map(TableProperties.DistributionMode -> "none",
+        TableProperties.TargetFileSize -> targetSizeBytes.toString))
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Replace, written,
       toRewrite.map(_.path).toSet,
@@ -388,7 +394,8 @@ object Maintenance {
         FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
       table.newScan().planDeletes(), m.schema.columnNames,
       graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
-    val written = Writes.writeDataFiles(spark, table, m, df)
+    val written = Writes.writeDataFiles(spark, table, m, df,
+      overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString))
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Replace, written,
       toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"),
@@ -456,8 +463,10 @@ object Maintenance {
       if (m.spec.isUnpartitioned) df.repartitionByRange(nOut, sortCols: _*)
       else df // partitioned: writeDataFiles' range mode shuffles once
     val written = Writes.writeDataFiles(spark, table, mm, clustered,
-      overrides = Map(TableProperties.DistributionMode -> (
-        if (m.spec.isUnpartitioned) "none" else "range")))
+      overrides = Map(
+        TableProperties.DistributionMode -> (
+          if (m.spec.isUnpartitioned) "none" else "range"),
+        TableProperties.TargetFileSize -> targetSizeBytes.toString))
       .filter(_.recordCount > 0)
       .map(f => f.copy(sortOrderId = order.orderId))
     table.commitSnapshot(Operation.Replace, written,

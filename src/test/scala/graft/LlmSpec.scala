@@ -290,4 +290,34 @@ class LlmSpec extends AnyFunSuite {
       .groupBy("p").count().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
   }
+
+  test("sequence packing: every doc once, budget held, oversized isolated") {
+    val budget = 80
+    val packed = graft.llm.Packing.packSequences(
+      docs, "doc_id", TextOps.tokenCount(col("text")), budget, shards = 4).cache()
+    try {
+      // every document lands in exactly one bin
+      assert(packed.count() === docs.count())
+      assert(packed.select("id").distinct().count() === docs.count())
+      val bins = graft.llm.Packing.packedBins(packed, budget).cache()
+      // no regular bin exceeds the budget
+      assert(bins.filter(!col("oversized") && col("bin_tokens") > budget).count() === 0)
+      // oversized docs sit alone, and only docs over the budget are marked
+      assert(bins.filter(col("oversized") && col("n_docs") =!= 1).count() === 0)
+      val oversized = packed.filter(col("oversized")).count()
+      val actualOver = docs.filter(TextOps.tokenCount(col("text")) > budget).count()
+      assert(oversized === actualOver)
+      // FFD on this corpus should fill regular bins reasonably well
+      val fill = bins.filter(!col("oversized"))
+        .agg(avg("fill_ratio")).collect()(0).getDouble(0)
+      assert(fill >= 0.6, s"mean fill ratio $fill too low for FFD")
+    } finally { packed.unpersist(); }
+  }
+
+  test("sequence packing is deterministic across runs") {
+    val pack = () => graft.llm.Packing.packSequences(
+        docs, "doc_id", TextOps.tokenCount(col("text")), 80, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pack() === pack())
+  }
 }
