@@ -254,7 +254,10 @@ final class GraftFilteredVector(base: ColumnVector, map: Array[Int])
     while (i < map.length) { if (base.isNullAt(map(i))) c += 1; i += 1 }
     c
   }
-  override def hasNull: Boolean = numNulls > 0
+  // conservative O(1): survivors can't have nulls the base lacks, and a
+  // false positive only routes readers through their null-checking path —
+  // the exact count would cost an O(rows) pass per column per batch
+  override def hasNull: Boolean = base.hasNull
   override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
   override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
   override def getByte(i: Int): Byte = base.getByte(map(i))

@@ -106,7 +106,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
-    "all_data_files", "all_files", "partitions", "refs", "metadata_log_entries")
+    "all_data_files", "all_files", "partitions", "refs", "metadata_log_entries",
+    "statistics")
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {

@@ -186,6 +186,33 @@ object MetadataTables {
     case "files" | "data_files" => files(t)
     case "all_data_files" | "all_files" => allFiles(t)
     case "partitions" => partitions(t)
+    case "statistics" => statistics(t)
     case other => throw new IllegalArgumentException(s"Unknown metadata table: $other")
+  }
+
+  /** ANALYZE output, one row per profiled column per stats file (the
+    * published spec's `statistics` metadata table, flattened). */
+  def statistics(t: IceTable): DataFrame = {
+    val m = t.meta
+    val schema = m.schema
+    val rows = m.statsFiles.flatMap { f =>
+      val (rowCount, stats) = TableStats.read(t.io, f.path)
+      stats.map(s => Row(f.snapshotId, f.path, f.fileSizeBytes, rowCount,
+        s.fieldId, schema.idToName.get(s.fieldId).orNull, s.distinctCount,
+        s.nullCount, s.avgLen.map(Long.box).orNull, s.maxLen.map(Long.box).orNull))
+    }
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("statistics_path", StringType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("field_id", IntegerType, nullable = false),
+        StructField("column_name", StringType),
+        StructField("distinct_count", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = false),
+        StructField("avg_len", LongType),
+        StructField("max_len", LongType))))
   }
 }

@@ -109,6 +109,16 @@ class StatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("statistics metadata table flattens the persisted profile") {
+    val t = IceTable.create(spark, tmpLoc(), Schema.fresh(sample().schema))
+    t.append(sample())
+    t.computeStats(Seq("cat", "name"))
+    val rows = t.metadataTable("statistics")
+      .select("column_name", "null_count", "row_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(("cat", 0L, 1000L), ("name", 100L, 1000L)))
+  }
+
   test("expiring the analyzed snapshot drops its stats entry and file") {
     val t = IceTable.create(spark, tmpLoc(), Schema.fresh(sample().schema))
     t.append(sample())
