@@ -182,6 +182,27 @@ object LlmQueries {
           .cast("long").as("oversized_docs"),
         (coalesce(max(when(!col("oversized"), col("bin_tokens"))), lit(0L))
           <= budget).as("within_budget"))
+    }),
+
+    // deterministic training-mix resampling: per-language rates, integer-
+    // arithmetic keep/copy decision → byte-exact across engines (the oracle
+    // replays the same residue formula in SQL)
+    "llm_mix_sampling" -> ((s, d) => {
+      graft.llm.Sampling.sampleByDomain(
+          docs(s, d).select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 1.5, "fr" -> 0.25, "zh" -> 0.0),
+          defaultWeight = 0.5, seed = 7L)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // int8-quantized ANN with exact rescore: ranking scan over 4×-smaller
+    // codes, exact cosine only on k×4 survivors. Quantization rounding is
+    // representation-specific → rows-only here; recall gate in LlmSpec
+    "llm_ann_int8" -> ((s, d) => {
+      Similarity.quantizedTopK(embs(s, d), "vec_id", "embedding",
+          AnnQueryIds, k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -297,8 +318,18 @@ object LlmQueries {
           "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens, " +
           "CAST(sum(CASE WHEN len(string_split(lower(text), ' ')) > 80 " +
           "THEN 1 ELSE 0 END) AS BIGINT) AS oversized_docs, " +
-          "TRUE AS within_budget FROM documents")
-      // llm_dedup_simhash / llm_ann_lsh: hash-family-specific → rows-only
+          "TRUE AS within_budget FROM documents"),
+      "llm_mix_sampling" ->
+        ("WITH w AS (SELECT doc_id, lang, " +
+          "CASE lang WHEN 'en' THEN 1.5 WHEN 'fr' THEN 0.25 " +
+          "WHEN 'zh' THEN 0.0 ELSE 0.5 END AS wt FROM documents), " +
+          "c AS (SELECT doc_id, lang, CAST(floor(wt) + " +
+          "CASE WHEN (doc_id * 48271 + 7) % 65536 < (wt - floor(wt)) * 65536 " +
+          "THEN 1 ELSE 0 END AS INT) AS copies FROM w) " +
+          "SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS copy " +
+          "FROM c WHERE copies > 0 ORDER BY doc_id, copy")
+      // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8: hash-family- or
+      // quantization-specific → rows-only
     )
   }
 }

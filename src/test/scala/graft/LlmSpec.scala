@@ -314,6 +314,46 @@ class LlmSpec extends AnyFunSuite {
     } finally { packed.unpersist(); }
   }
 
+  test("int8-quantized ANN recall@5 vs exact brute force") {
+    val embs = Tables.load(spark, sf001, "embeddings")
+    val qids = LlmQueries.AnnQueryIds
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(embs, "vec_id", "embedding", qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9")
+  }
+
+  test("int8 quantization bounds codes and preserves scale sign") {
+    val embs = Tables.load(spark, sf001, "embeddings")
+    val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    val bad = q.filter(exists(col("codes"), c => abs(c) > 127) || col("qscale") <= 0)
+    assert(bad.count() === 0)
+  }
+
+  test("mix sampling: zero-weight drops, >1 upsamples, deterministic") {
+    val out = graft.llm.Sampling.sampleByDomain(
+      docs.select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 1.5, "fr" -> 0.25, "zh" -> 0.0), defaultWeight = 1.0, seed = 7L)
+    assert(out.filter(col("lang") === "zh").count() === 0)
+    val perEn = out.filter(col("lang") === "en").groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(perEn.subsetOf(Set(1L, 2L)), s"en copies should be 1 or 2: $perEn")
+    val nEn = docs.filter(col("lang") === "en").count()
+    val sampledEn = out.filter(col("lang") === "en").count()
+    // 1.5× rate: expect ~1.5 copies per doc; residues are near-uniform
+    assert(sampledEn > nEn && sampledEn < 2 * nEn)
+    // default weight 1.0 keeps every doc of unlisted domains exactly once
+    val de = out.filter(col("lang") === "de")
+    assert(de.count() === docs.filter(col("lang") === "de").count())
+    assert(de.agg(max("copy")).collect()(0).getInt(0) === 0)
+    val rerun = graft.llm.Sampling.sampleByDomain(
+      docs.select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 1.5, "fr" -> 0.25, "zh" -> 0.0), defaultWeight = 1.0, seed = 7L)
+    assert(rerun.count() === out.count())
+  }
+
   test("sequence packing is deterministic across runs") {
     val pack = () => graft.llm.Packing.packSequences(
         docs, "doc_id", TextOps.tokenCount(col("text")), 80, shards = 4)
