@@ -108,6 +108,19 @@ class GraftJdbcCatalog extends GraftCatalog {
       location, replace, () => evictIce(cacheKey(ident)))
   }
 
+  /** Register an EXISTING table (its current metadata JSON file) under this
+    * catalog — the pointer insert is the whole operation; data and metadata
+    * files stay where they are (ref metastore catalogs' registerTable).
+    * False when the name is taken. */
+  def registerTable(ident: Identifier, metadataLocation: String): Boolean = {
+    val meta = graft.meta.model.JsonCodecs.tableMetadataFromJson(
+      io.readString(metadataLocation))
+    val version = "v(\\d+)".r.findFirstMatchIn(
+      metadataLocation.split('/').last).map(_.group(1).toInt).getOrElse(1)
+    store.insertPointer(ns(ident.namespace()), ident.name(), meta.location,
+      version, metadataLocation)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     store.getPointer(ns(ident.namespace()), ident.name()) match {
       case None => false

@@ -234,6 +234,33 @@ object GraftSqlParser {
           val (rw, add) = resolve(spark, tableArg).rewritePositionDeleteFiles()
           Seq(Row(rw.toLong, add.toLong))
         })
+      case "register_table" =>
+        // register an EXISTING metadata file under a pointer-backed catalog
+        // (ref metastore catalogs' registerTable); files never move
+        GraftCallCommand(proc, Seq(attr("current_snapshot_id", LongType),
+          attr("total_records", LongType)), { spark =>
+          val loc = named.get("metadata_location").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException(
+              "register_table requires metadata_location")).toString
+          val parts = tableArg
+          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.drop(1).dropRight(1).toArray, parts.last)
+          val ok = spark.sessionState.catalogManager.catalog(parts.head) match {
+            case j: GraftJdbcCatalog => j.registerTable(ident, loc)
+            case h: GraftHiveCatalog => h.registerTable(ident, loc)
+            case other => throw new UnsupportedOperationException(
+              "register_table needs a pointer-backed catalog (jdbc or hive-metastore); " +
+                s"the filesystem catalog derives tables from their paths: ${other.getClass.getName}")
+          }
+          if (!ok) throw new IllegalStateException(
+            s"Table already exists: ${parts.mkString(".")}")
+          val m = graft.meta.model.JsonCodecs.tableMetadataFromJson(
+            new graft.table.FileIO(spark.sparkContext.hadoopConfiguration)
+              .readString(loc))
+          Seq(Row(m.currentSnapshotId.getOrElse(-1L),
+            m.currentSnapshot.flatMap(_.summary.get("total-records"))
+              .flatMap(_.toLongOption).getOrElse(-1L)))
+        })
       case "compute_table_stats" =>
         // ANALYZE: one distributed pass → snapshot-pinned stats file the
         // scan reports to the CBO (TableStats.scala)

@@ -122,6 +122,33 @@ class HiveCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 3L)
   }
 
+  test("register_table adopts a filesystem table without moving files") {
+    catalog
+    import spark.implicits._
+    // a plain filesystem-catalog table, created outside any metastore
+    val loc = s"$base/outside/regsrc"
+    val t = IceTable.create(spark, loc,
+      graft.meta.Schema.fresh(Seq((1L, "x")).toDF("id", "v").schema))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val metaLoc = s"$loc/metadata/v2.metadata.json"
+    assert(io.exists(metaLoc))
+    val out = spark.sql("CALL hv.system.register_table(table => 'db.adopted', " +
+      s"metadata_location => '$metaLoc')").collect()
+    assert(out.head.getLong(1) === 2L) // total_records from the summary
+    assert(spark.sql("SELECT count(*) c FROM hv.db.adopted").head().getLong(0) === 2L)
+    // commits now advance through the metastore pointer
+    spark.sql("INSERT INTO hv.db.adopted VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) c FROM hv.db.adopted").head().getLong(0) === 3L)
+    // HMS qualifies the location with a scheme; the path itself is unmoved
+    assert(store.getPointer("db", "adopted").get._3.stripPrefix("file:") === loc,
+      "registered table keeps its original location")
+    // double-register is refused
+    intercept[Exception] {
+      spark.sql("CALL hv.system.register_table(table => 'db.adopted', " +
+        s"metadata_location => '$metaLoc')").collect()
+    }
+  }
+
   test("a crashed pre-commit writer leaves an orphan file, never a wedged table") {
     catalog
     spark.sql("CREATE TABLE hv.db.orphan (id BIGINT)")

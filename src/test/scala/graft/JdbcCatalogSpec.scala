@@ -123,6 +123,20 @@ class JdbcCatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 3L)
   }
 
+  test("register_table adopts a filesystem table into the jdbc catalog") {
+    catalog
+    import spark.implicits._
+    val loc = s"$base/outside/regsrc"
+    val t = IceTable.create(spark, loc,
+      graft.meta.Schema.fresh(Seq((1L, "x")).toDF("id", "v").schema))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql("CALL grj.system.register_table(table => 'db.adopted', " +
+      s"metadata_location => '$loc/metadata/v2.metadata.json')").collect()
+    assert(spark.sql("SELECT count(*) c FROM grj.db.adopted").head().getLong(0) === 2L)
+    spark.sql("INSERT INTO grj.db.adopted VALUES (3, 'c')")
+    assert(store.getPointer("db", "adopted").get._1 === 3)
+  }
+
   test("a crashed pre-CAS commit leaves an orphan file, never a wedged table") {
     catalog
     spark.sql("CREATE TABLE grj.db.orphan (id BIGINT)")
