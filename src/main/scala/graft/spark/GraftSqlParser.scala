@@ -211,8 +211,18 @@ object GraftSqlParser {
             .getOrElse(graft.meta.model.TableProperties.TargetFileSizeDefault)
           val strategy = named.get("strategy").map(_.toString).getOrElse("binpack")
           val sortSpec = named.get("sort_order").map(_.toString)
+          // where => '<sql predicate>': compact only files that may match
+          val where = named.get("where").map(_.toString)
+            .map(sql => graft.table.SparkFilterConv.convert(
+              org.apache.spark.sql.graft.ColumnBridge.parseExpression(spark, sql)))
+            .getOrElse(graft.meta.expr.TrueExpr)
+          if (where != graft.meta.expr.TrueExpr &&
+              (strategy != "binpack" || sortSpec.nonEmpty))
+            throw new IllegalArgumentException(
+              "where is supported for the binpack strategy (sort/zorder re-cluster the whole table)")
           val (rw, add) = strategy match {
-            case "binpack" if sortSpec.isEmpty => t.rewriteDataFiles(target)
+            case "binpack" if sortSpec.isEmpty =>
+              t.rewriteDataFiles(target, filter = where)
             case "sort" | "binpack" => t.rewriteDataFilesSorted(target, sortSpec)
             case "zorder" => t.rewriteDataFilesZOrder(
               sortSpec.getOrElse(throw new IllegalArgumentException(

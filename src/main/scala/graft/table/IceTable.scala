@@ -118,9 +118,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     Maintenance.removeOrphanFiles(this, olderThanMillis)
   def rewriteDataFiles(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       minInputFiles: Int = 2, minFileSizeBytes: Long = -1,
-      maxFileSizeBytes: Long = -1): (Int, Int) =
+      maxFileSizeBytes: Long = -1,
+      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr): (Int, Int) =
     Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles,
-      minFileSizeBytes, maxFileSizeBytes)
+      minFileSizeBytes, maxFileSizeBytes, filter)
   def rewriteDataFilesSorted(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       sortOrderSpec: Option[String] = None): (Int, Int) =
     Maintenance.rewriteDataFilesSorted(this, targetSizeBytes, sortOrderSpec)

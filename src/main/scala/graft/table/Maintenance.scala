@@ -354,15 +354,27 @@ object Maintenance {
       targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       minInputFiles: Int = 2,
       minFileSizeBytes: Long = -1,
-      maxFileSizeBytes: Long = -1): (Int, Int) = {
+      maxFileSizeBytes: Long = -1,
+      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr): (Int, Int) = {
     val minSize = if (minFileSizeBytes > 0) minFileSizeBytes
       else (targetSizeBytes * 0.75).toLong // ref BinPackStrategy.java:96
     val maxSize = if (maxFileSizeBytes > 0) maxFileSizeBytes
       else (targetSizeBytes * 1.80).toLong // ref BinPackStrategy.java:107
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    // scoped compaction: `filter` restricts candidates to files that MAY
+    // hold matching rows, through the same partition/metrics pruning
+    // cascade as reads — at scale you compact the hot partition, not the
+    // table. File-level granularity: a selected file is rewritten whole.
+    val inScope: DataFileMeta => Boolean =
+      if (filter == graft.meta.expr.TrueExpr) _ => true
+      else {
+        val paths = table.newScan().useSnapshot(snap.snapshotId).filter(filter)
+          .planFiles().map(_.file.path).toSet
+        f => paths.contains(f.path)
+      }
     val entries = table.liveEntries(m, snap)
-      .filter(_.dataFile.content == FileContent.Data)
+      .filter(e => e.dataFile.content == FileContent.Data && inScope(e.dataFile))
     val groups = entries.groupBy(e => (e.dataFile.specId, e.dataFile.partition))
       .values.map { es =>
         val small = es.filter(_.dataFile.fileSizeBytes < minSize)

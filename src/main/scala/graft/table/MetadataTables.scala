@@ -3,7 +3,26 @@ package graft.table
 import graft.meta.model._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+
+/** One `entries`/`files` metadata-table row in encoder-friendly shape
+  * (top-level so the product Encoder derives; built driver- OR
+  * executor-side depending on manifest count). */
+final case class MetadataEntryRow(
+    status: Int,
+    snapshot_id: Long,
+    sequence_number: Long,
+    file_path: String,
+    file_format: String,
+    spec_id: Int,
+    partition: String,
+    record_count: Long,
+    file_size_in_bytes: Long,
+    value_counts: Map[Int, Long],
+    null_value_counts: Map[Int, Long],
+    lower_bounds: Map[Int, String],
+    upper_bounds: Map[Int, String])
 
 /** The reference's 9 metadata tables exposed relationally (ref
   * `core/.../MetadataTableType.java:24-33`, `PartitionsTable.java:74`):
@@ -88,41 +107,61 @@ object MetadataTables {
   def allFiles(t: IceTable): DataFrame =
     entriesDF(t, allSnapshots = true).filter("status != 2")
 
+  /** Past this many manifests the entry rows are produced on EXECUTORS
+    * (paths parallelized, manifests read per-partition) — the driver never
+    * holds the per-file rows, so `files`/`entries` stay queryable on tables
+    * whose metadata itself is big data. Below it, a driver pool read skips
+    * the Spark-job overhead for interactive use. */
+  private val DistributedEntriesThreshold = 16
+
+  private def entryRow(e: ManifestEntry, specById: Int => graft.meta.PartitionSpec)
+      : MetadataEntryRow = {
+    val f = e.dataFile
+    val partStr = specById(f.specId).fields.zip(f.partition)
+      .map { case (pf, v) => s"${pf.name}=${String.valueOf(v)}" }.mkString("/")
+    MetadataEntryRow(e.status, e.snapshotId, e.sequenceNumber, f.path, f.format,
+      f.specId, partStr, f.recordCount, f.fileSizeBytes,
+      f.valueCounts, f.nullCounts,
+      f.lowerBounds.map { case (k, v) => (k, String.valueOf(v)) },
+      f.upperBounds.map { case (k, v) => (k, String.valueOf(v)) })
+  }
+
   private def entriesDF(t: IceTable, allSnapshots: Boolean): DataFrame = {
     val m = t.meta
+    val spark = t.spark
+    import spark.implicits._
     val snaps = if (allSnapshots) m.snapshots else m.currentSnapshot.toSeq
     val mfs = snaps.flatMap(s =>
       try t.readManifestList(m, s) catch { case _: Exception => Nil })
       .distinctBy(_.path)
-    val es = ManifestIO.readAll(t.io, mfs, m.schema, m.specById).flatMap(_._2)
-    val live = if (allSnapshots) es else es.filter(_.status != EntryStatus.Deleted)
-    val rows = live.map { e =>
-      val f = e.dataFile
-      val partStr = m.specById(f.specId).fields.zip(f.partition)
-        .map { case (pf, v) => s"${pf.name}=${String.valueOf(v)}" }.mkString("/")
-      Row(e.status, e.snapshotId, e.sequenceNumber, f.path, f.format, f.specId,
-        partStr, f.recordCount, f.fileSizeBytes,
-        f.valueCounts.map { case (k, v) => (k, v) },
-        f.nullCounts.map { case (k, v) => (k, v) },
-        f.lowerBounds.map { case (k, v) => (k, String.valueOf(v)) },
-        f.upperBounds.map { case (k, v) => (k, String.valueOf(v)) })
-    }
-    t.spark.createDataFrame(
-      t.spark.sparkContext.parallelize(rows.toList, math.max(1, rows.size / 10000)),
-      StructType(Seq(
-        StructField("status", IntegerType, nullable = false),
-        StructField("snapshot_id", LongType, nullable = false),
-        StructField("sequence_number", LongType, nullable = false),
-        StructField("file_path", StringType, nullable = false),
-        StructField("file_format", StringType, nullable = false),
-        StructField("spec_id", IntegerType, nullable = false),
-        StructField("partition", StringType),
-        StructField("record_count", LongType, nullable = false),
-        StructField("file_size_in_bytes", LongType, nullable = false),
-        StructField("value_counts", MapType(IntegerType, LongType)),
-        StructField("null_value_counts", MapType(IntegerType, LongType)),
-        StructField("lower_bounds", MapType(IntegerType, StringType)),
-        StructField("upper_bounds", MapType(IntegerType, StringType)))))
+    val ds: org.apache.spark.sql.Dataset[MetadataEntryRow] =
+      if (mfs.size <= DistributedEntriesThreshold) {
+        val es = ManifestIO.readAll(t.io, mfs, m.schema, m.specById).flatMap(_._2)
+        spark.createDataset(es.map(entryRow(_, m.specById)))
+      } else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val schemaB = spark.sparkContext.broadcast(m.schema)
+        val specsB = spark.sparkContext.broadcast(m.specs)
+        val nPart = math.max(1,
+          math.min(mfs.size, spark.sparkContext.defaultParallelism))
+        spark.createDataset(mfs.map(_.path)).repartition(nPart)
+          .mapPartitions { it =>
+            val io = new FileIO(confB.value.value)
+            val specById = specsB.value.map(s => s.specId -> s).toMap
+            it.flatMap { p =>
+              try ManifestIO.read(io, p, schemaB.value, specById(_))
+                .map(entryRow(_, specById(_))).iterator
+              catch { case _: Exception => Iterator.empty }
+            }
+          }
+      }
+    val all = ds.toDF("status", "snapshot_id", "sequence_number", "file_path",
+      "file_format", "spec_id", "partition", "record_count",
+      "file_size_in_bytes", "value_counts", "null_value_counts",
+      "lower_bounds", "upper_bounds")
+    if (allSnapshots) all else all.filter(col("status") =!= EntryStatus.Deleted)
   }
 
   /** Per-partition record/file counts (ref `PartitionsTable.java:74-96`). */

@@ -47,6 +47,45 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.toDF.select("k").collect().map(_.getInt(0)) === Array(3))
   }
 
+  test("files metadata table reads many-manifest tables on executors") {
+    import spark.implicits._
+    val df1 = Seq((1L, "a")).toDF("id", "v")
+    val t = IceTable.create(spark, tmpLoc(), Schema.fresh(df1.schema),
+      properties = Map("commit.manifest-merge.enabled" -> "false"))
+    (1L to 20L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v").repartition(1)))
+    // 20 manifests > the distributed threshold → executor-side entry rows
+    val files = t.metadataTable("files")
+    assert(files.count() === 20L)
+    assert(files.select("record_count").agg(org.apache.spark.sql.functions.sum("record_count"))
+      .collect()(0).getLong(0) === 20L)
+    assert(files.select("file_path").distinct().count() === 20L)
+  }
+
+  test("scoped compaction (where) rewrites only files that may match") {
+    val wh = Files.createTempDirectory("graft-maint-wh-").toString
+    spark.conf.set("spark.sql.catalog.gmw", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmw.warehouse", wh)
+    spark.sql("CREATE TABLE gmw.db.sc (k INT, v STRING) PARTITIONED BY (k)")
+    (1 to 2).foreach { _ =>
+      spark.sql("INSERT INTO gmw.db.sc VALUES (1, 'x'), (2, 'y')")
+    }
+    val t = IceTable.load(spark, s"$wh/db/sc")
+    val before = t.newScan().planFiles().map(_.file.path).toSet
+    assert(before.size === 4)
+    val (rw, add) = t.rewriteDataFiles(
+      filter = graft.meta.expr.Exprs.equalTo("k", 1))
+    assert(rw === 2 && add === 1, s"expected only k=1 files rewritten: ($rw, $add)")
+    // the k=2 files are untouched
+    val after = t.newScan().planFiles().map(_.file.path).toSet
+    assert(before.filter(_.contains("=2")).subsetOf(after))
+    assert(t.toDF.collect().length === 4)
+    // SQL surface compacts the remaining partition, leaving the k=1 file
+    val row = spark.sql("CALL gmw.system.rewrite_data_files(table => 'db.sc', " +
+      "where => 'k = 2')").collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((2L, 1L)))
+    assert(spark.sql("SELECT count(*) c FROM gmw.db.sc").head().getLong(0) === 4L)
+  }
+
   test("compaction bin-packs small files and preserves data") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
