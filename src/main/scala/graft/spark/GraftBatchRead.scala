@@ -688,7 +688,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     splitSize: Option[Long], streamSkipDeletes: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
     deletes: Seq[(DataFileMeta, Long)] = Nil,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    appendsRange: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -701,6 +702,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     var s = table.newScan()
     snapshotId.foreach(id => s = s.useSnapshot(id))
     asOfMillis.foreach(ts => s = s.asOfTime(ts))
+    appendsRange.foreach { case (from, to) => s = s.appendsBetween(from, to) }
     val combined = GAnd(filter, runtimeExpr)
     if (combined != TrueExpr) s = s.filter(combined)
     if (projection.nonEmpty) s = s.select(projection.fieldNames.toSeq: _*)
@@ -759,6 +761,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     for {
       snap <- effectiveSnapshotId
+      if appendsRange.isEmpty // range reads see a subset of the profile
       stats <- graft.table.TableStats.forSnapshot(table, snap)
     } {
       val idToName = table.meta.schema.idToName

@@ -84,12 +84,22 @@ class GraftSparkTable(val table: IceTable, fullName: String,
     val skipDeletes = Option(options.get("streaming-skip-delete-snapshots"))
       .forall(_.toBoolean)
     val maxFiles = Option(options.get("max-files-per-trigger")).map(_.toInt)
-    new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles)
+    // incremental batch read (ref SparkReadOptions start/end-snapshot-id):
+    // plan only the files appended in (start, end]
+    val appendsRange = Option(options.get("start-snapshot-id")).map(_.toLong).map { from =>
+      val to = Option(options.get("end-snapshot-id")).map(_.toLong)
+        .orElse(table.meta.currentSnapshotId).getOrElse(
+          throw new graft.table.ValidationException("Table has no snapshot"))
+      (from, to)
+    }
+    new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles,
+      appendsRange)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table, GraftWriteBuilder.overrides(info),
-      branch = Option(info.options.get("branch")))
+      branch = Option(info.options.get("branch")),
+      snapshotProps = GraftWriteBuilder.snapshotProps(info))
 }
 
 /** Read-only DSv2 facade over one metadata table (`db.t.snapshots` etc.;
@@ -136,7 +146,8 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
   * false), so empty tables and null-only columns keep exact SQL semantics. */
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
-    streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None)
+    streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
+    appendsRange: Option[(Long, Long)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -193,6 +204,9 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     import org.apache.spark.sql.types._
     if (!table.meta.property("read.aggregate-pushdown.enabled", "true").toBoolean)
       return false
+    // metadata aggregates answer over the WHOLE snapshot; an incremental
+    // scan sees only a range's appends
+    if (appendsRange.nonEmpty) return false
     // only whole-table aggregates; Spark never offers an aggregation while
     // post-scan filters remain, and we always keep filters post-scan
     if (aggregation.groupByExpressions.nonEmpty || pushedExpr != TrueExpr)
@@ -289,7 +303,12 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
       // remains only for delete shapes the readers can't express
       val v1Forced =
         table.meta.property("read.v1-fallback.enabled", "false").toBoolean
-      if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported))
+      if (appendsRange.nonEmpty)
+        // incremental: appended files only, deletes don't apply by contract
+        new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
+          snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
+          deletes = Nil, pushedLimit = pushedLimit, appendsRange = appendsRange)
+      else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported))
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
           asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
       else
@@ -393,11 +412,23 @@ object GraftWriteBuilder {
       "fanout-enabled" -> graft.meta.model.TableProperties.FanoutEnabled)
       .flatMap { case (opt, prop) => Option(o.get(opt)).map(prop -> _) }.toMap
   }
+
+  /** `option("snapshot-property.X", v)` → custom entries in the commit's
+    * snapshot summary (ref SparkWriteOptions SNAPSHOT_PROPERTY_PREFIX).
+    * Append paths only — audit tags, pipeline run ids, etc. */
+  def snapshotProps(info: LogicalWriteInfo): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    info.options.entrySet().asScala
+      .filter(_.getKey.toLowerCase.startsWith("snapshot-property."))
+      .map(e => e.getKey.substring("snapshot-property.".length) -> e.getValue)
+      .toMap
+  }
 }
 
 final class GraftWriteBuilder(table: IceTable,
     writeOverrides: Map[String, String] = Map.empty,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    snapshotProps: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -428,12 +459,12 @@ final class GraftWriteBuilder(table: IceTable,
             if (dynamic || overwriteExpr.nonEmpty)
               throw new UnsupportedOperationException(
                 "Only appends can target a branch (option(\"branch\", ...))")
-            table.appendToBranch(b, data)
+            table.appendToBranch(b, data, snapshotProps)
           case None =>
             if (dynamic) table.overwritePartitions(data)
             else overwriteExpr match {
               case Some(e) => table.overwrite(e, data)
-              case None => table.append(data, Map.empty, writeOverrides)
+              case None => table.append(data, snapshotProps, writeOverrides)
             }
         }
       }

@@ -878,6 +878,17 @@ final class TableScan private[table] (table: IceTable) {
   }
 
   def filter(e: Expr): TableScan = { filterExpr = And(filterExpr, e); this }
+
+  private var appendsRange: Option[(Long, Long)] = None
+
+  /** Incremental mode: plan only the data files APPENDED in (from, to]
+    * (ref incremental table scans; delete snapshots are skipped, row-level
+    * deletes do not apply — the result is each commit's appended rows as
+    * written). The normal partition/metrics/residual pruning cascade still
+    * applies on top. */
+  def appendsBetween(fromId: Long, toId: Long): TableScan = {
+    appendsRange = Some((fromId, toId)); this
+  }
   def filter(sql: String): TableScan =
     filter(SparkFilterConv.convert(
       org.apache.spark.sql.graft.ColumnBridge.parseExpression(table.spark, sql)))
@@ -913,8 +924,16 @@ final class TableScan private[table] (table: IceTable) {
             mf.partitionSummaries.map(s => ManifestEvaluator.FieldSummary(
               s.containsNull, s.containsNan, s.lowerBound, s.upperBound)))
         }
-        val entries = table.liveEntries(m, snap, manifestOk)
-          .filter(_.dataFile.content == FileContent.Data)
+        val entries = appendsRange match {
+          case Some((from, to)) =>
+            // incremental: candidate set = appended files of the range;
+            // the same pruning cascade below still filters them
+            table.appendedFilesBetween(m, from, to, skipDeleteSnapshots = true)
+              .map(f => ManifestEntry(EntryStatus.Added, 0L, 0L, f))
+          case None =>
+            table.liveEntries(m, snap, manifestOk)
+              .filter(_.dataFile.content == FileContent.Data)
+        }
         // per-spec caches of the projected partition predicate + residuals
         val inclCache = scala.collection.mutable.Map[Int, Expr]()
         val residualCache = scala.collection.mutable.Map[(Int, Seq[Any]), Expr]()

@@ -268,4 +268,51 @@ class BatchScanSpec extends AnyFunSuite {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("snapshot-property write options land in the commit summary") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.sp (k INT)")
+    spark.range(3).selectExpr("CAST(id AS INT) k").writeTo("bs.db.sp")
+      .option("snapshot-property.pipeline-run", "r-42")
+      .option("snapshot-property.audit", "yes")
+      .append()
+    val t = graft.table.IceTable.load(spark, warehouse + "/db/sp")
+    val s = t.currentSnapshot.get.summary
+    assert(s.get("pipeline-run") === Some("r-42"))
+    assert(s.get("audit") === Some("yes"))
+  }
+
+  test("incremental batch read plans only the files appended in the range") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.incr (k INT, v STRING)")
+    spark.sql("INSERT INTO bs.db.incr VALUES (1, 'one')")
+    val t = graft.table.IceTable.load(spark, warehouse + "/db/incr")
+    val s1 = t.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO bs.db.incr VALUES (2, 'two'), (3, 'three')")
+    val s2 = t.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO bs.db.incr VALUES (4, 'four')")
+    // (s1, s2]: exactly the middle append
+    val mid = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString)
+      .load(warehouse + "/db/incr")
+    assert(mid.collect().map(_.getInt(0)).sorted === Array(2, 3))
+    // end defaults to current: (s1, now] = everything after the first append
+    val tail = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .load(warehouse + "/db/incr")
+    assert(tail.collect().map(_.getInt(0)).sorted === Array(2, 3, 4))
+    // metrics pruning still applies within the range
+    assert(mid.filter(org.apache.spark.sql.functions.col("k") === 2)
+      .collect().map(_.getString(1)).toSeq === Seq("two"))
+    // CoW rewrites in range are not re-reported as appends: a delete
+    // snapshot is skipped entirely
+    spark.sql("DELETE FROM bs.db.incr WHERE k = 2")
+    val s4 = t.currentSnapshot.get.snapshotId
+    val afterDelete = spark.read.format("graft")
+      .option("start-snapshot-id", s2.toString)
+      .option("end-snapshot-id", s4.toString)
+      .load(warehouse + "/db/incr")
+    assert(afterDelete.collect().map(_.getInt(0)).sorted === Array(4))
+  }
 }
