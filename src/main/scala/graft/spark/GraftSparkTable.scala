@@ -461,10 +461,19 @@ final class GraftWriteBuilder(table: IceTable,
                 "Only appends can target a branch (option(\"branch\", ...))")
             table.appendToBranch(b, data, snapshotProps)
           case None =>
+            // write-audit-publish: with `spark.wap.id` set in the session
+            // and the table opted in, INSERTs STAGE a snapshot (not made
+            // current) for audit; publish via cherrypick_snapshot (ref
+            // SparkWriteConf.wapId / `write.wap.enabled`)
+            val wapId = data.sparkSession.conf.getOption("spark.wap.id")
+              .filter(_ => table.meta.property("write.wap.enabled", "false").toBoolean)
             if (dynamic) table.overwritePartitions(data)
             else overwriteExpr match {
               case Some(e) => table.overwrite(e, data)
-              case None => table.append(data, snapshotProps, writeOverrides)
+              case None => wapId match {
+                case Some(id) => table.stageAppend(data, id)
+                case None => table.append(data, snapshotProps, writeOverrides)
+              }
             }
         }
       }

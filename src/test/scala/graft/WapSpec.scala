@@ -27,6 +27,35 @@ class WapSpec extends AnyFunSuite {
     assert(t.toDF.count() === 150)
   }
 
+  test("SQL WAP: spark.wap.id stages inserts; cherrypick publishes") {
+    val wh = Files.createTempDirectory("graft-wap-wh-").toString
+    spark.conf.set("spark.sql.catalog.wap", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wap.warehouse", wh)
+    spark.sql("CREATE TABLE wap.db.t (k INT) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    spark.sql("INSERT INTO wap.db.t VALUES (1)")
+    try {
+      spark.conf.set("spark.wap.id", "audit-7")
+      spark.sql("INSERT INTO wap.db.t VALUES (2), (3)")
+      // staged, not current: readers see the pre-WAP table
+      assert(spark.sql("SELECT count(*) c FROM wap.db.t").head().getLong(0) === 1L)
+      val t = IceTable.load(spark, s"$wh/db/t")
+      val staged = t.meta.snapshots
+        .find(_.summary.get("wap.id").contains("audit-7")).get.snapshotId
+      assert(t.newScan().useSnapshot(staged).toDF.count() === 3)
+      spark.sql(s"CALL wap.system.cherrypick_snapshot(table => 'db.t', " +
+        s"snapshot_id => $staged)")
+      assert(spark.sql("SELECT count(*) c FROM wap.db.t").head().getLong(0) === 3L)
+    } finally spark.conf.unset("spark.wap.id")
+    // without the table opt-in, spark.wap.id is ignored
+    spark.sql("CREATE TABLE wap.db.plain (k INT)")
+    try {
+      spark.conf.set("spark.wap.id", "audit-8")
+      spark.sql("INSERT INTO wap.db.plain VALUES (1)")
+      assert(spark.sql("SELECT count(*) c FROM wap.db.plain").head().getLong(0) === 1L)
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
   test("listeners receive scan and commit events") {
     Listeners.clear()
     val scans = scala.collection.mutable.ArrayBuffer[Listeners.ScanEvent]()
