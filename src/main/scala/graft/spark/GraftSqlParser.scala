@@ -220,9 +220,12 @@ object GraftSqlParser {
               (strategy != "binpack" || sortSpec.nonEmpty))
             throw new IllegalArgumentException(
               "where is supported for the binpack strategy (sort/zorder re-cluster the whole table)")
+          val partial = optLong("partial_progress_max_commits", -1)
+            .map(_.toInt).getOrElse(1)
           val (rw, add) = strategy match {
             case "binpack" if sortSpec.isEmpty =>
-              t.rewriteDataFiles(target, filter = where)
+              t.rewriteDataFiles(target, filter = where,
+                partialProgressCommits = partial)
             case "sort" | "binpack" => t.rewriteDataFilesSorted(target, sortSpec)
             case "zorder" => t.rewriteDataFilesZOrder(
               sortSpec.getOrElse(throw new IllegalArgumentException(

@@ -119,9 +119,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
   def rewriteDataFiles(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       minInputFiles: Int = 2, minFileSizeBytes: Long = -1,
       maxFileSizeBytes: Long = -1,
-      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr): (Int, Int) =
+      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr,
+      partialProgressCommits: Int = 1): (Int, Int) =
     Maintenance.rewriteDataFiles(this, targetSizeBytes, minInputFiles,
-      minFileSizeBytes, maxFileSizeBytes, filter)
+      minFileSizeBytes, maxFileSizeBytes, filter, partialProgressCommits)
   def rewriteDataFilesSorted(targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
       sortOrderSpec: Option[String] = None): (Int, Int) =
     Maintenance.rewriteDataFilesSorted(this, targetSizeBytes, sortOrderSpec)

@@ -355,7 +355,8 @@ object Maintenance {
       minInputFiles: Int = 2,
       minFileSizeBytes: Long = -1,
       maxFileSizeBytes: Long = -1,
-      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr): (Int, Int) = {
+      filter: graft.meta.expr.Expr = graft.meta.expr.TrueExpr,
+      partialProgressCommits: Int = 1): (Int, Int) = {
     val minSize = if (minFileSizeBytes > 0) minFileSizeBytes
       else (targetSizeBytes * 0.75).toLong // ref BinPackStrategy.java:96
     val maxSize = if (maxFileSizeBytes > 0) maxFileSizeBytes
@@ -385,8 +386,6 @@ object Maintenance {
       .toSeq
     if (groups.isEmpty) return (0, 0)
     val spark = table.spark
-    val toRewriteEntries = groups.flatten
-    val toRewrite = toRewriteEntries.map(_.dataFile)
     // bin-pack on the READ side: plan the rewrite scan with target-size
     // splits (maxPartitionBytes = target, no open-cost padding, no minimum
     // partition count), so each read task carries ~targetSize bytes of small
@@ -397,22 +396,37 @@ object Maintenance {
     packSession.conf.set("spark.sql.files.maxPartitionBytes", targetSizeBytes.toString)
     packSession.conf.set("spark.sql.files.openCostInBytes", "0")
     packSession.conf.set("spark.sql.files.minPartitionNum", "1")
-    // CARRY each file's data sequence number: equality deletes apply only
-    // to STRICTLY older sequences, and a defaulted seq=0 would make every
-    // delete apply — silently dropping rows a same-sequence upsert delta
-    // (eq delete + data in one snapshot) legitimately kept live
-    val df = Reads.readTasksWithDeletes(table, m,
-      toRewriteEntries.map(e =>
-        FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
-      table.newScan().planDeletes(), m.schema.columnNames,
-      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
-    val written = Writes.writeDataFiles(spark, table, m, df,
-      overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString))
-      .filter(_.recordCount > 0)
-    table.commitSnapshot(Operation.Replace, written,
-      toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"),
-      removedMeta = toRewrite)
-    (toRewrite.size, written.size)
+    val deletes = table.newScan().planDeletes()
+    // partial progress (ref partial-progress.max-commits): spread the group
+    // set over up to N independent Replace commits so a huge compaction
+    // neither holds one giant conflict window nor loses everything to a
+    // late failure — each committed batch is durable on its own
+    val nBatches = math.max(1, math.min(partialProgressCommits, groups.size))
+    val perBatch = math.ceil(groups.size.toDouble / nBatches).toInt
+    var rewritten = 0
+    var added = 0
+    groups.grouped(perBatch).foreach { batch =>
+      val toRewriteEntries = batch.flatten
+      val toRewrite = toRewriteEntries.map(_.dataFile)
+      // CARRY each file's data sequence number: equality deletes apply only
+      // to STRICTLY older sequences, and a defaulted seq=0 would make every
+      // delete apply — silently dropping rows a same-sequence upsert delta
+      // (eq delete + data in one snapshot) legitimately kept live
+      val df = Reads.readTasksWithDeletes(table, m,
+        toRewriteEntries.map(e =>
+          FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
+        deletes, m.schema.columnNames,
+        graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
+      val written = Writes.writeDataFiles(spark, table, m, df,
+        overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString))
+        .filter(_.recordCount > 0)
+      table.commitSnapshot(Operation.Replace, written,
+        toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"),
+        removedMeta = toRewrite)
+      rewritten += toRewrite.size
+      added += written.size
+    }
+    (rewritten, added)
   }
 
   /** Sort-strategy rewrite (ref `core/.../actions/SortStrategy.java` +

@@ -47,6 +47,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.toDF.select("k").collect().map(_.getInt(0)) === Array(3))
   }
 
+  test("partial-progress compaction lands as multiple independent commits") {
+    import spark.implicits._
+    val df1 = Seq((1, "a")).toDF("k", "v")
+    val schema = Schema.fresh(df1.schema)
+    val t = IceTable.create(spark, tmpLoc(), schema,
+      PartitionSpec.builderFor(schema).identity("k").build())
+    (1 to 2).foreach { _ =>
+      t.append((1 to 4).map(k => (k, s"v$k")).toDF("k", "v").repartition(1))
+    }
+    val snapsBefore = t.meta.snapshots.size
+    val (rw, add) = t.rewriteDataFiles(partialProgressCommits = 2)
+    assert(rw === 8 && add === 4)
+    val replaces = t.meta.snapshots.drop(snapsBefore)
+    assert(replaces.size === 2, s"expected 2 partial commits, got ${replaces.size}")
+    assert(replaces.forall(_.operation == graft.meta.model.Operation.Replace))
+    assert(t.toDF.count() === 8)
+  }
+
   test("files metadata table reads many-manifest tables on executors") {
     import spark.implicits._
     val df1 = Seq((1L, "a")).toDF("id", "v")
