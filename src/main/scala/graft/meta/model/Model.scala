@@ -107,7 +107,13 @@ final case class ColumnStatMeta(
     distinctCount: Long,
     nullCount: Long,
     avgLen: Option[Long] = None,
-    maxLen: Option[Long] = None) extends Serializable
+    maxLen: Option[Long] = None,
+    /** Exact bounds in Catalyst-internal numeric form (Long for integral /
+      * timestamp-micros / date-days promoted to Long; Double for
+      * fractional) — numeric, date, and timestamp columns only, where the
+      * CBO's range-selectivity estimation can use them. */
+    min: Option[Any] = None,
+    max: Option[Any] = None) extends Serializable
 
 /** Pointer from table metadata to a stats file: stats are valid only for
   * reads of exactly `snapshotId` (appends change every column's profile). */

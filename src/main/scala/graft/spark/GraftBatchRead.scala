@@ -764,16 +764,41 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       if appendsRange.isEmpty // range reads see a subset of the profile
       stats <- graft.table.TableStats.forSnapshot(table, snap)
     } {
-      val idToName = table.meta.schema.idToName
+      val schema = table.meta.schema
+      val idToName = schema.idToName
       val projected = projection.fieldNames.toSet
+      // bounds ride as Catalyst-INTERNAL values (ColumnStat's contract):
+      // stored widened to Long/Double, narrowed here to the field's type
+      def internalBound(v: Any, dt: DataType): Option[AnyRef] = (v, dt) match {
+        case (l: Long, org.apache.spark.sql.types.ByteType) => Some(Byte.box(l.toByte))
+        case (l: Long, org.apache.spark.sql.types.ShortType) => Some(Short.box(l.toShort))
+        case (l: Long, org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.DateType) => Some(Int.box(l.toInt))
+        case (l: Long, org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.TimestampType |
+                       org.apache.spark.sql.types.TimestampNTZType) => Some(Long.box(l))
+        case (d: Double, org.apache.spark.sql.types.FloatType) => Some(Float.box(d.toFloat))
+        case (d: Double, org.apache.spark.sql.types.DoubleType) => Some(Double.box(d))
+        case _ => None // decimals et al: widened form is not the internal type
+      }
       stats.foreach { s =>
         idToName.get(s.fieldId).filter(projected.contains).foreach { name =>
+          val dt = schema.fieldType(s.fieldId)
+          def opt(b: Option[Any]): java.util.Optional[Object] =
+            b.flatMap(internalBound(_, dt)) match {
+              case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+              case None => java.util.Optional.empty()
+            }
+          val minV = opt(s.min)
+          val maxV = opt(s.max)
           out.put(Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(s.distinctCount)
               override def nullCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(s.nullCount)
+              override def min(): java.util.Optional[Object] = minV
+              override def max(): java.util.Optional[Object] = maxV
               override def avgLen(): java.util.OptionalLong =
                 s.avgLen.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty)

@@ -50,6 +50,34 @@ object TableStats {
     case _ => false
   }
 
+  /** Columns whose exact bounds feed CBO range selectivity. Bounds are
+    * stored in Catalyst-internal numeric form (dates as epoch days,
+    * timestamps as micros), so the scan can hand them to Spark verbatim. */
+  private def boundsProfiled(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def toInternalBound(v: Any): Option[Any] = v match {
+    case null => None
+    case b: Byte => Some(b.toLong)
+    case sh: Short => Some(sh.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case t: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+    case _ => None
+  }
+
   /** Compute and commit stats for the CURRENT snapshot. `columns` narrows the
     * profiled set (empty = every eligible top-level column). Returns the
     * committed pointer. One Spark job; driver holds only the final row. */
@@ -69,11 +97,16 @@ object TableStats {
       val base = Seq(
         approx_count_distinct(col(c)).as(s"__ndv__$c"),
         count(col(c)).as(s"__cnt__$c"))
-      if (lengthProfiled(schema.fieldType(schema.fieldId(c))))
-        base ++ Seq(
-          avg(length(col(c))).as(s"__avglen__$c"),
-          max(length(col(c))).as(s"__maxlen__$c"))
-      else base
+      val dt = schema.fieldType(schema.fieldId(c))
+      val withLen =
+        if (lengthProfiled(dt))
+          base ++ Seq(
+            avg(length(col(c))).as(s"__avglen__$c"),
+            max(length(col(c))).as(s"__maxlen__$c"))
+        else base
+      if (boundsProfiled(dt))
+        withLen ++ Seq(min(col(c)).as(s"__min__$c"), max(col(c)).as(s"__max__$c"))
+      else withLen
     } :+ count(lit(1)).as("__total__")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
 
@@ -86,14 +119,21 @@ object TableStats {
         case n: Number => n.longValue()
       }
     val total = long("__total__")
+    def bound(name: String): Option[Any] =
+      if (row.isNullAt(row.fieldIndex(name))) None
+      else toInternalBound(row.getAs[Any](name))
     val stats = targets.map { c =>
-      val hasLen = lengthProfiled(schema.fieldType(schema.fieldId(c)))
+      val dt = schema.fieldType(schema.fieldId(c))
+      val hasLen = lengthProfiled(dt)
+      val hasBounds = boundsProfiled(dt)
       ColumnStatMeta(
         fieldId = schema.fieldId(c),
         distinctCount = long(s"__ndv__$c"),
         nullCount = total - long(s"__cnt__$c"),
         avgLen = if (hasLen) Some(long(s"__avglen__$c")) else None,
-        maxLen = if (hasLen) Some(long(s"__maxlen__$c")) else None)
+        maxLen = if (hasLen) Some(long(s"__maxlen__$c")) else None,
+        min = if (hasBounds) bound(s"__min__$c") else None,
+        max = if (hasBounds) bound(s"__max__$c") else None)
     }
 
     val path = s"${meta.location}/metadata/stats-${snap.snapshotId}-${UUID.randomUUID}.json"
@@ -126,6 +166,13 @@ object TableStats {
       o.put("null-count", s.nullCount)
       s.avgLen.foreach(o.put("avg-len", _))
       s.maxLen.foreach(o.put("max-len", _))
+      def putBound(key: String, v: Any): Unit = v match {
+        case l: Long => o.put(key, l)
+        case d: Double => o.put(key, d)
+        case _ => ()
+      }
+      s.min.foreach(putBound("min", _))
+      s.max.foreach(putBound("max", _))
     }
     JsonCodecs.mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
@@ -139,7 +186,11 @@ object TableStats {
         distinctCount = o.get("distinct-count").asLong,
         nullCount = o.get("null-count").asLong,
         avgLen = Option(o.get("avg-len")).map(_.asLong),
-        maxLen = Option(o.get("max-len")).map(_.asLong))
+        maxLen = Option(o.get("max-len")).map(_.asLong),
+        min = Option(o.get("min")).map(n =>
+          if (n.isIntegralNumber) n.asLong else n.asDouble),
+        max = Option(o.get("max")).map(n =>
+          if (n.isIntegralNumber) n.asLong else n.asDouble))
     }.toSeq
     (n.get("row-count").asLong, stats)
   }

@@ -100,6 +100,9 @@ class StatsSpec extends AnyFunSuite {
       val cat = attrStats.find(_._1.name == "cat").map(_._2).get
       assert(cat.distinctCount.map(_.toLong) === Some(5L))
       assert(cat.nullCount.map(_.toLong) === Some(0L))
+      // exact bounds flow for numeric columns (range selectivity)
+      val id = attrStats.find(_._1.name == "id").map(_._2).get
+      assert(id.min === Some(0L) && id.max === Some(499L))
       // a write invalidates: the head snapshot has no pinned stats file
       spark.range(10).select($"id", lit("x").as("cat"))
         .writeTo("stc.db.analyzed").append()
