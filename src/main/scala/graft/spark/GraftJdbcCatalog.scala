@@ -112,13 +112,11 @@ class GraftJdbcCatalog extends GraftCatalog {
     * catalog — the pointer insert is the whole operation; data and metadata
     * files stay where they are (ref metastore catalogs' registerTable).
     * False when the name is taken. */
-  def registerTable(ident: Identifier, metadataLocation: String): Boolean = {
-    val meta = graft.meta.model.JsonCodecs.tableMetadataFromJson(
-      io.readString(metadataLocation))
-    val version = "v(\\d+)".r.findFirstMatchIn(
-      metadataLocation.split('/').last).map(_.group(1).toInt).getOrElse(1)
-    store.insertPointer(ns(ident.namespace()), ident.name(), meta.location,
-      version, metadataLocation)
+  def registerTable(ident: Identifier, metadataLocation: String)
+      : Option[graft.meta.model.TableMetadata] = {
+    val (meta, version) = graft.table.RegisterTable.parse(io, metadataLocation)
+    if (store.insertPointer(ns(ident.namespace()), ident.name(), meta.location,
+      version, metadataLocation)) Some(meta) else None
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -126,7 +124,15 @@ class GraftJdbcCatalog extends GraftCatalog {
       case None => false
       case Some((_, _, loc)) =>
         val ok = store.dropPointer(ns(ident.namespace()), ident.name())
-        if (ok) { evictIce(cacheKey(ident)); io.deleteRecursive(loc) }
+        if (ok) {
+          evictIce(cacheKey(ident))
+          // REGISTERED tables keep their files elsewhere: dropping the
+          // catalog entry must not destroy a location this catalog does
+          // not own (ref registerTable + non-purge drop semantics)
+          val norm = loc.stripPrefix("file:")
+          if (norm.startsWith(warehouse.stripPrefix("file:")))
+            io.deleteRecursive(loc)
+        }
         ok
     }
 

@@ -92,6 +92,9 @@ class GraftSparkTable(val table: IceTable, fullName: String,
           throw new graft.table.ValidationException("Table has no snapshot"))
       (from, to)
     }
+    if (appendsRange.isEmpty && options.containsKey("end-snapshot-id"))
+      throw new graft.table.ValidationException(
+        "end-snapshot-id requires start-snapshot-id (incremental reads are a range)")
     new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles,
       appendsRange)
   }
@@ -467,11 +470,17 @@ final class GraftWriteBuilder(table: IceTable,
             // SparkWriteConf.wapId / `write.wap.enabled`)
             val wapId = data.sparkSession.conf.getOption("spark.wap.id")
               .filter(_ => table.meta.property("write.wap.enabled", "false").toBoolean)
+            // overwrites cannot be staged yet: publishing them mid-audit
+            // would defeat WAP, so refuse instead of silently publishing
+            if (wapId.nonEmpty && (dynamic || overwriteExpr.nonEmpty))
+              throw new UnsupportedOperationException(
+                "spark.wap.id staging supports appends only; unset it for overwrites")
             if (dynamic) table.overwritePartitions(data)
             else overwriteExpr match {
               case Some(e) => table.overwrite(e, data)
               case None => wapId match {
-                case Some(id) => table.stageAppend(data, id)
+                case Some(id) =>
+                  table.stageAppend(data, id, snapshotProps, writeOverrides)
                 case None => table.append(data, snapshotProps, writeOverrides)
               }
             }

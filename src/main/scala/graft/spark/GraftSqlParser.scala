@@ -258,18 +258,15 @@ object GraftSqlParser {
           val parts = tableArg
           val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
             parts.drop(1).dropRight(1).toArray, parts.last)
-          val ok = spark.sessionState.catalogManager.catalog(parts.head) match {
+          val registered = spark.sessionState.catalogManager.catalog(parts.head) match {
             case j: GraftJdbcCatalog => j.registerTable(ident, loc)
             case h: GraftHiveCatalog => h.registerTable(ident, loc)
             case other => throw new UnsupportedOperationException(
               "register_table needs a pointer-backed catalog (jdbc or hive-metastore); " +
                 s"the filesystem catalog derives tables from their paths: ${other.getClass.getName}")
           }
-          if (!ok) throw new IllegalStateException(
-            s"Table already exists: ${parts.mkString(".")}")
-          val m = graft.meta.model.JsonCodecs.tableMetadataFromJson(
-            new graft.table.FileIO(spark.sparkContext.hadoopConfiguration)
-              .readString(loc))
+          val m = registered.getOrElse(throw new IllegalStateException(
+            s"Table already exists: ${parts.mkString(".")}"))
           Seq(Row(m.currentSnapshotId.getOrElse(-1L),
             m.currentSnapshot.flatMap(_.summary.get("total-records"))
               .flatMap(_.toLongOption).getOrElse(-1L)))

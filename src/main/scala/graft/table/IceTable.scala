@@ -78,9 +78,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     * current (ref `SnapshotManager` wap :83-85). Returns the staged snapshot
     * id; audit it via `newScan().useSnapshot(id)`, publish via
     * `cherrypick(id)`. */
-  def stageAppend(df: DataFrame, wapId: String): Long = {
+  def stageAppend(df: DataFrame, wapId: String,
+      summary: Map[String, String] = Map.empty,
+      writeOverrides: Map[String, String] = Map.empty): Long = {
     val m = meta
-    val files = Writes.writeDataFiles(spark, this, m, df)
+    val files = Writes.writeDataFiles(spark, this, m, df, writeOverrides)
     var staged = 0L
     ops.commitWithRetry(retries(m)) { base =>
       val nowMs = System.currentTimeMillis()
@@ -101,7 +103,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         lastUpdatedMillis = nowMs,
         snapshots = base.snapshots :+ SnapshotMeta(snapId, base.currentSnapshotId,
           seq, nowMs, Operation.Append,
-          Map("wap.id" -> wapId, "added-data-files" -> files.size.toString), listPath))
+          summary ++ Map("wap.id" -> wapId,
+            "added-data-files" -> files.size.toString), listPath))
     }
     staged
   }
@@ -974,6 +977,10 @@ final class TableScan private[table] (table: IceTable) {
     * live data-file formats). The scan builder needs both to pick the
     * merge-on-read read path without a second metadata pass. */
   def planContent(): (Seq[(DataFileMeta, Long)], Set[String]) = {
+    // incremental mode reports appended rows AS WRITTEN: row-level deletes
+    // never apply (and the planned entries carry sequence 0, which would
+    // otherwise make EVERY live delete file look newer and strip rows)
+    if (appendsRange.nonEmpty) return (Nil, Set.empty)
     val m = table.meta
     chooseSnapshot(m) match {
       case None => (Nil, Set.empty)

@@ -70,10 +70,16 @@ object Maintenance {
     if (expired.isEmpty && deadRefs.isEmpty) return (0, 0L, 0L)
     val expiredIds = expired.map(_.snapshotId).toSet
 
-    // stats files are snapshot-pinned: expire the entry with its snapshot
-    val expiredStats = before.statsFiles.filter(f => expiredIds.contains(f.snapshotId))
+    // stats files are snapshot-pinned: expire the entry with its snapshot.
+    // Collected INSIDE the retry closure from the commit's actual base — a
+    // stats file committed concurrently (for a snapshot we are expiring)
+    // must be deleted too, or it leaks with no metadata reference
+    val expiredStats = scala.collection.mutable.Set.empty[String]
     table.ops.commitWithRetry(4) { base =>
       val keep = base.snapshots.filterNot(s => expiredIds.contains(s.snapshotId))
+      expiredStats.clear()
+      expiredStats ++= base.statsFiles
+        .filter(f => expiredIds.contains(f.snapshotId)).map(_.path)
       base.copy(
         snapshots = keep,
         snapshotLog = base.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
@@ -81,7 +87,7 @@ object Maintenance {
         statsFiles = base.statsFiles.filterNot(f => expiredIds.contains(f.snapshotId)),
         lastUpdatedMillis = System.currentTimeMillis())
     }
-    expiredStats.foreach(f => table.io.delete(f.path))
+    expiredStats.foreach(table.io.delete)
     if (expired.isEmpty) return (0, 0L, 0L)
 
     val after = table.meta

@@ -41,6 +41,17 @@ trait TableOps {
   }
 }
 
+/** Shared half of catalog `registerTable`: parse an existing metadata file
+  * and derive its pointer version from the `v{N}` filename convention. */
+object RegisterTable {
+  def parse(io: FileIO, metadataLocation: String): (TableMetadata, Int) = {
+    val meta = JsonCodecs.tableMetadataFromJson(io.readString(metadataLocation))
+    val version = "v(\\d+)".r.findFirstMatchIn(metadataLocation.split('/').last)
+      .map(_.group(1).toInt).getOrElse(1)
+    (meta, version)
+  }
+}
+
 /** Filesystem-backed [[TableOps]] with optimistic CAS commit (ref
   * `core/.../hadoop/HadoopTableOperations.java` + the retry loop of
   * `core/.../SnapshotProducer.java:270`). Metadata lives at

@@ -269,6 +269,34 @@ class BatchScanSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("incremental Scala scan does not apply older delete files to appends") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.incmor (k INT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO bs.db.incmor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = graft.table.IceTable.load(spark, warehouse + "/db/incmor")
+    spark.sql("DELETE FROM bs.db.incmor WHERE k = 2") // position-delete file
+    val s2 = t.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO bs.db.incmor VALUES (2, 'again')")
+    val s3 = t.currentSnapshot.get.snapshotId
+    // the re-appended k=2 row is newer than the delete and must survive —
+    // a seq-0 planned entry would wrongly match the older delete file
+    val rows = t.newScan().appendsBetween(s2, s3).toDF
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((2, "again")))
+  }
+
+  test("end-snapshot-id without start-snapshot-id is rejected") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.incend (k INT)")
+    spark.sql("INSERT INTO bs.db.incend VALUES (1)")
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("end-snapshot-id", "123")
+        .load(warehouse + "/db/incend").collect()
+    }
+    assert(e.getMessage.contains("start-snapshot-id"))
+  }
+
   test("snapshot-property write options land in the commit summary") {
     warehouse
     spark.sql("CREATE TABLE bs.db.sp (k INT)")

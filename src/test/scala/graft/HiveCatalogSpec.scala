@@ -147,6 +147,14 @@ class HiveCatalogSpec extends AnyFunSuite {
       spark.sql("CALL hv.system.register_table(table => 'db.adopted', " +
         s"metadata_location => '$metaLoc')").collect()
     }
+    // DROP of an adopted table removes only the catalog entry — the files
+    // live outside this catalog's warehouse and are NOT this catalog's to
+    // delete (the original table keeps working)
+    spark.sql("DROP TABLE hv.db.adopted")
+    assert(store.getPointer("db", "adopted").isEmpty)
+    assert(io.exists(loc), "adopted table's original files must survive DROP")
+    // the filesystem view still reads at its own (pre-adoption) version
+    assert(IceTable.load(spark, loc).toDF.count() === 2)
   }
 
   test("a crashed pre-commit writer leaves an orphan file, never a wedged table") {

@@ -56,6 +56,32 @@ class WapSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.wap.id")
   }
 
+  test("WAP refuses overwrites and keeps per-write options on staged appends") {
+    val wh = Files.createTempDirectory("graft-wap-ow-").toString
+    spark.conf.set("spark.sql.catalog.wap2", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wap2.warehouse", wh)
+    spark.sql("CREATE TABLE wap2.db.t (k INT) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    spark.sql("INSERT INTO wap2.db.t VALUES (1)")
+    try {
+      spark.conf.set("spark.wap.id", "audit-9")
+      // overwrites cannot be silently published mid-audit
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE wap2.db.t VALUES (9)")
+      }
+      assert(e.getMessage != null)
+      assert(spark.sql("SELECT k FROM wap2.db.t").head().getInt(0) === 1)
+      // snapshot-property options ride on the STAGED snapshot
+      import spark.implicits._
+      Seq(2).toDF("k").writeTo("wap2.db.t")
+        .option("snapshot-property.run", "r-9").append()
+      val t = IceTable.load(spark, s"$wh/db/t")
+      val staged = t.meta.snapshots
+        .find(_.summary.get("wap.id").contains("audit-9")).get
+      assert(staged.summary.get("run") === Some("r-9"))
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
   test("listeners receive scan and commit events") {
     Listeners.clear()
     val scans = scala.collection.mutable.ArrayBuffer[Listeners.ScanEvent]()
