@@ -58,6 +58,18 @@ object Bench {
       results(label) = median((1 to 5).map(_ => time(consume(fn(spark, sfDir)))))
     }
 
+    // --- fuzzy dedup end-to-end at scale: LSH candidate pairs → duplicate
+    // components (large-star/small-star) → one canonical doc per cluster.
+    // Iterative (driver-paced rounds), so 1 warmup + median of 3. ---
+    {
+      val docsDf = Tables.load(spark, sfDir, "documents")
+      def ccDedup() = consume(graft.llm.Dedup.dedupByComponents(
+        docsDf, "doc_id",
+        graft.llm.Dedup.minHashLshPairs(docsDf, "doc_id", "text", 3, 8, 2, 0.6)))
+      ccDedup()
+      results("llm_cc_dedup") = median((1 to 3).map(_ => time(ccDedup())))
+    }
+
     // --- engine ops on fresh scratch tables: median of 3 (single-shot
     // timings of IO-bound ops swing ±30% with machine load) ---
     val li = Tables.load(spark, sfDir, "lineitem")

@@ -54,6 +54,35 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // duplicate-cluster connected components (large-star/small-star) over
+    // the exact pair graph: one (doc_id, component) row per corpus doc.
+    // The sf0.01 graph has multi-hop chains, so transitivity is exercised.
+    "llm_dedup_cc" -> ((s, d) => {
+      val corpus = docs(s, d)
+      Dedup.componentIds(corpus, "doc_id",
+          Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6))
+        .select(col("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic global shuffle into 8 training shards: the md5-keyed
+    // permutation is bit-reproducible on any engine (order is checked via
+    // the sort_key column, which DEFINES the order)
+    "llm_shard_shuffle" -> ((s, d) => {
+      llm.Sampling.shuffleIntoShards(docs(s, d), "doc_id", numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("sort_key"))
+        .orderBy("shard", "sort_key")
+    }),
+
+    // deterministic train/val/test assignment by integer thresholds on the
+    // 32-bit shuffle variate
+    "llm_split" -> ((s, d) => {
+      llm.Sampling.assignSplit(docs(s, d), "doc_id",
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed = 7L)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs
     "llm_dedup_embed" -> ((s, d) => {
       Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
@@ -228,6 +257,31 @@ object LlmQueries {
           "GROUP BY text ORDER BY keep_id"),
       "llm_dedup_ngram" -> pairSql,
       "llm_dedup_minhash" -> pairSql,
+      "llm_dedup_cc" ->
+        (s"""$shingles, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM s a, s b WHERE a.doc_id < b.doc_id
+           |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+           | e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+           | walk(u, v) AS (SELECT u, v FROM e
+           |   UNION SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+           | comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |   FROM walk GROUP BY u)
+           | SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+           | FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")
+          .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      "llm_shard_shuffle" ->
+        ("SELECT doc_id, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) % 8 AS INT) AS shard, " +
+          "md5(CAST(doc_id AS VARCHAR) || ':42') AS sort_key " +
+          "FROM documents ORDER BY shard, sort_key"),
+      // thresholds are floor(cum_fraction × 2^32) for (0.9, 0.05, 0.05) —
+      // the same IEEE-double arithmetic Sampling.assignSplit runs
+      "llm_split" ->
+        ("SELECT doc_id, CASE WHEN v < 3865470566 THEN 'train' " +
+          "WHEN v < 4080218931 THEN 'val' ELSE 'test' END AS split FROM " +
+          "(SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS BIGINT) AS v " +
+          "FROM documents) ORDER BY doc_id"),
       "llm_decontaminate" ->
         (s"$shingles SELECT c.doc_id FROM s c " +
           "WHERE c.doc_id % 50 != 0 " +

@@ -103,7 +103,7 @@ object Dedup {
     * Jaccard j is caught with prob 1-(1-j^rows)^bands. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // the repartition is a deliberate optimization barrier: without it,
     // CollapseProject inlines the shingle+signature expressions into every
@@ -121,10 +121,21 @@ object Dedup {
     // candidate-generation shuffle
     // xxhash64 hashes the long-array slice structurally — no string
     // rendering of signature values
-    val banded = base.select(col("id"),
+    val allBands = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "bucket")))
+    // skew guard: a degenerate bucket of b members (boilerplate, empty
+    // shingle sets, templated text) makes the self-join emit b² candidates —
+    // on a 100 TB corpus one such bucket is a job-killing straggler. Members
+    // of a dropped bucket can still pair through their other bands, and true
+    // near-dup CLUSTERS that big should be collapsed by exact dedup first.
+    // The count rides the same (band, bucket) exchange the join needs.
+    val banded = if (maxBucketSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      allBands.withColumn("_gf_n", count(lit(1)).over(w))
+        .where(col("_gf_n") <= maxBucketSize).drop("_gf_n")
+    } else allBands
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -163,12 +174,18 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit LSH bands on the fingerprint, verified
     * by Hamming distance ≤ `maxHamming` (bit_count of xor). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
-    val banded = withSim.select(col("id"), col("simhash"),
+    val allBands = withSim.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => shiftR(col("simhash"), (b * 16).cast("int")).bitwiseAND(lit(0xffffL))))
         .as(Seq("band", "bucket")))
+    // same degenerate-bucket guard as [[minHashLshPairs]]
+    val banded = if (maxBucketSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      allBands.withColumn("_gf_n", count(lit(1)).over(w))
+        .where(col("_gf_n") <= maxBucketSize).drop("_gf_n")
+    } else allBands
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -196,4 +213,124 @@ object Dedup {
   /** Drop the higher id of every near-dup pair from `df`. */
   def removeDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over near-dup candidate pairs — the step real
+    * fuzzy-dedup pipelines run AFTER LSH: pairwise matches are not
+    * transitive (A~B, B~C but A≁C), so keeping "one per pair" either
+    * over-deletes or leaves duplicates; the correct unit is the connected
+    * component of the candidate graph, keeping one canonical doc per
+    * component.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — converges in
+    * O(log n) rounds on any graph (vs O(diameter) for naive label
+    * propagation), each round a constant number of hash-partitioned
+    * aggregations. No driver-side graph state: the driver loop only reads
+    * a (count, hash-sum) fixpoint probe per round, so a 100 TB candidate
+    * graph never leaves the executors.
+    *
+    * Returns `(id, component)` for every node that appears in `pairs`,
+    * where `component` is the smallest id in the node's component (the
+    * component root maps to itself). Nodes absent from `pairs` are
+    * untouched — join the result back to the corpus with a left join
+    * (see [[componentIds]]).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pairs.sparkSession
+
+    // undirected edge set, self-loop-free, as (u, v) rows both ways
+    def symmetrize(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every neighbor v > u of node u re-points to
+    // m(u) = min(N(u) ∪ {u}). Strictly-larger-only keeps the edge set from
+    // oscillating; min over an unordered window partition needs no sort.
+    def largeStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy("u")
+      symmetrize(e)
+        .withColumn("m", least(col("u"), min("v").over(w)))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: with edges directed larger→smaller, every smaller
+    // neighbor (and u itself) re-points to the minimum of that star.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy("u")
+      val directed = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      directed
+        .withColumn("m", min("v").over(w))
+        .select(explode(array(
+          struct(col("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("s"))
+        .select(col("s.u"), col("s.v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // cheap fixpoint probe: (row count, order-independent hash sum). A
+    // sum-of-64-bit-hash collision would stop one round early on an
+    // unconverged graph — with distinct edge sets the probability is
+    // ~2^-64 per round, far below any hardware error rate. The sum runs in
+    // decimal(38,0) so it cannot overflow under ANSI mode at any edge count.
+    def probe(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var edges = pairs.select(col(idA).cast("long").as("u"),
+        col(idB).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    var signature = probe(edges)
+    var converged = signature._1 == 0L
+    var iters = 0
+    while (!converged && iters < maxIterations) {
+      // localCheckpoint truncates the O(iterations) lineage so round N's
+      // plan does not re-derive rounds 1..N-1 (on a cluster with
+      // re-computation concerns, a reliable checkpoint dir slots in here)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = probe(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == signature
+      signature = nextSig
+      iters += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIterations rounds")
+    // at the fixpoint every edge is (member, root): members point straight
+    // at their component minimum, and roots appear only on the right side.
+    // The final round's checkpoint stays cached — a localCheckpoint's
+    // blocks ARE its lineage, so dropping them before the (lazy) result is
+    // consumed would make it uncomputable; the leak is star edges only
+    // (two longs per duplicate doc).
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+  }
+
+  /** One row per corpus doc: `(…df columns…, component)` where component
+    * is the doc's duplicate-cluster id (its own id when it has no
+    * near-dups). `pairs` is any candidate-pair frame — [[minHashLshPairs]]
+    * at scale, [[ngramJaccardPairs]] for exact small-corpus runs. */
+  def componentIds(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+  }
+
+  /** Fuzzy dedup, done right: keep exactly the canonical (minimum-id) doc
+    * of every near-dup component. */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    componentIds(df, idCol, pairs)
+      .where(col(idCol).cast("long") === col("component"))
+      .drop("component")
 }

@@ -49,4 +49,52 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(0), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Engine-independent shuffle key: the md5 of `id:seed`. A cryptographic
+    * hex string rather than a cheap integer hash so the SAME permutation is
+    * reproducible bit-for-bit on any engine (Spark, DuckDB, a Python
+    * loader) — global training order is part of a run's provenance. */
+  def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)))
+
+  /** The top 32 bits of the shuffle key as a non-negative long in
+    * [0, 2^32): the uniform variate behind sharding and splits. */
+  def shuffleBits(id: Column, seed: Long): Column =
+    conv(substring(shuffleKey(id, seed), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic global shuffle into `numShards` training shards: every
+    * row gets a `shard` and an in-shard `sort_key`, then rows are
+    * exchanged once by shard and sorted within partitions — at 100 TB this
+    * is THE way to shuffle (a global random sort is one range exchange;
+    * per-shard locality lets `partitionBy(shard)` writers emit
+    * sequentially-readable shard files). No RNG state: re-running the job
+    * anywhere reproduces the identical order. */
+  def shuffleIntoShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("sort_key", shuffleKey(col(idCol), seed))
+      .withColumn("shard",
+        (shuffleBits(col(idCol), seed) % numShards).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"))
+  }
+
+  /** Deterministic train/val/test assignment: integer thresholds on the
+    * 32-bit shuffle variate (no float-boundary ambiguity), map-only.
+    * `fractions` are (name, weight) in assignment order; weights are
+    * normalized, so (train→0.9, val→0.05, test→0.05) and (18, 1, 1) agree. */
+  def assignSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      fractions.map(_._2).sum > 0, "split fractions must be non-negative, sum > 0")
+    val total = fractions.map(_._2).sum
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    val v = shuffleBits(col(idCol), seed)
+    val split = fractions.zip(bounds).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), hi)) =>
+        when(v < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
 }

@@ -360,4 +360,134 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(pack() === pack())
   }
+
+  test("LSH bucket cap drops degenerate buckets; other pairs survive") {
+    import spark.implicits._
+    val boiler = (0L until 50L).map(i =>
+      (i, "the same boilerplate text repeated over and over for every row " * 3))
+    val near = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    // identical docs agree in EVERY band, so the degenerate 50-doc bucket is
+    // dropped in all bands; the genuine near-dup pair lives in small buckets
+    val capped = Dedup.minHashLshPairs(df, "doc_id", "text", 3, 8, 2, 0.6,
+        maxBucketSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    // uncapped finds all 1225 identical pairs + the near pair
+    val uncapped = Dedup.minHashLshPairs(df, "doc_id", "text", 3, 8, 2, 0.6,
+      maxBucketSize = 0)
+    assert(uncapped.count() === 50L * 49 / 2 + 1)
+  }
+
+  // ---- duplicate-cluster connected components ----
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n.toLong).map(v => v -> find(v)).toMap
+  }
+
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 60
+      // mixes singletons, long chains (worst case for label propagation),
+      // and dense blobs
+      val chain = (40L until 59L).map(i => (i, i + 1))
+      val random = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = (chain ++ random).distinct
+      val expected = unionFind(n, edges)
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIterations = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.foreach { v =>
+        assert(got(v) === expected(v), s"trial $trial node $v")
+      }
+    }
+  }
+
+  test("componentIds is transitive; dedupByComponents keeps one doc per cluster") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val comp = Dedup.componentIds(docs, "doc_id", pairs)
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled; component roots are their own component
+    assert(comp.size === docs.count())
+    comp.values.foreach(c => assert(comp(c) === c))
+    // label sets agree with union-find over the same pairs
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = unionFind(comp.keys.max.toInt + 1, edges)
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.foreach { v =>
+      assert(comp(v) === expected(v))
+    }
+    // keep exactly one (the min) per cluster
+    val kept = Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === comp.values.toSet)
+    // empty pair set: everything survives, components are the ids
+    val none = Dedup.componentIds(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect()
+    assert(none.forall(r => r.getAs[Long]("component") === r.getAs[Long]("doc_id")))
+  }
+
+  // ---- deterministic shuffle / split ----
+
+  test("shuffleIntoShards: lossless, shard-consistent, partition-sorted, reproducible") {
+    val out = graft.llm.Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = 42L)
+    val rows = out.select("doc_id", "shard", "sort_key").collect()
+    assert(rows.map(_.getLong(0)).toSet === docs.select("doc_id")
+      .collect().map(_.getLong(0)).toSet)
+    // shard is a pure function of (id, seed) — spot-check the arithmetic
+    rows.foreach { r =>
+      val hex = r.getString(2).substring(0, 8)
+      assert(r.getInt(1) === (java.lang.Long.parseLong(hex, 16) % 8).toInt)
+    }
+    // within each output partition rows really are in (shard, sort_key) order
+    import spark.implicits._
+    val ordered = out.select("shard", "sort_key").mapPartitions { it =>
+      val xs = it.map(r => (r.getInt(0), r.getString(1))).toList
+      Iterator.single(xs == xs.sorted)
+    }.collect()
+    assert(ordered.forall(identity))
+    // same seed → identical permutation; different seed → different one
+    val again = graft.llm.Sampling.shuffleIntoShards(docs, "doc_id", 8, 42L)
+      .select("doc_id", "sort_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getString(2))).toSet)
+    val other = graft.llm.Sampling.shuffleIntoShards(docs, "doc_id", 8, 43L)
+      .select("doc_id", "sort_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(other !== again)
+  }
+
+  test("assignSplit: weights normalize, fractions land near targets, deterministic") {
+    val splits = graft.llm.Sampling.assignSplit(docs, "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed = 7L)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(splits.values.sum === n.toLong)
+    assert(splits("train") / n > 0.8 && splits("train") / n < 0.97, splits)
+    assert(splits.getOrElse("val", 0L) > 0 && splits.getOrElse("test", 0L) > 0)
+    // integer weights with the same ratios give the IDENTICAL assignment
+    val a = graft.llm.Sampling.assignSplit(docs, "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), 7L)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = graft.llm.Sampling.assignSplit(docs, "doc_id",
+        Seq(("train", 18.0), ("val", 1.0), ("test", 1.0)), 7L)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
 }
