@@ -261,10 +261,11 @@ final class HiveTableOperations(val location: String, val io: FileIO,
         MetadataLogEntry(System.currentTimeMillis(), prevLoc))
       case None => meta
     }
+    val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
     val file = s"$metadataDir/v${expectedVersion + 1}-" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
-    if (!io.writeAtomic(file, JsonCodecs.tableMetadataToJson(withLog))) return false
+    if (!io.writeAtomic(file, JsonCodecs.tableMetadataToJson(trimmed))) return false
     val ok =
       if (staged) synchronized {
         if (local == prev) { local = Some((expectedVersion + 1, file)); true }
@@ -274,6 +275,7 @@ final class HiveTableOperations(val location: String, val io: FileIO,
         store.insertPointer(db, tableName, location, meta.schema, 1, file)
       else store.casPointer(db, tableName, prev.get._2, expectedVersion + 1, file)
     if (!ok) io.delete(file)
+    else MetadataHousekeeping.deleteQuietly(io, dropped)
     ok
   }
 

@@ -263,10 +263,11 @@ final class JdbcTableOperations(val location: String, val io: FileIO,
         MetadataLogEntry(System.currentTimeMillis(), prevLoc))
       case None => meta
     }
+    val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
     val file = s"$metadataDir/v${expectedVersion + 1}-" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
-    if (!io.writeAtomic(file, JsonCodecs.tableMetadataToJson(withLog))) return false
+    if (!io.writeAtomic(file, JsonCodecs.tableMetadataToJson(trimmed))) return false
     val ok =
       if (staged) synchronized {
         // single-writer staging: plain check-and-set on the local pointer
@@ -275,6 +276,7 @@ final class JdbcTableOperations(val location: String, val io: FileIO,
       else if (prev.isEmpty) store.insertPointer(namespace, tableName, location, 1, file)
       else store.casPointer(namespace, tableName, prev.get._2, expectedVersion + 1, file)
     if (!ok) io.delete(file) // uniquely named — always ours to discard
+    else MetadataHousekeeping.deleteQuietly(io, dropped)
     ok
   }
 

@@ -41,6 +41,38 @@ trait TableOps {
   }
 }
 
+/** Metadata-log housekeeping shared by every commit path (ref
+  * `core/.../TableMetadata.java` previous-files trimming +
+  * `HadoopTableOperations.deleteRemovedMetadataFiles:403`): without it a
+  * long-lived table's metadata JSON grows one log entry per commit forever
+  * — at one commit a minute that is ~0.5M entries a year riding along in
+  * EVERY metadata read. `write.metadata.previous-versions-max` (default
+  * 100) bounds the log; `write.metadata.delete-after-commit.enabled`
+  * (default false — object-store listings may be consistent but other
+  * readers' time travel is not) also deletes the dropped files. */
+object MetadataHousekeeping {
+  def trim(meta: TableMetadata): (TableMetadata, Seq[String]) = {
+    val max = math.max(1,
+      meta.property("write.metadata.previous-versions-max", "100").toInt)
+    if (meta.metadataLog.size <= max) (meta, Nil)
+    else {
+      val removed = meta.metadataLog.dropRight(max)
+      val trimmed = meta.copy(metadataLog = meta.metadataLog.takeRight(max))
+      val del = meta
+        .property("write.metadata.delete-after-commit.enabled", "false").toBoolean
+      (trimmed, if (del) removed.map(_.file) else Nil)
+    }
+  }
+
+  /** Best-effort file removal AFTER a successful commit — a failed delete
+    * leaves an orphan (cleaned by maintenance), never a failed commit. */
+  def deleteQuietly(io: FileIO, files: Seq[String]): Unit =
+    files.foreach { f =>
+      try io.delete(f)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+}
+
 /** Shared half of catalog `registerTable`: parse an existing metadata file
   * and derive its pointer version from the `v{N}` filename convention. */
 object RegisterTable {
@@ -108,10 +140,14 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
       if (expectedVersion == 0) meta
       else meta.copy(metadataLog = meta.metadataLog :+
         MetadataLogEntry(nowMs, metadataFile(expectedVersion)))
+    val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
     val ok = io.writeAtomic(metadataFile(expectedVersion + 1),
-      JsonCodecs.tableMetadataToJson(withLog))
-    if (ok) io.writeString(versionHint, (expectedVersion + 1).toString)
+      JsonCodecs.tableMetadataToJson(trimmed))
+    if (ok) {
+      io.writeString(versionHint, (expectedVersion + 1).toString)
+      MetadataHousekeeping.deleteQuietly(io, dropped)
+    }
     ok
   }
 }

@@ -35,6 +35,32 @@ class TableSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("metadata log is bounded; delete-after-commit removes dropped versions") {
+    val loc = tmpLoc()
+    val small = lineitem.limit(5)
+    val t = IceTable.create(spark, loc, Schema.fresh(small.schema),
+      properties = Map(
+        "write.metadata.previous-versions-max" -> "3",
+        "write.metadata.delete-after-commit.enabled" -> "true"))
+    (1 to 8).foreach(_ => t.append(small))
+    val log = t.meta.metadataLog
+    assert(log.size === 3, s"log should be trimmed to 3, was ${log.size}")
+    // the kept entries are the MOST RECENT previous versions, still on disk
+    log.foreach(e => assert(t.io.exists(e.file), s"${e.file} should exist"))
+    // dropped versions are gone from disk (v1 was the create)
+    assert(!t.io.exists(s"$loc/metadata/v2.metadata.json"))
+    // reads still work; time travel within retained snapshots unaffected
+    assert(t.toDF.count() === 40)
+
+    // without delete-after-commit the log still trims but files survive
+    val loc2 = tmpLoc()
+    val t2 = IceTable.create(spark, loc2, Schema.fresh(small.schema),
+      properties = Map("write.metadata.previous-versions-max" -> "3"))
+    (1 to 8).foreach(_ => t2.append(small))
+    assert(t2.meta.metadataLog.size === 3)
+    assert(t2.io.exists(s"$loc2/metadata/v2.metadata.json"))
+  }
+
   test("bucket-partitioned append: pruning is correct and effective") {
     val loc = tmpLoc()
     val schema = Schema.fresh(lineitem.schema)
