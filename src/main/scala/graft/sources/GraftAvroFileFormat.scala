@@ -142,7 +142,15 @@ private[sources] class GraftAvroOutputWriter(val path: String, context: TaskAtte
     }
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
-    w.setCodec(CodecFactory.snappyCodec())
+    // codec rides the per-write hadoop conf (write.avro.compression-codec)
+    w.setCodec(context.getConfiguration.get("graft.avro.codec", "snappy") match {
+      case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+      case "zstandard" => CodecFactory.zstandardCodec(3)
+      case "bzip2" => CodecFactory.bzip2Codec()
+      case "xz" => CodecFactory.xzCodec(6)
+      case "uncompressed" | "none" | "null" => CodecFactory.nullCodec()
+      case _ => CodecFactory.snappyCodec()
+    })
     val out = new Path(path).getFileSystem(context.getConfiguration)
       .create(new Path(path), false)
     w.create(avroSchema, out)

@@ -1300,8 +1300,39 @@ private[table] object Writes {
       targetBytes = prop(TableProperties.TargetFileSize,
         TableProperties.TargetFileSizeDefault.toString).toLong
     } yield math.max(1L, targetBytes / math.max(1L, bytes / rows))
+    // file-format tuning (ref TableProperties.java:63-79): write options
+    // reach the task-side writers through the per-write hadoop conf
+    // (newHadoopConfWithOptions), so row-group/page sizing needs no session
+    // mutation. Defaults keep Spark's snappy (the ref-era gzip default
+    // predates zstd; snappy/zstd is what its own docs recommend for scans).
+    val fileOptions: Map[String, String] = format match {
+      case "parquet" =>
+        val codec = prop("write.parquet.compression-codec", "snappy")
+        val level = prop("write.parquet.compression-level", "")
+        Map(
+          "compression" -> codec,
+          "parquet.block.size" -> prop("write.parquet.row-group-size-bytes",
+            (128L << 20).toString),
+          "parquet.page.size" -> prop("write.parquet.page-size-bytes",
+            (1L << 20).toString),
+          "parquet.dictionary.page.size" -> prop("write.parquet.dict-size-bytes",
+            (2L << 20).toString)) ++
+          (if (level.nonEmpty)
+            Map(s"parquet.compression.codec.${codec.toLowerCase}.level" -> level)
+          else Map.empty)
+      case "orc" =>
+        Map("compression" -> prop("write.orc.compression-codec", "snappy"))
+      case "avro" =>
+        // avro names deflate what the ref property calls gzip
+        Map("graft.avro.codec" ->
+          (prop("write.avro.compression-codec", "snappy") match {
+            case "gzip" => "deflate"
+            case c => c
+          }))
+      case _ => Map.empty
+    }
     def withRolling(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-      maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n))
+      maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n)).options(fileOptions)
 
     if (spec.isUnpartitioned) {
       withRolling(sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)))

@@ -53,6 +53,34 @@ class FormatSpec extends AnyFunSuite {
     assert(t2.toDF.filter(col("o_orderstatus") === "F").count() === 0)
   }
 
+  test("write tuning properties: codec and row-group size reach the writers") {
+    val loc = Files.createTempDirectory("graft-tune-").toString + "/t"
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val t = IceTable.create(spark, loc, Schema.fresh(li.schema),
+      properties = Map(
+        "write.parquet.compression-codec" -> "zstd",
+        "write.parquet.row-group-size-bytes" -> "65536",
+        "write.parquet.page-size-bytes" -> "16384"))
+    t.append(li)
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.nonEmpty)
+    // Spark names parquet files by codec — zstd honored end-to-end
+    files.foreach(f => assert(f.path.contains("zstd"), f.path))
+    // 64 KiB row groups split a 6k-row lineitem file into several groups
+    assert(files.exists(_.splitOffsets.size > 1),
+      s"expected multiple row groups, offsets=${files.map(_.splitOffsets)}")
+    assert(t.toDF.count() === li.count())
+
+    // avro codec property: deflate (ref name: gzip) round-trips
+    val loc2 = Files.createTempDirectory("graft-tune-").toString + "/t"
+    val t2 = IceTable.create(spark, loc2, Schema.fresh(li.schema),
+      properties = Map(
+        TableProperties.DefaultFileFormat -> "avro",
+        "write.avro.compression-codec" -> "gzip"))
+    t2.append(li.limit(100))
+    assert(t2.toDF.count() === 100)
+  }
+
   test("ORC table: write, metrics-pruned scan, delete") {
     val loc = Files.createTempDirectory("graft-orc-").toString + "/t"
     val schema = Schema.fresh(orders.schema)
