@@ -252,6 +252,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     evictIce(tablePath(ident))
+    // custom data roots (write.folder-storage.path / object-store layout)
+    // put files outside the table dir: purge by reachability, like ref
+    // CatalogUtil.dropTableData, or those files leak forever
+    try {
+      val t = graft.table.IceTable.load(spark, tablePath(ident))
+      if (graft.table.Locations.mayWriteOutsideTable(t.location, t.meta)) {
+        graft.table.Maintenance.deleteReachableFiles(t)
+        return true
+      }
+    } catch { case scala.util.control.NonFatal(_) => /* fall back to dir delete */ }
     io.deleteRecursive(tablePath(ident))
   }
 

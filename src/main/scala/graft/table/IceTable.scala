@@ -1282,7 +1282,7 @@ private[table] object Writes {
     // align to table schema (names must match; types are cast)
     val aligned = df.select(schema.struct.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    val outDir = s"${table.location}/data/${UUID.randomUUID()}"
+    val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
     // Roll output files at ~write.target-file-size-bytes (ref rolling file
     // writers, `TableProperties.java:145`): Spark rolls by RECORD count, so
@@ -1333,6 +1333,9 @@ private[table] object Writes {
     }
     def withRolling(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n)).options(fileOptions)
+        // no _SUCCESS markers: manifests are the commit record, and the
+        // zero-byte files would be unreachable orphans under purge
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
 
     if (spec.isUnpartitioned) {
       withRolling(sorted(m, schema, aligned, Nil).write.format(sparkFormat(format)))

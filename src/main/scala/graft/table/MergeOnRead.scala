@@ -56,7 +56,7 @@ object MergeOnRead {
     val schema = m.schema
     val spec = m.spec
     val ids = keys.map(schema.fieldId)
-    val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
+    val outDir = Locations.newWriteDir(table.location, m, s"deletes-${UUID.randomUUID()}")
     val distinctKeys = keysDf.select(keys.map(col): _*).dropDuplicates(keys)
     val scoped = spec.isPartitioned &&
       spec.fields.forall(pf => ids.contains(pf.sourceId))
@@ -69,9 +69,10 @@ object MergeOnRead {
         pf.transform.toColumn(col(srcName), schema.fieldType(pf.sourceId))
       }
       distinctKeys.withColumns(helperNames.zip(helperCols).toMap)
-        .write.partitionBy(helperNames: _*).parquet(outDir)
+        .write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy(helperNames: _*).parquet(outDir)
     } else {
-      distinctKeys.write.parquet(outDir)
+      distinctKeys.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false").parquet(outDir)
     }
     val metas = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
       scoped = scoped)
@@ -138,7 +139,7 @@ object MergeOnRead {
       compact: Boolean = false,
       wantRefs: Boolean = true): (Seq[DataFileMeta], Set[String]) = {
     val spec = m.spec
-    val outDir = s"${table.location}/data/deletes-${UUID.randomUUID()}"
+    val outDir = Locations.newWriteDir(table.location, m, s"deletes-${UUID.randomUUID()}")
     val rows0 = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
       .dropDuplicates(PosPathCol, PosPosCol)
     val rows = if (compact && !spec.isPartitioned) rows0.coalesce(1) else rows0
@@ -177,9 +178,10 @@ object MergeOnRead {
       // compact: hash-exchange on the partition tuple puts every row of one
       // partition in one task → exactly one file per partition dir
       val out = if (compact) filled.repartition(helperNames.map(col): _*) else filled
-      out.write.partitionBy(helperNames: _*).parquet(outDir)
+      out.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy(helperNames: _*).parquet(outDir)
     } else {
-      rows.write.parquet(outDir)
+      rows.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false").parquet(outDir)
     }
     val metas = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
       scoped = scoped)

@@ -61,6 +61,37 @@ class TableSpec extends AnyFunSuite {
     assert(t2.io.exists(s"$loc2/metadata/v2.metadata.json"))
   }
 
+  test("object-store layout: hashed prefixes outside the table dir; drop purges by reachability") {
+    val base = Files.createTempDirectory("graft-objstore-").toString
+    spark.conf.set("spark.sql.catalog.obj", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.obj.warehouse", s"$base/wh")
+    val store = s"$base/bucket"
+    spark.sql("CREATE TABLE obj.db.t (k INT, v STRING) TBLPROPERTIES (" +
+      "'write.object-storage.enabled' = 'true', " +
+      s"'write.object-storage.path' = '$store')")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO obj.db.t VALUES ($i, 'x$i')"))
+    val t = IceTable.load(spark, s"$base/wh/db/t")
+    val files = t.newScan().planFiles().map(_.file.path)
+    assert(files.nonEmpty)
+    val rx = (java.util.regex.Pattern.quote(store) + "/([0-9a-f]{8})/db/t/").r
+    val prefixes = files.flatMap(p => rx.findFirstMatchIn(p).map(_.group(1)))
+    assert(prefixes.size === files.size,
+      s"every data file must sit under an 8-hex prefix + db/t context: $files")
+    assert(prefixes.distinct.size >= 2, "commits should spread across prefixes")
+    assert(spark.sql("SELECT count(*) FROM obj.db.t").head().getLong(0) === 3)
+    // merge-on-read delete files land under hashed prefixes too, reads fine
+    spark.sql("ALTER TABLE obj.db.t SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM obj.db.t WHERE k = 2")
+    assert(spark.sql("SELECT count(*) FROM obj.db.t").head().getLong(0) === 2)
+    // DROP must purge by reachability — a plain table-dir delete would
+    // leak every hashed file in the bucket
+    spark.sql("DROP TABLE obj.db.t")
+    val io = t.io
+    assert(!io.exists(s"$base/wh/db/t"))
+    assert(io.listRecursive(store).isEmpty,
+      s"object-store bucket should be empty after drop")
+  }
+
   test("bucket-partitioned append: pruning is correct and effective") {
     val loc = tmpLoc()
     val schema = Schema.fresh(lineitem.schema)
