@@ -711,6 +711,20 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         case Some(h) => h.summary.get(key).flatMap(_.toLongOption)
           .map(prev => key -> (prev + delta).toString)
       }
+      // per-partition change summaries (ref SnapshotSummary.java:49-51,
+      // `write.summary.partition-limit`, default 0 = off): included only
+      // when the commit touches few partitions — a 10k-partition overwrite
+      // must not bloat every future metadata read with 10k summary entries
+      val partLimit = base.property("write.summary.partition-limit", "0").toInt
+      val partitionSummaries: Map[String, String] = {
+        val byPart = added.filter(_.partition.nonEmpty).groupBy(_.partition)
+        if (partLimit <= 0 || byPart.isEmpty || byPart.size > partLimit) Map.empty
+        else byPart.map { case (tuple, fs) =>
+          s"partitions.${tuple.mkString("/")}" ->
+            s"added-data-files=${fs.size},added-records=${fs.map(_.recordCount).sum}"
+        } + ("partition-summaries-included" -> "true") +
+          ("changed-partition-count" -> byPart.size.toString)
+      }
       val summary = Map(
         "added-data-files" -> added.size.toString,
         "added-records" -> addedRecords.toString,
@@ -720,6 +734,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         "removed-files-size" -> removedBytes.toString,
         "total-data-files" -> (allManifests.map(f =>
           f.addedFilesCount + f.existingFilesCount).sum).toString) ++
+        partitionSummaries ++
         carried("total-records", addedRecords - removedRows) ++
         carried("total-files-size", addedBytes - removedBytes) ++ extraSummary
 

@@ -35,7 +35,15 @@ trait TableOps {
       if (attempt > retries)
         throw new CommitFailedException(
           s"Commit failed after $retries retries at $location (version $version)")
-      Thread.sleep(math.min(100L << attempt, 2000L))
+      // exponential backoff with jitter (ref util/Tasks.java:423 —
+      // `commit.retry.min-wait-ms` / `max-wait-ms`): without the random
+      // factor, N writers that collided once re-collide on every retry
+      val minWait = base.property("commit.retry.min-wait-ms", "100").toLong
+      val maxWait = base.property("commit.retry.max-wait-ms", "5000").toLong
+      val backoff = math.min(
+        minWait * math.pow(2.0, (attempt - 1).toDouble), maxWait.toDouble)
+      Thread.sleep(math.max(1L,
+        (backoff * (0.5 + scala.util.Random.nextDouble() * 0.5)).toLong))
     }
     throw new IllegalStateException("unreachable")
   }

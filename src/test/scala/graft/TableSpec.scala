@@ -35,6 +35,26 @@ class TableSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("partition summaries appear in snapshot summary under the limit, vanish over it") {
+    val loc = tmpLoc()
+    val schema = Schema.fresh(orders.schema)
+    val spec = PartitionSpec.builderFor(schema).identity("o_orderstatus").build()
+    val t = IceTable.create(spark, loc, schema, spec,
+      properties = Map("write.summary.partition-limit" -> "5"))
+    t.append(orders) // 3 distinct o_orderstatus values ≤ limit
+    val s1 = t.currentSnapshot.get.summary
+    assert(s1.get("partition-summaries-included") === Some("true"))
+    assert(s1("changed-partition-count") === "3")
+    assert(s1.keys.count(_.startsWith("partitions.")) === 3)
+    assert(s1.keys.exists(_ == "partitions.O"), s1.keys.filter(_.startsWith("partitions.")))
+    // over the limit: no per-partition entries
+    t.updateProperties(Map("write.summary.partition-limit" -> "2"))
+    t.append(orders)
+    val s2 = t.currentSnapshot.get.summary
+    assert(!s2.contains("partition-summaries-included"))
+    assert(s2.keys.forall(!_.startsWith("partitions.")))
+  }
+
   test("metadata log is bounded; delete-after-commit removes dropped versions") {
     val loc = tmpLoc()
     val small = lineitem.limit(5)
