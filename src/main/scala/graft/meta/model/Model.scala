@@ -193,6 +193,10 @@ object TableProperties {
   val DefaultFileFormat = "write.format.default" // parquet | orc (ref :61)
   val SplitSize = "read.split.target-size"
   val SplitSizeDefault: Long = 128L * 1024 * 1024 // ref TableProperties.java:82
+  val SplitOpenFileCost = "read.split.open-file-cost"
+  val SplitOpenFileCostDefault: Long = 4L * 1024 * 1024 // ref :90
+  val SplitLookback = "read.split.planning-lookback"
+  val SplitLookbackDefault = 10 // ref :87
   val TargetFileSize = "write.target-file-size-bytes"
   val TargetFileSizeDefault: Long = 512L * 1024 * 1024 // ref :145
   val CommitRetries = "commit.retry.num-retries"

@@ -293,7 +293,14 @@ final case class GraftInputPartition(
     columnar: Boolean = false,
     key: InternalRow = null,
     deletes: GraftDeleteApply = null,
-    synthPos: Boolean = false) extends InputPartition with HasPartitionKey {
+    synthPos: Boolean = false,
+    // `_file`/`_pos` metadata-column emit plan: output layout (data ordinal
+    // >= 0, GraftBatchScan.OutFile/OutPos), the data-column types, and where
+    // the parquet row-index column sits in the extended row (-1 = synthesize
+    // positions as running ordinals). Null outCols = legacy layout.
+    outCols: Array[Int] = null,
+    emitTypes: Array[DataType] = null,
+    ridOrdinal: Int = -1) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
@@ -318,6 +325,21 @@ object GraftReaderFactory extends PartitionReaderFactory {
         else UnsafeProjection.create(
           (0 until p.deletes.keepColumns).map(i =>
             BoundReference(i, p.deletes.outputTypes(i), nullable = true)))
+      // `_file`/`_pos` emit: rebuild the row in requested output order with
+      // the slice's path constant and the row's file ordinal
+      private def emitRow(row: InternalRow, pos: Long, file: UTF8String): InternalRow = {
+        val out = new Array[Any](p.outCols.length)
+        var i = 0
+        while (i < p.outCols.length) {
+          val c = p.outCols(i)
+          out(i) =
+            if (c >= 0) row.get(c, p.emitTypes(c))
+            else if (c == GraftBatchScan.OutFile) file
+            else pos
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
       private val it: Iterator[InternalRow] = p.files.iterator.flatMap { s =>
         val raw = p.reader(
           ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
@@ -332,10 +354,21 @@ object GraftReaderFactory extends PartitionReaderFactory {
           case Some(pr) => rows.map(pr(_): InternalRow)
           case None => rows
         }
-        if (probe == null) out
-        else if (!p.synthPos) {
+        val fileStr =
+          if (p.outCols == null) null else UTF8String.fromString(s.path)
+        if (probe == null) {
+          if (p.outCols == null) out
+          else if (p.synthPos) {
+            var pos = -1L
+            out.map { r => pos += 1; emitRow(r, pos, fileStr) }
+          } else out.map(r => emitRow(r,
+            if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr))
+        } else if (!p.synthPos) {
           val posSet = probe.posSetFor(s.path)
-          out.filter(probe.live(_, posSet))
+          val filtered = out.filter(probe.live(_, posSet))
+          if (p.outCols == null) filtered
+          else filtered.map(r => emitRow(r,
+            if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr))
         } else {
           // synthesized positions: the slice is a whole file read with no
           // reader filters, so the running ordinal IS the row position
@@ -343,16 +376,21 @@ object GraftReaderFactory extends PartitionReaderFactory {
           val cursor =
             if (posSet == null) null else new GraftDeleteProbe.PosCursor
           var pos = -1L
-          out.filter { r =>
+          val filtered = out.filter { r =>
             pos += 1
             (posSet == null || !cursor.deleted(posSet, pos)) && probe.liveEq(r)
           }
+          if (p.outCols == null) filtered
+          // map pulls AFTER filter accepts, so `pos` is the accepted row's
+          // ordinal at emit time
+          else filtered.map(r => emitRow(r, pos, fileStr))
         }
       }
       private var row: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false
-      override def get(): InternalRow = if (trim == null) row else trim(row)
+      override def get(): InternalRow =
+        if (p.outCols != null || trim == null) row else trim(row)
       override def close(): Unit = ()
     }
   }
@@ -367,23 +405,81 @@ object GraftReaderFactory extends PartitionReaderFactory {
         val batches = p.reader(
           ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize))
           .asInstanceOf[Iterator[ColumnarBatch]]
-        if (probe == null) batches
-        else {
+        val fileStr =
+          if (p.outCols == null) null else UTF8String.fromString(s.path)
+        if (probe == null && p.outCols == null) batches
+        else if (probe == null) {
+          var base = 0L
+          batches.map { b =>
+            val out = emitBatch(b, null, b.numRows(), base, fileStr)
+            base += b.numRows(); out
+          }
+        } else {
           val posSet = probe.posSetFor(s.path)
           val cursor = if (posSet == null) null else new GraftDeleteProbe.PosCursor
           // synthesized positions: batches of one whole-file slice are
           // consecutive, so a running base + in-batch offset is the ordinal
           var base = 0L
           batches.map { b =>
-            val out = filterBatch(b, posSet, cursor, base)
+            val out = filterBatch(b, posSet, cursor, base, fileStr)
             base += b.numRows(); out
           }
         }
       }
-      /** Drop deleted rows + the extra probe columns: survivors become a
-        * row-id mapping over the base vectors — zero copy, stays columnar. */
+      /** Final batch in output layout: filtered (or raw) data vectors, plus
+        * `_file` as a constant vector and `_pos` from the row-index vector
+        * (or synthesized from the running file ordinal). Data vectors stay
+        * zero-copy views. */
+      private def emitBatch(b: ColumnarBatch, map: Array[Int], kept: Int,
+          base: Long, fileStr: UTF8String): ColumnarBatch = {
+        if (p.outCols == null) {
+          // drop deleted rows + extra probe columns only (legacy layout)
+          val d = p.deletes
+          val cols = new Array[ColumnVector](d.keepColumns)
+          var j = 0
+          if (map == null) {
+            while (j < d.keepColumns) { cols(j) = b.column(j); j += 1 }
+          } else {
+            while (j < d.keepColumns) {
+              cols(j) = new GraftFilteredVector(b.column(j), map); j += 1
+            }
+          }
+          return new ColumnarBatch(cols, kept)
+        }
+        val cols = new Array[ColumnVector](p.outCols.length)
+        var j = 0
+        while (j < p.outCols.length) {
+          val c = p.outCols(j)
+          cols(j) =
+            if (c >= 0) {
+              if (map == null) b.column(c) else new GraftFilteredVector(b.column(c), map)
+            } else if (c == GraftBatchScan.OutFile) {
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(kept, StringType)
+              v.setUtf8String(fileStr)
+              v
+            } else if (p.ridOrdinal >= 0) {
+              if (map == null) b.column(p.ridOrdinal)
+              else new GraftFilteredVector(b.column(p.ridOrdinal), map)
+            } else {
+              // synthesized ordinals: position = slice base + base-batch row
+              val v = new org.apache.spark.sql.execution.vectorized
+                .OnHeapColumnVector(math.max(kept, 1), LongType)
+              var i = 0
+              while (i < kept) {
+                v.putLong(i, base + (if (map == null) i else map(i))); i += 1
+              }
+              v
+            }
+          j += 1
+        }
+        new ColumnarBatch(cols, kept)
+      }
+      /** Drop deleted rows: survivors become a row-id mapping over the base
+        * vectors — zero copy, stays columnar. */
       private def filterBatch(b: ColumnarBatch, posSet: Array[Long],
-          cursor: GraftDeleteProbe.PosCursor, base: Long): ColumnarBatch = {
+          cursor: GraftDeleteProbe.PosCursor, base: Long,
+          fileStr: UTF8String): ColumnarBatch = {
         val d = p.deletes
         val n = b.numRows()
         val map = new Array[Int](n)
@@ -420,17 +516,8 @@ object GraftReaderFactory extends PartitionReaderFactory {
             i += 1
           }
         }
-        val cols = new Array[ColumnVector](d.keepColumns)
-        var j = 0
-        if (kept == n) {
-          while (j < d.keepColumns) { cols(j) = b.column(j); j += 1 }
-        } else {
-          val m = java.util.Arrays.copyOf(map, kept)
-          while (j < d.keepColumns) {
-            cols(j) = new GraftFilteredVector(b.column(j), m); j += 1
-          }
-        }
-        new ColumnarBatch(cols, kept)
+        val m = if (kept == n) null else java.util.Arrays.copyOf(map, kept)
+        emitBatch(b, m, kept, base, fileStr)
       }
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
@@ -475,10 +562,14 @@ object GraftReadPlanner {
   def plan(spark: SparkSession, m: TableMetadata, files: Seq[DataFileMeta],
       names: Seq[String], pushedV1: Seq[Filter], splitTarget: Long,
       wantColumnar: Boolean, wantKeys: Boolean,
-      deletes: Seq[DataFileMeta] = Nil): Planned = {
+      deletes: Seq[DataFileMeta] = Nil, outCols: Array[Int] = null): Planned = {
     if (files.isEmpty) return Planned(Array.empty, columnar = false)
     val schema = m.schema
     val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
+    // requested `_pos` metadata column rides the same row-index machinery
+    // position deletes use (real parquet row-index column, or synthesized
+    // whole-file ordinals for other formats)
+    val wantPos = outCols != null && outCols.contains(GraftBatchScan.OutPos)
 
     // merge-on-read probe columns: eq-delete keys not already projected ride
     // along (resolved through the same writer-schema machinery), plus the
@@ -489,7 +580,7 @@ object GraftReadPlanner {
       .groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
     val eqKeyNames = eqMetaGroups.flatMap(_._1).distinct.map(schema.fieldName)
     val extNames = names ++ eqKeyNames.filterNot(names.contains)
-    val needRid = posDeletes.nonEmpty
+    val needRid = posDeletes.nonEmpty || wantPos
     // must stay nullable: the vectorized reader's required-column check runs
     // before its row-index special-casing and rejects a non-nullable field
     val ridField = StructField(
@@ -604,6 +695,12 @@ object GraftReadPlanner {
     }
 
     // build readers; if any format declines batch output, fall back to rows
+    val emitTypes: Array[DataType] = if (outCols == null) null
+      else names.map(n => schema.fieldType(schema.fieldId(n))).toArray[DataType]
+    val openCost = m.property(TableProperties.SplitOpenFileCost,
+      TableProperties.SplitOpenFileCostDefault.toString).toLong
+    val lookback = math.max(1, m.property(TableProperties.SplitLookback,
+      TableProperties.SplitLookbackDefault.toString).toInt)
     def build(vectorized: Boolean): Option[Planned] = {
       val partitions = plans.flatMap { p =>
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
@@ -611,10 +708,13 @@ object GraftReadPlanner {
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file)
-        pack(p.files, splitTarget, wholeFiles = p.synthPos).map(slicePack =>
+        pack(p.files, splitTarget, openCost, lookback,
+          wholeFiles = p.synthPos).map(slicePack =>
           GraftInputPartition(slicePack.toArray,
             reader, p.project, columnar = vectorized && batches, key = p.key,
-            deletes = deleteApply, synthPos = p.synthPos))
+            deletes = deleteApply, synthPos = p.synthPos,
+            outCols = outCols, emitTypes = emitTypes,
+            ridOrdinal = if (needRid && !p.synthPos) extNames.length else -1))
       }
       Some(Planned(partitions.toArray, columnar = vectorized))
     }
@@ -642,25 +742,37 @@ object GraftReadPlanner {
       }
     }
 
-  /** Greedy size-packed splits (ref `TableScanUtil.planTasks` bin-pack).
-    * `wholeFiles` keeps each file a single slice (synthesized positions). */
+  /** Size-packed splits with lookback bin-packing (ref
+    * `TableScanUtil.planTasks` + `util/BinPacking.java`): each slice weighs
+    * at least `openCost` (`read.split.open-file-cost`) so a task never
+    * collects thousands of tiny files as "one split's worth" — per-file
+    * reader setup, not bytes, dominates such tasks. Up to `lookback` bins
+    * stay open so mixed sizes pack tightly; when none fits, the oldest bin
+    * closes. `wholeFiles` keeps each file a single slice (synthesized
+    * positions). */
   private def pack(group: Seq[DataFileMeta], splitTarget: Long,
+      openCost: Long, lookback: Int,
       wholeFiles: Boolean = false): Seq[Seq[FileSlice]] = {
-    val packs = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[FileSlice])
-    var acc = 0L
     val sliced =
       if (wholeFiles)
         group.map(f => FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
       else group.flatMap(slices(_, splitTarget))
+    val open = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[FileSlice], Long)]
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Seq[FileSlice]]
     sliced.foreach { s =>
-      if (acc > 0 && acc + s.length > splitTarget) {
-        packs += scala.collection.mutable.ArrayBuffer.empty[FileSlice]
-        acc = 0L
+      val w = math.max(s.length, openCost)
+      val i = open.indexWhere { case (_, acc) => acc + w <= splitTarget }
+      if (i >= 0) {
+        val (bin, acc) = open(i)
+        bin += s
+        open(i) = (bin, acc + w)
+      } else {
+        if (open.size >= lookback) closed += open.remove(0)._1.toSeq
+        open += ((scala.collection.mutable.ArrayBuffer(s), w))
       }
-      packs.last += s; acc += s.length
     }
-    packs.filter(_.nonEmpty).map(_.toSeq).toSeq
+    (closed ++ open.map(_._1.toSeq)).filter(_.nonEmpty).toSeq
   }
 }
 
@@ -682,6 +794,12 @@ object GraftReadPlanner {
   *  - `SupportsReportStatistics`: post-pruning sizes feed broadcast/AQE
   *    decisions.
   */
+object GraftBatchScan {
+  /** [[GraftInputPartition.outCols]] codes for metadata columns. */
+  val OutFile: Int = -1
+  val OutPos: Int = -2
+}
+
 final class GraftBatchScan(val table: IceTable, filter: GExpr,
     projection: StructType, pushedV1: Seq[Filter],
     snapshotId: Option[Long], asOfMillis: Option[Long],
@@ -689,7 +807,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     maxFilesPerTrigger: Option[Int] = None,
     deletes: Seq[(DataFileMeta, Long)] = Nil,
     pushedLimit: Option[Int] = None,
-    appendsRange: Option[(Long, Long)] = None)
+    appendsRange: Option[(Long, Long)] = None,
+    outCols: Array[Int] = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -733,14 +852,28 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     cachedTasks
   }
 
-  override def readSchema(): StructType = projection
+  override def readSchema(): StructType =
+    if (outCols == null) projection
+    else {
+      var dataOrd = 0
+      StructType(outCols.map {
+        case GraftBatchScan.OutFile =>
+          StructField(GraftSparkTable.FileCol, StringType, nullable = false)
+        case GraftBatchScan.OutPos =>
+          StructField(GraftSparkTable.PosCol, LongType, nullable = false)
+        case _ => val f = projection.fields(dataOrd); dataOrd += 1; f
+      })
+    }
 
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (outCols != null) throw new UnsupportedOperationException(
+      "_file/_pos metadata columns are not supported in streaming reads")
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
       streamSkipDeletes, maxFilesPerTrigger)
+  }
 
   /** The snapshot this scan reads (explicit pin > time travel > current). */
   private def effectiveSnapshotId: Option[Long] = {
@@ -863,7 +996,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
         GraftReadPlanner.plan(table.spark, m, group.map(_.file),
           projection.fieldNames.toSeq, pushedV1 ++ runtimeV1, split,
           wantColumnar = true, wantKeys = keyedSpec.nonEmpty,
-          deletes = applicable)
+          deletes = applicable, outCols = outCols)
       }
       cachedPlan = GraftReadPlanner.Planned(
         planned.flatMap(_.partitions).toArray,

@@ -28,9 +28,21 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSparkTable(val table: IceTable, fullName: String,
     snapshotId: Option[Long] = None, asOfMillis: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = fullName
+
+  /** Row-lineage metadata columns (ref `core/.../MetadataColumns.java:35-39`
+    * `_file`/`_pos`): the data file a row came from (the manifest path) and
+    * its ordinal within that file — the coordinates position deletes use.
+    * Hidden from `SELECT *`; a data column with the same name shadows the
+    * metadata column. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val dataNames = table.schema.struct.fieldNames.toSet
+    GraftSparkTable.MetaCols.filterNot(c => dataNames.contains(c.name()))
+  }
 
   /** Native SQL DELETE path (ref `SparkTable.java` canDeleteWhere/deleteWhere):
     * Spark plans `DeleteFromTableExec` when every filter converts exactly;
@@ -147,6 +159,28 @@ final class GraftMetadataTable(table: IceTable, metaName: String, fullName: Stri
   * truncated to 16 chars at write, float/double bounds are NaN-unreliable).
   * The partial row is re-aggregated by Spark (`supportCompletePushDown` =
   * false), so empty tables and null-only columns keep exact SQL semantics. */
+object GraftSparkTable {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  val FileCol = "_file"
+  val PosCol = "_pos"
+  val MetaColNames: Set[String] = Set(FileCol, PosCol)
+
+  private def metaCol(colName: String, dt: DataType): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+    }
+
+  val MetaCols: Array[MetadataColumn] =
+    Array(metaCol(FileCol, StringType), metaCol(PosCol, LongType))
+
+  def metaFieldType(colName: String): DataType =
+    if (colName == FileCol) StringType else LongType
+}
+
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
     streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
@@ -158,6 +192,10 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   private var pushedExpr: GExpr = TrueExpr
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schema.struct
+  // requested _file/_pos metadata columns, in their requested positions
+  // relative to the data columns (Spark appends them after data columns;
+  // the permutation keeps us correct either way)
+  private var metaRequested: Seq[(String, Int)] = Nil
   private var aggResult: Option[(StructType, InternalRow)] = None
   private var pushedLimit: Option[Int] = None
 
@@ -186,9 +224,38 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // resolve against the table schema to keep field-ID metadata
     val byName = table.schema.struct.fields.map(f => f.name -> f).toMap
+    val (meta, data) = requiredSchema.fields.zipWithIndex.partition {
+      case (f, _) => !byName.contains(f.name) &&
+        GraftSparkTable.MetaColNames.contains(f.name)
+    }
+    this.metaRequested = meta.toSeq.map { case (f, i) => (f.name, i) }
     this.requiredSchema = StructType(
-      requiredSchema.fields.flatMap(f => byName.get(f.name)))
+      data.flatMap { case (f, _) => byName.get(f.name) })
   }
+
+  /** Output layout for the scan: data-column ordinal (>= 0), or
+    * [[GraftBatchScan.OutFile]] / [[GraftBatchScan.OutPos]] for metadata
+    * columns, in the requested output order. Null when no metadata column
+    * is requested (the common case keeps its exact legacy path). */
+  private def outCols: Array[Int] =
+    if (metaRequested.isEmpty) null
+    else {
+      val metaAt = metaRequested.toMap.map(_.swap) // position -> name
+      val out = new Array[Int](requiredSchema.length + metaRequested.size)
+      var dataOrd = 0
+      var i = 0
+      while (i < out.length) {
+        out(i) = metaAt.get(i) match {
+          case Some(GraftSparkTable.FileCol) => GraftBatchScan.OutFile
+          case Some(GraftSparkTable.PosCol) => GraftBatchScan.OutPos
+          case Some(other) =>
+            throw new IllegalStateException(s"unknown metadata column $other")
+          case None => val d = dataOrd; dataOrd += 1; d
+        }
+        i += 1
+      }
+      out
+    }
 
   private def baseScan() = {
     var s = table.newScan()
@@ -310,14 +377,19 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
         // incremental: appended files only, deletes don't apply by contract
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
-          deletes = Nil, pushedLimit = pushedLimit, appendsRange = appendsRange)
-      else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported))
+          deletes = Nil, pushedLimit = pushedLimit, appendsRange = appendsRange,
+          outCols = outCols)
+      else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported)) {
+        if (metaRequested.nonEmpty) throw new UnsupportedOperationException(
+          "_file/_pos metadata columns need the native scan; this read took " +
+            "the V1 fallback (read.v1-fallback.enabled or an unsupported " +
+            "merge-on-read delete shape)")
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
           asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
-      else
+      } else
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
-          deletes = plannedDeletes, pushedLimit = pushedLimit)
+          deletes = plannedDeletes, pushedLimit = pushedLimit, outCols = outCols)
   }
 }
 

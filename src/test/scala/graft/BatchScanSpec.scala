@@ -297,6 +297,26 @@ class BatchScanSpec extends AnyFunSuite {
     assert(e.getMessage.contains("start-snapshot-id"))
   }
 
+  test("open-file cost bounds tiny-file packing") {
+    warehouse
+    spark.sql("CREATE TABLE bs.db.pack (k INT)")
+    (1 to 8).foreach(i => spark.sql(s"INSERT INTO bs.db.pack VALUES ($i)"))
+    def parts(): Int =
+      spark.read.format("graft").load(warehouse + "/db/pack").rdd.getNumPartitions
+    // default: 8 tiny files × 4 MiB open cost = 32 MiB < 128 MiB target → 1 task
+    assert(parts() === 1)
+    // an 8 MiB target fits two 4 MiB-weighted files per task → 4 tasks:
+    // byte-greedy packing would still cram all 8 into one task and make
+    // per-file open cost the straggler
+    spark.sql("ALTER TABLE bs.db.pack SET TBLPROPERTIES " +
+      "('read.split.target-size' = '8388608')")
+    assert(parts() === 4)
+    // with open cost off the same 8 tiny files pack into one task again
+    spark.sql("ALTER TABLE bs.db.pack SET TBLPROPERTIES " +
+      "('read.split.open-file-cost' = '1')")
+    assert(parts() === 1)
+  }
+
   test("snapshot-property write options land in the commit summary") {
     warehouse
     spark.sql("CREATE TABLE bs.db.sp (k INT)")
