@@ -107,7 +107,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
     "all_data_files", "all_files", "partitions", "refs", "metadata_log_entries",
-    "statistics")
+    "statistics", "position_deletes")
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {

@@ -226,7 +226,56 @@ object MetadataTables {
     case "all_data_files" | "all_files" => allFiles(t)
     case "partitions" => partitions(t)
     case "statistics" => statistics(t)
+    case "position_deletes" => positionDeletes(t)
     case other => throw new IllegalArgumentException(s"Unknown metadata table: $other")
+  }
+
+  /** Live position-delete content, one row per deleted position (later-ref
+    * `PositionDeletesTable`): the deleted data file + ordinal, plus the
+    * delete file that holds the tombstone and its partition scope. The
+    * delete parquet files are read as ONE distributed scan (delete metadata
+    * at 100 TB is itself big data); scope columns join in from the
+    * broadcast-sized delete-file metas. */
+  def positionDeletes(t: IceTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val deletes = t.newScan().planDeletes()
+      .map(_._1).filter(_.content == FileContent.PositionDeletes)
+    val spark = t.spark
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("delete_file_path", StringType, nullable = false)))
+    if (deletes.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val specById: Int => graft.meta.PartitionSpec = t.meta.specById
+    val scope = deletes.map { f =>
+      val partStr = specById(f.specId).fields.zip(f.partition)
+        .map { case (pf, v) => s"${pf.name}=${String.valueOf(v)}" }.mkString("/")
+      (f.path, if (partStr.isEmpty) null else partStr, f.specId)
+    }
+    val scopeDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        scope.map { case (p, s, i) => org.apache.spark.sql.Row(p, s, i) }.toList, 1),
+      StructType(Seq(
+        StructField("delete_file_path", StringType, nullable = false),
+        StructField("partition", StringType),
+        StructField("spec_id", IntegerType))))
+    spark.read.parquet(deletes.map(_.path): _*)
+      .select(col(MergeOnRead.PosPathCol).cast("string").as("file_path"),
+        col(MergeOnRead.PosPosCol).cast("long").as("pos"),
+        col("_metadata.file_path").as("_del_raw"))
+      // listing paths ("file:/p") and _metadata paths ("file:///p") differ
+      // in slash count; normalize through the same rule the probe uses
+      .withColumn("_del_norm",
+        regexp_replace(col("_del_raw"), "^file:/+", "file:/"))
+      .drop("_del_raw")
+      .join(broadcast(scopeDF.withColumn("_del_norm",
+        regexp_replace(col("delete_file_path"), "^file:/+", "file:/"))),
+        Seq("_del_norm"), "left")
+      .select("file_path", "pos", "partition", "spec_id", "delete_file_path")
   }
 
   /** ANALYZE output, one row per profiled column per stats file (the

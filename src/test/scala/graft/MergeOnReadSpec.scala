@@ -59,6 +59,30 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.newScan().filter(equalTo("o_orderstatus", "F")).toDF.count() === 0)
   }
 
+  test("position_deletes metadata table exposes live tombstones") {
+    val loc = tmpLoc()
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    val t = IceTable.create(spark, loc, Schema.fresh(df.schema))
+    t.append(df)
+    t.deleteMergeOnRead(in("k", 2, 5))
+    val rows = graft.table.MetadataTables(t, "position_deletes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+    assert(rows.length === 2)
+    assert(rows.map(_._2).sorted.toSeq === Seq(2L, 5L))
+    val dataPaths = t.newScan().planFiles().map(_.file.path).toSet
+    rows.foreach { case (dataPath, _, delPath) =>
+      assert(dataPaths.exists(_.endsWith(dataPath.split('/').last)), dataPath)
+      assert(delPath != null && t.io.exists(delPath), s"scope join failed: $delPath")
+    }
+    // after compaction the tombstones are dangling (their target file is
+    // gone but the delete FILE is still live — same as the ref's table);
+    // remove_dangling_deletes empties the view
+    graft.table.Maintenance.rewriteDataFiles(t, minInputFiles = 1)
+    graft.table.Maintenance.removeDanglingDeletes(t)
+    assert(graft.table.MetadataTables(t, "position_deletes").count() === 0)
+  }
+
   test("compaction applies merge-on-read deletes and clears them") {
     val loc = tmpLoc()
     val t = IceTable.create(spark, loc, Schema.fresh(orders.schema))
