@@ -29,9 +29,20 @@ class DmlFuzzSpec extends AnyFunSuite {
 
   private def runFuzz(format: String, seed: Int, ops: Int): Unit = {
     val rng = new scala.util.Random(seed)
-    val loc = Files.createTempDirectory(s"graft-fuzz-$format-").toString + "/t"
+    val base = Files.createTempDirectory(s"graft-fuzz-$format-").toString
+    val loc = base + "/t"
+    // half the runs exercise the object-store layout + bounded metadata log:
+    // DML semantics must be invariant to where files land and how much
+    // metadata history is kept
+    val layoutProps: Map[String, String] =
+      if (rng.nextBoolean()) Map.empty
+      else Map(
+        "write.object-storage.enabled" -> "true",
+        "write.object-storage.path" -> (base + "/bucket"),
+        "write.metadata.previous-versions-max" -> "5",
+        "write.metadata.delete-after-commit.enabled" -> "true")
     val t = IceTable.create(spark, loc, Schema.fresh(df(Seq((1L, "x", 1.0))).schema),
-      properties = Map(TableProperties.DefaultFileFormat -> format))
+      properties = Map(TableProperties.DefaultFileFormat -> format) ++ layoutProps)
     val model = scala.collection.mutable.Map[Long, (String, Double)]()
     var nextKey = 0L
 
