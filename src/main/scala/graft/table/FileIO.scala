@@ -15,9 +15,16 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 final class FileIO(@transient val conf: Configuration) extends Serializable {
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
+  /** Gzip-compressed metadata files (ref `TableMetadataParser.Codec`) are
+    * recognized by name — `v3.gz.metadata.json` / legacy `*.metadata.json.gz`. */
+  private def isGzipName(name: String): Boolean =
+    name.endsWith(".gz") || name.contains(".gz.metadata.json")
+
   def readString(path: String): String = {
     val p = new Path(path)
-    val in = fs(p).open(p)
+    val raw = fs(p).open(p)
+    val in: java.io.InputStream =
+      if (isGzipName(p.getName)) new java.util.zip.GZIPInputStream(raw) else raw
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
@@ -26,9 +33,14 @@ final class FileIO(@transient val conf: Configuration) extends Serializable {
 
   def writeString(path: String, content: String): Long = {
     val p = new Path(path)
-    val out = fs(p).create(p, true)
+    val raw = fs(p).create(p, true)
     val bytes = content.getBytes(StandardCharsets.UTF_8)
-    try out.write(bytes) finally out.close()
+    if (isGzipName(p.getName)) {
+      val out = new java.util.zip.GZIPOutputStream(raw)
+      try out.write(bytes) finally out.close()
+    } else {
+      try raw.write(bytes) finally raw.close()
+    }
     bytes.length.toLong
   }
 

@@ -265,8 +265,12 @@ final class JdbcTableOperations(val location: String, val io: FileIO,
     }
     val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
+    val ext =
+      if (meta.property("write.metadata.compression-codec", "none") == "gzip")
+        ".gz.metadata.json"
+      else ".metadata.json"
     val file = s"$metadataDir/v${expectedVersion + 1}-" +
-      s"${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
+      s"${java.util.UUID.randomUUID().toString.take(8)}$ext"
     if (!io.writeAtomic(file, JsonCodecs.tableMetadataToJson(trimmed))) return false
     val ok =
       if (staged) synchronized {

@@ -100,7 +100,18 @@ object RegisterTable {
   */
 final class TableOperations(val location: String, val io: FileIO) extends TableOps {
   private def metadataDir = s"$location/metadata"
-  private def metadataFile(v: Int) = s"$metadataDir/v$v.metadata.json"
+  private def plainFile(v: Int) = s"$metadataDir/v$v.metadata.json"
+  private def gzFile(v: Int) = s"$metadataDir/v$v.gz.metadata.json"
+  // resolve an existing version to whichever codec wrote it (ref
+  // TableMetadataParser.Codec file naming); memoized — immutable once written
+  private val fileNames = new java.util.concurrent.ConcurrentHashMap[Int, String]
+  private def metadataFile(v: Int): String =
+    fileNames.computeIfAbsent(v, _ =>
+      if (io.exists(plainFile(v))) plainFile(v)
+      else if (io.exists(gzFile(v))) gzFile(v)
+      else plainFile(v))
+  private def metadataFileExists(v: Int): Boolean =
+    io.exists(plainFile(v)) || io.exists(gzFile(v))
   private def versionHint = s"$metadataDir/version-hint.text"
 
   def exists: Boolean = currentVersion() > 0
@@ -112,10 +123,10 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
       } else 0
     // roll forward past a stale hint (hint update is best-effort)
     var v = math.max(hinted, 0)
-    if (v == 0 && !io.exists(metadataFile(1))) return 0
+    if (v == 0 && !metadataFileExists(1)) return 0
     if (v == 0) v = 1
-    while (io.exists(metadataFile(v + 1))) v += 1
-    if (io.exists(metadataFile(v))) v else 0
+    while (metadataFileExists(v + 1)) v += 1
+    if (metadataFileExists(v)) v else 0
   }
 
   // metadata files are immutable once written (CAS creates v+1, never
@@ -150,8 +161,14 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
         MetadataLogEntry(nowMs, metadataFile(expectedVersion)))
     val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
-    val ok = io.writeAtomic(metadataFile(expectedVersion + 1),
-      JsonCodecs.tableMetadataToJson(trimmed))
+    val next =
+      if (meta.property("write.metadata.compression-codec", "none") == "gzip")
+        gzFile(expectedVersion + 1)
+      else plainFile(expectedVersion + 1)
+    // the atomic create races on ONE name; a concurrent committer that read
+    // a different codec property would race on the other, so check both
+    if (metadataFileExists(expectedVersion + 1)) return false
+    val ok = io.writeAtomic(next, JsonCodecs.tableMetadataToJson(trimmed))
     if (ok) {
       io.writeString(versionHint, (expectedVersion + 1).toString)
       MetadataHousekeeping.deleteQuietly(io, dropped)
