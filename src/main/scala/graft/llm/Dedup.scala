@@ -236,7 +236,8 @@ object Dedup {
     * (see [[componentIds]]).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 30): DataFrame = {
+      idB: String = "id_b", maxIterations: Int = 30,
+      smallGraphThreshold: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = pairs.sparkSession
 
@@ -291,6 +292,27 @@ object Dedup {
       .distinct()
       .persist()
     var signature = probe(edges)
+    // small-graph fast path (the candidate-pair graph of a deduped corpus is
+    // normally FAR smaller than the corpus): below the threshold, a driver
+    // union-find replaces ~log(n) Spark rounds — same exact result, none of
+    // the per-round job overhead. The count comes from the probe we need
+    // anyway. Large graphs take the distributed loop.
+    if (signature._1 > 0 && signature._1 <= smallGraphThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      edges.unpersist()
+      import spark.implicits._
+      return nodes.toSeq.map(v => (v, find(v))).toDF("id", "component")
+    }
     var converged = signature._1 == 0L
     var iters = 0
     while (!converged && iters < maxIterations) {

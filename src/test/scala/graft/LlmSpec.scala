@@ -408,11 +408,16 @@ class LlmSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b }
       val edges = (chain ++ random).distinct
       val expected = unionFind(n, edges)
-      val got = Dedup.connectedComponents(
-          edges.toDF("id_a", "id_b"), maxIterations = 30)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      edges.flatMap(e => Seq(e._1, e._2)).distinct.foreach { v =>
-        assert(got(v) === expected(v), s"trial $trial node $v")
+      // threshold 0 forces the DISTRIBUTED large/small-star loop; the
+      // default takes the driver fast path — both must agree with the oracle
+      for (threshold <- Seq(0L, 1L << 20)) {
+        val got = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), maxIterations = 30,
+            smallGraphThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.foreach { v =>
+          assert(got(v) === expected(v), s"trial $trial node $v threshold $threshold")
+        }
       }
     }
   }
