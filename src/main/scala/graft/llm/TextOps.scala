@@ -25,7 +25,9 @@ object TextOps {
   /** Distinct 64-bit hashes of the word n-gram shingles: one xxhash64 pass
     * over [[shingles]]. Downstream set ops (Jaccard, minhash seeding) run
     * over longs — identical sets modulo 64-bit collisions, with no string
-    * comparisons or string shuffle payloads. */
+    * comparisons or string shuffle payloads. (Hashing the token TUPLE via
+    * multi-arg xxhash64 + element_at was tried and is ~2× slower: the
+    * array references inside the lambda defeat subexpression sharing.) */
   def shingleHashes(c: Column, n: Int): Column =
     transform(shingles(c, n), s => xxhash64(s))
 
