@@ -104,6 +104,23 @@ class MetadataColumnsSpec extends AnyFunSuite {
     assert(a.map(_.getLong(2)).sorted.toSeq === Seq(0L, 1L))
   }
 
+  test("_pos stays file-absolute across byte-range slices of one file") {
+    val wh = freshCatalog("mc8")
+    spark.sql("CREATE TABLE mc8.db.t (k BIGINT, pad STRING)")
+    import spark.implicits._
+    (0L until 20000L).map(i => (i, "x" * 100)).toDF("k", "pad")
+      .coalesce(1).writeTo("mc8.db.t").append()
+    val t = IceTable.load(spark, s"$wh/db/t")
+    val size = t.newScan().planFiles().head.file.fileSizeBytes
+    val df = spark.read.format("graft").option("split-size", (size / 4).toString)
+      .load(s"$wh/db/t").select("k", "_pos")
+    assert(df.rdd.getNumPartitions >= 3, "file should fan out into slices")
+    // rows were written in k order into one file: ordinal k at position k,
+    // regardless of which byte-range slice served it
+    assert(df.where(col("k") =!= col("_pos")).count() === 0)
+    assert(df.count() === 20000)
+  }
+
   test("metadata columns via the DataFrame path and with equality deletes") {
     val wh = freshCatalog("mc7")
     spark.sql("CREATE TABLE mc7.db.t (id INT, v STRING)")
