@@ -200,8 +200,23 @@ object Maintenance {
     val spark = table.spark
     import spark.implicits._
     val m = table.meta
-    val dataDir = s"${table.location}/data"
-    val top = table.io.list(dataDir)
+    // scan every root this table writes under. A shared object-store bucket
+    // holds OTHER tables' files too: restrict hashed-prefix listings to this
+    // table's db/table context segment, or their live files would look like
+    // our orphans and be deleted.
+    val ctx = table.location.stripSuffix("/").split('/')
+      .filter(_.nonEmpty).takeRight(2).mkString("/")
+    val defaultRoot = s"${table.location}/data"
+    val roots = (Seq(defaultRoot) ++
+      m.properties.get("write.folder-storage.path") ++
+      m.properties.get("write.object-storage.path")).distinct
+    val inScope: String => Boolean = {
+      val hasObj = m.properties.contains("write.object-storage.path")
+      val defaultNorm = defaultRoot.stripPrefix("file:")
+      val ctxSeg = s"/$ctx/"
+      p => !hasObj || p.startsWith(defaultNorm) || p.contains(ctxSeg)
+    }
+    val top = roots.flatMap(table.io.list)
     if (top.isEmpty) return Nil
     val (dirs, files) = top.partition(_.isDirectory)
     val confB = spark.sparkContext.broadcast(
@@ -210,6 +225,7 @@ object Maintenance {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val topFiles = files.filter(_.getModificationTime < olderThanMillis)
       .map(s => norm(s.getPath.toString))
+      .filter(inScope)
     val actualDF = {
       val dirPaths = dirs.map(_.getPath.toString)
       val listed =
@@ -217,11 +233,13 @@ object Maintenance {
         else {
           val nPart = math.max(1,
             math.min(dirPaths.size, spark.sparkContext.defaultParallelism))
+          val scopeF = inScope
           spark.createDataset(dirPaths).repartition(nPart).mapPartitions { it =>
             val io = new FileIO(confB.value.value)
             it.flatMap(d => io.listRecursive(d)
               .filter(_.getModificationTime < olderThanMillis)
-              .map(s => new org.apache.hadoop.fs.Path(s.getPath.toString).toUri.getPath))
+              .map(s => new org.apache.hadoop.fs.Path(s.getPath.toString).toUri.getPath)
+              .filter(scopeF))
           }
         }
       listed.toDF("path").union(spark.createDataset(topFiles).toDF("path"))

@@ -17,6 +17,32 @@ class MaintenanceSpec extends AnyFunSuite {
 
   private lazy val orders = Tables.load(spark, sf0001, "orders").cache()
 
+  test("orphan removal in a shared object-store bucket stays table-scoped") {
+    val base = Files.createTempDirectory("graft-orph-bucket-").toString
+    val bucket = s"$base/bucket"
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val props = Map(
+      "write.object-storage.enabled" -> "true",
+      "write.object-storage.path" -> bucket)
+    val a = IceTable.create(spark, s"$base/db/a", Schema.fresh(df.schema),
+      properties = props)
+    val b = IceTable.create(spark, s"$base/db/b", Schema.fresh(df.schema),
+      properties = props)
+    a.append(df); b.append(df)
+    // hand-planted orphans under each table's hashed context
+    a.io.writeString(s"$bucket/deadbeef/db/a/orphan.parquet", "x")
+    a.io.writeString(s"$bucket/deadbeef/db/b/orphan.parquet", "x")
+    val removed = graft.table.Maintenance.removeOrphanFiles(
+      a, System.currentTimeMillis() + 60000)
+    assert(removed.exists(_.endsWith("db/a/orphan.parquet")), removed)
+    // table b's files — live AND orphaned — are not table a's to touch
+    assert(removed.forall(!_.contains("/db/b/")), removed)
+    assert(a.io.exists(s"$bucket/deadbeef/db/b/orphan.parquet"))
+    assert(a.toDF.count() === 2)
+    assert(b.toDF.count() === 2)
+  }
+
   test("removal commit opens only manifests that can contain the removed files") {
     import graft.meta.model.Operation
     import graft.table.ManifestIO
