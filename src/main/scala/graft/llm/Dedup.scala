@@ -299,9 +299,14 @@ object Dedup {
     // anyway. Large graphs take the distributed loop.
     if (signature._1 > 0 && signature._1 <= smallGraphThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + compression: an adversarial edge order can build a
+      // chain as long as the edge count, and recursion would blow the stack
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val next = parent(c); parent(c) = r; c = next }
+        r
       }
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       es.foreach { case (a, b) =>

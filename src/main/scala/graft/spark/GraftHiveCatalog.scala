@@ -128,15 +128,25 @@ class GraftHiveCatalog extends GraftCatalog {
     store.getPointer(db(ident.namespace()), ident.name()) match {
       case None => false
       case Some((_, _, loc)) =>
+        // REGISTERED tables keep their files elsewhere: dropping the
+        // catalog entry must not destroy a location this catalog does
+        // not own (ref registerTable + non-purge drop semantics)
+        val norm = loc.stripPrefix("file:")
+        val owned = norm.startsWith(warehouse.stripPrefix("file:"))
+        // object-store-layout tables keep data OUTSIDE the table dir: purge
+        // by reachability while the pointer still resolves (the ops need
+        // it), or every hashed file leaks on drop
+        if (owned) {
+          try {
+            val t = loadIce(ident)
+            if (graft.table.Locations.mayWriteOutsideTable(t.location, t.meta))
+              graft.table.Maintenance.deleteReachableFiles(t)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
         val ok = store.dropPointer(db(ident.namespace()), ident.name())
         if (ok) {
           evictIce(cacheKey(ident))
-          // REGISTERED tables keep their files elsewhere: dropping the
-          // catalog entry must not destroy a location this catalog does
-          // not own (ref registerTable + non-purge drop semantics)
-          val norm = loc.stripPrefix("file:")
-          if (norm.startsWith(warehouse.stripPrefix("file:")))
-            io.deleteRecursive(loc)
+          if (owned) io.deleteRecursive(loc)
         }
         ok
     }

@@ -176,9 +176,6 @@ object GraftSparkTable {
 
   val MetaCols: Array[MetadataColumn] =
     Array(metaCol(FileCol, StringType), metaCol(PosCol, LongType))
-
-  def metaFieldType(colName: String): DataType =
-    if (colName == FileCol) StringType else LongType
 }
 
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],

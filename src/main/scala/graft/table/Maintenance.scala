@@ -200,21 +200,35 @@ object Maintenance {
     val spark = table.spark
     import spark.implicits._
     val m = table.meta
-    // scan every root this table writes under. A shared object-store bucket
-    // holds OTHER tables' files too: restrict hashed-prefix listings to this
-    // table's db/table context segment, or their live files would look like
-    // our orphans and be deleted.
+    // Scan the default data dir plus — under the HASHED object-store layout
+    // only — the storage root, restricted to this table's db/table context
+    // segment: a shared bucket holds OTHER tables' live files, which must
+    // never look like our orphans. The table's own metadata tree is
+    // excluded explicitly (a storage root that is an ancestor of the table
+    // location would otherwise reach it, and manifests list only data
+    // files — every metadata JSON would "look orphaned").
+    // An UNHASHED write.folder-storage.path is NOT auto-scanned: that
+    // layout carries no table context, so a shared root is unscopable —
+    // like the ref's action, cleaning a custom folder location is an
+    // explicit operator decision.
     val ctx = table.location.stripSuffix("/").split('/')
       .filter(_.nonEmpty).takeRight(2).mkString("/")
     val defaultRoot = s"${table.location}/data"
-    val roots = (Seq(defaultRoot) ++
-      m.properties.get("write.folder-storage.path") ++
-      m.properties.get("write.object-storage.path")).distinct
+    val objEnabled = m.property("write.object-storage.enabled", "false").toBoolean
+    val hashedRoot =
+      if (objEnabled)
+        Some(m.property("write.object-storage.path",
+          Locations.dataRoot(table.location, m)).stripSuffix("/"))
+      else None
+    val roots = (Seq(defaultRoot) ++ hashedRoot).distinct
     val inScope: String => Boolean = {
-      val hasObj = m.properties.contains("write.object-storage.path")
-      val defaultNorm = defaultRoot.stripPrefix("file:")
+      def stripScheme(s: String) =
+        new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val defaultNorm = stripScheme(defaultRoot)
+      val metaPrefix = stripScheme(table.location).stripSuffix("/") + "/metadata/"
       val ctxSeg = s"/$ctx/"
-      p => !hasObj || p.startsWith(defaultNorm) || p.contains(ctxSeg)
+      p => !p.startsWith(metaPrefix) &&
+        (p.startsWith(defaultNorm) || p.contains(ctxSeg))
     }
     val top = roots.flatMap(table.io.list)
     if (top.isEmpty) return Nil
@@ -242,7 +256,10 @@ object Maintenance {
               .filter(scopeF))
           }
         }
+      // distinct: a hashed root that is an ancestor of the table location
+      // lists the default data dir a second time
       listed.toDF("path").union(spark.createDataset(topFiles).toDF("path"))
+        .distinct()
     }
     val valid = validDataFileDF(table, m, manifestsOf(table, m, m.snapshots))
       .select(regexp_replace(col("path"), "^[a-zA-Z0-9.+-]+:/+", "/").as("path"))

@@ -116,6 +116,8 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
 
   def exists: Boolean = currentVersion() > 0
 
+  private val VersionName = """v(\d+)(?:\.gz)?\.metadata\.json""".r
+
   def currentVersion(): Int = {
     val hinted =
       if (io.exists(versionHint)) {
@@ -123,8 +125,19 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
       } else 0
     // roll forward past a stale hint (hint update is best-effort)
     var v = math.max(hinted, 0)
-    if (v == 0 && !metadataFileExists(1)) return 0
-    if (v == 0) v = 1
+    if (v == 0) {
+      // no usable hint: recover by LISTING — probing up from v1 breaks once
+      // write.metadata.delete-after-commit has removed the early versions
+      // (a healthy 200-commit table may hold only v101..v200)
+      // whole-name match only: crashed commits leave .vN...tmp files whose
+      // names CONTAIN a version pattern but are not committed versions
+      val latest = io.list(metadataDir).iterator
+        .map(_.getPath.getName)
+        .collect { case VersionName(n) => n.toInt }
+        .maxOption.getOrElse(0)
+      if (latest == 0) return 0
+      v = latest
+    }
     while (metadataFileExists(v + 1)) v += 1
     if (metadataFileExists(v)) v else 0
   }
@@ -141,12 +154,20 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
   def current(): (Int, TableMetadata) = {
     val v = currentVersion()
     if (v == 0) throw new NoSuchTableException(s"No table at $location")
-    val (len, mod) = io.stat(metadataFile(v))
-      .map(s => (s.getLen, s.getModificationTime)).getOrElse((-1L, -1L))
+    var name = metadataFile(v)
+    var st = io.stat(name)
+    if (st.isEmpty) {
+      // drop-and-rebuild at the same location can re-create a version under
+      // the OTHER codec's name — re-resolve instead of trusting the memo
+      fileNames.remove(v)
+      name = metadataFile(v)
+      st = io.stat(name)
+    }
+    val (len, mod) = st.map(s => (s.getLen, s.getModificationTime)).getOrElse((-1L, -1L))
     val c = cached
     if (c != null && c._1 == v && c._2 == len && c._3 == mod) (c._1, c._4)
     else {
-      val fresh = JsonCodecs.tableMetadataFromJson(io.readString(metadataFile(v)))
+      val fresh = JsonCodecs.tableMetadataFromJson(io.readString(name))
       cached = (v, len, mod, fresh)
       (v, fresh)
     }
@@ -161,14 +182,23 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
         MetadataLogEntry(nowMs, metadataFile(expectedVersion)))
     val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
-    val next =
-      if (meta.property("write.metadata.compression-codec", "none") == "gzip")
-        gzFile(expectedVersion + 1)
-      else plainFile(expectedVersion + 1)
-    // the atomic create races on ONE name; a concurrent committer that read
-    // a different codec property would race on the other, so check both
+    val gzip =
+      meta.property("write.metadata.compression-codec", "none") == "gzip"
+    val next = if (gzip) gzFile(expectedVersion + 1) else plainFile(expectedVersion + 1)
+    val other = if (gzip) plainFile(expectedVersion + 1) else gzFile(expectedVersion + 1)
+    // The atomic create races on ONE name. Around a codec-property change,
+    // two committers can race on DIFFERENT names and both creates succeed —
+    // so after winning our name, re-check the other: if it also exists,
+    // self-abort (remove our file, report conflict). Both racers may abort
+    // and retry at the next version; neither ever loses a reported-committed
+    // snapshot.
     if (metadataFileExists(expectedVersion + 1)) return false
     val ok = io.writeAtomic(next, JsonCodecs.tableMetadataToJson(trimmed))
+    if (ok && io.exists(other)) {
+      io.delete(next)
+      fileNames.remove(expectedVersion + 1)
+      return false
+    }
     if (ok) {
       io.writeString(versionHint, (expectedVersion + 1).toString)
       MetadataHousekeeping.deleteQuietly(io, dropped)

@@ -109,6 +109,21 @@ class JdbcCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet.contains("nsx"))
   }
 
+  test("DROP of an object-store-layout table purges the hashed files") {
+    catalog
+    val bucket = s"$base/objbucket"
+    spark.sql("CREATE TABLE grj.db.objdrop (k INT) TBLPROPERTIES (" +
+      "'write.object-storage.enabled' = 'true', " +
+      s"'write.object-storage.path' = '$bucket')")
+    spark.sql("INSERT INTO grj.db.objdrop VALUES (1), (2)")
+    assert(io.listRecursive(bucket).nonEmpty, "files should land in the bucket")
+    spark.sql("DROP TABLE grj.db.objdrop")
+    assert(store.getPointer("db", "objdrop").isEmpty)
+    assert(io.listRecursive(bucket).isEmpty,
+      "hashed data files must not leak after DROP")
+    assert(!io.exists(s"$base/wh/db/objdrop"))
+  }
+
   test("DML and time travel work through the jdbc catalog") {
     catalog
     spark.sql("CREATE TABLE grj.db.dml (id BIGINT, v STRING)")

@@ -422,6 +422,16 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("small-graph fast path handles a 100k-node chain (no recursion blowup)") {
+    import spark.implicits._
+    // descending edge order builds worst-case parent chains in union-find
+    val edges = (0L until 100000L).map(i => (i, i + 1)).reverse
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .agg(countDistinct("component"), count(lit(1))).head()
+    assert(got.getLong(0) === 1L, "one chain = one component")
+    assert(got.getLong(1) === 100001L)
+  }
+
   test("componentIds is transitive; dedupByComponents keeps one doc per cluster") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)

@@ -43,6 +43,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(b.toDF.count() === 2)
   }
 
+  test("orphan removal never eats the metadata tree when the bucket contains the table") {
+    val base = Files.createTempDirectory("graft-orph-anc-").toString
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    // storage root is an ANCESTOR of the table location: the recursive
+    // listing reaches the table's own metadata dir
+    val t = IceTable.create(spark, s"$base/db/t", Schema.fresh(df.schema),
+      properties = Map(
+        "write.object-storage.enabled" -> "true",
+        "write.object-storage.path" -> base))
+    t.append(df)
+    t.append(df)
+    val removed = graft.table.Maintenance.removeOrphanFiles(
+      t, System.currentTimeMillis() + 60000)
+    assert(removed.forall(!_.contains("/metadata/")), removed)
+    // the table survives with full history
+    val fresh = IceTable.load(spark, s"$base/db/t")
+    assert(fresh.toDF.count() === 4)
+    assert(fresh.snapshots.size === 2)
+  }
+
   test("removal commit opens only manifests that can contain the removed files") {
     import graft.meta.model.Operation
     import graft.table.ManifestIO

@@ -55,6 +55,24 @@ class TableSpec extends AnyFunSuite {
     assert(s2.keys.forall(!_.startsWith("partitions.")))
   }
 
+  test("version discovery survives a lost hint after early versions were deleted") {
+    val loc = tmpLoc()
+    val small = lineitem.limit(3)
+    val t = IceTable.create(spark, loc, Schema.fresh(small.schema),
+      properties = Map(
+        "write.metadata.previous-versions-max" -> "2",
+        "write.metadata.delete-after-commit.enabled" -> "true"))
+    (1 to 6).foreach(_ => t.append(small))
+    // v1..v4 are gone; now lose the hint — recovery must LIST, not probe v1
+    assert(!t.io.exists(s"$loc/metadata/v1.metadata.json"))
+    t.io.delete(s"$loc/metadata/version-hint.text")
+    val fresh = IceTable.load(spark, loc)
+    assert(fresh.toDF.count() === 18)
+    // and commits still work from the recovered version
+    fresh.append(small)
+    assert(fresh.toDF.count() === 21)
+  }
+
   test("gzip metadata compression round-trips, survives codec changes") {
     val loc = tmpLoc()
     val small = lineitem.limit(5)
