@@ -133,6 +133,13 @@ object LlmQueries {
         .orderBy("lang", "pred")
     }),
 
+    // quantile length trim (exact mode — the approx sketch is the 100 TB
+    // path, asserted ≈ exact in LlmSpec)
+    "llm_length_filter" -> ((s, d) => {
+      TextOps.filterByTokenQuantiles(docs(s, d), "text", 0.1, 0.9, exact = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // quality scoring
     "llm_quality" -> ((s, d) => {
       docs(s, d).select(col("doc_id"),
@@ -330,6 +337,10 @@ object LlmQueries {
           s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS pred, count(*) AS n " +
           "FROM documents GROUP BY 1, 2 ORDER BY lang, pred"
       },
+      "llm_length_filter" ->
+        ("WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) tc FROM documents), " +
+          "b AS (SELECT quantile_cont(tc, 0.1) lo, quantile_cont(tc, 0.9) hi FROM t) " +
+          "SELECT doc_id FROM t, b WHERE tc >= lo AND tc <= hi ORDER BY doc_id"),
       "llm_quality" ->
         ("SELECT doc_id, round((" +
           "(CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) + " +

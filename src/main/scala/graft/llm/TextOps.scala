@@ -104,6 +104,36 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 
+  /** Quantile-trimmed corpus: keep documents whose token count lies within
+    * the [loQ, hiQ] quantiles — the standard outlier trim (fragments and
+    * run-on concatenations) before training. Two modes:
+    *
+    *  - `exact = false` (the 100 TB path): thresholds from
+    *    `approxQuantile` — a single-pass mergeable Greenwald-Khanna sketch,
+    *    relative error `approxError`. The filter itself is map-only.
+    *  - `exact = true`: Spark's exact `percentile` aggregate, which buffers
+    *    the metric column per partition — the oracle/small-scale mode, the
+    *    same split as brute-force vs LSH pair generation.
+    *
+    * The thresholds are two scalars (an aggregate, not a collect); the
+    * corpus never moves. */
+  def filterByTokenQuantiles(df: org.apache.spark.sql.DataFrame, textCol: String,
+      loQ: Double, hiQ: Double, exact: Boolean = false,
+      approxError: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, s"bad quantiles [$loQ, $hiQ]")
+    val withTc = df.withColumn("_gf_tc", tokenCount(col(textCol)).cast("double"))
+    val (lo, hi) =
+      if (exact) {
+        val r = withTc.agg(
+          percentile(col("_gf_tc"), lit(loQ)), percentile(col("_gf_tc"), lit(hiQ))).head()
+        (r.getDouble(0), r.getDouble(1))
+      } else {
+        val a = withTc.stat.approxQuantile("_gf_tc", Array(loQ, hiQ), approxError)
+        (a(0), a(1))
+      }
+    withTc.where(col("_gf_tc") >= lo && col("_gf_tc") <= hi).drop("_gf_tc")
+  }
+
   // RE2-compatible patterns (no backrefs/lookaround) so the same regex runs
   // in Spark (java.util.regex) and columnar engines for oracle parity
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -361,6 +361,20 @@ class LlmSpec extends AnyFunSuite {
     assert(pack() === pack())
   }
 
+  test("token-quantile trim: approx sketch tracks the exact thresholds") {
+    val exact = TextOps.filterByTokenQuantiles(docs, "text", 0.1, 0.9, exact = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    // nontrivial trim: between 70% and 95% of the corpus survives
+    assert(exact.size > n * 0.7 && exact.size < n * 0.95, exact.size)
+    val approx = TextOps.filterByTokenQuantiles(docs, "text", 0.1, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // GK sketch at 0.1% relative error on 500 docs: off by at most a doc
+    // or two at each boundary
+    assert((exact diff approx).size + (approx diff exact).size <= 10,
+      s"approx diverged: exact=${exact.size} approx=${approx.size}")
+  }
+
   test("LSH bucket cap drops degenerate buckets; other pairs survive") {
     import spark.implicits._
     val boiler = (0L until 50L).map(i =>
