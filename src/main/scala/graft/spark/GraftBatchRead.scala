@@ -300,7 +300,10 @@ final case class GraftInputPartition(
     // positions as running ordinals). Null outCols = legacy layout.
     outCols: Array[Int] = null,
     emitTypes: Array[DataType] = null,
-    ridOrdinal: Int = -1) extends InputPartition with HasPartitionKey {
+    ridOrdinal: Int = -1,
+    // `_deleted` requested: rows the delete probe kills are EMITTED with
+    // the flag set instead of dropped (ref MetadataColumns.IS_DELETED)
+    keepDeleted: Boolean = false) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
@@ -325,9 +328,11 @@ object GraftReaderFactory extends PartitionReaderFactory {
         else UnsafeProjection.create(
           (0 until p.deletes.keepColumns).map(i =>
             BoundReference(i, p.deletes.outputTypes(i), nullable = true)))
-      // `_file`/`_pos` emit: rebuild the row in requested output order with
-      // the slice's path constant and the row's file ordinal
-      private def emitRow(row: InternalRow, pos: Long, file: UTF8String): InternalRow = {
+      // `_file`/`_pos`/`_deleted` emit: rebuild the row in requested output
+      // order with the slice's path constant, the row's file ordinal, and
+      // its tombstone flag
+      private def emitRow(row: InternalRow, pos: Long, file: UTF8String,
+          deleted: Boolean): InternalRow = {
         val out = new Array[Any](p.outCols.length)
         var i = 0
         while (i < p.outCols.length) {
@@ -335,6 +340,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
           out(i) =
             if (c >= 0) row.get(c, p.emitTypes(c))
             else if (c == GraftBatchScan.OutFile) file
+            else if (c == GraftBatchScan.OutDeleted) deleted
             else pos
           i += 1
         }
@@ -360,15 +366,26 @@ object GraftReaderFactory extends PartitionReaderFactory {
           if (p.outCols == null) out
           else if (p.synthPos) {
             var pos = -1L
-            out.map { r => pos += 1; emitRow(r, pos, fileStr) }
+            out.map { r => pos += 1; emitRow(r, pos, fileStr, deleted = false) }
           } else out.map(r => emitRow(r,
-            if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr))
+            if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr,
+            deleted = false))
         } else if (!p.synthPos) {
           val posSet = probe.posSetFor(s.path)
-          val filtered = out.filter(probe.live(_, posSet))
-          if (p.outCols == null) filtered
-          else filtered.map(r => emitRow(r,
-            if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr))
+          if (p.keepDeleted)
+            // `_deleted` requested: every row flows through, flagged
+            out.map { r =>
+              emitRow(r,
+                if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L,
+                fileStr, deleted = !probe.live(r, posSet))
+            }
+          else {
+            val filtered = out.filter(probe.live(_, posSet))
+            if (p.outCols == null) filtered
+            else filtered.map(r => emitRow(r,
+              if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr,
+              deleted = false))
+          }
         } else {
           // synthesized positions: the slice is a whole file read with no
           // reader filters, so the running ordinal IS the row position
@@ -376,14 +393,19 @@ object GraftReaderFactory extends PartitionReaderFactory {
           val cursor =
             if (posSet == null) null else new GraftDeleteProbe.PosCursor
           var pos = -1L
-          val filtered = out.filter { r =>
+          def live(r: InternalRow): Boolean = {
             pos += 1
             (posSet == null || !cursor.deleted(posSet, pos)) && probe.liveEq(r)
           }
-          if (p.outCols == null) filtered
-          // map pulls AFTER filter accepts, so `pos` is the accepted row's
-          // ordinal at emit time
-          else filtered.map(r => emitRow(r, pos, fileStr))
+          if (p.keepDeleted)
+            out.map { r => val l = live(r); emitRow(r, pos, fileStr, deleted = !l) }
+          else {
+            val filtered = out.filter(live)
+            if (p.outCols == null) filtered
+            // map pulls AFTER filter accepts, so `pos` is the accepted row's
+            // ordinal at emit time
+            else filtered.map(r => emitRow(r, pos, fileStr, deleted = false))
+          }
         }
       }
       private var row: InternalRow = _
@@ -411,7 +433,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
         else if (probe == null) {
           var base = 0L
           batches.map { b =>
-            val out = emitBatch(b, null, b.numRows(), base, fileStr)
+            val out = emitBatch(b, null, b.numRows(), base, fileStr, null)
             base += b.numRows(); out
           }
         } else {
@@ -427,11 +449,12 @@ object GraftReaderFactory extends PartitionReaderFactory {
         }
       }
       /** Final batch in output layout: filtered (or raw) data vectors, plus
-        * `_file` as a constant vector and `_pos` from the row-index vector
-        * (or synthesized from the running file ordinal). Data vectors stay
-        * zero-copy views. */
+        * `_file` as a constant vector, `_pos` from the row-index vector
+        * (or synthesized from the running file ordinal), and `_deleted`
+        * from `flags` (null = all live). Data vectors stay zero-copy views. */
       private def emitBatch(b: ColumnarBatch, map: Array[Int], kept: Int,
-          base: Long, fileStr: UTF8String): ColumnarBatch = {
+          base: Long, fileStr: UTF8String,
+          flags: Array[Boolean]): ColumnarBatch = {
         if (p.outCols == null) {
           // drop deleted rows + extra probe columns only (legacy layout)
           val d = p.deletes
@@ -458,6 +481,23 @@ object GraftReaderFactory extends PartitionReaderFactory {
                 .ConstantColumnVector(kept, StringType)
               v.setUtf8String(fileStr)
               v
+            } else if (c == GraftBatchScan.OutDeleted) {
+              if (flags == null) {
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .ConstantColumnVector(kept,
+                    org.apache.spark.sql.types.BooleanType)
+                v.setBoolean(false)
+                v
+              } else {
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .OnHeapColumnVector(math.max(kept, 1),
+                    org.apache.spark.sql.types.BooleanType)
+                var i = 0
+                while (i < kept) {
+                  v.putBoolean(i, flags(if (map == null) i else map(i))); i += 1
+                }
+                v
+              }
             } else if (p.ridOrdinal >= 0) {
               if (map == null) b.column(p.ridOrdinal)
               else new GraftFilteredVector(b.column(p.ridOrdinal), map)
@@ -516,8 +556,18 @@ object GraftReaderFactory extends PartitionReaderFactory {
             i += 1
           }
         }
-        val m = if (kept == n) null else java.util.Arrays.copyOf(map, kept)
-        emitBatch(b, m, kept, base, fileStr)
+        if (p.keepDeleted) {
+          // `_deleted` requested: every row flows through; survivors from
+          // the probe map become the live flags
+          val flags = new Array[Boolean](n)
+          java.util.Arrays.fill(flags, true)
+          var k = 0
+          while (k < kept) { flags(map(k)) = false; k += 1 }
+          emitBatch(b, null, n, base, fileStr, flags)
+        } else {
+          val m = if (kept == n) null else java.util.Arrays.copyOf(map, kept)
+          emitBatch(b, m, kept, base, fileStr, null)
+        }
       }
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
@@ -714,7 +764,9 @@ object GraftReadPlanner {
             reader, p.project, columnar = vectorized && batches, key = p.key,
             deletes = deleteApply, synthPos = p.synthPos,
             outCols = outCols, emitTypes = emitTypes,
-            ridOrdinal = if (needRid && !p.synthPos) extNames.length else -1))
+            ridOrdinal = if (needRid && !p.synthPos) extNames.length else -1,
+            keepDeleted =
+              outCols != null && outCols.contains(GraftBatchScan.OutDeleted)))
       }
       Some(Planned(partitions.toArray, columnar = vectorized))
     }
@@ -798,6 +850,7 @@ object GraftBatchScan {
   /** [[GraftInputPartition.outCols]] codes for metadata columns. */
   val OutFile: Int = -1
   val OutPos: Int = -2
+  val OutDeleted: Int = -3
 }
 
 final class GraftBatchScan(val table: IceTable, filter: GExpr,
@@ -861,6 +914,9 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
           StructField(GraftSparkTable.FileCol, StringType, nullable = false)
         case GraftBatchScan.OutPos =>
           StructField(GraftSparkTable.PosCol, LongType, nullable = false)
+        case GraftBatchScan.OutDeleted =>
+          StructField(GraftSparkTable.DeletedCol,
+            org.apache.spark.sql.types.BooleanType, nullable = false)
         case _ => val f = projection.fields(dataOrd); dataOrd += 1; f
       })
     }

@@ -165,7 +165,8 @@ object GraftSparkTable {
 
   val FileCol = "_file"
   val PosCol = "_pos"
-  val MetaColNames: Set[String] = Set(FileCol, PosCol)
+  val DeletedCol = "_deleted"
+  val MetaColNames: Set[String] = Set(FileCol, PosCol, DeletedCol)
 
   private def metaCol(colName: String, dt: DataType): MetadataColumn =
     new MetadataColumn {
@@ -175,7 +176,8 @@ object GraftSparkTable {
     }
 
   val MetaCols: Array[MetadataColumn] =
-    Array(metaCol(FileCol, StringType), metaCol(PosCol, LongType))
+    Array(metaCol(FileCol, StringType), metaCol(PosCol, LongType),
+      metaCol(DeletedCol, org.apache.spark.sql.types.BooleanType))
 }
 
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
@@ -210,7 +212,12 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val converted = filters.flatMap(f => SparkFilterConv.fromV1(f).map(f -> _))
+    // predicates on _file/_pos/_deleted are row-lineage conditions the
+    // metadata cascade cannot evaluate — leave them entirely post-scan
+    val converted = filters
+      .filterNot(_.references.exists(r =>
+        GraftSparkTable.MetaColNames.contains(r.split('.').head)))
+      .flatMap(f => SparkFilterConv.fromV1(f).map(f -> _))
     pushed = converted.map(_._1)
     pushedExpr = converted.map(_._2).foldLeft(TrueExpr: GExpr)(GAnd(_, _))
     filters // Spark evaluates every filter post-scan (safe double-filtering)
@@ -245,6 +252,7 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
         out(i) = metaAt.get(i) match {
           case Some(GraftSparkTable.FileCol) => GraftBatchScan.OutFile
           case Some(GraftSparkTable.PosCol) => GraftBatchScan.OutPos
+          case Some(GraftSparkTable.DeletedCol) => GraftBatchScan.OutDeleted
           case Some(other) =>
             throw new IllegalStateException(s"unknown metadata column $other")
           case None => val d = dataOrd; dataOrd += 1; d

@@ -121,6 +121,45 @@ class MetadataColumnsSpec extends AnyFunSuite {
     assert(df.count() === 20000)
   }
 
+  test("_deleted flags tombstoned rows instead of hiding them") {
+    val wh = freshCatalog("mc9")
+    spark.sql("CREATE TABLE mc9.db.t (k INT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    import spark.implicits._
+    (0 until 10).toDF("k").coalesce(1).writeTo("mc9.db.t").append()
+    spark.sql("DELETE FROM mc9.db.t WHERE k IN (2, 5)")
+    // the plain read hides deleted rows…
+    assert(spark.sql("SELECT count(*) FROM mc9.db.t").head().getLong(0) === 8L)
+    // …the _deleted read surfaces all 10, flagged, with true ordinals
+    val rows = spark.sql("SELECT k, _deleted, _pos FROM mc9.db.t").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === 10)
+    assert(rows.filter(_._2).map(_._1).toSeq === Seq(2, 5))
+    rows.foreach { case (k, _, pos) => assert(pos === k.toLong) }
+    // filtering on the flag recovers the live view
+    assert(spark.sql("SELECT k FROM mc9.db.t WHERE NOT _deleted").count() === 8L)
+    assert(spark.sql("SELECT k FROM mc9.db.t WHERE _deleted").count() === 2L)
+  }
+
+  test("_deleted with equality deletes and on ORC (synthesized ordinals)") {
+    val wh = freshCatalog("mc10")
+    spark.sql("CREATE TABLE mc10.db.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('write.format.default' = 'orc')")
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v").coalesce(1)
+      .writeTo("mc10.db.t").append()
+    val t = IceTable.load(spark, s"$wh/db/t")
+    graft.table.MergeOnRead.addEqualityDeletes(t, Seq(2).toDF("id"), Seq("id"))
+    val rows = spark.sql("SELECT id, _deleted FROM mc10.db.t").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1, false), (2, true), (3, false)))
+    // a table with no deletes reports all-false
+    spark.sql("CREATE TABLE mc10.db.clean (k INT)")
+    spark.sql("INSERT INTO mc10.db.clean VALUES (1), (2)")
+    val clean = spark.sql("SELECT _deleted FROM mc10.db.clean").collect()
+    assert(clean.length === 2 && clean.forall(!_.getBoolean(0)))
+  }
+
   test("metadata columns via the DataFrame path and with equality deletes") {
     val wh = freshCatalog("mc7")
     spark.sql("CREATE TABLE mc7.db.t (id INT, v STRING)")
