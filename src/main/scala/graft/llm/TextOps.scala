@@ -122,16 +122,22 @@ object TextOps {
       approxError: Double = 0.001): org.apache.spark.sql.DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, s"bad quantiles [$loQ, $hiQ]")
     val withTc = df.withColumn("_gf_tc", tokenCount(col(textCol)).cast("double"))
-    val (lo, hi) =
+    // empty corpus / all-null metric: no quantiles exist — nothing to trim
+    val bounds: Option[(Double, Double)] =
       if (exact) {
         val r = withTc.agg(
           percentile(col("_gf_tc"), lit(loQ)), percentile(col("_gf_tc"), lit(hiQ))).head()
-        (r.getDouble(0), r.getDouble(1))
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some((r.getDouble(0), r.getDouble(1)))
       } else {
         val a = withTc.stat.approxQuantile("_gf_tc", Array(loQ, hiQ), approxError)
-        (a(0), a(1))
+        if (a.length < 2) None else Some((a(0), a(1)))
       }
-    withTc.where(col("_gf_tc") >= lo && col("_gf_tc") <= hi).drop("_gf_tc")
+    bounds match {
+      case None => df
+      case Some((lo, hi)) =>
+        withTc.where(col("_gf_tc") >= lo && col("_gf_tc") <= hi).drop("_gf_tc")
+    }
   }
 
   // RE2-compatible patterns (no backrefs/lookaround) so the same regex runs

@@ -926,7 +926,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     if (outCols != null) throw new UnsupportedOperationException(
-      "_file/_pos metadata columns are not supported in streaming reads")
+      "_file/_pos/_deleted metadata columns are not supported in streaming reads")
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
       streamSkipDeletes, maxFilesPerTrigger)
   }

@@ -249,20 +249,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     stage(ident, info.schema(), info.partitions(), info.properties(),
       replace = true, orCreate = true)
 
+  /** Capture what a DROP purge needs BEFORE the table's pointer goes away:
+    * the handle plus pinned metadata, when the table writes outside its own
+    * directory (write.folder-storage.path / object-store layout — those
+    * files leak forever otherwise, ref CatalogUtil.dropTableData) and
+    * gc.enabled allows deleting its files. Purge runs only AFTER the drop
+    * succeeds, using the pinned metadata — a failed or raced drop must not
+    * find its files already destroyed. */
+  protected final def pinDropPurge(load: => IceTable)
+      : Option[(IceTable, graft.meta.model.TableMetadata)] =
+    try {
+      val t = load
+      val m = t.meta
+      if (graft.table.Locations.mayWriteOutsideTable(t.location, m) &&
+          m.property(graft.meta.model.TableProperties.GcEnabled, "true").toBoolean)
+        Some((t, m))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  protected final def purgePinned(
+      pinned: Option[(IceTable, graft.meta.model.TableMetadata)]): Unit =
+    pinned.foreach { case (t, m) =>
+      try graft.table.Maintenance.deleteReachableFiles(t, m)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
+    val pinned = pinDropPurge(graft.table.IceTable.load(spark, tablePath(ident)))
     evictIce(tablePath(ident))
-    // custom data roots (write.folder-storage.path / object-store layout)
-    // put files outside the table dir: purge by reachability, like ref
-    // CatalogUtil.dropTableData, or those files leak forever
-    try {
-      val t = graft.table.IceTable.load(spark, tablePath(ident))
-      if (graft.table.Locations.mayWriteOutsideTable(t.location, t.meta)) {
-        graft.table.Maintenance.deleteReachableFiles(t)
-        return true
-      }
-    } catch { case scala.util.control.NonFatal(_) => /* fall back to dir delete */ }
-    io.deleteRecursive(tablePath(ident))
+    // filesystem catalog: the directory IS the pointer, so there is no
+    // drop-then-purge ordering — the purge must read manifests while they
+    // exist. Pointer-backed catalogs purge after their CAS drop instead.
+    if (pinned.nonEmpty) {
+      purgePinned(pinned)
+      io.deleteRecursive(tablePath(ident))
+      true
+    } else io.deleteRecursive(tablePath(ident))
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {

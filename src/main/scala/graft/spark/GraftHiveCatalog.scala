@@ -130,23 +130,16 @@ class GraftHiveCatalog extends GraftCatalog {
       case Some((_, _, loc)) =>
         // REGISTERED tables keep their files elsewhere: dropping the
         // catalog entry must not destroy a location this catalog does
-        // not own (ref registerTable + non-purge drop semantics)
+        // not own (ref registerTable + non-purge drop semantics). For owned
+        // object-store-layout tables, pin metadata BEFORE the pointer drop
+        // and purge external files only AFTER it succeeds.
         val norm = loc.stripPrefix("file:")
         val owned = norm.startsWith(warehouse.stripPrefix("file:"))
-        // object-store-layout tables keep data OUTSIDE the table dir: purge
-        // by reachability while the pointer still resolves (the ops need
-        // it), or every hashed file leaks on drop
-        if (owned) {
-          try {
-            val t = loadIce(ident)
-            if (graft.table.Locations.mayWriteOutsideTable(t.location, t.meta))
-              graft.table.Maintenance.deleteReachableFiles(t)
-          } catch { case scala.util.control.NonFatal(_) => () }
-        }
+        val pinned = if (owned) pinDropPurge(loadIce(ident)) else None
         val ok = store.dropPointer(db(ident.namespace()), ident.name())
         if (ok) {
           evictIce(cacheKey(ident))
-          if (owned) io.deleteRecursive(loc)
+          if (owned) { purgePinned(pinned); io.deleteRecursive(loc) }
         }
         ok
     }

@@ -386,9 +386,9 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
           outCols = outCols)
       else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported)) {
         if (metaRequested.nonEmpty) throw new UnsupportedOperationException(
-          "_file/_pos metadata columns need the native scan; this read took " +
-            "the V1 fallback (read.v1-fallback.enabled or an unsupported " +
-            "merge-on-read delete shape)")
+          "_file/_pos/_deleted metadata columns need the native scan; this " +
+            "read took the V1 fallback (read.v1-fallback.enabled or an " +
+            "unsupported merge-on-read delete shape)")
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
           asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
       } else

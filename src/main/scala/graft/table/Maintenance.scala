@@ -117,7 +117,16 @@ object Maintenance {
     * deleted). */
   def deleteReachableFiles(table: IceTable): (Long, Long) = {
     requireGcEnabled(table, "delete reachable files")
-    val m = table.meta
+    deleteReachableFiles(table, table.meta)
+  }
+
+  /** Pinned-metadata variant for DROP purges: the caller captures the
+    * metadata BEFORE removing the catalog pointer and purges AFTER the
+    * pointer drop succeeds — never destroying files while a failed or
+    * raced drop could leave the entry live. Skips the gc check (callers
+    * decide). */
+  private[graft] def deleteReachableFiles(table: IceTable,
+      m: TableMetadata): (Long, Long) = {
     val manifests = manifestsOf(table, m, m.snapshots)
     val dataDeleted = bulkDelete(table, validDataFileDF(table, m, manifests))
     var metaDeleted = 0L

@@ -125,21 +125,20 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
       } else 0
     // roll forward past a stale hint (hint update is best-effort)
     var v = math.max(hinted, 0)
-    if (v == 0) {
-      // no usable hint: recover by LISTING — probing up from v1 breaks once
-      // write.metadata.delete-after-commit has removed the early versions
-      // (a healthy 200-commit table may hold only v101..v200)
-      // whole-name match only: crashed commits leave .vN...tmp files whose
-      // names CONTAIN a version pattern but are not committed versions
-      val latest = io.list(metadataDir).iterator
-        .map(_.getPath.getName)
-        .collect { case VersionName(n) => n.toInt }
-        .maxOption.getOrElse(0)
-      if (latest == 0) return 0
-      v = latest
+    if (v > 0) {
+      while (metadataFileExists(v + 1)) v += 1
+      if (metadataFileExists(v)) return v
     }
-    while (metadataFileExists(v + 1)) v += 1
-    if (metadataFileExists(v)) v else 0
+    // no usable hint, OR the hinted version no longer exists (a restored or
+    // externally-written hint can point below the delete-after-commit
+    // retention floor): recover by LISTING — probing up from the hint
+    // breaks when early versions are gone (a healthy 200-commit table may
+    // hold only v101..v200). Whole-name match only: crashed commits leave
+    // .vN...tmp files whose names CONTAIN a version pattern.
+    io.list(metadataDir).iterator
+      .map(_.getPath.getName)
+      .collect { case VersionName(n) => n.toInt }
+      .maxOption.getOrElse(0)
   }
 
   // metadata files are immutable once written (CAS creates v+1, never
@@ -182,23 +181,24 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
         MetadataLogEntry(nowMs, metadataFile(expectedVersion)))
     val (trimmed, dropped) = MetadataHousekeeping.trim(withLog)
     io.mkdirs(metadataDir)
+    // The atomic create is a true CAS only if every committer races on ONE
+    // name — so the codec (and thus the file name) comes from the BASE
+    // metadata, which all racers at this expectedVersion read identically.
+    // A codec-property change therefore takes effect one commit later: the
+    // commit that sets it is still written under the old codec's name.
     val gzip =
-      meta.property("write.metadata.compression-codec", "none") == "gzip"
+      if (expectedVersion == 0)
+        meta.property("write.metadata.compression-codec", "none") == "gzip"
+      else {
+        val c = cached
+        val base =
+          if (c != null && c._1 == expectedVersion) c._4
+          else JsonCodecs.tableMetadataFromJson(
+            io.readString(metadataFile(expectedVersion)))
+        base.property("write.metadata.compression-codec", "none") == "gzip"
+      }
     val next = if (gzip) gzFile(expectedVersion + 1) else plainFile(expectedVersion + 1)
-    val other = if (gzip) plainFile(expectedVersion + 1) else gzFile(expectedVersion + 1)
-    // The atomic create races on ONE name. Around a codec-property change,
-    // two committers can race on DIFFERENT names and both creates succeed —
-    // so after winning our name, re-check the other: if it also exists,
-    // self-abort (remove our file, report conflict). Both racers may abort
-    // and retry at the next version; neither ever loses a reported-committed
-    // snapshot.
-    if (metadataFileExists(expectedVersion + 1)) return false
     val ok = io.writeAtomic(next, JsonCodecs.tableMetadataToJson(trimmed))
-    if (ok && io.exists(other)) {
-      io.delete(next)
-      fileNames.remove(expectedVersion + 1)
-      return false
-    }
     if (ok) {
       io.writeString(versionHint, (expectedVersion + 1).toString)
       MetadataHousekeeping.deleteQuietly(io, dropped)

@@ -373,6 +373,11 @@ class LlmSpec extends AnyFunSuite {
     // or two at each boundary
     assert((exact diff approx).size + (approx diff exact).size <= 10,
       s"approx diverged: exact=${exact.size} approx=${approx.size}")
+    // an empty corpus has no quantiles: both modes return it unchanged
+    val empty = docs.where(lit(false))
+    assert(TextOps.filterByTokenQuantiles(empty, "text", 0.1, 0.9).count() === 0)
+    assert(TextOps.filterByTokenQuantiles(empty, "text", 0.1, 0.9, exact = true)
+      .count() === 0)
   }
 
   test("LSH bucket cap drops degenerate buckets; other pairs survive") {
