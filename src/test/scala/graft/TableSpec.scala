@@ -55,6 +55,23 @@ class TableSpec extends AnyFunSuite {
     assert(s2.keys.forall(!_.startsWith("partitions.")))
   }
 
+  test("a stale hint pointing below the retention floor still resolves") {
+    val loc = tmpLoc()
+    val small = lineitem.limit(3)
+    val t = IceTable.create(spark, loc, Schema.fresh(small.schema),
+      properties = Map(
+        "write.metadata.previous-versions-max" -> "2",
+        "write.metadata.delete-after-commit.enabled" -> "true"))
+    (1 to 6).foreach(_ => t.append(small))
+    // a restored/externally-written hint below the retention floor: v3 is
+    // deleted, so probing up from it dead-ends — recovery must LIST
+    t.io.writeString(s"$loc/metadata/version-hint.text", "3")
+    val fresh = IceTable.load(spark, loc)
+    assert(fresh.toDF.count() === 18)
+    fresh.append(small)
+    assert(fresh.toDF.count() === 21)
+  }
+
   test("version discovery survives a lost hint after early versions were deleted") {
     val loc = tmpLoc()
     val small = lineitem.limit(3)
