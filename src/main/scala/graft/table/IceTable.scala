@@ -642,9 +642,13 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val currentManifests: Seq[ManifestFileMeta] =
         headSnap.map(readManifestList(base, _)).getOrElse(Nil)
 
-      var removedCount = 0
-      var removedRows = 0L
+      var removedCount = 0 // all content types (validation + delta counters)
       var removedBytes = 0L
+      var removedDataCount = 0
+      var removedDataRows = 0L
+      var removedDeleteFiles = 0
+      var removedPosDeletes = 0L
+      var removedEqDeletes = 0L
       val keptManifests: Seq[ManifestFileMeta] =
         if (removedNorm.isEmpty) currentManifests
         else {
@@ -666,8 +670,20 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
                 if (rm.isEmpty) Some(mf)
                 else {
                   removedCount += rm.size
-                  removedRows += rm.map(_.dataFile.recordCount).sum
                   removedBytes += rm.map(_.dataFile.fileSizeBytes).sum
+                  rm.foreach { e =>
+                    e.dataFile.content match {
+                      case FileContent.Data =>
+                        removedDataCount += 1
+                        removedDataRows += e.dataFile.recordCount
+                      case FileContent.PositionDeletes =>
+                        removedDeleteFiles += 1
+                        removedPosDeletes += e.dataFile.recordCount
+                      case _ =>
+                        removedDeleteFiles += 1
+                        removedEqDeletes += e.dataFile.recordCount
+                    }
+                  }
                   if (keep.isEmpty) None
                   else {
                     val spec = base.specById(mf.specId)
@@ -704,8 +720,17 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       // carried forward from the head so writes can derive the table's
       // on-disk row width without reading any manifest. A pre-counter head
       // snapshot has no baseline — totals resume once history rolls over.
+      // split by content like ref SnapshotSummary.java:256-264: record
+      // counters are per-content (a MoR DELETE of N rows must NOT raise
+      // total-records by N), file sizes cover every content type
       val addedBytes = added.map(_.fileSizeBytes).sum
-      val addedRecords = added.map(_.recordCount).sum
+      val addedData = added.filter(_.content == FileContent.Data)
+      val addedRecords = addedData.map(_.recordCount).sum
+      val addedDeleteFiles = added.size - addedData.size
+      val addedPosDeletes = added.filter(_.content == FileContent.PositionDeletes)
+        .map(_.recordCount).sum
+      val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
+        .map(_.recordCount).sum
       def carried(key: String, delta: Long): Option[(String, String)] = headSnap match {
         case None => Some(key -> delta.toString)
         case Some(h) => h.summary.get(key).flatMap(_.toLongOption)
@@ -717,7 +742,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       // must not bloat every future metadata read with 10k summary entries
       val partLimit = base.property("write.summary.partition-limit", "0").toInt
       val partitionSummaries: Map[String, String] = {
-        val byPart = added.filter(_.partition.nonEmpty).groupBy(_.partition)
+        val byPart = addedData.filter(_.partition.nonEmpty).groupBy(_.partition)
         if (partLimit <= 0 || byPart.isEmpty || byPart.size > partLimit) Map.empty
         else byPart.map { case (tuple, fs) =>
           s"partitions.${tuple.mkString("/")}" ->
@@ -725,17 +750,42 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         } + ("partition-summaries-included" -> "true") +
           ("changed-partition-count" -> byPart.size.toString)
       }
+      // delete-file totals are seeded at 0 when the head predates these
+      // counters (clamped non-negative), so a long-lived table picks them
+      // up on its next commit instead of never
+      def carriedOrSeed(key: String, delta: Long): (String, String) = {
+        val prev = headSnap.flatMap(_.summary.get(key)).flatMap(_.toLongOption)
+          .getOrElse(0L)
+        key -> math.max(0L, prev + delta).toString
+      }
+      def ifPos(key: String, v: Long): Option[(String, String)] =
+        if (v > 0) Some(key -> v.toString) else None
+      val totalDeleteFiles =
+        carriedOrSeed("total-delete-files", (addedDeleteFiles - removedDeleteFiles).toLong)
+      // manifest live-entry counts include delete-file entries; subtract the
+      // running delete-file total to keep total-data-files data-only
+      val manifestLive = allManifests.map(f =>
+        (f.addedFilesCount + f.existingFilesCount).toLong).sum
       val summary = Map(
-        "added-data-files" -> added.size.toString,
+        "added-data-files" -> addedData.size.toString,
         "added-records" -> addedRecords.toString,
         "added-files-size" -> addedBytes.toString,
-        "deleted-data-files" -> removedCount.toString,
-        "deleted-records" -> removedRows.toString,
+        "deleted-data-files" -> removedDataCount.toString,
+        "deleted-records" -> removedDataRows.toString,
         "removed-files-size" -> removedBytes.toString,
-        "total-data-files" -> (allManifests.map(f =>
-          f.addedFilesCount + f.existingFilesCount).sum).toString) ++
+        "total-data-files" ->
+          math.max(0L, manifestLive - totalDeleteFiles._2.toLong).toString) ++
+        ifPos("added-delete-files", addedDeleteFiles.toLong) ++
+        ifPos("removed-delete-files", removedDeleteFiles.toLong) ++
+        ifPos("added-position-deletes", addedPosDeletes) ++
+        ifPos("removed-position-deletes", removedPosDeletes) ++
+        ifPos("added-equality-deletes", addedEqDeletes) ++
+        ifPos("removed-equality-deletes", removedEqDeletes) ++
+        Seq(totalDeleteFiles,
+          carriedOrSeed("total-position-deletes", addedPosDeletes - removedPosDeletes),
+          carriedOrSeed("total-equality-deletes", addedEqDeletes - removedEqDeletes)) ++
         partitionSummaries ++
-        carried("total-records", addedRecords - removedRows) ++
+        carried("total-records", addedRecords - removedDataRows) ++
         carried("total-files-size", addedBytes - removedBytes) ++ extraSummary
 
       val snap = SnapshotMeta(snapId, headSnap.map(_.snapshotId), seq, nowMs,

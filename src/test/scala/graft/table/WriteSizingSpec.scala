@@ -43,6 +43,41 @@ class WriteSizingSpec extends AnyFunSuite {
     assert(s3("total-files-size").toLong === liveBytes)
   }
 
+  test("MoR delete commits track tombstones separately from data totals") {
+    val t = IceTable.create(spark, tmpLoc(), Schema.fresh(rows(1).schema))
+    t.append(rows(100))
+    val before = t.currentSnapshot.get.summary
+    // a MoR DELETE of 30 rows adds a position-delete file; total-records and
+    // added-records must NOT count the tombstones (ADVICE r6: they did)
+    t.deleteMergeOnRead(lessThanOrEqual("id", 30L))
+    val s = t.currentSnapshot.get.summary
+    assert(s("total-records").toLong === before("total-records").toLong,
+      "MoR delete must not change total-records (rows are masked, not gone)")
+    assert(s.getOrElse("added-records", "0").toLong === 0L)
+    assert(s("added-data-files").toInt === 0)
+    assert(s("added-delete-files").toInt >= 1)
+    assert(s("added-position-deletes").toLong === 30L)
+    assert(s("total-position-deletes").toLong === 30L)
+    assert(s("total-delete-files").toInt >= 1)
+    assert(s("total-data-files").toInt === before("total-data-files").toInt)
+    // equality deletes land in their own counter
+    t.addEqualityDeletes(Seq(31L).toDF("id"), Seq("id"))
+    val s2 = t.currentSnapshot.get.summary
+    assert(s2("added-equality-deletes").toLong === 1L)
+    assert(s2("total-equality-deletes").toLong === 1L)
+    assert(s2("total-position-deletes").toLong === 30L)
+    assert(s2("total-records").toLong === before("total-records").toLong)
+    // compacting (then dropping the dangling tombstones) brings the delete
+    // totals back down
+    t.rewriteDataFiles(minInputFiles = 1)
+    t.removeDanglingDeletes()
+    val s3 = t.currentSnapshot.get.summary
+    assert(s3("total-records").toLong === 69L)
+    assert(s3("total-position-deletes").toLong === 0L)
+    assert(s3("total-equality-deletes").toLong === 0L)
+    assert(s3("total-delete-files").toInt === 0)
+  }
+
   test("appends roll files at ~target size once a row-width estimate exists") {
     val t = IceTable.create(spark, tmpLoc(), Schema.fresh(rows(1).schema))
     // first write: no estimate → single file from the single task
