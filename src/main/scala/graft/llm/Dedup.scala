@@ -103,7 +103,7 @@ object Dedup {
     * Jaccard j is caught with prob 1-(1-j^rows)^bands. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Int = 0): DataFrame = {
     val numHashes = bands * rowsPerBand
     // the repartition is a deliberate optimization barrier: without it,
     // CollapseProject inlines the shingle+signature expressions into every
@@ -125,12 +125,14 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "bucket")))
-    // skew guard: a degenerate bucket of b members (boilerplate, empty
-    // shingle sets, templated text) makes the self-join emit b² candidates —
-    // on a 100 TB corpus one such bucket is a job-killing straggler. Members
-    // of a dropped bucket can still pair through their other bands, and true
-    // near-dup CLUSTERS that big should be collapsed by exact dedup first.
-    // The count rides the same (band, bucket) exchange the join needs.
+    // skew guard (OPT-IN, maxBucketSize > 0; default 0 = exact recall): a
+    // degenerate bucket of b members (boilerplate, empty shingle sets,
+    // templated text) makes the self-join emit b² candidates — on a 100 TB
+    // corpus one such bucket is a job-killing straggler, so set a cap there.
+    // Capping TRADES RECALL: members of a dropped bucket pair only through
+    // their other bands. Run exact dedup first so giant true-dup clusters
+    // collapse before they ever form a bucket. The count rides the same
+    // (band, bucket) exchange the join needs.
     val banded = if (maxBucketSize > 0) {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
       allBands.withColumn("_gf_n", count(lit(1)).over(w))
@@ -174,7 +176,7 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit LSH bands on the fingerprint, verified
     * by Hamming distance ≤ `maxHamming` (bit_count of xor). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 6, maxBucketSize: Int = 0): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
     val allBands = withSim.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),

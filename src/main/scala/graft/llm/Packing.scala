@@ -32,8 +32,18 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokenCol: Column,
       budgetTokens: Int, shards: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // fail fast on null ids/sizes (e.g. tokenCount over a null text column):
+    // the primitive-tuple encoder below would otherwise NPE mid-job with no
+    // hint of which input row was bad
     val sized = docs.select(col(idCol).cast("long").as("id"),
-      tokenCol.cast("int").as("tokens"))
+        tokenCol.cast("int").as("tokens"))
+      .select(
+        when(col("id").isNull, raise_error(lit(
+          s"packSequences: null or non-numeric id in column '$idCol'")))
+          .otherwise(col("id")).as("id"),
+        when(col("tokens").isNull, raise_error(lit(
+          "packSequences: null token count (null text column?) — filter or coalesce first")))
+          .otherwise(col("tokens")).as("tokens"))
     val sharded =
       if (shards > 0) sized.repartition(shards, col("id")) else sized
     val spark = docs.sparkSession

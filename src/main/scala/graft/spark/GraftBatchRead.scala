@@ -861,7 +861,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     deletes: Seq[(DataFileMeta, Long)] = Nil,
     pushedLimit: Option[Int] = None,
     appendsRange: Option[(Long, Long)] = None,
-    outCols: Array[Int] = null)
+    outCols: Array[Int] = null,
+    appendsEndExplicit: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -927,8 +928,14 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     if (outCols != null) throw new UnsupportedOperationException(
       "_file/_pos/_deleted metadata columns are not supported in streaming reads")
+    if (appendsEndExplicit) throw new UnsupportedOperationException(
+      "end-snapshot-id is a batch-only option: a stream has no end bound " +
+        "(use Trigger.AvailableNow to drain and stop)")
+    // start-snapshot-id in streaming = begin incrementally after that
+    // snapshot instead of catching up the whole current snapshot
     new graft.streaming.GraftMicroBatchStream(table, projection, filter,
-      streamSkipDeletes, maxFilesPerTrigger)
+      streamSkipDeletes, maxFilesPerTrigger,
+      startSnapshotId = appendsRange.map(_._1))
   }
 
   /** The snapshot this scan reads (explicit pin > time travel > current). */

@@ -108,7 +108,7 @@ class GraftSparkTable(val table: IceTable, fullName: String,
       throw new graft.table.ValidationException(
         "end-snapshot-id requires start-snapshot-id (incremental reads are a range)")
     new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles,
-      appendsRange)
+      appendsRange, appendsEndExplicit = options.containsKey("end-snapshot-id"))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -183,7 +183,8 @@ object GraftSparkTable {
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
     streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
-    appendsRange: Option[(Long, Long)] = None)
+    appendsRange: Option[(Long, Long)] = None,
+    appendsEndExplicit: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -383,7 +384,7 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
           deletes = Nil, pushedLimit = pushedLimit, appendsRange = appendsRange,
-          outCols = outCols)
+          outCols = outCols, appendsEndExplicit = appendsEndExplicit)
       else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported)) {
         if (metaRequested.nonEmpty) throw new UnsupportedOperationException(
           "_file/_pos/_deleted metadata columns need the native scan; this " +

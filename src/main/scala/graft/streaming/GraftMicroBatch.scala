@@ -50,7 +50,8 @@ object GraftStreamOffset {
   */
 final class GraftMicroBatchStream(table: IceTable, projection: StructType,
     pushedFilter: Expr, skipDeleteSnapshots: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    startSnapshotId: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Trigger.AvailableNow pins the end of the run at prepare time: batches
@@ -83,7 +84,18 @@ final class GraftMicroBatchStream(table: IceTable, projection: StructType,
         fs
     }
 
-  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  /** A fresh stream starts either with a full catch-up of the current
+    * snapshot (-1 sentinel) or — with `start-snapshot-id` — incrementally
+    * from that snapshot EXCLUSIVE, same range contract as the batch
+    * incremental read. Checkpointed restarts never come back here. */
+  override def initialOffset(): Offset = startSnapshotId match {
+    case Some(id) =>
+      if (table.meta.snapshot(id).isEmpty)
+        throw new graft.table.ValidationException(
+          s"start-snapshot-id $id is not in this table's history")
+      GraftStreamOffset(id)
+    case None => GraftStreamOffset(-1L)
+  }
 
   override def latestOffset(): Offset = GraftStreamOffset(endSnapshotId)
 

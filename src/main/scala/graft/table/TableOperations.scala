@@ -186,9 +186,11 @@ final class TableOperations(val location: String, val io: FileIO) extends TableO
     // metadata, which all racers at this expectedVersion read identically.
     // A codec-property change therefore takes effect one commit later: the
     // commit that sets it is still written under the old codec's name.
+    // v1 is ALWAYS plain-named: at creation there is no base to agree on,
+    // so two concurrent creators with different codec settings would CAS on
+    // different names and both "win". The codec takes effect from v2.
     val gzip =
-      if (expectedVersion == 0)
-        meta.property("write.metadata.compression-codec", "none") == "gzip"
+      if (expectedVersion == 0) false
       else {
         val c = cached
         val base =

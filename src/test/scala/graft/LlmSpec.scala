@@ -354,6 +354,20 @@ class LlmSpec extends AnyFunSuite {
     assert(rerun.count() === out.count())
   }
 
+  test("sequence packing fails fast on null token counts") {
+    import spark.implicits._
+    val withNullText = Seq((1L, "some text"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.llm.Packing.packSequences(withNullText, "doc_id",
+        TextOps.tokenCount(col("text")), 80).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null token count")),
+      messages(e).mkString("; "))
+  }
+
   test("sequence packing is deterministic across runs") {
     val pack = () => graft.llm.Packing.packSequences(
         docs, "doc_id", TextOps.tokenCount(col("text")), 80, shards = 4)

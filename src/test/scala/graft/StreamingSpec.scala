@@ -252,6 +252,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches(2).isEmpty)
   }
 
+  test("DSv2 start-snapshot-id streams from that snapshot, not from scratch") {
+    val base = Files.createTempDirectory("graft-mbs-").toString
+    spark.conf.set("spark.sql.catalog.gmbs", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmbs.warehouse", s"$base/wh")
+    val src = IceTable.create(spark, s"$base/wh/db/t", Schema.fresh(orders.schema))
+    src.append(orders.limit(30))
+    val mark = src.currentSnapshot.get.snapshotId
+    src.append(orders.limit(40).exceptAll(orders.limit(30)))
+
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val got = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .option("start-snapshot-id", mark.toString)
+      .table("gmbs.db.t")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("o_orderkey").collect().map(_.getLong(0)); ()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    // only the 10 rows appended AFTER the marked snapshot flow — the 30
+    // rows already in it are never replayed (ADVICE r6: the option was
+    // silently ignored and the whole snapshot streamed)
+    assert(got.toSet === keys(orders.limit(40)) -- keys(orders.limit(30)))
+
+    // an unknown start snapshot fails loudly
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qb = spark.readStream.option("start-snapshot-id", "12345")
+        .table("gmbs.db.t")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/cp-bad").start()
+      qb.awaitTermination(60000)
+    }
+    assert(bad.getMessage.contains("not in this table's history") ||
+      Option(bad.getCause).exists(_.getMessage.contains("not in this table's history")))
+
+    // end-snapshot-id is batch-only: a bounded stream is rejected up front
+    val err = intercept[Exception] {
+      val qe = spark.readStream
+        .option("start-snapshot-id", mark.toString)
+        .option("end-snapshot-id", src.currentSnapshot.get.snapshotId.toString)
+        .table("gmbs.db.t")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/cp2").start()
+      qe.awaitTermination(60000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("batch-only")), messages(err).mkString("; "))
+  }
+
   test("max-files-per-trigger splits catch-up into bounded micro-batches") {
     val base = Files.createTempDirectory("graft-mbs-").toString
     import spark.implicits._

@@ -96,7 +96,10 @@ class TableSpec extends AnyFunSuite {
     val t = IceTable.create(spark, loc, Schema.fresh(small.schema),
       properties = Map("write.metadata.compression-codec" -> "gzip"))
     t.append(small)
-    assert(t.io.exists(s"$loc/metadata/v1.gz.metadata.json"))
+    // v1 is always plain-named: at creation there is no base metadata for
+    // racing creators to agree a name on, so the codec kicks in at v2
+    assert(t.io.exists(s"$loc/metadata/v1.metadata.json"))
+    assert(!t.io.exists(s"$loc/metadata/v1.gz.metadata.json"))
     assert(t.io.exists(s"$loc/metadata/v2.gz.metadata.json"))
     assert(!t.io.exists(s"$loc/metadata/v2.metadata.json"))
     // compressed metadata is really gzip on disk (magic bytes), real JSON through IO
