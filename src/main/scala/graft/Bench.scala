@@ -9,7 +9,23 @@ import org.apache.spark.sql.functions._
 /** BENCH harness (BASELINE.md measurement plan): headline shapes — full
   * scan, metrics-pruned read, multi-join agg, merge shape, LLM dedup/ANN —
   * median of 5 after 2 warmups; engine ops (append write, CoW merge,
-  * compaction) timed once on a scratch table. Prints ONE JSON line.
+  * compaction) median of 3 on fresh scratch tables. Prints ONE JSON line.
+  *
+  * Contamination defenses (two of six driver benches published numbers
+  * inflated by a test suite that had just finished on the same machine):
+  *  - the machine is SETTLED before every measurement group — GC, then
+  *    wait (bounded) for the 1-minute load average to drop to idle;
+  *  - heavy one-shot pipelines (the iterative CC dedup) run LAST so their
+  *    executor churn cannot degrade later measurements;
+  *  - every RAW sample is published alongside the median, so a reader can
+  *    see spread instead of trusting a single number;
+  *  - a group whose max/min sample ratio exceeds 3 is re-measured once
+  *    after a fresh settle (both the rerun count and the final samples are
+  *    published);
+  *  - `preceded_by` records how long before this bench the test harness
+  *    last ran (suites stamp `target/.graft-last-test-run` at start and at
+  *    JVM exit) plus the load average at bench start — enough to adjudicate
+  *    a suspect run without re-running it.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -23,7 +39,61 @@ object Bench {
   private def consume(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(' ')(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
+  /** Settle the machine before a measurement group: drop our own garbage,
+    * then wait (up to `maxWaitMs`) for the 1-minute load to fall under
+    * `idleLoad` — a just-finished test suite keeps load elevated for tens
+    * of seconds and would otherwise inflate whatever group runs first. */
+  private def settle(idleLoad: Double = 8.0, maxWaitMs: Long = 45000L): Unit = {
+    System.gc()
+    Thread.sleep(200)
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var l = loadAvg1m()
+    while (l > idleLoad && System.currentTimeMillis() < deadline) {
+      Thread.sleep(2000)
+      l = loadAvg1m()
+    }
+  }
+
+  final case class Entry(med: Double, samples: Seq[Double], reruns: Int)
+
+  private val results = scala.collection.mutable.LinkedHashMap[String, Entry]()
+
+  /** Measure one entry: `warmups` untimed runs, `n` samples (each run
+    * returns ITS OWN timed seconds, so per-run setup can stay outside the
+    * timer), median recorded. A spread (max/min) over 3 marks
+    * interference — re-measure once after a fresh settle, keep the second
+    * set, and publish the rerun. */
+  private def measureRaw(label: String, warmups: Int, n: Int,
+      alreadyRetried: Boolean = false)(f: () => Double): Unit = {
+    (1 to warmups).foreach(_ => f())
+    val samples = (1 to n).map(_ => f())
+    if (!alreadyRetried && n >= 3 && samples.max / math.max(1e-9, samples.min) > 3.0) {
+      settle()
+      measureRaw(label, warmups = 1, n = n, alreadyRetried = true)(f)
+      results(label) = results(label).copy(reruns = 1)
+    } else results(label) = Entry(median(samples), samples, 0)
+  }
+
+  private def measure(label: String, warmups: Int, n: Int)(f: () => Unit): Unit =
+    measureRaw(label, warmups, n)(() => time(f()))
+
   def main(args: Array[String]): Unit = {
+    val lastTestRunSecsAgo: Long =
+      try {
+        val p = java.nio.file.Paths.get("target", ".graft-last-test-run")
+        if (java.nio.file.Files.exists(p))
+          (System.currentTimeMillis() -
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong) / 1000L
+        else -1L
+      } catch { case _: Exception => -1L }
+    val loadAtStart = loadAvg1m()
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -41,37 +111,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-
-    // --- repeated query shapes: 2 warmups + median of 5 ---
+    // --- group 1: repeated engine query shapes (2 warmups + median of 5) ---
+    settle()
     val repeated: Seq[(String, String)] = Seq(
       "q1_full_scan" -> "q1_scan_project",
       "q4_pruned_read" -> "q4_metrics_prune",
       "q20_join_agg" -> "q20_join_agg",
-      "q10_merge_shape" -> "q10_merge_shape",
-      "llm_minhash_dedup" -> "llm_dedup_minhash",
-      "llm_ann_topk" -> "llm_ann_topk",
-      "llm_ann_lsh" -> "llm_ann_lsh")
+      "q10_merge_shape" -> "q10_merge_shape")
     repeated.foreach { case (label, q) =>
       val fn = SparkEntry.queries(q)
-      (1 to 2).foreach(_ => consume(fn(spark, sfDir)))
-      results(label) = median((1 to 5).map(_ => time(consume(fn(spark, sfDir)))))
+      measure(label, 2, 5)(() => consume(fn(spark, sfDir)))
     }
 
-    // --- fuzzy dedup end-to-end at scale: LSH candidate pairs → duplicate
-    // components (large-star/small-star) → one canonical doc per cluster.
-    // Iterative (driver-paced rounds), so 1 warmup + median of 3. ---
-    {
-      val docsDf = Tables.load(spark, sfDir, "documents")
-      def ccDedup() = consume(graft.llm.Dedup.dedupByComponents(
-        docsDf, "doc_id",
-        graft.llm.Dedup.minHashLshPairs(docsDf, "doc_id", "text", 3, 8, 2, 0.6)))
-      ccDedup()
-      results("llm_cc_dedup") = median((1 to 3).map(_ => time(ccDedup())))
+    // --- group 2: repeated LLM shapes ---
+    settle()
+    Seq(
+      "llm_minhash_dedup" -> "llm_dedup_minhash",
+      "llm_ann_topk" -> "llm_ann_topk",
+      "llm_ann_lsh" -> "llm_ann_lsh").foreach { case (label, q) =>
+      val fn = SparkEntry.queries(q)
+      measure(label, 2, 5)(() => consume(fn(spark, sfDir)))
     }
 
-    // --- engine ops on fresh scratch tables: median of 3 (single-shot
-    // timings of IO-bound ops swing ±30% with machine load) ---
+    // --- group 3: engine ops on fresh scratch tables (median of 3 —
+    // single-shot timings of IO-bound ops swing ±30% with machine load) ---
+    settle()
     val li = Tables.load(spark, sfDir, "lineitem")
     val loc = java.nio.file.Files.createTempDirectory("graft-bench-").toString
     var idx = 0
@@ -79,57 +143,82 @@ object Bench {
       idx += 1
       IceTable.create(spark, s"$loc/t$idx", Schema.fresh(li.schema))
     }
-    results("append_write") = median((1 to 3).map { _ =>
+    measureRaw("append_write", 0, 3) { () =>
       val t = fresh(); time(t.append(li))
-    })
+    }
     val src = li.limit((li.count() / 10).toInt)
       .withColumn("l_quantity", col("l_quantity") + 1)
       .dropDuplicates("l_orderkey", "l_linenumber")
-    results("cow_merge") = median((1 to 3).map { _ =>
-      val t = fresh(); t.append(li)
+    measureRaw("cow_merge", 0, 3) { () =>
+      val t = fresh(); t.append(li) // setup outside the timer
       time(t.merge(src, Seq("l_orderkey", "l_linenumber"))
         .whenMatchedUpdateAll().execute())
-    })
-    results("compaction") = median((1 to 3).map { _ =>
+    }
+    measureRaw("compaction", 0, 3) { () =>
       val t = fresh()
       t.append(li) // same table shape as earlier rounds: bulk + small files
       (1 to 4).foreach(_ => t.append(li.limit(20000).repartition(4)))
       time(t.rewriteDataFiles())
-    })
+    }
 
-    // --- merge-on-read read overhead: the same table scanned clean, then
-    // with live position deletes in every file (~4% of rows deleted) —
-    // the native scan must keep these within ~1.3× of each other ---
-    {
+    // --- group 4: merge-on-read read overhead: the same table scanned
+    // clean, then with live position deletes in every file (~4% of rows
+    // deleted) — the native scan must keep these within ~1.3× ---
+    settle()
+    locally {
       val t = fresh(); t.append(li)
       def scan() = consume(spark.read.format("graft").load(t.location))
-      (1 to 2).foreach(_ => scan())
-      results("ice_read") = median((1 to 3).map(_ => time(scan())))
+      measure("ice_read", 2, 3)(() => scan())
       // l_quantity ≤ 2 hits a slice of every file → position deletes, no
       // whole-file metadata drops
       t.deleteMergeOnRead(graft.meta.expr.Exprs.lessThanOrEqual("l_quantity", 2))
-      (1 to 2).foreach(_ => scan())
-      results("mor_read") = median((1 to 3).map(_ => time(scan())))
+      measure("mor_read", 2, 3)(() => scan())
     }
 
-    // --- persisted-IVF probe: index built ONCE (untimed — that's the
-    // amortized cost), queries pay only the partition-pruned probe ---
-    {
+    // --- group 5: persisted-IVF probes: index built ONCE (untimed —
+    // that's the amortized cost); queries pay only the pruned probe ---
+    settle()
+    locally {
       val embs = Tables.load(spark, sfDir, "embeddings")
-      val idx = graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
+      val ivf = graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
         s"$loc/ann_idx", nLists = 8)
-      def probe() = consume(
-        idx.topK(LlmQueries.AnnQueryIds, k = 5, nProbe = 2))
-      (1 to 2).foreach(_ => probe())
-      results("llm_ann_ivf_probe") = median((1 to 5).map(_ => time(probe())))
+      measure("llm_ann_ivf_probe", 2, 5)(() =>
+        consume(ivf.topK(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
+      // int8 probe: candidate ranking over the persisted codes column
+      // (4× fewer bytes), exact rescore on the k×4 survivors only
+      measure("llm_ann_int8_probe", 2, 5)(() =>
+        consume(ivf.topKQuantized(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
     }
+
+    // --- group 6 (LAST - heavy one-shot iterative pipeline): fuzzy dedup
+    // end-to-end: LSH candidate pairs → duplicate components
+    // (large-star/small-star) → one canonical doc per cluster. Driver-paced
+    // rounds, so 1 warmup + median of 3. Runs last so its executor churn
+    // cannot contaminate the measurements above. ---
+    settle()
+    locally {
+      val docsDf = Tables.load(spark, sfDir, "documents")
+      measure("llm_cc_dedup", 1, 3)(() => consume(graft.llm.Dedup.dedupByComponents(
+        docsDf, "doc_id",
+        graft.llm.Dedup.minHashLshPairs(docsDf, "doc_id", "text", 3, 8, 2, 0.6))))
+    }
+
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loc), true)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def fmt(d: Double) = f"$d%.3f"
+    val qs = results.map { case (k, e) => "\"" + k + "\":" + fmt(e.med) }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samples = results.map { case (k, e) =>
+      "\"" + k + "\":[" + e.samples.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val reruns = results.collect { case (k, e) if e.reruns > 0 =>
+      "\"" + k + "\":" + e.reruns
+    }.mkString("{", ",", "}")
+    val preceded =
+      s"""{"last_test_run_secs_ago":$lastTestRunSecsAgo,"loadavg_at_start":${fmt(loadAtStart)}}"""
+    val total = results.values.map(_.med).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"reruns":$reruns,"preceded_by":$preceded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,7 +328,7 @@ object Dedup {
       // re-computation concerns, a reliable checkpoint dir slots in here)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = probe(next)
-      edges.unpersist()
+      releaseEdges(edges)
       edges = next
       converged = nextSig == signature
       signature = nextSig
@@ -336,14 +336,33 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")
     // at the fixpoint every edge is (member, root): members point straight
-    // at their component minimum, and roots appear only on the right side.
-    // The final round's checkpoint stays cached — a localCheckpoint's
-    // blocks ARE its lineage, so dropping them before the (lazy) result is
-    // consumed would make it uncomputable; the leak is star edges only
-    // (two longs per duplicate doc).
-    edges.select(col("u").as("id"), col("v").as("component"))
+    // at their component minimum, and roots appear only on the right side
+    val result = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
       .distinct()
+    // release the loop's storage blocks. A localCheckpoint's blocks ARE its
+    // lineage, so the result must be re-rooted before the last round's
+    // frame can be dropped:
+    //  - with a checkpoint dir configured (any real cluster run), a
+    //    reliable checkpoint writes the component map (two longs per
+    //    duplicate doc) to FS and pins NOTHING in executor storage;
+    //  - without one, an eager localCheckpoint of the RESULT keeps exactly
+    //    one small frame pinned instead of accumulating a loop frame per
+    //    connectedComponents call.
+    val rerooted =
+      if (spark.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
+      else result.localCheckpoint(true)
+    releaseEdges(edges)
+    rerooted
+  }
+
+  /** Free a loop frame's storage blocks whether it came from `persist`
+    * (CacheManager) or `localCheckpoint` (RDD-level blocks under a
+    * LogicalRDD — Dataset.unpersist alone is a NO-OP for those and every
+    * round's frame would stay pinned for the session's life). */
+  private def releaseEdges(df: DataFrame): Unit = {
+    df.unpersist(blocking = true)
+    ColumnBridge.unpersistCheckpoint(df)
   }
 
   /** One row per corpus doc: `(…df columns…, component)` where component

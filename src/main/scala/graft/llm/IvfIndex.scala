@@ -40,8 +40,12 @@ final class IvfIndex private (val table: IceTable,
     * id column (column-pruned scan); at scale feed `delta` from an
     * incremental appends scan of the corpus rather than the full corpus. */
   def sync(delta: DataFrame): Long = {
-    val assigned = delta.select(col(idCol), col(vecCol),
-      Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol))
+    val assigned = Similarity.quantizeInt8(delta, idCol, vecCol)
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol),
+        col(IvfIndex.CodesCol), col(IvfIndex.ScaleCol),
+        Similarity.l2norm(col(vecCol)).as(IvfIndex.VNormCol),
+        Similarity.l2norm(col(IvfIndex.CodesCol)).as(IvfIndex.CNormCol))
     val existing = table.newScan().select(idCol).toDF
     // persisted so the assignment + anti join run ONCE (count reads the
     // cache, append writes from it) instead of twice per micro-batch
@@ -54,6 +58,69 @@ final class IvfIndex private (val table: IceTable,
     } finally fresh.unpersist()
   }
 
+  /** Bounded by-id vector lookup, driver-side: plans through the normal
+    * metadata cascade (partition + id-metrics pruning), then reads the few
+    * surviving parquet files' row groups directly — no Spark job for a
+    * lookup whose result size is bounded by the id list, not the corpus.
+    * The row-group IN filter prunes inside each file too. Falls back to a
+    * distributed collect for non-parquet files or a deleted-row table. */
+  private def fetchByIds(extraFilter: Option[graft.meta.expr.Expr],
+      ids: Seq[Long]): Map[Long, Seq[Double]] = {
+    val idFilter = Exprs.in(idCol, ids: _*)
+    val filter = extraFilter.map(graft.meta.expr.And(_, idFilter)).getOrElse(idFilter)
+    val scan = table.newScan().filter(filter).select(idCol, vecCol)
+    val spark = table.spark
+    def sparkPath(): Map[Long, Seq[Double]] = scan.toDF
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().iterator.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val tasks = scan.planFiles()
+    // delete presence from the O(1) snapshot summary counter when the head
+    // carries it (every snapshot written since the counters split); only a
+    // counter-less head pays a manifest walk
+    val hasDeletes = table.currentSnapshot
+      .flatMap(_.summary.get("total-delete-files")).flatMap(_.toLongOption) match {
+      case Some(n) => n > 0
+      case None => table.newScan().filter(filter).planDeletes().nonEmpty
+    }
+    if (hasDeletes || tasks.exists(_.file.format != "parquet")) return sparkPath()
+    val struct = table.meta.schema.struct
+    val readSchema = org.apache.spark.sql.types.StructType(
+      Seq(struct(struct.fieldIndex(idCol)), struct(struct.fieldIndex(vecCol))))
+    val idIsLong = readSchema(0).dataType ==
+      org.apache.spark.sql.types.LongType
+    val inValues: Array[Any] =
+      if (idIsLong) ids.map(Long.box).toArray[Any]
+      else ids.map(i => Int.box(i.toInt)).toArray[Any]
+    val reader = org.apache.spark.sql.graft.ColumnBridge.fileReader(
+      spark, "parquet", struct, readSchema,
+      Seq(org.apache.spark.sql.sources.In(idCol, inValues)),
+      vectorized = false)._1
+    val want = ids.toSet
+    val vecType = readSchema(1).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val out = Map.newBuilder[Long, Seq[Double]]
+    tasks.foreach { t =>
+      val pf = org.apache.spark.sql.graft.ColumnBridge.partitionedFile(
+        t.file.path, 0L, t.file.fileSizeBytes, t.file.fileSizeBytes)
+      reader(pf).foreach { r =>
+        val id = if (idIsLong) r.getLong(0) else r.getInt(0).toLong
+        if (want.contains(id)) {
+          val arr = r.getArray(1)
+          val v: Seq[Double] = vecType match {
+            case org.apache.spark.sql.types.DoubleType =>
+              arr.toDoubleArray.toIndexedSeq
+            case org.apache.spark.sql.types.FloatType =>
+              arr.toFloatArray.iterator.map(_.toDouble).toIndexedSeq
+            case other => throw new IllegalStateException(
+              s"unsupported vector element type $other")
+          }
+          out += id -> v
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Probe-only approximate top-k: query vectors are looked up by id (a
     * metrics-pruned scan + tiny collect), each query's `nProbe` nearest
     * lists are ranked on the driver against the local centroids, and ONLY
@@ -63,11 +130,8 @@ final class IvfIndex private (val table: IceTable,
   def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 2): DataFrame = {
     val spark = table.spark
     val probes = math.min(math.max(1, nProbe), centroids.size)
-    val qLocal: Seq[(Long, Seq[Double])] = table.newScan()
-      .filter(Exprs.in(idCol, queryIds: _*)).select(idCol, vecCol).toDF
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qLocal: Seq[(Long, Seq[Double])] =
+      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
     // same ranking rule as Similarity.listSims ([cosine, index] lexicographic,
     // ties to the larger index): a probe choice here matches what a full
     // in-Spark ranking would pick
@@ -78,9 +142,10 @@ final class IvfIndex private (val table: IceTable,
         .map { case (_, list) => (qid, list) }
     }
     val allLists = probed.map(_._2).distinct
+    val hasNorms = table.meta.schema.columnNames.contains(IvfIndex.VNormCol)
     val qRows = probed.map { case (qid, list) =>
       val qv = qLocal.find(_._1 == qid).get._2
-      Row(qid, qv, list)
+      Row(qid, qv, IvfIndex.normLocal(qv), list)
     }
     val qSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
@@ -88,31 +153,161 @@ final class IvfIndex private (val table: IceTable,
       org.apache.spark.sql.types.StructField("qv",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("qnorm",
+        org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField(IvfIndex.ListCol,
         org.apache.spark.sql.types.IntegerType)))
     val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
-    val cand = table.newScan()
-      .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)).toDF
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-        col(IvfIndex.ListCol))
+    // persisted vnorm (when present): the per-pair work is ONE dot-product
+    // fold, not a 3-fold cosine — the norms were paid once at build time
+    val cand =
+      if (hasNorms) table.newScan()
+        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*))
+        .select(idCol, vecCol, IvfIndex.VNormCol, IvfIndex.ListCol).toDF
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+          col(IvfIndex.VNormCol), col(IvfIndex.ListCol))
+      else table.newScan()
+        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)).toDF
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+          col(IvfIndex.ListCol))
     val joined = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
+      .withColumn("sim", round(
+        if (hasNorms)
+          Similarity.dot(col("qv"), col("nv")) /
+            (col("qnorm") * col(IvfIndex.VNormCol))
+        else Similarity.cosine(col("qv"), col("nv")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Probe-only quantized top-k: the candidate RANKING phase scans the
+    * persisted int8 `codes` column of the probed lists — 4× fewer bytes
+    * than the float vectors, which stay entirely UNREAD (parquet column
+    * pruning) until the rescore. Survivor ids (`k × rescoreFactor` per
+    * query — independent of corpus size) come back to the driver, and the
+    * exact phase re-reads only the files holding those ids through the
+    * id-metrics pruning cascade. Same output contract as [[topK]]. */
+  def topKQuantized(queryIds: Seq[Long], k: Int, nProbe: Int = 2,
+      rescoreFactor: Int = 4): DataFrame = {
+    // pre-codes index (built before the codes column existed): exact probe
+    if (!table.meta.schema.columnNames.contains(IvfIndex.CodesCol))
+      return topK(queryIds, k, nProbe)
+    val spark = table.spark
+    val probes = math.min(math.max(1, nProbe), centroids.size)
+    val qLocal: Seq[(Long, Seq[Double])] =
+      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
+    val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
+        .sorted.takeRight(probes)
+        .map { case (_, list) => (qid, list) }
+    }
+    val allLists = probed.map(_._2).distinct
+    // query codes quantized on the driver (symmetric per-vector int8, the
+    // same rule as Similarity.quantizeInt8; the scale cancels in cosine)
+    def codesOf(v: Seq[Double]): Seq[Double] = {
+      val s = math.max(v.iterator.map(math.abs).foldLeft(0.0)(math.max) / 127.0,
+        java.lang.Double.MIN_NORMAL)
+      v.map(x => math.rint(x / s))
+    }
+    val qRows = probed.map { case (qid, list) =>
+      Row(qid, codesOf(qLocal.find(_._1 == qid).get._2), list)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qcodes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField(IvfIndex.ListCol,
+        org.apache.spark.sql.types.IntegerType)))
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    // phase 1 — approximate ranking over codes only (vec column unread).
+    // Rank key: dot(qcodes, codes) / cnorm — dividing by the PERSISTED
+    // neighbor code norm; the query-side norm is constant within a window
+    // and cannot change the order, so the per-pair work is one dot fold.
+    val hasCNorm = table.meta.schema.columnNames.contains(IvfIndex.CNormCol)
+    val cand =
+      if (hasCNorm) table.newScan()
+        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*))
+        .select(idCol, IvfIndex.CodesCol, IvfIndex.CNormCol, IvfIndex.ListCol).toDF
+        .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
+          col(IvfIndex.CNormCol), col(IvfIndex.ListCol))
+      else table.newScan()
+        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*))
+        .select(idCol, IvfIndex.CodesCol, IvfIndex.ListCol).toDF
+        .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
+          col(IvfIndex.ListCol))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("asim"), asc("neighbor_id"))
+    val survivors = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim",
+        if (hasCNorm)
+          Similarity.dot(col("qcodes"), col(IvfIndex.CodesCol)) /
+            col(IvfIndex.CNormCol)
+        else Similarity.cosine(col("qcodes"), col(IvfIndex.CodesCol)))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rescoreFactor)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // phase 2 — exact rescore of the survivors only. The survivor set is
+    // `queries × k × rescoreFactor` rows by construction — INDEPENDENT of
+    // corpus size — so the rescore is a driver computation: one
+    // partition+metrics-pruned scan collects the survivor float vectors
+    // (the only rows whose float column is ever read), and the exact
+    // cosines/top-k happen locally. No distributed join, no window, no
+    // second job over corpus data.
+    val survivorIds = survivors.map(_._2).distinct.toSeq
+    val qById = qLocal.toMap
+    // survivors can only live in the probed lists: the partition filter
+    // prunes to those lists BEFORE the id-metrics cascade runs per file
+    val nvById: Map[Long, Seq[Double]] = fetchByIds(
+      Some(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)), survivorIds)
+    val outRows = survivors.groupBy(_._1).toSeq.flatMap { case (qid, pairs) =>
+      val qv = qById(qid)
+      pairs.iterator.map(_._2).distinct
+        .map(nid => (nid, BigDecimal(IvfIndex.cosineLocal(qv, nvById(nid)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSeq
+        .sortBy { case (nid, sim) => (-sim, nid) }
+        .take(k).zipWithIndex
+        .map { case ((nid, sim), i) => Row(qid, i + 1, nid, sim) }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
+  }
 }
 
 object IvfIndex {
   val ListCol = "list"
+  val CodesCol = "codes"
+  val ScaleCol = "qscale"
+  val VNormCol = "vnorm"
+  val CNormCol = "cnorm"
   val IdColProp = "ann.id-col"
   val VecColProp = "ann.vec-col"
   val NListsProp = "ann.n-lists"
 
   private def centroidsPath(location: String) = s"$location/ann/centroids.json"
+
+  private[llm] def normLocal(a: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
 
   private[llm] def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -162,8 +357,17 @@ object IvfIndex {
       iters: Int = 2): IvfIndex = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
     val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      Similarity.nearestList(col(vecCol), cents).as(ListCol))
+    // int8 codes + scale are INDEX columns: the quantized probe ranks over
+    // them (4× fewer bytes than float32) and parquet column pruning keeps
+    // them free for every other read
+    val assigned = Similarity.quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestList(col(vecCol), cents).as(ListCol),
+        col(CodesCol), col(ScaleCol),
+        // persisted norms: probes then rank on ONE dot product per pair
+        // instead of re-deriving both norms (3× the fold work) every query
+        Similarity.l2norm(col(vecCol)).as(VNormCol),
+        Similarity.l2norm(col(CodesCol)).as(CNormCol))
     val io = new FileIO(spark.sparkContext.hadoopConfiguration)
     val existing = versionDirs(io, location)
     val next = (0 +: existing.map(_._1)).max + 1

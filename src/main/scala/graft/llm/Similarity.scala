@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product of two numeric-array columns, computed in double. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a numeric-array column, computed in double. */
+  def l2norm(x: Column): Column =
+    sqrt(aggregate(x, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Exact top-k neighbors for each query id: one corpus scan, query side
     * broadcast, per-query window for the top-k. */

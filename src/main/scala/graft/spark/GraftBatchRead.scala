@@ -240,6 +240,79 @@ private object GraftDeleteProbe {
   }
 }
 
+private[spark] object GraftSurvivors {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.types._
+
+  /** Survivor column for a delete-filtered batch: logical row i = base row
+    * `map(i)`. Two shapes, picked per column by keep density:
+    *
+    *  - DENSE batches (most rows survive — the common MoR profile, e.g. a
+    *    2–4% delete) COPY fixed-width survivors into a writable OnHeap
+    *    vector: the copy touches each value once, and downstream reads are
+    *    then monomorphic OnHeap accesses with no extra array hop. At high
+    *    keep ratios the per-access remap indirection costs more than the
+    *    one-time copy.
+    *  - SPARSE batches (and variable-width / nested columns, where a copy
+    *    would move the payload bytes twice) stay zero-copy views.
+    */
+  def vector(base: ColumnVector, map: Array[Int], kept: Int,
+      batchRows: Int): ColumnVector = {
+    if (kept * 2 >= batchRows) {
+      val copied = copyFixed(base, map, kept)
+      if (copied != null) return copied
+    }
+    new GraftFilteredVector(base, map)
+  }
+
+  /** Gather `map` rows of a fixed-width column into a fresh OnHeap vector;
+    * null when the type is not fixed-width (caller falls back to the view). */
+  private def copyFixed(base: ColumnVector, map: Array[Int], kept: Int): ColumnVector = {
+    val dt = base.dataType
+    val out = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | DateType |
+           LongType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType | _: YearMonthIntervalType | _: DayTimeIntervalType =>
+        new OnHeapColumnVector(math.max(kept, 1), dt)
+      case _ => return null // strings/binary/decimal/nested: view is cheaper
+    }
+    val hasNulls = base.hasNull
+    var i = 0
+    dt match {
+      case BooleanType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putBoolean(i, base.getBoolean(r)); i += 1 }
+      case ByteType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putByte(i, base.getByte(r)); i += 1 }
+      case ShortType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putShort(i, base.getShort(r)); i += 1 }
+      case IntegerType | DateType | _: YearMonthIntervalType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putInt(i, base.getInt(r)); i += 1 }
+      case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putLong(i, base.getLong(r)); i += 1 }
+      case FloatType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putFloat(i, base.getFloat(r)); i += 1 }
+      case DoubleType =>
+        while (i < kept) { val r = map(i)
+          if (hasNulls && base.isNullAt(r)) out.putNull(i)
+          else out.putDouble(i, base.getDouble(r)); i += 1 }
+      case _ => return null
+    }
+    out
+  }
+}
+
 /** Zero-copy survivor view of a column vector: logical row i reads base row
   * `map(i)` (the same shape as the reference's vectorized delete filter,
   * `spark/.../vectorized/ColumnVectorWithFilter` in later ref versions —
@@ -464,7 +537,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
             while (j < d.keepColumns) { cols(j) = b.column(j); j += 1 }
           } else {
             while (j < d.keepColumns) {
-              cols(j) = new GraftFilteredVector(b.column(j), map); j += 1
+              cols(j) = GraftSurvivors.vector(b.column(j), map, kept, b.numRows()); j += 1
             }
           }
           return new ColumnarBatch(cols, kept)
@@ -475,7 +548,8 @@ object GraftReaderFactory extends PartitionReaderFactory {
           val c = p.outCols(j)
           cols(j) =
             if (c >= 0) {
-              if (map == null) b.column(c) else new GraftFilteredVector(b.column(c), map)
+              if (map == null) b.column(c)
+              else GraftSurvivors.vector(b.column(c), map, kept, b.numRows())
             } else if (c == GraftBatchScan.OutFile) {
               val v = new org.apache.spark.sql.execution.vectorized
                 .ConstantColumnVector(kept, StringType)
@@ -500,7 +574,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
               }
             } else if (p.ridOrdinal >= 0) {
               if (map == null) b.column(p.ridOrdinal)
-              else new GraftFilteredVector(b.column(p.ridOrdinal), map)
+              else GraftSurvivors.vector(b.column(p.ridOrdinal), map, kept, b.numRows())
             } else {
               // synthesized ordinals: position = slice base + base-batch row
               val v = new org.apache.spark.sql.execution.vectorized

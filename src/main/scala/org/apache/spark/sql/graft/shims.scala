@@ -26,6 +26,18 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.toRdd
 
+  /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries (`persist`); a
+    * local checkpoint lives as RDD-level persistence under a `LogicalRDD`
+    * leaf, so releasing it needs the underlying RDD's own unpersist. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = true)
+        case _ => ()
+      }
+
   /** A DataFrame directly over an InternalRow RDD (`internalCreateDataFrame`
     * is `private[sql]`); re-anchors a streaming batch's physical rows so a
     * V1 `Sink` can run batch writes over them. */

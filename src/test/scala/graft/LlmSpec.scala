@@ -128,6 +128,35 @@ class LlmSpec extends AnyFunSuite {
     assert(dup.getDouble(3) === 1.0)
   }
 
+  test("quantized IVF probe ranks on persisted codes, recall@5 >= 0.9") {
+    import graft.llm.IvfIndex
+    val qids = LlmQueries.AnnQueryIds
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfq-")
+      .toString + "/idx"
+    val idx = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 8)
+    // codes + qscale are persisted index columns, filled for every row
+    assert(idx.table.meta.schema.columnNames.contains("codes"))
+    assert(idx.table.newScan().toDF
+      .filter(col("codes").isNull || col("qscale").isNull).count() === 0)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // full probe + rescore: int8 ranking then exact math on survivors
+    val quant = idx.topKQuantized(qids, 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map { q =>
+      exact(q).count(quant.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"quantized-probe recall ${recalls.sum / recalls.size} (per-query $recalls)")
+    // synced rows get codes too (no null codes sneaking past the probe)
+    val novel = embs.filter(col("vec_id") === 3L)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    assert(idx.sync(novel) === 1L)
+    assert(idx.table.newScan().toDF.filter(col("codes").isNull).count() === 0)
+  }
+
   test("IVF publish is crash-atomic: an interrupted build never hides the index") {
     import graft.llm.IvfIndex
     val loc = java.nio.file.Files.createTempDirectory("graft-ivfatomic-")
@@ -453,6 +482,31 @@ class LlmSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("connected components release every storage block they pin") {
+    import spark.implicits._
+    val edges = ((0L until 50L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("id_a", "id_b")
+    def pinned(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // without a checkpoint dir, at most the single re-rooted RESULT frame
+    // stays pinned (not one frame per loop round)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty, "test order assumption")
+    val before = pinned()
+    val out = Dedup.connectedComponents(edges, smallGraphThreshold = 0L)
+    assert(out.count() === 54L) // 51 chain nodes + 3 triple
+    assert((pinned() -- before).size <= 1,
+      s"more than the result frame pinned: ${pinned() -- before}")
+    // with a checkpoint dir (the cluster configuration), the distributed
+    // loop must leave ZERO new blocks pinned once the result is consumed
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-cc-cp-").toString
+    spark.sparkContext.setCheckpointDir(cpDir)
+    val before2 = pinned()
+    val out2 = Dedup.connectedComponents(edges, smallGraphThreshold = 0L)
+    assert(out2.count() === 54L)
+    assert(pinned() === before2, s"leaked storage blocks: ${pinned() -- before2}")
+    // result stays consumable after the loop frames are gone
+    assert(out2.agg(countDistinct("component")).head().getLong(0) === 2L)
   }
 
   test("small-graph fast path handles a 100k-node chain (no recursion blowup)") {
