@@ -177,11 +177,7 @@ final class IvfIndex private (val table: IceTable,
           Similarity.dot(col("qv"), col("nv")) /
             (col("qnorm") * col(IvfIndex.VNormCol))
         else Similarity.cosine(col("qv"), col("nv")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    Similarity.topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Probe-only quantized top-k: the candidate RANKING phase scans the
@@ -242,17 +238,15 @@ final class IvfIndex private (val table: IceTable,
         .select(idCol, IvfIndex.CodesCol, IvfIndex.ListCol).toDF
         .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
           col(IvfIndex.ListCol))
-    val wa = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("asim"), asc("neighbor_id"))
-    val survivors = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+    val ranked = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("asim",
+      .withColumn("sim",
         if (hasCNorm)
           Similarity.dot(col("qcodes"), col(IvfIndex.CodesCol)) /
             col(IvfIndex.CNormCol)
         else Similarity.cosine(col("qcodes"), col(IvfIndex.CodesCol)))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * rescoreFactor)
+    val survivors = Similarity.topKPerQuery(
+        ranked.select("query_id", "neighbor_id", "sim"), k * rescoreFactor)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // phase 2 — exact rescore of the survivors only. The survivor set is

@@ -26,8 +26,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Per-query top-k WITHOUT a window: [[graft.expressions.BoundedTopK]]
+    * partial-aggregates a k-bounded heap map-side, so the exchange carries
+    * at most k rows per (query × input partition) instead of funnelling
+    * EVERY candidate row of a query through one window task — at 100 TB
+    * candidate volumes that single sorted task is the job's straggler.
+    * Input columns: `query_id`, `neighbor_id`, `sim` (pre-rounded).
+    * Output `(query_id, rank, neighbor_id, sim)`, ranked sim DESC then
+    * neighbor_id ASC — the exact window `row_number` order it replaces. */
+  def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.expressions.BoundedTopK(k,
+        ColumnBridge.expression(col("sim").cast("double")),
+        ColumnBridge.expression(col("neighbor_id").cast("long")))
+        .toAggregateExpression())
+    cands.groupBy("query_id").agg(agg.as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_r", "_e")))
+      .select(col("query_id"), (col("_r") + 1).cast("int").as("rank"),
+        col("_e.id").as("neighbor_id"), col("_e.ord").as("sim"))
+  }
+
   /** Exact top-k neighbors for each query id: one corpus scan, query side
-    * broadcast, per-query window for the top-k. */
+    * broadcast, bounded top-k reduce per query. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
@@ -35,10 +56,7 @@ object Similarity {
     val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
@@ -119,10 +137,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -211,10 +226,7 @@ object Similarity {
     val joined = indexed.join(broadcast(q), Seq("list"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
   // ------------------------------------------------- int8 quantization

@@ -91,6 +91,8 @@ object JsonCodecs {
     if (f.splitOffsets.nonEmpty) {
       val a = node.putArray("split-offsets"); f.splitOffsets.foreach(a.add)
     }
+    f.keyMetadata.foreach(km => node.put("key-metadata",
+      java.util.Base64.getEncoder.encodeToString(km.toArray)))
     mapper.writeValueAsString(node)
   }
 
@@ -121,7 +123,9 @@ object JsonCodecs {
       schemaId = Option(n.get("schema-id")).map(_.asInt).getOrElse(0),
       content = Option(n.get("content")).map(_.asInt).getOrElse(FileContent.Data),
       equalityIds = Option(n.get("equality-ids"))
-        .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil))
+        .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
+      keyMetadata = Option(n.get("key-metadata")).map(km =>
+        java.util.Base64.getDecoder.decode(km.asText).toSeq))
   }
 
   // ---- manifest entry (one JSON line) ----

@@ -33,7 +33,13 @@ final case class DataFileMeta(
       * (ref format v2 content field; `DeleteFile`). */
     content: Int = FileContent.Data,
     /** Field IDs of the equality-delete key columns (content = 2). */
-    equalityIds: Seq[Int] = Nil) extends Serializable
+    equalityIds: Seq[Int] = Nil,
+    /** Opaque per-file encryption key metadata (ref `DataFile.java:62`
+      * key_metadata): written by the table's [[graft.table.EncryptionManager]]
+      * when a file is encrypted, handed back at read time to decrypt it.
+      * None = plaintext. Reserved in the metadata format NOW so adding an
+      * encrypted lake later is a manager swap, not a schema migration. */
+    keyMetadata: Option[Seq[Byte]] = None) extends Serializable
 
 object FileContent {
   val Data = 0

@@ -71,7 +71,13 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val upsert = parameters.get("mode").exists(_.equalsIgnoreCase("upsert")) ||
       upsertKeys.nonEmpty
     val queryId = parameters.getOrElse("queryId", "graft-stream")
-    if (upsert) {
+    if (outputMode == OutputMode.Complete) {
+      // Complete-mode aggregation stream: each epoch's full result REPLACES
+      // the table (ref SparkWrite StreamingOverwrite), epoch-idempotent
+      require(!upsert, "upsert mode is Append/Update; Complete mode already " +
+        "replaces the table every epoch")
+      new GraftCompleteSink(tableOf(sqlContext, parameters), queryId)
+    } else if (upsert) {
       require(outputMode == OutputMode.Append || outputMode == OutputMode.Update,
         s"graft-stream upsert sink supports Append/Update output modes, got $outputMode")
       new GraftUpsertSink(tableOf(sqlContext, parameters), queryId,
@@ -173,6 +179,13 @@ private object GraftStreamSink {
     org.apache.spark.sql.graft.ColumnBridge
       .internalCreateDataFrame(spark, rows, data.schema)
   }
+}
+
+/** Complete-mode overwrite sink: every epoch's full aggregation result
+  * replaces the table in one snapshot; replayed epochs are skipped. */
+private final class GraftCompleteSink(table: IceTable, queryId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    Streaming.completeOnce(table, queryId, GraftStreamSink.reanchor(data), batchId)
 }
 
 /** Keyed upsert sink: per epoch, ONE snapshot of (equality-delete file of

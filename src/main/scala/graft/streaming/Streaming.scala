@@ -26,6 +26,19 @@ object Streaming {
       Map("streaming-query-id" -> queryId, "streaming-epoch-id" -> epochId.toString))
   }
 
+  /** Complete-mode epoch: replace the WHOLE table with this epoch's result
+    * (ref `SparkWrite.java` StreamingOverwrite — `overwriteByRowFilter(
+    * alwaysTrue)` per epoch). Replay-safe through the same (queryId,
+    * epochId) marker as the append sink: a recovered query re-offering a
+    * committed epoch commits nothing, so exactly one copy survives. */
+  def completeOnce(table: IceTable, queryId: String, batch: DataFrame,
+      epochId: Long): Unit = {
+    if (lastCommittedEpoch(table, queryId).exists(_ >= epochId)) return // replay
+    table.overwrite(graft.meta.expr.TrueExpr, batch,
+      Map("streaming-query-id" -> queryId,
+        "streaming-epoch-id" -> epochId.toString))
+  }
+
   def lastCommittedEpoch(table: IceTable, queryId: String): Option[Long] =
     table.meta.snapshots.reverseIterator
       .find(_.summary.get("streaming-query-id").contains(queryId))

@@ -12,7 +12,11 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * comes from rename-without-overwrite; on the local FS we get a true CAS via
   * hard-link creation, which atomically fails if the target exists.
   */
-final class FileIO(@transient val conf: Configuration) extends Serializable {
+final class FileIO(@transient val conf: Configuration,
+    /** Table-data encryption hook (ref `EncryptionManager`): plaintext
+      * pass-through by default; a KMS-backed manager slots in here. */
+    val encryption: EncryptionManager = PlaintextEncryptionManager)
+    extends Serializable {
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   /** Gzip-compressed metadata files (ref `TableMetadataParser.Codec`) are

@@ -150,6 +150,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     * partially matched are rewritten without the matching rows. */
   def overwrite(filter: Expr, df: DataFrame): Unit =
     RowOps.overwrite(this, filter, Option(df))
+  def overwrite(filter: Expr, df: DataFrame,
+      extraSummary: Map[String, String]): Unit =
+    RowOps.overwrite(this, filter, Option(df), extraSummary = extraSummary)
 
   private def rowLevelMode(key: String): String =
     meta.property(key, TableProperties.RowLevelCopyOnWrite)

@@ -108,6 +108,33 @@ class HiveCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet.contains("nsx"))
   }
 
+  test("multi-level namespaces are rejected loudly (HMS databases are one level)") {
+    catalog
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // creating under a nested namespace must say WHY it fails, not NPE or
+    // silently create something under the wrong database
+    val create = intercept[Exception] {
+      spark.sql("CREATE TABLE hv.a.b.nested_t (id BIGINT)")
+    }
+    assert(messages(create).exists(_.contains("single-level")),
+      messages(create).mkString("; "))
+    // nested CREATE NAMESPACE is equally explicit
+    val ns = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE hv.a.b")
+    }
+    assert(messages(ns).exists(m =>
+      m.contains("single-level") || m.toLowerCase.contains("namespace")),
+      messages(ns).mkString("; "))
+    // lookups under a nested namespace resolve to "no such table", never a
+    // wrong-database hit
+    val cat = spark.sessionState.catalogManager.catalog("hv")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    assert(!cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("a", "b"), "nested_t")))
+  }
+
   test("DML and time travel work through the hive catalog") {
     catalog
     spark.sql("CREATE TABLE hv.db.dml (id BIGINT, v STRING)")

@@ -343,6 +343,32 @@ class LlmSpec extends AnyFunSuite {
     } finally { packed.unpersist(); }
   }
 
+  test("bounded top-k aggregate matches the window ranking exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // duplicate sims force tie-breaks; multiple queries; > k rows per query
+    val cands = (for {
+      q <- 1L to 5L
+      n <- 1L to 200L
+    } yield (q, n, math.floor(rnd.nextDouble() * 50) / 50.0))
+      .toDF("query_id", "neighbor_id", "sim")
+      .repartition(7) // several partitions → partial heaps really merge
+    val viaAgg = Similarity.topKPerQuery(cands, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    val viaWindow = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaAgg.sortBy(t => (t._1, t._2)).toSeq ===
+      viaWindow.sortBy(t => (t._1, t._2)).toSeq)
+    // fewer candidates than k: all rows come back, still ranked
+    val tiny = Seq((1L, 10L, 0.5), (1L, 2L, 0.9)).toDF("query_id", "neighbor_id", "sim")
+    assert(Similarity.topKPerQuery(tiny, 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((1, 2L), (2, 10L)))
+  }
+
   test("int8-quantized ANN recall@5 vs exact brute force") {
     val embs = Tables.load(spark, sf001, "embeddings")
     val qids = LlmQueries.AnnQueryIds

@@ -46,6 +46,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.snapshots.forall(_.summary.contains("streaming-epoch-id")))
   }
 
+  test("Complete-mode sink: each epoch's aggregation replaces the table; replay is a no-op") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    import spark.implicits._
+    val dst = IceTable.create(spark, s"$base/agg",
+      Schema.fresh(Seq(("x", 1L)).toDF("k", "cnt").schema))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String](spark)
+    val counts = mem.toDF().groupBy(col("value").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("k"), col("cnt"))
+    val q = counts.writeStream.format("graft-stream")
+      .option("path", dst.location)
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      assert(dst.toDF.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("a" -> 2L, "b" -> 1L))
+      // next epoch REPLACES, not appends: totals, exactly once each
+      mem.addData("a", "c")
+      q.processAllAvailable()
+      assert(dst.toDF.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      assert(dst.toDF.count() === 3) // one row per key — no stacked epochs
+    } finally q.stop()
+    // epoch replay (restart recovery re-offers a committed epoch): no-op
+    val rowsBefore = dst.toDF.collect().toSet
+    val snapsBefore = dst.snapshots.size
+    val lastEpoch = graft.streaming.Streaming
+      .lastCommittedEpoch(dst, "graft-stream").get
+    graft.streaming.Streaming.completeOnce(dst, "graft-stream",
+      Seq(("zz", 9L)).toDF("k", "cnt"), lastEpoch)
+    assert(dst.snapshots.size === snapsBefore, "replayed epoch must not commit")
+    assert(dst.toDF.collect().toSet === rowsBefore)
+    // a FRESH epoch does commit and replaces everything
+    graft.streaming.Streaming.completeOnce(dst, "graft-stream",
+      Seq(("zz", 9L)).toDF("k", "cnt"), lastEpoch + 1)
+    assert(dst.toDF.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map("zz" -> 9L))
+  }
+
   test("keyed upsert sink: last writer wins over 3 epochs, no data file rewritten") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val srcLoc = s"$base/src"; val dstLoc = s"$base/dst"; val cp = s"$base/cp"

@@ -117,6 +117,39 @@ class TableSpec extends AnyFunSuite {
     assert(IceTable.load(spark, loc).meta.metadataLog.nonEmpty)
   }
 
+  test("key_metadata round-trips through manifests; plaintext manager refuses keyed files") {
+    import graft.meta.model.{DataFileMeta, ManifestEntry, EntryStatus}
+    import graft.table.{ManifestIO, PlaintextEncryptionManager}
+    val loc = tmpLoc()
+    val small = lineitem.limit(3)
+    val t = IceTable.create(spark, loc, Schema.fresh(small.schema))
+    t.append(small)
+    // an encrypted lake's entry: opaque key metadata bytes on the file
+    val km: Seq[Byte] = Array[Byte](1, 2, -3, 127, 0, -128).toSeq
+    val base = t.newScan().planFiles().head.file
+    val keyed = base.copy(path = base.path + ".enc", keyMetadata = Some(km))
+    val mpath = s"$loc/metadata/test-km.manifest.parquet"
+    ManifestIO.write(t.io, mpath,
+      Seq(ManifestEntry(EntryStatus.Added, 1L, 1L, keyed)),
+      t.meta.schema, t.meta.spec)
+    val back = ManifestIO.read(t.io, mpath, t.meta.schema, t.meta.specById)
+    assert(back.size === 1)
+    assert(back.head.dataFile.keyMetadata === Some(km),
+      "key_metadata must survive the manifest round-trip byte-for-byte")
+    // files written today carry none (plaintext default)
+    assert(t.newScan().planFiles().forall(_.file.keyMetadata.isEmpty))
+    // the plaintext manager passes streams through untouched...
+    val raw = new java.io.ByteArrayOutputStream()
+    val (wrapped, none) = PlaintextEncryptionManager.encrypt("f", raw)
+    assert(none.isEmpty && (wrapped eq raw))
+    val in = new java.io.ByteArrayInputStream(Array[Byte](7))
+    assert(PlaintextEncryptionManager.decrypt("f", in, None) eq in)
+    // ...but refuses to "decrypt" a file that claims to be encrypted
+    intercept[IllegalArgumentException] {
+      PlaintextEncryptionManager.decrypt("f", in, Some(km))
+    }
+  }
+
   test("metadata log is bounded; delete-after-commit removes dropped versions") {
     val loc = tmpLoc()
     val small = lineitem.limit(5)
