@@ -89,6 +89,15 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // IVF-bucketed embedding near-dup (approximate — rows-only; recall vs
+    // the exact cross join gated in LlmSpec): per-list self-joins with
+    // top-2 multiprobe assignment instead of the O(n²) cross join
+    "llm_dedup_embed_ivf" -> ((s, d) => {
+      Dedup.embeddingNearDupPairsBucketed(embs(s, d), "vec_id", "embedding",
+          threshold = 0.45, nLists = 8, assignTo = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact ANN baseline: cosine top-5 for 5 query vectors
     "llm_ann_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding", AnnQueryIds, k = 5)

@@ -212,6 +212,34 @@ object Dedup {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-cosine near-dup pairs AT SCALE: the O(n²) cross join of
+    * [[embeddingCosinePairs]] collapses to per-list self-joins. Vectors
+    * are assigned to their `assignTo` nearest IVF lists (frozen k-means
+    * quantizer — same machinery as [[Similarity.ivfFit]]); a pair is
+    * examined only when some list holds both sides, so candidate cost is
+    * ~`assignTo² / nLists` of the cross join. Multiprobe assignment
+    * (`assignTo` ≥ 2) catches near-dups straddling a centroid boundary —
+    * two vectors at cosine ≥ 0.9 almost always share one of their top-2
+    * lists (recall gated in LlmSpec). Pairs found through several shared
+    * lists dedupe on (id_a, id_b). `nLists < 0` sizes lists from the
+    * corpus count; at 100 TB fit the quantizer on a sample. */
+  def embeddingNearDupPairsBucketed(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nLists: Int = -1, assignTo: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val n = if (nLists > 0) nLists else Similarity.listsFor(df.count())
+    val cents = Similarity.ivfFit(df, idCol, vecCol, n, iters)
+    val m = math.min(math.max(1, assignTo), cents.size)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(Similarity.nearestLists(col(vecCol), cents, m)).as("list"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      .withColumn("sim", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Drop the higher id of every near-dup pair from `df`. */
   def removeDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")

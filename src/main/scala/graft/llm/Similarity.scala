@@ -157,6 +157,13 @@ object Similarity {
   def nearestList(vecCol: Column, cents: Seq[Seq[Double]]): Column =
     element_at(array_max(listSims(vecCol, cents)), 2).cast("int")
 
+  /** Indices of the `m` nearest centroids, nearest last (same
+    * [cosine, index] lexicographic rule as [[nearestList]] — multiprobe
+    * assignment for boundary-straddling vectors). */
+  def nearestLists(vecCol: Column, cents: Seq[Seq[Double]], m: Int): Column =
+    transform(slice(array_sort(listSims(vecCol, cents)), -m, m),
+      e => element_at(e, 2).cast("int"))
+
   /** Lists sized so probe cost is bounded by list size, not corpus size
     * (same contract as [[planesFor]]); capped at 16k lists — beyond that an
     * IVF index goes hierarchical (a second quantizer level), not wider. */

@@ -343,6 +343,20 @@ class LlmSpec extends AnyFunSuite {
     } finally { packed.unpersist(); }
   }
 
+  test("IVF-bucketed embedding near-dup: high recall at a fraction of the cross join") {
+    val embs = Tables.load(spark, sf001, "embeddings")
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus must contain near-dup pairs")
+    val bucketed = Dedup.embeddingNearDupPairsBucketed(
+        embs, "vec_id", "embedding", 0.45, nLists = 8, assignTo = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives: every emitted pair really clears the threshold
+    assert(bucketed.subsetOf(exact), s"false pairs: ${bucketed -- exact}")
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"bucketed recall $recall of ${exact.size} pairs")
+  }
+
   test("bounded top-k aggregate matches the window ranking exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

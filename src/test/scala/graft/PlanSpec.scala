@@ -56,6 +56,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("per-query top-k plans as a partial aggregate, not a window sort") {
+    import spark.implicits._
+    val cands = (1L to 4L).flatMap(q => (1L to 100L).map(n => (q, n, n / 100.0)))
+      .toDF("query_id", "neighbor_id", "sim").repartition(5)
+    val ranked = graft.llm.Similarity.topKPerQuery(cands, 3)
+    val plan = ColumnBridge.executedPlan(ranked).toString
+    // the whole point of BoundedTopK: a two-phase aggregate (map-side
+    // partial heaps, then a k-bounded final merge) — NO window funnelling
+    // every candidate row of a query through one sorted task
+    assert(!plan.contains("Window"), s"window leaked back into top-k:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"expected map-side partial aggregation:\n$plan")
+    assert(ranked.count() === 12)
+  }
+
   test("pruned scan reads only the planned files (parquet scan path count)") {
     val loc = java.nio.file.Files.createTempDirectory("graft-plan-").toString
     val schema = graft.meta.Schema.fresh(lineitem.schema)
