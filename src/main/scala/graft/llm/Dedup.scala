@@ -350,6 +350,14 @@ object Dedup {
     }
     var converged = signature._1 == 0L
     var iters = 0
+    // whether `edges` is OUR localCheckpoint (round frames) vs the initial
+    // persist over the CALLER's plan — the checkpoint release walks the
+    // plan for LogicalRDD leaves, and on the initial frame that walk would
+    // reach (and drop) checkpointed inputs the CALLER still owns
+    var edgesCheckpointed = false
+    def releaseEdges(df: DataFrame): Unit =
+      if (edgesCheckpointed) ColumnBridge.unpersistCheckpoint(df)
+      else df.unpersist(blocking = true)
     while (!converged && iters < maxIterations) {
       // localCheckpoint truncates the O(iterations) lineage so round N's
       // plan does not re-derive rounds 1..N-1 (on a cluster with
@@ -358,6 +366,7 @@ object Dedup {
       val nextSig = probe(next)
       releaseEdges(edges)
       edges = next
+      edgesCheckpointed = true
       converged = nextSig == signature
       signature = nextSig
       iters += 1
@@ -382,15 +391,6 @@ object Dedup {
       else result.localCheckpoint(true)
     releaseEdges(edges)
     rerooted
-  }
-
-  /** Free a loop frame's storage blocks whether it came from `persist`
-    * (CacheManager) or `localCheckpoint` (RDD-level blocks under a
-    * LogicalRDD — Dataset.unpersist alone is a NO-OP for those and every
-    * round's frame would stay pinned for the session's life). */
-  private def releaseEdges(df: DataFrame): Unit = {
-    df.unpersist(blocking = true)
-    ColumnBridge.unpersistCheckpoint(df)
   }
 
   /** One row per corpus doc: `(…df columns…, component)` where component

@@ -121,6 +121,26 @@ final class IvfIndex private (val table: IceTable,
     out.result()
   }
 
+  /** Shared probe prelude for [[topK]] and [[topKQuantized]]: fetch the
+    * query vectors, rank every centroid per query on the driver (same
+    * [cosine, index] lexicographic rule as `Similarity.listSims`, ties to
+    * the larger index — a probe choice here matches what a full in-Spark
+    * ranking would pick), and keep the `nProbe` nearest lists. One rule,
+    * one place: the exact and quantized probes can never drift apart. */
+  private def probePlan(queryIds: Seq[Long], nProbe: Int)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Int)], Seq[Int]) = {
+    val probes = math.min(math.max(1, nProbe), centroids.size)
+    val qLocal: Seq[(Long, Seq[Double])] =
+      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
+    val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
+        .sorted.takeRight(probes)
+        .map { case (_, list) => (qid, list) }
+    }
+    (qLocal, probed, probed.map(_._2).distinct)
+  }
+
   /** Probe-only approximate top-k: query vectors are looked up by id (a
     * metrics-pruned scan + tiny collect), each query's `nProbe` nearest
     * lists are ranked on the driver against the local centroids, and ONLY
@@ -129,19 +149,7 @@ final class IvfIndex private (val table: IceTable,
     * `nProbe >= nLists` degenerates to exact brute force. */
   def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 2): DataFrame = {
     val spark = table.spark
-    val probes = math.min(math.max(1, nProbe), centroids.size)
-    val qLocal: Seq[(Long, Seq[Double])] =
-      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
-    // same ranking rule as Similarity.listSims ([cosine, index] lexicographic,
-    // ties to the larger index): a probe choice here matches what a full
-    // in-Spark ranking would pick
-    val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
-      centroids.zipWithIndex
-        .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
-        .sorted.takeRight(probes)
-        .map { case (_, list) => (qid, list) }
-    }
-    val allLists = probed.map(_._2).distinct
+    val (qLocal, probed, allLists) = probePlan(queryIds, nProbe)
     val hasNorms = table.meta.schema.columnNames.contains(IvfIndex.VNormCol)
     val qRows = probed.map { case (qid, list) =>
       val qv = qLocal.find(_._1 == qid).get._2
@@ -193,22 +201,17 @@ final class IvfIndex private (val table: IceTable,
     if (!table.meta.schema.columnNames.contains(IvfIndex.CodesCol))
       return topK(queryIds, k, nProbe)
     val spark = table.spark
-    val probes = math.min(math.max(1, nProbe), centroids.size)
-    val qLocal: Seq[(Long, Seq[Double])] =
-      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
-    val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
-      centroids.zipWithIndex
-        .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
-        .sorted.takeRight(probes)
-        .map { case (_, list) => (qid, list) }
-    }
-    val allLists = probed.map(_._2).distinct
-    // query codes quantized on the driver (symmetric per-vector int8, the
-    // same rule as Similarity.quantizeInt8; the scale cancels in cosine)
+    val (qLocal, probed, allLists) = probePlan(queryIds, nProbe)
+    // query codes quantized on the driver — the SAME rounding rule as the
+    // persisted codes from Similarity.quantizeInt8 (Spark round() =
+    // HALF_UP, away from zero on .5; math.rint would be HALF_EVEN and
+    // quantize a query differently from its own persisted twin)
+    def halfUp(v: Double): Double =
+      if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
     def codesOf(v: Seq[Double]): Seq[Double] = {
       val s = math.max(v.iterator.map(math.abs).foldLeft(0.0)(math.max) / 127.0,
         java.lang.Double.MIN_NORMAL)
-      v.map(x => math.rint(x / s))
+      v.map(x => halfUp(x / s))
     }
     val qRows = probed.map { case (qid, list) =>
       Row(qid, codesOf(qLocal.find(_._1 == qid).get._2), list)

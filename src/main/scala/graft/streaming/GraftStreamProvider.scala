@@ -73,10 +73,16 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val queryId = parameters.getOrElse("queryId", "graft-stream")
     if (outputMode == OutputMode.Complete) {
       // Complete-mode aggregation stream: each epoch's full result REPLACES
-      // the table (ref SparkWrite StreamingOverwrite), epoch-idempotent
+      // the table (ref SparkWrite StreamingOverwrite), epoch-idempotent.
+      // Default marker id is mode-scoped: a Complete query starting on a
+      // table previously fed by an APPEND stream with the shared default
+      // id would read that stream's high epoch marker and silently skip
+      // its own early epochs. Cross-RESTART reuse with a fresh checkpoint
+      // still needs an explicit queryId, as with every idempotent sink.
       require(!upsert, "upsert mode is Append/Update; Complete mode already " +
         "replaces the table every epoch")
-      new GraftCompleteSink(tableOf(sqlContext, parameters), queryId)
+      val completeQueryId = parameters.getOrElse("queryId", "graft-stream-complete")
+      new GraftCompleteSink(tableOf(sqlContext, parameters), completeQueryId)
     } else if (upsert) {
       require(outputMode == OutputMode.Append || outputMode == OutputMode.Update,
         s"graft-stream upsert sink supports Append/Update output modes, got $outputMode")

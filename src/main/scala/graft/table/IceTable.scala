@@ -650,6 +650,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       var removedDataCount = 0
       var removedDataRows = 0L
       var removedDeleteFiles = 0
+      var removedDeleteBytes = 0L
       var removedPosDeletes = 0L
       var removedEqDeletes = 0L
       val keptManifests: Seq[ManifestFileMeta] =
@@ -681,9 +682,11 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
                         removedDataRows += e.dataFile.recordCount
                       case FileContent.PositionDeletes =>
                         removedDeleteFiles += 1
+                        removedDeleteBytes += e.dataFile.fileSizeBytes
                         removedPosDeletes += e.dataFile.recordCount
                       case _ =>
                         removedDeleteFiles += 1
+                        removedDeleteBytes += e.dataFile.fileSizeBytes
                         removedEqDeletes += e.dataFile.recordCount
                     }
                   }
@@ -730,6 +733,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val addedData = added.filter(_.content == FileContent.Data)
       val addedRecords = addedData.map(_.recordCount).sum
       val addedDeleteFiles = added.size - addedData.size
+      val addedDeleteBytes = added.filter(_.content != FileContent.Data)
+        .map(_.fileSizeBytes).sum
       val addedPosDeletes = added.filter(_.content == FileContent.PositionDeletes)
         .map(_.recordCount).sum
       val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
@@ -753,18 +758,32 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         } + ("partition-summaries-included" -> "true") +
           ("changed-partition-count" -> byPart.size.toString)
       }
-      // delete-file totals are seeded at 0 when the head predates these
-      // counters (clamped non-negative), so a long-lived table picks them
-      // up on its next commit instead of never
-      def carriedOrSeed(key: String, delta: Long): (String, String) = {
-        val prev = headSnap.flatMap(_.summary.get(key)).flatMap(_.toLongOption)
-          .getOrElse(0L)
-        key -> math.max(0L, prev + delta).toString
+      // head predates the per-content counters: seed them from ONE walk of
+      // the live entries (one-time cost per legacy table) instead of
+      // assuming 0 — a 0 seed on a table that already holds MoR delete
+      // files would undercount total-data-files and make the O(1)
+      // delete-presence checks (e.g. IvfIndex.fetchByIds) trust a lie
+      lazy val legacySeed: (Long, Long, Long, Long) = headSnap match {
+        case None => (0L, 0L, 0L, 0L)
+        case Some(_) =>
+          val live = ManifestIO.readAll(io, currentManifests, schema, base.specById)
+            .flatMap(_._2).filter(_.status != EntryStatus.Deleted)
+            .map(_.dataFile).filter(_.content != FileContent.Data)
+          (live.size.toLong,
+            live.filter(_.content == FileContent.PositionDeletes).map(_.recordCount).sum,
+            live.filter(_.content == FileContent.EqualityDeletes).map(_.recordCount).sum,
+            live.map(_.fileSizeBytes).sum)
+      }
+      def carriedOrSeed(key: String, delta: Long, seed: => Long): (String, String) = {
+        val base0 = headSnap.flatMap(_.summary.get(key)).flatMap(_.toLongOption)
+          .getOrElse(seed)
+        key -> math.max(0L, base0 + delta).toString
       }
       def ifPos(key: String, v: Long): Option[(String, String)] =
         if (v > 0) Some(key -> v.toString) else None
       val totalDeleteFiles =
-        carriedOrSeed("total-delete-files", (addedDeleteFiles - removedDeleteFiles).toLong)
+        carriedOrSeed("total-delete-files", (addedDeleteFiles - removedDeleteFiles).toLong,
+          legacySeed._1)
       // manifest live-entry counts include delete-file entries; subtract the
       // running delete-file total to keep total-data-files data-only
       val manifestLive = allManifests.map(f =>
@@ -785,8 +804,14 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         ifPos("added-equality-deletes", addedEqDeletes) ++
         ifPos("removed-equality-deletes", removedEqDeletes) ++
         Seq(totalDeleteFiles,
-          carriedOrSeed("total-position-deletes", addedPosDeletes - removedPosDeletes),
-          carriedOrSeed("total-equality-deletes", addedEqDeletes - removedEqDeletes)) ++
+          carriedOrSeed("total-position-deletes",
+            addedPosDeletes - removedPosDeletes, legacySeed._2),
+          carriedOrSeed("total-equality-deletes",
+            addedEqDeletes - removedEqDeletes, legacySeed._3),
+          // delete-file BYTES, so the write-sizing row-width estimate can
+          // subtract tombstone bytes from total-files-size
+          carriedOrSeed("total-delete-files-size",
+            addedDeleteBytes - removedDeleteBytes, legacySeed._4)) ++
         partitionSummaries ++
         carried("total-records", addedRecords - removedDataRows) ++
         carried("total-files-size", addedBytes - removedBytes) ++ extraSummary
@@ -1031,6 +1056,17 @@ final class TableScan private[table] (table: IceTable) {
           }
         }.toSeq match {
           case planned =>
+            // encryption guard: a keyed file read (or compacted) through a
+            // manager that can't decrypt it would surface as ciphertext or
+            // garbage rows — fail at PLAN time, the one choke point every
+            // reader (native scan, V1, maintenance, import) passes through
+            if (table.io.encryption == PlaintextEncryptionManager)
+              planned.find(_.file.keyMetadata.nonEmpty).foreach { t =>
+                throw new ValidationException(
+                  s"${t.file.path} carries encryption key metadata but the " +
+                    "table's encryption manager is plaintext — configure the " +
+                    "manager that wrote this file")
+              }
             Listeners.notifyAll(Listeners.ScanEvent(
               table.location, snap.snapshotId, filterExpr.toString, planned.size))
             planned
@@ -1362,8 +1398,13 @@ private[table] object Writes {
     // of one file per task.
     val maxRecords: Option[Long] = for {
       snap <- m.currentSnapshot
-      bytes <- snap.summary.get("total-files-size").flatMap(_.toLongOption)
+      allBytes <- snap.summary.get("total-files-size").flatMap(_.toLongOption)
       rows <- snap.summary.get("total-records").flatMap(_.toLongOption)
+      // total-files-size covers every content type but total-records is
+      // data-only — subtract tombstone bytes or a MoR-heavy table's width
+      // estimate inflates and appends roll too-small files
+      bytes = allBytes - snap.summary.get("total-delete-files-size")
+        .flatMap(_.toLongOption).getOrElse(0L)
       if rows > 0 && bytes > 0
       targetBytes = prop(TableProperties.TargetFileSize,
         TableProperties.TargetFileSizeDefault.toString).toLong

@@ -78,13 +78,13 @@ class StreamingSpec extends AnyFunSuite {
     val rowsBefore = dst.toDF.collect().toSet
     val snapsBefore = dst.snapshots.size
     val lastEpoch = graft.streaming.Streaming
-      .lastCommittedEpoch(dst, "graft-stream").get
-    graft.streaming.Streaming.completeOnce(dst, "graft-stream",
+      .lastCommittedEpoch(dst, "graft-stream-complete").get
+    graft.streaming.Streaming.completeOnce(dst, "graft-stream-complete",
       Seq(("zz", 9L)).toDF("k", "cnt"), lastEpoch)
     assert(dst.snapshots.size === snapsBefore, "replayed epoch must not commit")
     assert(dst.toDF.collect().toSet === rowsBefore)
     // a FRESH epoch does commit and replaces everything
-    graft.streaming.Streaming.completeOnce(dst, "graft-stream",
+    graft.streaming.Streaming.completeOnce(dst, "graft-stream-complete",
       Seq(("zz", 9L)).toDF("k", "cnt"), lastEpoch + 1)
     assert(dst.toDF.collect().map(r => (r.getString(0), r.getLong(1))).toMap
       === Map("zz" -> 9L))

@@ -148,6 +148,14 @@ class TableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PlaintextEncryptionManager.decrypt("f", in, Some(km))
     }
+    // and a LIVE keyed entry fails every scan at PLAN time — reading
+    // ciphertext through the plaintext manager must never look like data
+    val t2 = IceTable.create(spark, tmpLoc(), Schema.fresh(small.schema))
+    t2.append(small)
+    val f2 = t2.newScan().planFiles().head.file
+    t2.commitSnapshot("append", Seq(f2.copy(keyMetadata = Some(km))), Set(f2.path))
+    val e = intercept[ValidationException] { t2.newScan().planFiles() }
+    assert(e.getMessage.contains("encryption key metadata"))
   }
 
   test("metadata log is bounded; delete-after-commit removes dropped versions") {
