@@ -409,4 +409,21 @@ object Dedup {
     componentIds(df, idCol, pairs)
       .where(col(idCol).cast("long") === col("component"))
       .drop("component")
+
+  /** The full fuzzy-dedup pipeline in one call — the production shape:
+    *  1. EXACT dedup on the text hash first (xxhash64 of the full text):
+    *     byte-identical copies collapse in one cheap shuffle, so giant
+    *     true-dup clusters never reach LSH as b²-candidate buckets;
+    *  2. MinHash-LSH candidate pairs over the survivors;
+    *  3. connected components over the candidate graph, keeping one
+    *     canonical (minimum-id) doc per near-dup cluster.
+    * `maxBucketSize` forwards LSH's opt-in skew cap (0 = exact recall). */
+  def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.6, maxBucketSize: Int = 0): DataFrame = {
+    val unique = exactDedup(df, idCol, xxhash64(col(textCol)))
+    dedupByComponents(unique, idCol,
+      minHashLshPairs(unique, idCol, textCol, n, bands, rowsPerBand,
+        threshold, maxBucketSize))
+  }
 }

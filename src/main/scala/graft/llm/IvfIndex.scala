@@ -127,18 +127,16 @@ final class IvfIndex private (val table: IceTable,
     * the larger index — a probe choice here matches what a full in-Spark
     * ranking would pick), and keep the `nProbe` nearest lists. One rule,
     * one place: the exact and quantized probes can never drift apart. */
-  private def probePlan(queryIds: Seq[Long], nProbe: Int)
-      : (Seq[(Long, Seq[Double])], Seq[(Long, Int)], Seq[Int]) = {
+  private def probePlan(qLocal: Seq[(Long, Seq[Double])], nProbe: Int)
+      : (Seq[(Long, Int)], Seq[Int]) = {
     val probes = math.min(math.max(1, nProbe), centroids.size)
-    val qLocal: Seq[(Long, Seq[Double])] =
-      fetchByIds(None, queryIds).toSeq.sortBy(_._1)
     val probed: Seq[(Long, Int)] = qLocal.flatMap { case (qid, qv) =>
       centroids.zipWithIndex
         .map { case (c, i) => (IvfIndex.cosineLocal(qv, c), i) }
         .sorted.takeRight(probes)
         .map { case (_, list) => (qid, list) }
     }
-    (qLocal, probed, probed.map(_._2).distinct)
+    (probed, probed.map(_._2).distinct)
   }
 
   /** Probe-only approximate top-k: query vectors are looked up by id (a
@@ -147,9 +145,23 @@ final class IvfIndex private (val table: IceTable,
     * those list partitions are scanned — `filter(list IN ...)` prunes
     * through manifest summaries and partition values before any file opens.
     * `nProbe >= nLists` degenerates to exact brute force. */
-  def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 2): DataFrame = {
+  def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 2): DataFrame =
+    topKCore(fetchByIds(None, queryIds).toSeq.sortBy(_._1), k, nProbe,
+      excludeSelf = true)
+
+  /** Probe with EXTERNAL query vectors — `(label, vector)` pairs for
+    * queries that are NOT rows of the index (fresh documents, user
+    * queries): the same partition-pruned probe, minus the by-id vector
+    * fetch and minus the self-exclusion (an external label coinciding
+    * with a corpus id must not hide that corpus vector). */
+  def topKForVectors(queries: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int = 2): DataFrame =
+    topKCore(queries, k, nProbe, excludeSelf = false)
+
+  private def topKCore(qLocal: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+      excludeSelf: Boolean): DataFrame = {
     val spark = table.spark
-    val (qLocal, probed, allLists) = probePlan(queryIds, nProbe)
+    val (probed, allLists) = probePlan(qLocal, nProbe)
     val hasNorms = table.meta.schema.columnNames.contains(IvfIndex.VNormCol)
     val qRows = probed.map { case (qid, list) =>
       val qv = qLocal.find(_._1 == qid).get._2
@@ -178,8 +190,10 @@ final class IvfIndex private (val table: IceTable,
         .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)).toDF
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
           col(IvfIndex.ListCol))
-    val joined = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val joined0 = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+    val joined = (if (excludeSelf)
+        joined0.filter(col("neighbor_id") =!= col("query_id"))
+      else joined0)
       .withColumn("sim", round(
         if (hasNorms)
           Similarity.dot(col("qv"), col("nv")) /
@@ -200,8 +214,21 @@ final class IvfIndex private (val table: IceTable,
     // pre-codes index (built before the codes column existed): exact probe
     if (!table.meta.schema.columnNames.contains(IvfIndex.CodesCol))
       return topK(queryIds, k, nProbe)
+    topKQuantizedCore(fetchByIds(None, queryIds).toSeq.sortBy(_._1),
+      k, nProbe, rescoreFactor, excludeSelf = true)
+  }
+
+  /** [[topKQuantized]] with EXTERNAL query vectors (see [[topKForVectors]]). */
+  def topKQuantizedForVectors(queries: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int = 2, rescoreFactor: Int = 4): DataFrame =
+    if (!table.meta.schema.columnNames.contains(IvfIndex.CodesCol))
+      topKForVectors(queries, k, nProbe)
+    else topKQuantizedCore(queries, k, nProbe, rescoreFactor, excludeSelf = false)
+
+  private def topKQuantizedCore(qLocal: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int, rescoreFactor: Int, excludeSelf: Boolean): DataFrame = {
     val spark = table.spark
-    val (qLocal, probed, allLists) = probePlan(queryIds, nProbe)
+    val (probed, allLists) = probePlan(qLocal, nProbe)
     // query codes quantized on the driver — the SAME rounding rule as the
     // persisted codes from Similarity.quantizeInt8 (Spark round() =
     // HALF_UP, away from zero on .5; math.rint would be HALF_EVEN and
@@ -241,8 +268,10 @@ final class IvfIndex private (val table: IceTable,
         .select(idCol, IvfIndex.CodesCol, IvfIndex.ListCol).toDF
         .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
           col(IvfIndex.ListCol))
-    val ranked = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val ranked0 = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+    val ranked = (if (excludeSelf)
+        ranked0.filter(col("neighbor_id") =!= col("query_id"))
+      else ranked0)
       .withColumn("sim",
         if (hasCNorm)
           Similarity.dot(col("qcodes"), col(IvfIndex.CodesCol)) /

@@ -50,6 +50,45 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-scaled mixture weights (the Gopher/PaLM mixing rule):
+    * target domain share ∝ `p_d^(1/T)` where `p_d` is the observed share —
+    * `T = 1` keeps natural proportions, `T > 1` flattens toward uniform
+    * (up-weights rare domains), `T → ∞` is fully uniform. Returns the
+    * per-domain RATE (target share / actual share, scaled so the largest
+    * up-rate is `maxRate`) to feed [[sampleByDomain]]. One count
+    * aggregation over the corpus (domains are few — the map collapses
+    * map-side); everything else stays the map-only residue sampler. */
+  def temperatureWeights(df: DataFrame, domainCol: String, temperature: Double,
+      maxRate: Double = 4.0): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(maxRate > 0, "maxRate must be positive")
+    val counts: Map[String, Long] = df.groupBy(domainCol).count()
+      .collect().iterator
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("") -> r.getLong(1))
+      .toMap
+    val total = counts.values.sum.toDouble
+    if (total == 0) return Map.empty
+    val scaled = counts.view.mapValues(n =>
+      math.pow(n / total, 1.0 / temperature)).toMap
+    val z = scaled.values.sum
+    val rates = counts.map { case (d, n) =>
+      d -> (scaled(d) / z) / (n / total) // target share over actual share
+    }
+    // normalize so the most up-weighted domain replays at most maxRate
+    // epochs — unbounded up-rates repeat a tiny domain into memorization
+    val cap = rates.values.max
+    val norm = if (cap > maxRate) maxRate / cap else 1.0
+    rates.view.mapValues(_ * norm).toMap
+  }
+
+  /** [[sampleByDomain]] with [[temperatureWeights]] derived from the corpus
+    * itself: one counts pass, then the map-only deterministic resample. */
+  def sampleByTemperature(df: DataFrame, idCol: String, domainCol: String,
+      temperature: Double, maxRate: Double = 4.0, seed: Long = 0L): DataFrame =
+    sampleByDomain(df, idCol, domainCol,
+      temperatureWeights(df, domainCol, temperature, maxRate),
+      defaultWeight = 0.0, seed = seed)
+
   /** Engine-independent shuffle key: the md5 of `id:seed`. A cryptographic
     * hex string rather than a cheap integer hash so the SAME permutation is
     * reproducible bit-for-bit on any engine (Spark, DuckDB, a Python

@@ -11,7 +11,8 @@ class CoreQueriesSpec extends AnyFunSuite {
   import SparkSessionHelper._
 
   test("every query has an oracle except the declared probabilistic ops") {
-    val rowsOnly = Set("llm_ann_lsh", "llm_dedup_simhash", "llm_ann_int8")
+    val rowsOnly = Set("llm_ann_lsh", "llm_dedup_simhash", "llm_ann_int8",
+      "llm_dedup_embed_ivf")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
   }

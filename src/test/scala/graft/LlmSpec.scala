@@ -157,6 +157,36 @@ class LlmSpec extends AnyFunSuite {
     assert(idx.table.newScan().toDF.filter(col("codes").isNull).count() === 0)
   }
 
+  test("external-vector probes find corpus twins (exact and quantized)") {
+    import graft.llm.IvfIndex
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfx-")
+      .toString + "/idx"
+    val idx = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 8)
+    // a query vector COPIED from corpus row 7 but labelled with 7 (a
+    // colliding external label): external probes must NOT self-exclude —
+    // the corpus twin is the correct best match at sim 1.0
+    val twin = embs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    for (df <- Seq(idx.topKForVectors(Seq((7L, twin)), k = 1, nProbe = 8),
+        idx.topKQuantizedForVectors(Seq((7L, twin)), k = 1, nProbe = 8))) {
+      val top = df.collect().head
+      assert(top.getLong(2) === 7L, s"expected corpus twin, got $top")
+      assert(top.getDouble(3) === 1.0)
+    }
+    // external probes agree with the in-index probe on a real corpus query
+    val qv = embs.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val viaVector = idx.topKForVectors(Seq((999L, qv)), k = 6, nProbe = 8)
+      .collect().map(_.getLong(2)).toSeq
+    val viaId = idx.topK(Seq(3L), k = 5, nProbe = 8)
+      .collect().map(_.getLong(2)).toSeq
+    // the vector probe sees row 3 itself as rank 1; the rest must match
+    assert(viaVector.head === 3L)
+    assert(viaVector.tail === viaId)
+  }
+
   test("IVF publish is crash-atomic: an interrupted build never hides the index") {
     import graft.llm.IvfIndex
     val loc = java.nio.file.Files.createTempDirectory("graft-ivfatomic-")
@@ -423,6 +453,37 @@ class LlmSpec extends AnyFunSuite {
     assert(rerun.count() === out.count())
   }
 
+  test("temperature mixing: T=1 is identity, higher T flattens toward uniform") {
+    val langs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.size >= 3, "need several domains")
+    val (rare, common) = (langs.minBy(_._2)._1, langs.maxBy(_._2)._1)
+    // T = 1: natural proportions — every rate is exactly 1 (identity mix)
+    val w1 = graft.llm.Sampling.temperatureWeights(docs, "lang", 1.0)
+    w1.values.foreach(r => assert(math.abs(r - 1.0) < 1e-9, w1))
+    assert(graft.llm.Sampling.sampleByTemperature(docs, "doc_id", "lang", 1.0)
+      .count() === docs.count())
+    // higher T: the rare domain is up-weighted relative to the common one
+    val w4 = graft.llm.Sampling.temperatureWeights(docs, "lang", 4.0)
+    assert(w4(rare) > w4(common), w4)
+    // the cap bounds replay: no domain repeats more than maxRate epochs
+    assert(w4.values.max <= 4.0 + 1e-9)
+    val mixed = graft.llm.Sampling.sampleByTemperature(
+      docs, "doc_id", "lang", 4.0).cache()
+    try {
+      // flatter mix: the rare share strictly grows vs the natural corpus
+      val n = mixed.count().toDouble
+      val rareShareBefore = langs(rare).toDouble / docs.count()
+      val rareShareAfter =
+        mixed.filter(col("lang") === rare).count() / n
+      assert(rareShareAfter > rareShareBefore,
+        s"$rareShareAfter vs $rareShareBefore")
+      // deterministic: same seed, same mix
+      assert(graft.llm.Sampling.sampleByTemperature(
+        docs, "doc_id", "lang", 4.0).count() === mixed.count())
+    } finally mixed.unpersist()
+  }
+
   test("sequence packing fails fast on null token counts") {
     import spark.implicits._
     val withNullText = Seq((1L, "some text"), (2L, null: String))
@@ -557,6 +618,22 @@ class LlmSpec extends AnyFunSuite {
       .agg(countDistinct("component"), count(lit(1))).head()
     assert(got.getLong(0) === 1L, "one chain = one component")
     assert(got.getLong(1) === 100001L)
+  }
+
+  test("fuzzyDedup pipeline: exact copies collapse first, near-dups cluster after") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact copy
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup
+      (4L, "an entirely different document about distributed query engines"),
+      (5L, "an entirely different document about distributed query engines"), // exact copy
+      (6L, "completely unrelated third topic with its own words and phrases"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedup(base, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,3 are one cluster (exact + near) → keep 1; 4,5 → keep 4; 6 alone
+    assert(kept === Set(1L, 4L, 6L))
   }
 
   test("componentIds is transitive; dedupByComponents keeps one doc per cluster") {
