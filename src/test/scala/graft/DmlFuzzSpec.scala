@@ -67,8 +67,19 @@ class DmlFuzzSpec extends AnyFunSuite {
       assert(got === model.toMap, s"[$format seed=$seed] mismatch after $op")
     }
 
+    // one long-lived branch with its own model: branch commits must stay
+    // invisible on main across ANY interleaving of main-side DML,
+    // compaction and expiry, and vice versa
+    val branchModel = scala.collection.mutable.Map[Long, (String, Double)]()
+    var branchLive = false
+    def checkBranch(op: String): Unit = {
+      val got = t.newScan().useRef("fuzz").toDF.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(got === branchModel.toMap, s"[$format seed=$seed] branch mismatch after $op")
+    }
+
     (1 to ops).foreach { i =>
-      rng.nextInt(10) match {
+      rng.nextInt(12) match {
         case 0 | 1 | 2 => // append
           val rows = freshRows(rng.nextInt(40) + 10)
           t.append(df(rows))
@@ -111,6 +122,35 @@ class DmlFuzzSpec extends AnyFunSuite {
         case 9 => // expire old snapshots (metadata-only for visible rows)
           t.expireSnapshots(System.currentTimeMillis() + 1000)
           check(s"expire#$i")
+          if (branchLive) checkBranch(s"expire#$i") // ref heads survive expiry
+        case 10 => // branch append: advances ONLY the branch
+          if (branchLive || t.currentSnapshot.nonEmpty) {
+            if (!branchLive) {
+              t.createBranch("fuzz")
+              branchModel.clear(); branchModel ++= model
+              branchLive = true
+            }
+            val rows = freshRows(rng.nextInt(20) + 5)
+            t.appendToBranch("fuzz", df(rows))
+            rows.foreach { case (k, v, q) => branchModel(k) = (v, q) }
+            check(s"branch-append#$i") // main must NOT see branch rows
+            checkBranch(s"branch-append#$i")
+          } // empty table: a branch needs a snapshot to grow from
+        case 11 => // fast-forward main to the branch, then drop the branch.
+          // ff is legal only while main has NOT diverged from the branch
+          // base; a diverged main must be refused (and the models keep
+          // their own truths)
+          if (branchLive) {
+            try {
+              t.fastForward("main", t.refs("fuzz").snapshotId)
+              model.clear(); model ++= branchModel
+            } catch {
+              case _: graft.table.ValidationException => () // diverged: refused
+            }
+            t.removeRef("fuzz")
+            branchLive = false
+            check(s"fast-forward#$i")
+          }
       }
     }
     // final cross-check: the native DSv2 scan agrees with the V1 path
