@@ -411,19 +411,33 @@ object Dedup {
       .drop("component")
 
   /** The full fuzzy-dedup pipeline in one call — the production shape:
-    *  1. EXACT dedup on the text hash first (xxhash64 of the full text):
+    *  1. EXACT dedup on the text hash first (xxhash64 of the full text —
+    *     exact modulo 64-bit collisions, like [[decontaminate]]):
     *     byte-identical copies collapse in one cheap shuffle, so giant
     *     true-dup clusters never reach LSH as b²-candidate buckets;
     *  2. MinHash-LSH candidate pairs over the survivors;
-    *  3. connected components over the candidate graph, keeping one
-    *     canonical (minimum-id) doc per near-dup cluster.
-    * `maxBucketSize` forwards LSH's opt-in skew cap (0 = exact recall). */
+    *  3. connected components over the candidate graph, then drop every
+    *     clustered doc that is not its cluster's minimum-id root.
+    * `maxBucketSize` forwards LSH's opt-in skew cap (0 = exact recall).
+    *
+    * Cost shape: the exact-dedup aggregation executes once for the LSH
+    * pass and once more when the returned frame is consumed (the result
+    * must stay lazy and leak-free, so nothing is pinned across the API
+    * boundary); the drop side of the final anti join is only the
+    * clustered NON-roots — duplicate docs, not the corpus. Callers
+    * consuming the result repeatedly should persist it themselves. */
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.6, maxBucketSize: Int = 0): DataFrame = {
-    val unique = exactDedup(df, idCol, xxhash64(col(textCol)))
-    dedupByComponents(unique, idCol,
+    def unique = exactDedup(df, idCol, xxhash64(col(textCol)))
+    val comp = connectedComponents(
       minHashLshPairs(unique, idCol, textCol, n, bands, rowsPerBand,
         threshold, maxBucketSize))
+    // comp covers only docs that appear in candidate pairs; docs outside
+    // any cluster are kept as-is, so the cheap form is an anti join
+    // against the clustered non-roots
+    val dropIds = comp.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    unique.join(dropIds, Seq(idCol), "left_anti")
   }
 }

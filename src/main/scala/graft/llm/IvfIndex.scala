@@ -155,8 +155,26 @@ final class IvfIndex private (val table: IceTable,
     * fetch and minus the self-exclusion (an external label coinciding
     * with a corpus id must not hide that corpus vector). */
   def topKForVectors(queries: Seq[(Long, Seq[Double])], k: Int,
-      nProbe: Int = 2): DataFrame =
+      nProbe: Int = 2): DataFrame = {
+    validateExternal(queries)
     topKCore(queries, k, nProbe, excludeSelf = false)
+  }
+
+  /** External queries must match the index dimension (a longer vector
+    * would crash centroid ranking, a shorter one silently null the sims)
+    * and carry distinct labels (the two probe phases resolve a label to
+    * ONE vector — duplicates would rank against one and rescore against
+    * the other). */
+  private def validateExternal(queries: Seq[(Long, Seq[Double])]): Unit = {
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query labels: each external label must map to one vector")
+    centroids.headOption.foreach { c =>
+      queries.find(_._2.length != c.length).foreach { case (label, v) =>
+        throw new IllegalArgumentException(
+          s"query $label has dimension ${v.length}, index expects ${c.length}")
+      }
+    }
+  }
 
   private def topKCore(qLocal: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
       excludeSelf: Boolean): DataFrame = {
@@ -220,10 +238,12 @@ final class IvfIndex private (val table: IceTable,
 
   /** [[topKQuantized]] with EXTERNAL query vectors (see [[topKForVectors]]). */
   def topKQuantizedForVectors(queries: Seq[(Long, Seq[Double])], k: Int,
-      nProbe: Int = 2, rescoreFactor: Int = 4): DataFrame =
+      nProbe: Int = 2, rescoreFactor: Int = 4): DataFrame = {
+    validateExternal(queries)
     if (!table.meta.schema.columnNames.contains(IvfIndex.CodesCol))
       topKForVectors(queries, k, nProbe)
     else topKQuantizedCore(queries, k, nProbe, rescoreFactor, excludeSelf = false)
+  }
 
   private def topKQuantizedCore(qLocal: Seq[(Long, Seq[Double])], k: Int,
       nProbe: Int, rescoreFactor: Int, excludeSelf: Boolean): DataFrame = {

@@ -54,18 +54,22 @@ object Sampling {
     * target domain share ∝ `p_d^(1/T)` where `p_d` is the observed share —
     * `T = 1` keeps natural proportions, `T > 1` flattens toward uniform
     * (up-weights rare domains), `T → ∞` is fully uniform. Returns the
-    * per-domain RATE (target share / actual share, scaled so the largest
-    * up-rate is `maxRate`) to feed [[sampleByDomain]]. One count
+    * per-domain RATE (target share / actual share, each clamped at
+    * `maxRate`) to feed [[sampleByDomain]]. One count
     * aggregation over the corpus (domains are few — the map collapses
     * map-side); everything else stays the map-only residue sampler. */
   def temperatureWeights(df: DataFrame, domainCol: String, temperature: Double,
       maxRate: Double = 4.0): Map[String, Double] = {
     require(temperature > 0, "temperature must be positive")
     require(maxRate > 0, "maxRate must be positive")
-    val counts: Map[String, Long] = df.groupBy(domainCol).count()
-      .collect().iterator
-      .map(r => Option(r.get(0)).map(_.toString).getOrElse("") -> r.getLong(1))
-      .toMap
+    // null domains count under their own sentinel key: folding them into
+    // "" would merge them with a genuine empty-string domain AND leave the
+    // null rows unmatched by sampleByDomain's equality predicate
+    val counts: Map[String, Long] = df
+      .groupBy(coalesce(col(domainCol).cast("string"), lit(NullDomainKey))
+        .as("_gf_dom"))
+      .count().collect().iterator
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     if (total == 0) return Map.empty
     val scaled = counts.view.mapValues(n =>
@@ -74,20 +78,33 @@ object Sampling {
     val rates = counts.map { case (d, n) =>
       d -> (scaled(d) / z) / (n / total) // target share over actual share
     }
-    // normalize so the most up-weighted domain replays at most maxRate
-    // epochs — unbounded up-rates repeat a tiny domain into memorization
-    val cap = rates.values.max
-    val norm = if (cap > maxRate) maxRate / cap else 1.0
-    rates.view.mapValues(_ * norm).toMap
+    // CLAMP the over-weighted domains only: unbounded up-rates repeat a
+    // tiny domain into memorization, but rescaling EVERYTHING by the worst
+    // offender would collapse the whole mix toward zero rows whenever one
+    // extremely rare domain exists. A clamped domain lands below its ideal
+    // temperature share; every other domain keeps its exact rate.
+    rates.view.mapValues(r => math.min(r, maxRate)).toMap
   }
 
+  /** The sentinel [[temperatureWeights]] uses for a NULL domain value
+    * (a NUL-prefixed name no real domain string starts with). */
+  val NullDomainKey = "\u0000null"
+
   /** [[sampleByDomain]] with [[temperatureWeights]] derived from the corpus
-    * itself: one counts pass, then the map-only deterministic resample. */
+    * itself: one counts pass, then the map-only deterministic resample.
+    * Null domains form their own mixture component (they are corpus mass
+    * like any other). */
   def sampleByTemperature(df: DataFrame, idCol: String, domainCol: String,
-      temperature: Double, maxRate: Double = 4.0, seed: Long = 0L): DataFrame =
-    sampleByDomain(df, idCol, domainCol,
-      temperatureWeights(df, domainCol, temperature, maxRate),
-      defaultWeight = 0.0, seed = seed)
+      temperature: Double, maxRate: Double = 4.0, seed: Long = 0L): DataFrame = {
+    val norm = "_gf_domain_norm"
+    sampleByDomain(
+        df.withColumn(norm,
+          coalesce(col(domainCol).cast("string"), lit(NullDomainKey))),
+        idCol, norm,
+        temperatureWeights(df, domainCol, temperature, maxRate),
+        defaultWeight = 0.0, seed = seed)
+      .drop(norm)
+  }
 
   /** Engine-independent shuffle key: the md5 of `id:seed`. A cryptographic
     * hex string rather than a cheap integer hash so the SAME permutation is

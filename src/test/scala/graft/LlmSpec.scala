@@ -185,6 +185,13 @@ class LlmSpec extends AnyFunSuite {
     // the vector probe sees row 3 itself as rank 1; the rest must match
     assert(viaVector.head === 3L)
     assert(viaVector.tail === viaId)
+    // malformed external input fails fast: wrong dimension, duplicate labels
+    intercept[IllegalArgumentException] {
+      idx.topKForVectors(Seq((1L, twin ++ Seq(0.0))), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      idx.topKQuantizedForVectors(Seq((1L, twin), (1L, qv)), k = 1)
+    }
   }
 
   test("IVF publish is crash-atomic: an interrupted build never hides the index") {
@@ -482,6 +489,24 @@ class LlmSpec extends AnyFunSuite {
       assert(graft.llm.Sampling.sampleByTemperature(
         docs, "doc_id", "lang", 4.0).count() === mixed.count())
     } finally mixed.unpersist()
+    // null domains are their own mixture component, distinct from "" —
+    // T=1 identity must hold for them too (review finding: they were
+    // silently dropped while still skewing every other domain's rate)
+    import spark.implicits._
+    val withNulls = Seq((1L, "en"), (2L, null: String), (3L, ""), (4L, "en"))
+      .toDF("doc_id", "lang")
+    val wN = graft.llm.Sampling.temperatureWeights(withNulls, "lang", 1.0)
+    assert(wN.size === 3 && wN.values.forall(r => math.abs(r - 1.0) < 1e-9), wN)
+    assert(graft.llm.Sampling.sampleByTemperature(withNulls, "doc_id", "lang", 1.0)
+      .count() === 4)
+    // the cap clamps ONLY the offending rare domain — a single tiny
+    // domain must not rescale the whole mix toward zero
+    val skewed = ((1L to 1000L).map(i => (i, "big")) ++ Seq((2000L, "tiny")))
+      .toDF("doc_id", "lang")
+    val wS = graft.llm.Sampling.temperatureWeights(skewed, "lang", 100.0,
+      maxRate = 4.0)
+    assert(wS("tiny") === 4.0, wS)
+    assert(wS("big") > 0.4, s"common-domain rate collapsed: $wS")
   }
 
   test("sequence packing fails fast on null token counts") {
