@@ -12,15 +12,27 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word n-gram shingles. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    array_distinct(
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Let-binding for Column expressions: evaluates `value` ONCE per row and
+    * hands it to `body` as a lambda variable. Catalyst's subexpression
+    * elimination does not cross lambda boundaries, so any computed array
+    * referenced inside a higher-order-function lambda is re-inlined — and
+    * recomputed — PER ELEMENT; binding it as the element of a one-element
+    * `transform` makes every inner reference a variable read. */
+  private[llm] def bound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Distinct word n-gram shingles. The token array is let-bound: without
+    * it, `slice(tokens, ...)` inside the lambda re-splits the whole text
+    * once per shingle — O(tokens²) per document (measured ~6× on the
+    * minhash pipeline at sf0.1). */
+  def shingles(c: Column, n: Int): Column =
+    bound(tokens(c)) { t =>
+      array_distinct(
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+          .otherwise(array()))
+    }
 
   /** Distinct 64-bit hashes of the word n-gram shingles: one xxhash64 pass
     * over [[shingles]]. Downstream set ops (Jaccard, minhash seeding) run
@@ -44,13 +56,14 @@ object TextOps {
     require(chunkTokens > overlapTokens && overlapTokens >= 0,
       s"need chunkTokens > overlapTokens >= 0, got ($chunkTokens, $overlapTokens)")
     val step = chunkTokens - overlapTokens
-    val toks = tokens(c)
-    val n = greatest(lit(1),
-      ceil((size(toks) - lit(overlapTokens)).cast("double") / step).cast("int"))
-    transform(sequence(lit(0), n - 1), i => {
-      val piece = slice(toks, i * step + 1, lit(chunkTokens))
-      struct(size(piece).as("n_tokens"), array_join(piece, " ").as("chunk"))
-    })
+    bound(tokens(c)) { toks =>
+      val n = greatest(lit(1),
+        ceil((size(toks) - lit(overlapTokens)).cast("double") / step).cast("int"))
+      transform(sequence(lit(0), n - 1), i => {
+        val piece = slice(toks, i * step + 1, lit(chunkTokens))
+        struct(size(piece).as("n_tokens"), array_join(piece, " ").as("chunk"))
+      })
+    }
   }
 
   /** BPE-ish token count: alpha runs, single digits, punctuation marks each
