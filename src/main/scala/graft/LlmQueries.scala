@@ -241,12 +241,17 @@ object LlmQueries {
         .orderBy("doc_id", "copy")
     }),
 
-    // int8-quantized ANN with exact rescore: ranking scan over 4×-smaller
-    // codes, exact cosine only on k×4 survivors. Quantization rounding is
-    // representation-specific → rows-only here; recall gate in LlmSpec
+    // int8-quantized ANN through the PERSISTED index — the production path
+    // (codes persisted at build, ranking scan over the 4×-smaller codes
+    // column, exact cosine only on k×4 survivors). Quantization rounding is
+    // representation-specific → rows-only here; recall gate + parity with
+    // the one-shot form in LlmSpec
     "llm_ann_int8" -> ((s, d) => {
-      Similarity.quantizedTopK(embs(s, d), "vec_id", "embedding",
-          AnnQueryIds, k = 5)
+      val loc = java.nio.file.Files.createTempDirectory("graft-ivf8-")
+        .toString + "/idx"
+      val idx = graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
+        loc, nLists = 8)
+      idx.topKQuantized(AnnQueryIds, k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
     })
   )

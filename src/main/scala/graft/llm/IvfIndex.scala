@@ -1,8 +1,8 @@
 package graft.llm
 
 import graft.meta.{PartitionSpec, Schema}
-import graft.meta.expr.Exprs
-import graft.table.{FileIO, IceTable}
+import graft.meta.expr.{Binder, Exprs, InclusiveMetricsEvaluator}
+import graft.table.{FileIO, FileScanTask, IceTable, Reads}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,7 +65,8 @@ final class IvfIndex private (val table: IceTable,
     * The row-group IN filter prunes inside each file too. Falls back to a
     * distributed collect for non-parquet files or a deleted-row table. */
   private def fetchByIds(extraFilter: Option[graft.meta.expr.Expr],
-      ids: Seq[Long]): Map[Long, Seq[Double]] = {
+      ids: Seq[Long],
+      preplanned: Option[Seq[FileScanTask]] = None): Map[Long, Seq[Double]] = {
     val idFilter = Exprs.in(idCol, ids: _*)
     val filter = extraFilter.map(graft.meta.expr.And(_, idFilter)).getOrElse(idFilter)
     val scan = table.newScan().filter(filter).select(idCol, vecCol)
@@ -73,7 +74,16 @@ final class IvfIndex private (val table: IceTable,
     def sparkPath(): Map[Long, Seq[Double]] = scan.toDF
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().iterator.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val tasks = scan.planFiles()
+    // a caller that already planned this scan's file set (the quantized
+    // probe plans ONCE for both phases) skips the metadata cascade: the
+    // id-metrics pruning the scan would do per file runs here directly
+    // over the preplanned tasks' stats
+    val tasks = preplanned match {
+      case Some(ts) =>
+        val bound = Binder.bind(table.meta.schema, idFilter)
+        ts.filter(t => InclusiveMetricsEvaluator.eval(bound, Reads.statsOf(t.file)))
+      case None => scan.planFiles()
+    }
     // delete presence from the O(1) snapshot summary counter when the head
     // carries it (every snapshot written since the counters split); only a
     // counter-less head pays a manifest walk
@@ -99,22 +109,27 @@ final class IvfIndex private (val table: IceTable,
     val vecType = readSchema(1).dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val out = Map.newBuilder[Long, Seq[Double]]
-    tasks.foreach { t =>
-      val pf = org.apache.spark.sql.graft.ColumnBridge.partitionedFile(
-        t.file.path, 0L, t.file.fileSizeBytes, t.file.fileSizeBytes)
-      reader(pf).foreach { r =>
-        val id = if (idIsLong) r.getLong(0) else r.getInt(0).toLong
-        if (want.contains(id)) {
-          val arr = r.getArray(1)
-          val v: Seq[Double] = vecType match {
-            case org.apache.spark.sql.types.DoubleType =>
-              arr.toDoubleArray.toIndexedSeq
-            case org.apache.spark.sql.types.FloatType =>
-              arr.toFloatArray.iterator.map(_.toDouble).toIndexedSeq
-            case other => throw new IllegalStateException(
-              s"unsupported vector element type $other")
+    // empty driver TaskContext: the readers' close hooks (registered via
+    // addTaskCompletionListener) fire on exit, success or failure — without
+    // it an exception mid-iteration leaks open parquet file handles
+    org.apache.spark.sql.graft.ColumnBridge.withDriverTaskContext {
+      tasks.foreach { t =>
+        val pf = org.apache.spark.sql.graft.ColumnBridge.partitionedFile(
+          t.file.path, 0L, t.file.fileSizeBytes, t.file.fileSizeBytes)
+        reader(pf).foreach { r =>
+          val id = if (idIsLong) r.getLong(0) else r.getInt(0).toLong
+          if (want.contains(id)) {
+            val arr = r.getArray(1)
+            val v: Seq[Double] = vecType match {
+              case org.apache.spark.sql.types.DoubleType =>
+                arr.toDoubleArray.toIndexedSeq
+              case org.apache.spark.sql.types.FloatType =>
+                arr.toFloatArray.iterator.map(_.toDouble).toIndexedSeq
+              case other => throw new IllegalStateException(
+                s"unsupported vector element type $other")
+            }
+            out += id -> v
           }
-          out += id -> v
         }
       }
     }
@@ -276,18 +291,32 @@ final class IvfIndex private (val table: IceTable,
     // Rank key: dot(qcodes, codes) / cnorm — dividing by the PERSISTED
     // neighbor code norm; the query-side norm is constant within a window
     // and cannot change the order, so the per-pair work is one dot fold.
+    //
+    // ONE metadata pass serves both phases: the ranking frame reads the
+    // planned file set directly (Reads.readFiles over the list-pruned
+    // tasks), and the rescore fetch prunes the SAME task list by id metrics
+    // instead of re-walking manifests — the two fixed costs the small-corpus
+    // bench exposed. A table with live deletes (never produced by
+    // build/sync, but a user can DML the index) falls back to the native
+    // scan, which owns delete application.
     val hasCNorm = table.meta.schema.columnNames.contains(IvfIndex.CNormCol)
-    val cand =
-      if (hasCNorm) table.newScan()
-        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*))
-        .select(idCol, IvfIndex.CodesCol, IvfIndex.CNormCol, IvfIndex.ListCol).toDF
-        .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
-          col(IvfIndex.CNormCol), col(IvfIndex.ListCol))
-      else table.newScan()
-        .filter(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*))
-        .select(idCol, IvfIndex.CodesCol, IvfIndex.ListCol).toDF
-        .select(col(idCol).as("neighbor_id"), col(IvfIndex.CodesCol),
-          col(IvfIndex.ListCol))
+    val listFilter = Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)
+    val hasDeletes = table.currentSnapshot
+      .flatMap(_.summary.get("total-delete-files")).flatMap(_.toLongOption)
+      .map(_ > 0)
+      .getOrElse(table.newScan().filter(listFilter).planDeletes().nonEmpty)
+    val planned: Seq[FileScanTask] =
+      if (hasDeletes) Nil else table.newScan().filter(listFilter).planFiles()
+    val candCols =
+      if (hasCNorm) Seq(idCol, IvfIndex.CodesCol, IvfIndex.CNormCol, IvfIndex.ListCol)
+      else Seq(idCol, IvfIndex.CodesCol, IvfIndex.ListCol)
+    val candRaw =
+      if (hasDeletes)
+        table.newScan().filter(listFilter).select(candCols: _*).toDF
+      else Reads.readFiles(spark, table, table.meta, planned, candCols,
+        Binder.bind(table.meta.schema, listFilter))
+    val cand = candRaw.select((col(idCol).as("neighbor_id") +:
+      candCols.tail.map(col)): _*)
     val ranked0 = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
     val ranked = (if (excludeSelf)
         ranked0.filter(col("neighbor_id") =!= col("query_id"))
@@ -310,10 +339,11 @@ final class IvfIndex private (val table: IceTable,
     // second job over corpus data.
     val survivorIds = survivors.map(_._2).distinct.toSeq
     val qById = qLocal.toMap
-    // survivors can only live in the probed lists: the partition filter
-    // prunes to those lists BEFORE the id-metrics cascade runs per file
-    val nvById: Map[Long, Seq[Double]] = fetchByIds(
-      Some(Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)), survivorIds)
+    // survivors can only live in the probed lists: the rescore fetch reuses
+    // phase 1's planned (list-pruned) task list, then id-metrics prunes it
+    // per file — no second metadata pass
+    val nvById: Map[Long, Seq[Double]] = fetchByIds(Some(listFilter),
+      survivorIds, preplanned = if (hasDeletes) None else Some(planned))
     val outRows = survivors.groupBy(_._1).toSeq.flatMap { case (qid, pairs) =>
       val qv = qById(qid)
       pairs.iterator.map(_._2).distinct

@@ -255,12 +255,15 @@ object Similarity {
       scale.as("qscale"))
   }
 
-  /** Quantized top-k with exact rescore: rank ALL candidates by int8-code
-    * cosine (the cheap, small-scan phase), keep `k × rescoreFactor` per
-    * query, then re-rank only those survivors with exact float cosine. At
-    * scale the expensive exact math runs on `queries × k × rescoreFactor`
-    * rows — independent of corpus size — while the corpus-sized phase
-    * touches only the 4×-compressed codes. */
+  /** ONE-SHOT quantized top-k with exact rescore — DEMOTED to a reference
+    * implementation: it re-quantizes the whole corpus per call and windows
+    * per query, so the production path is [[IvfIndex.topKQuantized]]
+    * (codes persisted once at build time, k-bounded heap aggregation, probe
+    * scans pruned to the probed lists). Kept as the semantics oracle the
+    * LlmSpec parity test ranks the persisted path against.
+    *
+    * Rank ALL candidates by int8-code cosine, keep `k × rescoreFactor` per
+    * query, then re-rank only those survivors with exact float cosine. */
   def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, rescoreFactor: Int = 4): DataFrame = {
     val quant = quantizeInt8(corpus, idCol, vecCol)

@@ -122,6 +122,33 @@ object ColumnBridge {
       options, classic.sessionState.newHadoopConf()), batches)
   }
 
+  /** Run a driver-side block under an empty `TaskContext` so the close
+    * hooks Spark's `FileFormat` readers register via
+    * `addTaskCompletionListener` actually fire: outside a task,
+    * `TaskContext.get()` is null and the registration is skipped, so an
+    * exception mid-iteration (or an abandoned iterator) leaks open file
+    * handles. The listeners run in the `finally`, on success AND failure —
+    * the same lifecycle a real task would give them. */
+  def withDriverTaskContext[T](f: => T): T = {
+    val tc = org.apache.spark.TaskContext.empty()
+    // the block manager tracks per-task read locks (broadcast reads inside
+    // the block take them): a context whose attempt id was never registered
+    // NPEs on the first broadcast access, so register it like a real task
+    org.apache.spark.storage.graft.BlockBridge.registerTask(tc.taskAttemptId)
+    org.apache.spark.TaskContext.setTaskContext(tc)
+    var failure: Option[Throwable] = None
+    try f
+    catch { case e: Throwable => failure = Some(e); throw e }
+    finally {
+      try tc.markTaskCompleted(failure)
+      finally {
+        org.apache.spark.storage.graft.BlockBridge
+          .releaseAllLocksForTask(tc.taskAttemptId)
+        org.apache.spark.TaskContext.unset()
+      }
+    }
+  }
+
   /** DSv2 runtime-filter `Predicate`s → V1 `Filter`s (`PredicateUtils` is
     * `private[sql]`); predicates with no V1 equivalent are dropped —
     * runtime pruning is best-effort. */
