@@ -180,8 +180,14 @@ object Bench {
     settle()
     locally {
       val embs = Tables.load(spark, sfDir, "embeddings")
-      val ivf = graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
-        s"$loc/ann_idx", nLists = 8)
+      // build cost measured every round (it once hid a dim× recompute that
+      // made fits unusable past toy corpora): each run publishes a fresh
+      // version dir at the same location, so retirement is in the timing
+      measureRaw("llm_ann_build", 0, 3) { () =>
+        time(graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
+          s"$loc/ann_idx", nLists = 8))
+      }
+      val ivf = graft.llm.IvfIndex.load(spark, s"$loc/ann_idx")
       measure("llm_ann_ivf_probe", 2, 5)(() =>
         consume(ivf.topK(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
       // int8 probe: candidate ranking over the persisted codes column
@@ -193,12 +199,13 @@ object Bench {
     // --- group 6 (LAST - heavy one-shot iterative pipeline): fuzzy dedup
     // end-to-end: LSH candidate pairs → duplicate components
     // (large-star/small-star) → one canonical doc per cluster. Driver-paced
-    // rounds, so 1 warmup + median of 3. Runs last so its executor churn
-    // cannot contaminate the measurements above. ---
+    // rounds AND bimodal under GC, so 1 warmup + median of 5 — 3 samples
+    // left its round-over-round signal noise-bound. Runs last so its
+    // executor churn cannot contaminate the measurements above. ---
     settle()
     locally {
       val docsDf = Tables.load(spark, sfDir, "documents")
-      measure("llm_cc_dedup", 1, 3)(() => consume(graft.llm.Dedup.dedupByComponents(
+      measure("llm_cc_dedup", 1, 5)(() => consume(graft.llm.Dedup.dedupByComponents(
         docsDf, "doc_id",
         graft.llm.Dedup.minHashLshPairs(docsDf, "doc_id", "text", 3, 8, 2, 0.6))))
     }

@@ -171,13 +171,34 @@ object Similarity {
     math.max(2, math.min(1 << 14,
       math.ceil(corpusSize.toDouble / math.max(1L, targetListSize)).toInt))
 
+  /** Element-wise sum of an `array<double>` column as an aggregate —
+    * [[graft.expressions.ArraySum]] keeps one running `double[dim]` per
+    * group per partition, so the exchange carries k×dim partials instead of
+    * N×dim exploded scalars. */
+  private def arraySumAgg(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.ArraySum(ColumnBridge.expression(c))
+        .toAggregateExpression())
+  }
+
   /** Deterministic k-means (Lloyd) coarse quantizer trained as DataFrame
     * jobs: init = the `nLists` lowest-id vectors, then `iters` rounds of
-    * assign (codegen'd argmax, no shuffle) + per-list element-wise mean
-    * (posexplode → groupBy(list, dim) — one shuffle of N×dim scalars per
-    * round). Only k×dim doubles ever reach the driver. At 100 TB train on
-    * `corpus.sample(...)`: quantizer quality needs ~100× nLists vectors,
-    * not the full corpus. */
+    * assign + per-list element-wise mean in ONE aggregation — grouping key =
+    * nearest centroid (evaluated once per ROW), aggregate = running
+    * `double[dim]` sums ([[graft.expressions.ArraySum]]) + a count, so each
+    * round is one corpus scan whose exchange carries k×dim partials per
+    * partition. Only k×dim doubles ever reach the driver.
+    *
+    * The obvious posexplode→groupBy(list, pos) spelling is a trap: Catalyst
+    * collapses the computed `list` alias into the post-Generate projection,
+    * re-evaluating the interpreted nearest-centroid transform once per array
+    * ELEMENT (dim× amplification of the job's most expensive expression —
+    * measured 335 s to fit 8 centroids over 20k×64 vectors; the ArraySum
+    * form fits 200k×64 in seconds).
+    *
+    * At 100 TB train on `corpus.sample(...)`: quantizer quality needs
+    * ~100× nLists vectors, not the full corpus. */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
       iters: Int = 2): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
@@ -187,12 +208,11 @@ object Similarity {
     (1 to iters).foreach { _ =>
       val means = corpus
         .select(nearestList(col(vecCol), cents).as("list"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+          col(vecCol).cast("array<double>").as("v"))
         .groupBy("list")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("mv"))
-        .select(col("list"), transform(col("mv"), e => e.getField("m")).as("mv"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .agg(arraySumAgg(col("v")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Seq[Double], Long)].collect()
+        .map { case (l, s, n) => l -> s.map(_ / n) }.toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
     cents

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual scale-measurement harness for the IVF index (test scope — never
+  * ships in the library jar). Run with
+  * `sbt "Test/runMain graft.ScaleHarness [mult]"` on an idle machine per
+  * BASELINE.md's measurement protocol.
+  *
+  * Inflates the sf0.1 embeddings corpus `mult`× with direction-preserving
+  * replicas (scaling a vector leaves cosine — and so list assignment —
+  * unchanged, so lists stay balanced like the original), caches it under
+  * /tmp, then times `IvfIndex.build` and the float-vs-int8 probe paths.
+  * The cache is only trusted when its `_SUCCESS` marker exists (a partial
+  * directory from a crashed run is rebuilt), and is re-`repartition`ed
+  * after read so every pass measures 32-way parallelism, not one task.
+  */
+object ScaleHarness {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val d = "/root/testdata/sf0.1"
+    val embs = Tables.load(spark, d, "embeddings")
+    println("dim=" + embs.selectExpr("size(embedding)").head().getInt(0))
+    val mult = args.headOption.map(_.toInt).getOrElse(100)
+    val cache = s"/tmp/graft-bigembs-$mult"
+    if (!new java.io.File(cache, "_SUCCESS").exists) {
+      val big = embs.crossJoin(spark.range(mult).toDF("r"))
+        .select((col("vec_id") * mult + col("r")).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0) + col("r") * lit(1e-4))).as("embedding"))
+      big.repartition(32).write.mode("overwrite").parquet(cache)
+    }
+    val corpus = spark.read.parquet(cache).repartition(32)
+    println("corpus rows=" + corpus.count())
+    val loc = java.nio.file.Files.createTempDirectory("graft-scale-").toString + "/idx"
+    var idx: llm.IvfIndex = null
+    val tb = time {
+      idx = llm.IvfIndex.build(spark, corpus, "vec_id", "embedding", loc, nLists = 8)
+    }
+    println(f"${mult}x build $tb%.1f s")
+    val qids = LlmQueries.AnnQueryIds
+    (1 to 2).foreach { _ =>
+      consume(idx.topK(qids, 5, nProbe = 2))
+      consume(idx.topKQuantized(qids, 5, nProbe = 2))
+    }
+    val tf = (1 to 5).map(_ => time(consume(idx.topK(qids, 5, nProbe = 2))))
+    val tq = (1 to 5).map(_ => time(consume(idx.topKQuantized(qids, 5, nProbe = 2))))
+    println(f"${mult}x float ${tf.sorted.apply(2)}%.3f ${tf.map(t => f"$t%.3f").mkString(",")}")
+    println(f"${mult}x int8  ${tq.sorted.apply(2)}%.3f ${tq.map(t => f"$t%.3f").mkString(",")}")
+    spark.stop()
+  }
+}
