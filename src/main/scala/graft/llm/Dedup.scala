@@ -222,22 +222,107 @@ object Dedup {
     * two vectors at cosine ≥ 0.9 almost always share one of their top-2
     * lists (recall gated in LlmSpec). Pairs found through several shared
     * lists dedupe on (id_a, id_b). `nLists < 0` sizes lists from the
-    * corpus count; at 100 TB fit the quantizer on a sample. */
+    * corpus count; at 100 TB fit the quantizer on a sample.
+    *
+    * Skew guard (OPT-IN, `maxListSize` > 0; default 0 = exact per-list
+    * joins): a mode-collapsed corpus puts ~everything in one list and its
+    * self-join goes quadratic — the classic straggler. Oversized lists are
+    * SPLIT, not truncated: members sub-bucket by `ceil(log2(size/cap))`
+    * sign-bit hyperplanes ([[Similarity.bucketOf]] — a secondary quantizer
+    * level), and one join side probes every sub-bucket within Hamming
+    * radius 1, so per-list join cost drops from size² to
+    * ~(planes+1)·size·cap while a cosine-0.9 pair still collides in a
+    * probed sub-bucket with ≥ ~0.9 probability per shared list (and pairs
+    * get `assignTo` independent lists). No vector is dropped; the split
+    * volume is logged. */
   def embeddingNearDupPairsBucketed(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, nLists: Int = -1, assignTo: Int = 2,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, maxListSize: Int = 0): DataFrame = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(df.count())
     val cents = Similarity.ivfFit(df, idCol, vecCol, n, iters)
     val m = math.min(math.max(1, assignTo), cents.size)
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(Similarity.nearestLists(col(vecCol), cents, m)).as("list"))
-    val a = assigned.as("a"); val b = assigned.as("b")
-    a.join(b, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+    val a0 = assigned.as("a"); val b0 = assigned.as("b")
+    val joined =
+      if (maxListSize <= 0)
+        a0.join(b0, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      else {
+        // per-list membership counts: n rows to the driver (n = list count,
+        // never corpus-sized); partial aggregation keeps the pass cheap
+        val sizes = assigned.groupBy("list").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val planesByList = skewPlanes(sizes, maxListSize)
+        if (planesByList.isEmpty)
+          a0.join(b0, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+        else {
+          val splitVol = planesByList.keys.map(sizes).sum
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"embedding near-dup skew guard: splitting ${planesByList.size} " +
+              s"list(s) holding $splitVol assignment(s) over cap $maxListSize " +
+              s"into 2^p sign-bit sub-buckets, (list,p)=" +
+              planesByList.toSeq.sorted.mkString(","))
+          val (keyed, probes) =
+            subBucketed(assigned, planesByList, cents)
+          probes.as("a").join(keyed.as("b"),
+            col("a.list") === col("b.list") && col("a._sub") === col("b._sub") &&
+              col("a.id") < col("b.id"))
+        }
+      }
+    joined
       .withColumn("sim", Similarity.cosine(col("a.v"), col("b.v")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("sim"), 4).as("sim"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Skew-guard plane counts: lists over `cap` members get
+    * `ceil(log2(size/cap))` sign-bit planes (bounded at 24 — a list 16M×
+    * over cap is a data bug, not a splitting problem). */
+  private[graft] def skewPlanes(sizes: Map[Int, Long], cap: Int): Map[Int, Int] =
+    sizes.collect {
+      case (l, c) if c > cap =>
+        l -> math.min(24,
+          math.ceil(math.log(c.toDouble / cap) / math.log(2.0)).toInt)
+    }
+
+  /** Sub-bucket `assigned` (id, v, list) rows of skewed lists by per-list
+    * sign-bit hyperplane hashes of the RESIDUAL `v − centroid(list)`.
+    * Hashing the residual, not the raw vector, is what makes the split
+    * work: in a mode-collapsed list every raw direction points at the
+    * centroid, so random planes rarely cut between members — residuals are
+    * isotropic around the centroid, each plane splits ~50/50, and a true
+    * near-dup pair's residuals stay almost parallel (tiny flip odds).
+    * Returns `(keyed, probes)`: `keyed` adds `_sub` (the row's sub-bucket —
+    * first `p(list)` sign bits; 0 in non-split lists), `probes` explodes
+    * each row to its own sub-bucket plus every 1-bit flip of it
+    * (Hamming-radius-1 multiprobe — `p+1` rows in split lists, exactly 1
+    * elsewhere). A near-dup pair lands in some probed (list, _sub) cell
+    * whenever its sign vectors differ in ≤ 1 of the p bits; the per-cell
+    * self-join is what bounds the work. */
+  private[graft] def subBucketed(assigned: DataFrame,
+      planesByList: Map[Int, Int], cents: Seq[Seq[Double]]): (DataFrame, DataFrame) = {
+    val pMax = planesByList.values.max
+    val planes = Similarity.hyperplanes(pMax, cents.head.size, seed = 4242L)
+    // rows in a non-split list get p=0 → sub-bucket 0, ONE probe mask (0):
+    // the uniform code path adds no rows and no sign-bit folds there
+    val pCol = coalesce(element_at(typedLit(planesByList), col("list")), lit(0))
+    // the residual array is read by every plane fold — let-bound so it is
+    // computed once per row, not once per plane (TextOps.bound)
+    val residual = zip_with(col("v"),
+      element_at(typedLit(cents), col("list") + 1),
+      (x, c) => x.cast("double") - c)
+    val bits = when(pCol > 0,
+      TextOps.bound(residual)(r => Similarity.bucketOf(r, planes)))
+      .otherwise(lit(0))
+    val sub = bits.bitwiseAND(call_function("shiftleft", lit(1), pCol) - 1)
+    val keyed = assigned.withColumn("_p", pCol).withColumn("_sub", sub)
+    val probes = keyed.withColumn("_sub", explode(
+      transform(sequence(lit(0), col("_p")), i =>
+        when(i === 0, col("_sub")).otherwise(
+          col("_sub").bitwiseXOR(call_function("shiftleft", lit(1), i - 1))))))
+    (keyed.drop("_p"), probes.drop("_p"))
   }
 
   /** Drop the higher id of every near-dup pair from `df`. */

@@ -734,4 +734,60 @@ class LlmSpec extends AnyFunSuite {
       .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a === b)
   }
+
+  test("embedding near-dup skew guard: mode-collapsed list splits, recall holds") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(1234)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // ids 0..3 (the k-means init rows): four diverse anchors, so the fit
+    // starts from distinct directions and the mode cluster lands in ONE list
+    val anchors = (0 until 4).map { i =>
+      (i.toLong, unit(Array.tabulate(dim)(d => if (d == i * 4) 1.0 else 0.01)))
+    }
+    // a broad mode cone around axis 0: everything assigns to the same list
+    // but members are NOT near-dups of each other (pairwise cosine ≈ 0.3)
+    val u = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+    val cone = (0 until 450).map { i =>
+      (10L + i, unit(u.map(_ + rnd.nextGaussian() * 0.35)))
+    }
+    // planted strong pairs inside the cone (cosine ≈ 0.9999)
+    val planted = (0 until 30).flatMap { i =>
+      val base = unit(u.map(_ + rnd.nextGaussian() * 0.35))
+      Seq((1000L + 2 * i, base),
+        (1001L + 2 * i, unit(base.map(_ + rnd.nextGaussian() * 0.003))))
+    }
+    val df = (anchors ++ cone ++ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 30, s"corpus must contain the planted pairs, got ${exact.size}")
+    val guarded = Dedup.embeddingNearDupPairsBucketed(df, "vec_id", "embedding",
+        0.98, nLists = 4, assignTo = 2, maxListSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact cosine, so the guard can never invent a pair
+    assert(guarded.subsetOf(exact), s"false pairs: ${guarded -- exact}")
+    val recall = exact.count(guarded.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"skew-guarded recall $recall of ${exact.size} pairs")
+    // the bound itself: rebuild the guard's sub-bucketing and check the
+    // straggler list really split — no candidate cell near the raw list size
+    val cents = Similarity.ivfFit(df, "vec_id", "embedding", 4, 2)
+    val assigned = df.select(col("vec_id").as("id"), col("embedding").as("v"),
+      explode(Similarity.nearestLists(col("embedding"), cents, 2)).as("list"))
+    val sizes = assigned.groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hottest = sizes.values.max
+    assert(hottest > 300, s"corpus must mode-collapse one list, sizes=$sizes")
+    val plan = Dedup.skewPlanes(sizes, 50)
+    assert(plan.nonEmpty && plan.values.max >= 3, s"guard must trigger, plan=$plan")
+    val (keyed, _) = Dedup.subBucketed(assigned, plan, cents)
+    val cells = keyed.groupBy("list", "_sub").count()
+      .collect().map(_.getLong(2))
+    assert(cells.max <= hottest / 2,
+      s"largest cell ${cells.max} did not split the $hottest-row list")
+    val candidateCost = cells.map(c => c * c).sum
+    assert(candidateCost <= hottest * hottest / 4,
+      s"candidate cost $candidateCost not bounded vs unsplit ${hottest * hottest}")
+  }
 }
