@@ -89,9 +89,14 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
     val broadcastConf =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     val required = requiredSchema // serialize the struct, not the session
+    // encryption manager rides the scan options (serialized — the scan
+    // builder sets it from the table's FileIO); files self-describe via the
+    // GAE1 magic, so plaintext files in a later-encrypted table still read
+    val encManager = options.get(graft.table.EncryptionManagers.OptionKey)
+      .map(graft.table.EncryptionManagers.deserialize)
     (file: PartitionedFile) => {
-      val in = new FsInput(file.toPath, broadcastConf.value.value)
-      val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+      val reader = GraftAvroFileFormat.openReader(
+        file.toPath, broadcastConf.value.value, encManager)
       // align to the split: first sync past start, stop once past the end
       reader.sync(file.start)
       val stop = file.start + file.length
@@ -130,6 +135,40 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
   override def hashCode(): Int = getClass.hashCode()
 }
 
+private[graft] object GraftAvroFileFormat {
+  import graft.table.{AesGcmEncryptionManager, EncryptionManager}
+
+  /** Open an Avro container reader over a possibly-encrypted file: the GAE1
+    * magic decides. Encrypted files decrypt through the manager and buffer
+    * in memory (whole-file GCM is not seekable; encrypted file slices are
+    * planned whole-file for the same reason). A file that IS encrypted but
+    * reaches a reader with no manager fails loudly — never ciphertext rows. */
+  def openReader(path: Path, conf: org.apache.hadoop.conf.Configuration,
+      manager: Option[EncryptionManager]): DataFileReader[GenericRecord] = {
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    if (!AesGcmEncryptionManager.isEncrypted(raw)) {
+      raw.close()
+      new DataFileReader(new FsInput(path, conf),
+        new GenericDatumReader[GenericRecord]())
+    } else manager match {
+      case None =>
+        raw.close()
+        throw new IllegalStateException(
+          s"$path is AES-GCM encrypted; read it through its graft table so " +
+            "the table's encryption manager applies")
+      case Some(m) =>
+        val bytes =
+          try m.decrypt(path.toString, raw, m.keyMetadata(path.toString))
+            .readAllBytes()
+          finally raw.close()
+        new DataFileReader(
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new GenericDatumReader[GenericRecord]())
+    }
+  }
+}
+
 /** One Avro object-container file per Spark write task. */
 private[sources] class GraftAvroOutputWriter(val path: String, context: TaskAttemptContext,
     dataSchema: StructType, avroSchemaJson: String) extends OutputWriter {
@@ -153,7 +192,14 @@ private[sources] class GraftAvroOutputWriter(val path: String, context: TaskAtte
     })
     val out = new Path(path).getFileSystem(context.getConfiguration)
       .create(new Path(path), false)
-    w.create(avroSchema, out)
+    // table-level encryption manager (serialized write option): the Avro
+    // container is written THROUGH the encrypting stream, header included —
+    // closing the DataFileWriter finalizes the GCM tag via the chain
+    val enc = Option(context.getConfiguration
+        .get(graft.table.EncryptionManagers.OptionKey))
+      .map(graft.table.EncryptionManagers.deserialize)
+      .map(_.encrypt(path, out)).getOrElse(out)
+    w.create(avroSchema, enc)
   }
 
   override def write(row: InternalRow): Unit = {

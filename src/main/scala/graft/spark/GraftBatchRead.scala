@@ -686,7 +686,9 @@ object GraftReadPlanner {
   def plan(spark: SparkSession, m: TableMetadata, files: Seq[DataFileMeta],
       names: Seq[String], pushedV1: Seq[Filter], splitTarget: Long,
       wantColumnar: Boolean, wantKeys: Boolean,
-      deletes: Seq[DataFileMeta] = Nil, outCols: Array[Int] = null): Planned = {
+      deletes: Seq[DataFileMeta] = Nil, outCols: Array[Int] = null,
+      encryption: graft.table.EncryptionManager =
+        graft.table.PlaintextEncryptionManager): Planned = {
     if (files.isEmpty) return Planned(Array.empty, columnar = false)
     val schema = m.schema
     val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
@@ -825,15 +827,23 @@ object GraftReadPlanner {
       TableProperties.SplitOpenFileCostDefault.toString).toLong
     val lookback = math.max(1, m.property(TableProperties.SplitLookback,
       TableProperties.SplitLookbackDefault.toString).toInt)
+    // encrypted avro files decrypt whole-file (GCM is not seekable), so the
+    // reader needs the table's manager and the planner whole-file slices
+    val encOptions: Map[String, String] =
+      if (encryption == graft.table.PlaintextEncryptionManager) Map.empty
+      else Map(graft.table.EncryptionManagers.OptionKey ->
+        graft.table.EncryptionManagers.serialize(encryption))
     def build(vectorized: Boolean): Option[Planned] = {
       val partitions = plans.flatMap { p =>
+        val avroEnc = p.format == "avro" && encOptions.nonEmpty
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
-          p.writeSchema, p.required, p.filters, vectorized)
+          p.writeSchema, p.required, p.filters, vectorized,
+          if (avroEnc) encOptions else Map.empty)
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file)
         pack(p.files, splitTarget, openCost, lookback,
-          wholeFiles = p.synthPos).map(slicePack =>
+          wholeFiles = p.synthPos || avroEnc).map(slicePack =>
           GraftInputPartition(slicePack.toArray,
             reader, p.project, columnar = vectorized && batches, key = p.key,
             deletes = deleteApply, synthPos = p.synthPos,
@@ -1133,7 +1143,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
         GraftReadPlanner.plan(table.spark, m, group.map(_.file),
           projection.fieldNames.toSeq, pushedV1 ++ runtimeV1, split,
           wantColumnar = true, wantKeys = keyedSpec.nonEmpty,
-          deletes = applicable, outCols = outCols)
+          deletes = applicable, outCols = outCols,
+          encryption = table.io.encryption)
       }
       cachedPlan = GraftReadPlanner.Planned(
         planned.flatMap(_.partitions).toArray,

@@ -192,7 +192,8 @@ final class GraftMicroBatchStream(table: IceTable, projection: StructType,
     // the batch scan's concern
     graft.spark.GraftReadPlanner.plan(table.spark, m, files,
       projection.fieldNames.toSeq, Nil, splitTarget,
-      wantColumnar = false, wantKeys = false)
+      wantColumnar = false, wantKeys = false,
+      encryption = table.io.encryption)
       .partitions.toArray[InputPartition]
   }
 

@@ -16,9 +16,10 @@ import org.apache.hadoop.fs.Path
   * without decoding any datum. */
 object AvroMetrics {
 
-  def read(conf: Configuration, path: String, schema: Schema): ParquetMetrics.FileMetrics = {
-    val in = new FsInput(new Path(path), conf)
-    val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+  def read(conf: Configuration, path: String, schema: Schema,
+      enc: Option[EncryptionManager] = None): ParquetMetrics.FileMetrics = {
+    val reader =
+      graft.sources.GraftAvroFileFormat.openReader(new Path(path), conf, enc)
     try {
       var rows = 0L
       while (reader.hasNext) {

@@ -1067,6 +1067,19 @@ final class TableScan private[table] (table: IceTable) {
                     "table's encryption manager is plaintext — configure the " +
                     "manager that wrote this file")
               }
+            else
+              // keyed manager: a keyed file whose metadata does not match
+              // this manager's derivation was written under a DIFFERENT key
+              // — fail here, not as a GCM tag error deep in a task
+              planned.find(t => t.file.keyMetadata.nonEmpty &&
+                  t.file.keyMetadata !=
+                    table.io.encryption.keyMetadata(t.file.path))
+                .foreach { t =>
+                  throw new ValidationException(
+                    s"${t.file.path} was encrypted under a different key " +
+                      "than the table's current encryption manager derives " +
+                      "— configure the manager that wrote this file")
+                }
             Listeners.notifyAll(Listeners.ScanEvent(
               table.location, snap.snapshotId, filterExpr.toString, planned.size))
             planned
@@ -1231,8 +1244,14 @@ private[graft] object Reads {
       val df =
         if (!synthMeta)
           spark.read.schema(writeSchema.struct)
+            .options(
+              if (format == "avro" &&
+                  table.io.encryption != PlaintextEncryptionManager)
+                Map(EncryptionManagers.OptionKey ->
+                  EncryptionManagers.serialize(table.io.encryption))
+              else Map.empty[String, String])
             .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
-        else synthMetaFrame(spark, writeSchema, format, group,
+        else synthMetaFrame(spark, table, writeSchema, format, group,
           neededIds = (projection.map(schema.fieldId).filterNot(constants.contains) ++
             (if (applyFilter) referencedIds(renameToWriter(folded, writeSchema)) else Nil))
             .distinct)
@@ -1271,7 +1290,8 @@ private[graft] object Reads {
     * in-order row ordinal; filters stay ABOVE the frame so no row is
     * skipped), distributed one file per task. `neededIds` prunes the read to
     * the referenced writer columns. */
-  private def synthMetaFrame(spark: SparkSession, writeSchema: Schema,
+  private def synthMetaFrame(spark: SparkSession, table: IceTable,
+      writeSchema: Schema,
       format: String, group: Seq[FileScanTask], neededIds: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     import org.apache.spark.sql.catalyst.InternalRow
@@ -1279,7 +1299,11 @@ private[graft] object Reads {
       .map(n => StructField(n, writeSchema.fieldType(id))))
     val readerSchema = StructType(readerFields)
     val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
-      spark, format, writeSchema.struct, readerSchema)
+      spark, format, writeSchema.struct, readerSchema,
+      if (format == "avro" && table.io.encryption != PlaintextEncryptionManager)
+        Map(EncryptionManagers.OptionKey ->
+          EncryptionManagers.serialize(table.io.encryption))
+      else Map.empty)
     val files = group.map(t => (t.file.path, t.file.fileSizeBytes))
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism * 2))
@@ -1369,10 +1393,11 @@ private[table] object Writes {
     if (format == "avro") "graft-avro" else format
 
   private[table] def fileMetrics(conf: org.apache.hadoop.conf.Configuration,
-      format: String, path: String, schema: Schema): ParquetMetrics.FileMetrics =
+      format: String, path: String, schema: Schema,
+      enc: Option[EncryptionManager] = None): ParquetMetrics.FileMetrics =
     format match {
       case "orc" => OrcMetrics.read(conf, path, schema)
-      case "avro" => AvroMetrics.read(conf, path, schema)
+      case "avro" => AvroMetrics.read(conf, path, schema, enc)
       case _ => ParquetMetrics.read(conf, path, schema)
     }
 
@@ -1388,6 +1413,15 @@ private[table] object Writes {
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
+    // real encryption is wired only for the format whose streams this
+    // library owns — a keyed manager on parquet/ORC would silently write
+    // plaintext through Spark's builtin writers, so refuse up front
+    if (table.io.encryption != PlaintextEncryptionManager && format != "avro")
+      throw new UnsupportedOperationException(
+        s"encryption manager ${table.io.encryption.getClass.getSimpleName} " +
+          s"cannot encrypt '$format' data files — only the avro format's " +
+          "write streams are library-owned (set write.format.default=avro " +
+          "or use the plaintext manager)")
     // Roll output files at ~write.target-file-size-bytes (ref rolling file
     // writers, `TableProperties.java:145`): Spark rolls by RECORD count, so
     // convert the byte target through the table's observed on-disk row width
@@ -1437,7 +1471,11 @@ private[table] object Writes {
           (prop("write.avro.compression-codec", "snappy") match {
             case "gzip" => "deflate"
             case c => c
-          }))
+          })) ++
+          // task-side writers re-hydrate the manager and wrap their streams
+          (if (table.io.encryption == PlaintextEncryptionManager) Map.empty
+          else Map(EncryptionManagers.OptionKey ->
+            EncryptionManagers.serialize(table.io.encryption)))
       case _ => Map.empty
     }
     def withRolling(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
@@ -1506,21 +1544,23 @@ private[table] object Writes {
     // footer metrics: small commits read on a driver pool; large commits as
     // a Spark job (executor-side, like the ref collects metrics in the
     // writers — the driver never becomes the bottleneck at scale)
+    val enc = Some(table.io.encryption).filter(_ != PlaintextEncryptionManager)
     val metricsByPath: Map[String, ParquetMetrics.FileMetrics] = {
       val paths = files.map(_.getPath.toString)
       if (paths.size > DistributedMetricsThreshold) {
         val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
         val fmt = format
+        val serEnc = enc // EncryptionManager is Serializable by contract
         val bcSchema = spark.sparkContext.broadcast(schema)
         spark.sparkContext.parallelize(paths, math.max(1, paths.size / 16))
-          .map(p => p -> fileMetrics(serConf.value, fmt, p, bcSchema.value))
+          .map(p => p -> fileMetrics(serConf.value, fmt, p, bcSchema.value, serEnc))
           .collect().toMap
       } else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ManifestIO.ioPool
         Await.result(Future.sequence(paths.map(p => Future {
-          p -> fileMetrics(conf, format, p, schema)
+          p -> fileMetrics(conf, format, p, schema, enc)
         })), Duration.Inf).toMap
       }
     }
@@ -1556,7 +1596,10 @@ private[table] object Writes {
         upperBounds = metrics.upperBounds,
         splitOffsets = metrics.splitOffsets,
         sortOrderId = m.defaultSortOrderId,
-        schemaId = m.currentSchemaId)
+        schemaId = m.currentSchemaId,
+        // the manifest's key slot — derived driver-side, identical to what
+        // the write task derived (the keyMetadata purity contract)
+        keyMetadata = table.io.encryption.keyMetadata(path))
     }
   }
 

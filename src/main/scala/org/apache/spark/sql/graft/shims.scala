@@ -85,9 +85,11 @@ object ColumnBridge {
     * `RowDataReader.java` reads row-at-a-time for the same reason). */
   def fileRowReader(spark: org.apache.spark.sql.SparkSession, format: String,
       dataSchema: org.apache.spark.sql.types.StructType,
-      requiredSchema: org.apache.spark.sql.types.StructType)
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      extraOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-    fileReader(spark, format, dataSchema, requiredSchema, Nil, vectorized = false)._1
+    fileReader(spark, format, dataSchema, requiredSchema, Nil,
+      vectorized = false, extraOptions)._1
 
   /** Like [[fileRowReader]] but optionally vectorized: when `vectorized` and
     * the format supports whole-batch reads for this schema, the returned
@@ -100,7 +102,8 @@ object ColumnBridge {
       dataSchema: org.apache.spark.sql.types.StructType,
       requiredSchema: org.apache.spark.sql.types.StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      vectorized: Boolean)
+      vectorized: Boolean,
+      extraOptions: Map[String, String] = Map.empty)
       : (org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow], Boolean) = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
@@ -114,7 +117,7 @@ object ColumnBridge {
     }
     val batches = vectorized && fmt.supportBatch(classic, requiredSchema)
     // Spark 4 requires the caller to declare whether batches are expected
-    val options = Map(
+    val options = extraOptions ++ Map(
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH ->
         batches.toString)
     (fmt.buildReaderWithPartitionValues(classic, dataSchema,

@@ -402,4 +402,73 @@ class FormatSpec extends AnyFunSuite {
     assert(t.newScan().filter(equalTo("o_orderkey", -1L)).planFiles().isEmpty)
     assert(t.toDF.count() === orders.count())
   }
+
+  test("avro encryption: AES-GCM end-to-end, wrong-manager refusals") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations,
+      ValidationException}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "test-key")
+    val loc = Files.createTempDirectory("graft-enc-").toString + "/t"
+    val data = orders.limit(200)
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(data)
+    // manifests carry the derived key metadata on every file
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val km = new String(f.keyMetadata.get.toArray, "UTF-8")
+      assert(km.startsWith("aes-gcm-v1:test-key:"), km)
+    }
+    // the bytes on disk are ciphertext behind the GAE1 header, not Avro
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f.path)
+      val in = p.getFileSystem(conf).open(p)
+      val head = try in.readNBytes(4) finally in.close()
+      assert(java.util.Arrays.equals(head, AesGcmEncryptionManager.Magic),
+        s"${f.path} does not start with the GAE1 magic")
+    }
+    // keyed read-back through the table: full content, filters intact
+    assert(t.toDF.count() === 200)
+    assert(t.toDF.select(sum(col("o_orderkey"))).head.getLong(0) ===
+      data.select(sum(col("o_orderkey"))).head.getLong(0))
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() ===
+      data.filter(col("o_orderstatus") === "F").count())
+    // copy-on-write DML re-encrypts the rewritten files
+    t.delete(equalTo("o_orderstatus", "F"))
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+    t.newScan().planFiles().map(_.file).foreach { f =>
+      assert(f.keyMetadata.nonEmpty, s"${f.path} lost key metadata on rewrite")
+    }
+    // plaintext manager (the default load) refuses keyed files at PLAN time
+    intercept[ValidationException] {
+      IceTable.load(spark, loc).toDF.count()
+    }
+    // a manager with a DIFFERENT master key also refuses at plan time
+    val wrongKey = new AesGcmEncryptionManager(
+      "ffffffffffffffffffffffffffffffff".getBytes("UTF-8"), "test-key")
+    intercept[ValidationException] {
+      IceTable.loadWith(spark,
+        new TableOperations(loc, new FileIO(conf, wrongKey))).toDF.count()
+    }
+    // a direct format read without the manager fails loudly, never rows
+    val direct = intercept[Exception] {
+      spark.read.schema(data.schema).format("graft-avro")
+        .load(files.head.path).collect()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(direct).exists(_.getMessage != null) &&
+      causes(direct).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("AES-GCM encrypted")), direct.toString)
+    // a keyed manager on a parquet-format table fails fast at write time
+    val tp = IceTable.createWith(spark,
+      new TableOperations(Files.createTempDirectory("graft-encp-").toString + "/t",
+        new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    intercept[UnsupportedOperationException] { tp.append(data.limit(5)) }
+  }
 }

@@ -140,8 +140,8 @@ class TableSpec extends AnyFunSuite {
     assert(t.newScan().planFiles().forall(_.file.keyMetadata.isEmpty))
     // the plaintext manager passes streams through untouched...
     val raw = new java.io.ByteArrayOutputStream()
-    val (wrapped, none) = PlaintextEncryptionManager.encrypt("f", raw)
-    assert(none.isEmpty && (wrapped eq raw))
+    assert(PlaintextEncryptionManager.keyMetadata("f").isEmpty)
+    assert(PlaintextEncryptionManager.encrypt("f", raw) eq raw)
     val in = new java.io.ByteArrayInputStream(Array[Byte](7))
     assert(PlaintextEncryptionManager.decrypt("f", in, None) eq in)
     // ...but refuses to "decrypt" a file that claims to be encrypted
