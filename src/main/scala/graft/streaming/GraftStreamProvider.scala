@@ -3,6 +3,7 @@ package graft.streaming
 import graft.table.IceTable
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -137,11 +138,42 @@ private final class GraftStreamSource(table: IceTable,
   * a downstream keyed state bootstrap sees the initial rows as inserts.
   * Compaction (`replace`) snapshots emit nothing, and an expired `from`
   * offset fails loudly instead of replaying the table (Changelog's
-  * validation). */
+  * validation).
+  *
+  * Supports `Trigger.AvailableNow` the same way Spark's own V1 Kafka source
+  * does — a V1 `Source` additionally implementing
+  * [[SupportsTriggerAvailableNow]]: the end snapshot is pinned at prepare
+  * time, so a changelog backfill-then-stop job drains exactly the commits
+  * that existed at start and keeps the guarantee even while writers keep
+  * committing (no silent fall-back to single-batch execution). */
 private final class GraftChangelogSource(table: IceTable,
-    startingSnapshotId: Option[Long]) extends Source {
+    startingSnapshotId: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset}
 
   override def schema: StructType = GraftChangelogSource.schemaOf(table)
+
+  // Some(pinned end) after prepareForTriggerAvailableNow; the inner Option
+  // distinguishes "pinned on an empty table" (drain nothing) from unpinned
+  @volatile private var availableNowEnd: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.meta.currentSnapshotId)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control offset advance (Spark calls this INSTEAD of
+    * `getOffset` once the source declares admission control): the current
+    * snapshot, or the prepare-time pin under AvailableNow. The changelog is
+    * snapshot-granular and each batch materializes one range, so read
+    * limits beyond allAvailable don't subdivide further. */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset =
+    availableNowEnd.getOrElse(table.meta.currentSnapshotId)
+      .map(GraftSnapshotOffset).orNull
+
+  override def reportLatestOffset(): ConnOffset =
+    table.meta.currentSnapshotId.map(GraftSnapshotOffset).orNull
 
   override def getOffset: Option[V1Offset] =
     table.meta.currentSnapshotId.map(GraftSnapshotOffset)

@@ -533,6 +533,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowsNow.size === 5)
   }
 
+  test("CDC stream honors Trigger.AvailableNow natively (no fallback warning)") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val base = Files.createTempDirectory("graft-cdc3-").toString
+    val srcLoc = s"$base/src"
+    import spark.implicits._
+    val src = IceTable.create(spark, srcLoc,
+      Schema.fresh(Seq((1L, "x")).toDF("k", "v").schema))
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // capture every WARN+ log line while the query drains: a source without
+    // native support makes MicroBatchExecution log "... does not support
+    // Trigger.AvailableNow. Falling back to single batch execution"
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val appender = new AbstractAppender("graft-an-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val q = spark.readStream.format("graft-stream").option("path", srcLoc)
+        .option("read-changes", "true").load()
+        .writeStream.format("memory").queryName("cdc_an")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    } finally {
+      rootCfg.removeAppender("graft-an-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    // the stream drained the full changelog...
+    assert(spark.table("cdc_an").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "b")))
+    // ...through the NATIVE AvailableNow path, not the single-batch fallback
+    import scala.jdk.CollectionConverters._
+    val fallback = captured.asScala
+      .filter(_.contains("does not support Trigger.AvailableNow"))
+    assert(fallback.isEmpty, s"fallback warning logged: $fallback")
+  }
+
   test("CDC stream starts after starting-snapshot-id (no history replay)") {
     val base = Files.createTempDirectory("graft-cdc2-").toString
     val srcLoc = s"$base/src"
