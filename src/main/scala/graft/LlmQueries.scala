@@ -247,14 +247,22 @@ object LlmQueries {
     // representation-specific → rows-only here; recall gate + parity with
     // the one-shot form in LlmSpec
     "llm_ann_int8" -> ((s, d) => {
-      val loc = java.nio.file.Files.createTempDirectory("graft-ivf8-")
-        .toString + "/idx"
-      val idx = graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
-        loc, nLists = 8)
+      // one index build per (session, data dir) per JVM: a registry query
+      // must stay repeatable without leaking a fresh /tmp index per call
+      val idx = Int8IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-ivf8-")
+            .toString + "/idx"
+          graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
+            loc, nLists = 8)
+        })
       idx.topKQuantized(AnnQueryIds, k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
     })
   )
+
+  private val Int8IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.IvfIndex]()
 
   /** DuckDB-dialect oracles (driver runs them in DuckDB only). */
   val oracle: Map[String, String] = {

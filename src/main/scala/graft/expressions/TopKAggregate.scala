@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   * by (ord DESC, id ASC) — ties break to the SMALLER id, matching the
   * `orderBy(desc(sim), asc(neighbor_id))` window the ANN operators used.
   * Nulls in either input are skipped (a null ordering value cannot rank).
-  */
+  *
+  * DOCUMENTED DIVERGENCE from the window it replaces: Spark's descending
+  * sort order puts NaN FIRST (NaN > any double in its total order), so the
+  * window form would rank a NaN-similarity candidate at the top. This
+  * aggregate SKIPS NaN ordering values instead — a NaN cosine comes from a
+  * degenerate (zero-norm) vector, and "best match" should never mean
+  * "the arithmetic broke". LlmSpec pins both behaviors side by side. */
 case class BoundedTopK(k: Int, ord: Expression, id: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BoundedTopK.Heap] {

@@ -471,6 +471,11 @@ object Dedup {
     //  - without one, an eager localCheckpoint of the RESULT keeps exactly
     //    one small frame pinned instead of accumulating a loop frame per
     //    connectedComponents call.
+    // NOTE on reliable-checkpoint FILES: Spark only deletes checkpoint dirs
+    // when `spark.cleaner.referenceTracking.cleanCheckpoints=true` (plus GC
+    // of the RDD); without it the component-map files stay under the
+    // checkpoint dir until the caller cleans the dir. Set that conf on any
+    // long-running driver that loops over corpora.
     val rerooted =
       if (spark.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
       else result.localCheckpoint(true)
@@ -505,24 +510,51 @@ object Dedup {
     *     clustered doc that is not its cluster's minimum-id root.
     * `maxBucketSize` forwards LSH's opt-in skew cap (0 = exact recall).
     *
-    * Cost shape: the exact-dedup aggregation executes once for the LSH
-    * pass and once more when the returned frame is consumed (the result
-    * must stay lazy and leak-free, so nothing is pinned across the API
-    * boundary); the drop side of the final anti join is only the
-    * clustered NON-roots — duplicate docs, not the corpus. Callers
-    * consuming the result repeatedly should persist it themselves. */
+    * Cost shape (default, `persistIntermediate = false`): the exact-dedup
+    * aggregation executes once for the LSH pass and once more when the
+    * returned frame is consumed (the result stays lazy and leak-free, so
+    * nothing is pinned across the API boundary); the drop side of the
+    * final anti join is only the clustered NON-roots — duplicate docs,
+    * not the corpus. Callers consuming the result repeatedly should
+    * persist it themselves.
+    *
+    * `persistIntermediate = true` checkpoints the exact-dedup survivors
+    * ONCE (reliable checkpoint when a dir is configured — any real
+    * cluster run — else an eager localCheckpoint), feeds both consumers
+    * from that frame, then re-roots the final result the same way and
+    * RELEASES the intermediate before returning: the second exact-dedup
+    * scan of the corpus disappears, and with a checkpoint dir set the
+    * returned frame pins zero executor-storage blocks. */
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.6, maxBucketSize: Int = 0): DataFrame = {
-    def unique = exactDedup(df, idCol, xxhash64(col(textCol)))
+      threshold: Double = 0.6, maxBucketSize: Int = 0,
+      persistIntermediate: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: DataFrame): DataFrame =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
+    val unique0 = exactDedup(df, idCol, xxhash64(col(textCol)))
+    val unique = if (persistIntermediate) reroot(unique0) else unique0
+    def uniq = if (persistIntermediate) unique
+      else exactDedup(df, idCol, xxhash64(col(textCol)))
     val comp = connectedComponents(
-      minHashLshPairs(unique, idCol, textCol, n, bands, rowsPerBand,
+      minHashLshPairs(uniq, idCol, textCol, n, bands, rowsPerBand,
         threshold, maxBucketSize))
     // comp covers only docs that appear in candidate pairs; docs outside
     // any cluster are kept as-is, so the cheap form is an anti join
     // against the clustered non-roots
     val dropIds = comp.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    unique.join(dropIds, Seq(idCol), "left_anti")
+    val result = uniq.join(dropIds, Seq(idCol), "left_anti")
+    if (!persistIntermediate) result
+    else {
+      // the result must stop referencing the intermediate's storage blocks
+      // before they can be dropped — same re-root-then-release discipline
+      // as connectedComponents' loop frames
+      val rerooted = reroot(result)
+      if (reliable) unique.unpersist(blocking = true)
+      else ColumnBridge.unpersistCheckpoint(unique)
+      rerooted
+    }
   }
 }

@@ -125,19 +125,33 @@ object ColumnBridge {
       options, classic.sessionState.newHadoopConf()), batches)
   }
 
-  /** Run a driver-side block under an empty `TaskContext` so the close
+  /** Driver-side synthetic task attempt ids: NEGATIVE and decrementing.
+    * Real task attempt ids are a non-negative counter, so a negative id can
+    * never collide with a live task's lock registry in the shared local-mode
+    * `BlockInfoManager`; decrementing keeps CONCURRENT driver-side blocks
+    * (two by-id probes on different threads) in distinct registry slots —
+    * with a shared id, the first finisher's `releaseAllLocksForTask` would
+    * silently release the other thread's broadcast/block read locks mid-use. */
+  private val driverTaskIds = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Run a driver-side block under a synthetic `TaskContext` so the close
     * hooks Spark's `FileFormat` readers register via
     * `addTaskCompletionListener` actually fire: outside a task,
     * `TaskContext.get()` is null and the registration is skipped, so an
     * exception mid-iteration (or an abandoned iterator) leaks open file
     * handles. The listeners run in the `finally`, on success AND failure —
-    * the same lifecycle a real task would give them. */
+    * the same lifecycle a real task would give them. The context carries a
+    * fresh negative attempt id per call (see [[driverTaskIds]]) and any
+    * previously-set context is restored, not unconditionally unset. */
   def withDriverTaskContext[T](f: => T): T = {
-    val tc = org.apache.spark.TaskContext.empty()
+    val tc = new org.apache.spark.TaskContextImpl(
+      0, 0, 0, driverTaskIds.getAndDecrement(), 0, 1,
+      null, new java.util.Properties(), null)
     // the block manager tracks per-task read locks (broadcast reads inside
     // the block take them): a context whose attempt id was never registered
     // NPEs on the first broadcast access, so register it like a real task
     org.apache.spark.storage.graft.BlockBridge.registerTask(tc.taskAttemptId)
+    val prev = org.apache.spark.TaskContext.get()
     org.apache.spark.TaskContext.setTaskContext(tc)
     var failure: Option[Throwable] = None
     try f
@@ -147,7 +161,8 @@ object ColumnBridge {
       finally {
         org.apache.spark.storage.graft.BlockBridge
           .releaseAllLocksForTask(tc.taskAttemptId)
-        org.apache.spark.TaskContext.unset()
+        if (prev != null) org.apache.spark.TaskContext.setTaskContext(prev)
+        else org.apache.spark.TaskContext.unset()
       }
     }
   }

@@ -157,6 +157,28 @@ class LlmSpec extends AnyFunSuite {
     assert(idx.table.newScan().toDF.filter(col("codes").isNull).count() === 0)
   }
 
+  test("persisted quantized probe matches the one-shot quantized oracle rows") {
+    import graft.llm.IvfIndex
+    val qids = LlmQueries.AnnQueryIds
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfp-")
+      .toString + "/idx"
+    val idx = IvfIndex.build(spark, embs, "vec_id", "embedding", loc, nLists = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // nProbe = nLists probes every list → both paths rank the SAME int8
+    // codes over the same candidate set and rescore the same survivors:
+    // the persisted index must reproduce the one-shot reference rows
+    // exactly (this is the cross-implementation parity the scaladocs
+    // claim — drift in either quantized path fails here, not just a
+    // recall gate)
+    val persisted = rows(idx.topKQuantized(qids, 5, nProbe = 8))
+    val oneShot = rows(
+      Similarity.quantizedTopK(embs, "vec_id", "embedding", qids, 5))
+    assert(persisted === oneShot)
+  }
+
   test("external-vector probes find corpus twins (exact and quantized)") {
     import graft.llm.IvfIndex
     val loc = java.nio.file.Files.createTempDirectory("graft-ivfx-")
@@ -418,6 +440,17 @@ class LlmSpec extends AnyFunSuite {
     val tiny = Seq((1L, 10L, 0.5), (1L, 2L, 0.9)).toDF("query_id", "neighbor_id", "sim")
     assert(Similarity.topKPerQuery(tiny, 10).collect()
       .map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((1, 2L), (2, 10L)))
+    // the documented NaN divergence (TopKAggregate scaladoc): Spark's
+    // descending sort ranks NaN FIRST, the bounded aggregate SKIPS it —
+    // a degenerate vector's broken cosine must never be the "best" match
+    val withNaN = Seq((1L, 10L, 0.5), (1L, 2L, 0.9), (1L, 99L, Double.NaN))
+      .toDF("query_id", "neighbor_id", "sim")
+    assert(Similarity.topKPerQuery(withNaN, 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((1, 2L), (2, 10L)))
+    val nanWindow = withNaN.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1).collect().head.getLong(1)
+    assert(nanWindow === 99L, "window baseline should rank NaN first (Spark " +
+      "ordering) - if this changes, revisit the documented divergence")
   }
 
   test("int8-quantized ANN recall@5 vs exact brute force") {
@@ -659,6 +692,34 @@ class LlmSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // 1,2,3 are one cluster (exact + near) → keep 1; 4,5 → keep 4; 6 alone
     assert(kept === Set(1L, 4L, 6L))
+  }
+
+  test("fuzzyDedup persistIntermediate: same result, no pinned blocks after release") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "an entirely different document about distributed query engines"),
+      (5L, "an entirely different document about distributed query engines"),
+      (6L, "completely unrelated third topic with its own words and phrases"),
+      (7L, "a fourth standalone subject mentioning neither foxes nor engines"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.fuzzyDedup(base, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain === Set(1L, 4L, 6L, 7L))
+    // cluster configuration: reliable checkpoint dir → the persisted run
+    // must leave ZERO new storage blocks pinned once it returns
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-fd-cp-").toString)
+    def pinned(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinned()
+    val persisted = Dedup.fuzzyDedup(base, "doc_id", "text", threshold = 0.5,
+      persistIntermediate = true)
+    assert(persisted.select("doc_id").collect().map(_.getLong(0)).toSet === plain)
+    assert(pinned() === before, s"leaked storage blocks: ${pinned() -- before}")
+    // the returned frame survives the intermediate's release
+    assert(persisted.count() === 4L)
   }
 
   test("componentIds is transitive; dedupByComponents keeps one doc per cluster") {
