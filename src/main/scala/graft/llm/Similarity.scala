@@ -143,26 +143,45 @@ object Similarity {
   // ------------------------------------------------------------------ IVF
 
   /** Per-centroid `[cosine, index]` pairs (arrays order lexicographically,
-    * so array_max/array_sort rank by similarity then index) — ONE fold over
-    * a single `array<array<double>>` literal (`typedLit`), so the plan
-    * carries one constant and each row does O(nLists×dim) codegen'd work:
-    * no row amplification, no UDF. */
-  private def listSims(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    * so array_max/array_sort rank by similarity then index) — the
+    * SEMANTICS ORACLE for the codegen'd centroid expressions below: higher-
+    * order functions evaluate interpreted (never codegen), so this form
+    * costs k×dim interpreted multiply-adds per row; production assignment
+    * runs [[graft.expressions.NearestCentroid]] instead, and LlmSpec pins
+    * the two bit-exactly equal (incl. ties, NaN from zero vectors). */
+  private[graft] def listSims(vecCol: Column, cents: Seq[Seq[Double]]): Column =
     transform(typedLit(cents), (cv, i) =>
       array(cosine(vecCol, cv), i.cast("double")))
 
+  /** [[listSims]]-shaped nearest pick as interpreted HOFs (parity oracle). */
+  private[graft] def nearestListHof(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(array_max(listSims(vecCol, cents)), 2).cast("int")
+
+  /** [[listSims]]-shaped top-m pick as interpreted HOFs (parity oracle). */
+  private[graft] def nearestListsHof(vecCol: Column, cents: Seq[Seq[Double]],
+      m: Int): Column =
+    transform(slice(array_sort(listSims(vecCol, cents)), -m, m),
+      e => element_at(e, 2).cast("int"))
+
   /** Index of the nearest (max-cosine) centroid; ties break to the larger
     * index — any deterministic rule works, rows near a tie belong to either
-    * list equally well. */
-  def nearestList(vecCol: Column, cents: Seq[Seq[Double]]): Column =
-    element_at(array_max(listSims(vecCol, cents)), 2).cast("int")
+    * list equally well. Codegen'd ([[graft.expressions.NearestCentroid]]):
+    * the interpreted HOF form was the most expensive expression in the
+    * engine at k×dim lambda evaluations per corpus row. */
+  def nearestList(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NearestCentroid(
+      ColumnBridge.expression(vecCol), cents))
+  }
 
   /** Indices of the `m` nearest centroids, nearest last (same
     * [cosine, index] lexicographic rule as [[nearestList]] — multiprobe
-    * assignment for boundary-straddling vectors). */
-  def nearestLists(vecCol: Column, cents: Seq[Seq[Double]], m: Int): Column =
-    transform(slice(array_sort(listSims(vecCol, cents)), -m, m),
-      e => element_at(e, 2).cast("int"))
+    * assignment for boundary-straddling vectors). Codegen'd. */
+  def nearestLists(vecCol: Column, cents: Seq[Seq[Double]], m: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NearestCentroids(
+      ColumnBridge.expression(vecCol), cents, m))
+  }
 
   /** Lists sized so probe cost is bounded by list size, not corpus size
     * (same contract as [[planesFor]]); capped at 16k lists — beyond that an
@@ -242,12 +261,10 @@ object Similarity {
     val probes = math.min(math.max(1, nProbe), cents.size)
     val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       nearestList(col(vecCol), cents).as("list"))
-    // top-nProbe lists per query: sort the sims ascending, keep the tail
+    // top-nProbe lists per query: the m nearest centroids, nearest last
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(transform(
-          slice(array_sort(listSims(col(vecCol), cents)), -probes, probes),
-          e => element_at(e, 2).cast("int"))).as("list"))
+        explode(nearestLists(col(vecCol), cents, probes)).as("list"))
     // each corpus row lives in exactly ONE list and a query's probed lists
     // are distinct, so no candidate is seen twice — no dropDuplicates
     val joined = indexed.join(broadcast(q), Seq("list"))

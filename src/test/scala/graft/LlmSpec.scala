@@ -157,6 +157,49 @@ class LlmSpec extends AnyFunSuite {
     assert(idx.table.newScan().toDF.filter(col("codes").isNull).count() === 0)
   }
 
+  test("codegen'd nearest-centroid matches the interpreted HOF oracle bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val dim = 8
+    val cents: Seq[Seq[Double]] = Seq.tabulate(5)(i =>
+      if (i == 4) Seq.tabulate(dim)(d => if (d == 0) 1.0 else 0.1 * 0) // dup of 3
+      else Seq.tabulate(dim)(d => rnd.nextGaussian())
+    ).updated(3, Seq.tabulate(dim)(d => if (d == 0) 1.0 else 0.0))
+      .updated(4, Seq.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)) // exact tie 3==4
+    val vecs = (0 until 200).map(i => (i.toLong,
+      if (i == 0) Array.fill(dim)(0.0) // zero vector → all sims NaN
+      else if (i == 1) Array.tabulate(dim)(d => if (d == 0) 2.0 else 0.0) // ties 3 vs 4
+      else Array.fill(dim)(rnd.nextGaussian())))
+    // double-array column AND float-array column (the corpus type)
+    val dfD = vecs.toDF("id", "v")
+    val dfF = dfD.select(col("id"), col("v").cast("array<float>").as("v"))
+    for (df <- Seq(dfD, dfF)) {
+      // fallback disabled: a Janino error in doGenCode fails here instead of
+      // silently degrading to interpreted eval
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val got = df.select(col("id"),
+            Similarity.nearestList(col("v"), cents).as("n"),
+            Similarity.nearestLists(col("v"), cents, 3).as("ns"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+        // the HOF oracle THROWS on the zero vector (ANSI divide-by-zero in
+        // the interpreted cosine) — parity is pinned on every non-degenerate
+        // row; the expression's zero-vector behavior is pinned separately
+        val nonZero = df.filter(col("id") =!= 0L)
+        val oracle = nonZero.select(col("id"),
+            Similarity.nearestListHof(col("v"), cents).as("n"),
+            Similarity.nearestListsHof(col("v"), cents, 3).as("ns"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+        assert(got.filter(_._1 != 0L) === oracle)
+        // the documented tie rule is visible: id 1 ties centroids 3 and 4 →
+        // the larger index wins; and the zero vector ASSIGNS (NaN sims →
+        // last index) instead of crashing the fit like the HOF form did
+        got.filter(t => t._1 == 0L || t._1 == 1L).foreach(t =>
+          assert(t._2 === 4, s"tie/NaN pick for ${t._1}: $t"))
+      } finally spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("persisted quantized probe matches the one-shot quantized oracle rows") {
     import graft.llm.IvfIndex
     val qids = LlmQueries.AnnQueryIds
