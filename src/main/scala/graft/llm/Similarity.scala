@@ -12,17 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric-array columns, computed in double. */
-  def dot(x: Column, y: Column): Column =
+  /** Dot product of two numeric-array columns, computed in double.
+    * Codegen'd ([[graft.expressions.DotProduct]]) — the interpreted HOF
+    * fold this replaces ran per-element lambda frames on every candidate
+    * pair of every ANN probe; LlmSpec pins the two bit-exact. */
+  def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DotProduct(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  }
+
+  /** The interpreted HOF fold [[dot]] replaced — kept as the parity
+    * oracle LlmSpec ranks the codegen'd expression against. */
+  private[graft] def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm of a numeric-array column, computed in double. */
-  def l2norm(x: Column): Column =
-    sqrt(aggregate(x, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** L2 norm of a numeric-array column, computed in double (same
+    * left-to-right accumulation as the fold it replaces). */
+  def l2norm(x: Column): Column = sqrt(dot(x, x))
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double.
+    * The division and sqrt stay ordinary Spark operators, so ANSI
+    * semantics (divide-by-zero on a zero-norm vector) are unchanged. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -65,8 +77,17 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit bucket id of a vector under the given hyperplanes.
+    * Codegen'd ([[graft.expressions.SignBits]]) — one loop instead of
+    * planes × dim interpreted lambda evaluations per row. */
   def bucketOf(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SignBits(
+      ColumnBridge.expression(vecCol), planes.map(_.toSeq).toSeq))
+  }
+
+  /** The interpreted HOF form [[bucketOf]] replaced (parity oracle). */
+  private[graft] def bucketOfHof(vecCol: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit).toIndexedSeq: _*)
       val d = aggregate(zip_with(vecCol, planeLit, (x, w) => x.cast("double") * w),
@@ -286,8 +307,13 @@ object Similarity {
       aggregate(col(vecCol), lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
         / 127.0,
       lit(java.lang.Double.MIN_NORMAL)) // all-zero vector: any scale works
+    // scale is LET-BOUND into the codes lambda (TextOps.bound): referenced
+    // bare it would re-run the max-|x| fold once per array ELEMENT —
+    // dim× the most expensive part of the quantization (the same Catalyst
+    // lambda-inlining trap as ivfFit's posexplode fit)
     df.select(col(idCol), col(vecCol),
-      transform(col(vecCol), x => round(x.cast("double") / scale).cast("tinyint"))
+      TextOps.bound(scale)(s =>
+        transform(col(vecCol), x => round(x.cast("double") / s).cast("tinyint")))
         .as("codes"),
       scale.as("qscale"))
   }

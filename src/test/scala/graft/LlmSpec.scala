@@ -200,6 +200,54 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd dot product and sign-bit bucket match the HOF oracles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val dim = 16
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        Array.fill(dim)(rnd.nextGaussian()),
+        Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val planes = Similarity.hyperplanes(7, dim, seed = 99L)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val dfD = rows.toDF("id", "a", "b")
+      // double arrays, float arrays, and int8 code arrays (the persisted-
+      // index ranking input) — every element type the probes feed
+      val dfF = dfD.select(col("id"), col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+      val dfB = dfD.select(col("id"),
+        transform(col("a"), x => least(greatest(round(x * 30), lit(-127L)),
+          lit(127L)).cast("tinyint")).as("a"),
+        transform(col("b"), x => least(greatest(round(x * 30), lit(-127L)),
+          lit(127L)).cast("tinyint")).as("b"))
+      for (df <- Seq(dfD, dfF, dfB)) {
+        val got = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"),
+            Similarity.bucketOf(col("a"), planes).as("bk"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        val oracle = df.select(col("id"), Similarity.dotHof(col("a"), col("b")).as("d"),
+            Similarity.bucketOfHof(col("a"), planes).as("bk"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        assert(got === oracle) // bit-exact: same accumulation order
+      }
+      // HOF null algebra: null element or length mismatch → null dot, and
+      // the sign-bit bucket degrades to 0 exactly like when(null >= 0, ...)
+      val edge = Seq(
+        (1L, Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+        (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))
+        .toDF("id", "a", "b")
+      val gotE = edge.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"),
+          Similarity.bucketOf(col("a"), planes).as("bk"))
+        .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2))).toSeq
+      val oracleE = edge.select(col("id"), Similarity.dotHof(col("a"), col("b")).as("d"),
+          Similarity.bucketOfHof(col("a"), planes).as("bk"))
+        .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2))).toSeq
+      assert(gotE === oracleE)
+      assert(gotE.forall(t => t._2 && t._3 === 0), gotE.toString)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("persisted quantized probe matches the one-shot quantized oracle rows") {
     import graft.llm.IvfIndex
     val qids = LlmQueries.AnnQueryIds
