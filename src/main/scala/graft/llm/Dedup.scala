@@ -88,10 +88,19 @@ object Dedup {
   def minHashSignature(shCol: Column, numHashes: Int): Column =
     minHashSignatureFromHashes(transform(shCol, s => xxhash64(s)), numHashes)
 
-  /** Signature from PRE-HASHED shingles (array<long>): ONE pass over the
-    * shingle hashes folding all `numHashes` seeded minima at once (vs
-    * numHashes transform+array_min passes), all codegen'd arithmetic. */
+  /** Signature from PRE-HASHED shingles (array<long>): one codegen'd loop
+    * over the shingle hashes folding all `numHashes` seeded minima into a
+    * primitive accumulator ([[graft.expressions.MinHashSignature]] — the
+    * interpreted HOF fold it replaces allocated an H-long array per
+    * shingle; LlmSpec pins the two bit-exact). */
   def minHashSignatureFromHashes(hsCol: Column, numHashes: Int): Column =
+    ColumnBridge.column(graft.expressions.MinHashSignature(
+      ColumnBridge.expression(hsCol), numHashes))
+
+  /** The interpreted HOF fold [[minHashSignatureFromHashes]] replaced —
+    * kept as the parity oracle. */
+  private[graft] def minHashSignatureFromHashesHof(hsCol: Column,
+      numHashes: Int): Column =
     aggregate(hsCol,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),

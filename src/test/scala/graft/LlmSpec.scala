@@ -248,6 +248,34 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("codegen'd minhash signature matches the HOF oracle bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(rnd.nextLong()))
+    } :+ (999L, Seq.empty[Long]) // empty shingle set → all-MaxValue signature
+    val df = rows.toDF("id", "hs")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(col("id"),
+          Dedup.minHashSignatureFromHashes(col("hs"), 16).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      val oracle = df.select(col("id"),
+          Dedup.minHashSignatureFromHashesHof(col("hs"), 16).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(got === oracle)
+      assert(got.last._2.forall(_ == Long.MaxValue))
+      // null shingle hashes are skipped by the hash (seed passes through),
+      // exactly like the HOF's xxhash64(null, i)
+      val withNull = Seq((1L, Seq[java.lang.Long](5L, null, 7L))).toDF("id", "hs")
+      val g = withNull.select(Dedup.minHashSignatureFromHashes(col("hs"), 4))
+        .collect().head.getSeq[Long](0)
+      val o = withNull.select(Dedup.minHashSignatureFromHashesHof(col("hs"), 4))
+        .collect().head.getSeq[Long](0)
+      assert(g === o)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("persisted quantized probe matches the one-shot quantized oracle rows") {
     import graft.llm.IvfIndex
     val qids = LlmQueries.AnnQueryIds
