@@ -127,6 +127,18 @@ object LlmQueries {
     }),
 
     // text statistics: token counts (whitespace + BPE-ish), punct ratio
+    // corpus vocabulary: token-frequency top-100 (the BPE/unigram-trainer
+    // seed counts) — one combine-side-reduced shuffle + bounded top-k
+    "llm_vocab_topk" -> ((s, d) => {
+      TextOps.vocabTopK(docs(s, d), "text", 100)
+    }),
+
+    // per-document TF-IDF keywords, ranked on the rounded score so the
+    // order reproduces bit-for-bit in any engine
+    "llm_tfidf" -> ((s, d) => {
+      TextOps.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
+    }),
+
     "llm_text_stats" -> ((s, d) => {
       docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -342,6 +354,19 @@ object LlmQueries {
           "round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
           "FROM q, embeddings e WHERE e.vec_id != q.query_id " +
           "QUALIFY rank <= 5 ORDER BY query_id, rank"),
+      "llm_vocab_topk" ->
+        ("SELECT token, count(*) AS freq FROM " +
+          "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
+          "GROUP BY token ORDER BY freq DESC, token LIMIT 100"),
+      "llm_tfidf" ->
+        ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents), " +
+          "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), " +
+          "idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+          "sc AS (SELECT doc_id, token, round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS score " +
+          "FROM tf JOIN idf USING (token)) " +
+          "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY score DESC, token) AS INT) AS rank, token, score " +
+          "FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank"),
       "llm_text_stats" ->
         ("SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens, " +
           "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +

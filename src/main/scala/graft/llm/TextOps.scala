@@ -180,6 +180,49 @@ object TextOps {
     when(total <= 0, 0.0).otherwise(round(lit(1.0) - distinctN / total, 4))
   }
 
+  /** Corpus-level token frequency top-k — the vocabulary-building
+    * primitive (what a BPE/unigram trainer consumes as its seed counts).
+    * One shuffle with map-side combine (explode → partial count per token
+    * per partition), then a global bounded top-k (`TakeOrderedAndProject`,
+    * k rows per partition cross the wire). Ties at the boundary break by
+    * token, so the result is deterministic at any scale. */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1L)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+
+  /** Per-document top-k TF-IDF keywords: `(id, rank, token, score)` with
+    * `score = round(tf × ln(N / df), 4)`, ranked by (score DESC, token) —
+    * ranking on the ROUNDED score so the order is reproducible across
+    * engines (two libm `ln`s may differ in the last ulp).
+    *
+    * Dataflow (three bounded shuffles, no window): tf = one count keyed
+    * (doc, token); df = one count keyed token over the tf table (already
+    * one row per (doc, token), so `count` IS the document frequency); join
+    * tf⋈df keyed token (df side is vocabulary-sized — Spark/AQE broadcasts
+    * it when it fits); per-doc top-k via collect+array_sort, whose
+    * per-group state is ONE document's distinct tokens — bounded by
+    * document length, not corpus size, so no group can straggle. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1L)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    // struct sort is lexicographic by field: (-score, token) ascending =
+    // score descending, ties to the lexicographically smaller token
+    scored.groupBy(col(idCol))
+      .agg(collect_list(struct((-col("score")).as("ns"), col("token"),
+        col("score"))).as("ts"))
+      .select(col(idCol), posexplode(slice(array_sort(col("ts")), 1, k)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.token").as("token"), col("col.score").as("score"))
+      .orderBy(col(idCol), col("rank"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint set (k-gram char windows, keep
     * window minima) — driver for near-dup sketching; plain Scala for tests
     * and a Column variant via shingle hashing. */

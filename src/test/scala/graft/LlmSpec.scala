@@ -970,4 +970,37 @@ class LlmSpec extends AnyFunSuite {
     assert(candidateCost <= hottest * hottest / 4,
       s"candidate cost $candidateCost not bounded vs unsplit ${hottest * hottest}")
   }
+
+  test("vocab top-k: counts exact, deterministic tie order, k cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b a a c"), (2L, "a b c c"), (3L, "d b a")).toDF("doc_id", "text")
+    // a:4 b:3 c:3 d:1 — ties (b,c) break lexicographically
+    val got = TextOps.vocabTopK(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    // full-k equals a plain groupBy count on the real corpus
+    val full = TextOps.vocabTopK(docs, "text", 1000000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oracle = docs.select(explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === oracle)
+  }
+
+  test("tfidf top terms: hand-computed scores, per-doc cap, rounded-rank determinism") {
+    import spark.implicits._
+    // doc1: a a b; doc2: b c  =>  N=2, df(a)=1 df(b)=2 df(c)=1
+    // tfidf(doc1,a)=2*ln2=1.3863; (doc1,b)=1*ln1=0; (doc2,c)=ln2=0.6931
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got === Seq(
+      (1L, 1, "a", 1.3863), (1L, 2, "b", 0.0),
+      (2L, 1, "c", 0.6931), (2L, 2, "b", 0.0)))
+    // per-doc cap holds on the real corpus and ranks are dense 1..k
+    val caps = TextOps.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .agg(max("n"), max("mx")).head()
+    assert(caps.getLong(0) <= 3 && caps.getInt(1) <= 3)
+  }
 }
