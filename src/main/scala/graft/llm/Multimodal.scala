@@ -58,6 +58,42 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Batched per-partition feature extraction: media payload → a unit-norm
+    * `array<float>` embedding, the column every similarity/ANN operator in
+    * [[Similarity]] / [[IvfIndex]] consumes — so media dedup and media
+    * search are the SAME pipelines as text, swapping only this step. The
+    * embedding itself is a clearly-marked deterministic STUB (byte-histogram
+    * features — a real deployment swaps in an ONNX/JNI encoder handle,
+    * initialized once per partition exactly where the comment says);
+    * the Spark-side shape (mapPartitions batching, fixed `dim`, unit
+    * normalization, null → null) is the real contract. */
+  def featurize(df: DataFrame, mediaCol: String, dim: Int = 64,
+      embeddingCol: String = "embedding"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(embeddingCol, ArrayType(FloatType))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      // a real encoder (ONNX session / JNI model handle) inits once per
+      // partition here; the per-row call below is then a batched forward
+      rows.map { r =>
+        val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
+        val emb: Array[Float] = if (payload == null) null
+        else {
+          // STUB featurizer: L2-normalized byte histogram folded to `dim`
+          val acc = new Array[Float](dim)
+          var i = 0
+          while (i < payload.length) {
+            acc((payload(i) & 0xff) % dim) += 1f; i += 1
+          }
+          val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+          if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
+          acc
+        }
+        Row.fromSeq(r.toSeq :+ emb)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling via expressions: split the payload into fixed-size
     * "frames" and keep every `everyN`-th — the plumbing (explode + binary
     * slicing, no driver work) matches real video frame extraction. */

@@ -484,6 +484,40 @@ class LlmSpec extends AnyFunSuite {
     assert(f.forall(r => r.getAs[Array[Byte]](2).length <= 100))
   }
 
+  test("multimodal: featurize feeds the ANN surface — media search is the text pipeline") {
+    val packed = Multimodal.packFakeMedia(docs.limit(50), "text").cache()
+    val emb = Multimodal.featurize(packed, "media", dim = 16)
+    // contract: fixed dim, unit norm, null payload → null embedding
+    val norms = emb.select(col("doc_id"),
+      size(col("embedding")).as("d"),
+      aggregate(col("embedding"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double")).as("n2")).collect()
+    assert(norms.forall(_.getInt(1) === 16))
+    norms.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-5))
+    val withNull = Multimodal.featurize(
+      packed.withColumn("media", lit(null).cast("binary")).limit(1), "media")
+    assert(withNull.select("embedding").head().isNullAt(0))
+    // deterministic: same payload, same vector
+    val e1 = emb.select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e2 = Multimodal.featurize(packed, "media", dim = 16)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e1 === e2)
+    // and the embeddings flow straight into the similarity surface: an
+    // exact byte-duplicate payload is its twin's top-1 at cosine 1
+    val ids = packed.select("doc_id").limit(2).collect().map(_.getLong(0))
+    val dup = packed.filter(col("doc_id") === ids(0))
+      .withColumn("doc_id", lit(9999L))
+    val corpus = Multimodal.featurize(packed.unionByName(dup), "media", dim = 16)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val top1 = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        Seq(9999L), k = 1)
+      .select("neighbor_id", "sim").head()
+    assert(top1.getLong(0) === ids(0))
+    assert(math.abs(top1.getDouble(1) - 1.0) < 1e-4)
+  }
+
   test("rolling fingerprints: identical normalized text → identical sketch") {
     val a = TextOps.rollingFingerprints("the  quick\tbrown fox")
     val b = TextOps.rollingFingerprints("the quick brown fox")
