@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Text-analysis operators for training-data pipelines (NEW — no reference
   * counterpart; SURVEY §7 build item 10). All pure `functions._` Column
@@ -197,30 +198,56 @@ object TextOps {
     * ranking on the ROUNDED score so the order is reproducible across
     * engines (two libm `ln`s may differ in the last ulp).
     *
-    * Dataflow (three bounded shuffles, no window): tf = one count keyed
-    * (doc, token); df = one count keyed token over the tf table (already
-    * one row per (doc, token), so `count` IS the document frequency); join
-    * tf⋈df keyed token (df side is vocabulary-sized — Spark/AQE broadcasts
-    * it when it fits); per-doc top-k via collect+array_sort, whose
-    * per-group state is ONE document's distinct tokens — bounded by
-    * document length, not corpus size, so no group can straggle. */
+    * Dataflow: tf = one count keyed (doc, token); df = one count keyed
+    * token over the tf table (one row per (doc, token), so `count` IS the
+    * document frequency — partial aggregation absorbs hot tokens, no
+    * posting-list group ever materializes); join tf⋈df keyed token (the df
+    * side is vocabulary-sized — Spark/AQE broadcasts it); per-doc top-k via
+    * collect+array_sort, whose per-group state is ONE document's distinct
+    * tokens — bounded by document length, not corpus size, so no group can
+    * straggle.
+    *
+    * The tf table feeds two consumers (the df count and the join), and the
+    * optimizer specializes each branch (the df branch prunes the count into
+    * a bare distinct), so the branches cannot share an exchange — by
+    * default the corpus is scanned twice, both passes fully parallel and
+    * skew-free. `persistIntermediate = true` trades storage for the second
+    * pass: tf is checkpointed once (reliable dir if
+    * `sparkContext.setCheckpointDir` was called, else an eager local
+    * checkpoint), both consumers read the materialized table, and the
+    * blocks are released before returning — same discipline as
+    * [[Dedup.fuzzyDedup]]. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int,
+      persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: org.apache.spark.sql.DataFrame) =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
     val n = df.count()
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf0 = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
+      .repartition(col("token"))
+    val tf = if (persistIntermediate) reroot(tf0) else tf0
     val dfreq = tf.groupBy("token").agg(count(lit(1L)).as("df"))
     val scored = tf.join(dfreq, "token")
       .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     // struct sort is lexicographic by field: (-score, token) ascending =
     // score descending, ties to the lexicographically smaller token
-    scored.groupBy(col(idCol))
+    val result = scored.groupBy(col(idCol))
       .agg(collect_list(struct((-col("score")).as("ns"), col("token"),
         col("score"))).as("ts"))
       .select(col(idCol), posexplode(slice(array_sort(col("ts")), 1, k)))
       .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.token").as("token"), col("col.score").as("score"))
       .orderBy(col(idCol), col("rank"))
+    if (!persistIntermediate) result
+    else {
+      val rerooted = reroot(result)
+      if (reliable) tf.unpersist(blocking = true)
+      else ColumnBridge.unpersistCheckpoint(tf)
+      rerooted
+    }
   }
 
   /** Winnowing-style rolling-hash fingerprint set (k-gram char windows, keep

@@ -1036,5 +1036,17 @@ class LlmSpec extends AnyFunSuite {
       .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
       .agg(max("n"), max("mx")).head()
     assert(caps.getLong(0) <= 3 && caps.getInt(1) <= 3)
+    // persistIntermediate: identical rows, zero storage blocks left pinned
+    // (reliable checkpoint dir, same cluster configuration as fuzzyDedup's
+    // guarantee — local-checkpoint mode keeps the result's own blocks alive)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-tfidf-cp-").toString)
+    def pinnedRdds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedRdds()
+    val persisted = TextOps.tfidfTopTerms(df, "doc_id", "text", 2,
+      persistIntermediate = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(persisted.toSeq === got.toSeq)
+    assert(pinnedRdds() === before, s"leaked: ${pinnedRdds() -- before}")
   }
 }
