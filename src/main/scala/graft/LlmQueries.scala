@@ -139,6 +139,13 @@ object LlmQueries {
       TextOps.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
     }),
 
+    // corpus-wide repeated-passage removal (C4/RefinedWeb boilerplate
+    // step): 4-token passages occurring more than once are stripped
+    "llm_passage_dedup" -> ((s, d) => {
+      TextOps.dropRepeatedPassages(docs(s, d), "doc_id", "text", 4, 1)
+        .orderBy("doc_id")
+    }),
+
     "llm_text_stats" -> ((s, d) => {
       docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -367,6 +374,15 @@ object LlmQueries {
           "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
           "ORDER BY score DESC, token) AS INT) AS rank, token, score " +
           "FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank"),
+      "llm_passage_dedup" ->
+        ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+          "nums AS (SELECT doc_id, t, greatest(1, CAST(ceil(len(t) / 4.0) AS INT)) AS nc FROM toks), " +
+          "chunks AS (SELECT doc_id, cidx, array_to_string(t[cidx*4+1 : cidx*4+4], ' ') AS chunk " +
+          "FROM (SELECT doc_id, t, unnest(range(nc)) AS cidx FROM nums)), " +
+          "rep AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) > 1) " +
+          "SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text " +
+          "FROM chunks WHERE chunk NOT IN (SELECT chunk FROM rep) " +
+          "GROUP BY doc_id ORDER BY doc_id"),
       "llm_text_stats" ->
         ("SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens, " +
           "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +

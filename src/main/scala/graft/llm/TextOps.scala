@@ -250,6 +250,53 @@ object TextOps {
     }
   }
 
+  /** Corpus-wide repeated-passage removal (the C4/RefinedWeb hygiene step:
+    * boilerplate — headers, footers, license blocks — repeats VERBATIM
+    * across many documents; drop the repeated passage, keep the document).
+    * Documents split into non-overlapping `windowTokens`-token passages
+    * ([[chunks]] with zero overlap, a map-only pass); passages occurring
+    * more than `maxOccurrences` times across the WHOLE corpus are removed
+    * from every document; surviving passages re-join in document order.
+    * Documents whose every passage was boilerplate drop out of the result.
+    *
+    * Scale shape: one corpus-keyed count with partial aggregation (hot
+    * boilerplate passages combine map-side — no posting list ever
+    * materializes), then a left_anti join against the VIOLATING passage
+    * set, which is tiny for any sane threshold, so AQE broadcasts it;
+    * reassembly's per-group state is one document's passages. Like
+    * [[tfidfTopTerms]], the passage table feeds two optimizer-specialized
+    * consumers — default is two parallel corpus passes;
+    * `persistIntermediate = true` checkpoints it once and releases the
+    * blocks before returning. */
+  def dropRepeatedPassages(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, maxOccurrences: Int = 1,
+      persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(windowTokens > 0 && maxOccurrences > 0,
+      s"need windowTokens > 0 and maxOccurrences > 0, got ($windowTokens, $maxOccurrences)")
+    val spark = df.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: org.apache.spark.sql.DataFrame) =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
+    val chunked0 = df.select(col(idCol),
+        posexplode(chunks(col(textCol), windowTokens, 0)).as(Seq("_gf_cidx", "_gf_c")))
+      .select(col(idCol), col("_gf_cidx"), col("_gf_c.chunk").as("_gf_chunk"))
+    val chunked = if (persistIntermediate) reroot(chunked0) else chunked0
+    val repeated = chunked.groupBy("_gf_chunk").agg(count(lit(1L)).as("_gf_n"))
+      .where(col("_gf_n") > maxOccurrences).select("_gf_chunk")
+    val kept = chunked.join(repeated, Seq("_gf_chunk"), "left_anti")
+    val result = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_gf_cidx"), col("_gf_chunk")))),
+        s => s.getField("_gf_chunk")), " ").as(textCol))
+    if (!persistIntermediate) result
+    else {
+      val rerooted = reroot(result)
+      if (reliable) chunked.unpersist(blocking = true)
+      else ColumnBridge.unpersistCheckpoint(chunked)
+      rerooted
+    }
+  }
+
   /** Winnowing-style rolling-hash fingerprint set (k-gram char windows, keep
     * window minima) — driver for near-dup sketching; plain Scala for tests
     * and a Column variant via shingle hashing. */

@@ -1005,6 +1005,39 @@ class LlmSpec extends AnyFunSuite {
       s"candidate cost $candidateCost not bounded vs unsplit ${hottest * hottest}")
   }
 
+  test("repeated-passage removal strips corpus boilerplate, keeps document order") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter for updates" // 6-token boilerplate
+    val df = Seq(
+      (1L, s"unique words about gardening here $footer"),
+      (2L, s"different unique content on sailing $footer"),
+      (3L, s"third document with its own body $footer"),
+      (4L, footer), // all boilerplate → drops out entirely
+      (5L, "a document with no repeated passages at all whatsoever")).toDF("doc_id", "text")
+    val cleaned = TextOps.dropRepeatedPassages(df, "doc_id", "text",
+        windowTokens = 6, maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // docs 1/2 have 5 own tokens, so window 1 = own+"subscribe" (unique,
+    // kept) and window 2 = "to our newsletter for updates" (shared by
+    // both → dropped); doc 3 has 6 own tokens, so its window 2 is the
+    // full footer — shared with doc 4's only window → both dropped
+    assert(cleaned(1L) === "unique words about gardening here subscribe")
+    assert(cleaned(2L) === "different unique content on sailing subscribe")
+    assert(cleaned(3L) === "third document with its own body")
+    assert(!cleaned.contains(4L))
+    assert(cleaned(5L) === "a document with no repeated passages at all whatsoever")
+    // persist knob: identical result, nothing pinned
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-pd-cp-").toString)
+    def pinnedRdds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedRdds()
+    val persisted = TextOps.dropRepeatedPassages(df, "doc_id", "text", 6, 1,
+        persistIntermediate = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(persisted === cleaned)
+    assert(pinnedRdds() === before, s"leaked: ${pinnedRdds() -- before}")
+  }
+
   test("vocab top-k: counts exact, deterministic tie order, k cap") {
     import spark.implicits._
     val df = Seq(
