@@ -260,6 +260,19 @@ object LlmQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    // per-domain token-budget admission: each source keeps its deterministic
+    // shuffle-order prefix until the 800-token budget is exhausted;
+    // cum_tokens is part of the contract (the oracle replays the
+    // single-window equivalent of the two-phase prefix sum)
+    "llm_token_budget" -> ((s, d) => {
+      graft.llm.Sampling.tokenBudgetMix(
+          docs(s, d), "doc_id", "source",
+          graft.llm.TextOps.tokenCount(col("text")),
+          budgetTokens = 800L, seed = 5L, rangeBuckets = 8)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // int8-quantized ANN through the PERSISTED index — the production path
     // (codes persisted at build, ranking scan over the 4×-smaller codes
     // column, exact cosine only on k×4 survivors). Quantization rounding is
@@ -455,7 +468,14 @@ object LlmQueries {
           "CASE WHEN (doc_id * 48271 + 7) % 65536 < (wt - floor(wt)) * 65536 " +
           "THEN 1 ELSE 0 END AS INT) AS copies FROM w) " +
           "SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS copy " +
-          "FROM c WHERE copies > 0 ORDER BY doc_id, copy")
+          "FROM c WHERE copies > 0 ORDER BY doc_id, copy"),
+      "llm_token_budget" ->
+        ("SELECT doc_id, source, cum_tokens FROM (" +
+          "SELECT doc_id, source, CAST(SUM(len(string_split(lower(text), ' '))) OVER (" +
+          "PARTITION BY source ORDER BY " +
+          "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT), doc_id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM documents) " +
+          "WHERE cum_tokens <= 800 ORDER BY doc_id")
       // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8: hash-family- or
       // quantization-specific → rows-only
     )

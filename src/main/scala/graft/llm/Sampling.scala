@@ -135,6 +135,71 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("sort_key"))
   }
 
+  /** Deterministic per-domain token-budget admission — the "assemble an
+    * N-token training mix" primitive: within each domain, documents are
+    * admitted in the engine-independent shuffle order ([[shuffleBits]],
+    * ties broken by id) until the domain's token budget is exhausted
+    * (a document is kept iff its INCLUSIVE running token sum ≤
+    * `budgetTokens`). Admitted rows come back with their `cum_tokens`, so
+    * the caller can audit exactly where each domain's budget landed.
+    * `tokensCol` must be non-negative (token counts are).
+    *
+    * Scale shape — a two-phase prefix sum, NOT a per-domain window. A
+    * window partitioned by domain sorts each domain in ONE task, so a
+    * dominant domain (half of a 100 TB corpus behind one key) becomes a
+    * single straggler sort. Instead the 32-bit variate is cut into
+    * `rangeBuckets` equal ranges:
+    *
+    *   1. per-(domain, bucket) token sums — one map-side-combining
+    *      aggregation whose result is tiny (domains × buckets rows);
+    *   2. exclusive bucket offsets via a running sum over that TINY table;
+    *   3. offsets already past the budget are dropped, and the offset
+    *      table inner-joins back (broadcast) — whole buckets beyond the
+    *      budget never reach the expensive phase, so with budget ≪ corpus
+    *      most of the data is filtered BEFORE it shuffles;
+    *   4. the full-width running sum is offset + a window within
+    *      (domain, bucket), whose partitions hold ~n_domain/rangeBuckets
+    *      rows regardless of how skewed the domain distribution is.
+    *
+    * Bit-for-bit reproducible on any engine (the variate is an md5
+    * prefix); the DuckDB oracle is the single-window equivalent. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: Column, budgetTokens: Long, seed: Long = 0L,
+      rangeBuckets: Int = 1024): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(rangeBuckets > 0 && (rangeBuckets & (rangeBuckets - 1)) == 0 &&
+      rangeBuckets <= (1 << 20),
+      "rangeBuckets must be a power of two in [1, 2^20]")
+    val shift = 32 - Integer.numberOfTrailingZeros(rangeBuckets)
+    val base = df
+      .withColumn("__gf_v", shuffleBits(col(idCol), seed))
+      .withColumn("__gf_b", shiftright(col("__gf_v"), shift).cast("int"))
+      .withColumn("__gf_t", tokensCol.cast("long"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("__gf_d").orderBy("__gf_pb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col(domainCol).as("__gf_d"), col("__gf_b").as("__gf_pb"))
+      .agg(sum("__gf_t").as("__gf_bt"))
+      .withColumn("__gf_off", coalesce(sum("__gf_bt").over(byBucket), lit(0L)))
+      // a bucket whose exclusive offset already exceeds the budget cannot
+      // contain an admitted row (tokens are non-negative, so every
+      // inclusive sum in it is ≥ the offset) — dropping it here turns the
+      // inner join below into a data-pruning filter
+      .filter(col("__gf_off") <= budgetTokens)
+      .select("__gf_d", "__gf_pb", "__gf_off")
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__gf_b"))
+      .orderBy(col("__gf_v"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base
+      .join(broadcast(offsets),
+        col(domainCol) <=> col("__gf_d") && col("__gf_b") === col("__gf_pb"))
+      .withColumn("cum_tokens", col("__gf_off") + sum("__gf_t").over(inBucket))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__gf_v", "__gf_b", "__gf_t", "__gf_d", "__gf_pb", "__gf_off")
+  }
+
   /** Deterministic train/val/test assignment: integer thresholds on the
     * 32-bit shuffle variate (no float-boundary ambiguity), map-only.
     * `fractions` are (name, weight) in assignment order; weights are

@@ -949,6 +949,44 @@ class LlmSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("tokenBudgetMix: matches the single-window oracle on a skewed corpus") {
+    import spark.implicits._
+    // domain "big" holds 90% of the rows — exactly the shape whose
+    // single-window form degenerates to one straggler sort at scale
+    val df = (1L to 400L)
+      .map(i => (i, if (i % 10 == 0) "small" else "big", (i % 7 + 1).toInt))
+      .toDF("id", "dom", "tok")
+    val got = graft.llm.Sampling
+      .tokenBudgetMix(df, "id", "dom", col("tok"), budgetTokens = 300L,
+        seed = 3L, rangeBuckets = 8)
+      .select("id", "dom", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy(graft.llm.Sampling.shuffleBits(col("id"), 3L), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cum_tokens", sum(col("tok").cast("long")).over(w))
+      .filter(col("cum_tokens") <= 300L)
+      .select("id", "dom", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 400)      // the budget truncates
+    assert(got.exists(_._2 == "big") && got.exists(_._2 == "small"))
+    // a budget past the corpus admits everything, in any bucketing
+    val all = graft.llm.Sampling
+      .tokenBudgetMix(df, "id", "dom", col("tok"), budgetTokens = 1000000L,
+        seed = 3L, rangeBuckets = 1)
+    assert(all.count() === 400L)
+    // null domains form their own admission group (null-safe join)
+    val withNull = df.withColumn("dom",
+      when(col("id") % 3 === 0, lit(null: String)).otherwise(col("dom")))
+    val nullKept = graft.llm.Sampling
+      .tokenBudgetMix(withNull, "id", "dom", col("tok"), budgetTokens = 50L,
+        seed = 3L, rangeBuckets = 4)
+      .filter(col("dom").isNull).count()
+    assert(nullKept > 0)
+  }
+
   test("embedding near-dup skew guard: mode-collapsed list splits, recall holds") {
     import spark.implicits._
     val dim = 16
