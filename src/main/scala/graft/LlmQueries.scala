@@ -220,6 +220,18 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // per-benchmark contamination audit over the same eval slice, cut into
+    // three benchmarks: who leaked, how much, per eval set
+    "llm_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      val evalSet = all.filter(col("doc_id") % 50 === 0)
+        .withColumn("bench", concat(lit("b"), (col("doc_id") % 3).cast("string")))
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      Dedup.contaminationReport(corpus, "doc_id", "text",
+          evalSet, "bench", "doc_id", "text", n = 3)
+        .orderBy("bench")
+    }),
+
     // multimodal: binary payload column + size/checksum metadata (the
     // SQL-checkable half; stubbed decode fields are state-tested)
     "llm_mm_meta" -> ((s, d) => {
@@ -349,6 +361,28 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_contamination" ->
+        (s"""$shingles,
+           | e AS (SELECT doc_id, 'b' || CAST(doc_id % 3 AS VARCHAR) AS bench, sh
+           |   FROM s WHERE doc_id % 50 = 0),
+           | c AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 != 0),
+           | eh AS (SELECT DISTINCT bench, doc_id, h FROM
+           |   (SELECT bench, doc_id, unnest(sh) AS h FROM e)),
+           | ch AS (SELECT DISTINCT doc_id, h FROM
+           |   (SELECT doc_id, unnest(sh) AS h FROM c)),
+           | hit AS (SELECT eh.bench, eh.doc_id AS eid, ch.doc_id AS cid, eh.h
+           |   FROM eh JOIN ch USING (h)),
+           | tot AS (SELECT bench, count(DISTINCT doc_id) AS eval_docs FROM e GROUP BY 1),
+           | agg AS (SELECT bench, count(DISTINCT eid) AS ec,
+           |   count(DISTINCT cid) AS cc, count(DISTINCT h) AS hc FROM hit GROUP BY 1)
+           | SELECT t.bench, CAST(t.eval_docs AS BIGINT) AS eval_docs,
+           |   CAST(coalesce(a.ec, 0) AS BIGINT) AS eval_docs_contaminated,
+           |   CAST(coalesce(a.cc, 0) AS BIGINT) AS corpus_docs_hit,
+           |   CAST(coalesce(a.hc, 0) AS BIGINT) AS eval_shingles_hit,
+           |   round(CAST(coalesce(a.ec, 0) AS DOUBLE) / t.eval_docs, 4)
+           |     AS contamination_rate
+           | FROM tot t LEFT JOIN agg a USING (bench) ORDER BY bench"""
+          .stripMargin.replace("\n", " ")),
       "llm_dedup_embed" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
           "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +

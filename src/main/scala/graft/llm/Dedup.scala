@@ -62,6 +62,53 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark contamination AUDIT — [[decontaminate]] tells you which
+    * corpus docs to drop; this tells you how exposed each eval set is
+    * (contamination has to be REPORTED per benchmark before anyone trusts
+    * an eval number). One row per benchmark in `evalSets`:
+    * `eval_docs`, `eval_docs_contaminated` (share ≥1 word n-gram with the
+    * corpus), `corpus_docs_hit` (corpus docs touching that benchmark),
+    * `eval_shingles_hit` (distinct leaked n-grams), `contamination_rate`.
+    * Benchmarks with zero overlap still report (zeros).
+    *
+    * Scale shape: eval sets are benchmark-sized, so every join keeps them
+    * on the broadcast side. The corpus contributes ONE map pass (explode
+    * shingle hashes → broadcast semi-join against the distinct eval
+    * hashes); only matching (corpus doc, hash) survivors — contamination-
+    * sized, not corpus-sized — reach the distinct/aggregate stages. Exact
+    * modulo 64-bit hash collisions, like [[decontaminate]]. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      evalSets: DataFrame, benchCol: String, evalIdCol: String,
+      evalTextCol: String, n: Int = 3): DataFrame = {
+    val evalHashes = evalSets
+      .select(col(benchCol).as("bench"), col(evalIdCol).as("_gf_eid"),
+        explode(TextOps.shingleHashes(col(evalTextCol), n)).as("_gf_h"))
+      .distinct()
+    // one corpus map pass; survivors are contamination-sized
+    val corpusHits = corpus
+      .select(col(idCol).as("_gf_cid"),
+        explode(TextOps.shingleHashes(col(textCol), n)).as("_gf_h"))
+      .join(broadcast(evalHashes.select("_gf_h").distinct()), Seq("_gf_h"),
+        "left_semi")
+    val hits = corpusHits
+      .join(broadcast(evalHashes), Seq("_gf_h"))
+    val agg = hits.groupBy("bench").agg(
+      countDistinct("_gf_eid").as("_gf_ec"),
+      countDistinct("_gf_cid").as("corpus_docs_hit"),
+      countDistinct("_gf_h").as("eval_shingles_hit"))
+    // totals come from evalSets itself: zero-shingle eval docs (too short
+    // to form an n-gram) and untouched benchmarks must still count
+    val totals = evalSets.groupBy(col(benchCol).as("bench"))
+      .agg(countDistinct(col(evalIdCol)).as("eval_docs"))
+    totals.join(agg, Seq("bench"), "left")
+      .select(col("bench"), col("eval_docs"),
+        coalesce(col("_gf_ec"), lit(0L)).as("eval_docs_contaminated"),
+        coalesce(col("corpus_docs_hit"), lit(0L)).as("corpus_docs_hit"),
+        coalesce(col("eval_shingles_hit"), lit(0L)).as("eval_shingles_hit"),
+        round(coalesce(col("_gf_ec"), lit(0L)).cast("double") /
+          col("eval_docs"), 4).as("contamination_rate"))
+  }
+
   /** Brute-force word-n-gram Jaccard pairs ≥ `threshold` (exact; O(n²) —
     * the verification oracle. Use [[minHashLshPairs]] at scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

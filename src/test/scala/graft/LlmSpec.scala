@@ -949,6 +949,31 @@ class LlmSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("contaminationReport: per-benchmark counts, zero-overlap and short docs report") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely unrelated corpus text about databases and storage"),
+      (3L, "the quick brown fox runs far away tonight")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      // bA doc 10 shares "the quick brown"/"quick brown fox" with docs 1,3
+      ("bA", 10L, "the quick brown fox is a pangram staple"),
+      ("bA", 11L, "no overlap whatsoever here right now friends"),
+      // bB is untouched by the corpus
+      ("bB", 20L, "completely different benchmark content lives here"),
+      // bC's only doc is too short to form a 3-gram
+      ("bC", 30L, "two words")
+    ).toDF("bench", "eval_id", "text")
+    val rep = graft.llm.Dedup
+      .contaminationReport(corpus, "doc_id", "text", evals, "bench", "eval_id", "text", 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rep("bA") === ((2L, 1L, 2L, 2L, 0.5)))  // 1 of 2 docs, via corpus 1+3, 2 shingles
+    assert(rep("bB") === ((1L, 0L, 0L, 0L, 0.0)))
+    assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("tokenBudgetMix: matches the single-window oracle on a skewed corpus") {
     import spark.implicits._
     // domain "big" holds 90% of the rows — exactly the shape whose
