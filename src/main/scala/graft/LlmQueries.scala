@@ -220,6 +220,26 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // BPE trainer surface, oracle-able half: iteration-0 adjacent-pair
+    // frequencies over the word table (chars + </w>), top 20 — pins the
+    // counting machinery every merge iteration reuses. Symbols never
+    // contain a space, so "l r" is a lossless pair key
+    "llm_bpe_pairs" -> ((s, d) => {
+      graft.llm.Bpe.pairCounts(graft.llm.Bpe.wordTable(docs(s, d), "text"))
+        .select(concat(col("l"), lit(" "), col("r")).as("pair"), col("freq"))
+        .orderBy(desc("freq"), col("pair"))
+        .limit(20)
+    }),
+
+    // full BPE merge table: iterative argmax (each merge rewrites the word
+    // table the next count runs over) is not one-SQL-expressible → rows-only
+    // here; LlmSpec pins EXACT merge-table parity against an independent
+    // sequential reference implementation
+    "llm_bpe_train" -> ((s, d) => {
+      graft.llm.Bpe.train(docs(s, d), "text", numMerges = 25)
+        .orderBy("rank")
+    }),
+
     // per-benchmark contamination audit over the same eval slice, cut into
     // three benchmarks: who leaked, how much, per eval set
     "llm_contamination" -> ((s, d) => {
@@ -361,6 +381,17 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_bpe_pairs" ->
+        ("""WITH w AS (SELECT t AS word, count(*) AS cnt FROM
+           |   (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+           |   WHERE t != '' GROUP BY 1),
+           | sy AS (SELECT list_append(list_filter(string_split(word, ''), x -> x != ''),
+           |   '</w>') AS s, cnt FROM w),
+           | p AS (SELECT unnest(list_transform(range(1, len(s)),
+           |   i -> s[i] || ' ' || s[i+1])) AS pair, cnt FROM sy)
+           | SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p
+           | GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20"""
+          .stripMargin.replace("\n", " ")),
       "llm_contamination" ->
         (s"""$shingles,
            | e AS (SELECT doc_id, 'b' || CAST(doc_id % 3 AS VARCHAR) AS bench, sh

@@ -949,6 +949,90 @@ class LlmSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  /** Independent sequential BPE reference (Sennrich-style): word counts in
+    * a Map, argmax with (freq desc, left, right) tie order, greedy
+    * leftmost non-overlapping merge. */
+  private def bpeReference(texts: Seq[String], numMerges: Int,
+      minFrequency: Long): Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view
+      .map { case (w, g) =>
+        (w.toCharArray.map(_.toString).toVector :+ "</w>") -> g.size.toLong }
+      .toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var stop = false
+    while (!stop && out.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      val best = counts.toSeq
+        .sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+      best match {
+        case Some(((l, r), f)) if f >= minFrequency =>
+          out += ((out.length, l, r, l + r, f))
+          words = words.toSeq.map { case (syms, cnt) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (x <- syms) {
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc(acc.length - 1) = l + r
+              else acc += x
+            }
+            acc.toVector -> cnt
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        case _ => stop = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE trainer matches the sequential reference exactly (incl. checkpoint path)") {
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val want = bpeReference(texts, numMerges = 20, minFrequency = 2L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // checkpointEvery = 3 forces several lineage truncations mid-train
+    val got = graft.llm.Bpe.train(docs, "text", numMerges = 20,
+        minFrequency = 2L, checkpointEvery = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === want)
+    assert(got.length === 20)
+    // every localCheckpoint the merge loop pinned is released again
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+  }
+
+  test("BPE mergePair is greedy-leftmost non-overlapping") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("x", "a", "b", "y"), "a", "b", Seq("x", "ab", "y")),
+      (Seq("a", "b"), "b", "a", Seq("a", "b")))
+    for ((syms, l, r, want) <- cases) {
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(graft.llm.Bpe.mergePair(col("syms"), l, r).as("m"))
+        .head().getSeq[String](0)
+      assert(got === want, s"merge $syms by ($l,$r)")
+    }
+  }
+
+  test("BPE early-stops when the best pair is below minFrequency") {
+    import spark.implicits._
+    val tiny = Seq("ab ab", "cd").toDF("text")
+    // "a b" occurs twice; everything else at most twice too — with
+    // minFrequency = 3 nothing qualifies
+    val none = graft.llm.Bpe.train(tiny, "text", numMerges = 10,
+      minFrequency = 3L)
+    assert(none.count() === 0L)
+    val some = graft.llm.Bpe.train(tiny, "text", numMerges = 10,
+      minFrequency = 2L)
+    assert(some.count() > 0L)
+  }
+
   test("contaminationReport: per-benchmark counts, zero-overlap and short docs report") {
     import spark.implicits._
     val corpus = Seq(
