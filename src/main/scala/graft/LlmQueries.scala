@@ -236,8 +236,19 @@ object LlmQueries {
     // here; LlmSpec pins EXACT merge-table parity against an independent
     // sequential reference implementation
     "llm_bpe_train" -> ((s, d) => {
-      graft.llm.Bpe.train(docs(s, d), "text", numMerges = 25)
-        .orderBy("rank")
+      trainedBpe(s, d).orderBy("rank")
+    }),
+
+    // encode under the trained tokenizer: per-doc subword token counts —
+    // the number that prices documents into a mix. Rank-order merge
+    // application is the trainer's own operation sequence → rows-only;
+    // LlmSpec pins parity against the distributed mergePair fold and a
+    // sequential reference encoder
+    "llm_bpe_encode" -> ((s, d) => {
+      val merges = graft.llm.Bpe.collectMerges(trainedBpe(s, d))
+      docs(s, d).select(col("doc_id"),
+          graft.llm.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     // per-benchmark contamination audit over the same eval slice, cut into
@@ -327,6 +338,15 @@ object LlmQueries {
 
   private val Int8IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.llm.IvfIndex]()
+
+  // one BPE training run per (session, data dir): llm_bpe_train and
+  // llm_bpe_encode share the merge table instead of retraining
+  private val BpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def trainedBpe(s: SparkSession, d: String): DataFrame =
+    BpeCache.computeIfAbsent(System.identityHashCode(s) + "#" + d,
+      _ => graft.llm.Bpe.train(docs(s, d), "text", numMerges = 25)
+        .cache())
 
   /** DuckDB-dialect oracles (driver runs them in DuckDB only). */
   val oracle: Map[String, String] = {

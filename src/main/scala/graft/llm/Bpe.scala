@@ -68,6 +68,27 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Collect a merge table (numMerges rows — driver-small by
+    * construction) into the rank-ordered pair list [[encode]] consumes. */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Encode a text column with trained merges: the per-word subword
+    * symbols (rank-order merge application — the exact operation sequence
+    * training ran), concatenated across the document. Codegen'd
+    * expression with a per-executor distinct-word memo; see
+    * [[graft.expressions.BpeEncodeText]]. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(graft.expressions.BpeEncodeText(
+      ColumnBridge.expression(text), merges))
+
+  /** Token count under a trained tokenizer — the number that actually
+    * prices a document into a training mix (whitespace counts under- and
+    * over-shoot by double-digit percents depending on language). */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(encode(text, merges))
+
   /** Train `numMerges` BPE merges over `textCol`. Returns the merge table
     * — `(rank, left, right, merged, freq)`, rank 0-based in merge order —
     * which IS the tokenizer (apply ranks in order to encode). Training

@@ -1020,6 +1020,55 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE encode: parity with the distributed mergePair fold and a reference encoder") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val mergesDf = graft.llm.Bpe.train(docs, "text", numMerges = 15)
+      val pairs = graft.llm.Bpe.collectMerges(mergesDf)
+      assert(pairs.length === 15)
+      // cross-implementation check: the codegen'd expression vs the
+      // distributed column fold the trainer itself uses, word by word
+      val words = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").distinct().limit(200)
+      var syms: org.apache.spark.sql.Column =
+        array_append(filter(split(col("w"), ""), s => s =!= ""), lit("</w>"))
+      for ((l, r) <- pairs) syms = graft.llm.Bpe.mergePair(syms, l, r)
+      val mismatches = words
+        .select(col("w"), syms.as("fold"),
+          graft.llm.Bpe.encode(col("w"), pairs).as("enc"))
+        .filter(col("fold") =!= col("enc")).count()
+      assert(mismatches === 0L)
+      // sequential reference encoder on a handful of words
+      def refEncode(word: String): Seq[String] = {
+        var s = word.toCharArray.map(_.toString).toVector :+ "</w>"
+        for ((l, r) <- pairs) {
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- s) {
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc(acc.length - 1) = l + r
+            else acc += x
+          }
+          s = acc.toVector
+        }
+        s
+      }
+      val sample = words.limit(20).collect().map(_.getString(0))
+      val enc = Seq(sample.mkString(" ")).toDF("text")
+        .select(graft.llm.Bpe.encode(col("text"), pairs).as("t"))
+        .head().getSeq[String](0)
+      assert(enc === sample.toSeq.flatMap(refEncode))
+      // reconstruction: joining a word's symbols reproduces word + </w>
+      assert(refEncode("training").mkString === "training</w>")
+      // null in → null out; doubled spaces emit nothing
+      val edge = Seq(Some("a  b"), None).toDF("text")
+        .select(graft.llm.Bpe.encode(col("text"), pairs).as("t")).collect()
+      assert(edge.exists(r => r.isNullAt(0)))
+      val ab = edge.find(!_.isNullAt(0)).get.getSeq[String](0)
+      assert(ab === refEncode("a") ++ refEncode("b"))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("BPE early-stops when the best pair is below minFrequency") {
     import spark.implicits._
     val tiny = Seq("ab ab", "cd").toDF("text")
