@@ -220,6 +220,17 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the Gopher document-quality rule set: per-rule metrics + verdict
+    "llm_gopher" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.bullet_line_ratio"),
+          col("g.ellipsis_line_ratio"), col("g.alpha_word_ratio"),
+          col("g.stopword_hits"), col("g.passes"))
+        .orderBy("doc_id")
+    }),
+
     // BPE trainer surface, oracle-able half: iteration-0 adjacent-pair
     // frequencies over the word table (chars + </w>), top 20 — pins the
     // counting machinery every merge iteration reuses. Symbols never
@@ -401,6 +412,35 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_gopher" -> {
+        val stops = TextOps.EnStop.map("'" + _ + "'").mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, text,
+           |  list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
+           |  string_split(text, chr(10)) AS lines FROM documents),
+           | m AS (SELECT doc_id, len(toks) AS n_words,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |    / greatest(len(toks), 1) AS mwl,
+           |  (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+           |    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           |    / greatest(len(toks), 1) AS sr,
+           |  CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+           |    OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+           |    / greatest(len(lines), 1) AS br,
+           |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+           |    / greatest(len(lines), 1) AS er,
+           |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           |    / greatest(len(toks), 1) AS ar,
+           |  len(list_intersect(toks, $stops)) AS sh FROM t)
+           | SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           |  round(mwl, 4) AS mean_word_len, round(sr, 4) AS symbol_ratio,
+           |  round(br, 4) AS bullet_line_ratio,
+           |  round(er, 4) AS ellipsis_line_ratio,
+           |  round(ar, 4) AS alpha_word_ratio, CAST(sh AS INT) AS stopword_hits,
+           |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+           |   AND sr <= 0.1 AND br <= 0.9 AND er <= 0.3 AND ar >= 0.8
+           |   AND sh >= 2) AS passes
+           | FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
       "llm_bpe_pairs" ->
         ("""WITH w AS (SELECT t AS word, count(*) AS cnt FROM
            |   (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)

@@ -113,6 +113,55 @@ object TextOps {
     round((lengthOk + punctOk + wordOk) / 3.0, 4)
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021 §A1.1.2 —
+    * public knowledge), as one struct of per-rule metrics plus the overall
+    * verdict. Rules: word count in `[minWords, maxWords]`; mean word
+    * length in [3, 10]; symbol-to-word ratio (`#` and `...`) ≤ 0.1;
+    * bullet-started lines ≤ 90%; ellipsis-ended lines ≤ 30%; ≥ 80% of
+    * words contain an alphabetic character; ≥ 2 distinct English
+    * stopwords present.
+    *
+    * All-Column implementation over let-bound token/line arrays (each
+    * split runs once, not per rule); the counting formulas avoid
+    * higher-order lambdas where a replace/length identity exists. Empty
+    * documents fail the word-count rule and divide by a guarded 1. */
+  def gopherRules(c: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    bound(filter(tokens(c), t => t =!= "")) { toks =>
+      bound(split(c, "\n")) { lines =>
+        val nWords = size(toks)
+        val safeWords = greatest(nWords, lit(1)).cast("double")
+        val meanWordLen =
+          length(regexp_replace(c, " ", "")).cast("double") / safeWords
+        val symbolRatio =
+          ((length(c) - length(regexp_replace(c, "#", ""))).cast("double") +
+            (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3.0)) /
+            safeWords
+        val nLines = greatest(size(lines), lit(1)).cast("double")
+        val bulletRatio = size(filter(lines, l =>
+          startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
+          .cast("double") / nLines
+        val ellipsisRatio = size(filter(lines, l =>
+          endswith(rtrim(l), lit("...")))).cast("double") / nLines
+        val alphaRatio = size(filter(toks, t => t.rlike("[a-z]")))
+          .cast("double") / safeWords
+        val stops = size(array_intersect(toks, array(EnStop.map(lit): _*)))
+        struct(
+          nWords.as("n_words"),
+          round(meanWordLen, 4).as("mean_word_len"),
+          round(symbolRatio, 4).as("symbol_ratio"),
+          round(bulletRatio, 4).as("bullet_line_ratio"),
+          round(ellipsisRatio, 4).as("ellipsis_line_ratio"),
+          round(alphaRatio, 4).as("alpha_word_ratio"),
+          stops.as("stopword_hits"),
+          (nWords >= minWords && nWords <= maxWords &&
+            meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+            symbolRatio <= 0.1 &&
+            bulletRatio <= 0.9 && ellipsisRatio <= 0.3 &&
+            alphaRatio >= 0.8 && stops >= 2).as("passes"))
+      }
+    }
+
   /** Whitespace-normalized content fingerprint (md5). Exact-dup detection
     * robust to whitespace differences. */
   def fingerprint(c: Column): Column =

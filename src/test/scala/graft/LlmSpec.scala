@@ -1082,6 +1082,43 @@ class LlmSpec extends AnyFunSuite {
     assert(some.count() > 0L)
   }
 
+  test("gopherRules: each rule trips on its adversarial document, good doc passes") {
+    import spark.implicits._
+    val filler = (1 to 60).map(i => "the quality of document " +
+      "number item " + i).mkString(" ")          // long, stopword-rich, alpha
+    val cases = Seq(
+      ("good", filler),
+      ("short", "the of and too short"),
+      ("symbols", (1 to 60).map(_ => "woo### the of...").mkString(" ")),
+      ("bullets", (1 to 60).map(i => s"- the bullet of item $i").mkString("\n")),
+      ("ellipsis", (1 to 60).map(i => s"the trailing of thought $i...").mkString("\n")),
+      ("numeric", (1 to 60).map(i => s"$i 42 7 ${i * 3}").mkString(" ") + " the of"),
+      ("nostops", (1 to 60).map(i => s"lorem ipsum dolor amet$i").mkString(" ")))
+      .toDF("name", "text")
+    val g = cases.select(col("name"),
+        graft.llm.TextOps.gopherRules(col("text")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    assert(g("good").getAs[Boolean]("passes"))
+    assert(!g("short").getAs[Boolean]("passes") &&
+      g("short").getAs[Int]("n_words") < 50)
+    assert(!g("symbols").getAs[Boolean]("passes") &&
+      g("symbols").getAs[Double]("symbol_ratio") > 0.1)
+    assert(!g("bullets").getAs[Boolean]("passes") &&
+      g("bullets").getAs[Double]("bullet_line_ratio") > 0.9)
+    assert(!g("ellipsis").getAs[Boolean]("passes") &&
+      g("ellipsis").getAs[Double]("ellipsis_line_ratio") > 0.3)
+    assert(!g("numeric").getAs[Boolean]("passes") &&
+      g("numeric").getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(!g("nostops").getAs[Boolean]("passes") &&
+      g("nostops").getAs[Int]("stopword_hits") < 2)
+    // empty text: guarded divisions, word-count rule fails, no NaN/null
+    val e = Seq("").toDF("text")
+      .select(graft.llm.TextOps.gopherRules(col("text")).as("g"))
+      .head().getStruct(0)
+    assert(!e.getAs[Boolean]("passes") && e.getAs[Int]("n_words") === 0)
+    assert(!e.getAs[Double]("mean_word_len").isNaN)
+  }
+
   test("contaminationReport: per-benchmark counts, zero-overlap and short docs report") {
     import spark.implicits._
     val corpus = Seq(

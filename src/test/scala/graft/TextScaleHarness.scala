@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual scale-measurement harness for the text/tokenizer operators
+  * (test scope — never ships in the library jar). Run with
+  * `sbt "Test/runMain graft.TextScaleHarness [mult]"` on an idle machine
+  * per BASELINE.md's measurement protocol.
+  *
+  * Inflates the sf0.1 documents corpus `mult`× with replicas that keep
+  * ids distinct and append a per-replica suffix token (so word tables
+  * grow a realistic long tail instead of collapsing to the original
+  * vocabulary). The cache is only trusted when `_SUCCESS` exists and is
+  * re-`repartition`ed after read so every pass measures 32-way
+  * parallelism, not one task.
+  */
+object TextScaleHarness {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val mult = args.headOption.map(_.toInt).getOrElse(100)
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val cache = s"/tmp/graft-bigdocs-$mult"
+    if (!new java.io.File(cache, "_SUCCESS").exists) {
+      val big = docs.crossJoin(spark.range(mult).toDF("r"))
+        .select((col("doc_id") * mult + col("r")).as("doc_id"),
+          concat(col("text"), lit(" replica"), col("r")).as("text"),
+          col("source"))
+      big.repartition(32).write.mode("overwrite").parquet(cache)
+    }
+    val corpus = spark.read.parquet(cache).repartition(32)
+    println("corpus rows=" + corpus.count())
+
+    val tTrain = time {
+      val m = llm.Bpe.train(corpus, "text", numMerges = 25)
+      m.count()
+    }
+    println(f"${mult}x bpe_train(25) $tTrain%.1f s")
+    val merges = llm.Bpe.collectMerges(
+      llm.Bpe.train(corpus.limit(50000), "text", numMerges = 25))
+    (1 to 2).foreach(_ => consume(corpus.select(
+      llm.Bpe.tokenCount(col("text"), merges).as("n"))))
+    val tEnc = (1 to 3).map(_ => time(consume(corpus.select(col("doc_id"),
+      llm.Bpe.tokenCount(col("text"), merges).as("n")))))
+    println(f"${mult}x bpe_encode ${tEnc.min}%.2f s (min of 3: " +
+      tEnc.map(t => f"$t%.2f").mkString(", ") + ")")
+
+    val tBudget = (1 to 3).map(_ => time(consume(
+      llm.Sampling.tokenBudgetMix(corpus, "doc_id", "source",
+        llm.TextOps.tokenCount(col("text")), budgetTokens = 100000L,
+        seed = 5L))))
+    println(f"${mult}x token_budget ${tBudget.min}%.2f s (min of 3)")
+
+    val tGopher = (1 to 3).map(_ => time(consume(corpus.select(col("doc_id"),
+      llm.TextOps.gopherRules(col("text")).as("g")))))
+    println(f"${mult}x gopher_rules ${tGopher.min}%.2f s (min of 3)")
+
+    spark.stop()
+  }
+}
