@@ -106,6 +106,25 @@ object Sampling {
       .drop(norm)
   }
 
+  /** Topic-balanced mixture over an embedding column (the SemDeDup-era
+    * cluster-balancing step): k-means-fit `nLists` centroids
+    * ([[Similarity.ivfFit]] — one scan per iteration), assign every row
+    * its nearest cluster with the codegen'd [[Similarity.nearestList]]
+    * expression, then temperature-resample with the cluster id as the
+    * mixture domain — `T > 1` up-weights rare topics exactly as
+    * [[sampleByTemperature]] does for metadata domains. The result keeps
+    * a `cluster` column so the caller can audit the rebalance. Everything
+    * after the fit is the map-only residue sampler plus one small counts
+    * pass; no corpus-sized shuffle. */
+  def sampleByCluster(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, temperature: Double, maxRate: Double = 4.0,
+      seed: Long = 0L, fitIters: Int = 2): DataFrame = {
+    val cents = Similarity.ivfFit(df, idCol, vecCol, nLists, fitIters)
+    val clustered = df.withColumn("cluster",
+      Similarity.nearestList(col(vecCol), cents))
+    sampleByTemperature(clustered, idCol, "cluster", temperature, maxRate, seed)
+  }
+
   /** Engine-independent shuffle key: the md5 of `id:seed`. A cryptographic
     * hex string rather than a cheap integer hash so the SAME permutation is
     * reproducible bit-for-bit on any engine (Spark, DuckDB, a Python

@@ -1144,6 +1144,29 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("sampleByCluster: T=1 identity, composes with temperature sampler, deterministic") {
+    val out = graft.llm.Sampling.sampleByCluster(embs, "vec_id", "embedding",
+      nLists = 4, temperature = 1.0, seed = 11L)
+    // T = 1: every cluster's rate is exactly 1 → one copy of every row
+    assert(out.count() === embs.count())
+    assert(out.columns.contains("cluster") && out.columns.contains("copy"))
+    // compositional parity: same as clustering first, then the temperature
+    // sampler over the cluster domain
+    val cents = graft.llm.Similarity.ivfFit(embs, "vec_id", "embedding", 4, 2)
+    val clustered = embs.withColumn("cluster",
+      graft.llm.Similarity.nearestList(col("embedding"), cents))
+    val direct = graft.llm.Sampling.sampleByTemperature(
+        clustered, "vec_id", "cluster", 3.0, seed = 11L)
+      .select("vec_id", "cluster", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val composed = graft.llm.Sampling.sampleByCluster(embs, "vec_id", "embedding",
+        nLists = 4, temperature = 3.0, seed = 11L)
+      .select("vec_id", "cluster", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(composed === direct)
+    assert(composed.map(_._2).size > 1) // more than one topic survives
+  }
+
   test("tokenBudgetMix: matches the single-window oracle on a skewed corpus") {
     import spark.implicits._
     // domain "big" holds 90% of the rows — exactly the shape whose
