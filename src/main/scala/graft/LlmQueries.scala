@@ -220,6 +220,17 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // DSIR-style data selection: hashed-unigram importance ratios vs a
+    // French target slice, greedy top-50 (rounded-score rank, id ties)
+    "llm_dsir_select" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.llm.Sampling.selectByImportance(
+          all, "doc_id", "text", all.filter(col("lang") === "fr"), "text",
+          k = 50, buckets = 4096, alpha = 1.0)
+        .select(col("doc_id"), col("importance"))
+        .orderBy("doc_id")
+    }),
+
     // the Gopher document-quality rule set: per-rule metrics + verdict
     "llm_gopher" -> ((s, d) => {
       docs(s, d)
@@ -412,6 +423,30 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_dsir_select" ->
+        ("""WITH tok AS (SELECT doc_id, t FROM
+           |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+           |   FROM documents) WHERE t != ''),
+           | tb AS (SELECT doc_id,
+           |   CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 AS b FROM tok),
+           | tgt AS (SELECT CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 AS b
+           |   FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+           |         FROM documents WHERE lang = 'fr') WHERE t != ''),
+           | rc AS (SELECT b, count(*) AS rc FROM tb GROUP BY 1),
+           | tc AS (SELECT b, count(*) AS tc FROM tgt GROUP BY 1),
+           | tot AS (SELECT (SELECT count(*) FROM tb) AS rt,
+           |   (SELECT count(*) FROM tgt) AS tt),
+           | lr AS (SELECT rc.b,
+           |   ln((coalesce(tc.tc, 0) + 1.0) / (tt + 4096.0))
+           |   - ln((rc.rc + 1.0) / (rt + 4096.0)) AS lr
+           |   FROM rc LEFT JOIN tc USING (b), tot),
+           | sc AS (SELECT tb.doc_id, round(avg(lr.lr), 4) AS importance
+           |   FROM tb JOIN lr ON tb.b = lr.b GROUP BY 1),
+           | sel AS (SELECT d.doc_id, coalesce(sc.importance, 0.0) AS importance
+           |   FROM documents d LEFT JOIN sc USING (doc_id)
+           |   ORDER BY importance DESC, d.doc_id LIMIT 50)
+           | SELECT doc_id, importance FROM sel ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")),
       "llm_gopher" -> {
         val stops = TextOps.EnStop.map("'" + _ + "'").mkString("[", ",", "]")
         s"""WITH t AS (SELECT doc_id, text,

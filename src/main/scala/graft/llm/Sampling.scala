@@ -106,6 +106,89 @@ object Sampling {
       .drop(norm)
   }
 
+  /** Engine-independent hashed feature bucket for a token column: the
+    * 32-bit md5 variate of the token string, mod `buckets` (same
+    * cryptographic-hex discipline as [[shuffleKey]] — a DuckDB or Python
+    * re-run buckets identically). */
+  def tokenBucket(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % buckets
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public knowledge):
+    * rate each corpus document by how target-like its hashed-unigram
+    * distribution is. Per bucket `b`, the smoothed log-ratio
+    * `ln((t_b+α)/(T+αB)) − ln((r_b+α)/(R+αB))` (target vs corpus token
+    * frequencies); a document scores the MEAN of its token occurrences'
+    * ratios — per-token normalization, because the raw DSIR sum makes
+    * every LONG document look untarget-like (each smoothed ratio carries
+    * the negative corpus-entropy term, so sums scale with length).
+    * Returns the corpus plus an `importance` column (rounded to
+    * 4 decimals so downstream ranking reproduces across engines' libm).
+    *
+    * Scale shape: two token-count aggregations (corpus-sized but
+    * map-side-combining into `buckets` rows) + two scalar totals; the
+    * per-document score is one explode over a BROADCAST ratio table with
+    * per-doc partial aggregation — no corpus-sized shuffle beyond the
+    * doc-keyed score sum. */
+  def importanceScores(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha smoothing must be positive")
+    def tokenBuckets(df: DataFrame, c: String): DataFrame = df
+      .select(explode(TextOps.tokens(col(c))).as("_gf_t"))
+      .filter(col("_gf_t") =!= "")
+      .select(tokenBucket(col("_gf_t"), buckets).as("_gf_b"))
+    val rawCounts = tokenBuckets(corpus, textCol)
+      .groupBy("_gf_b").agg(count(lit(1)).as("_gf_rc"))
+    val tgtCounts = tokenBuckets(target, targetTextCol)
+      .groupBy("_gf_b").agg(count(lit(1)).as("_gf_tc"))
+    val totals = rawCounts.agg(sum("_gf_rc")).head().getLong(0).toDouble ->
+      tgtCounts.agg(coalesce(sum("_gf_tc"), lit(0L))).head().getLong(0).toDouble
+    val (rawTotal, tgtTotal) = totals
+    // corpus-side buckets drive the join (every doc token's bucket appears
+    // in the corpus counts by construction); absent target buckets smooth
+    val ratios = rawCounts.join(tgtCounts, Seq("_gf_b"), "left")
+      .select(col("_gf_b"),
+        (log((coalesce(col("_gf_tc"), lit(0L)) + alpha) /
+            lit(tgtTotal + alpha * buckets)) -
+          log((col("_gf_rc") + alpha) / lit(rawTotal + alpha * buckets)))
+          .as("_gf_lr"))
+    val scored = corpus
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_gf_t"))
+      .filter(col("_gf_t") =!= "")
+      .select(col(idCol), tokenBucket(col("_gf_t"), buckets).as("_gf_b"))
+      .join(broadcast(ratios), Seq("_gf_b"))
+      .groupBy(idCol).agg(round(avg("_gf_lr"), 4).as("importance"))
+    corpus.join(scored, Seq(idCol), "left")
+      .withColumn("importance", coalesce(col("importance"), lit(0.0)))
+  }
+
+  /** Deterministic importance SELECTION: the top `k` corpus documents by
+    * [[importanceScores]], ties on the rounded score broken by id — the
+    * greedy variant of DSIR's resampling (set `gumbelTemperature > 0` for
+    * the randomized variant: score + T·Gumbel(md5 variate), still fully
+    * deterministic and engine-reproducible). One bounded top-k, no full
+    * sort crosses the wire. */
+  def selectByImportance(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      buckets: Int = 4096, alpha: Double = 1.0,
+      gumbelTemperature: Double = 0.0, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = importanceScores(corpus, idCol, textCol, target,
+      targetTextCol, buckets, alpha)
+    val key =
+      if (gumbelTemperature == 0.0) col("importance")
+      else {
+        val u = (shuffleBits(col(idCol), seed).cast("double") + 0.5) /
+          lit(4294967296.0)
+        round(col("importance") - lit(gumbelTemperature) * log(-log(u)), 4)
+      }
+    scored.withColumn("selection_key", key)
+      .orderBy(desc("selection_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Topic-balanced mixture over an embedding column (the SemDeDup-era
     * cluster-balancing step): k-means-fit `nLists` centroids
     * ([[Similarity.ivfFit]] — one scan per iteration), assign every row

@@ -1144,6 +1144,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("DSIR importance: target-language docs score higher; gumbel variant deterministic") {
+    import spark.implicits._
+    val scored = graft.llm.Sampling.importanceScores(
+      docs, "doc_id", "text", docs.filter(col("lang") === "fr"), "text")
+    val byLang = scored.groupBy("lang").agg(avg("importance").as("imp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the French target pulls French docs to the top of the ranking
+    assert(byLang("fr") > byLang.filter(_._1 != "fr").values.max,
+      s"fr should dominate: $byLang")
+    // empty/unknown-token docs: importance defined (0.0), no crash
+    val edge = graft.llm.Sampling.importanceScores(
+        Seq((1L, ""), (2L, "la le et")).toDF("id", "text"), "id", "text",
+        Seq(Tuple1("la le les")).toDF("text"), "text")
+      .select("id", "importance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(edge(1L) === 0.0)
+    // gumbel selection: deterministic across runs, differs from greedy at
+    // high temperature
+    def sel(t: Double) = graft.llm.Sampling.selectByImportance(
+        docs, "doc_id", "text", docs.filter(col("lang") === "fr"), "text",
+        k = 20, gumbelTemperature = t, seed = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel(50.0) === sel(50.0))
+    assert(sel(0.0) !== sel(500.0))
+  }
+
   test("sampleByCluster: T=1 identity, composes with temperature sampler, deterministic") {
     val out = graft.llm.Sampling.sampleByCluster(embs, "vec_id", "embedding",
       nLists = 4, temperature = 1.0, seed = 11L)
