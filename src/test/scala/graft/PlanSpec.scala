@@ -73,6 +73,55 @@ class PlanSpec extends AnyFunSuite {
     assert(ranked.count() === 12)
   }
 
+  test("tokenBudgetMix plans broadcast offsets and skew-proof windows") {
+    import spark.implicits._
+    val df = (1L to 500L)
+      .map(i => (i, "dom" + (i % 3), (i % 5 + 1).toInt))
+      .toDF("id", "dom", "tok")
+    val out = graft.llm.Sampling.tokenBudgetMix(df, "id", "dom", col("tok"),
+      budgetTokens = 200L, seed = 1L, rangeBuckets = 16)
+    val plan = ColumnBridge.executedPlan(out).toString
+    // the tiny offsets table must come back as a broadcast join, never a
+    // corpus-wide SortMergeJoin
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join expected:\n$plan")
+    // every corpus-sized window must partition by (domain, bucket) — a
+    // domain-only window is the single-straggler-sort shape the two-phase
+    // prefix sum exists to avoid. The offsets window runs over the TINY
+    // aggregated table, recognizable by its partial-agg child.
+    val windows = plan.split("\n").filter(_.contains("Window ["))
+    assert(windows.exists(_.contains("__gf_b")),
+      s"in-bucket window should key on (domain, bucket):\n$plan")
+  }
+
+  test("DSIR scoring plans a broadcast ratio join; selection is bounded top-k") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sel = graft.llm.Sampling.selectByImportance(
+      docs, "doc_id", "text", docs.filter(col("lang") === "fr"), "text",
+      k = 10, buckets = 512)
+    val plan = ColumnBridge.executedPlan(sel).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection should be a bounded top-k, not a global sort:\n$plan")
+  }
+
+  test("contamination report keeps eval sets broadcast-side") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("bench", lit("b0"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val rep = graft.llm.Dedup.contaminationReport(
+      corpus, "doc_id", "text", evalSet, "bench", "doc_id", "text", 3)
+    val plan = ColumnBridge.executedPlan(rep).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval hashes should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never sort-merge against eval sets:\n$plan")
+  }
+
   test("pruned scan reads only the planned files (parquet scan path count)") {
     val loc = java.nio.file.Files.createTempDirectory("graft-plan-").toString
     val schema = graft.meta.Schema.fresh(lineitem.schema)
