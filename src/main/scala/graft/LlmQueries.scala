@@ -220,6 +220,16 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // CCNet-style bigram-LM quality scoring: stupid-backoff model trained
+    // on the English slice, every doc scored by mean per-bigram logprob
+    "llm_ngram_lm" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.ngramLmScore(all, "doc_id", "text",
+          all.filter(col("lang") === "en"), "text")
+        .select(col("doc_id"), col("lm_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style data selection: hashed-unigram importance ratios vs a
     // French target slice, greedy top-50 (rounded-score rank, id ties)
     "llm_dsir_select" -> ((s, d) => {
@@ -423,6 +433,32 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_ngram_lm" ->
+        ("""WITH ct AS (SELECT doc_id,
+           |   list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents),
+           | tt AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents WHERE lang = 'en'),
+           | uni AS (SELECT w, count(*) AS c FROM
+           |   (SELECT unnest(ts) AS w FROM tt) GROUP BY 1),
+           | tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n,
+           |   CAST(count(*) AS DOUBLE) AS v FROM uni),
+           | bi AS (SELECT p, count(*) AS c12 FROM
+           |   (SELECT unnest(list_transform(range(1, len(ts)),
+           |      i -> ts[i] || ' ' || ts[i+1])) AS p FROM tt) GROUP BY 1),
+           | cb AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+           |   i -> ts[i] || ' ' || ts[i+1])) AS p FROM ct),
+           | s AS (SELECT cb.doc_id,
+           |   CASE WHEN b.c12 IS NOT NULL THEN CAST(b.c12 AS DOUBLE) / u1.c
+           |        ELSE 0.4 * (coalesce(u2.c, 0) + 1.0) / (t.n + 1.0 * t.v) END AS s
+           |   FROM cb LEFT JOIN bi b USING (p)
+           |   LEFT JOIN uni u1 ON u1.w = string_split(cb.p, ' ')[1]
+           |   LEFT JOIN uni u2 ON u2.w = string_split(cb.p, ' ')[2], tot t),
+           | sc AS (SELECT doc_id, round(avg(ln(s)), 4) AS lm_logprob
+           |   FROM s GROUP BY 1)
+           | SELECT d.doc_id, sc.lm_logprob FROM documents d
+           | LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+          .stripMargin.replace("\n", " ")),
       "llm_dsir_select" ->
         ("""WITH tok AS (SELECT doc_id, t FROM
            |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t

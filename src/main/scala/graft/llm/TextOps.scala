@@ -162,6 +162,68 @@ object TextOps {
       }
     }
 
+  /** CCNet-style n-gram language-model scoring (Wenzek et al. 2019's
+    * quality signal, with the stupid-backoff estimator of Brants et al.
+    * 2007 — both public knowledge): train a bigram LM on a TARGET slice
+    * (the "clean" distribution — a Wikipedia-like subset), then score
+    * every corpus document by its mean per-bigram log-probability.
+    * `S(w2|w1) = c(w1w2)/c(w1)` when the bigram was seen, else
+    * `0.4 · (c(w2)+α)/(N+αV)` (smoothed-unigram backoff; `V` = target
+    * vocabulary, `N` = target token count). Higher is more
+    * target-like; `exp(−score)` is the conventional perplexity. Documents
+    * with fewer than two tokens score null (no bigrams exist).
+    *
+    * Scale shape: the model is two count aggregations over the TARGET
+    * (map-side combine; bigram/unigram-vocabulary-sized results) plus two
+    * scalars. Scoring explodes corpus bigrams once and joins the count
+    * tables keyed by words — benchmark-sized targets broadcast under AQE,
+    * Wikipedia-sized ones shuffle-join with AQE's skew handling absorbing
+    * stopword-heavy keys; the per-doc mean partially aggregates before
+    * its one doc-keyed exchange. Rounded to 4 decimals (cross-engine
+    * libm discipline). */
+  def ngramLmScore(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: org.apache.spark.sql.DataFrame,
+      targetTextCol: String,
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "alpha smoothing must be positive")
+    def toks(c: Column) = filter(tokens(c), t => t =!= "")
+    def bigrams(c: Column) = bound(toks(c)) { ts =>
+      // greatest-guard: slice() rejects negative lengths on empty docs
+      val len = greatest(size(ts) - 1, lit(0))
+      zip_with(slice(ts, lit(1), len), slice(ts, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val tgtToks = target
+      .select(explode(toks(col(targetTextCol))).as("_gf_w"))
+    val uni = tgtToks.groupBy(col("_gf_w")).agg(count(lit(1)).as("_gf_c"))
+    val totals = uni.agg(
+      coalesce(sum("_gf_c"), lit(0L)), count(lit(1))).head()
+    val (n, v) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    val bi = target
+      .select(explode(bigrams(col(targetTextCol))).as("_gf_p"))
+      .groupBy(col("_gf_p.w1").as("_gf_w1"), col("_gf_p.w2").as("_gf_w2"))
+      .agg(count(lit(1)).as("_gf_c12"))
+    val corpusBi = corpus
+      .select(col(idCol), explode(bigrams(col(textCol))).as("_gf_p"))
+      .select(col(idCol), col("_gf_p.w1").as("_gf_w1"),
+        col("_gf_p.w2").as("_gf_w2"))
+    val scoredBi = corpusBi
+      .join(bi, Seq("_gf_w1", "_gf_w2"), "left")
+      .join(uni.select(col("_gf_w").as("_gf_w1"), col("_gf_c").as("_gf_c1")),
+        Seq("_gf_w1"), "left")
+      .join(uni.select(col("_gf_w").as("_gf_w2"), col("_gf_c").as("_gf_c2")),
+        Seq("_gf_w2"), "left")
+      .select(col(idCol),
+        when(col("_gf_c12").isNotNull,
+            col("_gf_c12").cast("double") / col("_gf_c1"))
+          .otherwise(lit(0.4) * (coalesce(col("_gf_c2"), lit(0L)) + alpha) /
+            lit(n + alpha * v))
+          .as("_gf_s"))
+    val scores = scoredBi.groupBy(idCol)
+      .agg(round(avg(log(col("_gf_s"))), 4).as("lm_logprob"))
+    corpus.join(scores, Seq(idCol), "left")
+  }
+
   /** Whitespace-normalized content fingerprint (md5). Exact-dup detection
     * robust to whitespace differences. */
   def fingerprint(c: Column): Column =

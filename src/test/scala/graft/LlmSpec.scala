@@ -1144,6 +1144,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("ngram LM: English target scores English docs higher; hand-computed backoff") {
+    import spark.implicits._
+    val scored = graft.llm.TextOps.ngramLmScore(
+      docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+    val byLang = scored.filter(col("lm_logprob").isNotNull)
+      .groupBy("lang").agg(avg("lm_logprob").as("lp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"en should dominate under an en-trained LM: $byLang")
+    // hand-computed: target "a b a b", corpus "a b" and "b b" and "x"
+    // target: uni a:2 b:2, N=4 V=2; bi "a b":2, "b a":1
+    val tgt = Seq(Tuple1("a b a b")).toDF("text")
+    val corp = Seq((1L, "a b"), (2L, "b b"), (3L, "x")).toDF("id", "text")
+    val got = graft.llm.TextOps.ngramLmScore(corp, "id", "text", tgt, "text")
+      .select("id", "lm_logprob").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // "a b": S(b|a) = c(ab)/c(a) = 2/2 = 1 → ln 1 = 0
+    assert(got(1L) === Some(0.0))
+    // "b b": unseen bigram → backoff 0.4·(c(b)+1)/(N+V) = 0.4·3/6 = 0.2;
+    // ln 0.2 = −1.6094 at 4 decimals
+    assert(got(2L) === Some(-1.6094))
+    // single-token doc: no bigrams → null
+    assert(got(3L) === None)
+  }
+
   test("DSIR importance: target-language docs score higher; gumbel variant deterministic") {
     import spark.implicits._
     val scored = graft.llm.Sampling.importanceScores(
