@@ -220,6 +220,15 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // BM25 retrieval: three fixed queries over the corpus, top-10 each
+    "llm_bm25" -> ((s, d) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      TextOps.bm25(docs(s, d), "doc_id", "text", q, "qid", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // CCNet-style bigram-LM quality scoring: stupid-backoff model trained
     // on the English slice, every doc scored by mean per-bigram logprob
     "llm_ngram_lm" -> ((s, d) => {
@@ -433,6 +442,31 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_bm25" ->
+        ("""WITH q(query_id, qtext) AS (VALUES (1, 'hash join merge'),
+           |   (2, 'fast scan filter'), (3, 'customer order data')),
+           | ct AS (SELECT doc_id,
+           |   list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents),
+           | post AS (SELECT doc_id, w, count(*) AS tf, max(dl) AS dl FROM
+           |   (SELECT doc_id, unnest(ts) AS w, len(ts) AS dl FROM ct)
+           |   GROUP BY doc_id, w),
+           | qt AS (SELECT DISTINCT query_id, w FROM
+           |   (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS w FROM q)),
+           | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |   greatest(avg(len(ts)), 1e-9) AS avgdl FROM ct),
+           | m AS (SELECT p.* FROM post p WHERE p.w IN (SELECT w FROM qt)),
+           | dfc AS (SELECT w, count(*) AS df FROM m GROUP BY 1),
+           | sc AS (SELECT qt.query_id, m.doc_id,
+           |   round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+           |     * (m.tf * 2.2)
+           |     / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))), 4) AS score
+           |   FROM m JOIN qt USING (w) JOIN dfc USING (w), stats s GROUP BY 1, 2),
+           | r AS (SELECT query_id, doc_id, score, row_number() OVER
+           |   (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+           | SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           |   doc_id, score FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+          .stripMargin.replace("\n", " ")),
       "llm_ngram_lm" ->
         ("""WITH ct AS (SELECT doc_id,
            |   list_filter(string_split(lower(text), ' '), x -> x != '') AS ts

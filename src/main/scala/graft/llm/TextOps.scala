@@ -224,6 +224,67 @@ object TextOps {
     corpus.join(scores, Seq(idCol), "left")
   }
 
+  /** BM25 retrieval over the corpus (Robertson–Walker Okapi weighting,
+    * the `k1`/`b` form everyone ships — public knowledge): rank the top
+    * `k` documents for every query in `queries`. Uses the non-negative
+    * idf variant `ln(1 + (N − df + 0.5)/(df + 0.5))` (Lucene's choice) so
+    * stopword-saturated terms cannot produce negative scores.
+    *
+    * Scale shape: one corpus pass builds `(doc, term, tf, dl)`; the
+    * QUERY-side term list (query sets are human-sized) broadcasts twice —
+    * once to filter the corpus posting rows to query terms only (the
+    * corpus-sized early filter: everything after it is
+    * matching-postings-sized), once more after document frequencies are
+    * counted over the survivors. Per-(query, doc) partial sums aggregate
+    * map-side; the final ranking is the bounded top-k aggregate
+    * ([[Similarity.topKPerQuery]] — no window, no full sort). Scores are
+    * rounded to 4 decimals before ranking (cross-engine libm discipline;
+    * rank ties break on doc id).
+    *
+    * Output: `(query_id, rank, doc_id, score)`. */
+  def bm25(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queries: org.apache.spark.sql.DataFrame,
+      queryIdCol: String, queryTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && k1 >= 0 && b >= 0 && b <= 1, "bad BM25 parameters")
+    def toks(c: Column) = filter(tokens(c), t => t =!= "")
+    // (doc, term, tf) + doc length — one corpus explode, one agg
+    val postings = corpus
+      .select(col(idCol).as("_gf_doc"), explode(toks(col(textCol))).as("_gf_t"),
+        size(toks(col(textCol))).as("_gf_dl"))
+      .groupBy("_gf_doc", "_gf_t", "_gf_dl")
+      .agg(count(lit(1)).as("_gf_tf"))
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(toks(col(queryTextCol))).as("_gf_t"))
+      .distinct()
+    val stats = corpus.agg(count(lit(1)).as("_gf_n"),
+      avg(size(toks(col(textCol)))).as("_gf_avgdl")).head()
+    val (n, avgdl) = (stats.getLong(0).toDouble,
+      Option(stats.get(1)).fold(1.0)(_ => math.max(stats.getDouble(1), 1e-9)))
+    // corpus-sized early filter: only postings for query terms survive
+    val matched = postings
+      .join(broadcast(qTerms.select("_gf_t").distinct()), Seq("_gf_t"), "left_semi")
+    // postings are unique on (doc, term), so df is a plain count
+    val dfByTerm = matched.groupBy("_gf_t")
+      .agg(count(lit(1)).as("_gf_df"))
+    val scored = matched
+      .join(broadcast(qTerms), Seq("_gf_t"))
+      .join(broadcast(dfByTerm), Seq("_gf_t"))
+      .select(col("query_id"), col("_gf_doc"),
+        (log(lit(1.0) + (lit(n) - col("_gf_df") + 0.5) / (col("_gf_df") + 0.5)) *
+          (col("_gf_tf") * (k1 + 1.0)) /
+          (col("_gf_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("_gf_dl") / lit(avgdl))))
+          .as("_gf_s"))
+      .groupBy("query_id", "_gf_doc")
+      .agg(round(sum("_gf_s"), 4).as("sim"))
+      .select(col("query_id"), col("_gf_doc").as("neighbor_id"), col("sim"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("sim").as("score"))
+  }
+
   /** Whitespace-normalized content fingerprint (md5). Exact-dup detection
     * robust to whitespace differences. */
   def fingerprint(c: Column): Column =

@@ -1144,6 +1144,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("BM25: hand-computed scores, term-match doc ranks first, bounded output") {
+    import spark.implicits._
+    val corp = Seq(
+      (1L, "apple banana apple"),      // tf(apple)=2, dl=3
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("id", "text")
+    val q = Seq((10L, "apple")).toDF("qid", "qtext")
+    val got = graft.llm.TextOps.bm25(corp, "id", "text", q, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // only doc 1 contains "apple": one result row
+    assert(got.length === 1)
+    val (qid, rank, docId, score) = got.head
+    assert(qid === 10L && rank === 1 && docId === 1L)
+    // idf = ln(1 + (3-1+0.5)/(1+0.5)) = ln(8/3); avgdl = (3+2+3)/3 = 8/3
+    // tfTerm = 2*2.2/(2 + 1.2*(0.25 + 0.75*3/(8/3)))
+    val idf = math.log(1 + 2.5 / 1.5)
+    val tfTerm = 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3)))
+    assert(score === BigDecimal(idf * tfTerm)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // multi-term query: a doc with both terms outranks single-term docs
+    val q2 = Seq((20L, "banana cherry")).toDF("qid", "qtext")
+    val top = graft.llm.TextOps.bm25(corp, "id", "text", q2, "qid", "qtext", k = 5)
+      .filter(col("rank") === 1).head()
+    assert(top.getLong(2) === 2L)
+  }
+
   test("ngram LM: English target scores English docs higher; hand-computed backoff") {
     import spark.implicits._
     val scored = graft.llm.TextOps.ngramLmScore(
