@@ -220,6 +220,11 @@ object LlmQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // one-row corpus card: counts, cardinalities, dup rate, quantiles
+    "llm_corpus_report" -> ((s, d) => {
+      TextOps.corpusReport(docs(s, d), "text", "lang", "source")
+    }),
+
     // BM25 retrieval: three fixed queries over the corpus, top-10 each
     "llm_bm25" -> ((s, d) => {
       val q = s.createDataFrame(Seq(
@@ -442,6 +447,18 @@ object LlmQueries {
           "AND NOT EXISTS (SELECT 1 FROM s e WHERE e.doc_id % 50 = 0 " +
           "AND len(list_intersect(c.sh, e.sh)) > 0) " +
           "ORDER BY c.doc_id"),
+      "llm_corpus_report" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens, " +
+          "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+          "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+          "round(1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), " +
+          "'\\s+', ' ', 'g')))) AS DOUBLE) / count(*), 4) AS exact_dup_rate, " +
+          "quantile_cont(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.5) " +
+          "  AS p50_tokens, " +
+          "quantile_cont(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 0.9) " +
+          "  AS p90_tokens " +
+          "FROM documents"),
       "llm_bm25" ->
         ("""WITH q(query_id, qtext) AS (VALUES (1, 'hash join merge'),
            |   (2, 'fast scan filter'), (3, 'customer order data')),

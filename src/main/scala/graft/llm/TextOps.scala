@@ -224,6 +224,29 @@ object TextOps {
     corpus.join(scores, Seq(idCol), "left")
   }
 
+  /** One-row corpus card — the numbers a dataset README leads with:
+    * document/token counts, language and source cardinalities, the exact-
+    * duplicate rate (1 − distinct normalized fingerprints / docs), and
+    * exact token-count quantiles. One aggregation pass (count-distincts
+    * expand to Spark's standard multi-distinct rewrite; the percentile
+    * aggregate is the oracle-parity exact mode — swap to approxQuantile
+    * at 100 TB, like [[filterByTokenQuantiles]]'s sketch mode). */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+      langCol: String, sourceCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(textCol).as("_gf_text"), col(langCol).as("_gf_lang"),
+        col(sourceCol).as("_gf_src"),
+        tokenCount(col(textCol)).cast("double").as("_gf_tc"),
+        fingerprint(col(textCol)).as("_gf_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_gf_tc")).cast("long").as("total_tokens"),
+        countDistinct(col("_gf_lang")).as("n_langs"),
+        countDistinct(col("_gf_src")).as("n_sources"),
+        round(lit(1.0) - countDistinct(col("_gf_fp")).cast("double") /
+          count(lit(1)), 4).as("exact_dup_rate"),
+        percentile(col("_gf_tc"), lit(0.5)).as("p50_tokens"),
+        percentile(col("_gf_tc"), lit(0.9)).as("p90_tokens"))
+
   /** BM25 retrieval over the corpus (Robertson–Walker Okapi weighting,
     * the `k1`/`b` form everyone ships — public knowledge): rank the top
     * `k` documents for every query in `queries`. Uses the non-negative

@@ -1144,6 +1144,18 @@ class LlmSpec extends AnyFunSuite {
     assert(rep("bC") === ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("corpusReport: planted whitespace-duplicates show in the dup rate") {
+    import spark.implicits._
+    val df = Seq((1L, "a b", "en", "s"), (2L, "a  b", "en", "s"),
+      (3L, "c", "fr", "t")).toDF("id", "text", "lang", "source")
+    val r = graft.llm.TextOps.corpusReport(df, "text", "lang", "source").head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    // docs 1 and 2 normalize to the same fingerprint: 1 − 2/3
+    assert(r.getAs[Double]("exact_dup_rate") === 0.3333)
+  }
+
   test("BM25: hand-computed scores, term-match doc ranks first, bounded output") {
     import spark.implicits._
     val corp = Seq(
