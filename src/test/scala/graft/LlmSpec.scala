@@ -1234,6 +1234,34 @@ class LlmSpec extends AnyFunSuite {
     assert(sel(0.0) !== sel(500.0))
   }
 
+  test("tokenBudgetMix: randomized corpora match the window oracle (5 seeds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(404)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(300)
+      val nDoms = 1 + rnd.nextInt(5)
+      val budget = 20L + rnd.nextInt(500)
+      val seed = rnd.nextLong()
+      val buckets = Seq(1, 4, 64)(rnd.nextInt(3))
+      val rows = (1L to n.toLong).map(i =>
+        (i, "d" + rnd.nextInt(nDoms), rnd.nextInt(9) + 1))
+      val df = rows.toDF("id", "dom", "tok")
+      val got = graft.llm.Sampling
+        .tokenBudgetMix(df, "id", "dom", col("tok"), budget, seed, buckets)
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+        .orderBy(graft.llm.Sampling.shuffleBits(col("id"), seed), col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = df.withColumn("cum_tokens", sum(col("tok").cast("long")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want,
+        s"trial $trial: n=$n doms=$nDoms budget=$budget buckets=$buckets")
+    }
+  }
+
   test("sampleByCluster: T=1 identity, composes with temperature sampler, deterministic") {
     val out = graft.llm.Sampling.sampleByCluster(embs, "vec_id", "embedding",
       nLists = 4, temperature = 1.0, seed = 11L)
