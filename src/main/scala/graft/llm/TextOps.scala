@@ -253,12 +253,15 @@ object TextOps {
     * idf variant `ln(1 + (N − df + 0.5)/(df + 0.5))` (Lucene's choice) so
     * stopword-saturated terms cannot produce negative scores.
     *
-    * Scale shape: one corpus pass builds `(doc, term, tf, dl)`; the
-    * QUERY-side term list (query sets are human-sized) broadcasts twice —
-    * once to filter the corpus posting rows to query terms only (the
-    * corpus-sized early filter: everything after it is
-    * matching-postings-sized), once more after document frequencies are
-    * counted over the survivors. Per-(query, doc) partial sums aggregate
+    * Scale shape: the token array and its length materialize behind ONE
+    * repartition barrier (the `minHashLshPairs` idiom — without it,
+    * CollapseProject inlines the interpreted token filter into the
+    * post-explode projection and the whole-document lambda re-runs once
+    * per TOKEN: measured 16.5 s vs 4.3 s for the posting stream at 500k
+    * docs). The exploded stream is then filtered map-side by a broadcast
+    * semi-join against the query-term list (query sets are human-sized)
+    * BEFORE any aggregation, so the tf aggregation, document frequencies,
+    * and scoring all run over matching-postings-sized data. Per-(query, doc) partial sums aggregate
     * map-side; the final ranking is the bounded top-k aggregate
     * ([[Similarity.topKPerQuery]] — no window, no full sort). Scores are
     * rounded to 4 decimals before ranking (cross-engine libm discipline;
@@ -271,12 +274,6 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(k > 0 && k1 >= 0 && b >= 0 && b <= 1, "bad BM25 parameters")
     def toks(c: Column) = filter(tokens(c), t => t =!= "")
-    // (doc, term, tf) + doc length — one corpus explode, one agg
-    val postings = corpus
-      .select(col(idCol).as("_gf_doc"), explode(toks(col(textCol))).as("_gf_t"),
-        size(toks(col(textCol))).as("_gf_dl"))
-      .groupBy("_gf_doc", "_gf_t", "_gf_dl")
-      .agg(count(lit(1)).as("_gf_tf"))
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(toks(col(queryTextCol))).as("_gf_t"))
@@ -285,9 +282,18 @@ object TextOps {
       avg(size(toks(col(textCol)))).as("_gf_avgdl")).head()
     val (n, avgdl) = (stats.getLong(0).toDouble,
       Option(stats.get(1)).fold(1.0)(_ => math.max(stats.getDouble(1), 1e-9)))
-    // corpus-sized early filter: only postings for query terms survive
-    val matched = postings
+    // repartition = deliberate optimizer barrier (see scaladoc), then the
+    // query-term semi-join lands BEFORE the tf aggregation so only
+    // occurrences of query terms ever shuffle
+    val base = corpus
+      .select(col(idCol).as("_gf_doc"), toks(col(textCol)).as("_gf_ts"))
+      .select(col("_gf_doc"), col("_gf_ts"), size(col("_gf_ts")).as("_gf_dl"))
+      .repartition(col("_gf_doc"))
+    val matched = base
+      .select(col("_gf_doc"), explode(col("_gf_ts")).as("_gf_t"), col("_gf_dl"))
       .join(broadcast(qTerms.select("_gf_t").distinct()), Seq("_gf_t"), "left_semi")
+      .groupBy("_gf_doc", "_gf_t", "_gf_dl")
+      .agg(count(lit(1)).as("_gf_tf"))
     // postings are unique on (doc, term), so df is a plain count
     val dfByTerm = matched.groupBy("_gf_t")
       .agg(count(lit(1)).as("_gf_df"))

@@ -67,6 +67,25 @@ object TextScaleHarness {
       llm.TextOps.gopherRules(col("text")).as("g")))))
     println(f"${mult}x gopher_rules ${tGopher.min}%.2f s (min of 3)")
 
+    // target slice ~1% of the corpus (a benchmark-sized "clean" set)
+    val target = corpus.filter(col("doc_id") % 100 === 0)
+    val tDsir = (1 to 3).map(_ => time(consume(
+      llm.Sampling.selectByImportance(corpus, "doc_id", "text",
+        target, "text", k = 1000))))
+    println(f"${mult}x dsir_select ${tDsir.min}%.2f s (min of 3)")
+
+    val tLm = (1 to 3).map(_ => time(consume(
+      llm.TextOps.ngramLmScore(corpus, "doc_id", "text", target, "text")
+        .select("doc_id", "lm_logprob"))))
+    println(f"${mult}x ngram_lm ${tLm.min}%.2f s (min of 3)")
+
+    val q = spark.createDataFrame(Seq(
+      (1L, "hash join merge"), (2L, "fast scan filter"),
+      (3L, "customer order data"))).toDF("qid", "qtext")
+    val tBm = (1 to 3).map(_ => time(consume(
+      llm.TextOps.bm25(corpus, "doc_id", "text", q, "qid", "qtext", k = 10))))
+    println(f"${mult}x bm25 ${tBm.min}%.2f s (min of 3)")
+
     spark.stop()
   }
 }
