@@ -196,6 +196,25 @@ object Bench {
         consume(ivf.topKQuantized(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
     }
 
+    // --- group 5b: round-9 text pipeline entries — BM25 once regressed 5×
+    // through a CollapseProject HOF amplification that only a timed run
+    // caught; both entries exist so that class of regression can never
+    // land silently again ---
+    settle()
+    locally {
+      val docsDf = Tables.load(spark, sfDir, "documents")
+      val q = spark.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      measure("llm_bm25", 1, 5)(() => consume(
+        graft.llm.TextOps.bm25(docsDf, "doc_id", "text", q, "qid", "qtext", 10)))
+      val merges = graft.llm.Bpe.collectMerges(
+        graft.llm.Bpe.train(docsDf, "text", numMerges = 25))
+      measure("llm_bpe_encode", 1, 5)(() => consume(
+        docsDf.select(col("doc_id"),
+          graft.llm.Bpe.tokenCount(col("text"), merges).as("n"))))
+    }
+
     // --- group 6 (LAST - heavy one-shot iterative pipeline): fuzzy dedup
     // end-to-end: LSH candidate pairs → duplicate components
     // (large-star/small-star) → one canonical doc per cluster. Driver-paced
