@@ -100,7 +100,13 @@ object Bpe {
     require(minFrequency >= 1, "minFrequency must be positive")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val spark = df.sparkSession
-    var words = wordTable(df, textCol).localCheckpoint(true)
+    // same discipline as Dedup's loops: a configured reliable checkpoint
+    // dir survives executor loss on long trainings (and pins no storage
+    // blocks); otherwise an eager localCheckpoint
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: DataFrame): DataFrame =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
+    var words = reroot(wordTable(df, textCol))
     var lastCheckpoint = words
     val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
     var done = false
@@ -114,7 +120,7 @@ object Bpe {
           merges += ((merges.length, l, r, l + r, f))
           words = words.withColumn("syms", mergePair(col("syms"), l, r))
           if (merges.length % checkpointEvery == 0) {
-            val next = words.localCheckpoint(true)
+            val next = reroot(words)
             ColumnBridge.unpersistCheckpoint(lastCheckpoint)
             lastCheckpoint = next
             words = next
