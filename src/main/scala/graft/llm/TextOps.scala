@@ -257,11 +257,16 @@ object TextOps {
     * repartition barrier (the `minHashLshPairs` idiom — without it,
     * CollapseProject inlines the interpreted token filter into the
     * post-explode projection and the whole-document lambda re-runs once
-    * per TOKEN: measured 16.5 s vs 4.3 s for the posting stream at 500k
-    * docs). The exploded stream is then filtered map-side by a broadcast
-    * semi-join against the query-term list (query sets are human-sized)
-    * BEFORE any aggregation, so the tf aggregation, document frequencies,
-    * and scoring all run over matching-postings-sized data. Per-(query, doc) partial sums aggregate
+    * per TOKEN: measured 27.8 s for this query at 500k docs, the round-8
+    * `ivfFit` bug class). The exploded stream then filters map-side
+    * through a broadcast semi-join against the query-term list (query
+    * sets are human-sized) BEFORE any aggregation, so tf, document
+    * frequencies, and scoring all run over matching-postings-sized data.
+    * A two-scan alternative (bare explode + a map-only `(doc, dl)` join,
+    * no corpus-sized exchange at all) measured 8.4 s vs this shape's
+    * 5.6 s at 500k docs and tied at 5M — one pruned scan plus one
+    * token-array exchange beats two scans on measured hardware; revisit
+    * on a cluster where network shuffle dominates storage reads. Per-(query, doc) partial sums aggregate
     * map-side; the final ranking is the bounded top-k aggregate
     * ([[Similarity.topKPerQuery]] — no window, no full sort). Scores are
     * rounded to 4 decimals before ranking (cross-engine libm discipline;
@@ -284,7 +289,8 @@ object TextOps {
       Option(stats.get(1)).fold(1.0)(_ => math.max(stats.getDouble(1), 1e-9)))
     // repartition = deliberate optimizer barrier (see scaladoc), then the
     // query-term semi-join lands BEFORE the tf aggregation so only
-    // occurrences of query terms ever shuffle
+    // occurrences of query terms ever shuffle; partitioning by doc id is
+    // reused by the aggregation's clustering requirement
     val base = corpus
       .select(col(idCol).as("_gf_doc"), toks(col(textCol)).as("_gf_ts"))
       .select(col("_gf_doc"), col("_gf_ts"), size(col("_gf_ts")).as("_gf_dl"))
