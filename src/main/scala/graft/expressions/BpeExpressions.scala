@@ -79,7 +79,10 @@ case class BpeEncodeText(child: Expression, merges: Seq[(String, String)])
   }
 
   def compute(text: UTF8String): ArrayData = {
-    val words = text.toString.toLowerCase.split(" ", -1)
+    // Locale.ROOT pins the fold to the locale-independent mapping Spark's
+    // `lower()` used at train time — under a tr_TR default locale the bare
+    // toLowerCase turns I into dotless ı and trained words stop matching
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     val out = new java.util.ArrayList[UTF8String]()
     var i = 0
     while (i < words.length) {

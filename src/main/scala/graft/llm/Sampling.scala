@@ -143,9 +143,14 @@ object Sampling {
       .groupBy("_gf_b").agg(count(lit(1)).as("_gf_rc"))
     val tgtCounts = tokenBuckets(target, targetTextCol)
       .groupBy("_gf_b").agg(count(lit(1)).as("_gf_tc"))
-    val totals = rawCounts.agg(sum("_gf_rc")).head().getLong(0).toDouble ->
+    // both totals coalesce-guarded: sum() over zero rows is null (a corpus
+    // or target with no non-empty tokens), and the degenerate zero-token
+    // corpus short-circuits to importance 0.0 below
+    val totals =
+      rawCounts.agg(coalesce(sum("_gf_rc"), lit(0L))).head().getLong(0).toDouble ->
       tgtCounts.agg(coalesce(sum("_gf_tc"), lit(0L))).head().getLong(0).toDouble
     val (rawTotal, tgtTotal) = totals
+    if (rawTotal == 0.0) return corpus.withColumn("importance", lit(0.0))
     // corpus-side buckets drive the join (every doc token's bucket appears
     // in the corpus counts by construction); absent target buckets smooth
     val ratios = rawCounts.join(tgtCounts, Seq("_gf_b"), "left")

@@ -508,7 +508,7 @@ object TextOps {
     * window minima) — driver for near-dup sketching; plain Scala for tests
     * and a Column variant via shingle hashing. */
   def rollingFingerprints(text: String, k: Int = 8, window: Int = 4): Set[Long] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val s = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (s.length < k) return Set(graft.meta.transforms.Murmur3.hashBytes(
       s.getBytes("UTF-8")).toLong)
     val hashes = (0 to s.length - k).map(i =>

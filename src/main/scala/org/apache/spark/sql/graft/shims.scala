@@ -38,6 +38,19 @@ object ColumnBridge {
         case _ => ()
       }
 
+  /** The reliable-checkpoint directory behind a `checkpoint(true)`ed
+    * Dataset, if any: Spark never deletes non-streaming checkpoint files
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints` is on (and
+    * the RDD is GC'd), so loops that re-checkpoint per round use this to
+    * delete the PREVIOUS round's files once the next one is materialized. */
+  def reliableCheckpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD
+            if lr.rdd.getCheckpointFile.isDefined =>
+          lr.rdd.getCheckpointFile.get
+      }
+
   /** A DataFrame directly over an InternalRow RDD (`internalCreateDataFrame`
     * is `private[sql]`); re-anchors a streaming batch's physical rows so a
     * V1 `Sink` can run batch writes over them. */

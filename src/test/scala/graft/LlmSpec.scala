@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 
 import org.apache.spark.sql.functions._
@@ -992,9 +994,10 @@ class LlmSpec extends AnyFunSuite {
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq
     val want = bpeReference(texts, numMerges = 20, minFrequency = 2L)
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // driverMergeMaxWords = 0 forces the DISTRIBUTED loop;
     // checkpointEvery = 3 forces several lineage truncations mid-train
     val got = graft.llm.Bpe.train(docs, "text", numMerges = 20,
-        minFrequency = 2L, checkpointEvery = 3)
+        minFrequency = 2L, checkpointEvery = 3, driverMergeMaxWords = 0)
       .collect().map(r =>
         (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
@@ -1002,6 +1005,69 @@ class LlmSpec extends AnyFunSuite {
     assert(got.length === 20)
     // every localCheckpoint the merge loop pinned is released again
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+    // the default (driver-local merge phase) is bit-identical
+    val viaDriver = graft.llm.Bpe.train(docs, "text", numMerges = 20,
+        minFrequency = 2L)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(viaDriver === want)
+  }
+
+  test("BPE driver-local merge bookkeeping matches the reference on random corpora") {
+    // the incremental pair-count/posting-list maintenance is the risky code:
+    // fuzz it pure-driver against the quadratic re-count reference
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val alphabet = "abcde".take(2 + rng.nextInt(4))
+      val texts = (1 to 30 + rng.nextInt(50)).map { _ =>
+        (1 to 1 + rng.nextInt(6)).map { _ =>
+          (1 to 1 + rng.nextInt(7)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val nm = 1 + rng.nextInt(30)
+      val mf = 1L + rng.nextInt(3)
+      val want = bpeReference(texts, nm, mf)
+      val wordMap = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val syms = wordMap.map { case (w, _) =>
+        w.toCharArray.map(_.toString) :+ "</w>" }.toArray
+      val cnts = wordMap.map(_._2).toArray
+      val got = graft.llm.Bpe.driverMerges(syms, cnts, nm, mf)
+      assert(got === want, s"trial $trial over '$alphabet' (m=$nm, f=$mf)")
+    }
+  }
+
+  test("BPE distributed reroots delete superseded reliable-checkpoint files") {
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-bpe-cp-")
+    spark.sparkContext.setCheckpointDir(cpDir.toString)
+    val got = graft.llm.Bpe.train(docs, "text", numMerges = 7,
+        minFrequency = 2L, checkpointEvery = 2, driverMergeMaxWords = 0)
+      .count()
+    assert(got === 7L)
+    // every reroot's word-table snapshot was deleted once superseded (and
+    // the final one on return): no rdd-* payload dirs may remain
+    val leftover = java.nio.file.Files.walk(cpDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+    assert(leftover.isEmpty, s"leaked checkpoint files: $leftover")
+  }
+
+  test("BPE encode lowercases locale-independently (Turkish dotted-i pin)") {
+    import spark.implicits._
+    val corpus = Seq("TITLE title Title IIII").toDF("text")
+    val merges = graft.llm.Bpe.collectMerges(
+      graft.llm.Bpe.train(corpus, "text", numMerges = 5, minFrequency = 1L))
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val enc = Seq("TITLE").toDF("text")
+        .select(graft.llm.Bpe.encode(col("text"), merges).as("e"))
+        .head().getSeq[String](0)
+      // under an unpinned toLowerCase, tr_TR maps I -> dotless ı and the
+      // trained symbols stop matching; Locale.ROOT reproduces train-time
+      // tokenization (Spark's locale-independent lower())
+      assert(enc.mkString === "title</w>", enc)
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("BPE mergePair is greedy-leftmost non-overlapping") {
