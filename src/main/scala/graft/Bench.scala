@@ -92,6 +92,16 @@ object Bench {
             new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong) / 1000L
         else -1L
       } catch { case _: Exception => -1L }
+    // three published driver benches in a row started on a non-idle machine
+    // (load > 1.9) and needed sample-level adjudication — so the idle wait
+    // is now part of STARTUP, not just inter-group hygiene: block (up to
+    // 5 min) until the 1-minute load is near-idle, and publish how long the
+    // wait took next to the post-wait load so a reader can see whether the
+    // run began clean
+    val loadAtLaunch = loadAvg1m()
+    val waitT0 = System.currentTimeMillis()
+    settle(idleLoad = 0.9, maxWaitMs = 300000L)
+    val startupWaitMs = System.currentTimeMillis() - waitT0
     val loadAtStart = loadAvg1m()
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,24 +186,33 @@ object Bench {
     }
 
     // --- group 5: persisted-IVF probes: index built ONCE (untimed —
-    // that's the amortized cost); queries pay only the pruned probe ---
+    // that's the amortized cost); queries pay only the pruned probe.
+    // Probes run BEFORE the timed builds, against their OWN index location:
+    // round 9 measured them right after three timed builds into the same
+    // location (a 4-versions-deep index plus fresh executor churn) and the
+    // probe entries inflated ~35% round-over-round from bench order alone ---
     settle()
     locally {
       val embs = Tables.load(spark, sfDir, "embeddings")
-      // build cost measured every round (it once hid a dim× recompute that
-      // made fits unusable past toy corpora): each run publishes a fresh
-      // version dir at the same location, so retirement is in the timing
-      measureRaw("llm_ann_build", 0, 3) { () =>
-        time(graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
-          s"$loc/ann_idx", nLists = 8))
-      }
-      val ivf = graft.llm.IvfIndex.load(spark, s"$loc/ann_idx")
+      graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
+        s"$loc/ann_probe_idx", nLists = 8)
+      val ivf = graft.llm.IvfIndex.load(spark, s"$loc/ann_probe_idx")
+      settle()
       measure("llm_ann_ivf_probe", 2, 5)(() =>
         consume(ivf.topK(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
       // int8 probe: candidate ranking over the persisted codes column
       // (4× fewer bytes), exact rescore on the k×4 survivors only
       measure("llm_ann_int8_probe", 2, 5)(() =>
         consume(ivf.topKQuantized(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
+      // build cost measured every round (it once hid a dim× recompute that
+      // made fits unusable past toy corpora): a separate location so the
+      // version churn cannot touch the probe index, settled first so the
+      // build group cannot contaminate anything else
+      settle()
+      measureRaw("llm_ann_build", 0, 3) { () =>
+        time(graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
+          s"$loc/ann_build_idx", nLists = 8))
+      }
     }
 
     // --- group 5b: round-9 text pipeline entries — BM25 once regressed 5×
@@ -242,7 +261,7 @@ object Bench {
       "\"" + k + "\":" + e.reruns
     }.mkString("{", ",", "}")
     val preceded =
-      s"""{"last_test_run_secs_ago":$lastTestRunSecsAgo,"loadavg_at_start":${fmt(loadAtStart)}}"""
+      s"""{"last_test_run_secs_ago":$lastTestRunSecsAgo,"loadavg_at_launch":${fmt(loadAtLaunch)},"startup_wait_ms":$startupWaitMs,"loadavg_at_start":${fmt(loadAtStart)}}"""
     val total = results.values.map(_.med).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"reruns":$reruns,"preceded_by":$preceded,"sf":"$sfDir"}""")
     spark.stop()

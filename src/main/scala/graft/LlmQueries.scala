@@ -362,6 +362,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // per-domain token budgets — the production mix shape ("600 tokens of
+    // src0, nothing from src7, 250 by default"); same two-phase prefix sum,
+    // only the admission threshold becomes a per-domain lookup
+    "llm_token_budget_domains" -> ((s, d) => {
+      graft.llm.Sampling.tokenBudgetMix(
+          docs(s, d), "doc_id", "source",
+          graft.llm.TextOps.tokenCount(col("text")),
+          budgets = Map("src0" -> 600L, "src1" -> 150L, "src7" -> 0L),
+          defaultBudget = 250L, seed = 5L, rangeBuckets = 8,
+          broadcastOffsets = true)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // int8-quantized ANN through the PERSISTED index — the production path
     // (codes persisted at build, ranking scan over the 4×-smaller codes
     // column, exact cosine only on k×4 survivors). Quantization rounding is
@@ -722,7 +736,15 @@ object LlmQueries {
           "PARTITION BY source ORDER BY " +
           "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT), doc_id " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM documents) " +
-          "WHERE cum_tokens <= 800 ORDER BY doc_id")
+          "WHERE cum_tokens <= 800 ORDER BY doc_id"),
+      "llm_token_budget_domains" ->
+        ("SELECT doc_id, source, cum_tokens FROM (" +
+          "SELECT doc_id, source, CAST(SUM(len(string_split(lower(text), ' '))) OVER (" +
+          "PARTITION BY source ORDER BY " +
+          "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT), doc_id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM documents) " +
+          "WHERE cum_tokens <= CASE source WHEN 'src0' THEN 600 " +
+          "WHEN 'src1' THEN 150 WHEN 'src7' THEN 0 ELSE 250 END ORDER BY doc_id")
       // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8: hash-family- or
       // quantization-specific → rows-only
     )

@@ -269,11 +269,51 @@ object Sampling {
     *      rows regardless of how skewed the domain distribution is.
     *
     * Bit-for-bit reproducible on any engine (the variate is an md5
-    * prefix); the DuckDB oracle is the single-window equivalent. */
+    * prefix); the DuckDB oracle is the single-window equivalent.
+    *
+    * The offsets table is (distinct domains × `rangeBuckets`) rows before
+    * the budget filter prunes it. With the usual handful-of-sources domain
+    * column that is tiny and the forced broadcast is right; with a
+    * HIGH-CARDINALITY domain (per-URL domains on a web corpus) pass
+    * `broadcastOffsets = false` so the join strategy is AQE's
+    * runtime-size decision instead of an unconditional driver broadcast. */
   def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
       tokensCol: Column, budgetTokens: Long, seed: Long = 0L,
-      rangeBuckets: Int = 1024): DataFrame = {
+      rangeBuckets: Int = 1024, broadcastOffsets: Boolean = true): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    tokenBudgetMixImpl(df, idCol, domainCol, tokensCol, _ => lit(budgetTokens),
+      seed, rangeBuckets, broadcastOffsets)
+  }
+
+  /** [[tokenBudgetMix]] with PER-DOMAIN budgets — the shape real mixes
+    * use ("30B tokens of code, 10B of wiki, 2B default for the rest"):
+    * `budgets` maps domain values to their token budgets and
+    * `defaultBudget` prices every unlisted (or null) domain. Admission,
+    * determinism, and the two-phase prefix sum are identical to the
+    * uniform-budget form; only the threshold each row is compared against
+    * becomes a per-domain lookup. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: Column, budgets: Map[String, Long], defaultBudget: Long,
+      seed: Long, rangeBuckets: Int, broadcastOffsets: Boolean): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0L),
+      "token budgets must be non-negative")
+    val budgetOf: Column => Column =
+      if (budgets.isEmpty) _ => lit(defaultBudget)
+      else d => coalesce(
+        element_at(typedLit(budgets), d.cast("string")), lit(defaultBudget))
+    tokenBudgetMixImpl(df, idCol, domainCol, tokensCol, budgetOf,
+      seed, rangeBuckets, broadcastOffsets)
+  }
+
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame =
+    tokenBudgetMix(df, idCol, domainCol, tokensCol, budgets, defaultBudget,
+      seed = 0L, rangeBuckets = 1024, broadcastOffsets = true)
+
+  private def tokenBudgetMixImpl(df: DataFrame, idCol: String,
+      domainCol: String, tokensCol: Column, budgetOf: Column => Column,
+      seed: Long, rangeBuckets: Int, broadcastOffsets: Boolean): DataFrame = {
     require(rangeBuckets > 0 && (rangeBuckets & (rangeBuckets - 1)) == 0 &&
       rangeBuckets <= (1 << 20),
       "rangeBuckets must be a power of two in [1, 2^20]")
@@ -285,25 +325,26 @@ object Sampling {
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy("__gf_d").orderBy("__gf_pb")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = base
+    val offsets0 = base
       .groupBy(col(domainCol).as("__gf_d"), col("__gf_b").as("__gf_pb"))
       .agg(sum("__gf_t").as("__gf_bt"))
       .withColumn("__gf_off", coalesce(sum("__gf_bt").over(byBucket), lit(0L)))
-      // a bucket whose exclusive offset already exceeds the budget cannot
-      // contain an admitted row (tokens are non-negative, so every
+      // a bucket whose exclusive offset already exceeds its domain's budget
+      // cannot contain an admitted row (tokens are non-negative, so every
       // inclusive sum in it is ≥ the offset) — dropping it here turns the
       // inner join below into a data-pruning filter
-      .filter(col("__gf_off") <= budgetTokens)
+      .filter(col("__gf_off") <= budgetOf(col("__gf_d")))
       .select("__gf_d", "__gf_pb", "__gf_off")
+    val offsets = if (broadcastOffsets) broadcast(offsets0) else offsets0
     val inBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol), col("__gf_b"))
       .orderBy(col("__gf_v"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     base
-      .join(broadcast(offsets),
+      .join(offsets,
         col(domainCol) <=> col("__gf_d") && col("__gf_b") === col("__gf_pb"))
       .withColumn("cum_tokens", col("__gf_off") + sum("__gf_t").over(inBucket))
-      .filter(col("cum_tokens") <= budgetTokens)
+      .filter(col("cum_tokens") <= budgetOf(col(domainCol)))
       .drop("__gf_v", "__gf_b", "__gf_t", "__gf_d", "__gf_pb", "__gf_off")
   }
 

@@ -414,15 +414,19 @@ object TextOps {
     * tokens — bounded by document length, not corpus size, so no group can
     * straggle.
     *
-    * The tf table feeds two consumers (the df count and the join), and the
-    * optimizer specializes each branch (the df branch prunes the count into
-    * a bare distinct), so the branches cannot share an exchange — by
-    * default the corpus is scanned twice, both passes fully parallel and
-    * skew-free. `persistIntermediate = true` trades storage for the second
-    * pass: tf is checkpointed once (reliable dir if
-    * `sparkContext.setCheckpointDir` was called, else an eager local
-    * checkpoint), both consumers read the materialized table, and the
-    * blocks are released before returning — same discipline as
+    * The tf table feeds two consumers (the df count and the join). Both
+    * branches canonicalize to the SAME token-repartition exchange (the df
+    * count is deliberately anchored on tf/id references so column pruning
+    * cannot specialize its subtree into a bare distinct), so AQE's
+    * exchange reuse runs the corpus tf pass ONCE — the only other corpus
+    * touch is the column-less document count (parquet answers it from
+    * footers; a graft-table scan from its aggregate pushdown). On a
+    * runtime with exchange reuse disabled the branches fall back to two
+    * fully parallel, skew-free passes; `persistIntermediate = true` then
+    * trades storage for the second pass: tf is checkpointed once
+    * (reliable dir if `sparkContext.setCheckpointDir` was called, else an
+    * eager local checkpoint), both consumers read the materialized table,
+    * and the blocks are released before returning — same discipline as
     * [[Dedup.fuzzyDedup]]. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int,
@@ -436,7 +440,15 @@ object TextOps {
       .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
       .repartition(col("token"))
     val tf = if (persistIntermediate) reroot(tf0) else tf0
-    val dfreq = tf.groupBy("token").agg(count(lit(1L)).as("df"))
+    // df anchored on (tf, id) references — NOT count(1) — so column pruning
+    // cannot specialize this branch into a bare distinct under the token
+    // repartition: both consumers' exchange subtrees then canonicalize
+    // identically and exchange reuse runs the corpus tf pass ONCE (the
+    // count is over rows where tf >= 1 and the doc id is non-null, i.e.
+    // every row — null document ids are not supported, as everywhere in
+    // this library)
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") >= 1, col(idCol))).as("df"))
     val scored = tf.join(dfreq, "token")
       .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     // struct sort is lexicographic by field: (-score, token) ascending =

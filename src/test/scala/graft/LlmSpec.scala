@@ -1325,7 +1325,45 @@ class LlmSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === want,
         s"trial $trial: n=$n doms=$nDoms budget=$budget buckets=$buckets")
+      // per-domain budgets over the same corpus: a random subset of domains
+      // gets its own budget, the rest fall to the uniform one as default;
+      // the oracle is the same window with a per-domain CASE threshold.
+      // broadcastOffsets randomized so the AQE-decided join path is fuzzed
+      // with the forced-broadcast one
+      val budgets = (0 until nDoms).filter(_ => rnd.nextBoolean())
+        .map(dd => ("d" + dd) -> rnd.nextInt(400).toLong).toMap
+      val gotDom = graft.llm.Sampling
+        .tokenBudgetMix(df, "id", "dom", col("tok"), budgets, budget, seed,
+          buckets, broadcastOffsets = rnd.nextBoolean())
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val budgetExpr = budgets.foldLeft(lit(budget)) { case (acc, (k, v)) =>
+        when(col("dom") === lit(k), lit(v)).otherwise(acc) }
+      val wantDom = df
+        .withColumn("cum_tokens", sum(col("tok").cast("long")).over(w))
+        .filter(col("cum_tokens") <= budgetExpr)
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotDom === wantDom,
+        s"trial $trial (per-domain): budgets=$budgets default=$budget buckets=$buckets")
     }
+  }
+
+  test("tokenBudgetMix per-domain: zero budgets, null domains, unlisted default") {
+    import spark.implicits._
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 4 == 0) null else "d" + (i % 3), (i % 5 + 1).toInt))
+      .toDF("id", "dom", "tok")
+    val out = graft.llm.Sampling.tokenBudgetMix(df, "id", "dom", col("tok"),
+      budgets = Map("d0" -> 0L, "d1" -> 120L), defaultBudget = 60L)
+    val byDom = out.groupBy("dom").agg(max("cum_tokens").as("m"), count(lit(1)))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // d0 budgeted to zero: nothing admitted
+    assert(!byDom.contains(Some("d0")))
+    // d1 admits up to its own budget; d2 and null fall to the default
+    assert(byDom(Some("d1")) <= 120L && byDom(Some("d1")) > 60L)
+    assert(byDom(Some("d2")) <= 60L)
+    assert(byDom(None) <= 60L && byDom(None) > 0L)
   }
 
   test("sampleByCluster: T=1 identity, composes with temperature sampler, deterministic") {

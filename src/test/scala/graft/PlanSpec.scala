@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
       s"in-bucket window should key on (domain, bucket):\n$plan")
   }
 
+  test("tfidfTopTerms runs the corpus tf pass once (exchange reuse)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = graft.llm.TextOps.tfidfTopTerms(docs, "doc_id", "text", 3)
+    out.collect() // reuse is an AQE runtime decision — pin the FINAL plan
+    val plan = ColumnBridge.executedPlan(out).toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the df branch must read the join branch's token exchange, not
+    // rescan the corpus: exactly one corpus FileScan in the executed plan
+    assert("FileScan".r.findAllIn(finalPlan).length === 1,
+      s"expected a single corpus scan:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"df branch should reuse the tf exchange:\n$finalPlan")
+  }
+
   test("DSIR scoring plans a broadcast ratio join; selection is bounded top-k") {
     val docs = Tables.load(spark, sf0001, "documents")
     val sel = graft.llm.Sampling.selectByImportance(
