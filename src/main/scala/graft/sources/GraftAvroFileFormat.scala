@@ -91,7 +91,7 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
     val required = requiredSchema // serialize the struct, not the session
     // encryption manager rides the scan options (serialized — the scan
     // builder sets it from the table's FileIO); files self-describe via the
-    // GAE1 magic, so plaintext files in a later-encrypted table still read
+    // GAC1 magic, so plaintext files in a later-encrypted table still read
     val encManager = options.get(graft.table.EncryptionManagers.OptionKey)
       .map(graft.table.EncryptionManagers.deserialize)
     (file: PartitionedFile) => {
@@ -138,11 +138,13 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
 private[graft] object GraftAvroFileFormat {
   import graft.table.{AesGcmEncryptionManager, EncryptionManager}
 
-  /** Open an Avro container reader over a possibly-encrypted file: the GAE1
-    * magic decides. Encrypted files decrypt through the manager and buffer
-    * in memory (whole-file GCM is not seekable; encrypted file slices are
-    * planned whole-file for the same reason). A file that IS encrypted but
-    * reaches a reader with no manager fails loudly — never ciphertext rows. */
+  /** Open an Avro container reader over a possibly-encrypted file: the GAC1
+    * magic decides. Encrypted files decrypt through the manager's SEEKABLE
+    * surface (chunked AES-GCM: one decrypted block in memory, `sync` lands
+    * on split boundaries like any plaintext container); a manager without
+    * seekable support falls back to buffering the decrypted container. A
+    * file that IS encrypted but reaches a reader with no manager fails
+    * loudly — never ciphertext rows. */
   def openReader(path: Path, conf: org.apache.hadoop.conf.Configuration,
       manager: Option[EncryptionManager]): DataFileReader[GenericRecord] = {
     val fs = path.getFileSystem(conf)
@@ -158,13 +160,20 @@ private[graft] object GraftAvroFileFormat {
           s"$path is AES-GCM encrypted; read it through its graft table so " +
             "the table's encryption manager applies")
       case Some(m) =>
-        val bytes =
-          try m.decrypt(path.toString, raw, m.keyMetadata(path.toString))
-            .readAllBytes()
-          finally raw.close()
-        new DataFileReader(
-          new org.apache.avro.file.SeekableByteArrayInput(bytes),
-          new GenericDatumReader[GenericRecord]())
+        val fileLen = fs.getFileStatus(path).getLen
+        m.decryptSeekable(path.toString, raw, fileLen,
+            m.keyMetadata(path.toString)) match {
+          case Some(seekable) =>
+            new DataFileReader(seekable, new GenericDatumReader[GenericRecord]())
+          case None =>
+            val bytes =
+              try m.decrypt(path.toString, raw, m.keyMetadata(path.toString))
+                .readAllBytes()
+              finally raw.close()
+            new DataFileReader(
+              new org.apache.avro.file.SeekableByteArrayInput(bytes),
+              new GenericDatumReader[GenericRecord]())
+        }
     }
   }
 }

@@ -827,8 +827,10 @@ object GraftReadPlanner {
       TableProperties.SplitOpenFileCostDefault.toString).toLong
     val lookback = math.max(1, m.property(TableProperties.SplitLookback,
       TableProperties.SplitLookbackDefault.toString).toInt)
-    // encrypted avro files decrypt whole-file (GCM is not seekable), so the
-    // reader needs the table's manager and the planner whole-file slices
+    // encrypted avro reads need the table's manager on the scan options;
+    // chunked AES-GCM is seekable, so encrypted files split like plaintext
+    // (slice offsets are disk-coordinate, the container syncs within the
+    // decrypted stream — contiguous slices stay contiguous there too)
     val encOptions: Map[String, String] =
       if (encryption == graft.table.PlaintextEncryptionManager) Map.empty
       else Map(graft.table.EncryptionManagers.OptionKey ->
@@ -843,7 +845,7 @@ object GraftReadPlanner {
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file)
         pack(p.files, splitTarget, openCost, lookback,
-          wholeFiles = p.synthPos || avroEnc).map(slicePack =>
+          wholeFiles = p.synthPos).map(slicePack =>
           GraftInputPartition(slicePack.toArray,
             reader, p.project, columnar = vectorized && batches, key = p.key,
             deletes = deleteApply, synthPos = p.synthPos,

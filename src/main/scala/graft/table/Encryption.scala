@@ -41,6 +41,19 @@ trait EncryptionManager extends Serializable {
     * manifest entry carries. */
   def decrypt(path: String, rawIn: InputStream,
       keyMetadata: Option[Seq[Byte]]): InputStream
+
+  /** Optional SEEKABLE decryption over a positioned raw stream. A scheme
+    * whose layout supports random access (per-block encryption) returns an
+    * input the Avro container reader can `seek`/`sync` — encrypted files
+    * then split across tasks and decrypt with bounded memory. `None` (the
+    * default) makes readers fall back to buffering [[decrypt]]'s whole
+    * output, which stays correct under splitting but costs a full-file
+    * buffer per slice task. Ownership of `rawIn` transfers on `Some`
+    * (closed via the returned input). */
+  def decryptSeekable(path: String,
+      rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      keyMetadata: Option[Seq[Byte]]): Option[org.apache.avro.file.SeekableInput] =
+    None
 }
 
 /** The no-op manager: plaintext bytes through, no key metadata. A file
@@ -60,7 +73,11 @@ object PlaintextEncryptionManager extends EncryptionManager {
   }
 }
 
-/** AES-GCM whole-file encryption keyed from one master key.
+/** Chunked AES-GCM encryption keyed from one master key (the ref format
+  * spec's AES-GCM-stream idea: independently authenticated blocks so
+  * encrypted files SEEK and SPLIT; cf.
+  * `api/src/main/java/org/apache/iceberg/encryption/EncryptionManager.java`
+  * for the manager surface this implements).
   *
   * Per-file data key = HMAC-SHA256(master, "key:" + fileName) truncated to
   * 128 bits — unique per file because write paths are UUID-unique, and
@@ -71,15 +88,27 @@ object PlaintextEncryptionManager extends EncryptionManager {
   * wrong master key (or a foreign file) fails loudly before any
   * ciphertext is interpreted as rows.
   *
-  * File layout: 4-byte magic `GAE1` + 12-byte random IV, then the GCM
-  * ciphertext (tag at end, verified on stream close/EOF). Whole-file GCM
-  * is not seekable — the Avro reader buffers the decrypted container (at
-  * 100 TB the upgrade path is the chunked AES-GCM stream layout the ref's
-  * format spec defines, each block independently seekable).
-  */
-final class AesGcmEncryptionManager(masterKey: Array[Byte], keyId: String = "k1")
+  * File layout (self-describing — readers take the block size from the
+  * header, not from this manager's configuration):
+  *
+  *   `GAC1` magic (4) | plaintext block size (4, big-endian) | base IV (12)
+  *   then per block: ciphertext (== plaintext length) | GCM tag (16)
+  *
+  * Every block is its own GCM unit: IV = base IV XOR block index, AAD =
+  * (block index, is-last flag). The index in IV+AAD refuses block
+  * reordering/substitution; the is-last flag refuses whole-block
+  * truncation (the new "last" block was sealed with last=0); intra-block
+  * tampering or byte truncation fails the tag. Plaintext length is
+  * recoverable from the ciphertext length alone, so a reader can map any
+  * plaintext offset to its block — random access with one decrypted block
+  * (default 1 MiB) in memory, which is what lets the Avro container
+  * `sync` to a split boundary instead of buffering the whole file. */
+final class AesGcmEncryptionManager(masterKey: Array[Byte],
+    keyId: String = "k1", blockSize: Int = 1 << 20)
     extends EncryptionManager {
   require(masterKey.nonEmpty, "master key must be non-empty")
+  require(blockSize >= 64 && blockSize <= (1 << 28),
+    s"blockSize must be in [64B, 256MiB], got $blockSize")
 
   import AesGcmEncryptionManager._
 
@@ -104,39 +133,56 @@ final class AesGcmEncryptionManager(masterKey: Array[Byte], keyId: String = "k1"
     val iv = new Array[Byte](IvLen)
     new java.security.SecureRandom().nextBytes(iv)
     rawOut.write(Magic)
+    rawOut.write(java.nio.ByteBuffer.allocate(4).putInt(blockSize).array())
     rawOut.write(iv)
-    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, dataKey(path),
-      new javax.crypto.spec.GCMParameterSpec(TagBits, iv))
-    new javax.crypto.CipherOutputStream(rawOut, cipher)
+    new ChunkedGcmOutputStream(dataKey(path), iv, blockSize, rawOut)
   }
 
-  override def decrypt(path: String, rawIn: InputStream,
-      keyMetadata: Option[Seq[Byte]]): InputStream = {
+  private def validateMeta(path: String, keyMetadata: Option[Seq[Byte]]): Unit = {
     val expected = this.keyMetadata(path)
     require(keyMetadata == expected,
       s"$path: key metadata ${keyMetadata.map(renderMeta)} does not match " +
         s"this manager's derivation ${expected.map(renderMeta)} — the file " +
         "was written with a different master key (or is not managed by " +
         s"key id '$keyId')")
-    val header = rawIn.readNBytes(Magic.length + IvLen)
-    require(header.length == Magic.length + IvLen &&
-      header.startsWith(Magic),
-      s"$path: not an AES-GCM encrypted file (missing GAE1 header)")
-    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(javax.crypto.Cipher.DECRYPT_MODE, dataKey(path),
-      new javax.crypto.spec.GCMParameterSpec(TagBits,
-        header.drop(Magic.length)))
-    new javax.crypto.CipherInputStream(rawIn, cipher)
+  }
+
+  private def parseHeader(path: String, header: Array[Byte]): (Int, Array[Byte]) = {
+    require(header.length == HeaderLen && header.startsWith(Magic),
+      s"$path: not a chunked AES-GCM encrypted file (missing GAC1 header)")
+    val bs = java.nio.ByteBuffer.wrap(header, Magic.length, 4).getInt
+    require(bs > 0, s"$path: corrupt GAC1 header (block size $bs)")
+    (bs, java.util.Arrays.copyOfRange(header, Magic.length + 4, HeaderLen))
+  }
+
+  override def decrypt(path: String, rawIn: InputStream,
+      keyMetadata: Option[Seq[Byte]]): InputStream = {
+    validateMeta(path, keyMetadata)
+    val (bs, baseIv) = parseHeader(path, rawIn.readNBytes(HeaderLen))
+    new ChunkedGcmInputStream(dataKey(path), baseIv, bs, rawIn, path)
+  }
+
+  override def decryptSeekable(path: String,
+      rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      keyMetadata: Option[Seq[Byte]]): Option[org.apache.avro.file.SeekableInput] = {
+    validateMeta(path, keyMetadata)
+    val header = new Array[Byte](HeaderLen)
+    rawIn.readFully(0L, header)
+    val (bs, baseIv) = parseHeader(path, header)
+    Some(new ChunkedGcmSeekableInput(dataKey(path), baseIv, bs, rawIn,
+      fileLen, path))
   }
 
   private def renderMeta(m: Seq[Byte]): String = new String(m.toArray, "UTF-8")
 }
 
 object AesGcmEncryptionManager {
-  val Magic: Array[Byte] = "GAE1".getBytes("UTF-8")
+  val Magic: Array[Byte] = "GAC1".getBytes("UTF-8")
   val IvLen = 12
   val TagBits = 128
+  val TagLen = 16
+  /** magic + block size + base IV */
+  val HeaderLen: Int = 4 + 4 + IvLen
 
   /** Does this (seekable) stream start with the encrypted-file magic? Leaves
     * the stream positioned back at 0. */
@@ -146,6 +192,195 @@ object AesGcmEncryptionManager {
     in.seek(0L)
     n == Magic.length && java.util.Arrays.equals(head, Magic)
   }
+
+  /** Per-block IV: the file's random base IV with the block index folded
+    * into the low 8 bytes (XOR keeps the base entropy; the index makes
+    * every block's IV unique under the per-file key). */
+  private[table] def blockIv(base: Array[Byte], idx: Long): Array[Byte] = {
+    val iv = base.clone()
+    var i = 0
+    while (i < 8) {
+      iv(IvLen - 1 - i) = (iv(IvLen - 1 - i) ^ ((idx >>> (8 * i)) & 0xffL)).toByte
+      i += 1
+    }
+    iv
+  }
+
+  /** Per-block AAD: (index, is-last). The index refuses reorder even if
+    * IVs were equal; the flag refuses dropping trailing blocks. */
+  private[table] def blockAad(idx: Long, last: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(9).putLong(idx)
+    b.put(if (last) 1.toByte else 0.toByte)
+    b.array()
+  }
+
+  private[table] def gcm(mode: Int, key: javax.crypto.spec.SecretKeySpec,
+      baseIv: Array[Byte], idx: Long, last: Boolean): javax.crypto.Cipher = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(mode, key,
+      new javax.crypto.spec.GCMParameterSpec(TagBits, blockIv(baseIv, idx)))
+    cipher.updateAAD(blockAad(idx, last))
+    cipher
+  }
+
+  private[table] def authFailure(path: String, idx: Long, e: Throwable) =
+    new IllegalStateException(
+      s"$path: GCM authentication failed on block $idx — the file was " +
+        "truncated, tampered with, or written under a different key", e)
+}
+
+/** Buffers one plaintext block, sealing each as its own GCM unit; close
+  * seals the (possibly empty) final block with the is-last flag. `flush`
+  * is a no-op for buffered plaintext by design — a partial block cannot
+  * be emitted without breaking the fixed-stride layout. */
+private[table] final class ChunkedGcmOutputStream(
+    key: javax.crypto.spec.SecretKeySpec, baseIv: Array[Byte],
+    blockSize: Int, out: OutputStream) extends OutputStream {
+  import AesGcmEncryptionManager._
+  private val buf = new Array[Byte](blockSize)
+  private var n = 0
+  private var idx = 0L
+  private var closed = false
+
+  private def seal(last: Boolean): Unit = {
+    out.write(gcm(javax.crypto.Cipher.ENCRYPT_MODE, key, baseIv, idx, last)
+      .doFinal(buf, 0, n))
+    idx += 1
+    n = 0
+  }
+
+  override def write(b: Int): Unit = {
+    if (n == blockSize) seal(last = false)
+    buf(n) = b.toByte
+    n += 1
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off
+    var rem = len
+    while (rem > 0) {
+      if (n == blockSize) seal(last = false)
+      val take = math.min(blockSize - n, rem)
+      System.arraycopy(b, o, buf, n, take)
+      n += take
+      o += take
+      rem -= take
+    }
+  }
+
+  override def flush(): Unit = out.flush()
+
+  override def close(): Unit = if (!closed) {
+    closed = true
+    try seal(last = true) finally out.close()
+  }
+}
+
+/** Random-access decryption: plaintext length is derived from the cipher
+  * length, any offset maps to its block, and ONE decrypted block stays
+  * cached — bounded memory no matter the file size. Positioned reads
+  * (`readFully(pos, …)`) leave no seek state on the shared raw stream. */
+private[table] final class ChunkedGcmSeekableInput(
+    key: javax.crypto.spec.SecretKeySpec, baseIv: Array[Byte], blockSize: Int,
+    in: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long, path: String)
+    extends org.apache.avro.file.SeekableInput {
+  import AesGcmEncryptionManager._
+  private val cipherStride = blockSize.toLong + TagLen
+  private val nBlocks =
+    math.max(0L, (fileLen - HeaderLen + cipherStride - 1) / cipherStride)
+  private val plainLen = fileLen - HeaderLen - TagLen * nBlocks
+  require(fileLen >= HeaderLen + TagLen && plainLen >= 0,
+    s"$path: truncated encrypted file ($fileLen bytes)")
+  private var pos = 0L
+  private var cachedIdx = -1L
+  private var cached: Array[Byte] = null
+
+  private def block(idx: Long): Array[Byte] = {
+    if (idx != cachedIdx) {
+      val start = HeaderLen + idx * cipherStride
+      val clen = (math.min(fileLen, start + cipherStride) - start).toInt
+      val enc = new Array[Byte](clen)
+      in.readFully(start, enc)
+      cached =
+        try gcm(javax.crypto.Cipher.DECRYPT_MODE, key, baseIv, idx,
+          last = idx == nBlocks - 1).doFinal(enc)
+        catch { case e: java.security.GeneralSecurityException =>
+          throw authFailure(path, idx, e) }
+      cachedIdx = idx
+    }
+    cached
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= plainLen || len == 0) return if (len == 0) 0 else -1
+    val idx = pos / blockSize
+    val blk = block(idx)
+    val inBlk = (pos - idx * blockSize).toInt
+    val take = math.min(len, blk.length - inBlk)
+    System.arraycopy(blk, inBlk, b, off, take)
+    pos += take
+    take
+  }
+
+  override def seek(p: Long): Unit = pos = p
+  override def tell(): Long = pos
+  override def length(): Long = plainLen
+  override def close(): Unit = in.close()
+}
+
+/** Sequential decryption over a plain (non-seekable) stream: a one-block
+  * lookahead decides the is-last flag (the block with nothing after it is
+  * the final one). */
+private[table] final class ChunkedGcmInputStream(
+    key: javax.crypto.spec.SecretKeySpec, baseIv: Array[Byte], blockSize: Int,
+    in: InputStream, path: String) extends InputStream {
+  import AesGcmEncryptionManager._
+  private var idx = 0L
+  private var cur: Array[Byte] = Array.emptyByteArray
+  private var curPos = 0
+  private var pending: Array[Byte] = readCipherBlock()
+  require(pending != null, s"$path: truncated encrypted file (no blocks)")
+
+  private def readCipherBlock(): Array[Byte] = {
+    val buf = new Array[Byte](blockSize + TagLen)
+    var n = 0
+    while (n < buf.length) {
+      val r = in.read(buf, n, buf.length - n)
+      if (r < 0) return if (n == 0) null else java.util.Arrays.copyOf(buf, n)
+      n += r
+    }
+    buf
+  }
+
+  private def advance(): Boolean = {
+    if (pending == null) return false
+    val next = readCipherBlock()
+    cur =
+      try gcm(javax.crypto.Cipher.DECRYPT_MODE, key, baseIv, idx,
+        last = next == null).doFinal(pending)
+      catch { case e: java.security.GeneralSecurityException =>
+        throw authFailure(path, idx, e) }
+    curPos = 0
+    idx += 1
+    pending = next
+    true
+  }
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    while (curPos >= cur.length) if (!advance()) return -1
+    val take = math.min(len, cur.length - curPos)
+    System.arraycopy(cur, curPos, b, off, take)
+    curPos += take
+    take
+  }
+
+  override def close(): Unit = in.close()
 }
 
 /** Managers ride to write/read tasks as a string option (the V1 FileFormat

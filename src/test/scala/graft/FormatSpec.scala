@@ -423,13 +423,13 @@ class FormatSpec extends AnyFunSuite {
       val km = new String(f.keyMetadata.get.toArray, "UTF-8")
       assert(km.startsWith("aes-gcm-v1:test-key:"), km)
     }
-    // the bytes on disk are ciphertext behind the GAE1 header, not Avro
+    // the bytes on disk are ciphertext behind the GAC1 header, not Avro
     files.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f.path)
       val in = p.getFileSystem(conf).open(p)
       val head = try in.readNBytes(4) finally in.close()
       assert(java.util.Arrays.equals(head, AesGcmEncryptionManager.Magic),
-        s"${f.path} does not start with the GAE1 magic")
+        s"${f.path} does not start with the GAC1 magic")
     }
     // keyed read-back through the table: full content, filters intact
     assert(t.toDF.count() === 200)
@@ -470,5 +470,94 @@ class FormatSpec extends AnyFunSuite {
         new FileIO(conf, manager)),
       Schema.fresh(data.schema))
     intercept[UnsupportedOperationException] { tp.append(data.limit(5)) }
+  }
+
+  test("chunked AES-GCM: multi-block round trip, split reads, bounded decryption") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    // tiny 512-byte blocks force MANY blocks per data file
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "blk", 512)
+    val loc = Files.createTempDirectory("graft-encc-").toString + "/t"
+    // the orders table replicated 40× → a file well past avro's 64 KB sync
+    // interval (many container blocks), so disk-coordinate slices really
+    // do divide it
+    val data = orders.crossJoin(spark.range(40).toDF("rep")).drop("rep")
+      .repartition(1)
+    val expect = data.count()
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(data)
+    val f = t.newScan().planFiles().map(_.file).head
+    val p = new org.apache.hadoop.fs.Path(f.path)
+    val fs = p.getFileSystem(conf)
+    val diskLen = fs.getFileStatus(p).getLen
+    // genuinely multi-block: ≥ 4 full 512B blocks on disk
+    assert(diskLen > 4 * (512 + 16) + AesGcmEncryptionManager.HeaderLen, diskLen.toString)
+    // full table parity through the seekable reader
+    assert(t.toDF.count() === expect)
+    assert(t.toDF.select(sum(col("o_orderkey"))).head.getLong(0) ===
+      data.select(sum(col("o_orderkey"))).head.getLong(0))
+    // SPLIT reads: two disk-coordinate half slices through the format
+    // reader must cover every row exactly once (the planner no longer
+    // forces whole-file slices for encrypted avro)
+    val encOpt = Map(graft.table.EncryptionManagers.OptionKey ->
+      graft.table.EncryptionManagers.serialize(manager))
+    val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
+      spark, "avro", data.schema, data.schema, encOpt)
+    def rowsIn(start: Long, len: Long): Long =
+      org.apache.spark.sql.graft.ColumnBridge.withDriverTaskContext {
+        reader(org.apache.spark.sql.graft.ColumnBridge.partitionedFile(
+          f.path, start, len, diskLen)).size.toLong
+      }
+    val half = diskLen / 2
+    val (a, b) = (rowsIn(0, half), rowsIn(half, diskLen - half))
+    assert(a > 0 && b > 0, s"both slices should see rows: ($a, $b)")
+    assert(a + b === expect, s"slices must partition the file: $a + $b")
+    // sequential (non-seekable) decrypt yields the identical container
+    val seekable = manager.decryptSeekable(f.path, fs.open(p), diskLen,
+      manager.keyMetadata(f.path)).get
+    val viaSeek = new Array[Byte](seekable.length().toInt)
+    var off = 0
+    while (off < viaSeek.length)
+      off += seekable.read(viaSeek, off, viaSeek.length - off)
+    seekable.close()
+    val viaStream = manager.decrypt(f.path, fs.open(p),
+      manager.keyMetadata(f.path)).readAllBytes()
+    assert(java.util.Arrays.equals(viaSeek, viaStream))
+    assert(viaSeek.length ===
+      (diskLen - AesGcmEncryptionManager.HeaderLen -
+        16 * ((diskLen - AesGcmEncryptionManager.HeaderLen + 527) / 528)).toInt)
+    // truncation (drop trailing bytes) refuses loudly, never silent rows
+    val truncated = new org.apache.hadoop.fs.Path(loc + "/trunc.avro")
+    val allBytes = {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
+    val outT = fs.create(truncated, true)
+    outT.write(allBytes, 0, allBytes.length - 8)
+    outT.close()
+    val eTrunc = intercept[Exception] {
+      val s = manager.decrypt(truncated.toString, fs.open(truncated),
+        manager.keyMetadata(truncated.toString))
+      try s.readAllBytes() finally s.close()
+    }
+    assert(eTrunc.getMessage.contains("authentication failed"), eTrunc.toString)
+    // whole-block truncation (drop the last block entirely) also refuses:
+    // the new final block was sealed with last=0
+    val nBlocks = (diskLen - AesGcmEncryptionManager.HeaderLen + 527) / 528
+    val lastBlockLen = (diskLen - AesGcmEncryptionManager.HeaderLen -
+      (nBlocks - 1) * 528).toInt
+    val outB = fs.create(truncated, true)
+    outB.write(allBytes, 0, allBytes.length - lastBlockLen)
+    outB.close()
+    val eBlock = intercept[Exception] {
+      val s = manager.decrypt(truncated.toString, fs.open(truncated),
+        manager.keyMetadata(truncated.toString))
+      try s.readAllBytes() finally s.close()
+    }
+    assert(eBlock.getMessage.contains("authentication failed"), eBlock.toString)
   }
 }
