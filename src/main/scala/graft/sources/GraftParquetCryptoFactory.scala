@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.crypto.{DecryptionKeyRetriever, DecryptionPropertiesFactory,
+  EncryptionPropertiesFactory, FileDecryptionProperties, FileEncryptionProperties,
+  KeyAccessDeniedException}
+import org.apache.parquet.hadoop.api.WriteSupport
+
+import graft.table.{EncryptionManagers, KeyedFileEncryption}
+
+/** Parquet Modular Encryption driven by a graft [[KeyedFileEncryption]]
+  * manager (ref threads its `EncryptionManager` through its own parquet IO
+  * in `parquet/.../Parquet.java`; Spark owns the parquet streams here, so
+  * the hook is parquet-hadoop's own factory SPI instead — loaded via
+  * `parquet.crypto.factory.class` from the per-read/per-write conf, which
+  * is how Spark's builtin columnar encryption wires KMS factories too).
+  *
+  * Per file: uniform encryption (footer + every column) under the
+  * manager's path-derived key, with the manager's `keyMetadata` stored as
+  * footer key metadata. At read the retriever re-derives both from the
+  * path and REFUSES a file whose stored metadata disagrees — the same
+  * wrong-key loudness the Avro streams have. The factory only ever
+  * activates on conf that carries a serialized manager (our own scans and
+  * writes); unrelated parquet reads in the session never see it.
+  *
+  * Derivation uses the file NAME only, so the committer's temp-path →
+  * final-path rename (which preserves the name) keeps write-time and
+  * read-time keys identical.
+  */
+class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
+    with DecryptionPropertiesFactory {
+
+  private def manager(conf: Configuration): Option[KeyedFileEncryption] =
+    Option(conf.get(EncryptionManagers.OptionKey))
+      .map(GraftParquetCryptoFactory.cached)
+      .collect { case k: KeyedFileEncryption => k }
+
+  override def getFileEncryptionProperties(conf: Configuration,
+      tempFilePath: Path,
+      fileWriteContext: WriteSupport.WriteContext): FileEncryptionProperties =
+    manager(conf).map { m =>
+      val p = tempFilePath.toString
+      FileEncryptionProperties.builder(m.fileKey(p))
+        .withFooterKeyMetadata(m.keyMetadata(p).get.toArray)
+        .build()
+    }.orNull
+
+  override def getFileDecryptionProperties(conf: Configuration,
+      filePath: Path): FileDecryptionProperties =
+    manager(conf).map { m =>
+      val p = filePath.toString
+      FileDecryptionProperties.builder()
+        .withKeyRetriever(new DecryptionKeyRetriever {
+          override def getKey(keyMetadata: Array[Byte]): Array[Byte] = {
+            val expected = m.keyMetadata(p).get.toArray
+            if (!java.util.Arrays.equals(keyMetadata, expected))
+              throw new KeyAccessDeniedException(
+                s"$p: footer key metadata does not match this manager's " +
+                  "derivation — the file was encrypted under a different " +
+                  "master key")
+            m.fileKey(p)
+          }
+        })
+        .build()
+    }.orNull
+}
+
+object GraftParquetCryptoFactory {
+  /** Deserialized-manager cache: the factory is re-instantiated per file
+    * open, but the serialized manager string is stable per scan/write. */
+  private val managers =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.EncryptionManager]()
+
+  private def cached(serialized: String): graft.table.EncryptionManager =
+    managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
+}

@@ -806,13 +806,19 @@ object GraftReadPlanner {
       val posSchema = StructType(Seq(
         StructField(graft.table.MergeOnRead.PosPathCol, StringType),
         StructField(graft.table.MergeOnRead.PosPosCol, LongType)))
+      // encrypted tables encrypt their parquet delete files too — the
+      // probe readers carry the modular-decryption options
+      val delOpts =
+        graft.table.EncryptionManagers.parquetCryptoOptions(encryption)
       val posReader = if (posDeletes.isEmpty) null
-        else ColumnBridge.fileRowReader(spark, "parquet", posSchema, posSchema)
+        else ColumnBridge.fileRowReader(spark, "parquet", posSchema, posSchema,
+          delOpts)
       val eqGroups = eqMetaGroups.map { case (ids, fs) =>
         val keySchema = StructType(ids.map(id =>
           StructField(schema.fieldName(id), schema.fieldType(id))))
         GraftEqDeletes(fs.map(whole).toArray,
-          ColumnBridge.fileRowReader(spark, "parquet", keySchema, keySchema),
+          ColumnBridge.fileRowReader(spark, "parquet", keySchema, keySchema,
+            delOpts),
           ids.map(id => extNames.indexOf(schema.fieldName(id))).toArray,
           ids.map(id => schema.fieldType(id): DataType).toArray)
       }
@@ -827,20 +833,16 @@ object GraftReadPlanner {
       TableProperties.SplitOpenFileCostDefault.toString).toLong
     val lookback = math.max(1, m.property(TableProperties.SplitLookback,
       TableProperties.SplitLookbackDefault.toString).toInt)
-    // encrypted avro reads need the table's manager on the scan options;
-    // chunked AES-GCM is seekable, so encrypted files split like plaintext
-    // (slice offsets are disk-coordinate, the container syncs within the
-    // decrypted stream — contiguous slices stay contiguous there too)
-    val encOptions: Map[String, String] =
-      if (encryption == graft.table.PlaintextEncryptionManager) Map.empty
-      else Map(graft.table.EncryptionManagers.OptionKey ->
-        graft.table.EncryptionManagers.serialize(encryption))
+    // encrypted reads need the table's manager on the scan options — avro
+    // through the graft FileFormat's streams (chunked AES-GCM is seekable,
+    // so encrypted files split like plaintext: slice offsets are
+    // disk-coordinate, the container syncs within the decrypted stream),
+    // parquet through modular decryption (factory + manager on the conf)
     def build(vectorized: Boolean): Option[Planned] = {
       val partitions = plans.flatMap { p =>
-        val avroEnc = p.format == "avro" && encOptions.nonEmpty
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
           p.writeSchema, p.required, p.filters, vectorized,
-          if (avroEnc) encOptions else Map.empty)
+          graft.table.EncryptionManagers.contentOptions(encryption, p.format))
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file)

@@ -21,11 +21,13 @@ import java.io.{InputStream, OutputStream}
   * tasks (same constraint the reference documents).
   *
   * The shipped default is [[PlaintextEncryptionManager]] — pass-through
-  * streams, no key metadata. Real encryption is wired END-TO-END for the
-  * Avro data format (the one format whose file streams this library owns);
-  * a non-plaintext manager on a parquet/ORC table FAILS FAST at write time
-  * rather than silently writing plaintext (Spark's builtin writers own
-  * those streams).
+  * streams, no key metadata. Real encryption is wired END-TO-END for
+  * Avro (library-owned streams, chunked AES-GCM) AND for parquet — the
+  * default format — through Parquet Modular Encryption driven by a
+  * [[KeyedFileEncryption]] manager (parquet-hadoop encrypts pages and
+  * footer itself; see [[graft.sources.GraftParquetCryptoFactory]]). A
+  * keyed manager on ORC, or a stream-only manager on parquet, FAILS FAST
+  * at write time rather than silently writing plaintext.
   */
 trait EncryptionManager extends Serializable {
 
@@ -54,6 +56,15 @@ trait EncryptionManager extends Serializable {
       rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
       keyMetadata: Option[Seq[Byte]]): Option[org.apache.avro.file.SeekableInput] =
     None
+}
+
+/** A manager that can expose the raw per-file data key. Required to drive
+  * Parquet Modular Encryption (parquet-hadoop encrypts its own pages and
+  * footer, so it needs the KEY, not a wrapped stream); the key must be a
+  * pure function of the path for the same reason `keyMetadata` is. */
+trait KeyedFileEncryption extends EncryptionManager {
+  /** The per-file AES key (16 bytes) for `path`. */
+  def fileKey(path: String): Array[Byte]
 }
 
 /** The no-op manager: plaintext bytes through, no key metadata. A file
@@ -105,7 +116,7 @@ object PlaintextEncryptionManager extends EncryptionManager {
   * `sync` to a split boundary instead of buffering the whole file. */
 final class AesGcmEncryptionManager(masterKey: Array[Byte],
     keyId: String = "k1", blockSize: Int = 1 << 20)
-    extends EncryptionManager {
+    extends KeyedFileEncryption {
   require(masterKey.nonEmpty, "master key must be non-empty")
   require(blockSize >= 64 && blockSize <= (1 << 28),
     s"blockSize must be in [64B, 256MiB], got $blockSize")
@@ -122,7 +133,12 @@ final class AesGcmEncryptionManager(masterKey: Array[Byte],
   }
 
   private def dataKey(path: String) =
-    new javax.crypto.spec.SecretKeySpec(hmac("key:", path).take(16), "AES")
+    new javax.crypto.spec.SecretKeySpec(fileKey(path), "AES")
+
+  /** Exposed for Parquet Modular Encryption ([[KeyedFileEncryption]]) —
+    * the same per-file derivation the Avro streams key with. */
+  override def fileKey(path: String): Array[Byte] =
+    hmac("key:", path).take(16)
 
   override def keyMetadata(path: String): Option[Seq[Byte]] = Some(
     (s"aes-gcm-v1:$keyId:" +
@@ -387,6 +403,44 @@ private[table] final class ChunkedGcmInputStream(
   * surface has no richer channel): java serialization + base64. */
 object EncryptionManagers {
   val OptionKey = "graft.avro.encryption"
+
+  /** Read/write options that engage Parquet Modular Encryption through
+    * [[graft.sources.GraftParquetCryptoFactory]] for keyed managers —
+    * parquet-hadoop encrypts pages and footer itself, keyed per file by
+    * the manager's derivation. Empty for plaintext or stream-only
+    * managers. Applied to every parquet read/write of table CONTENT
+    * (data files AND delete files; manifests stay plaintext like the
+    * reference's manager scope). */
+  def parquetCryptoOptions(m: EncryptionManager): Map[String, String] = m match {
+    case _: KeyedFileEncryption => Map(
+      "parquet.crypto.factory.class" -> "graft.sources.GraftParquetCryptoFactory",
+      OptionKey -> serialize(m))
+    case _ => Map.empty
+  }
+
+  /** Per-format Spark read/write options that key table-content IO:
+    * avro rides the manager to the graft FileFormat's own streams;
+    * parquet engages modular encryption via [[parquetCryptoOptions]];
+    * other formats (ORC) carry nothing — their writes fail fast. */
+  def contentOptions(m: EncryptionManager, format: String): Map[String, String] =
+    format match {
+      case "avro" if m != PlaintextEncryptionManager => Map(OptionKey -> serialize(m))
+      case "parquet" => parquetCryptoOptions(m)
+      case _ => Map.empty
+    }
+
+  /** A conf copy carrying [[parquetCryptoOptions]] — for direct
+    * parquet-hadoop footer opens (metrics collection). */
+  def parquetCryptoConf(conf: org.apache.hadoop.conf.Configuration,
+      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration = {
+    val opts = m.map(parquetCryptoOptions).getOrElse(Map.empty)
+    if (opts.isEmpty) conf
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      opts.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
 
   def serialize(m: EncryptionManager): String = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -1193,7 +1193,9 @@ private[graft] object Reads {
       val df = readFiles(spark, table, m, group, projection, boundFilter,
         withMeta = needMeta)
       MergeOnRead.applyDeletes(spark, m, df, applicable,
-        groupPaths = group.map(t => table.normPath(t.file.path)))
+        groupPaths = group.map(t => table.normPath(t.file.path)),
+        readOptions =
+          EncryptionManagers.parquetCryptoOptions(table.io.encryption))
     }
     val out = dfs.reduce(_ unionByName _)
     if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
@@ -1244,12 +1246,7 @@ private[graft] object Reads {
       val df =
         if (!synthMeta)
           spark.read.schema(writeSchema.struct)
-            .options(
-              if (format == "avro" &&
-                  table.io.encryption != PlaintextEncryptionManager)
-                Map(EncryptionManagers.OptionKey ->
-                  EncryptionManagers.serialize(table.io.encryption))
-              else Map.empty[String, String])
+            .options(EncryptionManagers.contentOptions(table.io.encryption, format))
             .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
         else synthMetaFrame(spark, table, writeSchema, format, group,
           neededIds = (projection.map(schema.fieldId).filterNot(constants.contains) ++
@@ -1300,10 +1297,7 @@ private[graft] object Reads {
     val readerSchema = StructType(readerFields)
     val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
       spark, format, writeSchema.struct, readerSchema,
-      if (format == "avro" && table.io.encryption != PlaintextEncryptionManager)
-        Map(EncryptionManagers.OptionKey ->
-          EncryptionManagers.serialize(table.io.encryption))
-      else Map.empty)
+      EncryptionManagers.contentOptions(table.io.encryption, format))
     val files = group.map(t => (t.file.path, t.file.fileSizeBytes))
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism * 2))
@@ -1398,7 +1392,8 @@ private[table] object Writes {
     format match {
       case "orc" => OrcMetrics.read(conf, path, schema)
       case "avro" => AvroMetrics.read(conf, path, schema, enc)
-      case _ => ParquetMetrics.read(conf, path, schema)
+      case _ => ParquetMetrics.read(
+        EncryptionManagers.parquetCryptoConf(conf, enc), path, schema)
     }
 
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
@@ -1413,15 +1408,19 @@ private[table] object Writes {
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
-    // real encryption is wired only for the format whose streams this
-    // library owns — a keyed manager on parquet/ORC would silently write
-    // plaintext through Spark's builtin writers, so refuse up front
-    if (table.io.encryption != PlaintextEncryptionManager && format != "avro")
+    // real encryption: avro through library-owned streams, parquet through
+    // Parquet Modular Encryption (needs a key-exposing manager). A keyed
+    // manager on ORC (streams Spark owns, no key hook wired) — or a
+    // stream-only custom manager on parquet — would silently write
+    // plaintext, so refuse up front
+    if (table.io.encryption != PlaintextEncryptionManager && format != "avro" &&
+        !(format == "parquet" &&
+          table.io.encryption.isInstanceOf[KeyedFileEncryption]))
       throw new UnsupportedOperationException(
         s"encryption manager ${table.io.encryption.getClass.getSimpleName} " +
-          s"cannot encrypt '$format' data files — only the avro format's " +
-          "write streams are library-owned (set write.format.default=avro " +
-          "or use the plaintext manager)")
+          s"cannot encrypt '$format' data files — avro streams are " +
+          "library-owned and parquet needs a KeyedFileEncryption manager " +
+          "(set write.format.default accordingly or use the plaintext manager)")
     // Roll output files at ~write.target-file-size-bytes (ref rolling file
     // writers, `TableProperties.java:145`): Spark rolls by RECORD count, so
     // convert the byte target through the table's observed on-disk row width
@@ -1462,7 +1461,10 @@ private[table] object Writes {
             (2L << 20).toString)) ++
           (if (level.nonEmpty)
             Map(s"parquet.compression.codec.${codec.toLowerCase}.level" -> level)
-          else Map.empty)
+          else Map.empty) ++
+          // keyed managers engage Parquet Modular Encryption in the task
+          // writers through the per-write conf (factory + serialized manager)
+          EncryptionManagers.parquetCryptoOptions(table.io.encryption)
       case "orc" =>
         Map("compression" -> prop("write.orc.compression-codec", "snappy"))
       case "avro" =>

@@ -623,7 +623,9 @@ object Maintenance {
     val livePaths = entries.filter(_.dataFile.content == FileContent.Data)
       .map(e => table.normPath(e.dataFile.path))
     val liveDf = spark.createDataset(livePaths).toDF("_gf_live")
-    val rows = spark.read.parquet(posDeletes.map(_.path): _*)
+    val rows = spark.read
+      .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+      .parquet(posDeletes.map(_.path): _*)
       .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))
       .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===
         col("_gf_live"), "left_semi")

@@ -68,11 +68,16 @@ object MergeOnRead {
         val srcName = schema.fieldName(pf.sourceId)
         pf.transform.toColumn(col(srcName), schema.fieldType(pf.sourceId))
       }
+      // key VALUES are row data: encrypted tables encrypt their equality
+      // deletes too (keyed managers → Parquet Modular Encryption)
       distinctKeys.withColumns(helperNames.zip(helperCols).toMap)
         .write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
         .partitionBy(helperNames: _*).parquet(outDir)
     } else {
-      distinctKeys.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false").parquet(outDir)
+      distinctKeys.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+        .parquet(outDir)
     }
     val metas = deleteFileMetas(table, m, outDir, FileContent.EqualityDeletes, ids,
       scoped = scoped)
@@ -179,9 +184,12 @@ object MergeOnRead {
       // partition in one task → exactly one file per partition dir
       val out = if (compact) filled.repartition(helperNames.map(col): _*) else filled
       out.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
         .partitionBy(helperNames: _*).parquet(outDir)
     } else {
-      rows.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false").parquet(outDir)
+      rows.write.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+        .parquet(outDir)
     }
     val metas = deleteFileMetas(table, m, outDir, FileContent.PositionDeletes, Nil,
       scoped = scoped)
@@ -193,7 +201,9 @@ object MergeOnRead {
       (metas, Set.empty)
     } else {
       // distinct referenced targets, read back from the (small) delete files
-      val referenced = table.spark.read.parquet(metas.map(_.path): _*)
+      val referenced = table.spark.read
+        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+        .parquet(metas.map(_.path): _*)
         .select(PosPathCol).distinct().collect().map(_.getString(0)).toSet
       (metas, referenced)
     }
@@ -310,7 +320,9 @@ object MergeOnRead {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val path = st.getPath.toString
-        val conf = table.spark.sparkContext.hadoopConfiguration
+        val conf = EncryptionManagers.parquetCryptoConf(
+          table.spark.sparkContext.hadoopConfiguration,
+          Some(table.io.encryption))
         val rc = ParquetMetrics.read(conf, path, m.schema).recordCount
         val partValues: Seq[Any] =
           if (!scoped || spec.isUnpartitioned) spec.fields.map(_ => null)
@@ -362,11 +374,13 @@ object MergeOnRead {
     * scan so the anti join probes only relevant rows. */
   private[table] def applyDeletes(spark: org.apache.spark.sql.SparkSession,
       m: TableMetadata, df: DataFrame, applicable: Seq[DataFileMeta],
-      groupPaths: Seq[String] = Nil): DataFrame = {
+      groupPaths: Seq[String] = Nil,
+      readOptions: Map[String, String] = Map.empty): DataFrame = {
     var out = df
     val posFiles = applicable.filter(_.content == FileContent.PositionDeletes)
     if (posFiles.nonEmpty) {
-      val pos0 = spark.read.parquet(posFiles.map(_.path): _*)
+      val pos0 = spark.read.options(readOptions)
+        .parquet(posFiles.map(_.path): _*)
         .select(col(PosPathCol), col(PosPosCol))
       // pushes a filter into the delete-file scan: only rows targeting this
       // group's files survive, so the anti join probes a fraction of the
@@ -383,7 +397,8 @@ object MergeOnRead {
     val eqFiles = applicable.filter(_.content == FileContent.EqualityDeletes)
     eqFiles.groupBy(_.equalityIds).foreach { case (ids, fs) =>
       val keyNames = ids.map(m.schema.fieldName)
-      val keys = spark.read.parquet(fs.map(_.path): _*).select(keyNames.map(col): _*)
+      val keys = spark.read.options(readOptions)
+        .parquet(fs.map(_.path): _*).select(keyNames.map(col): _*)
       // null-safe equality per key column: delete rows with null keys match
       // target rows with nulls (ref equality-delete spec semantics)
       val kdf = broadcastIfSmall(keys, fs)

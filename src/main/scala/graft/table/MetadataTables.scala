@@ -263,7 +263,9 @@ object MetadataTables {
         StructField("delete_file_path", StringType, nullable = false),
         StructField("partition", StringType),
         StructField("spec_id", IntegerType))))
-    spark.read.parquet(deletes.map(_.path): _*)
+    spark.read
+      .options(EncryptionManagers.parquetCryptoOptions(t.io.encryption))
+      .parquet(deletes.map(_.path): _*)
       .select(col(MergeOnRead.PosPathCol).cast("string").as("file_path"),
         col(MergeOnRead.PosPosCol).cast("long").as("pos"),
         col("_metadata.file_path").as("_del_raw"))

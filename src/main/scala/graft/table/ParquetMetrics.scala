@@ -31,7 +31,12 @@ object ParquetMetrics {
       splitOffsets: Seq[Long])
 
   def read(conf: Configuration, path: String, schema: Schema): FileMetrics = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    // HadoopReadOptions (not the bare open) so a `parquet.crypto.factory
+    // .class` on the conf engages modular decryption for encrypted footers
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf),
+      org.apache.parquet.HadoopReadOptions
+        .builder(conf, new Path(path)).build())
     try metricsOf(reader, schema) finally reader.close()
   }
 

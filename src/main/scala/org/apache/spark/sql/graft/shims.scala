@@ -133,9 +133,12 @@ object ColumnBridge {
     val options = extraOptions ++ Map(
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH ->
         batches.toString)
+    // extraOptions are merged into the per-reader hadoop conf too: parquet
+    // modular decryption (crypto factory + manager) rides the conf, not the
+    // format's option map
     (fmt.buildReaderWithPartitionValues(classic, dataSchema,
       org.apache.spark.sql.types.StructType(Nil), requiredSchema, filters.toSeq,
-      options, classic.sessionState.newHadoopConf()), batches)
+      options, classic.sessionState.newHadoopConfWithOptions(extraOptions)), batches)
   }
 
   /** Driver-side synthetic task attempt ids: NEGATIVE and decrementing.

@@ -464,12 +464,96 @@ class FormatSpec extends AnyFunSuite {
     assert(causes(direct).exists(_.getMessage != null) &&
       causes(direct).flatMap(c => Option(c.getMessage))
         .exists(_.contains("AES-GCM encrypted")), direct.toString)
-    // a keyed manager on a parquet-format table fails fast at write time
-    val tp = IceTable.createWith(spark,
-      new TableOperations(Files.createTempDirectory("graft-encp-").toString + "/t",
+    // parquet now encrypts through modular encryption (dedicated test);
+    // ORC — streams Spark owns with no key hook wired — still fails fast
+    // at write time rather than silently writing plaintext
+    val torc = IceTable.createWith(spark,
+      new TableOperations(Files.createTempDirectory("graft-enco-").toString + "/t",
         new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "orc"))
+    intercept[UnsupportedOperationException] { torc.append(data.limit(5)) }
+  }
+
+  test("parquet encryption: modular encryption end-to-end, MoR deletes, refusals") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, MergeOnRead,
+      TableOperations, ValidationException}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "pq-key")
+    val loc = Files.createTempDirectory("graft-encpq-").toString + "/t"
+    val data = orders.limit(1000)
+    // default file format — parquet — now encrypts through PME
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
       Schema.fresh(data.schema))
-    intercept[UnsupportedOperationException] { tp.append(data.limit(5)) }
+    t.append(data)
+    def magicOf(path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = p.getFileSystem(conf).open(p)
+      try new String(in.readNBytes(4), "UTF-8") finally in.close()
+    }
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      // manifests carry the derived key metadata; bytes on disk carry the
+      // encrypted-parquet magic (PARE), not plaintext PAR1
+      assert(new String(f.keyMetadata.get.toArray, "UTF-8")
+        .startsWith("aes-gcm-v1:pq-key:"))
+      assert(magicOf(f.path) === "PARE", f.path)
+      // footer metrics decrypted at commit time: pruning stats are real
+      assert(f.recordCount > 0 && f.lowerBounds.nonEmpty, f.path)
+    }
+    // keyed read-back: full content, filters, metrics pruning intact
+    assert(t.toDF.count() === 1000)
+    assert(t.toDF.select(sum(col("o_orderkey"))).head.getLong(0) ===
+      data.select(sum(col("o_orderkey"))).head.getLong(0))
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() ===
+      data.filter(col("o_orderstatus") === "F").count())
+    // merge-on-read DELETE: the position-delete files are encrypted too,
+    // and the scan applies them through the decrypting probe readers
+    val dropped = data.filter(col("o_orderkey") <= 100).count()
+    t.deleteMergeOnRead(graft.meta.expr.Exprs.lessThanOrEqual("o_orderkey", 100L))
+    val dels = t.newScan().planDeletes().map(_._1)
+    if (dels.nonEmpty) dels.foreach(d => assert(magicOf(d.path) === "PARE", d.path))
+    assert(t.toDF.filter(col("o_orderkey") <= 100).count() === 0)
+    assert(t.toDF.count() === 1000 - dropped)
+    // equality deletes carry KEY VALUES (row data) — encrypted as well
+    val evict = data.filter(col("o_orderkey") === 101L || col("o_orderkey") === 102L)
+      .select("o_orderkey")
+    if (evict.count() > 0) {
+      MergeOnRead.addEqualityDeletes(t, evict, Seq("o_orderkey"))
+      val eqs = t.newScan().planDeletes().map(_._1)
+        .filter(_.content == graft.meta.model.FileContent.EqualityDeletes)
+      assert(eqs.nonEmpty)
+      eqs.foreach(d => assert(magicOf(d.path) === "PARE", d.path))
+      assert(t.toDF.filter(col("o_orderkey").isin(101L, 102L)).count() === 0)
+    }
+    // plaintext manager refuses keyed files at PLAN time
+    intercept[ValidationException] { IceTable.load(spark, loc).toDF.count() }
+    // wrong master key refuses at plan time
+    val wrongKey = new AesGcmEncryptionManager(
+      "ffffffffffffffffffffffffffffffff".getBytes("UTF-8"), "pq-key")
+    intercept[ValidationException] {
+      IceTable.loadWith(spark,
+        new TableOperations(loc, new FileIO(conf, wrongKey))).toDF.count()
+    }
+    // a direct parquet read without keys fails loudly, never rows
+    val direct = intercept[Exception] {
+      spark.read.parquet(files.head.path).collect()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(direct).flatMap(c => Option(c.getMessage))
+      .exists(m => m.contains("encrypted footer") || m.contains("encrypted")),
+      direct.toString)
+    // copy-on-write DML re-encrypts the rewritten files
+    t.delete(equalTo("o_orderstatus", "F"))
+    t.newScan().planFiles().map(_.file).foreach { f =>
+      assert(f.keyMetadata.nonEmpty && magicOf(f.path) === "PARE",
+        s"${f.path} lost encryption on rewrite")
+    }
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
   }
 
   test("chunked AES-GCM: multi-block round trip, split reads, bounded decryption") {

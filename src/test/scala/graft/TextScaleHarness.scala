@@ -48,6 +48,13 @@ object TextScaleHarness {
       m.count()
     }
     println(f"${mult}x bpe_train(25) $tTrain%.1f s")
+    // the production-merge-count gate for the driver-local merge phase:
+    // one corpus word-frequency job, then 1000 in-memory merges
+    val tTrain1k = time {
+      val m = llm.Bpe.train(corpus, "text", numMerges = 1000)
+      m.count()
+    }
+    println(f"${mult}x bpe_train(1000) $tTrain1k%.1f s")
     val merges = llm.Bpe.collectMerges(
       llm.Bpe.train(corpus.limit(50000), "text", numMerges = 25))
     (1 to 2).foreach(_ => consume(corpus.select(
@@ -85,6 +92,21 @@ object TextScaleHarness {
     val tBm = (1 to 3).map(_ => time(consume(
       llm.TextOps.bm25(corpus, "doc_id", "text", q, "qid", "qtext", k = 10))))
     println(f"${mult}x bm25 ${tBm.min}%.2f s (min of 3)")
+
+    // checkpoint-vs-recompute: the two knob-bearing multi-consumer text ops,
+    // measured with persistIntermediate OFF and ON so the knob's scaladoc
+    // advice carries numbers at this corpus size
+    for (persist <- Seq(false, true)) {
+      val tag = if (persist) "persist=on " else "persist=off"
+      val tTfidf = (1 to 2).map(_ => time(consume(
+        llm.TextOps.tfidfTopTerms(corpus, "doc_id", "text", 5,
+          persistIntermediate = persist))))
+      println(f"${mult}x tfidf $tag ${tTfidf.min}%.2f s (min of 2)")
+      val tPass = (1 to 2).map(_ => time(consume(
+        llm.TextOps.dropRepeatedPassages(corpus, "doc_id", "text", 32,
+          maxOccurrences = 3, persistIntermediate = persist))))
+      println(f"${mult}x passages $tag ${tPass.min}%.2f s (min of 2)")
+    }
 
     spark.stop()
   }
