@@ -427,7 +427,11 @@ object TextOps {
     * (reliable dir if `sparkContext.setCheckpointDir` was called, else an
     * eager local checkpoint), both consumers read the materialized table,
     * and the blocks are released before returning — same discipline as
-    * [[Dedup.fuzzyDedup]]. */
+    * [[Dedup.fuzzyDedup]]. Measured guidance (BASELINE.md §round-10):
+    * with exchange reuse on (any default Spark), leave the knob OFF —
+    * at 500k docs the default single pass ran 6.7 s vs 10.2 s with the
+    * checkpoint, which only pays when reuse is disabled or the plan is
+    * consumed more than once. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int,
       persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {
@@ -486,7 +490,10 @@ object TextOps {
     * [[tfidfTopTerms]], the passage table feeds two optimizer-specialized
     * consumers — default is two parallel corpus passes;
     * `persistIntermediate = true` checkpoints it once and releases the
-    * blocks before returning. */
+    * blocks before returning. Measured guidance (BASELINE.md §round-10):
+    * the knob WINS at scale here — 12.3 s vs 25.9 s at 5M docs (2.1×) —
+    * because unlike [[tfidfTopTerms]] the two consumers cannot share an
+    * exchange (the chunk table has no shuffle beneath it to reuse). */
   def dropRepeatedPassages(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, windowTokens: Int, maxOccurrences: Int = 1,
       persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {

@@ -1409,10 +1409,13 @@ private[table] object Writes {
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
     // real encryption: avro through library-owned streams, parquet through
-    // Parquet Modular Encryption (needs a key-exposing manager). A keyed
-    // manager on ORC (streams Spark owns, no key hook wired) — or a
-    // stream-only custom manager on parquet — would silently write
-    // plaintext, so refuse up front
+    // Parquet Modular Encryption (needs a key-exposing manager). ORC stays
+    // fail-fast by necessity, not neglect: parquet-hadoop loads its crypto
+    // factory FROM THE CONF (`parquet.crypto.factory.class`), but ORC's
+    // `WriterOptions.encrypt` is programmatic-only — Spark's OrcOutputWriter
+    // never reads `orc.encrypt` from the conf, so there is no hook short of
+    // forking the writer. A keyed manager on ORC — or a stream-only custom
+    // manager on parquet — would silently write plaintext, so refuse up front
     if (table.io.encryption != PlaintextEncryptionManager && format != "avro" &&
         !(format == "parquet" &&
           table.io.encryption.isInstanceOf[KeyedFileEncryption]))

@@ -27,7 +27,8 @@ class DmlFuzzSpec extends AnyFunSuite {
     rows.toDF("k", "v", "q")
   }
 
-  private def runFuzz(format: String, seed: Int, ops: Int): Unit = {
+  private def runFuzz(format: String, seed: Int, ops: Int,
+      encrypted: Boolean = false): Unit = {
     val rng = new scala.util.Random(seed)
     val base = Files.createTempDirectory(s"graft-fuzz-$format-").toString
     val loc = base + "/t"
@@ -41,8 +42,16 @@ class DmlFuzzSpec extends AnyFunSuite {
         "write.object-storage.path" -> (base + "/bucket"),
         "write.metadata.previous-versions-max" -> "5",
         "write.metadata.delete-after-commit.enabled" -> "true")
-    val t = IceTable.create(spark, loc, Schema.fresh(df(Seq((1L, "x", 1.0))).schema),
-      properties = Map(TableProperties.DefaultFileFormat -> format) ++ layoutProps)
+    val props = Map(TableProperties.DefaultFileFormat -> format) ++ layoutProps
+    val schema0 = Schema.fresh(df(Seq((1L, "x", 1.0))).schema)
+    val t =
+      if (!encrypted) IceTable.create(spark, loc, schema0, properties = props)
+      else IceTable.createWith(spark,
+        new graft.table.TableOperations(loc, new graft.table.FileIO(
+          spark.sparkContext.hadoopConfiguration,
+          new graft.table.AesGcmEncryptionManager(
+            "fuzz-master-key-0123456789abcdef".getBytes("UTF-8"), "fz"))),
+        schema0, properties = props)
     val model = scala.collection.mutable.Map[Long, (String, Double)]()
     var nextKey = 0L
 
@@ -153,10 +162,25 @@ class DmlFuzzSpec extends AnyFunSuite {
           }
       }
     }
-    // final cross-check: the native DSv2 scan agrees with the V1 path
-    val native = spark.read.format("graft").load(loc).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
-    assert(native === model.toMap, s"[$format seed=$seed] native scan mismatch")
+    if (!encrypted) {
+      // final cross-check: the native DSv2 scan agrees with the V1 path
+      val native = spark.read.format("graft").load(loc).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(native === model.toMap, s"[$format seed=$seed] native scan mismatch")
+    } else {
+      // a path-load uses the default (plaintext) manager: after any
+      // interleaving, the keyed table must REFUSE it at plan time — and the
+      // native scan through the keyed handle must agree with the V1 path
+      intercept[graft.table.ValidationException] {
+        spark.read.format("graft").load(loc).collect()
+      }
+      val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(new graft.spark.GraftSparkTable(t, "fuzz.enc"), None, None)
+      val native = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, rel)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(native === model.toMap, s"[$format seed=$seed] native keyed scan mismatch")
+    }
   }
 
   for (format <- Seq("parquet", "orc", "avro")) {
@@ -167,5 +191,12 @@ class DmlFuzzSpec extends AnyFunSuite {
 
   test("random DML interleaving, second seed (parquet)") {
     runFuzz("parquet", seed = 7, ops = 24)
+  }
+
+  test("random DML interleaving on an ENCRYPTED parquet table") {
+    // modular encryption under the full DML battery: every data and delete
+    // file written keyed, every read decrypting — semantics must be
+    // byte-identical to the plaintext model
+    runFuzz("parquet", seed = 31337, ops = 20, encrypted = true)
   }
 }
