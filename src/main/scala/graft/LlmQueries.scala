@@ -244,6 +244,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail perplexity bucketing: LM scores quantiled
+    // into 3 buckets (exact percentile mode for the oracle replay)
+    "llm_ppl_buckets" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.perplexityBuckets(all, "doc_id", "text",
+          all.filter(col("lang") === "en"), "text", nBuckets = 3,
+          exact = true)
+        .select(col("doc_id"), col("lm_logprob"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style data selection: hashed-unigram importance ratios vs a
     // French target slice, greedy top-50 (rounded-score rank, id ties)
     "llm_dsir_select" -> ((s, d) => {
@@ -523,6 +534,37 @@ object LlmQueries {
            |   FROM s GROUP BY 1)
            | SELECT d.doc_id, sc.lm_logprob FROM documents d
            | LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+          .stripMargin.replace("\n", " ")),
+      "llm_ppl_buckets" ->
+        ("""WITH ct AS (SELECT doc_id,
+           |   list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents),
+           | tt AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents WHERE lang = 'en'),
+           | uni AS (SELECT w, count(*) AS c FROM
+           |   (SELECT unnest(ts) AS w FROM tt) GROUP BY 1),
+           | tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n,
+           |   CAST(count(*) AS DOUBLE) AS v FROM uni),
+           | bi AS (SELECT p, count(*) AS c12 FROM
+           |   (SELECT unnest(list_transform(range(1, len(ts)),
+           |      i -> ts[i] || ' ' || ts[i+1])) AS p FROM tt) GROUP BY 1),
+           | cb AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+           |   i -> ts[i] || ' ' || ts[i+1])) AS p FROM ct),
+           | s AS (SELECT cb.doc_id,
+           |   CASE WHEN b.c12 IS NOT NULL THEN CAST(b.c12 AS DOUBLE) / u1.c
+           |        ELSE 0.4 * (coalesce(u2.c, 0) + 1.0) / (t.n + 1.0 * t.v) END AS s
+           |   FROM cb LEFT JOIN bi b USING (p)
+           |   LEFT JOIN uni u1 ON u1.w = string_split(cb.p, ' ')[1]
+           |   LEFT JOIN uni u2 ON u2.w = string_split(cb.p, ' ')[2], tot t),
+           | sc AS (SELECT doc_id, round(avg(ln(s)), 4) AS lm_logprob
+           |   FROM s GROUP BY 1),
+           | q AS (SELECT quantile_cont(lm_logprob, 2.0/3.0) AS c1,
+           |   quantile_cont(lm_logprob, 1.0/3.0) AS c2 FROM sc)
+           | SELECT d.doc_id, sc.lm_logprob,
+           |   CAST(CASE WHEN sc.lm_logprob >= q.c1 THEN 1
+           |        WHEN sc.lm_logprob >= q.c2 THEN 2 ELSE 3 END AS INT) AS ppl_bucket
+           | FROM documents d LEFT JOIN sc USING (doc_id), q
+           | ORDER BY d.doc_id"""
           .stripMargin.replace("\n", " ")),
       "llm_dsir_select" ->
         ("""WITH tok AS (SELECT doc_id, t FROM

@@ -224,6 +224,47 @@ object TextOps {
     corpus.join(scores, Seq(idCol), "left")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): score the
+    * corpus with the target-trained bigram LM ([[ngramLmScore]]) and label
+    * each document by score quantile — `ppl_bucket` 1 (head: closest to
+    * the target) through `nBuckets` (tail); the standard "keep the head,
+    * sample the middle, drop or down-weight the tail" quality-mixing
+    * control, with `nBuckets = 3` the canonical CCNet split. Documents too
+    * short to score (< 2 tokens → null logprob) land in the tail bucket —
+    * an unscorable doc is not head-quality evidence.
+    *
+    * Scale shape: [[ngramLmScore]]'s dataflow plus n−1 quantile SCALARS of
+    * the rounded score (one aggregate — exact `percentile` for
+    * oracle-small runs; the mergeable approxQuantile sketch at 100 TB,
+    * the [[filterByTokenQuantiles]] split) and a map-only when-chain
+    * assignment. Ties on a threshold take the better bucket, so the
+    * labeling is deterministic and engine-replayable. */
+  def perplexityBuckets(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: org.apache.spark.sql.DataFrame,
+      targetTextCol: String, nBuckets: Int = 3, exact: Boolean = false,
+      approxError: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val scored = ngramLmScore(corpus, idCol, textCol, target, targetTextCol)
+    // cutoff k separates bucket k from k+1: the (1 − k/n) quantile, so
+    // bucket 1 holds the top 1/n of scores (both engines' exact quantile
+    // is the linearly-interpolated one; inputs are the 4-decimal-rounded
+    // scores, so the interpolation is identical)
+    val qs = (1 until nBuckets).map(k => 1.0 - k.toDouble / nBuckets)
+    val cutoffs: Seq[Double] =
+      if (exact) {
+        val aggs = qs.map(q => percentile(col("lm_logprob"), lit(q)))
+        val r = scored.agg(aggs.head, aggs.tail: _*).head()
+        if (r.isNullAt(0)) Nil else qs.indices.map(r.getDouble)
+      } else scored.stat
+        .approxQuantile("lm_logprob", qs.toArray, approxError).toSeq
+    // no cutoffs = nothing was scorable: everything is tail
+    val bucket = cutoffs.zipWithIndex.reverse
+      .foldLeft(lit(nBuckets)) { case (acc, (c, i)) =>
+        when(col("lm_logprob") >= c, lit(i + 1)).otherwise(acc)
+      }
+    scored.withColumn("ppl_bucket", bucket)
+  }
+
   /** One-row corpus card — the numbers a dataset README leads with:
     * document/token counts, language and source cardinalities, the exact-
     * duplicate rate (1 − distinct normalized fingerprints / docs), and

@@ -1274,6 +1274,42 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3L) === None)
   }
 
+  test("perplexityBuckets: monotone in score, unscorable docs land in the tail") {
+    import spark.implicits._
+    val tgt = Seq(Tuple1("the cat sat on the mat"),
+      Tuple1("the dog sat on the rug")).toDF("text")
+    val corp = Seq(
+      (1L, "the cat sat on the mat"), // all bigrams seen → best score
+      (2L, "the dog sat on the mat"), // mostly seen
+      (3L, "cat dog the on sat"),     // seen words, unseen bigrams
+      (4L, "zz qq ww ee rr tt"),      // full backoff on unseen words → worst
+      (5L, "one"),                    // single token → null score
+      (6L, "the cat sat on the rug")
+    ).toDF("id", "text")
+    def run(n: Int) = graft.llm.TextOps
+      .perplexityBuckets(corp, "id", "text", tgt, "text", nBuckets = n,
+        exact = true)
+      .select("id", "lm_logprob", "ppl_bucket").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(2)))
+    val rows = run(3)
+    val byId = rows.map(t => t._1 -> t).toMap
+    // unscorable doc: null score, tail bucket
+    assert(byId(5L)._2.isEmpty && byId(5L)._3 === 3)
+    // the head holds the best score, the tail the worst; bucket never
+    // improves as the score drops
+    val scored = rows.filter(_._2.nonEmpty).sortBy(-_._2.get)
+    assert(scored.head._1 === 1L && scored.head._3 === 1)
+    assert(scored.last._1 === 4L && scored.last._3 === 3)
+    assert(scored.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      scored.mkString(", "))
+    assert(rows.forall(t => t._3 >= 1 && t._3 <= 3))
+    // deterministic
+    assert(run(3).toSeq === rows.toSeq)
+    // two-bucket variant: only head/tail labels appear
+    assert(run(2).map(_._3).toSet.subsetOf(Set(1, 2)))
+  }
+
   test("DSIR importance: target-language docs score higher; gumbel variant deterministic") {
     import spark.implicits._
     val scored = graft.llm.Sampling.importanceScores(
