@@ -33,7 +33,19 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
   private def tableOf(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-stream requires option(\"path\", ...)"))
-    IceTable.load(sqlContext.sparkSession, path)
+    // encrypted tables stream too: `option("encryption", EncryptionManagers
+    // .serialize(manager))` loads the table through a keyed FileIO, so the
+    // source decrypts and the sink encrypts exactly like batch IO; without
+    // it a keyed table refuses at plan time (never plaintext rows, never
+    // silently-plaintext appends into an encrypted table)
+    parameters.get("encryption") match {
+      case Some(ser) =>
+        IceTable.loadWith(sqlContext.sparkSession,
+          new graft.table.TableOperations(path, new graft.table.FileIO(
+            sqlContext.sparkSession.sparkContext.hadoopConfiguration,
+            graft.table.EncryptionManagers.deserialize(ser))))
+      case None => IceTable.load(sqlContext.sparkSession, path)
+    }
   }
 
   private def readChanges(parameters: Map[String, String]): Boolean =

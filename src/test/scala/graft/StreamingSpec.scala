@@ -46,6 +46,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.snapshots.forall(_.summary.contains("streaming-epoch-id")))
   }
 
+  test("streaming between ENCRYPTED tables: keyed source and sink via the encryption option") {
+    import graft.table.{AesGcmEncryptionManager, EncryptionManagers, FileIO,
+      TableOperations, ValidationException}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "st")
+    val ser = EncryptionManagers.serialize(manager)
+    val base = Files.createTempDirectory("graft-stream-enc-").toString
+    val srcLoc = s"$base/src"; val dstLoc = s"$base/dst"; val cp = s"$base/cp"
+    val src = IceTable.createWith(spark,
+      new TableOperations(srcLoc, new FileIO(conf, manager)),
+      Schema.fresh(orders.schema))
+    val dst = IceTable.createWith(spark,
+      new TableOperations(dstLoc, new FileIO(conf, manager)),
+      Schema.fresh(orders.schema))
+    src.append(orders.limit(20))
+    val q = spark.readStream.format("graft-stream").option("path", srcLoc)
+      .option("encryption", ser).load()
+      .writeStream.format("graft-stream").option("path", dstLoc)
+      .option("encryption", ser)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    assert(dst.toDF.count() === 20)
+    // the sink's files are keyed ciphertext (PARE parquet), not plaintext
+    dst.newScan().planFiles().map(_.file).foreach { f =>
+      assert(f.keyMetadata.nonEmpty, f.path)
+      val p = new org.apache.hadoop.fs.Path(f.path)
+      val in = p.getFileSystem(conf).open(p)
+      val head = try new String(in.readNBytes(4), "UTF-8") finally in.close()
+      assert(head === "PARE", s"${f.path} not encrypted on disk")
+    }
+    // without the option, a keyed source refuses — the stream fails, it
+    // never emits plaintext rows
+    val failed = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-stream").option("path", srcLoc)
+        .load()
+        .writeStream.format("noop").option("checkpointLocation", s"$base/cp2")
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(failed).exists(c => c.isInstanceOf[ValidationException] ||
+      Option(c.getMessage).exists(_.contains("key metadata"))), failed.toString)
+  }
+
   test("Complete-mode sink: each epoch's aggregation replaces the table; replay is a no-op") {
     val base = Files.createTempDirectory("graft-stream-").toString
     import spark.implicits._
