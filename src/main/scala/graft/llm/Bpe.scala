@@ -131,11 +131,14 @@ object Bpe {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       } else ColumnBridge.unpersistCheckpoint(frame)
     var words = reroot(wordTable(df, textCol))
-    // the collect is served from the materialized reroot: if at most the
-    // threshold comes back, that IS the whole vocabulary
-    val collected = if (driverMergeMaxWords == 0) Array.empty[Row]
-      else words.limit(driverMergeMaxWords + 1).collect()
-    if (driverMergeMaxWords > 0 && collected.length <= driverMergeMaxWords) {
+    // decide the phase with a COUNT (no row transfer) against the
+    // materialized reroot, and collect only when under the threshold — an
+    // over-threshold vocabulary must not pay a 2M-row driver collect just
+    // to be discarded
+    val underThreshold = driverMergeMaxWords > 0 &&
+      words.limit(driverMergeMaxWords + 1).count() <= driverMergeMaxWords
+    if (underThreshold) {
+      val collected = words.collect()
       release(words)
       val syms = collected.map(_.getSeq[String](0).toArray)
       val cnts = collected.map(_.getLong(1))

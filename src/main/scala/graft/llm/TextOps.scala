@@ -233,18 +233,34 @@ object TextOps {
     * short to score (< 2 tokens → null logprob) land in the tail bucket —
     * an unscorable doc is not head-quality evidence.
     *
-    * Scale shape: [[ngramLmScore]]'s dataflow plus n−1 quantile SCALARS of
-    * the rounded score (one aggregate — exact `percentile` for
-    * oracle-small runs; the mergeable approxQuantile sketch at 100 TB,
-    * the [[filterByTokenQuantiles]] split) and a map-only when-chain
-    * assignment. Ties on a threshold take the better bucket, so the
-    * labeling is deterministic and engine-replayable. */
+    * Output is NARROW — `(id, lm_logprob, ppl_bucket)`, one row per corpus
+    * doc (join back by id for the rest) — so the intermediates stay
+    * bytes-per-doc-sized at any corpus size.
+    *
+    * Scale shape: the cutoffs aggregate and the returned frame each
+    * consume the scoring dataflow, so by DEFAULT the [[ngramLmScore]]
+    * pipeline runs twice (both passes fully parallel);
+    * `persistIntermediate = true` checkpoints the narrow scores frame
+    * once (~16 bytes/doc), feeds both consumers from it, and releases the
+    * blocks before returning — the [[tfidfTopTerms]] discipline. On top:
+    * n−1 quantile SCALARS of the rounded score (one aggregate — exact
+    * `percentile` for oracle-small runs; the mergeable approxQuantile
+    * sketch at 100 TB, the [[filterByTokenQuantiles]] split) and a
+    * map-only when-chain assignment. Ties on a threshold take the better
+    * bucket, so the labeling is deterministic and engine-replayable. */
   def perplexityBuckets(corpus: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, target: org.apache.spark.sql.DataFrame,
       targetTextCol: String, nBuckets: Int = 3, exact: Boolean = false,
-      approxError: Double = 0.001): org.apache.spark.sql.DataFrame = {
+      approxError: Double = 0.001,
+      persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 2, "need at least two buckets")
-    val scored = ngramLmScore(corpus, idCol, textCol, target, targetTextCol)
+    val spark = corpus.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: org.apache.spark.sql.DataFrame) =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
+    val scored0 = ngramLmScore(corpus, idCol, textCol, target, targetTextCol)
+      .select(col(idCol), col("lm_logprob"))
+    val scored = if (persistIntermediate) reroot(scored0) else scored0
     // cutoff k separates bucket k from k+1: the (1 − k/n) quantile, so
     // bucket 1 holds the top 1/n of scores (both engines' exact quantile
     // is the linearly-interpolated one; inputs are the 4-decimal-rounded
@@ -262,7 +278,14 @@ object TextOps {
       .foldLeft(lit(nBuckets)) { case (acc, (c, i)) =>
         when(col("lm_logprob") >= c, lit(i + 1)).otherwise(acc)
       }
-    scored.withColumn("ppl_bucket", bucket)
+    val result = scored.withColumn("ppl_bucket", bucket)
+    if (!persistIntermediate) result
+    else {
+      val rerooted = reroot(result)
+      if (reliable) scored.unpersist(blocking = true)
+      else ColumnBridge.unpersistCheckpoint(scored)
+      rerooted
+    }
   }
 
   /** One-row corpus card — the numbers a dataset README leads with:

@@ -197,6 +197,13 @@ final case class TableMetadata(
 
 object TableProperties {
   val DefaultFileFormat = "write.format.default" // parquet | orc (ref :61)
+  /** "true" = every content write must run under a non-plaintext
+    * encryption manager; set automatically when a table is CREATED with a
+    * keyed FileIO, by hand when encrypting an existing table. Guards the
+    * one hole per-file key metadata can't: a pure append through a
+    * plaintext handle never plans files, so nothing else would stop it
+    * from committing plaintext into an encrypted table. */
+  val EncryptionRequired = "graft.encryption.required"
   val SplitSize = "read.split.target-size"
   val SplitSizeDefault: Long = 128L * 1024 * 1024 // ref TableProperties.java:82
   val SplitOpenFileCost = "read.split.open-file-cost"

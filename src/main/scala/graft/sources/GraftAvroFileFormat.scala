@@ -160,19 +160,28 @@ private[graft] object GraftAvroFileFormat {
           s"$path is AES-GCM encrypted; read it through its graft table so " +
             "the table's encryption manager applies")
       case Some(m) =>
-        val fileLen = fs.getFileStatus(path).getLen
-        m.decryptSeekable(path.toString, raw, fileLen,
-            m.keyMetadata(path.toString)) match {
-          case Some(seekable) =>
-            new DataFileReader(seekable, new GenericDatumReader[GenericRecord]())
-          case None =>
-            val bytes =
-              try m.decrypt(path.toString, raw, m.keyMetadata(path.toString))
-                .readAllBytes()
-              finally raw.close()
-            new DataFileReader(
-              new org.apache.avro.file.SeekableByteArrayInput(bytes),
-              new GenericDatumReader[GenericRecord]())
+        // the raw stream must not leak when header validation or the
+        // container constructor throws (truncated/tampered files fail here
+        // by design — repeated failed opens must not exhaust handles)
+        try {
+          val fileLen = fs.getFileStatus(path).getLen
+          m.decryptSeekable(path.toString, raw, fileLen,
+              m.keyMetadata(path.toString)) match {
+            case Some(seekable) =>
+              new DataFileReader(seekable, new GenericDatumReader[GenericRecord]())
+            case None =>
+              val bytes =
+                try m.decrypt(path.toString, raw, m.keyMetadata(path.toString))
+                  .readAllBytes()
+                finally raw.close()
+              new DataFileReader(
+                new org.apache.avro.file.SeekableByteArrayInput(bytes),
+                new GenericDatumReader[GenericRecord]())
+          }
+        } catch {
+          case e: Throwable =>
+            try raw.close() catch { case _: Exception => () }
+            throw e
         }
     }
   }

@@ -62,6 +62,12 @@ class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
             m.fileKey(p)
           }
         })
+        // a later-encrypted table still holds plaintext PAR1 files from
+        // before the manager swap: they must keep reading (files
+        // self-describe — same contract as the Avro magic sniff). Without
+        // this, parquet-mr refuses to open ANY plaintext file once
+        // decryption properties are present.
+        .withPlaintextFilesAllowed()
         .build()
     }.orNull
 }

@@ -845,9 +845,15 @@ object GraftReadPlanner {
           graft.table.EncryptionManagers.contentOptions(encryption, p.format))
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
-        // range's first-row ordinal is unknown without reading the file)
+        // range's first-row ordinal is unknown without reading the file);
+        // encrypted avro under a STREAM-ONLY manager also stays whole-file —
+        // each slice of a non-seekable scheme would decrypt and buffer the
+        // entire container (the chunked default manager is seekable: splits)
+        val nonSeekableEnc = p.format == "avro" &&
+          encryption != graft.table.PlaintextEncryptionManager &&
+          !encryption.supportsSeekableDecryption
         pack(p.files, splitTarget, openCost, lookback,
-          wholeFiles = p.synthPos).map(slicePack =>
+          wholeFiles = p.synthPos || nonSeekableEnc).map(slicePack =>
           GraftInputPartition(slicePack.toArray,
             reader, p.project, columnar = vectorized && batches, key = p.key,
             deletes = deleteApply, synthPos = p.synthPos,

@@ -198,9 +198,12 @@ object Changelog {
     val posFiles = addedDeletes.filter(_._1.content == FileContent.PositionDeletes)
     val eqFiles = addedDeletes.filter(_._1.content == FileContent.EqualityDeletes)
 
+    // encrypted tables encrypt their delete files: both delete reads carry
+    // the modular-decryption options
+    val delOpts = EncryptionManagers.parquetCryptoOptions(table.io.encryption)
     val posTuples =
       if (posFiles.isEmpty) None
-      else Some(spark.read.parquet(posFiles.map(_._1.path): _*)
+      else Some(spark.read.options(delOpts).parquet(posFiles.map(_._1.path): _*)
         .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol)))
     // referenced paths: metadata-scale collect (bounded by files the DML
     // touched), lets the reconstitution read only those files
@@ -230,7 +233,7 @@ object Changelog {
       eqFiles.groupBy(_._1.equalityIds).toSeq
         .sortBy(_._1.mkString(",")).map { case (ids, fs) =>
           val keyNames = ids.map(schema.fieldName)
-          val keys = spark.read.parquet(fs.map(_._1.path): _*)
+          val keys = spark.read.options(delOpts).parquet(fs.map(_._1.path): _*)
             .select(keyNames.map(col): _*).dropDuplicates(keyNames)
           var matched = visible.join(broadcast(keys),
             keyNames.map(n => visible(n) <=> keys(n)).reduce(_ && _), "left_semi")

@@ -56,6 +56,11 @@ trait EncryptionManager extends Serializable {
       rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
       keyMetadata: Option[Seq[Byte]]): Option[org.apache.avro.file.SeekableInput] =
     None
+
+  /** Whether [[decryptSeekable]] is implemented. Planners keep encrypted
+    * files WHOLE-FILE-sliced for stream-only schemes — splitting them
+    * would make every slice task decrypt and buffer the entire file. */
+  def supportsSeekableDecryption: Boolean = false
 }
 
 /** A manager that can expose the raw per-file data key. Required to drive
@@ -165,9 +170,18 @@ final class AesGcmEncryptionManager(masterKey: Array[Byte],
 
   private def parseHeader(path: String, header: Array[Byte]): (Int, Array[Byte]) = {
     require(header.length == HeaderLen && header.startsWith(Magic),
-      s"$path: not a chunked AES-GCM encrypted file (missing GAC1 header)")
+      if (header.length >= LegacyMagic.length &&
+          header.startsWith(LegacyMagic))
+        s"$path: written with the superseded whole-file GAE1 layout " +
+          "(pre-chunked builds) — re-ingest or rewrite it under the build " +
+          "that wrote it; this build reads only the chunked GAC1 layout"
+      else s"$path: not a chunked AES-GCM encrypted file (missing GAC1 header)")
     val bs = java.nio.ByteBuffer.wrap(header, Magic.length, 4).getInt
-    require(bs > 0, s"$path: corrupt GAC1 header (block size $bs)")
+    // the header is outside any GCM tag: bound-check before any allocation
+    // sized by it (the writer enforces the same range) — a tampered size
+    // must refuse cleanly, not overflow `blockSize + TagLen` allocations
+    require(bs >= 64 && bs <= (1 << 28),
+      s"$path: corrupt GAC1 header (block size $bs outside [64B, 256MiB])")
     (bs, java.util.Arrays.copyOfRange(header, Magic.length + 4, HeaderLen))
   }
 
@@ -177,6 +191,8 @@ final class AesGcmEncryptionManager(masterKey: Array[Byte],
     val (bs, baseIv) = parseHeader(path, rawIn.readNBytes(HeaderLen))
     new ChunkedGcmInputStream(dataKey(path), baseIv, bs, rawIn, path)
   }
+
+  override def supportsSeekableDecryption: Boolean = true
 
   override def decryptSeekable(path: String,
       rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
@@ -194,19 +210,25 @@ final class AesGcmEncryptionManager(masterKey: Array[Byte],
 
 object AesGcmEncryptionManager {
   val Magic: Array[Byte] = "GAC1".getBytes("UTF-8")
+  /** The superseded whole-file layout's magic — detected only to refuse
+    * with a message naming the layout instead of a confusing Avro error. */
+  val LegacyMagic: Array[Byte] = "GAE1".getBytes("UTF-8")
   val IvLen = 12
   val TagBits = 128
   val TagLen = 16
   /** magic + block size + base IV */
   val HeaderLen: Int = 4 + 4 + IvLen
 
-  /** Does this (seekable) stream start with the encrypted-file magic? Leaves
-    * the stream positioned back at 0. */
+  /** Does this (seekable) stream start with an encrypted-file magic
+    * (current chunked GAC1 or the superseded GAE1 — the latter so legacy
+    * ciphertext is routed to the loud layout refusal rather than being
+    * parsed as plaintext Avro)? Leaves the stream positioned back at 0. */
   def isEncrypted(in: org.apache.hadoop.fs.FSDataInputStream): Boolean = {
     val head = new Array[Byte](Magic.length)
     val n = in.read(head, 0, Magic.length)
     in.seek(0L)
-    n == Magic.length && java.util.Arrays.equals(head, Magic)
+    n == Magic.length && (java.util.Arrays.equals(head, Magic) ||
+      java.util.Arrays.equals(head, LegacyMagic))
   }
 
   /** Per-block IV: the file's random base IV with the block index folded

@@ -858,6 +858,16 @@ object IceTable {
       properties: Map[String, String] = Map.empty): IceTable = {
     val location = ops.location
     require(!ops.exists, s"Table already exists: $location")
+    // a table CREATED keyed records that encryption is required: a later
+    // handle with the default plaintext FileIO (path loads, a sink missing
+    // its encryption option) must refuse to APPEND — reads are already
+    // guarded by per-file key metadata, but a pure append never plans
+    // files, so without this property it would silently commit plaintext
+    // into an encrypted table. (A table encrypted later sets the property
+    // by hand — documented on TableProperties.EncryptionRequired.)
+    val effectiveProps =
+      if (ops.io.encryption == PlaintextEncryptionManager) properties
+      else properties + (TableProperties.EncryptionRequired -> "true")
     val nowMs = System.currentTimeMillis()
     val m = TableMetadata(
       formatVersion = 2,
@@ -873,7 +883,7 @@ object IceTable {
       lastPartitionId = (999 +: spec.fields.map(_.fieldId)).max,
       defaultSortOrderId = sortOrder.orderId,
       sortOrders = Seq(sortOrder),
-      properties = properties,
+      properties = effectiveProps,
       currentSnapshotId = None,
       snapshots = Nil,
       snapshotLog = Nil,
@@ -1104,6 +1114,25 @@ final class TableScan private[table] (table: IceTable) {
       case Some(snap) =>
         val entries = table.liveEntries(m, snap)
         val (del, data) = entries.partition(_.dataFile.content != FileContent.Data)
+        // the same plan-time encryption guard data files get: a keyed
+        // delete file under the wrong (or plaintext) manager must refuse
+        // here, not as a KeyAccessDenied deep inside a delete-probe task
+        if (table.io.encryption == PlaintextEncryptionManager)
+          del.map(_.dataFile).find(_.keyMetadata.nonEmpty).foreach { f =>
+            throw new ValidationException(
+              s"${f.path} carries encryption key metadata but the table's " +
+                "encryption manager is plaintext — configure the manager " +
+                "that wrote this file")
+          }
+        else
+          del.map(_.dataFile).find(f => f.keyMetadata.nonEmpty &&
+              f.keyMetadata != table.io.encryption.keyMetadata(f.path))
+            .foreach { f =>
+              throw new ValidationException(
+                s"${f.path} was encrypted under a different key than the " +
+                  "table's current encryption manager derives — configure " +
+                  "the manager that wrote this file")
+            }
         (del.map(e => (e.dataFile, e.sequenceNumber)), data.map(_.dataFile.format).toSet)
     }
   }
@@ -1386,6 +1415,23 @@ private[table] object Writes {
   def sparkFormat(format: String): String =
     if (format == "avro") "graft-avro" else format
 
+  /** The [[TableProperties.EncryptionRequired]] gate, checked before EVERY
+    * content write (data files here, delete files in [[MergeOnRead]]): a
+    * plaintext-manager handle of a table that requires encryption must
+    * refuse to write — per-file key metadata guards every read, but a pure
+    * append plans no files, so this property is the only thing standing
+    * between a misconfigured writer and plaintext rows in an encrypted
+    * table. */
+  private[table] def requireEncryptionSatisfied(table: IceTable,
+      m: TableMetadata): Unit =
+    if (m.property(TableProperties.EncryptionRequired, "false").toBoolean &&
+        table.io.encryption == PlaintextEncryptionManager)
+      throw new ValidationException(
+        s"${table.location} requires encrypted writes " +
+          s"(${TableProperties.EncryptionRequired}=true) but this handle's " +
+          "encryption manager is plaintext — load the table with its keyed " +
+          "manager (streaming: option(\"encryption\", ...))")
+
   private[table] def fileMetrics(conf: org.apache.hadoop.conf.Configuration,
       format: String, path: String, schema: Schema,
       enc: Option[EncryptionManager] = None): ParquetMetrics.FileMetrics =
@@ -1408,6 +1454,7 @@ private[table] object Writes {
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
+    Writes.requireEncryptionSatisfied(table, m)
     // real encryption: avro through library-owned streams, parquet through
     // Parquet Modular Encryption (needs a key-exposing manager). ORC stays
     // fail-fast by necessity, not neglect: parquet-hadoop loads its crypto

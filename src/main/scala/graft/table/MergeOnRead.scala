@@ -53,6 +53,7 @@ object MergeOnRead {
     * the Flink CDC writer). */
   private[graft] def writeEqualityDeleteFiles(table: IceTable, m: TableMetadata,
       keysDf: DataFrame, keys: Seq[String]): Seq[DataFileMeta] = {
+    Writes.requireEncryptionSatisfied(table, m)
     val schema = m.schema
     val spec = m.spec
     val ids = keys.map(schema.fieldId)
@@ -143,6 +144,7 @@ object MergeOnRead {
       affected: Option[Seq[FileScanTask]] = None,
       compact: Boolean = false,
       wantRefs: Boolean = true): (Seq[DataFileMeta], Set[String]) = {
+    Writes.requireEncryptionSatisfied(table, m)
     val spec = m.spec
     val outDir = Locations.newWriteDir(table.location, m, s"deletes-${UUID.randomUUID()}")
     val rows0 = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
@@ -348,7 +350,15 @@ object MergeOnRead {
           partition = partValues,
           recordCount = rc, fileSizeBytes = st.getLen,
           schemaId = m.currentSchemaId, content = content,
-          equalityIds = equalityIds)
+          equalityIds = equalityIds,
+          // delete files are encrypted like data files when the manager
+          // drives parquet modular encryption: stamp the same derived key
+          // slot so the plan-time wrong-key guard covers them too (a
+          // stream-only manager leaves parquet deletes plaintext — no stamp)
+          keyMetadata = table.io.encryption match {
+            case k: KeyedFileEncryption => k.keyMetadata(path)
+            case _ => None
+          })
       }
   }
 

@@ -68,6 +68,13 @@ object TableImport {
       nameMapping: Map[String, Int] = Map.empty): Unit = {
     val spark = table.spark
     val m = table.meta
+    // imports register EXISTING plaintext files: a table that requires
+    // encrypted content must refuse them like any other plaintext write
+    if (m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+      throw new ValidationException(
+        s"${table.location} requires encrypted content " +
+          s"(${TableProperties.EncryptionRequired}=true) — foreign plaintext " +
+          "files cannot be imported; ingest them through an encrypted write")
     val schema = m.schema
     val spec = m.spec
     val conf = spark.sparkContext.hadoopConfiguration

@@ -547,6 +547,13 @@ class FormatSpec extends AnyFunSuite {
     assert(causes(direct).flatMap(c => Option(c.getMessage))
       .exists(m => m.contains("encrypted footer") || m.contains("encrypted")),
       direct.toString)
+    // delete files are stamped with key metadata too: the plan-time guard
+    // covers them, not just data files
+    assert(t.newScan().planDeletes().forall(_._1.keyMetadata.nonEmpty))
+    // the row-level changelog reads encrypted data AND delete files
+    val changes = t.changelog()
+    assert(changes.count() > 0)
+    assert(changes.filter(col("_change_type") === "delete").count() > 0)
     // copy-on-write DML re-encrypts the rewritten files
     t.delete(equalTo("o_orderstatus", "F"))
     t.newScan().planFiles().map(_.file).foreach { f =>
@@ -554,6 +561,35 @@ class FormatSpec extends AnyFunSuite {
         s"${f.path} lost encryption on rewrite")
     }
     assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0)
+    // a keyed CREATE records graft.encryption.required: a plaintext-manager
+    // handle must refuse to APPEND (a pure append plans no files, so the
+    // per-file guards alone would let it commit plaintext silently)
+    assert(t.meta.properties.get(TableProperties.EncryptionRequired)
+      .contains("true"))
+    intercept[ValidationException] {
+      IceTable.load(spark, loc).append(data.limit(5))
+    }
+    assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0) // unchanged
+  }
+
+  test("later-encrypted parquet table: plaintext files keep reading under a keyed manager") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val loc = Files.createTempDirectory("graft-mixpq-").toString + "/t"
+    val data = orders.limit(300)
+    // created (and first filled) PLAINTEXT
+    val plain = IceTable.create(spark, loc, Schema.fresh(data.schema))
+    plain.append(data.limit(200))
+    // manager swap: later appends encrypt, old PAR1 files must keep reading
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "mix")
+    val keyed = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)))
+    assert(keyed.toDF.count() === 200) // plaintextFilesAllowed path
+    keyed.append(data.limit(300).exceptAll(data.limit(200)))
+    assert(keyed.toDF.count() === 300) // mixed plaintext + PARE scan
+    val metas = keyed.newScan().planFiles().map(_.file)
+    assert(metas.exists(_.keyMetadata.isEmpty) && metas.exists(_.keyMetadata.nonEmpty))
   }
 
   test("chunked AES-GCM: multi-block round trip, split reads, bounded decryption") {

@@ -1308,6 +1308,18 @@ class LlmSpec extends AnyFunSuite {
     assert(run(3).toSeq === rows.toSeq)
     // two-bucket variant: only head/tail labels appear
     assert(run(2).map(_._3).toSet.subsetOf(Set(1, 2)))
+    // persistIntermediate: identical rows, no storage blocks left pinned
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val persisted = graft.llm.TextOps
+      .perplexityBuckets(corp, "id", "text", tgt, "text", nBuckets = 3,
+        exact = true, persistIntermediate = true)
+      .select("id", "lm_logprob", "ppl_bucket").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(2)))
+    assert(persisted.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+    // only the re-rooted RESULT may remain pinned; the scores intermediate
+    // must have been released (at most one new block set)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size <= 1)
   }
 
   test("DSIR importance: target-language docs score higher; gumbel variant deterministic") {
