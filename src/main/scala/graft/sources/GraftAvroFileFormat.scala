@@ -199,6 +199,11 @@ private[sources] class GraftAvroOutputWriter(val path: String, context: TaskAtte
     }
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    // container-block (sync-marker) granularity: splits can only land on
+    // sync boundaries, so scans of big rows/files tune this down for
+    // finer parallelism (write.avro.sync-interval-bytes table property)
+    w.setSyncInterval(context.getConfiguration.getInt("graft.avro.sync.interval",
+      org.apache.avro.file.DataFileConstants.DEFAULT_SYNC_INTERVAL))
     // codec rides the per-write hadoop conf (write.avro.compression-codec)
     w.setCodec(context.getConfiguration.get("graft.avro.codec", "snappy") match {
       case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)

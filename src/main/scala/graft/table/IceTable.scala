@@ -1524,6 +1524,11 @@ private[table] object Writes {
             case "gzip" => "deflate"
             case c => c
           })) ++
+          // sync-marker interval = the split granularity of the container
+          (prop("write.avro.sync-interval-bytes", "") match {
+            case "" => Map.empty[String, String]
+            case v => Map("graft.avro.sync.interval" -> v)
+          }) ++
           // task-side writers re-hydrate the manager and wrap their streams
           (if (table.io.encryption == PlaintextEncryptionManager) Map.empty
           else Map(EncryptionManagers.OptionKey ->

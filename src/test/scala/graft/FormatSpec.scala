@@ -572,6 +572,30 @@ class FormatSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0) // unchanged
   }
 
+  test("write.avro.sync-interval-bytes controls container split granularity") {
+    val loc = Files.createTempDirectory("graft-avsync-").toString + "/t"
+    val data = orders.limit(1500).repartition(1)
+    // a ~50 KB file is ONE avro block at the 64 KB default interval (no
+    // interior sync marker — unsplittable in practice); a 2 KB interval
+    // gives dozens of split points
+    val t = IceTable.create(spark, loc, Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro",
+        "write.avro.sync-interval-bytes" -> "2000"))
+    t.append(data)
+    val f = t.newScan().planFiles().map(_.file).head
+    val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
+      spark, "avro", data.schema, data.schema)
+    def rowsIn(start: Long, len: Long): Long =
+      org.apache.spark.sql.graft.ColumnBridge.withDriverTaskContext {
+        reader(org.apache.spark.sql.graft.ColumnBridge.partitionedFile(
+          f.path, start, len, f.fileSizeBytes)).size.toLong
+      }
+    val half = f.fileSizeBytes / 2
+    val (a, b) = (rowsIn(0, half), rowsIn(half, f.fileSizeBytes - half))
+    assert(a > 0 && b > 0, s"fine sync interval should split a small file: ($a, $b)")
+    assert(a + b === 1500L)
+  }
+
   test("later-encrypted parquet table: plaintext files keep reading under a keyed manager") {
     import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
     val conf = spark.sparkContext.hadoopConfiguration
