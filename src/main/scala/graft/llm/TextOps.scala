@@ -82,6 +82,17 @@ object TextOps {
   val EsStop: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en", "que", "los", "por")
   val FrStop: Seq[String] = Seq("le", "la", "de", "et", "est", "un", "en", "que", "les", "pour")
 
+  /** Release a rerooted intermediate after its consumers have been
+    * re-anchored: a RELIABLE checkpoint's files must be DELETED (unpersist
+    * alone leaves them on storage until cleanCheckpoints + GC — the
+    * `Bpe.release` discipline); a localCheckpoint just drops its blocks. */
+  private def releaseReroot(spark: org.apache.spark.sql.SparkSession,
+      reliable: Boolean, frame: org.apache.spark.sql.DataFrame): Unit =
+    if (reliable) ColumnBridge.reliableCheckpointFile(frame).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else ColumnBridge.unpersistCheckpoint(frame)
+
   private def stopHits(c: Column, words: Seq[String]): Column =
     size(array_intersect(tokens(c), array(words.map(lit): _*)))
 
@@ -282,8 +293,7 @@ object TextOps {
     if (!persistIntermediate) result
     else {
       val rerooted = reroot(result)
-      if (reliable) scored.unpersist(blocking = true)
-      else ColumnBridge.unpersistCheckpoint(scored)
+      releaseReroot(spark, reliable, scored)
       rerooted
     }
   }
@@ -531,8 +541,7 @@ object TextOps {
     if (!persistIntermediate) result
     else {
       val rerooted = reroot(result)
-      if (reliable) tf.unpersist(blocking = true)
-      else ColumnBridge.unpersistCheckpoint(tf)
+      releaseReroot(spark, reliable, tf)
       rerooted
     }
   }
@@ -581,8 +590,7 @@ object TextOps {
     if (!persistIntermediate) result
     else {
       val rerooted = reroot(result)
-      if (reliable) chunked.unpersist(blocking = true)
-      else ColumnBridge.unpersistCheckpoint(chunked)
+      releaseReroot(spark, reliable, chunked)
       rerooted
     }
   }

@@ -74,10 +74,21 @@ class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
 
 object GraftParquetCryptoFactory {
   /** Deserialized-manager cache: the factory is re-instantiated per file
-    * open, but the serialized manager string is stable per scan/write. */
-  private val managers =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.table.EncryptionManager]()
+    * open, but the serialized manager string is stable per scan/write.
+    * BOUNDED (small LRU) so rotated or abandoned managers — and their
+    * master-key material — don't stay resident for the JVM lifetime in
+    * long-lived sessions touching many tables. */
+  private val MaxCached = 32
+  private val managers = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, graft.table.EncryptionManager](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.table.EncryptionManager]): Boolean =
+        size() > MaxCached
+    })
 
   private def cached(serialized: String): graft.table.EncryptionManager =
-    managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
+    managers.synchronized {
+      managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
+    }
 }

@@ -33,7 +33,9 @@ trait EncryptionManager extends Serializable {
 
   /** Key metadata to persist on `path`'s manifest entry (None = plaintext).
     * Pure function of the path — called on the write task (to key the
-    * stream) and on the driver (to stamp the manifest). */
+    * stream) and on the driver (to stamp the manifest). Derive from the
+    * file NAME component only: committers rename temp paths to final ones
+    * and only the name survives (see [[KeyedFileEncryption]]). */
   def keyMetadata(path: String): Option[Seq[Byte]]
 
   /** Wrap the stream that writes one data file. */
@@ -65,10 +67,18 @@ trait EncryptionManager extends Serializable {
 
 /** A manager that can expose the raw per-file data key. Required to drive
   * Parquet Modular Encryption (parquet-hadoop encrypts its own pages and
-  * footer, so it needs the KEY, not a wrapped stream); the key must be a
-  * pure function of the path for the same reason `keyMetadata` is. */
+  * footer, so it needs the KEY, not a wrapped stream).
+  *
+  * CONTRACT (stricter than `keyMetadata`'s): `fileKey` and `keyMetadata`
+  * MUST derive from the file NAME only, never the full path. Parquet
+  * writes go through a committer that encrypts at a TEMP path and renames
+  * to the final one — the name survives the rename, the directory does
+  * not. An implementation keying on the directory would produce
+  * permanently unreadable files. ([[AesGcmEncryptionManager]] complies —
+  * it hashes `path.substring(lastIndexOf('/') + 1)`.) */
 trait KeyedFileEncryption extends EncryptionManager {
-  /** The per-file AES key (16 bytes) for `path`. */
+  /** The per-file AES key (16 bytes) for `path` — derived from the file
+    * NAME component only (see the trait contract). */
   def fileKey(path: String): Array[Byte]
 }
 
@@ -471,9 +481,21 @@ object EncryptionManagers {
     java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
   }
 
+  /** Deserialization is FILTERED: the option string is reachable from
+    * read/write options, which may one day arrive from a catalog or
+    * SQL-only surface — an unfiltered ObjectInputStream would let anyone
+    * who can set an option instantiate arbitrary serializable classes on
+    * driver and executors. Allowlist: graft classes (custom managers must
+    * live under the `graft` namespace to ride options), the JDK/Scala
+    * pieces their fields need, and byte arrays. */
+  private val deserializationFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "graft.**;java.lang.*;scala.**;[B;!*")
+
   def deserialize(s: String): EncryptionManager = {
     val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(
       java.util.Base64.getDecoder.decode(s)))
+    in.setObjectInputFilter(deserializationFilter)
     try in.readObject().asInstanceOf[EncryptionManager] finally in.close()
   }
 }

@@ -11,6 +11,18 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * stores). Commit atomicity (ref `core/.../hadoop/HadoopTableOperations.java`)
   * comes from rename-without-overwrite; on the local FS we get a true CAS via
   * hard-link creation, which atomically fails if the target exists.
+  *
+  * METADATA CONFIDENTIALITY: when `encryption` is non-plaintext, every
+  * string file written through this IO (table metadata JSON, manifest
+  * lists, jsonl manifests, stats files) is SEALED with the manager's
+  * chunked-GCM stream — manifests store actual column values (lower/upper
+  * bounds, partition values), so leaving them plaintext next to encrypted
+  * data files would hand an attacker the very values Parquet Modular
+  * Encryption seals inside footers. Only `version-hint.text` (a bare
+  * version number, no data) stays plaintext. Reads sniff the GAC1 magic,
+  * so pre-encryption plaintext metadata in a later-keyed table keeps
+  * loading, while a plaintext handle REFUSES sealed metadata loudly
+  * instead of parsing ciphertext.
   */
 final class FileIO(@transient val conf: Configuration,
     /** Table-data encryption hook (ref `EncryptionManager`): plaintext
@@ -24,28 +36,55 @@ final class FileIO(@transient val conf: Configuration,
   private def isGzipName(name: String): Boolean =
     name.endsWith(".gz") || name.contains(".gz.metadata.json")
 
+  /** Should a metadata file at `keyPath` be sealed? Everything except the
+    * version hint — the hint is a bare integer read by humans and external
+    * catalogs before any key is in hand. */
+  private def seal(keyPath: String): Boolean =
+    encryption != PlaintextEncryptionManager &&
+      !keyPath.endsWith("version-hint.text")
+
   def readString(path: String): String = {
     val p = new Path(path)
     val raw = fs(p).open(p)
-    val in: java.io.InputStream =
-      if (isGzipName(p.getName)) new java.util.zip.GZIPInputStream(raw) else raw
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    try {
+      val isSealed = AesGcmEncryptionManager.isEncrypted(raw)
+      if (isSealed && encryption == PlaintextEncryptionManager)
+        throw new IllegalStateException(
+          s"$path is encrypted table metadata but this handle's encryption " +
+            "manager is plaintext — load the table with its keyed manager")
+      val plain: java.io.InputStream =
+        if (isSealed) encryption.decrypt(path, raw, encryption.keyMetadata(path))
+        else raw
+      val in: java.io.InputStream =
+        if (isGzipName(p.getName)) new java.util.zip.GZIPInputStream(plain) else plain
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    } finally raw.close()
   }
 
   def readLines(path: String): Iterator[String] =
     readString(path).linesIterator.filter(_.nonEmpty)
 
-  def writeString(path: String, content: String): Long = {
+  def writeString(path: String, content: String): Long =
+    writeStringKeyed(path, path, content)
+
+  /** Write to `path` but derive the encryption key (and gzip decision) from
+    * `keyPath` — atomic publishes write a temp NAME that later renames to
+    * the final one, and per-file keys are a pure function of the name. */
+  private def writeStringKeyed(path: String, keyPath: String,
+      content: String): Long = {
     val p = new Path(path)
     val raw = fs(p).create(p, true)
     val bytes = content.getBytes(StandardCharsets.UTF_8)
-    if (isGzipName(p.getName)) {
-      val out = new java.util.zip.GZIPOutputStream(raw)
+    // seal OUTERMOST (nothing plaintext on disk), compress inside
+    val enc: java.io.OutputStream =
+      if (seal(keyPath)) encryption.encrypt(keyPath, raw) else raw
+    if (isGzipName(new Path(keyPath).getName)) {
+      val out = new java.util.zip.GZIPOutputStream(enc)
       try out.write(bytes) finally out.close()
     } else {
-      try raw.write(bytes) finally raw.close()
+      try enc.write(bytes) finally enc.close()
     }
-    bytes.length.toLong
+    fs(p).getFileStatus(p).getLen
   }
 
   /** Atomically publish `content` at `path`; returns false if `path` already
@@ -55,7 +94,7 @@ final class FileIO(@transient val conf: Configuration,
     val f = fs(p)
     if (f.exists(p)) return false
     val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID}.tmp")
-    writeString(tmp.toString, content)
+    writeStringKeyed(tmp.toString, path, content)
     try {
       if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
         val target = java.nio.file.Paths.get(p.toUri.getPath)

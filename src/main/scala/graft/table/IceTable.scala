@@ -92,7 +92,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val mdir = s"$location/metadata"
       val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
       val manifest = ManifestIO.write(io,
-        ManifestIO.newPath(mdir, base), entries, base.schema, base.spec)
+        ManifestIO.newPath(mdir, base, io), entries, base.schema, base.spec)
       val current = base.currentSnapshot.map(readManifestList(base, _)).getOrElse(Nil)
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"
       io.writeString(listPath,
@@ -599,7 +599,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
               if (e.status == EntryStatus.Added && e.snapshotId == snapId) e
               else e.copy(status = EntryStatus.Existing))
           if (entries.isEmpty) Nil
-          else Seq(ManifestIO.write(io, ManifestIO.newPath(mdir, base), entries,
+          else Seq(ManifestIO.write(io, ManifestIO.newPath(mdir, base, io), entries,
             base.schema, base.specById(specId), addedSnapshotId = Some(snapId)))
         }
       }
@@ -693,7 +693,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
                   if (keep.isEmpty) None
                   else {
                     val spec = base.specById(mf.specId)
-                    val path = ManifestIO.newPath(mdir, base)
+                    val path = ManifestIO.newPath(mdir, base, io)
                     val kept = keep.map(e => e.copy(status = EntryStatus.Existing))
                     Some(ManifestIO.write(io, path, kept, schema, spec))
                   }
@@ -708,7 +708,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
 
       val addedManifest: Option[ManifestFileMeta] = if (added.isEmpty) None else {
         val spec = base.spec
-        val path = ManifestIO.newPath(mdir, base)
+        val path = ManifestIO.newPath(mdir, base, io)
         val entries = added.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
         Some(ManifestIO.write(io, path, entries, schema, spec))
       }

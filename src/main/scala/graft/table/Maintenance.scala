@@ -168,14 +168,17 @@ object Maintenance {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val meta = m
+    // executors must read manifests with the TABLE's manager — on an
+    // encrypted table a plaintext executor FileIO would fail every read,
+    // and a swallowed failure here turns live files into "orphans"
+    val enc = table.io.encryption
     val nPart = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(paths).repartition(nPart)
       .mapPartitions { it =>
-        val io = new FileIO(confB.value.value)
-        it.flatMap { mp =>
-          try ManifestIO.readPaths(io, mp)
-          catch { case _: Exception => Iterator.empty[String] }
-        }
+        val io = new FileIO(confB.value.value, enc)
+        // no swallow: a manifest that fails to read must FAIL the job —
+        // treating it as empty would classify its live files as orphans
+        it.flatMap(mp => ManifestIO.readPaths(io, mp))
       }
       .toDF("path").distinct()
   }
@@ -656,7 +659,7 @@ object Maintenance {
         val spec = base.specById(specId)
         val sorted = es.sortBy(_.dataFile.partition.map(String.valueOf).mkString("/"))
           .map(_.copy(status = EntryStatus.Existing))
-        ManifestIO.write(table.io, ManifestIO.newPath(mdir, base),
+        ManifestIO.write(table.io, ManifestIO.newPath(mdir, base, table.io),
           sorted, base.schema, spec)
       }
       val listPath = s"$mdir/snap-$snapId.manifestlist.json"

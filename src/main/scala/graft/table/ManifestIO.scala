@@ -22,10 +22,17 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   */
 object ManifestIO {
 
-  /** Fresh manifest path honoring the table's manifest-format property. */
-  def newPath(metadataDir: String, m: TableMetadata): String = {
+  /** Fresh manifest path honoring the table's manifest-format property.
+    * A non-plaintext manager that cannot drive Parquet Modular Encryption
+    * (stream-only, not [[KeyedFileEncryption]]) forces `jsonl` — sealed by
+    * the manager's own streams via [[FileIO.writeString]] — so manifest
+    * confidentiality never silently depends on the manager's kind. */
+  def newPath(metadataDir: String, m: TableMetadata, io: FileIO): String = {
+    val streamOnly = io.encryption != PlaintextEncryptionManager &&
+      !io.encryption.isInstanceOf[KeyedFileEncryption]
     val ext = m.property(TableProperties.ManifestFormat,
       TableProperties.ManifestFormatDefault) match {
+      case _ if streamOnly => "jsonl"
       case "jsonl" => "jsonl"
       case _ => "parquet"
     }
@@ -112,8 +119,16 @@ object ManifestIO {
 
   /** Columnar manifest codec over parquet-mr's example API (no Spark job —
     * manifests are written inside driver-side commits, like the reference's
-    * Avro `ManifestWriter`). */
+    * Avro `ManifestWriter`). Keyed-manager tables seal manifests with
+    * Parquet Modular Encryption (same crypto-factory SPI the data files
+    * use; per-file key from the manifest's own name), so column bounds and
+    * partition values never sit plaintext next to encrypted data. */
   private object ParquetManifests {
+    /** Writer/reader conf: engages the graft crypto factory for keyed
+      * managers; decrypt side allows plaintext files so pre-encryption
+      * manifests in a later-keyed table keep loading. */
+    private def cryptoConf(io: FileIO): org.apache.hadoop.conf.Configuration =
+      EncryptionManagers.parquetCryptoConf(io.conf, Some(io.encryption))
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
@@ -140,7 +155,7 @@ object ManifestIO {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val writer = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(hPath, io.conf))
-        .withConf(io.conf)
+        .withConf(cryptoConf(io))
         .withType(EntryType)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         // relocate rewrites manifests in place after a table move
@@ -166,7 +181,7 @@ object ManifestIO {
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
           new org.apache.hadoop.fs.Path(path))
-        .withConf(io.conf).build()
+        .withConf(cryptoConf(io)).build()
       val out = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
       try {
         var g = reader.read()
@@ -184,7 +199,7 @@ object ManifestIO {
     }
 
     def readPaths(io: FileIO, path: String): Seq[String] = {
-      val conf = new org.apache.hadoop.conf.Configuration(io.conf)
+      val conf = new org.apache.hadoop.conf.Configuration(cryptoConf(io))
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         PathOnlyType.toString)
       val reader = ParquetReader

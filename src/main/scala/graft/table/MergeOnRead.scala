@@ -51,9 +51,25 @@ object MergeOnRead {
     * tuples — the building block the streaming upsert sink combines with a
     * data append in ONE snapshot (ref `EqualityDeleteWriter.java` used by
     * the Flink CDC writer). */
+  /** Delete files are always parquet: a non-plaintext manager that cannot
+    * drive Parquet Modular Encryption (stream-only, not
+    * [[KeyedFileEncryption]]) would silently write equality-delete key
+    * VALUES and position paths plaintext into an encrypted table — refuse,
+    * mirroring `Writes.writeDataFiles`' stream-only-on-parquet refusal. */
+  private def requireDeleteFilesEncryptable(table: IceTable): Unit = {
+    val e = table.io.encryption
+    if (e != PlaintextEncryptionManager && !e.isInstanceOf[KeyedFileEncryption])
+      throw new ValidationException(
+        s"${table.location}: delete files are written as parquet, but " +
+          s"encryption manager ${e.getClass.getSimpleName} is stream-only " +
+          "— it cannot drive Parquet Modular Encryption, and writing " +
+          "plaintext delete content into an encrypted table is refused")
+  }
+
   private[graft] def writeEqualityDeleteFiles(table: IceTable, m: TableMetadata,
       keysDf: DataFrame, keys: Seq[String]): Seq[DataFileMeta] = {
     Writes.requireEncryptionSatisfied(table, m)
+    requireDeleteFilesEncryptable(table)
     val schema = m.schema
     val spec = m.spec
     val ids = keys.map(schema.fieldId)
@@ -145,6 +161,7 @@ object MergeOnRead {
       compact: Boolean = false,
       wantRefs: Boolean = true): (Seq[DataFileMeta], Set[String]) = {
     Writes.requireEncryptionSatisfied(table, m)
+    requireDeleteFilesEncryptable(table)
     val spec = m.spec
     val outDir = Locations.newWriteDir(table.location, m, s"deletes-${UUID.randomUUID()}")
     val rows0 = posDf.select(col(PosPathCol).cast("string"), col(PosPosCol).cast("long"))
@@ -354,7 +371,8 @@ object MergeOnRead {
           // delete files are encrypted like data files when the manager
           // drives parquet modular encryption: stamp the same derived key
           // slot so the plan-time wrong-key guard covers them too (a
-          // stream-only manager leaves parquet deletes plaintext — no stamp)
+          // stream-only manager never reaches here —
+          // requireDeleteFilesEncryptable refuses it up front)
           keyMetadata = table.io.encryption match {
             case k: KeyedFileEncryption => k.keyMetadata(path)
             case _ => None

@@ -144,11 +144,12 @@ object MetadataTables {
             spark.sparkContext.hadoopConfiguration))
         val schemaB = spark.sparkContext.broadcast(m.schema)
         val specsB = spark.sparkContext.broadcast(m.specs)
+        val enc = t.io.encryption // encrypted manifests need the table's manager
         val nPart = math.max(1,
           math.min(mfs.size, spark.sparkContext.defaultParallelism))
         spark.createDataset(mfs.map(_.path)).repartition(nPart)
           .mapPartitions { it =>
-            val io = new FileIO(confB.value.value)
+            val io = new FileIO(confB.value.value, enc)
             val specById = specsB.value.map(s => s.specId -> s).toMap
             it.flatMap { p =>
               try ManifestIO.read(io, p, schemaB.value, specById(_))

@@ -169,11 +169,14 @@ class DmlFuzzSpec extends AnyFunSuite {
       assert(native === model.toMap, s"[$format seed=$seed] native scan mismatch")
     } else {
       // a path-load uses the default (plaintext) manager: after any
-      // interleaving, the keyed table must REFUSE it at plan time — and the
-      // native scan through the keyed handle must agree with the V1 path
-      intercept[graft.table.ValidationException] {
+      // interleaving, the keyed table must REFUSE it — since r11 the
+      // metadata itself is sealed, so the refusal fires at the metadata
+      // read — and the native scan through the keyed handle must agree
+      // with the V1 path
+      val refusal = intercept[IllegalStateException] {
         spark.read.format("graft").load(loc).collect()
       }
+      assert(refusal.getMessage.contains("plaintext"), refusal.getMessage)
       val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(new graft.spark.GraftSparkTable(t, "fuzz.enc"), None, None)
       val native = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, rel)

@@ -443,17 +443,22 @@ class FormatSpec extends AnyFunSuite {
     t.newScan().planFiles().map(_.file).foreach { f =>
       assert(f.keyMetadata.nonEmpty, s"${f.path} lost key metadata on rewrite")
     }
-    // plaintext manager (the default load) refuses keyed files at PLAN time
-    intercept[ValidationException] {
+    // plaintext manager (the default load) refuses BEFORE plan time now —
+    // table metadata itself is sealed (r11), so the refusal moves to the
+    // metadata read and names the problem
+    val plainRefusal = intercept[IllegalStateException] {
       IceTable.load(spark, loc).toDF.count()
     }
-    // a manager with a DIFFERENT master key also refuses at plan time
+    assert(plainRefusal.getMessage.contains("plaintext"), plainRefusal.getMessage)
+    // a manager with a DIFFERENT master key refuses at the sealed-metadata
+    // read (GCM authentication, before any plan)
     val wrongKey = new AesGcmEncryptionManager(
       "ffffffffffffffffffffffffffffffff".getBytes("UTF-8"), "test-key")
-    intercept[ValidationException] {
+    val wrongRefusal = intercept[IllegalStateException] {
       IceTable.loadWith(spark,
         new TableOperations(loc, new FileIO(conf, wrongKey))).toDF.count()
     }
+    assert(wrongRefusal.getMessage.contains("different"), wrongRefusal.getMessage)
     // a direct format read without the manager fails loudly, never rows
     val direct = intercept[Exception] {
       spark.read.schema(data.schema).format("graft-avro")
@@ -529,15 +534,20 @@ class FormatSpec extends AnyFunSuite {
       eqs.foreach(d => assert(magicOf(d.path) === "PARE", d.path))
       assert(t.toDF.filter(col("o_orderkey").isin(101L, 102L)).count() === 0)
     }
-    // plaintext manager refuses keyed files at PLAN time
-    intercept[ValidationException] { IceTable.load(spark, loc).toDF.count() }
-    // wrong master key refuses at plan time
+    // plaintext manager refuses at the sealed-metadata read (r11 — earlier
+    // than the old plan-time refusal)
+    val plainRefusal = intercept[IllegalStateException] {
+      IceTable.load(spark, loc).toDF.count()
+    }
+    assert(plainRefusal.getMessage.contains("plaintext"), plainRefusal.getMessage)
+    // wrong master key refuses at the sealed-metadata read
     val wrongKey = new AesGcmEncryptionManager(
       "ffffffffffffffffffffffffffffffff".getBytes("UTF-8"), "pq-key")
-    intercept[ValidationException] {
+    val wrongRefusal = intercept[IllegalStateException] {
       IceTable.loadWith(spark,
         new TableOperations(loc, new FileIO(conf, wrongKey))).toDF.count()
     }
+    assert(wrongRefusal.getMessage.contains("different"), wrongRefusal.getMessage)
     // a direct parquet read without keys fails loudly, never rows
     val direct = intercept[Exception] {
       spark.read.parquet(files.head.path).collect()
@@ -566,9 +576,12 @@ class FormatSpec extends AnyFunSuite {
     // per-file guards alone would let it commit plaintext silently)
     assert(t.meta.properties.get(TableProperties.EncryptionRequired)
       .contains("true"))
-    intercept[ValidationException] {
+    // with sealed metadata (r11) the plaintext handle can no longer even
+    // READ the table's metadata — refusal moves ahead of the append guard
+    val appendRefusal = intercept[IllegalStateException] {
       IceTable.load(spark, loc).append(data.limit(5))
     }
+    assert(appendRefusal.getMessage.contains("plaintext"), appendRefusal.getMessage)
     assert(t.toDF.filter(col("o_orderstatus") === "F").count() === 0) // unchanged
   }
 
@@ -614,6 +627,101 @@ class FormatSpec extends AnyFunSuite {
     assert(keyed.toDF.count() === 300) // mixed plaintext + PARE scan
     val metas = keyed.newScan().planFiles().map(_.file)
     assert(metas.exists(_.keyMetadata.isEmpty) && metas.exists(_.keyMetadata.nonEmpty))
+  }
+
+  test("encrypted table: NO data values appear in any metadata file (r11 sealing)") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "seal")
+    val loc = Files.createTempDirectory("graft-seal-").toString + "/t"
+    // distinctive values that land in manifest lower/upper bounds if leaked
+    val secrets = Seq("ZQXSECRETALPHA", "ZQXSECRETOMEGA", "ZQXSECRETMID")
+    val data = spark.createDataFrame(
+      (1 to 60).map(i => (i.toLong, secrets(i % 3), i * 7L)))
+      .toDF("id", "codename", "amount")
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    t.append(data.repartition(4))
+    t.append(data.repartition(2)) // second commit: manifest merge path
+    t.delete(equalTo("id", 7L))   // CoW rewrite: more manifests + metadata
+    t.computeStats(Seq("codename", "id")) // stats file carries min/max
+    assert(t.toDF.count() === 118) // 2×60 minus the two id=7 rows
+    // every metadata-tree file except the version hint is sealed: either
+    // chunked-GCM (GAC1) or parquet-modular-encrypted (PARE) — and none
+    // contains the secret column values in cleartext
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    val metaFiles = new FileIO(conf).listRecursive(s"$loc/metadata")
+      .map(_.getPath).filterNot(_.getName == "version-hint.text")
+    assert(metaFiles.size >= 8, s"expected a populated metadata tree: $metaFiles")
+    val secretBytes = secrets.map(_.getBytes("UTF-8"))
+    metaFiles.foreach { p =>
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val magic = new String(bytes.take(4), "UTF-8")
+      assert(magic == "GAC1" || magic == "PARE",
+        s"$p is not sealed (magic '$magic')")
+      secretBytes.foreach { s =>
+        assert(!bytes.containsSlice(s),
+          s"$p leaks plaintext value '${new String(s, "UTF-8")}'")
+      }
+    }
+    // pruning still works THROUGH sealed manifests: bounds decrypt at plan
+    assert(t.newScan().filter(equalTo("id", -5L)).planFiles().isEmpty)
+    assert(t.toDF.filter(col("codename") === "ZQXSECRETALPHA").count() ===
+      data.filter(col("codename") === "ZQXSECRETALPHA").count() * 2)
+    // metadata tables decrypt too (distributed + driver paths)
+    assert(t.metadataTable("files").count() > 0)
+    // a plaintext handle refuses the sealed metadata loudly
+    val refusal = intercept[IllegalStateException] {
+      IceTable.load(spark, loc).toDF.count()
+    }
+    assert(refusal.getMessage.contains("plaintext"), refusal.getMessage)
+  }
+
+  test("manager deserialization is filtered: non-allowlisted classes refuse") {
+    import graft.table.{AesGcmEncryptionManager, EncryptionManagers}
+    // a serializable class outside the allowlist must NOT instantiate
+    val evil = new java.util.ArrayList[String]()
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(evil); oos.close()
+    val s = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    intercept[java.io.InvalidClassException] { EncryptionManagers.deserialize(s) }
+    // a real manager still round-trips through the filter
+    val m = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "filt")
+    val back = EncryptionManagers.deserialize(EncryptionManagers.serialize(m))
+    assert(back.keyMetadata("/x/y.parquet") === m.keyMetadata("/x/y.parquet"))
+  }
+
+  test("stream-only manager on an avro table refuses PARQUET delete files") {
+    import graft.table.{EncryptionManager, FileIO, MergeOnRead,
+      TableOperations, ValidationException}
+    import java.io.{InputStream, OutputStream}
+    // non-plaintext but NOT KeyedFileEncryption: fine for avro data files
+    // (library-owned streams), but delete files are parquet — writing them
+    // plaintext into an encrypted table must refuse
+    object StreamOnly extends EncryptionManager {
+      override def keyMetadata(p: String): Option[Seq[Byte]] =
+        Some("so".getBytes("UTF-8").toSeq)
+      override def encrypt(p: String, o: OutputStream): OutputStream = o
+      override def decrypt(p: String, i: InputStream,
+          km: Option[Seq[Byte]]): InputStream = i
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val loc = Files.createTempDirectory("graft-sodel-").toString + "/t"
+    val data = orders.limit(50)
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, StreamOnly)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    val refusal = intercept[ValidationException] {
+      MergeOnRead.addEqualityDeletes(t, data.limit(2).select("o_orderkey"),
+        Seq("o_orderkey"))
+    }
+    assert(refusal.getMessage.contains("stream-only"), refusal.getMessage)
   }
 
   test("chunked AES-GCM: multi-block round trip, split reads, bounded decryption") {

@@ -91,8 +91,12 @@ class StreamingSpec extends AnyFunSuite {
     }
     def causes(e: Throwable): Seq[Throwable] =
       if (e == null) Nil else e +: causes(e.getCause)
+    // r11 sealed metadata: the refusal now fires at the metadata read
+    // ("…manager is plaintext") — still loud, still zero plaintext rows
     assert(causes(failed).exists(c => c.isInstanceOf[ValidationException] ||
-      Option(c.getMessage).exists(_.contains("key metadata"))), failed.toString)
+      Option(c.getMessage).exists(m =>
+        m.contains("key metadata") || m.contains("manager is plaintext"))),
+      failed.toString)
   }
 
   test("Complete-mode sink: each epoch's aggregation replaces the table; replay is a no-op") {
