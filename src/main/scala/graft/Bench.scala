@@ -185,6 +185,32 @@ object Bench {
       measure("mor_read", 2, 3)(() => scan())
     }
 
+    // --- group 4b: encrypted-table paths (r11): the same lineitem shapes
+    // as append_write / ice_read on a keyed parquet table, so the page-
+    // encryption overhead is tracked per round like every other regression
+    // class (BASELINE.md: expect ≲15% over the plaintext entries) ---
+    settle()
+    locally {
+      val manager = new graft.table.AesGcmEncryptionManager(
+        "benchbenchbenchbenchbenchbench00".getBytes("UTF-8"), "bench")
+      val ser = graft.table.EncryptionManagers.serialize(manager)
+      var eidx = 0
+      def freshEnc(): IceTable = {
+        eidx += 1
+        IceTable.createWith(spark, new graft.table.TableOperations(
+          s"$loc/enc$eidx", new graft.table.FileIO(
+            spark.sparkContext.hadoopConfiguration, manager)),
+          Schema.fresh(li.schema))
+      }
+      measureRaw("enc_write", 0, 3) { () =>
+        val t = freshEnc(); time(t.append(li))
+      }
+      val t = freshEnc(); t.append(li)
+      measure("enc_read", 2, 3)(() =>
+        consume(spark.read.format("graft").option("encryption", ser)
+          .load(t.location)))
+    }
+
     // --- group 5: persisted-IVF probes: index built ONCE (untimed —
     // that's the amortized cost); queries pay only the pruned probe.
     // Probes run BEFORE the timed builds, against their OWN index location:

@@ -505,15 +505,40 @@ object TextOps {
     * with exchange reuse on (any default Spark), leave the knob OFF —
     * at 500k docs the default single pass ran 6.7 s vs 10.2 s with the
     * checkpoint, which only pays when reuse is disabled or the plan is
-    * consumed more than once. */
+    * consumed more than once.
+    *
+    * CAPACITY GUARD: the checkpoint materializes the corpus-sized tf table
+    * — ~300M rows at 5M docs KILLED an 8 GiB driver JVM under a LOCAL
+    * checkpoint (blocks pin executor-shared memory; measured, BASELINE.md
+    * §round-10). The knob therefore refuses when the estimated tf row
+    * count (docs × sampled avg distinct tokens) exceeds
+    * `persistMaxEstRows` under a LOCAL checkpoint; a RELIABLE checkpoint
+    * dir (`sparkContext.setCheckpointDir`) spills to storage instead of
+    * memory and is not capped. Raise the cap only with heap to match
+    * (~48 GiB held the 300M-row materialization). */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int,
-      persistIntermediate: Boolean = false): org.apache.spark.sql.DataFrame = {
+      persistIntermediate: Boolean = false,
+      persistMaxEstRows: Long = 100000000L): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def reroot(frame: org.apache.spark.sql.DataFrame) =
       if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
     val n = df.count()
+    if (persistIntermediate && !reliable) {
+      val row = df.limit(1000)
+        .select(avg(size(array_distinct(tokens(col(textCol)))))).head()
+      val avgDistinct = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val est = (n * avgDistinct).toLong
+      require(est <= persistMaxEstRows,
+        s"persistIntermediate would locally checkpoint ~$est (doc, token) " +
+          s"rows (> $persistMaxEstRows): with exchange reuse enabled the " +
+          "knob is unnecessary (the tf pass already runs once) -- leave it " +
+          "off, set a reliable checkpoint dir " +
+          "(sparkContext.setCheckpointDir) to spill to storage instead of " +
+          "memory, or raise persistMaxEstRows with heap to match " +
+          "(BASELINE.md round-10: 300M rows killed an 8 GiB JVM)")
+    }
     val tf0 = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1L)).as("tf"))
       .repartition(col("token"))

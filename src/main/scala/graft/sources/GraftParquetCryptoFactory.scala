@@ -52,15 +52,18 @@ class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
       val p = filePath.toString
       FileDecryptionProperties.builder()
         .withKeyRetriever(new DecryptionKeyRetriever {
-          override def getKey(keyMetadata: Array[Byte]): Array[Byte] = {
-            val expected = m.keyMetadata(p).get.toArray
-            if (!java.util.Arrays.equals(keyMetadata, expected))
-              throw new KeyAccessDeniedException(
-                s"$p: footer key metadata does not match this manager's " +
-                  "derivation — the file was encrypted under a different " +
-                  "master key")
-            m.fileKey(p)
-          }
+          override def getKey(keyMetadata: Array[Byte]): Array[Byte] =
+            // a plain manager offers one candidate; a KeyRotationManager
+            // offers its new AND old keys — match the stored footer
+            // metadata against each derivation
+            m.candidateManagers.find(c => c.keyMetadata(p).exists(e =>
+                java.util.Arrays.equals(e.toArray, keyMetadata))) match {
+              case Some(c) => c.fileKey(p)
+              case None => throw new KeyAccessDeniedException(
+                s"$p: footer key metadata does not match any of this " +
+                  "manager's derivations — the file was encrypted under a " +
+                  "different master key")
+            }
         })
         // a later-encrypted table still holds plaintext PAR1 files from
         // before the manager swap: they must keep reading (files

@@ -30,7 +30,16 @@ class GraftSource extends TableProvider with DataSourceRegister {
   private def load(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val path = tablePath(options)
-    val t = IceTable.load(spark, path)
+    // encrypted tables path-load too (same option the streaming provider
+    // takes): a serialized manager keys the FileIO, without it a keyed
+    // table refuses at the sealed-metadata read
+    val t = Option(options.get("encryption")) match {
+      case Some(ser) => IceTable.loadWith(spark,
+        new graft.table.TableOperations(path, new graft.table.FileIO(
+          spark.sparkContext.hadoopConfiguration,
+          graft.table.EncryptionManagers.deserialize(ser))))
+      case None => IceTable.load(spark, path)
+    }
     val snapshotId = Option(options.get("snapshot-id")).map(_.toLong)
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     new GraftSparkTable(t, s"graft.`$path`", snapshotId, asOf)

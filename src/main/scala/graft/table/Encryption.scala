@@ -63,6 +63,22 @@ trait EncryptionManager extends Serializable {
     * files WHOLE-FILE-sliced for stream-only schemes — splitting them
     * would make every slice task decrypt and buffer the entire file. */
   def supportsSeekableDecryption: Boolean = false
+
+  /** Can this manager decrypt a file whose manifest entry stores `km`?
+    * The plan-time guard asks this for every keyed file; a rotation
+    * handle accepts BOTH of its keys' derivations. */
+  def accepts(path: String, km: Option[Seq[Byte]]): Boolean =
+    km == keyMetadata(path)
+
+  /** Decrypt a fully-buffered METADATA file (metadata JSON, manifest
+    * list, jsonl manifest, stats) — no manifest entry carries ITS key
+    * metadata, so the manager derives its own (the purity contract).
+    * Rotation handles override with trial decryption across their keys. */
+  def decryptMetadata(path: String, bytes: Array[Byte]): Array[Byte] = {
+    val in = decrypt(path, new java.io.ByteArrayInputStream(bytes),
+      keyMetadata(path))
+    try in.readAllBytes() finally in.close()
+  }
 }
 
 /** A manager that can expose the raw per-file data key. Required to drive
@@ -80,6 +96,12 @@ trait KeyedFileEncryption extends EncryptionManager {
   /** The per-file AES key (16 bytes) for `path` — derived from the file
     * NAME component only (see the trait contract). */
   def fileKey(path: String): Array[Byte]
+
+  /** Managers whose derivations may have keyed EXISTING files: the
+    * parquet decryption retriever tries each against a file's stored
+    * footer key metadata. One for a plain manager; a rotation handle
+    * carries two. */
+  def candidateManagers: Seq[KeyedFileEncryption] = Seq(this)
 }
 
 /** The no-op manager: plaintext bytes through, no key metadata. A file
@@ -240,6 +262,11 @@ object AesGcmEncryptionManager {
     n == Magic.length && (java.util.Arrays.equals(head, Magic) ||
       java.util.Arrays.equals(head, LegacyMagic))
   }
+
+  /** Buffered-bytes variant of the magic sniff. */
+  def isEncrypted(bytes: Array[Byte]): Boolean =
+    bytes.length >= Magic.length &&
+      (bytes.startsWith(Magic) || bytes.startsWith(LegacyMagic))
 
   /** Per-block IV: the file's random base IV with the block index folded
     * into the low 8 bytes (XOR keeps the base entropy; the index makes
@@ -429,6 +456,96 @@ private[table] final class ChunkedGcmInputStream(
   }
 
   override def close(): Unit = in.close()
+}
+
+/** Master-key rotation handle: WRITES go under `primary` (the new key);
+  * READS fall back to `previous` per file — by stored manifest metadata
+  * where the caller has it, by trial decryption (block-0 authentication)
+  * where it doesn't. `previous` may be [[PlaintextEncryptionManager]]:
+  * that is "encrypt an existing plaintext table", the same flow.
+  *
+  * Protocol (no reference counterpart — the incubator-era reference ships
+  * only the manager INTERFACE; rotation is original work):
+  *   1. load the table with `new KeyRotationManager(newMgr, oldMgr)`;
+  *   2. run [[Maintenance.rotateEncryptionKeys]] — every live content
+  *      file is rewritten under the new key in partial-progress Replace
+  *      commits; an interruption leaves a readable MIXED table under this
+  *      same handle (rerun to finish — already-rotated files are skipped);
+  *   3. reload with just `newMgr`: the current snapshot now needs only the
+  *      new key; the OLD key's ciphertext survives only in history —
+  *      `expireSnapshots` past the rotation commit deletes it, which is
+  *      the point of rotating after a suspected key compromise. */
+final class KeyRotationManager(val primary: KeyedFileEncryption,
+    val previous: EncryptionManager) extends KeyedFileEncryption {
+  require(!previous.isInstanceOf[KeyRotationManager],
+    "chain rotations one at a time — finish (and expire) the previous " +
+      "rotation before starting the next")
+
+  override def keyMetadata(path: String): Option[Seq[Byte]] =
+    primary.keyMetadata(path)
+  override def fileKey(path: String): Array[Byte] = primary.fileKey(path)
+  override def encrypt(path: String, rawOut: OutputStream): OutputStream =
+    primary.encrypt(path, rawOut)
+
+  override def accepts(path: String, km: Option[Seq[Byte]]): Boolean =
+    primary.accepts(path, km) || previous.accepts(path, km)
+
+  override def candidateManagers: Seq[KeyedFileEncryption] =
+    primary.candidateManagers ++ (previous match {
+      case k: KeyedFileEncryption => k.candidateManagers
+      case _ => Nil
+    })
+
+  /** Sequential streams can't rewind for a second trial: buffer, then
+    * reuse the metadata-style trial decryption. Only metadata-sized reads
+    * and the non-seekable fallback land here. */
+  override def decrypt(path: String, rawIn: InputStream,
+      km: Option[Seq[Byte]]): InputStream = {
+    val bytes = try rawIn.readAllBytes() finally rawIn.close()
+    // decryptMetadata expects the full file INCLUDING header — callers of
+    // decrypt() have already had nothing consumed (FileIO hands the raw
+    // stream over whole)
+    new java.io.ByteArrayInputStream(decryptMetadata(path, bytes))
+  }
+
+  override def decryptMetadata(path: String, bytes: Array[Byte]): Array[Byte] =
+    try primary.decryptMetadata(path, bytes)
+    catch { case e: RuntimeException =>
+      previous match {
+        case PlaintextEncryptionManager => throw e
+        case p =>
+          try p.decryptMetadata(path, bytes)
+          catch { case e2: RuntimeException => e2.addSuppressed(e); throw e2 }
+      }
+    }
+
+  override def supportsSeekableDecryption: Boolean =
+    primary.supportsSeekableDecryption
+
+  override def decryptSeekable(path: String,
+      rawIn: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      km: Option[Seq[Byte]]): Option[org.apache.avro.file.SeekableInput] = {
+    // readers derive km themselves, so it cannot dispatch between the two
+    // keys: authenticate block 0 under the primary and fall back on
+    // failure (positioned reads leave no state on the shared raw stream)
+    def open(m: EncryptionManager) =
+      m.decryptSeekable(path, rawIn, fileLen, m.keyMetadata(path))
+    def probe(s: org.apache.avro.file.SeekableInput)
+        : org.apache.avro.file.SeekableInput = {
+      val one = new Array[Byte](1)
+      s.seek(0L); s.read(one, 0, 1); s.seek(0L)
+      s
+    }
+    try open(primary).map(probe)
+    catch { case e: RuntimeException =>
+      previous match {
+        case p if p != PlaintextEncryptionManager && p.supportsSeekableDecryption =>
+          try open(p).map(probe)
+          catch { case e2: RuntimeException => e2.addSuppressed(e); throw e2 }
+        case _ => throw e
+      }
+    }
+  }
 }
 
 /** Managers ride to write/read tasks as a string option (the V1 FileFormat

@@ -46,19 +46,22 @@ final class FileIO(@transient val conf: Configuration,
   def readString(path: String): String = {
     val p = new Path(path)
     val raw = fs(p).open(p)
-    try {
-      val isSealed = AesGcmEncryptionManager.isEncrypted(raw)
-      if (isSealed && encryption == PlaintextEncryptionManager)
-        throw new IllegalStateException(
-          s"$path is encrypted table metadata but this handle's encryption " +
-            "manager is plaintext — load the table with its keyed manager")
-      val plain: java.io.InputStream =
-        if (isSealed) encryption.decrypt(path, raw, encryption.keyMetadata(path))
-        else raw
-      val in: java.io.InputStream =
-        if (isGzipName(p.getName)) new java.util.zip.GZIPInputStream(plain) else plain
-      new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    } finally raw.close()
+    val bytes = try raw.readAllBytes() finally raw.close()
+    val plain =
+      if (AesGcmEncryptionManager.isEncrypted(bytes)) {
+        if (encryption == PlaintextEncryptionManager)
+          throw new IllegalStateException(
+            s"$path is encrypted table metadata but this handle's encryption " +
+              "manager is plaintext — load the table with its keyed manager")
+        encryption.decryptMetadata(path, bytes)
+      } else bytes
+    val content =
+      if (isGzipName(p.getName)) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(plain))
+        try in.readAllBytes() finally in.close()
+      } else plain
+    new String(content, StandardCharsets.UTF_8)
   }
 
   def readLines(path: String): Iterator[String] =

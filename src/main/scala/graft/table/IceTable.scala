@@ -139,6 +139,13 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
 
   def removeDanglingDeletes(): Int = Maintenance.removeDanglingDeletes(this)
 
+  /** Master-key rotation — requires this handle to carry a
+    * [[KeyRotationManager]] (see its scaladoc for the protocol). */
+  def rotateEncryptionKeys(
+      targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
+      partialProgressCommits: Int = 10): (Int, Int) =
+    Maintenance.rotateEncryptionKeys(this, targetSizeBytes, partialProgressCommits)
+
   /** ANALYZE: one-pass column NDV/null profile of the current snapshot,
     * persisted for the CBO ([[TableStats]]). */
   def computeStats(columns: Seq[String] = Nil): graft.meta.model.StatsFileMeta =
@@ -1078,12 +1085,12 @@ final class TableScan private[table] (table: IceTable) {
                     "manager that wrote this file")
               }
             else
-              // keyed manager: a keyed file whose metadata does not match
-              // this manager's derivation was written under a DIFFERENT key
-              // — fail here, not as a GCM tag error deep in a task
+              // keyed manager: a keyed file whose metadata matches NONE of
+              // this manager's derivations (a rotation handle accepts two)
+              // was written under a DIFFERENT key — fail here, not as a
+              // GCM tag error deep in a task
               planned.find(t => t.file.keyMetadata.nonEmpty &&
-                  t.file.keyMetadata !=
-                    table.io.encryption.keyMetadata(t.file.path))
+                  !table.io.encryption.accepts(t.file.path, t.file.keyMetadata))
                 .foreach { t =>
                   throw new ValidationException(
                     s"${t.file.path} was encrypted under a different key " +
@@ -1126,7 +1133,7 @@ final class TableScan private[table] (table: IceTable) {
           }
         else
           del.map(_.dataFile).find(f => f.keyMetadata.nonEmpty &&
-              f.keyMetadata != table.io.encryption.keyMetadata(f.path))
+              !table.io.encryption.accepts(f.path, f.keyMetadata))
             .foreach { f =>
               throw new ValidationException(
                 s"${f.path} was encrypted under a different key than the " +

@@ -563,6 +563,97 @@ object Maintenance {
     * file the delete is dead weight — each scan still reads and anti-joins
     * it. O(deletes + data) via per-scope minimum data sequences, no file IO
     * beyond one removal commit. Returns #removed. */
+  /** Master-key rotation: rewrite every live content file under the NEW
+    * key (no reference counterpart — the incubator-era reference ships only
+    * the `EncryptionManager` interface; see [[KeyRotationManager]] for the
+    * protocol). The table must be loaded with a
+    * `KeyRotationManager(newManager, oldManager)` so writes key with the
+    * new master while reads still decrypt the old files being rewritten.
+    *
+    * Shape: the compaction machinery — each batch reads its stale files
+    * (deletes applied) through bin-packed splits and rewrites them in an
+    * independent Replace commit (`partialProgressCommits` bounds the batch
+    * count), so an interruption loses at most one batch and leaves a
+    * readable mixed table; rerunning skips files already under the new
+    * key (idempotent). Rewriting every stale data file ages all delete
+    * files into danglinghood, so they are dropped at the end and
+    * `graft.encryption.required` is stamped LAST. History still references
+    * old-key ciphertext — run `expireSnapshots` past the rotation THROUGH
+    * THE ROTATION HANDLE (expiry walks old manifests, which are sealed
+    * under the old key) to destroy it; only then retire the old key.
+    * Returns (#rewritten, #added). */
+  def rotateEncryptionKeys(table: IceTable,
+      targetSizeBytes: Long = TableProperties.TargetFileSizeDefault,
+      partialProgressCommits: Int = 10): (Int, Int) = {
+    val rot = table.io.encryption match {
+      case r: KeyRotationManager => r
+      case other => throw new ValidationException(
+        "rotateEncryptionKeys needs the table loaded with a " +
+          "KeyRotationManager(newManager, oldManager); got " +
+          other.getClass.getSimpleName)
+    }
+    val m = table.meta
+    val spark = table.spark
+    var rewritten = 0
+    var added = 0
+    m.currentSnapshot.foreach { snap =>
+      // stale = any live DATA file not already keyed under the primary
+      // (plaintext files included — rotating FROM plaintext encrypts them)
+      val stale = table.liveEntries(m, snap).filter(e =>
+        e.dataFile.content == FileContent.Data &&
+          e.dataFile.keyMetadata != rot.primary.keyMetadata(e.dataFile.path))
+      if (stale.nonEmpty) {
+        val packSession = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
+        packSession.conf.set("spark.sql.files.maxPartitionBytes", targetSizeBytes.toString)
+        packSession.conf.set("spark.sql.files.openCostInBytes", "0")
+        packSession.conf.set("spark.sql.files.minPartitionNum", "1")
+        val deletes = table.newScan().planDeletes()
+        val nBatches = math.max(1, math.min(partialProgressCommits, stale.size))
+        val perBatch = math.ceil(stale.size.toDouble / nBatches).toInt
+        stale.grouped(perBatch).foreach { batch =>
+          val toRewrite = batch.map(_.dataFile)
+          val df = Reads.readTasksWithDeletes(table, m,
+            batch.map(e => FileScanTask(e.dataFile, graft.meta.expr.TrueExpr,
+              e.sequenceNumber)),
+            deletes, m.schema.columnNames,
+            graft.meta.expr.TrueExpr, rowPositions = false,
+            session = Some(packSession))
+          val written = Writes.writeDataFiles(spark, table, m, df,
+            overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString))
+            .filter(_.recordCount > 0)
+          table.commitSnapshot(Operation.Replace, written,
+            toRewrite.map(_.path).toSet,
+            Map("key-rotation" -> "rewrite"), removedMeta = toRewrite)
+          rewritten += toRewrite.size
+          added += written.size
+        }
+        // all stale data files now carry sequence numbers newer than every
+        // delete file (and their deletes were applied in the rewrite): the
+        // delete files are dangling — drop them so the table's live content
+        // is 100% new-key
+        removeDanglingDeletes(table)
+      }
+      // defense in depth: refuse to stamp completion while any live file
+      // still carries a non-primary key (should be unreachable)
+      val after = table.meta
+      after.currentSnapshot.foreach { s2 =>
+        table.liveEntries(after, s2).map(_.dataFile).find(f =>
+            f.keyMetadata != rot.primary.keyMetadata(f.path)).foreach { f =>
+          throw new IllegalStateException(
+            s"rotation incomplete: ${f.path} still keyed under a " +
+              "non-primary derivation")
+        }
+      }
+    }
+    // stamped LAST: the property flip marks the rotation complete
+    table.ops.commitWithRetry(4) { base =>
+      base.copy(properties = base.properties +
+        (TableProperties.EncryptionRequired -> "true"),
+        lastUpdatedMillis = System.currentTimeMillis())
+    }
+    (rewritten, added)
+  }
+
   def removeDanglingDeletes(table: IceTable): Int = {
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(return 0)

@@ -51,6 +51,12 @@ object ColumnBridge {
           lr.rdd.getCheckpointFile.get
       }
 
+  /** Test seam: clear the context's reliable checkpoint dir —
+    * `SparkContext.setCheckpointDir` has no unsetter and `checkpointDir`
+    * is `private[spark]`, but capacity guards branch on its absence. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
+
   /** A DataFrame directly over an InternalRow RDD (`internalCreateDataFrame`
     * is `private[sql]`); re-anchors a streaming batch's physical rows so a
     * V1 `Sink` can run batch writes over them. */

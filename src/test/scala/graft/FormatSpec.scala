@@ -678,6 +678,106 @@ class FormatSpec extends AnyFunSuite {
       IceTable.load(spark, loc).toDF.count()
     }
     assert(refusal.getMessage.contains("plaintext"), refusal.getMessage)
+    // the path-based source takes the same encryption option streams do
+    assert(spark.read.format("graft")
+      .option("encryption", graft.table.EncryptionManagers.serialize(manager))
+      .load(loc).count() === 118)
+  }
+
+  test("master-key rotation: parquet table rewrites under the new key") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
+      TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keyA = new AesGcmEncryptionManager(
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa".getBytes("UTF-8"), "key-a")
+    val keyB = new AesGcmEncryptionManager(
+      "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb".getBytes("UTF-8"), "key-b")
+    val loc = Files.createTempDirectory("graft-rot-").toString + "/t"
+    val data = orders.limit(300)
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyA)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DeleteMode ->
+        TableProperties.RowLevelMergeOnRead))
+    t.append(data.limit(200).repartition(3))
+    t.delete(equalTo("o_orderstatus", "F")) // MoR: delete files under key A
+    val expected = t.toDF.collect().map(_.toString).sorted
+    // rotation handle: writes key B, reads either — the MIXED state is
+    // exactly what an interrupted rotation leaves, so exercise it first
+    val rot = new KeyRotationManager(keyB, keyA)
+    val rotT = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, rot)))
+    rotT.append(data.limit(300).exceptAll(data.limit(200)).repartition(2))
+    val midExpected = rotT.toDF.collect().map(_.toString).sorted
+    assert(midExpected.length === expected.length + 100) // mixed table reads
+    // finish the rotation in partial-progress batches
+    val (rw, add) = rotT.rotateEncryptionKeys(partialProgressCommits = 2)
+    assert(rw > 0 && add > 0, s"($rw, $add)")
+    assert(rotT.toDF.collect().map(_.toString).sorted === midExpected)
+    // idempotent rerun: nothing left to rewrite
+    assert(rotT.rotateEncryptionKeys() === (0, 0))
+    // every live file keyed under B; property stamped
+    val after = rotT.newScan().planFiles().map(_.file)
+    after.foreach(f => assert(f.keyMetadata === keyB.keyMetadata(f.path), f.path))
+    assert(rotT.meta.properties.get(TableProperties.EncryptionRequired)
+      .contains("true"))
+    // the NEW key alone reads the current snapshot (metadata + data)
+    val tB = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyB)))
+    assert(tB.toDF.collect().map(_.toString).sorted === midExpected)
+    // the OLD key alone refuses — at the sealed-metadata read
+    val refusal = intercept[IllegalStateException] {
+      IceTable.loadWith(spark,
+        new TableOperations(loc, new FileIO(conf, keyA))).toDF.count()
+    }
+    assert(refusal.getMessage.contains("different"), refusal.getMessage)
+    // expire history → the old-key ciphertext is destroyed. Expiry walks
+    // OLD manifests (sealed under key A), so it runs through the rotation
+    // handle — the last step before retiring the old key
+    rotT.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(tB.toDF.count() === midExpected.length.toLong)
+    val leftover = new FileIO(conf).listRecursive(s"$loc/data")
+      .map(_.getPath.toString)
+    val live = tB.newScan().planFiles().map(_.file.path)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    // every surviving data file is live new-key content
+    leftover.foreach { p =>
+      assert(live.contains(new org.apache.hadoop.fs.Path(p).toUri.getPath),
+        s"old-key ciphertext survived expiry: $p")
+    }
+  }
+
+  test("key rotation from PLAINTEXT encrypts an existing avro table") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
+      PlaintextEncryptionManager, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keyB = new AesGcmEncryptionManager(
+      "cccccccccccccccccccccccccccccccc".getBytes("UTF-8"), "key-c")
+    val loc = Files.createTempDirectory("graft-rotp-").toString + "/t"
+    val data = orders.limit(150)
+    val t = IceTable.create(spark, loc, Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "avro"))
+    t.append(data.repartition(2))
+    val expected = t.toDF.collect().map(_.toString).sorted
+    val rotT = IceTable.loadWith(spark, new TableOperations(loc,
+      new FileIO(conf, new KeyRotationManager(keyB, PlaintextEncryptionManager))))
+    val (rw, add) = rotT.rotateEncryptionKeys()
+    assert(rw === 2 && add > 0)
+    // data identical, all files sealed (GAC1 on disk), required stamped
+    val tB = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyB)))
+    assert(tB.toDF.collect().map(_.toString).sorted === expected)
+    tB.newScan().planFiles().map(_.file).foreach { f =>
+      assert(f.keyMetadata === keyB.keyMetadata(f.path))
+      val p = new org.apache.hadoop.fs.Path(f.path)
+      val in = p.getFileSystem(conf).open(p)
+      val head = try in.readNBytes(4) finally in.close()
+      assert(java.util.Arrays.equals(head, AesGcmEncryptionManager.Magic), f.path)
+    }
+    assert(tB.meta.properties.get(TableProperties.EncryptionRequired)
+      .contains("true"))
+    // plaintext handle now refuses (metadata sealed by the rotation commits)
+    intercept[IllegalStateException] { IceTable.load(spark, loc).toDF.count() }
   }
 
   test("manager deserialization is filtered: non-allowlisted classes refuse") {

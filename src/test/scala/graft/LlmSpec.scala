@@ -1608,4 +1608,28 @@ class LlmSpec extends AnyFunSuite {
     assert(persisted.toSeq === got.toSeq)
     assert(pinnedRdds() === before, s"leaked: ${pinnedRdds() -- before}")
   }
+
+  test("tfidf persist knob: capacity guard refuses a LOCAL checkpoint past the cap") {
+    import spark.implicits._
+    val df = docs.limit(100)
+    // no reliable dir → the local-checkpoint path, where the 8 GiB-JVM OOM
+    // lives (BASELINE.md round-10) — the guard must refuse past the cap...
+    val savedDir = spark.sparkContext.getCheckpointDir
+    org.apache.spark.sql.graft.ColumnBridge.clearCheckpointDir(spark.sparkContext)
+    try {
+      val refusal = intercept[IllegalArgumentException] {
+        TextOps.tfidfTopTerms(df, "doc_id", "text", 2,
+          persistIntermediate = true, persistMaxEstRows = 10L)
+      }
+      assert(refusal.getMessage.contains("checkpoint dir"), refusal.getMessage)
+      // ...and under the cap the knob works as before
+      assert(TextOps.tfidfTopTerms(df, "doc_id", "text", 2,
+        persistIntermediate = true).count() > 0)
+    } finally savedDir.foreach(spark.sparkContext.setCheckpointDir)
+    // a reliable dir spills to storage: NOT capped, any estimate allowed
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-tfidf-cap-").toString)
+    assert(TextOps.tfidfTopTerms(df, "doc_id", "text", 2,
+      persistIntermediate = true, persistMaxEstRows = 10L).count() > 0)
+  }
 }
