@@ -485,6 +485,43 @@ object CoreQueries {
       stats.map(st => (schema.fieldName(st.fieldId), st.nullCount, rowCount))
         .toDF("colname", "null_count", "row_count")
         .orderBy("colname")
+    }),
+
+    // Q36 storage-partitioned join (r11): orders and customer both
+    // bucket(16)-partitioned on custkey; with v2 bucketing on (and
+    // broadcast/AQE off so the co-located plan is the one exercised) the
+    // join runs over matching key groups with NO exchange on either side —
+    // BatchScanSpec pins the plan shape, this entry pins the VALUES
+    "q36_spj_bucket_join" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      s.conf.set("spark.sql.catalog.gq36", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq36.warehouse", tmp)
+      t(s, d, "orders").createOrReplaceTempView("q36_ord")
+      t(s, d, "customer").createOrReplaceTempView("q36_cust")
+      s.sql("CREATE TABLE gq36.db.ord PARTITIONED BY (bucket(16, o_custkey)) AS " +
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM q36_ord")
+      s.sql("CREATE TABLE gq36.db.cust PARTITIONED BY (bucket(16, c_custkey)) AS " +
+        "SELECT c_custkey, c_mktsegment FROM q36_cust")
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // materialize UNDER the SPJ confs (the driver consumes lazily)
+        val rows = s.sql(
+          "SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+            "round(sum(o.price), 2) AS total " +
+            "FROM gq36.db.ord o JOIN gq36.db.cust c ON o.o_custkey = c.c_custkey " +
+            "GROUP BY c.c_mktsegment ORDER BY seg").collect()
+        import s.implicits._
+        s.createDataset(rows.map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+          .toDF("seg", "n", "total")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
     })
   )
 
@@ -644,6 +681,11 @@ object CoreQueries {
         "count(*) AS row_count FROM src " +
         "UNION ALL SELECT 'seg' AS colname, count(*) - count(seg) AS null_count, " +
         "count(*) AS row_count FROM src " +
-        "ORDER BY colname")
+        "ORDER BY colname"),
+    "q36_spj_bucket_join" ->
+      ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+        "round(sum(round(o.o_totalprice, 2)), 2) AS total " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment ORDER BY seg")
   )
 }

@@ -785,8 +785,10 @@ object GraftReadPlanner {
         if (synthPos) Nil else pushedV1.filter(_.references.forall(safeRef))
       val key: InternalRow = if (!wantKeys) null else {
         val values = spec0.fields.zipWithIndex.map { case (pf, i) =>
+          // the TRANSFORM's result type, not the source's: a bucket key is
+          // the stored bucket ordinal (int), identity passes through
           SparkConv.catalystValue(partValues.asInstanceOf[Seq[Any]](i),
-            schema.fieldType(pf.sourceId))
+            spec0.fieldType(schema, pf))
         }
         new GenericInternalRow(values.toArray)
       }
@@ -1115,14 +1117,21 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     }
   }
 
-  /** All-identity current spec covering every planned file → key-grouped.
-    * Disabled under merge-on-read deletes: applicability classes can split
-    * one partition tuple across input partitions, which would break the
-    * HasPartitionKey contract (all rows of a key in one partition). */
+  /** Current spec of identity/bucket fields covering every planned file →
+    * key-grouped. Identity keys group on the source value; bucket keys
+    * group on the bucket ordinal — Spark resolves `bucket(n, col)` through
+    * the catalog's FunctionCatalog ([[GraftFunctionCatalog]] ships the
+    * byte-exact murmur3 function), so two tables bucketed the same way
+    * join with NO exchange on either side (storage-partitioned join,
+    * `spark.sql.sources.v2.bucketing.enabled`). Disabled under
+    * merge-on-read deletes: applicability classes can split one partition
+    * tuple across input partitions, which would break the HasPartitionKey
+    * contract (all rows of a key in one partition). */
   private def keyedSpec: Option[PartitionSpec] = {
     val s = table.meta.spec
     if (deletes.isEmpty && s.isPartitioned &&
-      s.fields.forall(_.transform == IdentityTransform) &&
+      s.fields.forall(f => f.transform == IdentityTransform ||
+        f.transform.isInstanceOf[graft.meta.transforms.BucketTransform]) &&
       tasks.nonEmpty && tasks.forall(_.file.specId == s.specId)) Some(s)
     else None
   }
@@ -1130,8 +1139,14 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
   override def outputPartitioning(): Partitioning = keyedSpec match {
     case Some(spec) =>
       val schema = table.meta.schema
-      val keys = spec.fields.map(f =>
-        Expressions.identity(schema.idToName(f.sourceId)))
+      val keys = spec.fields.map { f =>
+        val name = schema.idToName(f.sourceId)
+        f.transform match {
+          case graft.meta.transforms.BucketTransform(n) =>
+            Expressions.bucket(n, name)
+          case _ => Expressions.identity(name)
+        }
+      }
       new KeyGroupedPartitioning(keys.toArray,
         tasks.map(_.file.partition).distinct.size)
     case None => new UnknownPartitioning(0)

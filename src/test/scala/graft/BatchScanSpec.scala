@@ -213,6 +213,36 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join on BUCKET(8) specs: no exchange on either side") {
+    warehouse
+    // two tables bucket-partitioned the same way: the scans report
+    // KeyGroupedPartitioning(bucket(8, k)) and Spark resolves the bucket
+    // function through the catalog's FunctionCatalog — compatible key
+    // groups join co-located, no Exchange on either side (r11; previously
+    // only identity specs reported partitioning)
+    spark.sql("CREATE TABLE bs.db.spjb_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE bs.db.spjb_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO bs.db.spjb_a SELECT id, id * 1.0 FROM range(400)")
+    spark.sql("INSERT INTO bs.db.spjb_b SELECT id % 100, concat('x', id) FROM range(200)")
+    val q = "SELECT a.k, b.b FROM bs.db.spjb_a a JOIN bs.db.spjb_b b ON a.k = b.k"
+    // reference rows from the default (exchange-based) plan
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket storage-partitioned join without shuffle:\n$plan")
+      val got = df.collect().map(_.toString).sorted
+      assert(got.length === 200) // keys 0..99 × (1 a-row × 2 b-rows)
+      assert(got === expected)
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
