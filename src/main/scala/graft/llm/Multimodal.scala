@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (NEW; SURVEY §7 item 10): media as opaque
-  * `binary` columns + typed metadata structs. The Spark-side shape —
-  * schema, batched per-partition decode, frame sampling via expressions —
-  * is real and tested; the pixel/audio decode itself is a clearly-marked
-  * deterministic STUB (image/audio libraries are not in this container).
+  * `binary` columns + typed metadata structs.
+  *
+  * Since r11 the image path is REAL: payloads that `javax.imageio` can
+  * decode (PNG/JPEG/BMP/GIF — pure-JDK, no native libs) yield true
+  * dimensions, a format kind sniffed from the magic bytes, and a
+  * downsampled-luma visual embedding, so two byte-DIFFERENT encodings of
+  * the same pixels (a PNG and a BMP) land at cosine ≈ 1 — which no
+  * byte-level feature can do. Undecodable payloads (audio, video,
+  * corrupt, or the test fixtures' text bytes) fall back to the original
+  * deterministic byte-level features, clearly marked below; a production
+  * deployment swaps ONLY that fallback (and the video/audio kinds) for an
+  * ONNX/JNI encoder — the batching shape stays identical.
   */
 object Multimodal {
 
@@ -24,32 +32,56 @@ object Multimodal {
   def packFakeMedia(df: DataFrame, textCol: String, mediaCol: String = "media"): DataFrame =
     df.withColumn(mediaCol, col(textCol).cast("binary"))
 
-  /** STUB decoder: "parses" media header fields deterministically from the
-    * first payload bytes. A real deployment swaps only this function for a
-    * JNI/ImageIO decode; the batching shape stays identical. */
+  /** Image format by magic bytes (decode is attempted only for these —
+    * ImageIO probing arbitrary binary is wasted work at 100 TB scale). */
+  private def sniffImageKind(p: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = p.length > i && (p(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("image/png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("image/jpeg")
+    else if (at(0, 'B') && at(1, 'M')) Some("image/bmp")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) Some("image/gif")
+    else None
+  }
+
+  /** Pure-JDK pixel decode; None for non-images or corrupt payloads. */
+  private def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (p == null || sniffImageKind(p).isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      catch { case _: Exception => None }
+
+  /** FALLBACK decoder for undecodable payloads: "parses" header fields
+    * deterministically from the first bytes (the pre-r11 stub, kept
+    * byte-identical — the llm_mm_meta oracle replays it in SQL). A real
+    * deployment swaps this for audio/video probes. */
   private def stubDecode(payload: Array[Byte]): (String, Int, Int) = {
     if (payload == null || payload.isEmpty) ("empty", 0, 0)
     else {
       val b0 = payload(0) & 0xff
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-      // STUB: real decode (e.g. javax.imageio / ffmpeg) goes here
       ("image/fake", 16 + (b0 % 240), 16 + (b1 % 240))
     }
   }
 
   /** Batched per-partition metadata extraction: one decoder instance per
-    * partition (the expensive-init shape real decoders need), emitting the
-    * input row + a typed `meta` struct. */
+    * partition, emitting the input row + a typed `meta` struct. Real
+    * images report true width/height and the sniffed format kind;
+    * everything else keeps the deterministic fallback fields. */
   def extractMeta(df: DataFrame, mediaCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add("meta", metaSchema)
     val mediaIdx = inSchema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
-      // a real decoder (image/audio lib handle) would init once per
-      // partition here — that is why this is mapPartitions, not a UDF
+      // decoder init once per partition — that is why this is
+      // mapPartitions, not a UDF (ImageIO's registry is static; a JNI
+      // decoder handle would be created here)
       rows.map { r =>
         val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
-        val (kind, w, h) = stubDecode(payload)
+        val (kind, w, h) = decodeImage(payload) match {
+          case Some(img) =>
+            (sniffImageKind(payload).get, img.getWidth, img.getHeight)
+          case None => stubDecode(payload)
+        }
         val checksum = if (payload == null) null
         else payload.map("%02x".format(_)).mkString.take(8)
         Row.fromSeq(r.toSeq :+ Row(kind,
@@ -58,36 +90,80 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Downsampled-luma grid embedding: the image is block-averaged onto a
+    * g×g luma grid (g = ⌊√dim⌋), mean-centered (brightness-invariant) and
+    * L2-normalized — a real low-level visual feature: identical pixels
+    * under different lossless encodings produce the IDENTICAL vector, and
+    * near-identical pixels (mild JPEG loss) land at cosine ≈ 1. */
+  private def lumaGridEmbedding(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Int](g * g)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(g - 1, x * g / w)
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val c = gy * g + gx
+        sums(c) += luma
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(g * g)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val mean = cells.sum / cells.length
+    val centered = cells.map(_ - mean)
+    val norm = math.sqrt(centered.foldLeft(0.0)((s, v) => s + v * v))
+    val out = new Array[Float](dim) // cells fill the g² prefix, rest zero
+    var i = 0
+    while (i < g * g) {
+      out(i) = if (norm > 1e-9) (centered(i) / norm).toFloat else 0f
+      i += 1
+    }
+    out
+  }
+
   /** Batched per-partition feature extraction: media payload → a unit-norm
     * `array<float>` embedding, the column every similarity/ANN operator in
-    * [[Similarity]] / [[IvfIndex]] consumes — so media dedup and media
-    * search are the SAME pipelines as text, swapping only this step. The
-    * embedding itself is a clearly-marked deterministic STUB (byte-histogram
-    * features — a real deployment swaps in an ONNX/JNI encoder handle,
-    * initialized once per partition exactly where the comment says);
-    * the Spark-side shape (mapPartitions batching, fixed `dim`, unit
-    * normalization, null → null) is the real contract. */
+    * [[Similarity]] / [[IvfIndex]] consumes — media dedup and media search
+    * are the SAME pipelines as text, swapping only this step. Decodable
+    * images embed as a [[lumaGridEmbedding]] (REAL pixels); undecodable
+    * payloads keep the deterministic byte-histogram FALLBACK (a production
+    * deployment swaps that fallback for an ONNX/JNI encoder handle,
+    * initialized once per partition exactly where the comment says). */
   def featurize(df: DataFrame, mediaCol: String, dim: Int = 64,
       embeddingCol: String = "embedding"): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add(embeddingCol, ArrayType(FloatType))
     val mediaIdx = inSchema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
-      // a real encoder (ONNX session / JNI model handle) inits once per
-      // partition here; the per-row call below is then a batched forward
+      // encoder init once per partition; the per-row call below is then a
+      // batched forward
       rows.map { r =>
         val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
         val emb: Array[Float] = if (payload == null) null
-        else {
-          // STUB featurizer: L2-normalized byte histogram folded to `dim`
-          val acc = new Array[Float](dim)
-          var i = 0
-          while (i < payload.length) {
-            acc((payload(i) & 0xff) % dim) += 1f; i += 1
-          }
-          val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-          if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
-          acc
+        else decodeImage(payload) match {
+          case Some(img) => lumaGridEmbedding(img, dim)
+          case None =>
+            // FALLBACK featurizer: L2-normalized byte histogram folded to
+            // `dim` — byte-level only, kept for non-image payloads
+            val acc = new Array[Float](dim)
+            var i = 0
+            while (i < payload.length) {
+              acc((payload(i) & 0xff) % dim) += 1f; i += 1
+            }
+            val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+            if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
+            acc
         }
         Row.fromSeq(r.toSeq :+ emb)
       }

@@ -520,6 +520,68 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(top1.getDouble(1) - 1.0) < 1e-4)
   }
 
+  test("multimodal: REAL image decode — same pixels under different encodings meet at cosine 1") {
+    import spark.implicits._
+    // deterministic synthetic images (no fixtures needed): gradient +
+    // per-image pattern so the three are visually distinct
+    def makeImage(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val r = (x * 4 + seed * 40) % 256
+        val g = (y * 5 + seed * 80) % 256
+        val b = (x * y * (seed + 1)) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      bos.toByteArray
+    }
+    val img0 = makeImage(0)
+    val png0 = encode(img0, "png")
+    val bmp0 = encode(img0, "bmp") // same pixels, entirely different bytes
+    assert(!java.util.Arrays.equals(png0, bmp0))
+    val rows = Seq((1L, png0), (2L, encode(makeImage(1), "png")),
+      (3L, encode(makeImage(2), "png")), (9999L, bmp0))
+    val df = spark.createDataset(rows).toDF("doc_id", "media")
+    // metadata: true dimensions and sniffed kinds, not the stub fields
+    val meta = Multimodal.extractMeta(df, "media")
+      .select(col("doc_id"), col("meta.kind"), col("meta.width"),
+        col("meta.height")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(meta(1L) === (("image/png", 64, 48)))
+    assert(meta(9999L) === (("image/bmp", 64, 48)))
+    // the luma-grid embedding sees PIXELS: the byte-different BMP twin is
+    // the PNG's top-1 at cosine ≈ 1 — unreachable for any byte-level
+    // feature (the two payloads share almost no byte structure)...
+    val emb = Multimodal.featurize(df, "media", dim = 64)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Seq(9999L), k = 1)
+      .select("neighbor_id", "sim").head()
+    assert(top1.getLong(0) === 1L, top1.toString)
+    assert(math.abs(top1.getDouble(1) - 1.0) < 1e-4, top1.toString)
+    // ...and distinct images do NOT collapse together
+    val sims = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Seq(2L), k = 3).select("neighbor_id", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims.filterNot(_._1 == 2L).values.forall(_ < 0.99), sims.toString)
+    // proof the decode is load-bearing: the raw BYTE histograms of the two
+    // twin payloads are far apart
+    def hist(p: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](64)
+      p.foreach(b => h((b & 0xff) % 64) += 1)
+      val n = math.sqrt(h.map(x => x * x).sum)
+      h.map(_ / n)
+    }
+    val byteCos = hist(png0).zip(hist(bmp0)).map { case (a, b) => a * b }.sum
+    assert(byteCos < 0.999, s"byte histograms unexpectedly aligned: $byteCos")
+  }
+
   test("rolling fingerprints: identical normalized text → identical sketch") {
     val a = TextOps.rollingFingerprints("the  quick\tbrown fox")
     val b = TextOps.rollingFingerprints("the quick brown fox")
