@@ -49,7 +49,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   protected final def evictIce(key: String): Unit = iceCache.remove(key)
 
   protected def spark: SparkSession = SparkSession.active
-  protected def io: FileIO = new FileIO(spark.sparkContext.hadoopConfiguration)
+  /** The catalog-wide encryption manager: every table this catalog creates
+    * or loads keys its FileIO with it, which gives SQL users encrypted
+    * tables (sealed metadata included) with zero per-query ceremony —
+    * `spark.sql.catalog.<name>.encryption = EncryptionManagers.serialize(m)`.
+    * Catalog options live in session conf, not query text, so key material
+    * never lands in SQL logs (the reason rotation has no CALL). */
+  protected var encryption: graft.table.EncryptionManager =
+    graft.table.PlaintextEncryptionManager
+  protected def io: FileIO =
+    new FileIO(spark.sparkContext.hadoopConfiguration, encryption)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -57,6 +66,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     require(warehouse != null && warehouse.nonEmpty,
       s"Catalog $name requires spark.sql.catalog.$name.warehouse")
     cacheEnabled = options.getBoolean("cache-enabled", true)
+    Option(options.get("encryption")).foreach { ser =>
+      encryption = graft.table.EncryptionManagers.deserialize(ser)
+    }
   }
 
   override def name(): String = catalogName
@@ -97,12 +109,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    IceTable.exists(spark, tablePath(ident))
+    new graft.table.TableOperations(tablePath(ident), io).exists
 
   /** Resolve an identifier to a loaded table — the storage-backend hook
     * shared by plain loads, time travel, metadata tables, and ALTER. */
   protected def loadIce(ident: Identifier): IceTable =
-    cachedIce(tablePath(ident))(IceTable.load(spark, tablePath(ident)))
+    cachedIce(tablePath(ident))(IceTable.loadWith(spark,
+      new graft.table.TableOperations(tablePath(ident), io)))
 
   protected val MetadataTableNames = Set("snapshots", "history", "manifests",
     "all_manifests", "entries", "all_entries", "files", "data_files",
@@ -157,7 +170,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val gSchema = Schema.fresh(schema)
     val spec = GraftCatalog.toSpec(gSchema, partitions)
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
-    val t = IceTable.create(spark, tablePath(ident), gSchema, spec, properties = props)
+    val t = IceTable.createWith(spark,
+      new graft.table.TableOperations(tablePath(ident), io),
+      gSchema, spec, properties = props)
     new GraftSparkTable(t, fullName(ident))
   }
 
@@ -211,9 +226,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val gSchema = Schema.fresh(schema)
     val spec = GraftCatalog.toSpec(gSchema, partitions)
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
-    val t = IceTable.create(spark, stagedPath, gSchema, spec, properties = props)
+    val t = IceTable.createWith(spark,
+      new graft.table.TableOperations(stagedPath, io),
+      gSchema, spec, properties = props)
     new StagedGraftTable(new GraftSparkTable(t, fullName(ident)), spark,
-      stagedPath, tablePath(ident), replace)
+      stagedPath, tablePath(ident), replace, io)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -276,7 +293,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    val pinned = pinDropPurge(graft.table.IceTable.load(spark, tablePath(ident)))
+    val pinned = pinDropPurge(IceTable.loadWith(spark,
+      new graft.table.TableOperations(tablePath(ident), io)))
     evictIce(tablePath(ident))
     // filesystem catalog: the directory IS the pointer, so there is no
     // drop-then-purge ordering — the purge must read manifests while they
@@ -301,7 +319,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       throw new IllegalStateException(s"Rename failed: $src -> $dst")
     evictIce(tablePath(from))
     // metadata stores absolute paths — rewrite them for the new location
-    IceTable.relocate(spark, tablePath(to))
+    IceTable.relocate(spark, tablePath(to), Some(io))
   }
 
   // ------------------------------------------------------------ namespaces
@@ -344,7 +362,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   * real graft table at a hidden staging path; commit publishes it with a
   * rename + metadata path relocation, abort deletes the staging directory. */
 final class StagedGraftTable(delegate: GraftSparkTable, spark: SparkSession,
-    stagedPath: String, finalPath: String, replace: Boolean)
+    stagedPath: String, finalPath: String, replace: Boolean,
+    io: FileIO)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -371,7 +390,7 @@ final class StagedGraftTable(delegate: GraftSparkTable, spark: SparkSession,
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"Staged commit rename failed: $src -> $dst")
-    IceTable.relocate(spark, finalPath)
+    IceTable.relocate(spark, finalPath, Some(io))
   }
 
   override def abortStagedChanges(): Unit =

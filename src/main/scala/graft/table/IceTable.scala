@@ -920,8 +920,13 @@ object IceTable {
     * paths too (`core/.../hadoop/HadoopCatalog.java` renameTable throws) —
     * here metadata is rewritable, so a rare O(metadata) pass keeps the table
     * self-consistent (chained renames stay safe). */
-  def relocate(spark: SparkSession, newLocation: String): Unit = {
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+  def relocate(spark: SparkSession, newLocation: String,
+      withIo: Option[FileIO] = None): Unit = {
+    // encrypted tables relocate too: the caller's keyed FileIO reads and
+    // REWRITES sealed manifests/lists (per-file keys derive from file
+    // NAMES, which a directory move preserves — the ciphertext itself
+    // needs no re-keying)
+    val io = withIo.getOrElse(new FileIO(spark.sparkContext.hadoopConfiguration))
     val ops = new TableOperations(newLocation, io)
     val (version, base) = ops.current()
     val oldLoc = base.location

@@ -684,6 +684,55 @@ class FormatSpec extends AnyFunSuite {
       .load(loc).count() === 118)
   }
 
+  test("SQL catalog with an encryption option: encrypted tables with zero query ceremony") {
+    import graft.table.{AesGcmEncryptionManager, EncryptionManagers, FileIO}
+    val manager = new AesGcmEncryptionManager(
+      "dddddddddddddddddddddddddddddddd".getBytes("UTF-8"), "cat-key")
+    val wh = Files.createTempDirectory("graft-enccat-").toString
+    spark.conf.set("spark.sql.catalog.genc", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.genc.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.genc.encryption",
+      EncryptionManagers.serialize(manager))
+    try {
+      spark.sql("CREATE TABLE genc.db.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO genc.db.t SELECT id, concat('v', id) FROM range(100)")
+      assert(spark.sql("SELECT count(*) FROM genc.db.t").head().getLong(0) === 100L)
+      // DML through the catalog stays encrypted
+      spark.sql("DELETE FROM genc.db.t WHERE k < 10")
+      assert(spark.sql("SELECT count(*) FROM genc.db.t").head().getLong(0) === 90L)
+      // on disk: PARE data files, sealed (GAC1/PARE) metadata, required set
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fio = new FileIO(conf)
+      val dataFiles = fio.listRecursive(s"$wh/db/t/data")
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.nonEmpty)
+      dataFiles.foreach { p =>
+        val in = p.getFileSystem(conf).open(p)
+        val head = try new String(in.readNBytes(4), "UTF-8") finally in.close()
+        assert(head === "PARE", s"$p not encrypted")
+      }
+      fio.listRecursive(s"$wh/db/t/metadata")
+        .map(_.getPath).filterNot(_.getName == "version-hint.text")
+        .foreach { p =>
+          val in = p.getFileSystem(conf).open(p)
+          val head = try new String(in.readNBytes(4), "UTF-8") finally in.close()
+          assert(head == "GAC1" || head == "PARE", s"$p not sealed ($head)")
+        }
+      // a catalog over the same warehouse WITHOUT the key refuses
+      spark.conf.set("spark.sql.catalog.gencplain", "graft.spark.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gencplain.warehouse", wh)
+      val refusal = intercept[Exception] {
+        spark.sql("SELECT * FROM gencplain.db.t").collect()
+      }
+      def causes(e: Throwable): Seq[Throwable] =
+        if (e == null) Nil else e +: causes(e.getCause)
+      assert(causes(refusal).exists(c => Option(c.getMessage)
+        .exists(_.contains("manager is plaintext"))), refusal.toString)
+    } finally Seq("spark.sql.catalog.genc", "spark.sql.catalog.genc.warehouse",
+      "spark.sql.catalog.genc.encryption", "spark.sql.catalog.gencplain",
+      "spark.sql.catalog.gencplain.warehouse").foreach(spark.conf.unset)
+  }
+
   test("master-key rotation: parquet table rewrites under the new key") {
     import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
       TableOperations}
