@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.security.{Key, SecureRandom}
+import java.util.Random
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.orc.EncryptionAlgorithm
+import org.apache.orc.impl.{HadoopShims, KeyProvider, LocalKey}
+
+import graft.table.{EncryptionManagers, KeyedFileEncryption}
+
+/** ORC columnar encryption driven by a graft [[KeyedFileEncryption]]
+  * manager — the third and last data format (parquet has Modular
+  * Encryption, avro the chunked-GCM streams; the r10 audit carried ORC as
+  * honestly fail-fast because `WriterOptions.encrypt` looked
+  * programmatic-only; it isn't: Spark's OrcOutputWriter goes through
+  * `org.apache.orc.mapred.OrcOutputFormat.buildOptions`, which DOES read
+  * `orc.encrypt` / `orc.mask` from the conf, and both reader and writer
+  * resolve their [[KeyProvider]] from `orc.key.provider` via the JDK
+  * ServiceLoader — this class plugs that SPI, exactly like
+  * [[GraftParquetCryptoFactory]] plugs parquet's).
+  *
+  * Scheme: ORC generates one random LOCAL key per file and asks the
+  * provider to seal it; the sealed bytes travel in the file, so per-file
+  * uniqueness comes from ORC itself and the provider only needs ONE
+  * stable master secret. That master is derived through the manager's
+  * pure name-keyed derivation at a reserved constant name — the same
+  * derivation discipline every other format uses, so one
+  * `AesGcmEncryptionManager` keys all three formats. Sealing is AES-GCM
+  * (IV + tag in the sealed bytes): a wrong master key fails
+  * AUTHENTICATION and the read refuses loudly — deliberately stricter
+  * than ORC's stock providers, whose unauthenticated CTR unseal would
+  * surface a wrong key as garbage rows or a checksum error deep in a
+  * task. Under a [[graft.table.KeyRotationManager]] the unseal tries the
+  * new master first, then the previous one, so rotation covers ORC
+  * tables too.
+  */
+final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
+    extends KeyProvider {
+  import GraftOrcKeyProvider._
+
+  private val rng = new SecureRandom()
+
+  /** One stable AES master per underlying manager (rotation handles carry
+    * two) — `fileKey` is a pure function of the name component, and data
+    * files are UUID-named so the reserved name can never collide. */
+  private def masters: Seq[Array[Byte]] =
+    manager.candidateManagers.map(_.fileKey(MasterName))
+
+  override def getKeyNames: java.util.List[String] =
+    java.util.Collections.singletonList(KeyName)
+
+  override def getCurrentKeyVersion(keyName: String): HadoopShims.KeyMetadata = {
+    require(keyName == KeyName,
+      s"unknown ORC encryption key '$keyName' (graft tables key as '$KeyName')")
+    new HadoopShims.KeyMetadata(keyName, 0, EncryptionAlgorithm.AES_CTR_128)
+  }
+
+  override def createLocalKey(meta: HadoopShims.KeyMetadata): LocalKey = {
+    val material = new Array[Byte](meta.getAlgorithm.keyLength())
+    rng.nextBytes(material)
+    val iv = new Array[Byte](IvLen)
+    rng.nextBytes(iv)
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(masters.head, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(TagBits, iv))
+    val wrapped = cipher.doFinal(material)
+    val out = new Array[Byte](1 + IvLen + wrapped.length)
+    out(0) = Version
+    System.arraycopy(iv, 0, out, 1, IvLen)
+    System.arraycopy(wrapped, 0, out, 1 + IvLen, wrapped.length)
+    new LocalKey(meta.getAlgorithm, material, out)
+  }
+
+  override def decryptLocalKey(meta: HadoopShims.KeyMetadata,
+      encrypted: Array[Byte]): Key = {
+    require(encrypted.length > 1 + IvLen && encrypted(0) == Version,
+      s"corrupt graft-sealed ORC local key (${encrypted.length} bytes)")
+    val iv = java.util.Arrays.copyOfRange(encrypted, 1, 1 + IvLen)
+    val wrapped = java.util.Arrays.copyOfRange(encrypted, 1 + IvLen, encrypted.length)
+    val material = masters.view.map { master =>
+      try {
+        val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(master, "AES"),
+          new javax.crypto.spec.GCMParameterSpec(TagBits, iv))
+        Some(cipher.doFinal(wrapped))
+      } catch { case _: java.security.GeneralSecurityException => None }
+    }.collectFirst { case Some(m) => m }
+    material match {
+      case Some(m) =>
+        new javax.crypto.spec.SecretKeySpec(m, meta.getAlgorithm.getAlgorithm)
+      case None => throw new IllegalStateException(
+        "ORC local key authentication failed — the file was encrypted " +
+          "under a different master key than this manager derives (a loud " +
+          "refusal by design: ORC's stock unseal would surface a wrong key " +
+          "as garbage rows)")
+    }
+  }
+
+  override def getKind: HadoopShims.KeyProviderKind =
+    HadoopShims.KeyProviderKind.UNKNOWN
+}
+
+object GraftOrcKeyProvider {
+  /** The provider name in `orc.key.provider` and the key name in
+    * `orc.encrypt` specs. */
+  val KeyName = "graft"
+  /** Reserved derivation name for the ORC master (never a real file name —
+    * data files are UUID-named). */
+  val MasterName = "graft-orc-master.key"
+  val Version: Byte = 1
+  val IvLen = 12
+  val TagBits = 128
+}
+
+/** ServiceLoader hook (`META-INF/services/org.apache.orc.impl.KeyProvider$Factory`):
+  * activates only on `orc.key.provider=graft-<fingerprint>` names AND a
+  * conf carrying the MATCHING serialized keyed manager — unrelated ORC
+  * reads in the session never see it, and ORC's static per-name provider
+  * cache can never serve one table's master to another (the fingerprint
+  * in the name pins the cache slot to exactly one manager). */
+class GraftOrcKeyProviderFactory extends KeyProvider.Factory {
+  override def create(name: String, conf: Configuration,
+      random: Random): KeyProvider =
+    if (!name.startsWith(s"${GraftOrcKeyProvider.KeyName}-")) null
+    else Option(conf.get(EncryptionManagers.OptionKey)) match {
+      case None => throw new IllegalStateException(
+        s"orc.key.provider=$name but the conf carries no serialized " +
+          s"manager (${EncryptionManagers.OptionKey})")
+      case Some(ser) =>
+        val expected = s"${GraftOrcKeyProvider.KeyName}-" +
+          EncryptionManagers.managerFingerprint(ser)
+        if (name != expected) throw new IllegalStateException(
+          s"orc.key.provider=$name does not match the conf's manager " +
+            s"(fingerprint $expected) — mixed-up crypto conf")
+        GraftParquetCryptoFactory.cachedManager(ser) match {
+          case k: KeyedFileEncryption => new GraftOrcKeyProvider(k)
+          case other => throw new IllegalStateException(
+            s"orc.key.provider=$name needs a KeyedFileEncryption " +
+              s"manager, got ${other.getClass.getSimpleName}")
+        }
+    }
+}

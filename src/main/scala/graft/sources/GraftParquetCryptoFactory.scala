@@ -94,4 +94,9 @@ object GraftParquetCryptoFactory {
     managers.synchronized {
       managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
     }
+
+  /** Shared with [[GraftOrcKeyProviderFactory]] — both SPIs re-hydrate the
+    * same serialized manager per file open. */
+  private[sources] def cachedManager(serialized: String): graft.table.EncryptionManager =
+    cached(serialized)
 }

@@ -567,16 +567,60 @@ object EncryptionManagers {
     case _ => Map.empty
   }
 
+  /** Read-side ORC options: select the graft [[org.apache.orc.impl.KeyProvider]]
+    * (ServiceLoader SPI — see `sources/GraftOrcKeyProvider.scala`) and
+    * carry the manager. Readers and footer-metrics opens then unseal the
+    * per-file local keys; writers additionally need the `orc.encrypt`
+    * column spec (schema-dependent — built in `Writes.writeDataFiles`).
+    *
+    * The provider NAME carries a fingerprint of the serialized manager:
+    * ORC's `CryptoUtils.getKeyProvider` caches providers statically BY
+    * NAME for the JVM lifetime, so a bare constant name would hand the
+    * first table's master key to every later graft-keyed ORC read in the
+    * session — two tables under different masters would cross-decrypt or
+    * cross-refuse. Distinct names give each manager its own cache slot
+    * (the factory re-verifies the fingerprint against the conf's manager). */
+  def orcCryptoOptions(m: EncryptionManager): Map[String, String] = m match {
+    case _: KeyedFileEncryption =>
+      val ser = serialize(m)
+      Map(
+        "orc.key.provider" -> s"graft-${managerFingerprint(ser)}",
+        OptionKey -> ser)
+    case _ => Map.empty
+  }
+
+  /** Short stable digest of a serialized manager — keys ORC's static
+    * provider cache; NOT secret material (it hashes the serialized form,
+    * which already rides the conf). */
+  def managerFingerprint(serialized: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(serialized.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
   /** Per-format Spark read/write options that key table-content IO:
     * avro rides the manager to the graft FileFormat's own streams;
     * parquet engages modular encryption via [[parquetCryptoOptions]];
-    * other formats (ORC) carry nothing — their writes fail fast. */
+    * ORC resolves the graft KeyProvider via [[orcCryptoOptions]]. */
   def contentOptions(m: EncryptionManager, format: String): Map[String, String] =
     format match {
       case "avro" if m != PlaintextEncryptionManager => Map(OptionKey -> serialize(m))
       case "parquet" => parquetCryptoOptions(m)
+      case "orc" => orcCryptoOptions(m)
       case _ => Map.empty
     }
+
+  /** A conf copy carrying [[orcCryptoOptions]] — for direct ORC footer
+    * opens (metrics collection on encrypted stats). */
+  def orcCryptoConf(conf: org.apache.hadoop.conf.Configuration,
+      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration = {
+    val opts = m.map(orcCryptoOptions).getOrElse(Map.empty)
+    if (opts.isEmpty) conf
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      opts.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
 
   /** A conf copy carrying [[parquetCryptoOptions]] — for direct
     * parquet-hadoop footer opens (metrics collection). */

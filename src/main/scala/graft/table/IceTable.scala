@@ -1448,7 +1448,8 @@ private[table] object Writes {
       format: String, path: String, schema: Schema,
       enc: Option[EncryptionManager] = None): ParquetMetrics.FileMetrics =
     format match {
-      case "orc" => OrcMetrics.read(conf, path, schema)
+      case "orc" => OrcMetrics.read(
+        EncryptionManagers.orcCryptoConf(conf, enc), path, schema)
       case "avro" => AvroMetrics.read(conf, path, schema, enc)
       case _ => ParquetMetrics.read(
         EncryptionManagers.parquetCryptoConf(conf, enc), path, schema)
@@ -1467,22 +1468,21 @@ private[table] object Writes {
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
     Writes.requireEncryptionSatisfied(table, m)
-    // real encryption: avro through library-owned streams, parquet through
-    // Parquet Modular Encryption (needs a key-exposing manager). ORC stays
-    // fail-fast by necessity, not neglect: parquet-hadoop loads its crypto
-    // factory FROM THE CONF (`parquet.crypto.factory.class`), but ORC's
-    // `WriterOptions.encrypt` is programmatic-only — Spark's OrcOutputWriter
-    // never reads `orc.encrypt` from the conf, so there is no hook short of
-    // forking the writer. A keyed manager on ORC — or a stream-only custom
-    // manager on parquet — would silently write plaintext, so refuse up front
+    // real encryption on every format: avro through library-owned streams,
+    // parquet through Parquet Modular Encryption, ORC through its
+    // KeyProvider SPI (r11 — Spark's writer goes through
+    // `org.apache.orc.mapred.OrcOutputFormat.buildOptions`, which reads
+    // `orc.encrypt` from the per-write conf). Parquet and ORC both need a
+    // key-exposing manager; a stream-only custom manager there would
+    // silently write plaintext, so refuse up front
     if (table.io.encryption != PlaintextEncryptionManager && format != "avro" &&
-        !(format == "parquet" &&
-          table.io.encryption.isInstanceOf[KeyedFileEncryption]))
+        !table.io.encryption.isInstanceOf[KeyedFileEncryption])
       throw new UnsupportedOperationException(
         s"encryption manager ${table.io.encryption.getClass.getSimpleName} " +
           s"cannot encrypt '$format' data files — avro streams are " +
-          "library-owned and parquet needs a KeyedFileEncryption manager " +
-          "(set write.format.default accordingly or use the plaintext manager)")
+          "library-owned; parquet and ORC need a KeyedFileEncryption " +
+          "manager (set write.format.default accordingly or use the " +
+          "plaintext manager)")
     // Roll output files at ~write.target-file-size-bytes (ref rolling file
     // writers, `TableProperties.java:145`): Spark rolls by RECORD count, so
     // convert the byte target through the table's observed on-disk row width
@@ -1528,7 +1528,21 @@ private[table] object Writes {
           // writers through the per-write conf (factory + serialized manager)
           EncryptionManagers.parquetCryptoOptions(table.io.encryption)
       case "orc" =>
-        Map("compression" -> prop("write.orc.compression-codec", "snappy"))
+        Map("compression" -> prop("write.orc.compression-codec", "snappy")) ++
+          // keyed managers engage ORC columnar encryption in the task
+          // writers: provider selection + manager on the conf, plus the
+          // column spec (every top-level column under the graft key)
+          (table.io.encryption match {
+            case _: KeyedFileEncryption =>
+              val cols = schema.columnNames
+              cols.find(c => c.contains(",") || c.contains(":") || c.contains(";"))
+                .foreach(c => throw new UnsupportedOperationException(
+                  s"ORC encryption cannot express column name '$c' in its " +
+                    "orc.encrypt spec (contains a delimiter)"))
+              EncryptionManagers.orcCryptoOptions(table.io.encryption) +
+                ("orc.encrypt" -> s"graft:${cols.mkString(",")}")
+            case _ => Map.empty[String, String]
+          })
       case "avro" =>
         // avro names deflate what the ref property calls gzip
         Map("graft.avro.codec" ->

@@ -469,15 +469,18 @@ class FormatSpec extends AnyFunSuite {
     assert(causes(direct).exists(_.getMessage != null) &&
       causes(direct).flatMap(c => Option(c.getMessage))
         .exists(_.contains("AES-GCM encrypted")), direct.toString)
-    // parquet now encrypts through modular encryption (dedicated test);
-    // ORC — streams Spark owns with no key hook wired — still fails fast
-    // at write time rather than silently writing plaintext
+    // all three formats encrypt since r11 — a keyed ORC append now
+    // SUCCEEDS (dedicated ORC end-to-end test below); what still refuses
+    // is a stream-only (non-keyed) manager on parquet/ORC
     val torc = IceTable.createWith(spark,
       new TableOperations(Files.createTempDirectory("graft-enco-").toString + "/t",
         new FileIO(conf, manager)),
       Schema.fresh(data.schema),
       properties = Map(TableProperties.DefaultFileFormat -> "orc"))
-    intercept[UnsupportedOperationException] { torc.append(data.limit(5)) }
+    torc.append(data.limit(5))
+    assert(torc.toDF.count() === 5)
+    torc.newScan().planFiles().foreach(t =>
+      assert(t.file.keyMetadata.nonEmpty, t.file.path))
   }
 
   test("parquet encryption: modular encryption end-to-end, MoR deletes, refusals") {
@@ -682,6 +685,107 @@ class FormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft")
       .option("encryption", graft.table.EncryptionManagers.serialize(manager))
       .load(loc).count() === 118)
+  }
+
+  test("ORC encryption end-to-end: columnar encryption via the KeyProvider SPI") {
+    import graft.meta.model.FileContent
+    import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
+      TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "ffffffffffffffffffffffffffff0123".getBytes("UTF-8"), "orc-key")
+    val loc = Files.createTempDirectory("graft-encorc-").toString + "/t"
+    val secrets = Seq("ZQXORCSECRETA", "ZQXORCSECRETB")
+    val data = spark.createDataFrame(
+      (1 to 80).map(i => (i.toLong, secrets(i % 2), i * 3L)))
+      .toDF("id", "codename", "amount")
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "orc",
+        // compression OFF so the no-secret-bytes assertion is load-bearing:
+        // snappy could hide plaintext literals from a byte grep, making a
+        // silently-unencrypted file pass vacuously
+        "write.orc.compression-codec" -> "none",
+        TableProperties.DeleteMode -> TableProperties.RowLevelMergeOnRead))
+    t.append(data.repartition(2))
+    // control for the grep methodology: the same rows written as PLAIN
+    // uncompressed ORC DO contain the secret bytes
+    locally {
+      val plainDir = Files.createTempDirectory("graft-encorc-ctl-").toString
+      data.repartition(1).write.mode("overwrite")
+        .option("compression", "none").orc(plainDir)
+      val pf = new FileIO(conf).listRecursive(plainDir)
+        .map(_.getPath).find(_.getName.endsWith(".orc")).get
+      val in = pf.getFileSystem(conf).open(pf)
+      val bytes = try in.readAllBytes() finally in.close()
+      assert(bytes.containsSlice(secrets(0).getBytes("UTF-8")),
+        "control failed: plain uncompressed ORC should expose the secret")
+    }
+    // keyed read-back: full parity, filters, and metrics pruning — the
+    // footer stats are themselves encrypted, so a pruned plan proves the
+    // metrics collector unseals them
+    assert(t.toDF.count() === 80)
+    assert(t.toDF.filter(col("codename") === secrets(0)).count() === 40)
+    assert(t.newScan().filter(equalTo("id", -3L)).planFiles().isEmpty)
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.nonEmpty && files.forall(_.format == "orc"))
+    files.foreach(f => assert(f.keyMetadata.nonEmpty, f.path))
+    // the load-bearing assertion: NO secret bytes in the raw ORC files
+    val secretBytes = secrets.map(_.getBytes("UTF-8"))
+    def assertSealed(paths: Seq[String]): Unit = paths.foreach { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      val in = p.getFileSystem(conf).open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      secretBytes.foreach(s => assert(!bytes.containsSlice(s),
+        s"$p0 leaks plaintext '${new String(s, "UTF-8")}'"))
+    }
+    assertSealed(files.map(_.path))
+    // a reader WITHOUT keys gets no plaintext out — ORC either refuses or
+    // masks; both are acceptable, silent plaintext is not
+    val leaked =
+      try spark.read.orc(files.head.path).collect()
+        .flatMap(r => Option(r.get(1))).map(_.toString)
+      catch { case _: Exception => Array.empty[String] }
+    assert(leaked.forall(v => !secrets.contains(v)), leaked.take(3).mkString(","))
+    // a WRONG key fails the local-key GCM authentication loudly (our
+    // provider is deliberately stricter than ORC's unauthenticated CTR
+    // unseal) — this also proves the files really are provider-encrypted
+    val wrongKey = new AesGcmEncryptionManager(
+      "99999999999999999999999999999999".getBytes("UTF-8"), "orc-wrong")
+    val wrongRead = intercept[Exception] {
+      val o = graft.table.EncryptionManagers.orcCryptoOptions(wrongKey)
+      spark.read.options(o).orc(files.head.path).collect()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(wrongRead).exists(c => Option(c.getMessage)
+      .exists(_.contains("authentication failed"))), wrongRead.toString)
+    // MoR DELETE: parquet position-delete files (encrypted) over encrypted
+    // ORC data files read through synthesized ordinals
+    t.delete(equalTo("id", 7L))
+    assert(t.toDF.count() === 79)
+    val dels = t.newScan().planDeletes().map(_._1)
+    assert(dels.nonEmpty &&
+      dels.forall(_.content == FileContent.PositionDeletes))
+    assertSealed(dels.map(_.path))
+    // key rotation covers ORC: rewrite under a new master, old key refused
+    val keyB = new AesGcmEncryptionManager(
+      "0123ffffffffffffffffffffffffffff".getBytes("UTF-8"), "orc-key-b")
+    val rotT = IceTable.loadWith(spark, new TableOperations(loc,
+      new FileIO(conf, new KeyRotationManager(keyB, manager))))
+    val (rw, _) = rotT.rotateEncryptionKeys()
+    assert(rw > 0)
+    val tB = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyB)))
+    assert(tB.toDF.count() === 79)
+    assert(tB.toDF.filter(col("codename") === secrets(0)).count() ===
+      40 - (if (7 % 2 == 0) 1 else 0))
+    assertSealed(tB.newScan().planFiles().map(_.file.path))
+    intercept[IllegalStateException] {
+      IceTable.loadWith(spark,
+        new TableOperations(loc, new FileIO(conf, manager))).toDF.count()
+    }
   }
 
   test("SQL catalog with an encryption option: encrypted tables with zero query ceremony") {
