@@ -645,7 +645,10 @@ class FormatSpec extends AnyFunSuite {
       .toDF("id", "codename", "amount")
     val t = IceTable.createWith(spark,
       new TableOperations(loc, new FileIO(conf, manager)),
-      Schema.fresh(data.schema))
+      Schema.fresh(data.schema),
+      // gzip metadata codec: sealing wraps OUTERMOST (GAC1 over gzip), so
+      // compressed metadata JSON must round-trip through both layers
+      properties = Map("write.metadata.compression-codec" -> "gzip"))
     t.append(data.repartition(4))
     t.append(data.repartition(2)) // second commit: manifest merge path
     t.delete(equalTo("id", 7L))   // CoW rewrite: more manifests + metadata
