@@ -243,6 +243,36 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ stays CORRECT under mismatched bucket sets and under AQE") {
+    warehouse
+    // one side holds only a subset of the buckets: Spark must either pad
+    // the missing key groups (pushPartValues) or fall back to a shuffle —
+    // both are fine, silently dropping rows is not. This fences the
+    // HasPartitionKey grouping against the nastiest SPJ failure mode.
+    spark.sql("CREATE TABLE bs.db.spjc_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE bs.db.spjc_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO bs.db.spjc_a SELECT id, id * 1.0 FROM range(400)")
+    // only k ∈ {0, 1}: at most two of eight buckets materialize
+    spark.sql("INSERT INTO bs.db.spjc_b SELECT id % 2, concat('x', id) FROM range(40)")
+    val q = "SELECT a.k, b.b FROM bs.db.spjc_a a JOIN bs.db.spjc_b b ON a.k = b.k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    assert(expected.length === 40) // k=0 and k=1 × 20 b-rows each
+    for (pushPartValues <- Seq("true", "false"); aqe <- Seq("true", "false")) {
+      withConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> pushPartValues,
+        "spark.sql.adaptive.enabled" -> aqe,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val got = spark.sql(q).collect().map(_.toString).sorted
+        assert(got === expected,
+          s"SPJ lost rows (pushPartValues=$pushPartValues, aqe=$aqe): " +
+            s"${got.length} vs ${expected.length}")
+      }
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
