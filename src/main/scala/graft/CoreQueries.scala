@@ -522,6 +522,25 @@ object CoreQueries {
       } finally saved.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _))
       }
+    }),
+
+    // Q37 encrypted round trip (r11): a fully-keyed catalog — data files,
+    // delete files, and the METADATA TREE all sealed — must hash-match the
+    // plain relational oracle through CTAS + DELETE + SELECT. Encryption
+    // in the correctness gate, not just unit tests.
+    "q37_encrypted_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q37").toString
+      val manager = new graft.table.AesGcmEncryptionManager(
+        "q37q37q37q37q37q37q37q37q37q37q3".getBytes("UTF-8"), "q37")
+      s.conf.set("spark.sql.catalog.gq37", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq37.warehouse", tmp)
+      s.conf.set("spark.sql.catalog.gq37.encryption",
+        graft.table.EncryptionManagers.serialize(manager))
+      t(s, d, "supplier").createOrReplaceTempView("q37_sup")
+      s.sql("CREATE TABLE gq37.db.t AS SELECT s_suppkey AS k, " +
+        "s_nationkey AS nk, round(s_acctbal, 2) AS bal FROM q37_sup")
+      s.sql("DELETE FROM gq37.db.t WHERE nk < 5")
+      s.sql("SELECT k, nk, bal FROM gq37.db.t ORDER BY k")
     })
   )
 
@@ -686,6 +705,9 @@ object CoreQueries {
       ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
         "round(sum(round(o.o_totalprice, 2)), 2) AS total " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "GROUP BY c.c_mktsegment ORDER BY seg")
+        "GROUP BY c.c_mktsegment ORDER BY seg"),
+    "q37_encrypted_roundtrip" ->
+      ("SELECT s_suppkey AS k, s_nationkey AS nk, round(s_acctbal, 2) AS bal " +
+        "FROM supplier WHERE NOT (s_nationkey < 5) ORDER BY k")
   )
 }
