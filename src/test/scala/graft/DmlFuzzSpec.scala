@@ -202,4 +202,18 @@ class DmlFuzzSpec extends AnyFunSuite {
     // byte-identical to the plaintext model
     runFuzz("parquet", seed = 31337, ops = 20, encrypted = true)
   }
+
+  test("random DML interleaving on an ENCRYPTED ORC table") {
+    // r11: ORC encrypts through its KeyProvider SPI — the same DML battery
+    // over encrypted ORC data files (synthesized-ordinal MoR reads) with
+    // parquet delete files, sealed metadata, and encrypted footer metrics
+    runFuzz("orc", seed = 24601, ops = 18, encrypted = true)
+  }
+
+  test("random DML interleaving on an ENCRYPTED AVRO table") {
+    // chunked-GCM seekable streams under the full battery: encrypted avro
+    // containers split, MoR ordinals synthesize through decrypting readers,
+    // and every rewrite re-encrypts
+    runFuzz("avro", seed = 8128, ops = 18, encrypted = true)
+  }
 }
