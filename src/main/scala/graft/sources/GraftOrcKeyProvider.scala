@@ -34,6 +34,14 @@ import graft.table.{EncryptionManagers, KeyedFileEncryption}
   * task. Under a [[graft.table.KeyRotationManager]] the unseal tries the
   * new master first, then the previous one, so rotation covers ORC
   * tables too.
+  *
+  * Residual-exposure caveat (documented, not fixable from here): ORC's
+  * `CryptoUtils` static provider cache holds one provider per distinct
+  * manager fingerprint for the JVM lifetime, so a rotated-away master's
+  * derived ORC key stays resident until the JVM exits — the same class of
+  * exposure as any long-lived KMS client cache. Our own manager cache is
+  * LRU-bounded; restart long-lived sessions after retiring a compromised
+  * key.
   */
 final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
     extends KeyProvider {
