@@ -43,12 +43,39 @@ object Multimodal {
     else None
   }
 
-  /** Pure-JDK pixel decode; None for non-images or corrupt payloads. */
+  /** Decode refuses images above this many pixels (≈256 MB of ARGB): a
+    * few-KB payload DECLARING 40000×40000 would otherwise make ImageIO
+    * allocate gigabytes and kill the executor with an uncatchable OOM —
+    * decompression-bomb inputs must fall back to byte-level features,
+    * not take tasks down. */
+  val MaxDecodePixels: Long = 64L * 1000 * 1000
+
+  /** Pure-JDK pixel decode; None for non-images, corrupt payloads, or
+    * images whose DECLARED dimensions exceed [[MaxDecodePixels]]. The
+    * reader checks header dimensions BEFORE decoding pixels, and the
+    * in-memory image input stream avoids ImageIO's default per-decode
+    * temp-FILE cache (per-row disk I/O at scale). */
   private def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (p == null || sniffImageKind(p).isEmpty) None
-    else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
-      catch { case _: Exception => None }
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0).toLong // header-only, no pixel decode yet
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
 
   /** FALLBACK decoder for undecodable payloads: "parses" header fields
     * deterministically from the first bytes (the pre-r11 stub, kept
@@ -82,8 +109,11 @@ object Multimodal {
             (sniffImageKind(payload).get, img.getWidth, img.getHeight)
           case None => stubDecode(payload)
         }
+        // 8 hex chars = the first 4 bytes: hex-encode ONLY those (the old
+        // full-payload encode built a 2×payload string per row to keep 8
+        // characters — material once payloads are multi-MB images)
         val checksum = if (payload == null) null
-        else payload.map("%02x".format(_)).mkString.take(8)
+        else payload.take(4).map("%02x".format(_)).mkString
         Row.fromSeq(r.toSeq :+ Row(kind,
           Option(payload).map(_.length.toLong).getOrElse(0L), w, h, checksum))
       }

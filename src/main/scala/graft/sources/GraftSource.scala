@@ -37,7 +37,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
       case Some(ser) => IceTable.loadWith(spark,
         new graft.table.TableOperations(path, new graft.table.FileIO(
           spark.sparkContext.hadoopConfiguration,
-          graft.table.EncryptionManagers.deserialize(ser))))
+          // the bounded sources-package cache: repeated path loads must
+          // not re-run Java deserialization per load
+          GraftParquetCryptoFactory.cachedManager(ser))))
       case None => IceTable.load(spark, path)
     }
     val snapshotId = Option(options.get("snapshot-id")).map(_.toLong)

@@ -612,28 +612,25 @@ object EncryptionManagers {
   /** A conf copy carrying [[orcCryptoOptions]] — for direct ORC footer
     * opens (metrics collection on encrypted stats). */
   def orcCryptoConf(conf: org.apache.hadoop.conf.Configuration,
-      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration = {
-    val opts = m.map(orcCryptoOptions).getOrElse(Map.empty)
+      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration =
+    confWith(conf, m.map(orcCryptoOptions).getOrElse(Map.empty))
+
+  /** A conf copy carrying `opts` — identity when there is nothing to add
+    * (the copy is not free; metrics paths call this per file). */
+  private def confWith(conf: org.apache.hadoop.conf.Configuration,
+      opts: Map[String, String]): org.apache.hadoop.conf.Configuration =
     if (opts.isEmpty) conf
     else {
       val c = new org.apache.hadoop.conf.Configuration(conf)
       opts.foreach { case (k, v) => c.set(k, v) }
       c
     }
-  }
 
   /** A conf copy carrying [[parquetCryptoOptions]] — for direct
     * parquet-hadoop footer opens (metrics collection). */
   def parquetCryptoConf(conf: org.apache.hadoop.conf.Configuration,
-      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration = {
-    val opts = m.map(parquetCryptoOptions).getOrElse(Map.empty)
-    if (opts.isEmpty) conf
-    else {
-      val c = new org.apache.hadoop.conf.Configuration(conf)
-      opts.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
-  }
+      m: Option[EncryptionManager]): org.apache.hadoop.conf.Configuration =
+    confWith(conf, m.map(parquetCryptoOptions).getOrElse(Map.empty))
 
   def serialize(m: EncryptionManager): String = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -627,12 +627,17 @@ object Maintenance {
           rewritten += toRewrite.size
           added += written.size
         }
-        // all stale data files now carry sequence numbers newer than every
-        // delete file (and their deletes were applied in the rewrite): the
-        // delete files are dangling — drop them so the table's live content
-        // is 100% new-key
-        removeDanglingDeletes(table)
       }
+      // all stale data files now carry sequence numbers newer than every
+      // delete file (and their deletes were applied in the rewrite): the
+      // delete files are dangling — drop them so the table's live content
+      // is 100% new-key. Runs UNCONDITIONALLY, not just when this run
+      // rewrote something: a crash between the last Replace batch and this
+      // drop leaves stale empty on rerun but old-key delete files live —
+      // gating the drop on stale.nonEmpty would make that state
+      // permanently unresumable (the defense check below would throw on
+      // every rerun)
+      removeDanglingDeletes(table)
       // defense in depth: refuse to stamp completion while any live file
       // still carries a non-primary key (should be unreachable)
       val after = table.meta

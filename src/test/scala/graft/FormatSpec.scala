@@ -903,6 +903,45 @@ class FormatSpec extends AnyFunSuite {
     }
   }
 
+  test("rotation rerun recovers the crash window between last rewrite and delete-drop") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
+      TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keyA = new AesGcmEncryptionManager(
+      "cwcwcwcwcwcwcwcwcwcwcwcwcwcwcwcw".getBytes("UTF-8"), "cw-a")
+    val keyB = new AesGcmEncryptionManager(
+      "wcwcwcwcwcwcwcwcwcwcwcwcwcwcwcwc".getBytes("UTF-8"), "cw-b")
+    val loc = Files.createTempDirectory("graft-rotcw-").toString + "/t"
+    val data = orders.limit(120)
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyA)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DeleteMode ->
+        TableProperties.RowLevelMergeOnRead))
+    t.append(data.repartition(3))
+    t.delete(equalTo("o_orderstatus", "F")) // old-key position-delete files
+    val expected = t.toDF.count()
+    // reproduce the crash window DIRECTLY: all data files rewritten under
+    // the new key (deletes applied), but the old-key delete files never
+    // dropped — exactly what a death between the last Replace batch and
+    // removeDanglingDeletes leaves behind
+    val rotT = IceTable.loadWith(spark, new TableOperations(loc,
+      new FileIO(conf, new KeyRotationManager(keyB, keyA))))
+    rotT.rewriteDataFiles(minFileSizeBytes = Long.MaxValue / 2, minInputFiles = 1)
+    val (dels, _) = rotT.newScan().planContent()
+    assert(dels.nonEmpty, "crash-window setup needs live old-key delete files")
+    assert(dels.forall(_._1.keyMetadata != keyB.keyMetadata(dels.head._1.path)))
+    rotT.newScan().planFiles().foreach(f =>
+      assert(f.file.keyMetadata === keyB.keyMetadata(f.file.path)))
+    // the rerun must FINISH (drop the dangling old-key deletes, stamp the
+    // property) — not throw 'rotation incomplete' forever
+    assert(rotT.rotateEncryptionKeys() === (0, 0))
+    val tB = IceTable.loadWith(spark,
+      new TableOperations(loc, new FileIO(conf, keyB)))
+    assert(tB.toDF.count() === expected)
+    assert(tB.newScan().planDeletes().isEmpty)
+  }
+
   test("key rotation from PLAINTEXT encrypts an existing avro table") {
     import graft.table.{AesGcmEncryptionManager, FileIO, KeyRotationManager,
       PlaintextEncryptionManager, TableOperations}

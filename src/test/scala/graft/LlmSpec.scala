@@ -582,6 +582,38 @@ class LlmSpec extends AnyFunSuite {
     assert(byteCos < 0.999, s"byte histograms unexpectedly aligned: $byteCos")
   }
 
+  test("multimodal: decompression-bomb image falls back instead of OOMing the task") {
+    import spark.implicits._
+    // a real 8×8 PNG whose IHDR is patched to DECLARE 50000×50000
+    // (CRC recomputed so the reader trusts the header): decode must refuse
+    // on declared dimensions BEFORE allocating pixels — a ~10 GB
+    // BufferedImage would kill the executor with an uncatchable OOM
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bomb = bos.toByteArray.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 50000) // IHDR width  (signature 8 + len 4 + "IHDR" 4)
+    putInt(20, 50000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // chunk type + IHDR data
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    val df = spark.createDataset(Seq((1L, bomb))).toDF("doc_id", "media")
+    // meta: the bomb is refused at the header → deterministic fallback
+    val meta = Multimodal.extractMeta(df, "media")
+      .select("meta.kind", "meta.width").head()
+    assert(meta.getString(0) === "image/fake", meta.toString) // fallback path
+    // featurize: byte-histogram fallback, still unit-norm — no crash
+    val emb = Multimodal.featurize(df, "media", dim = 16)
+      .select("embedding").head().getSeq[Float](0)
+    assert(emb.length === 16)
+    assert(math.abs(emb.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+
   test("rolling fingerprints: identical normalized text → identical sketch") {
     val a = TextOps.rollingFingerprints("the  quick\tbrown fox")
     val b = TextOps.rollingFingerprints("the quick brown fox")
