@@ -243,6 +243,39 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ groups MULTIPLE files per bucket key into one partition") {
+    warehouse
+    // distribution-mode none + several inserts → many files per bucket:
+    // Spark must merge same-key input partitions (HasPartitionKey allows
+    // several per key), not treat each file as its own key group
+    spark.sql("CREATE TABLE bs.db.spjm_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(4, k))" +
+      " TBLPROPERTIES ('write.distribution-mode'='none')")
+    spark.sql("CREATE TABLE bs.db.spjm_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(4, k))" +
+      " TBLPROPERTIES ('write.distribution-mode'='none')")
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO bs.db.spjm_a SELECT id, id * $i.0 FROM range(60)")
+    }
+    spark.sql("INSERT INTO bs.db.spjm_b SELECT id % 30, concat('x', id) FROM range(60)")
+    val t = IceTable.load(spark, s"$warehouse/db/spjm_a")
+    val perBucket = t.newScan().planFiles().groupBy(_.file.partition).map(_._2.size)
+    assert(perBucket.exists(_ > 1),
+      s"setup needs multiple files per bucket, got $perBucket")
+    val q = "SELECT a.k, a.a, b.b FROM bs.db.spjm_a a JOIN bs.db.spjm_b b ON a.k = b.k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected storage-partitioned join:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expected)
+    }
+  }
+
   test("SPJ stays CORRECT under mismatched bucket sets and under AQE") {
     warehouse
     // one side holds only a subset of the buckets: Spark must either pad
