@@ -1535,7 +1535,10 @@ private[table] object Writes {
           (table.io.encryption match {
             case _: KeyedFileEncryption =>
               val cols = schema.columnNames
-              cols.find(c => c.contains(",") || c.contains(":") || c.contains(";"))
+              // ',' ':' ';' delimit the spec; '.' means a NESTED path —
+              // a dotted top-level name would silently key the wrong node
+              cols.find(c => c.contains(",") || c.contains(":") ||
+                  c.contains(";") || c.contains("."))
                 .foreach(c => throw new UnsupportedOperationException(
                   s"ORC encryption cannot express column name '$c' in its " +
                     "orc.encrypt spec (contains a delimiter)"))
