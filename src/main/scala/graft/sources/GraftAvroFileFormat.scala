@@ -94,9 +94,12 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
     // GAC1 magic, so plaintext files in a later-encrypted table still read
     val encManager = options.get(graft.table.EncryptionManagers.OptionKey)
       .map(graft.table.EncryptionManagers.deserialize)
+    val plaintextAllowed = options
+      .get(graft.table.EncryptionManagers.PlaintextFilesAllowedKey)
+      .forall(_.toBoolean)
     (file: PartitionedFile) => {
       val reader = GraftAvroFileFormat.openReader(
-        file.toPath, broadcastConf.value.value, encManager)
+        file.toPath, broadcastConf.value.value, encManager, plaintextAllowed)
       // align to the split: first sync past start, stop once past the end
       reader.sync(file.start)
       val stop = file.start + file.length
@@ -146,11 +149,18 @@ private[graft] object GraftAvroFileFormat {
     * file that IS encrypted but reaches a reader with no manager fails
     * loudly — never ciphertext rows. */
   def openReader(path: Path, conf: org.apache.hadoop.conf.Configuration,
-      manager: Option[EncryptionManager]): DataFileReader[GenericRecord] = {
+      manager: Option[EncryptionManager],
+      plaintextAllowed: Boolean = true): DataFileReader[GenericRecord] = {
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     if (!AesGcmEncryptionManager.isEncrypted(raw)) {
       raw.close()
+      // a table that REQUIRES encryption never legitimately holds a
+      // plaintext container — refuse the forged substitute
+      if (!plaintextAllowed && manager.nonEmpty)
+        throw new IllegalStateException(
+          s"$path is a plaintext avro container but the table requires " +
+            "encrypted content — refusing a possibly forged file")
       new DataFileReader(new FsInput(path, conf),
         new GenericDatumReader[GenericRecord]())
     } else manager match {

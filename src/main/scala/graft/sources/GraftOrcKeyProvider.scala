@@ -51,8 +51,10 @@ final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
 
   /** One stable AES master per underlying manager (rotation handles carry
     * two) — `fileKey` is a pure function of the name component, and data
-    * files are UUID-named so the reserved name can never collide. */
-  private def masters: Seq[Array[Byte]] =
+    * files are UUID-named so the reserved name can never collide. Computed
+    * ONCE: the provider is cached and unseals a local key per file, so a
+    * per-call HMAC derivation would rerun for every file of a scan. */
+  private val masters: Seq[Array[Byte]] =
     manager.candidateManagers.map(_.fileKey(MasterName))
 
   override def getKeyNames: java.util.List[String] =

@@ -50,7 +50,7 @@ class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
       filePath: Path): FileDecryptionProperties =
     manager(conf).map { m =>
       val p = filePath.toString
-      FileDecryptionProperties.builder()
+      val builder = FileDecryptionProperties.builder()
         .withKeyRetriever(new DecryptionKeyRetriever {
           override def getKey(keyMetadata: Array[Byte]): Array[Byte] =
             // a plain manager offers one candidate; a KeyRotationManager
@@ -65,13 +65,14 @@ class GraftParquetCryptoFactory extends EncryptionPropertiesFactory
                   "different master key")
             }
         })
-        // a later-encrypted table still holds plaintext PAR1 files from
-        // before the manager swap: they must keep reading (files
-        // self-describe — same contract as the Avro magic sniff). Without
-        // this, parquet-mr refuses to open ANY plaintext file once
-        // decryption properties are present.
-        .withPlaintextFilesAllowed()
-        .build()
+      // a later-encrypted table still holds plaintext PAR1 files from
+      // before the manager swap: they must keep reading (files
+      // self-describe — same contract as the Avro magic sniff). But a
+      // table that REQUIRES encryption sets the flag to false, and then a
+      // plaintext file at a keyed path is refused as a forged substitute.
+      if (conf.getBoolean(EncryptionManagers.PlaintextFilesAllowedKey, true))
+        builder.withPlaintextFilesAllowed()
+      builder.build()
     }.orNull
 }
 
@@ -90,10 +91,10 @@ object GraftParquetCryptoFactory {
         size() > MaxCached
     })
 
+  // Collections.synchronizedMap already synchronizes computeIfAbsent on
+  // the wrapper itself — no extra locking needed
   private def cached(serialized: String): graft.table.EncryptionManager =
-    managers.synchronized {
-      managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
-    }
+    managers.computeIfAbsent(serialized, EncryptionManagers.deserialize)
 
   /** Shared with [[GraftOrcKeyProviderFactory]] — both SPIs re-hydrate the
     * same serialized manager per file open. */

@@ -810,8 +810,9 @@ object GraftReadPlanner {
         StructField(graft.table.MergeOnRead.PosPosCol, LongType)))
       // encrypted tables encrypt their parquet delete files too — the
       // probe readers carry the modular-decryption options
-      val delOpts =
-        graft.table.EncryptionManagers.parquetCryptoOptions(encryption)
+      val delOpts = graft.table.EncryptionManagers.contentOptionsFor(
+        encryption, "parquet",
+        m.property(TableProperties.EncryptionRequired, "false").toBoolean)
       val posReader = if (posDeletes.isEmpty) null
         else ColumnBridge.fileRowReader(spark, "parquet", posSchema, posSchema,
           delOpts)
@@ -844,7 +845,8 @@ object GraftReadPlanner {
       val partitions = plans.flatMap { p =>
         val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
           p.writeSchema, p.required, p.filters, vectorized,
-          graft.table.EncryptionManagers.contentOptions(encryption, p.format))
+          graft.table.EncryptionManagers.contentOptionsFor(encryption, p.format,
+            m.property(TableProperties.EncryptionRequired, "false").toBoolean))
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file);

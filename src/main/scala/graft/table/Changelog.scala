@@ -200,7 +200,9 @@ object Changelog {
 
     // encrypted tables encrypt their delete files: both delete reads carry
     // the modular-decryption options
-    val delOpts = EncryptionManagers.parquetCryptoOptions(table.io.encryption)
+    val delOpts = EncryptionManagers.contentOptionsFor(
+      table.io.encryption, "parquet",
+      m.property(TableProperties.EncryptionRequired, "false").toBoolean)
     val posTuples =
       if (posFiles.isEmpty) None
       else Some(spark.read.options(delOpts).parquet(posFiles.map(_._1.path): _*)

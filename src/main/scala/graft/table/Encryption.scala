@@ -70,6 +70,14 @@ trait EncryptionManager extends Serializable {
   def accepts(path: String, km: Option[Seq[Byte]]): Boolean =
     km == keyMetadata(path)
 
+  /** Does `bytes` look like THIS manager's sealed metadata output? The
+    * default recognizes the chunked-GCM magic ([[AesGcmEncryptionManager]]
+    * and rotation handles over it); a CUSTOM manager sealing with its own
+    * framing MUST override, or metadata it writes through [[FileIO]] will
+    * be read back as plaintext and fail to parse. */
+  def recognizesSealed(bytes: Array[Byte]): Boolean =
+    AesGcmEncryptionManager.isEncrypted(bytes)
+
   /** Decrypt a fully-buffered METADATA file (metadata JSON, manifest
     * list, jsonl manifest, stats) — no manifest entry carries ITS key
     * metadata, so the manager derives its own (the purity contract).
@@ -256,10 +264,12 @@ object AesGcmEncryptionManager {
     * ciphertext is routed to the loud layout refusal rather than being
     * parsed as plaintext Avro)? Leaves the stream positioned back at 0. */
   def isEncrypted(in: org.apache.hadoop.fs.FSDataInputStream): Boolean = {
-    val head = new Array[Byte](Magic.length)
-    val n = in.read(head, 0, Magic.length)
+    // readNBytes, not a single read(): a network stream may legally return
+    // 1–3 bytes on the first call, and a short read must not classify an
+    // encrypted file as plaintext
+    val head = in.readNBytes(Magic.length)
     in.seek(0L)
-    n == Magic.length && (java.util.Arrays.equals(head, Magic) ||
+    head.length == Magic.length && (java.util.Arrays.equals(head, Magic) ||
       java.util.Arrays.equals(head, LegacyMagic))
   }
 
@@ -553,6 +563,25 @@ final class KeyRotationManager(val primary: KeyedFileEncryption,
 object EncryptionManagers {
   val OptionKey = "graft.avro.encryption"
 
+  /** When "false", readers refuse PLAINTEXT content files (parquet PAR1
+    * footers, unsealed avro containers): set on scans of tables that
+    * REQUIRE encryption, where plaintext bytes at a keyed path are a
+    * forged substitute, not history. Defaults to allowed — later-keyed
+    * mixed tables must keep reading their pre-encryption files. */
+  val PlaintextFilesAllowedKey = "graft.encryption.plaintext-files-allowed"
+
+  /** [[contentOptions]] plus the plaintext-refusal flag when the table
+    * requires encryption. ORC cannot enforce this at file-open (Spark's
+    * reader offers no per-file hook and ORC itself reads a plaintext file
+    * as plaintext) — ORC tables rely on the plan-time key-metadata guard
+    * and sealed manifests; documented residual gap. */
+  def contentOptionsFor(m: EncryptionManager, format: String,
+      requireEncrypted: Boolean): Map[String, String] =
+    contentOptions(m, format) ++
+      (if (requireEncrypted && m.isInstanceOf[KeyedFileEncryption])
+        Map(PlaintextFilesAllowedKey -> "false")
+      else Map.empty)
+
   /** Read/write options that engage Parquet Modular Encryption through
     * [[graft.sources.GraftParquetCryptoFactory]] for keyed managers —
     * parquet-hadoop encrypts pages and footer itself, keyed per file by
@@ -648,7 +677,10 @@ object EncryptionManagers {
     * pieces their fields need, and byte arrays. */
   private val deserializationFilter: java.io.ObjectInputFilter =
     java.io.ObjectInputFilter.Config.createFilter(
-      "graft.**;java.lang.*;scala.**;[B;!*")
+      // resource limits too: an allowlisted-classes-only graph can still
+      // stack-overflow the reader if nested 100k deep
+      "maxdepth=32;maxarray=1048576;maxrefs=65536;" +
+        "graft.**;java.lang.*;scala.**;[B;!*")
 
   def deserialize(s: String): EncryptionManager = {
     val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(

@@ -43,18 +43,39 @@ final class FileIO(@transient val conf: Configuration,
     encryption != PlaintextEncryptionManager &&
       !keyPath.endsWith("version-hint.text")
 
+  /** Set (by [[IceTable]]) once the table's metadata declares
+    * `graft.encryption.required`: from then on a PLAINTEXT metadata file
+    * under this keyed handle is refused as a possible forgery — an
+    * attacker with storage write access must not be able to swap a sealed
+    * manifest for a crafted plaintext one. Advisory-latching (never unset)
+    * and volatile so executor-serialized copies carry the value. */
+  @volatile var requireSealedMetadata: Boolean = false
+
   def readString(path: String): String = {
     val p = new Path(path)
     val raw = fs(p).open(p)
     val bytes = try raw.readAllBytes() finally raw.close()
     val plain =
-      if (AesGcmEncryptionManager.isEncrypted(bytes)) {
-        if (encryption == PlaintextEncryptionManager)
+      if (encryption == PlaintextEncryptionManager) {
+        if (AesGcmEncryptionManager.isEncrypted(bytes))
           throw new IllegalStateException(
             s"$path is encrypted table metadata but this handle's encryption " +
               "manager is plaintext — load the table with its keyed manager")
+        bytes
+      } else if (encryption.recognizesSealed(bytes)) {
         encryption.decryptMetadata(path, bytes)
-      } else bytes
+      } else {
+        // plaintext metadata under a keyed handle: legitimate for a table
+        // encrypted later — but once the table REQUIRES encryption, a
+        // plaintext metadata file is a forged substitute, not history
+        // (version-hint stays exempt via seal())
+        if (requireSealedMetadata && seal(path))
+          throw new IllegalStateException(
+            s"$path is plaintext but this table requires encryption " +
+              s"(${graft.meta.model.TableProperties.EncryptionRequired}) — " +
+              "refusing a possibly forged metadata file")
+        bytes
+      }
     val content =
       if (isGzipName(p.getName)) {
         val in = new java.util.zip.GZIPInputStream(
@@ -70,24 +91,43 @@ final class FileIO(@transient val conf: Configuration,
   def writeString(path: String, content: String): Long =
     writeStringKeyed(path, path, content)
 
+  /** Counts bytes through to `out` — the on-disk length without a
+    * getFileStatus round trip per metadata write (object stores charge an
+    * RPC for it; every commit writes several small files this way). */
+  private final class CountingStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
   /** Write to `path` but derive the encryption key (and gzip decision) from
     * `keyPath` — atomic publishes write a temp NAME that later renames to
     * the final one, and per-file keys are a pure function of the name. */
   private def writeStringKeyed(path: String, keyPath: String,
       content: String): Long = {
     val p = new Path(path)
-    val raw = fs(p).create(p, true)
+    val counting = new CountingStream(fs(p).create(p, true))
     val bytes = content.getBytes(StandardCharsets.UTF_8)
-    // seal OUTERMOST (nothing plaintext on disk), compress inside
-    val enc: java.io.OutputStream =
-      if (seal(keyPath)) encryption.encrypt(keyPath, raw) else raw
-    if (isGzipName(new Path(keyPath).getName)) {
-      val out = new java.util.zip.GZIPOutputStream(enc)
-      try out.write(bytes) finally out.close()
-    } else {
-      try enc.write(bytes) finally enc.close()
+    // the raw stream must not leak if the seal header write or the gzip
+    // constructor throws — nothing below owns it until the wrappers exist
+    try {
+      // seal OUTERMOST (nothing plaintext on disk), compress inside
+      val enc: java.io.OutputStream =
+        if (seal(keyPath)) encryption.encrypt(keyPath, counting) else counting
+      if (isGzipName(new Path(keyPath).getName)) {
+        val out = new java.util.zip.GZIPOutputStream(enc)
+        try out.write(bytes) finally out.close()
+      } else {
+        try enc.write(bytes) finally enc.close()
+      }
+    } catch { case e: Throwable =>
+      try counting.close() catch { case _: Exception => () }
+      throw e
     }
-    fs(p).getFileStatus(p).getLen
+    counting.count
   }
 
   /** Atomically publish `content` at `path`; returns false if `path` already

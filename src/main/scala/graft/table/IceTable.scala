@@ -39,7 +39,17 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     extends Lifecycle {
 
   def location: String = ops.location
-  def meta: TableMetadata = ops.current()._2
+  def meta: TableMetadata = {
+    val m = ops.current()._2
+    // latch forgery protection: once the table declares encryption
+    // required, every later metadata read through this IO refuses
+    // plaintext substitutes (FileIO.requireSealedMetadata)
+    if (!io.requireSealedMetadata &&
+        io.encryption != PlaintextEncryptionManager &&
+        m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+      io.requireSealedMetadata = true
+    m
+  }
   def schema: Schema = meta.schema
   def spec: PartitionSpec = meta.spec
   def io: FileIO = ops.io
@@ -1089,7 +1099,19 @@ final class TableScan private[table] (table: IceTable) {
                     "table's encryption manager is plaintext — configure the " +
                     "manager that wrote this file")
               }
-            else
+            else {
+              // a table that REQUIRES encryption must never plan a
+              // plaintext file: km-empty entries are either impossible
+              // leftovers (rotation stamps the property LAST) or forged
+              // substitutes dropped next to the sealed files
+              if (m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+                planned.find(_.file.keyMetadata.isEmpty).foreach { t =>
+                  throw new ValidationException(
+                    s"${t.file.path} carries no encryption key metadata but " +
+                      "the table requires encrypted content " +
+                      s"(${TableProperties.EncryptionRequired}=true) — " +
+                      "refusing a possibly forged plaintext file")
+                }
               // keyed manager: a keyed file whose metadata matches NONE of
               // this manager's derivations (a rotation handle accepts two)
               // was written under a DIFFERENT key — fail here, not as a
@@ -1102,6 +1124,7 @@ final class TableScan private[table] (table: IceTable) {
                       "than the table's current encryption manager derives " +
                       "— configure the manager that wrote this file")
                 }
+            }
             Listeners.notifyAll(Listeners.ScanEvent(
               table.location, snap.snapshotId, filterExpr.toString, planned.size))
             planned
@@ -1136,7 +1159,15 @@ final class TableScan private[table] (table: IceTable) {
                 "encryption manager is plaintext — configure the manager " +
                 "that wrote this file")
           }
-        else
+        else {
+          if (m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+            del.map(_.dataFile).find(_.keyMetadata.isEmpty).foreach { f =>
+              throw new ValidationException(
+                s"${f.path} carries no encryption key metadata but the " +
+                  "table requires encrypted content " +
+                  s"(${TableProperties.EncryptionRequired}=true) — " +
+                  "refusing a possibly forged plaintext delete file")
+            }
           del.map(_.dataFile).find(f => f.keyMetadata.nonEmpty &&
               !table.io.encryption.accepts(f.path, f.keyMetadata))
             .foreach { f =>
@@ -1145,6 +1176,7 @@ final class TableScan private[table] (table: IceTable) {
                   "table's current encryption manager derives — configure " +
                   "the manager that wrote this file")
             }
+        }
         (del.map(e => (e.dataFile, e.sequenceNumber)), data.map(_.dataFile.format).toSet)
     }
   }
@@ -1235,8 +1267,9 @@ private[graft] object Reads {
         withMeta = needMeta)
       MergeOnRead.applyDeletes(spark, m, df, applicable,
         groupPaths = group.map(t => table.normPath(t.file.path)),
-        readOptions =
-          EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+        readOptions = EncryptionManagers.contentOptionsFor(
+          table.io.encryption, "parquet",
+          m.property(TableProperties.EncryptionRequired, "false").toBoolean))
     }
     val out = dfs.reduce(_ unionByName _)
     if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
@@ -1287,7 +1320,9 @@ private[graft] object Reads {
       val df =
         if (!synthMeta)
           spark.read.schema(writeSchema.struct)
-            .options(EncryptionManagers.contentOptions(table.io.encryption, format))
+            .options(EncryptionManagers.contentOptionsFor(table.io.encryption,
+              format,
+              m.property(TableProperties.EncryptionRequired, "false").toBoolean))
             .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
         else synthMetaFrame(spark, table, writeSchema, format, group,
           neededIds = (projection.map(schema.fieldId).filterNot(constants.contains) ++
@@ -1338,7 +1373,8 @@ private[graft] object Reads {
     val readerSchema = StructType(readerFields)
     val reader = org.apache.spark.sql.graft.ColumnBridge.fileRowReader(
       spark, format, writeSchema.struct, readerSchema,
-      EncryptionManagers.contentOptions(table.io.encryption, format))
+      EncryptionManagers.contentOptionsFor(table.io.encryption, format,
+        table.meta.property(TableProperties.EncryptionRequired, "false").toBoolean))
     val files = group.map(t => (t.file.path, t.file.fileSizeBytes))
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism * 2))

@@ -723,7 +723,8 @@ object Maintenance {
       .map(e => table.normPath(e.dataFile.path))
     val liveDf = spark.createDataset(livePaths).toDF("_gf_live")
     val rows = spark.read
-      .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+      .options(EncryptionManagers.contentOptionsFor(table.io.encryption,
+        "parquet", m.property(TableProperties.EncryptionRequired, "false").toBoolean))
       .parquet(posDeletes.map(_.path): _*)
       .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))
       .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===

@@ -221,7 +221,8 @@ object MergeOnRead {
     } else {
       // distinct referenced targets, read back from the (small) delete files
       val referenced = table.spark.read
-        .options(EncryptionManagers.parquetCryptoOptions(table.io.encryption))
+        .options(EncryptionManagers.contentOptionsFor(table.io.encryption,
+          "parquet", m.property(TableProperties.EncryptionRequired, "false").toBoolean))
         .parquet(metas.map(_.path): _*)
         .select(PosPathCol).distinct().collect().map(_.getString(0)).toSet
       (metas, referenced)

@@ -265,7 +265,8 @@ object MetadataTables {
         StructField("partition", StringType),
         StructField("spec_id", IntegerType))))
     spark.read
-      .options(EncryptionManagers.parquetCryptoOptions(t.io.encryption))
+      .options(EncryptionManagers.contentOptionsFor(t.io.encryption, "parquet",
+        t.meta.property(TableProperties.EncryptionRequired, "false").toBoolean))
       .parquet(deletes.map(_.path): _*)
       .select(col(MergeOnRead.PosPathCol).cast("string").as("file_path"),
         col(MergeOnRead.PosPosCol).cast("long").as("pos"),

@@ -975,6 +975,62 @@ class FormatSpec extends AnyFunSuite {
     intercept[IllegalStateException] { IceTable.load(spark, loc).toDF.count() }
   }
 
+  test("encryption-required table refuses forged plaintext substitutes") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "forgeforgeforgeforgeforgeforgefo".getBytes("UTF-8"), "forge")
+    val loc = Files.createTempDirectory("graft-forge-").toString + "/t"
+    val data = spark.range(50).selectExpr("id", "concat('v', id) AS v")
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    t.append(data)
+    assert(t.toDF.count() === 50)
+    // ATTACK 1: swap an encrypted data file's CONTENT for forged plaintext
+    // parquet of the same schema — the manifest's key metadata is untouched,
+    // so plan-time guards pass; the refusal must come at file OPEN (without
+    // the r11 plaintext-disallow flag, parquet-mr would happily serve the
+    // forged rows through withPlaintextFilesAllowed)
+    val victim = t.newScan().planFiles().head.file.path
+    val forgedDir = Files.createTempDirectory("graft-forge-src-").toString
+    spark.range(5).selectExpr("id + 1000 AS id", "'FORGED' AS v")
+      .coalesce(1).write.mode("overwrite").parquet(forgedDir)
+    val forged = new FileIO(conf).listRecursive(forgedDir)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val vp = new org.apache.hadoop.fs.Path(victim)
+    val fs = vp.getFileSystem(conf)
+    val in = forged.getFileSystem(conf).open(forged)
+    val bytes = try in.readAllBytes() finally in.close()
+    val out = fs.create(vp, true)
+    try out.write(bytes) finally out.close()
+    val attack1 = intercept[Exception] { t.toDF.collect() }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(attack1).exists(c => Option(c.getMessage).exists(m =>
+      m.toLowerCase.contains("plaintext"))), attack1.toString)
+    // and no forged row was ever served
+    val served = try t.toDF.collect().map(_.getString(1)) catch {
+      case _: Exception => Array.empty[String]
+    }
+    assert(!served.contains("FORGED"))
+
+    // ATTACK 2: a km-EMPTY file in a table that REQUIRES encryption (a
+    // forged manifest entry, or a plaintext leftover that should not exist
+    // once the property is stamped) refuses at PLAN time
+    val loc2 = Files.createTempDirectory("graft-forge2-").toString + "/t"
+    val plain = IceTable.create(spark, loc2, Schema.fresh(data.schema))
+    plain.append(data) // km-empty plaintext files
+    plain.updateProperties(Map(
+      graft.meta.model.TableProperties.EncryptionRequired -> "true"))
+    val keyed2 = IceTable.loadWith(spark,
+      new TableOperations(loc2, new FileIO(conf, manager)))
+    val attack2 = intercept[Exception] { keyed2.toDF.count() }
+    assert(causes(attack2).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("forged") || m.contains("requires encrypted"))),
+      attack2.toString)
+  }
+
   test("manager deserialization is filtered: non-allowlisted classes refuse") {
     import graft.table.{AesGcmEncryptionManager, EncryptionManagers}
     // a serializable class outside the allowlist must NOT instantiate
