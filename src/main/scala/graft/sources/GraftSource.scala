@@ -39,7 +39,14 @@ class GraftSource extends TableProvider with DataSourceRegister {
           spark.sparkContext.hadoopConfiguration,
           // the bounded sources-package cache: repeated path loads must
           // not re-run Java deserialization per load
-          GraftParquetCryptoFactory.cachedManager(ser))))
+          GraftParquetCryptoFactory.cachedManager(ser),
+          // loader-asserted sealing: the stored encryption.required
+          // property bootstraps from storage an attacker may control
+          // (a forged plaintext metadata JSON omitting the property
+          // disables every downstream forgery guard), so a caller who
+          // knows the table is sealed asserts it here and the FIRST
+          // metadata read already refuses plaintext
+          options.getBoolean("encryption-required", false))))
       case None => IceTable.load(spark, path)
     }
     val snapshotId = Option(options.get("snapshot-id")).map(_.toLong)

@@ -57,8 +57,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * never lands in SQL logs (the reason rotation has no CALL). */
   protected var encryption: graft.table.EncryptionManager =
     graft.table.PlaintextEncryptionManager
+  /** Catalog-asserted sealing (`spark.sql.catalog.<name>.encryption-required
+    * = true`): every FileIO this catalog hands out starts with the
+    * forged-plaintext latch SET, so even the first metadata JSON read
+    * refuses a plaintext substitute — the stored table property alone
+    * bootstraps from attacker-writable storage and is advisory. */
+  protected var encryptionRequired: Boolean = false
   protected def io: FileIO =
-    new FileIO(spark.sparkContext.hadoopConfiguration, encryption)
+    new FileIO(spark.sparkContext.hadoopConfiguration, encryption,
+      encryptionRequired)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -69,6 +76,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Option(options.get("encryption")).foreach { ser =>
       encryption = graft.table.EncryptionManagers.deserialize(ser)
     }
+    encryptionRequired = options.getBoolean("encryption-required", false)
+    require(!encryptionRequired ||
+        encryption != graft.table.PlaintextEncryptionManager,
+      s"spark.sql.catalog.$name.encryption-required needs the catalog's " +
+        s"encryption manager (spark.sql.catalog.$name.encryption) too")
   }
 
   override def name(): String = catalogName

@@ -43,7 +43,10 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
         IceTable.loadWith(sqlContext.sparkSession,
           new graft.table.TableOperations(path, new graft.table.FileIO(
             sqlContext.sparkSession.sparkContext.hadoopConfiguration,
-            graft.table.EncryptionManagers.deserialize(ser))))
+            graft.table.EncryptionManagers.deserialize(ser),
+            // same loader-asserted sealing as the batch source: the
+            // stored property bootstraps from attacker-writable storage
+            parameters.get("encryption-required").exists(_.toBoolean))))
       case None => IceTable.load(sqlContext.sparkSession, path)
     }
   }

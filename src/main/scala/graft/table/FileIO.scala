@@ -27,8 +27,24 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 final class FileIO(@transient val conf: Configuration,
     /** Table-data encryption hook (ref `EncryptionManager`): plaintext
       * pass-through by default; a KMS-backed manager slots in here. */
-    val encryption: EncryptionManager = PlaintextEncryptionManager)
+    val encryption: EncryptionManager = PlaintextEncryptionManager,
+    /** Caller-asserted `requireSealedMetadata` starting value: the STORED
+      * `graft.encryption.required` property alone is advisory for an
+      * attacker who can write the metadata tree — the latch bootstraps
+      * from the current metadata JSON, which itself is read through this
+      * IO, so a forged plaintext metadata JSON that omits the property
+      * would disable every downstream forgery guard in one move. A caller
+      * who KNOWS the table must be sealed (loader option
+      * `encryption-required`, catalog conf, executor-side reconstruction
+      * of a driver-latched handle) passes true here and the very first
+      * metadata read refuses plaintext. Leave false only for the
+      * legitimate plaintext-bootstrap flows (later-keyed mixed tables,
+      * KeyRotationManager plaintext adoption). */
+    requireSealed: Boolean = false)
     extends Serializable {
+  require(!requireSealed || encryption != PlaintextEncryptionManager,
+    "encryption-required asserted on a plaintext FileIO — a plaintext " +
+      "handle can never read sealed metadata; supply the table's keyed manager")
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   /** Gzip-compressed metadata files (ref `TableMetadataParser.Codec`) are
@@ -49,7 +65,7 @@ final class FileIO(@transient val conf: Configuration,
     * attacker with storage write access must not be able to swap a sealed
     * manifest for a crafted plaintext one. Advisory-latching (never unset)
     * and volatile so executor-serialized copies carry the value. */
-  @volatile var requireSealedMetadata: Boolean = false
+  @volatile var requireSealedMetadata: Boolean = requireSealed
 
   def readString(path: String): String = {
     val p = new Path(path)

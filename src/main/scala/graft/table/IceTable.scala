@@ -54,6 +54,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
   def spec: PartitionSpec = meta.spec
   def io: FileIO = ops.io
 
+  /** One-shot flag for the fully-keyed-but-unstamped advisory (scan plan
+    * logs it once per handle, never per query). */
+  @volatile private[table] var advisedEncryptionRequired: Boolean = false
+
   private def retries(m: TableMetadata): Int =
     m.property(TableProperties.CommitRetries, TableProperties.CommitRetriesDefault.toString).toInt
 
@@ -1112,6 +1116,23 @@ final class TableScan private[table] (table: IceTable) {
                       s"(${TableProperties.EncryptionRequired}=true) — " +
                       "refusing a possibly forged plaintext file")
                 }
+              // pre-r11 keyed tables: every live file keyed but the
+              // property never stamped (it didn't exist yet) — those
+              // tables get NONE of the forged-plaintext protections until
+              // rotated or stamped. Advise once per handle; never
+              // auto-stamp (a mixed table must keep reading its history).
+              if (!m.property(TableProperties.EncryptionRequired, "false").toBoolean
+                  && !table.advisedEncryptionRequired
+                  && planned.nonEmpty
+                  && planned.forall(_.file.keyMetadata.nonEmpty)) {
+                table.advisedEncryptionRequired = true
+                org.slf4j.LoggerFactory.getLogger(classOf[IceTable]).warn(
+                  s"${table.location}: every scanned file is encrypted but " +
+                    s"${TableProperties.EncryptionRequired} is not set — " +
+                    "forged-plaintext protections are OFF; stamp the " +
+                    "property (updateProperties) once fully keyed, or " +
+                    "rotate keys (rotateEncryptionKeys stamps it last)")
+              }
               // keyed manager: a keyed file whose metadata matches NONE of
               // this manager's derivations (a rotation handle accepts two)
               // was written under a DIFFERENT key — fail here, not as a
@@ -1317,13 +1338,21 @@ private[graft] object Reads {
         if (constants.isEmpty) boundFilter
         else foldConstants(boundFilter, constants)
       val applyFilter = !allResidualTrue && folded != TrueExpr
+      val readOpts = EncryptionManagers.contentOptionsFor(table.io.encryption,
+        format, m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+      // ORC under the plaintext-refusal flag routes through the guarded
+      // FileFormat (open-time tail probe) — Spark's own ORC reader has no
+      // per-file decryption hook and would serve a forged plaintext file
+      val fmtName =
+        if (format == "orc" && readOpts.get(
+            EncryptionManagers.PlaintextFilesAllowedKey).contains("false"))
+          "org.apache.spark.sql.graft.GraftGuardedOrcFileFormat"
+        else Writes.sparkFormat(format)
       val df =
         if (!synthMeta)
           spark.read.schema(writeSchema.struct)
-            .options(EncryptionManagers.contentOptionsFor(table.io.encryption,
-              format,
-              m.property(TableProperties.EncryptionRequired, "false").toBoolean))
-            .format(Writes.sparkFormat(format)).load(group.map(_.file.path): _*)
+            .options(readOpts)
+            .format(fmtName).load(group.map(_.file.path): _*)
         else synthMetaFrame(spark, table, writeSchema, format, group,
           neededIds = (projection.map(schema.fieldId).filterNot(constants.contains) ++
             (if (applyFilter) referencedIds(renameToWriter(folded, writeSchema)) else Nil))

@@ -172,10 +172,19 @@ object Maintenance {
     // encrypted table a plaintext executor FileIO would fail every read,
     // and a swallowed failure here turns live files into "orphans"
     val enc = table.io.encryption
+    // carry the driver's forged-plaintext latch (or derive it from this
+    // metadata's own property — callers may pass a historical metadata
+    // before the accessor latched): without it, a forged plaintext
+    // manifest listing FEWER files would be accepted here and the files
+    // it omits deleted as "orphans" — a data-loss primitive under exactly
+    // the storage-write attacker the sealed-metadata feature targets
+    val sealReq = table.io.requireSealedMetadata ||
+      (enc != PlaintextEncryptionManager && m.property(
+        TableProperties.EncryptionRequired, "false").toBoolean)
     val nPart = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(paths).repartition(nPart)
       .mapPartitions { it =>
-        val io = new FileIO(confB.value.value, enc)
+        val io = new FileIO(confB.value.value, enc, sealReq)
         // no swallow: a manifest that fails to read must FAIL the job —
         // treating it as empty would classify its live files as orphans
         it.flatMap(mp => ManifestIO.readPaths(io, mp))

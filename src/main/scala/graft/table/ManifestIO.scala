@@ -126,9 +126,22 @@ object ManifestIO {
   private object ParquetManifests {
     /** Writer/reader conf: engages the graft crypto factory for keyed
       * managers; decrypt side allows plaintext files so pre-encryption
-      * manifests in a later-keyed table keep loading. */
-    private def cryptoConf(io: FileIO): org.apache.hadoop.conf.Configuration =
-      EncryptionManagers.parquetCryptoConf(io.conf, Some(io.encryption))
+      * manifests in a later-keyed table keep loading — EXCEPT once the
+      * table requires encryption (the FileIO latch): then a plaintext
+      * PAR1 manifest at a keyed path is a forged substitute for a sealed
+      * PARE one and the parquet reader refuses it, mirroring readString's
+      * refusal for jsonl manifests (an accepted forgery would silently
+      * hide rows from scans, and via readPaths make the orphan scan
+      * classify live files as orphans and DELETE them). */
+    private def cryptoConf(io: FileIO): org.apache.hadoop.conf.Configuration = {
+      val base = EncryptionManagers.parquetCryptoConf(io.conf, Some(io.encryption))
+      if (!io.requireSealedMetadata) base
+      else {
+        val c = new org.apache.hadoop.conf.Configuration(base)
+        c.setBoolean(EncryptionManagers.PlaintextFilesAllowedKey, false)
+        c
+      }
+    }
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}

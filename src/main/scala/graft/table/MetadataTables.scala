@@ -145,16 +145,24 @@ object MetadataTables {
         val schemaB = spark.sparkContext.broadcast(m.schema)
         val specsB = spark.sparkContext.broadcast(m.specs)
         val enc = t.io.encryption // encrypted manifests need the table's manager
+        // the driver's forged-plaintext latch must cross the boundary too:
+        // a reconstructed executor FileIO with a fresh (false) latch would
+        // accept a forged plaintext manifest that the driver refuses
+        val sealReq = t.io.requireSealedMetadata
         val nPart = math.max(1,
           math.min(mfs.size, spark.sparkContext.defaultParallelism))
         spark.createDataset(mfs.map(_.path)).repartition(nPart)
           .mapPartitions { it =>
-            val io = new FileIO(confB.value.value, enc)
+            val io = new FileIO(confB.value.value, enc, sealReq)
             val specById = specsB.value.map(s => s.specId -> s).toMap
             it.flatMap { p =>
+              // unreadable manifests are skipped for diagnostic robustness
+              // on ordinary tables, but NOT when the table requires sealed
+              // metadata: there a refused (forged-plaintext) manifest must
+              // fail loudly, not silently hide its entries
               try ManifestIO.read(io, p, schemaB.value, specById(_))
                 .map(entryRow(_, specById(_))).iterator
-              catch { case _: Exception => Iterator.empty }
+              catch { case _: Exception if !sealReq => Iterator.empty }
             }
           }
       }

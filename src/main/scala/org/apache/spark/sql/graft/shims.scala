@@ -130,7 +130,9 @@ object ColumnBridge {
     classic.conf.set("spark.sql.orc.enableVectorizedReader", vectorized.toString)
     val fmt: org.apache.spark.sql.execution.datasources.FileFormat = format match {
       case "parquet" => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      // the guarded subclass enforces the plaintext-refusal flag at task
+      // open (encryption-required tables); a no-op when the flag is absent
+      case "orc" => new GraftGuardedOrcFileFormat
       case "avro" => new graft.sources.GraftAvroFileFormat
       case other => throw new IllegalArgumentException(s"No file reader for format: $other")
     }
@@ -142,9 +144,11 @@ object ColumnBridge {
     // extraOptions are merged into the per-reader hadoop conf too: parquet
     // modular decryption (crypto factory + manager) rides the conf, not the
     // format's option map
-    (fmt.buildReaderWithPartitionValues(classic, dataSchema,
+    val hadoopConf = classic.sessionState.newHadoopConfWithOptions(extraOptions)
+    val reader = fmt.buildReaderWithPartitionValues(classic, dataSchema,
       org.apache.spark.sql.types.StructType(Nil), requiredSchema, filters.toSeq,
-      options, classic.sessionState.newHadoopConfWithOptions(extraOptions)), batches)
+      options, hadoopConf)
+    (reader, batches)
   }
 
   /** Driver-side synthetic task attempt ids: NEGATIVE and decrementing.
