@@ -50,12 +50,15 @@ final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
   private val rng = new SecureRandom()
 
   /** One stable AES master per underlying manager (rotation handles carry
-    * two) — `fileKey` is a pure function of the name component, and data
-    * files are UUID-named so the reserved name can never collide. Computed
-    * ONCE: the provider is cached and unseals a local key per file, so a
-    * per-call HMAC derivation would rerun for every file of a scan. */
-  private val masters: Seq[Array[Byte]] =
-    manager.candidateManagers.map(_.fileKey(MasterName))
+    * two), alongside that manager's 8-byte fingerprint — `fileKey` is a
+    * pure function of the name component, and data files are UUID-named
+    * so the reserved name can never collide. Computed ONCE: the provider
+    * is cached and unseals a local key per file, so a per-call HMAC
+    * derivation would rerun for every file of a scan. */
+  private val masters: Seq[(Array[Byte], Array[Byte])] =
+    manager.candidateManagers.map(m => (
+      EncryptionManagers.managerFingerprintBytes(EncryptionManagers.serialize(m)),
+      m.fileKey(MasterName)))
 
   override def getKeyNames: java.util.List[String] =
     java.util.Collections.singletonList(KeyName)
@@ -71,25 +74,27 @@ final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
     rng.nextBytes(material)
     val iv = new Array[Byte](IvLen)
     rng.nextBytes(iv)
+    val (fp, master) = masters.head
     val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
     cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(masters.head, "AES"),
+      new javax.crypto.spec.SecretKeySpec(master, "AES"),
       new javax.crypto.spec.GCMParameterSpec(TagBits, iv))
     val wrapped = cipher.doFinal(material)
-    val out = new Array[Byte](1 + IvLen + wrapped.length)
+    // v2 blob: Version | sealing-manager fingerprint (8B) | IV | GCM(material)
+    // — the fingerprint makes a cross-manager unseal failure diagnosable
+    // as "wrong manager" instead of looking like blob corruption
+    val out = new Array[Byte](1 + FpLen + IvLen + wrapped.length)
     out(0) = Version
-    System.arraycopy(iv, 0, out, 1, IvLen)
-    System.arraycopy(wrapped, 0, out, 1 + IvLen, wrapped.length)
+    System.arraycopy(fp, 0, out, 1, FpLen)
+    System.arraycopy(iv, 0, out, 1 + FpLen, IvLen)
+    System.arraycopy(wrapped, 0, out, 1 + FpLen + IvLen, wrapped.length)
     new LocalKey(meta.getAlgorithm, material, out)
   }
 
   override def decryptLocalKey(meta: HadoopShims.KeyMetadata,
       encrypted: Array[Byte]): Key = {
-    require(encrypted.length > 1 + IvLen && encrypted(0) == Version,
-      s"corrupt graft-sealed ORC local key (${encrypted.length} bytes)")
-    val iv = java.util.Arrays.copyOfRange(encrypted, 1, 1 + IvLen)
-    val wrapped = java.util.Arrays.copyOfRange(encrypted, 1 + IvLen, encrypted.length)
-    val material = masters.view.map { master =>
+    def unseal(master: Array[Byte], iv: Array[Byte],
+        wrapped: Array[Byte]): Option[Array[Byte]] =
       try {
         val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
         cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
@@ -97,17 +102,44 @@ final class GraftOrcKeyProvider(manager: KeyedFileEncryption)
           new javax.crypto.spec.GCMParameterSpec(TagBits, iv))
         Some(cipher.doFinal(wrapped))
       } catch { case _: java.security.GeneralSecurityException => None }
-    }.collectFirst { case Some(m) => m }
-    material match {
-      case Some(m) =>
-        new javax.crypto.spec.SecretKeySpec(m, meta.getAlgorithm.getAlgorithm)
-      case None => throw new IllegalStateException(
-        "ORC local key authentication failed — the file was encrypted " +
-          "under a different master key than this manager derives (a loud " +
-          "refusal by design: ORC's stock unseal would surface a wrong key " +
-          "as garbage rows)")
+    val material = encrypted.headOption match {
+      // r11 files: no fingerprint — trial-unseal every candidate master
+      case Some(VersionLegacy) if encrypted.length > 1 + IvLen =>
+        val iv = java.util.Arrays.copyOfRange(encrypted, 1, 1 + IvLen)
+        val wrapped = java.util.Arrays.copyOfRange(
+          encrypted, 1 + IvLen, encrypted.length)
+        masters.view.flatMap { case (_, m) => unseal(m, iv, wrapped) }
+          .headOption.getOrElse(throw new IllegalStateException(
+            "ORC local key authentication failed — the file was encrypted " +
+              "under a different master key than this manager derives (a " +
+              "loud refusal by design: ORC's stock unseal would surface a " +
+              "wrong key as garbage rows)"))
+      // v2: the stored fingerprint names the sealing manager, so "wrong
+      // manager" and "corrupt blob" are DISTINCT failures
+      case Some(Version) if encrypted.length > 1 + FpLen + IvLen =>
+        val fp = java.util.Arrays.copyOfRange(encrypted, 1, 1 + FpLen)
+        val iv = java.util.Arrays.copyOfRange(
+          encrypted, 1 + FpLen, 1 + FpLen + IvLen)
+        val wrapped = java.util.Arrays.copyOfRange(
+          encrypted, 1 + FpLen + IvLen, encrypted.length)
+        masters.find { case (f, _) => java.util.Arrays.equals(f, fp) } match {
+          case None => throw new IllegalStateException(
+            s"ORC local key was sealed by manager ${hex(fp)} but this " +
+              s"handle derives ${masters.map(m => hex(m._1)).mkString("/")} " +
+              "— configure the manager that wrote this file (or its " +
+              "rotation handle)")
+          case Some((_, master)) => unseal(master, iv, wrapped).getOrElse(
+            throw new IllegalStateException(
+              "ORC local key failed GCM authentication under its OWN " +
+                "sealing manager — the sealed blob is corrupt or tampered"))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"corrupt graft-sealed ORC local key (${encrypted.length} bytes)")
     }
+    new javax.crypto.spec.SecretKeySpec(material, meta.getAlgorithm.getAlgorithm)
   }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
   override def getKind: HadoopShims.KeyProviderKind =
     HadoopShims.KeyProviderKind.UNKNOWN
@@ -120,7 +152,12 @@ object GraftOrcKeyProvider {
   /** Reserved derivation name for the ORC master (never a real file name —
     * data files are UUID-named). */
   val MasterName = "graft-orc-master.key"
-  val Version: Byte = 1
+  /** r11 blob layout: Version | IV | GCM(material) — still readable. */
+  val VersionLegacy: Byte = 1
+  /** r12 blob layout adds the sealing manager's fingerprint after the
+    * version byte (see decryptLocalKey). */
+  val Version: Byte = 2
+  val FpLen = 8
   val IvLen = 12
   val TagBits = 128
 }

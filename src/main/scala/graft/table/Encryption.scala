@@ -571,10 +571,11 @@ object EncryptionManagers {
   val PlaintextFilesAllowedKey = "graft.encryption.plaintext-files-allowed"
 
   /** [[contentOptions]] plus the plaintext-refusal flag when the table
-    * requires encryption. ORC cannot enforce this at file-open (Spark's
-    * reader offers no per-file hook and ORC itself reads a plaintext file
-    * as plaintext) — ORC tables rely on the plan-time key-metadata guard
-    * and sealed manifests; documented residual gap. */
+    * requires encryption. Parquet honors the flag inside
+    * [[graft.sources.GraftParquetCryptoFactory]], avro inside the graft
+    * FileFormat's magic sniff, and ORC via an explicit tail probe at task
+    * open ([[graft.sources.OrcContentGuard]] — Spark's ORC reader itself
+    * has no per-file decryption hook and reads plaintext files silently). */
   def contentOptionsFor(m: EncryptionManager, format: String,
       requireEncrypted: Boolean): Map[String, String] =
     contentOptions(m, format) ++
@@ -622,9 +623,14 @@ object EncryptionManagers {
     * provider cache; NOT secret material (it hashes the serialized form,
     * which already rides the conf). */
   def managerFingerprint(serialized: String): String =
+    managerFingerprintBytes(serialized).map("%02x".format(_)).mkString
+
+  /** The raw 8 digest bytes behind [[managerFingerprint]] — stored inside
+    * ORC sealed-local-key blobs so a cross-manager unseal failure is
+    * distinguishable from blob corruption. */
+  def managerFingerprintBytes(serialized: String): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(serialized.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+      .digest(serialized.getBytes("UTF-8")).take(8)
 
   /** Per-format Spark read/write options that key table-content IO:
     * avro rides the manager to the graft FileFormat's own streams;

@@ -762,8 +762,11 @@ class FormatSpec extends AnyFunSuite {
     }
     def causes(e: Throwable): Seq[Throwable] =
       if (e == null) Nil else e +: causes(e.getCause)
-    assert(causes(wrongRead).exists(c => Option(c.getMessage)
-      .exists(_.contains("authentication failed"))), wrongRead.toString)
+    // r12 blobs carry the sealing manager's fingerprint, so the wrong-key
+    // refusal now NAMES the mismatch instead of a bare GCM failure
+    assert(causes(wrongRead).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("sealed by manager") || m.contains("authentication failed"))),
+      wrongRead.toString)
     // MoR DELETE: parquet position-delete files (encrypted) over encrypted
     // ORC data files read through synthesized ordinals
     t.delete(equalTo("id", 7L))
@@ -1029,6 +1032,277 @@ class FormatSpec extends AnyFunSuite {
     assert(causes(attack2).exists(c => Option(c.getMessage).exists(m =>
       m.contains("forged") || m.contains("requires encrypted"))),
       attack2.toString)
+  }
+
+  private def causesOf(e: Throwable): Seq[Throwable] =
+    if (e == null) Nil else e +: causesOf(e.getCause)
+
+  private def mentionsPlaintext(e: Throwable): Boolean =
+    causesOf(e).exists(c => Option(c.getMessage).exists(
+      _.toLowerCase.contains("plaintext")))
+
+  private def overwriteRaw(conf: org.apache.hadoop.conf.Configuration,
+      srcBytes: Array[Byte], dest: String): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(dest)
+    val out = dp.getFileSystem(conf).create(dp, true)
+    try out.write(srcBytes) finally out.close()
+  }
+
+  private def rawBytes(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("encryption-required table refuses a forged plaintext parquet manifest" +
+      " (scan, distributed metadata table, orphan scan)") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, Maintenance,
+      TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "mfforge-mfforge-mfforge-mfforge-".getBytes("UTF-8"), "mfforge")
+    val loc = Files.createTempDirectory("graft-mff-").toString + "/t"
+    val data = orders.limit(50)
+    // merge disabled so 17 tiny commits leave >16 manifests — past the
+    // threshold where metadata tables read manifests ON EXECUTORS (the
+    // reconstructed-FileIO latch path this test pins)
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.ManifestMergeEnabled -> "false"))
+    (1 to 17).foreach(i => t.append(data.limit(2)))
+    val liveFiles = t.newScan().planFiles().map(_.file.path)
+    assert(liveFiles.size === 17)
+    val victimManifest = t.metadataTable("manifests").collect()
+      .map(_.getString(0)).head
+    assert(victimManifest.endsWith(".parquet"))
+    // the decoy: a PLAINTEXT table of the same schema yields a well-formed
+    // plaintext parquet manifest listing DIFFERENT (fewer) files — exactly
+    // what a storage-write attacker would substitute to hide rows or to
+    // trick the orphan scan into deleting the files the forgery omits
+    val decoyLoc = Files.createTempDirectory("graft-mff-decoy-").toString + "/t"
+    val decoy = IceTable.create(spark, decoyLoc, Schema.fresh(data.schema))
+    decoy.append(data.limit(1))
+    val decoyManifest = decoy.metadataTable("manifests").collect()
+      .map(_.getString(0)).head
+    overwriteRaw(conf, rawBytes(conf, decoyManifest), victimManifest)
+
+    // 1) driver-side scan refuses the plaintext manifest (no silent
+    // row-hiding: before the fix parquet-mr read it via plaintext-allowed)
+    val scanRefusal = intercept[Exception] { t.toDF.collect() }
+    assert(mentionsPlaintext(scanRefusal), scanRefusal.toString)
+    // 2) the DISTRIBUTED metadata-table path (executor FileIOs) refuses
+    // too — the latch crosses the reconstruction boundary and the refusal
+    // is not swallowed as an empty manifest
+    val mtRefusal = intercept[Exception] { t.metadataTable("files").collect() }
+    assert(mentionsPlaintext(mtRefusal), mtRefusal.toString)
+    // 3) the orphan scan's executor-side valid-file set refuses — so
+    // remove_orphan_files can NOT be tricked into deleting the live files
+    // the forged manifest omits
+    val orphanRefusal = intercept[Exception] {
+      Maintenance.removeOrphanFiles(t,
+        olderThanMillis = System.currentTimeMillis() + 600000L)
+    }
+    assert(mentionsPlaintext(orphanRefusal), orphanRefusal.toString)
+    val fio = new FileIO(conf)
+    liveFiles.foreach(p => assert(fio.exists(p), s"live file deleted: $p"))
+  }
+
+  test("encryption-required ORC table refuses forged plaintext ORC content at open") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "orcforge-orcforge-orcforge-orcfo".getBytes("UTF-8"), "orcforge")
+    val loc = Files.createTempDirectory("graft-orcf-").toString + "/t"
+    val data = spark.range(50).selectExpr("id", "concat('v', id) AS v")
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "orc"))
+    t.append(data)
+    assert(t.toDF.count() === 50) // encrypted ORC round-trips
+    // swap one encrypted ORC data file for forged PLAINTEXT ORC of the
+    // same schema: the manifest's key_metadata entry is intact, so
+    // plan-time guards pass — before the r12 OrcContentGuard, Spark's ORC
+    // reader served the forged rows (parquet/avro refused the identical
+    // attack; encryption-required semantics silently differed by format)
+    val victim = t.newScan().planFiles().head.file.path
+    val forgedDir = Files.createTempDirectory("graft-orcf-src-").toString
+    spark.range(5).selectExpr("id + 1000 AS id", "'FORGED' AS v")
+      .coalesce(1).write.mode("overwrite").orc(forgedDir)
+    val forged = new FileIO(conf).listRecursive(forgedDir)
+      .map(_.getPath.toString).find(_.endsWith(".orc")).get
+    overwriteRaw(conf, rawBytes(conf, forged), victim)
+    val refusal = intercept[Exception] { t.toDF.collect() }
+    assert(mentionsPlaintext(refusal), refusal.toString)
+    // and zero forged rows were ever served
+    val served = try t.toDF.collect().map(_.getString(1)) catch {
+      case _: Exception => Array.empty[String]
+    }
+    assert(!served.contains("FORGED"))
+  }
+
+  test("loader-asserted encryption-required refuses a forged plaintext metadata bootstrap") {
+    import graft.meta.model.JsonCodecs
+    import graft.table.{AesGcmEncryptionManager, EncryptionManagers, FileIO,
+      TableOperations}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "bootforge-bootforge-bootforge-bo".getBytes("UTF-8"), "bootforge")
+    val ser = EncryptionManagers.serialize(manager)
+    val loc = Files.createTempDirectory("graft-bootf-").toString + "/t"
+    val data = spark.range(20).selectExpr("id", "concat('v', id) AS v")
+    val t = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    t.append(data)
+    // the attack the stored property can NOT stop: swap the CURRENT
+    // (sealed) metadata JSON for a forged PLAINTEXT one that omits
+    // graft.encryption.required — the latch bootstraps from this very
+    // file, so the un-asserted load accepts it and every downstream
+    // forgery guard (latch, km-empty plan check, plaintext-disallow
+    // flags) is disabled in one move
+    val m = t.meta
+    val forgedJson = JsonCodecs.tableMetadataToJson(
+      m.copy(properties = m.properties - TableProperties.EncryptionRequired))
+    val metaDir = s"$loc/metadata"
+    val fio = new FileIO(conf)
+    val current = fio.list(metaDir).map(_.getPath.toString)
+      .filter(_.matches(""".*/v\d+(\.gz)?\.metadata\.json"""))
+      .maxBy(p => """v(\d+)""".r.findFirstMatchIn(p).get.group(1).toInt)
+    val forgedBytes =
+      if (current.contains(".gz")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(forgedJson.getBytes("UTF-8")); gz.close()
+        bos.toByteArray
+      } else forgedJson.getBytes("UTF-8")
+    overwriteRaw(conf, forgedBytes, current)
+    // un-asserted keyed load: accepts the forged plaintext metadata (the
+    // documented circularity — data still decrypts, but the guards are off)
+    assert(spark.read.format("graft").option("encryption", ser).load(loc)
+      .count() === 20)
+    // loader-asserted: the FIRST metadata read refuses plaintext
+    val refusal = intercept[Exception] {
+      spark.read.format("graft").option("encryption", ser)
+        .option("encryption-required", "true").load(loc).collect()
+    }
+    assert(mentionsPlaintext(refusal), refusal.toString)
+    // the assertion composes with an honest table too: un-forged sealed
+    // metadata loads fine under the same option
+    val loc2 = Files.createTempDirectory("graft-bootf2-").toString + "/t"
+    val t2 = IceTable.createWith(spark,
+      new TableOperations(loc2, new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    t2.append(data)
+    assert(spark.read.format("graft").option("encryption", ser)
+      .option("encryption-required", "true").load(loc2).count() === 20)
+    // and a plaintext FileIO refuses the assertion outright
+    intercept[IllegalArgumentException] { new FileIO(conf, requireSealed = true) }
+  }
+
+  test("ORC sealed local key v2: wrong-manager vs corrupt-blob are distinct failures") {
+    import graft.sources.GraftOrcKeyProvider
+    import graft.table.AesGcmEncryptionManager
+    import org.apache.orc.EncryptionAlgorithm
+    import org.apache.orc.impl.HadoopShims
+    val mA = new AesGcmEncryptionManager(
+      "orck2-orck2-orck2-orck2-orck2-or".getBytes("UTF-8"), "orck2a")
+    val mB = new AesGcmEncryptionManager(
+      "orck3-orck3-orck3-orck3-orck3-or".getBytes("UTF-8"), "orck2b")
+    val provA = new GraftOrcKeyProvider(mA)
+    val provB = new GraftOrcKeyProvider(mB)
+    val meta = new HadoopShims.KeyMetadata(
+      GraftOrcKeyProvider.KeyName, 0, EncryptionAlgorithm.AES_CTR_128)
+    val lk = provA.createLocalKey(meta)
+    val blob = lk.getEncryptedKey
+    assert(blob(0) === GraftOrcKeyProvider.Version)
+    // own manager round-trips
+    assert(provA.decryptLocalKey(meta, blob).getEncoded
+      === lk.getDecryptedKey.getEncoded)
+    // wrong manager: the stored fingerprint NAMES the mismatch
+    val wrong = intercept[IllegalStateException] {
+      provB.decryptLocalKey(meta, blob)
+    }
+    assert(wrong.getMessage.contains("sealed by manager"), wrong.getMessage)
+    // corrupt blob under the RIGHT manager: a GCM failure, named as such
+    val tampered = blob.clone()
+    tampered(tampered.length - 1) = (tampered(tampered.length - 1) ^ 0x1).toByte
+    val corrupt = intercept[IllegalStateException] {
+      provA.decryptLocalKey(meta, tampered)
+    }
+    assert(corrupt.getMessage.contains("corrupt or tampered"), corrupt.getMessage)
+    // r11 legacy blobs (version 1, no fingerprint) still unseal by trial
+    val legacyIv = java.util.Arrays.copyOfRange(
+      blob, 1 + GraftOrcKeyProvider.FpLen,
+      1 + GraftOrcKeyProvider.FpLen + GraftOrcKeyProvider.IvLen)
+    val legacyWrapped = java.util.Arrays.copyOfRange(blob,
+      1 + GraftOrcKeyProvider.FpLen + GraftOrcKeyProvider.IvLen, blob.length)
+    val legacy = Array(GraftOrcKeyProvider.VersionLegacy) ++ legacyIv ++ legacyWrapped
+    assert(provA.decryptLocalKey(meta, legacy).getEncoded
+      === lk.getDecryptedKey.getEncoded)
+  }
+
+  test("fully-keyed-but-unstamped table logs the encryption.required advisory once") {
+    import graft.table.{AesGcmEncryptionManager, FileIO, TableOperations}
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manager = new AesGcmEncryptionManager(
+      "advisory-advisory-advisory-advi".getBytes("UTF-8") ++ Array[Byte]('x'),
+      "advisory")
+    val data = spark.range(10).selectExpr("id", "concat('v', id) AS v")
+    // a pre-r11 shape: every file keyed, property never stamped
+    val loc = Files.createTempDirectory("graft-adv-").toString + "/t"
+    val t0 = IceTable.createWith(spark,
+      new TableOperations(loc, new FileIO(conf, manager)),
+      Schema.fresh(data.schema))
+    t0.append(data)
+    t0.updateProperties(Map.empty,
+      remove = Set(graft.meta.model.TableProperties.EncryptionRequired))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val appender = new AbstractAppender("graft-adv-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val t = IceTable.loadWith(spark,
+        new TableOperations(loc, new FileIO(conf, manager)))
+      assert(t.toDF.count() === 10)
+      assert(t.toDF.count() === 10) // second scan: advisory must NOT repeat
+      def advisories = captured.toArray.map(_.toString)
+        .count(m => m.contains(loc) && m.contains("encryption.required"))
+      assert(advisories === 1, s"expected one advisory, got $captured")
+      // a STAMPED table stays quiet
+      captured.clear()
+      val stamped = IceTable.createWith(spark, new TableOperations(
+        Files.createTempDirectory("graft-adv2-").toString + "/t",
+        new FileIO(conf, manager)), Schema.fresh(data.schema))
+      stamped.append(data)
+      assert(stamped.toDF.count() === 10)
+      // a MIXED table (plaintext history under a later-keyed handle) too
+      val mixedLoc = Files.createTempDirectory("graft-adv3-").toString + "/t"
+      IceTable.create(spark, mixedLoc, Schema.fresh(data.schema)).append(data)
+      val mixed = IceTable.loadWith(spark,
+        new TableOperations(mixedLoc, new FileIO(conf, manager)))
+      mixed.append(data)
+      assert(mixed.toDF.count() === 20)
+      assert(captured.toArray.map(_.toString)
+        .count(_.contains("encryption.required")) === 0,
+        s"advisory misfired: $captured")
+    } finally {
+      rootCfg.removeAppender("graft-adv-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
   }
 
   test("manager deserialization is filtered: non-allowlisted classes refuse") {
