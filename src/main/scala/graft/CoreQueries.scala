@@ -524,6 +524,49 @@ object CoreQueries {
       }
     }),
 
+    // Q38 compatible-count SPJ (r12): orders bucket(8) joins customer
+    // bucket(16) on custkey — the graft bucket function is a
+    // ReducibleFunction, so the finer side's ordinals reduce into the
+    // coarser key space and the join co-locates with no exchange
+    // (BatchScanSpec pins the plan; this entry pins the VALUES under the
+    // exact confs that engage the reduced-key grouping)
+    "q38_spj_mixed_buckets" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q38").toString
+      s.conf.set("spark.sql.catalog.gq38", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq38.warehouse", tmp)
+      t(s, d, "orders").createOrReplaceTempView("q38_ord")
+      t(s, d, "customer").createOrReplaceTempView("q38_cust")
+      s.sql("CREATE TABLE gq38.db.ord PARTITIONED BY (bucket(8, o_custkey)) AS " +
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM q38_ord")
+      s.sql("CREATE TABLE gq38.db.cust PARTITIONED BY (bucket(16, c_custkey)) AS " +
+        "SELECT c_custkey, c_mktsegment FROM q38_cust")
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // materialize UNDER the SPJ confs (the driver consumes lazily)
+        val rows = s.sql(
+          "SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+            "round(sum(o.price), 2) AS total " +
+            "FROM gq38.db.ord o JOIN gq38.db.cust c ON o.o_custkey = c.c_custkey " +
+            "GROUP BY c.c_mktsegment ORDER BY seg").collect()
+        import s.implicits._
+        s.createDataset(rows.map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+          .toDF("seg", "n", "total")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
     // Q37 encrypted round trip (r11): a fully-keyed catalog — data files,
     // delete files, and the METADATA TREE all sealed — must hash-match the
     // plain relational oracle through CTAS + DELETE + SELECT. Encryption
@@ -708,6 +751,11 @@ object CoreQueries {
         "GROUP BY c.c_mktsegment ORDER BY seg"),
     "q37_encrypted_roundtrip" ->
       ("SELECT s_suppkey AS k, s_nationkey AS nk, round(s_acctbal, 2) AS bal " +
-        "FROM supplier WHERE NOT (s_nationkey < 5) ORDER BY k")
+        "FROM supplier WHERE NOT (s_nationkey < 5) ORDER BY k"),
+    "q38_spj_mixed_buckets" ->
+      ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+        "round(sum(round(o.o_totalprice, 2)), 2) AS total " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment ORDER BY seg")
   )
 }

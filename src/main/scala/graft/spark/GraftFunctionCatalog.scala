@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.meta.transforms.TransformEval
 
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,6 +42,35 @@ object GraftFunctions {
       s"$what width must be integral, got: ${other.simpleString}")
   }
 
+  /** Reduces a bucket ordinal into a COARSER bucket space: with M | N,
+    * `((h & MaxInt) % N) % M == (h & MaxInt) % M`, so the finer side's
+    * stored ordinals map exactly onto the coarser side's. Serializable —
+    * Spark ships it inside the SPJ partition-grouping closure. */
+  final case class BucketModReducer(coarser: Int)
+      extends Reducer[Int, Int] with Serializable {
+    override def reduce(ordinal: Int): Int = ordinal % coarser
+  }
+
+  /** Spark's compatible-transform SPJ hook
+    * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`):
+    * a bucket(N) scan joins a bucket(M) scan with NO exchange when M
+    * divides N — Spark asks the FINER function for a reducer into the
+    * coarser key space and regroups that side's partitions by reduced key
+    * (each bucket(N) ordinal maps to exactly one bucket(M) ordinal). At
+    * 100 TB co-bucketed-but-differently-sized table pairs are the common
+    * large-join shape, so this removes the full both-sides exchange the
+    * equal-count fence previously required. Returns null (not reducible)
+    * when the other side is not a graft bucket function or the counts
+    * don't nest — Spark then falls back to the exchange plan. */
+  trait BucketReducible extends ReducibleFunction[Int, Int] {
+    override def reducer(thisNumBuckets: Int, other: ReducibleFunction[_, _],
+        otherNumBuckets: Int): Reducer[Int, Int] =
+      if (other.isInstanceOf[BucketReducible] && otherNumBuckets > 0 &&
+          thisNumBuckets > otherNumBuckets &&
+          thisNumBuckets % otherNumBuckets == 0) BucketModReducer(otherNumBuckets)
+      else null
+  }
+
   abstract class GraftScalar(fnName: String, in: Array[DataType], out: DataType)
       extends ScalarFunction[Any] {
     override def inputTypes(): Array[DataType] = in
@@ -75,25 +104,25 @@ object GraftFunctions {
   }
 
   final class BucketIntFn(t: DataType)
-      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Int): Int = TransformEval.bucketInt(n, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getInt(1))
   }
   final class BucketLongFn(t: DataType)
-      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, t), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Long): Int = TransformEval.bucketLong(n, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getLong(1))
   }
   final class BucketFloatFn
-      extends GraftScalar("bucket", Array(IntegerType, FloatType), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, FloatType), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Float): Int = TransformEval.bucketFloat(n, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getFloat(1))
   }
   final class BucketDoubleFn
-      extends GraftScalar("bucket", Array(IntegerType, DoubleType), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, DoubleType), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Double): Int = TransformEval.bucketDouble(n, v)
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getDouble(1))
@@ -103,21 +132,21 @@ object GraftFunctions {
   // primitive args get a guard), so these null-check inside invoke and
   // return a boxed result.
   final class BucketStringFn
-      extends GraftScalar("bucket", Array(IntegerType, StringType), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, StringType), IntegerType) with BucketReducible {
     def invoke(n: Int, v: UTF8String): Integer =
       if (v == null) null else Integer.valueOf(TransformEval.bucketUtf8(n, v))
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getUTF8String(1))
   }
   final class BucketBinaryFn
-      extends GraftScalar("bucket", Array(IntegerType, BinaryType), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, BinaryType), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Array[Byte]): Integer =
       if (v == null) null else Integer.valueOf(TransformEval.bucketBytes(n, v))
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
   }
   final class BucketDecimalFn(d: DecimalType)
-      extends GraftScalar("bucket", Array(IntegerType, d), IntegerType) {
+      extends GraftScalar("bucket", Array(IntegerType, d), IntegerType) with BucketReducible {
     def invoke(n: Int, v: Decimal): Integer =
       if (v == null) null else Integer.valueOf(TransformEval.bucketDecimal(n, v))
     override def produceResult(r: InternalRow): Any =

@@ -306,6 +306,56 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ across COMPATIBLE bucket counts: bucket(8) joins bucket(16) with no exchange") {
+    warehouse
+    // different-but-nesting bucket counts: the graft bucket function is a
+    // ReducibleFunction, so Spark reduces the FINER side's stored ordinals
+    // into the coarser key space ((h % 16) % 8 == h % 8) and co-locates
+    // the join — previously this shape fell back to a full both-sides
+    // exchange (the common 100TB case: co-bucketed tables sized years
+    // apart end up with different bucket counts)
+    spark.sql("CREATE TABLE bs.db.spjr_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE bs.db.spjr_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(16, k))")
+    spark.sql("INSERT INTO bs.db.spjr_a SELECT id, id * 1.0 FROM range(400)")
+    spark.sql("INSERT INTO bs.db.spjr_b SELECT id % 100, concat('x', id) FROM range(200)")
+    val q = "SELECT a.k, b.b FROM bs.db.spjr_a a JOIN bs.db.spjr_b b ON a.k = b.k"
+    val qRev = "SELECT a.k, b.b FROM bs.db.spjr_b b JOIN bs.db.spjr_a a ON a.k = b.k"
+    // reference rows from the default (exchange-based) plan
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    assert(expected.length === 200)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      for (sql <- Seq(q, qRev)) { // reducer asked of either side
+        val df = spark.sql(sql)
+        val plan = ColumnBridge.executedPlan(df).toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"expected compatible-bucket storage-partitioned join:\n$plan")
+        assert(df.collect().map(_.toString).sorted === expected)
+      }
+    }
+    // non-nesting counts must NOT co-locate: values still correct via the
+    // exchange fallback (the reducer returns null for 8 vs 12)
+    spark.sql("CREATE TABLE bs.db.spjr_c (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(12, k))")
+    spark.sql("INSERT INTO bs.db.spjr_c SELECT id % 100, concat('x', id) FROM range(200)")
+    val qc = "SELECT a.k, c.b FROM bs.db.spjr_a a JOIN bs.db.spjr_c c ON a.k = c.k"
+    val expectedC = spark.sql(qc).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      assert(spark.sql(qc).collect().map(_.toString).sorted === expectedC)
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
