@@ -12,10 +12,14 @@ import org.apache.spark.sql.types._
   * dimensions, a format kind sniffed from the magic bytes, and a
   * downsampled-luma visual embedding, so two byte-DIFFERENT encodings of
   * the same pixels (a PNG and a BMP) land at cosine ≈ 1 — which no
-  * byte-level feature can do. Undecodable payloads (audio, video,
-  * corrupt, or the test fixtures' text bytes) fall back to the original
+  * byte-level feature can do. Since r12 the audio path is real too:
+  * WAV/AIFF parse via `javax.sound.sampled` (sample rate, channels,
+  * duration in [[extractMeta]]) and embed as an RMS energy envelope over
+  * the decoded samples, so a WAV and an AIFF of the same recording meet
+  * at cosine ≈ 1. Undecodable payloads (video, compressed audio, corrupt
+  * bytes, or the test fixtures' text bytes) fall back to the original
   * deterministic byte-level features, clearly marked below; a production
-  * deployment swaps ONLY that fallback (and the video/audio kinds) for an
+  * deployment swaps ONLY that fallback (and the video kinds) for an
   * ONNX/JNI encoder — the batching shape stays identical.
   */
 object Multimodal {
@@ -25,7 +29,12 @@ object Multimodal {
     StructField("size_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("checksum", StringType)))
+    StructField("checksum", StringType),
+    // audio fields (r12): null for non-audio payloads — appended so the
+    // image columns and the llm_mm_meta oracle stay byte-stable
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
 
   /** Pack a fake media payload column from text (UTF-8 bytes) — stands in
     * for real image/audio bytes in tests. */
@@ -77,6 +86,110 @@ object Multimodal {
       finally iis.close()
     }
 
+  /** Audio container by magic bytes (same cheap pre-sniff as images —
+    * `AudioSystem` probing arbitrary binary is wasted work at scale). */
+  private def sniffAudioKind(p: Array[Byte]): Option[String] = {
+    def ascii(i: Int, s: String) = p != null && p.length >= i + s.length &&
+      s.indices.forall(j => p(i + j) == s(j).toByte)
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(0, "FORM") && (ascii(8, "AIFF") || ascii(8, "AIFC")))
+      Some("audio/aiff")
+    else None
+  }
+
+  private final case class AudioDecoded(kind: String, sampleRate: Int,
+      channels: Int, durationMs: Long, mono: Array[Double])
+
+  /** Pure-JDK audio decode (`javax.sound.sampled` parses WAV/AIFF —
+    * same no-native-libs stance as the ImageIO path): header fields plus
+    * channel-averaged mono samples in [-1, 1]. Handles the PCM layouts
+    * the JDK writers produce (8/16-bit signed/unsigned, either
+    * endianness); compressed or exotic encodings return None and fall
+    * back to byte-level features. WAV/AIFF are uncompressed, so decoded
+    * size ≈ payload size — no decompression-bomb exposure beyond the
+    * already-in-memory payload. */
+  private def decodeAudio(p: Array[Byte]): Option[AudioDecoded] =
+    sniffAudioKind(p).flatMap { kind =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (ch <= 0 || (!signed && !unsigned) || (bits != 8 && bits != 16))
+            None
+          else {
+            val bytes = in.readAllBytes()
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val frames = bytes.length / frameBytes
+            val mono = new Array[Double](frames)
+            var f = 0
+            while (f < frames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = f * frameBytes + c * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    if (signed) bytes(o).toDouble / 128.0
+                    else ((bytes(o) & 0xff) - 128).toDouble / 128.0
+                  } else {
+                    val (lo, hi) =
+                      if (fmt.isBigEndian) (bytes(o + 1) & 0xff, bytes(o).toInt)
+                      else (bytes(o) & 0xff, bytes(o + 1).toInt)
+                    val s16 = (hi << 8) | lo
+                    (if (signed) s16 else s16 - 32768).toDouble / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              mono(f) = acc / ch
+              f += 1
+            }
+            val rate = math.round(fmt.getSampleRate)
+            Some(AudioDecoded(kind, rate, ch,
+              if (rate > 0) frames.toLong * 1000L / rate else 0L, mono))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+  /** RMS-envelope embedding — the audio analogue of [[lumaGridEmbedding]]:
+    * per-block root-mean-square energy over `dim` equal time blocks,
+    * mean-centered (gain-offset-invariant) and L2-normalized
+    * (volume-invariant). Byte-different containers of the SAME samples
+    * (a WAV and an AIFF) produce the identical vector. */
+  private def rmsEnvelopeEmbedding(mono: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = mono.length
+    if (n == 0) return out
+    val sums = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val b = math.min(dim - 1, (i.toLong * dim / n).toInt)
+      sums(b) += mono(i) * mono(i)
+      counts(b) += 1
+      i += 1
+    }
+    val cells = Array.tabulate(dim)(j =>
+      if (counts(j) == 0) 0.0 else math.sqrt(sums(j) / counts(j)))
+    val mean = cells.sum / dim
+    val centered = cells.map(_ - mean)
+    val norm = math.sqrt(centered.foldLeft(0.0)((s, v) => s + v * v))
+    var j = 0
+    while (j < dim) {
+      out(j) = if (norm > 1e-9) (centered(j) / norm).toFloat else 0f
+      j += 1
+    }
+    out
+  }
+
   /** FALLBACK decoder for undecodable payloads: "parses" header fields
     * deterministically from the first bytes (the pre-r11 stub, kept
     * byte-identical — the llm_mm_meta oracle replays it in SQL). A real
@@ -104,10 +217,14 @@ object Multimodal {
       // decoder handle would be created here)
       rows.map { r =>
         val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
-        val (kind, w, h) = decodeImage(payload) match {
-          case Some(img) =>
-            (sniffImageKind(payload).get, img.getWidth, img.getHeight)
-          case None => stubDecode(payload)
+        val audio = decodeAudio(payload)
+        val (kind, w, h) = audio match {
+          case Some(a) => (a.kind, 0, 0)
+          case None => decodeImage(payload) match {
+            case Some(img) =>
+              (sniffImageKind(payload).get, img.getWidth, img.getHeight)
+            case None => stubDecode(payload)
+          }
         }
         // 8 hex chars = the first 4 bytes: hex-encode ONLY those (the old
         // full-payload encode built a 2×payload string per row to keep 8
@@ -115,7 +232,10 @@ object Multimodal {
         val checksum = if (payload == null) null
         else payload.take(4).map("%02x".format(_)).mkString
         Row.fromSeq(r.toSeq :+ Row(kind,
-          Option(payload).map(_.length.toLong).getOrElse(0L), w, h, checksum))
+          Option(payload).map(_.length.toLong).getOrElse(0L), w, h, checksum,
+          audio.map(_.sampleRate).orNull,
+          audio.map(_.channels).orNull,
+          audio.map(_.durationMs).orNull))
       }
     }(Encoders.row(outSchema))
   }
@@ -181,19 +301,22 @@ object Multimodal {
       rows.map { r =>
         val payload = r.get(mediaIdx).asInstanceOf[Array[Byte]]
         val emb: Array[Float] = if (payload == null) null
-        else decodeImage(payload) match {
-          case Some(img) => lumaGridEmbedding(img, dim)
-          case None =>
-            // FALLBACK featurizer: L2-normalized byte histogram folded to
-            // `dim` — byte-level only, kept for non-image payloads
-            val acc = new Array[Float](dim)
-            var i = 0
-            while (i < payload.length) {
-              acc((payload(i) & 0xff) % dim) += 1f; i += 1
-            }
-            val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-            if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
-            acc
+        else decodeAudio(payload) match {
+          case Some(a) => rmsEnvelopeEmbedding(a.mono, dim) // REAL samples
+          case None => decodeImage(payload) match {
+            case Some(img) => lumaGridEmbedding(img, dim) // REAL pixels
+            case None =>
+              // FALLBACK featurizer: L2-normalized byte histogram folded to
+              // `dim` — byte-level only, kept for undecodable payloads
+              val acc = new Array[Float](dim)
+              var i = 0
+              while (i < payload.length) {
+                acc((payload(i) & 0xff) % dim) += 1f; i += 1
+              }
+              val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+              if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
+              acc
+          }
         }
         Row.fromSeq(r.toSeq :+ emb)
       }
