@@ -376,6 +376,10 @@ object IvfIndex {
   val IdColProp = "ann.id-col"
   val VecColProp = "ann.vec-col"
   val NListsProp = "ann.n-lists"
+  /** Corpus-table provenance, stamped by the IceTable `build` overload and
+    * advanced by [[refresh]]: the snapshot the index is CURRENT AS OF. */
+  val CorpusLocProp = "ann.corpus-location"
+  val CorpusSnapProp = "ann.corpus-snapshot-id"
 
   private def centroidsPath(location: String) = s"$location/ann/centroids.json"
 
@@ -430,7 +434,23 @@ object IvfIndex {
     * only after the new marker lands. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int = -1,
-      iters: Int = 2): IvfIndex = {
+      iters: Int = 2): IvfIndex =
+    buildWith(spark, corpus, idCol, vecCol, location, nLists, iters, Map.empty)
+
+  /** [[build]] from a graft TABLE, recording which corpus snapshot the
+    * index covers — the provenance [[refresh]] needs to plan only the
+    * appended delta instead of a full rebuild. */
+  def buildFrom(spark: SparkSession, corpus: IceTable, idCol: String,
+      vecCol: String, location: String, nLists: Int = -1,
+      iters: Int = 2): IvfIndex =
+    buildWith(spark, corpus.toDF, idCol, vecCol, location, nLists, iters,
+      corpus.meta.currentSnapshotId.map(id => Map(
+        CorpusLocProp -> corpus.location,
+        CorpusSnapProp -> id.toString)).getOrElse(Map.empty))
+
+  private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, location: String, nLists: Int,
+      iters: Int, extraProps: Map[String, String]): IvfIndex = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
     val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
     // int8 codes + scale are INDEX columns: the quantized probe ranks over
@@ -455,7 +475,8 @@ object IvfIndex {
         properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
           NListsProp -> n.toString,
           // many small list partitions per append: fanout avoids a sort
-          graft.meta.model.TableProperties.FanoutEnabled -> "true"))
+          graft.meta.model.TableProperties.FanoutEnabled -> "true")
+          ++ extraProps)
       io.writeString(centroidsPath(target), centroidsJson(cents))
       t.append(assigned)
       // the commit point: create-new is atomic, and everything above wrote
@@ -484,6 +505,64 @@ object IvfIndex {
       throw new graft.table.NoSuchTableException(s"No ANN index at $location"))
     val t = IceTable.load(spark, dir)
     new IvfIndex(t, parseCentroids(io.readString(centroidsPath(dir))))
+  }
+
+  /** Outcome of [[refresh]]: the (possibly re-fitted) current index, the
+    * row count appended incrementally (0 when a refit replaced the index
+    * wholesale), and whether a full re-fit ran. */
+  final case class RefreshResult(index: IvfIndex, appended: Long, refit: Boolean)
+
+  /** Incrementally catch the index up with its corpus table: plan ONLY the
+    * files appended since the recorded corpus snapshot (the incremental-
+    * read machinery — no full corpus pass), assign their vectors to the
+    * EXISTING frozen centroids, append into the list partitions, and
+    * advance the recorded snapshot. Falls back to a full re-fit
+    * ([[buildFrom]], new `ix-v{N}` version) when the incremental path
+    * cannot reconcile the corpus:
+    *  - destructive snapshots (delete/overwrite) in the range — appended
+    *    files alone can't express removed or rewritten rows;
+    *  - the recorded snapshot is no longer an ancestor (rollback) or has
+    *    been expired;
+    *  - drift: the new-vector share exceeds `refitShare` — frozen
+    *    centroids fit ever-worse as the distribution moves, so past the
+    *    threshold a re-fit is cheaper than the recall loss.
+    * A 1% daily delta therefore costs one small assignment job instead of
+    * the ~5 full corpus passes a rebuild costs — the difference between
+    * minutes and hours at production embedding-corpus scale. */
+  def refresh(spark: SparkSession, corpus: IceTable, location: String,
+      refitShare: Double = 0.2, iters: Int = 2): RefreshResult = {
+    val idx = load(spark, location)
+    val props = idx.table.meta.properties
+    val recorded = props.get(CorpusSnapProp).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"Index at $location records no corpus snapshot — build it with " +
+          "IvfIndex.buildFrom(corpus) to enable incremental refresh"))
+    val current = corpus.meta.currentSnapshotId.getOrElse(recorded)
+    if (current == recorded) return RefreshResult(idx, 0L, refit = false)
+    val nLists = props(NListsProp).toInt
+    def refit(): RefreshResult = RefreshResult(
+      buildFrom(spark, corpus, idx.idCol, idx.vecCol, location, nLists, iters),
+      appended = 0L, refit = true)
+    val delta =
+      try corpus.appendsBetween(recorded, current, skipDeleteSnapshots = false)
+      catch {
+        // delete/overwrite in range, rollback, or expired recorded snapshot
+        case _: graft.table.ValidationException => return refit()
+        case _: IllegalArgumentException => return refit()
+      }
+    val fresh = delta.select(idx.idCol, idx.vecCol)
+    val newCount = fresh.count()
+    if (newCount == 0) {
+      idx.table.updateProperties(Map(CorpusSnapProp -> current.toString))
+      return RefreshResult(idx, 0L, refit = false)
+    }
+    // metadata-only index size (per-file record counts) — no data read
+    val existing = idx.table.newScan().planFiles().map(_.file.recordCount).sum
+    if (newCount.toDouble / (existing + newCount) > refitShare) return refit()
+    val appended = idx.sync(fresh)
+    idx.table.updateProperties(Map(
+      CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
+    RefreshResult(idx, appended, refit = false)
   }
 
   // centroids are a rectangular double matrix — hand-rolled JSON keeps the

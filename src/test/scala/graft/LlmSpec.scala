@@ -130,6 +130,70 @@ class LlmSpec extends AnyFunSuite {
     assert(dup.getDouble(3) === 1.0)
   }
 
+  test("IVF refresh: incremental catch-up, drift refit, DML refit") {
+    import graft.llm.IvfIndex
+    import graft.meta.Schema
+    val qids = LlmQueries.AnnQueryIds
+    // corpus as a graft TABLE so refresh can plan the appended delta
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfr-").toString
+    val corpus = graft.table.IceTable.create(spark, s"$base/corpus",
+      Schema.fresh(embs.schema))
+    corpus.append(embs)
+    val idx0 = IvfIndex.buildFrom(spark, corpus, "vec_id", "embedding",
+      s"$base/idx", nLists = 8)
+    assert(idx0.table.meta.properties.get(IvfIndex.CorpusSnapProp)
+      === corpus.meta.currentSnapshotId.map(_.toString))
+    // no corpus change → no-op
+    val same = IvfIndex.refresh(spark, corpus, s"$base/idx")
+    assert(same.appended === 0L && !same.refit)
+
+    // 1% -ish delta: refresh takes the INCREMENTAL path (no refit)
+    val delta = embs.limit(5).withColumn("vec_id", col("vec_id") + 2000000L)
+    corpus.append(delta)
+    val r1 = IvfIndex.refresh(spark, corpus, s"$base/idx")
+    assert(!r1.refit, "small delta must not refit")
+    assert(r1.appended === 5L)
+    assert(r1.index.table.meta.properties(IvfIndex.CorpusSnapProp)
+      === corpus.meta.currentSnapshotId.get.toString)
+    // refreshed FULL probe is row-identical to a from-scratch rebuild at
+    // the same nProbe (both equal brute force over the grown corpus)
+    val rebuilt = IvfIndex.buildFrom(spark, corpus, "vec_id", "embedding",
+      s"$base/idx_rebuild", nLists = 8)
+    def full(ix: IvfIndex) = ix.topK(qids, 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val a = full(r1.index); val b = full(rebuilt)
+    qids.foreach(q => assert(a(q) === b(q), s"query $q refreshed != rebuilt"))
+    // partial-probe recall holds on the refreshed index
+    val exact = Similarity.bruteForceTopK(corpus.toDF, "vec_id", "embedding",
+      qids, 5).select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = r1.index.topK(qids, 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map(q =>
+      exact(q).count(approx.getOrElse(q, Set.empty).contains).toDouble / exact(q).size)
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"refreshed-index recall ${recalls.sum / recalls.size}")
+
+    // drift: a delta above the refit share triggers a full re-fit
+    val big = embs.withColumn("vec_id", col("vec_id") + 3000000L)
+    corpus.append(big)
+    val r2 = IvfIndex.refresh(spark, corpus, s"$base/idx", refitShare = 0.2)
+    assert(r2.refit, "drifted corpus must refit")
+    assert(r2.index.table.meta.properties(IvfIndex.CorpusSnapProp)
+      === corpus.meta.currentSnapshotId.get.toString)
+
+    // DML (delete) in range: appends alone can't reconcile → refit
+    corpus.delete(graft.meta.expr.Exprs.greaterThan("vec_id", 3000400L))
+    corpus.append(embs.limit(2).withColumn("vec_id", col("vec_id") + 4000000L))
+    val r3 = IvfIndex.refresh(spark, corpus, s"$base/idx", refitShare = 0.99)
+    assert(r3.refit, "delete in range must refit")
+    // the refit index reflects the delete: the removed ids are gone
+    assert(r3.index.table.newScan().toDF
+      .filter(col("vec_id") > 3000400L and col("vec_id") < 4000000L).count() === 0L)
+  }
+
   test("quantized IVF probe ranks on persisted codes, recall@5 >= 0.9") {
     import graft.llm.IvfIndex
     val qids = LlmQueries.AnnQueryIds
@@ -580,6 +644,73 @@ class LlmSpec extends AnyFunSuite {
     }
     val byteCos = hist(png0).zip(hist(bmp0)).map { case (a, b) => a * b }.sum
     assert(byteCos < 0.999, s"byte histograms unexpectedly aligned: $byteCos")
+  }
+
+  test("multimodal: REAL audio decode — WAV and AIFF of the same samples meet at cosine 1") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic synthetic PCM: per-seed chirp + envelope so clips are
+    // audibly (and envelope-) distinct
+    def pcm16(seed: Int, frames: Int): Array[Byte] = {
+      val out = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val t = i.toDouble / 8000.0
+        val env = 0.2 + 0.8 * math.abs(math.sin(t * (1.0 + seed)))
+        val s = (math.sin(2 * math.Pi * (200 + 70 * seed + 30 * t) * t) * env
+          * 30000).toInt
+        out(2 * i) = (s & 0xff).toByte // little-endian signed 16-bit
+        out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    def container(pcm: Array[Byte], fileType: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, fileType, bos)
+      bos.toByteArray
+    }
+    val pcm0 = pcm16(0, 8000) // one second at 8 kHz
+    val wav0 = container(pcm0, AudioFileFormat.Type.WAVE)
+    val aiff0 = container(pcm0, AudioFileFormat.Type.AIFF)
+    assert(!java.util.Arrays.equals(wav0, aiff0)) // byte-different (endianness + headers)
+    val rows = Seq((1L, wav0),
+      (2L, container(pcm16(3, 8000), AudioFileFormat.Type.WAVE)),
+      (3L, container(pcm16(7, 8000), AudioFileFormat.Type.WAVE)),
+      (9999L, aiff0))
+    val df = spark.createDataset(rows).toDF("doc_id", "media")
+    // metadata: true audio fields, not the stub image fields
+    val meta = Multimodal.extractMeta(df, "media")
+      .select(col("doc_id"), col("meta.kind"), col("meta.sample_rate"),
+        col("meta.channels"), col("meta.duration_ms")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(meta(1L) === (("audio/wav", 8000, 1, 1000L)))
+    assert(meta(9999L) === (("audio/aiff", 8000, 1, 1000L)))
+    // the RMS-envelope embedding sees SAMPLES: the byte-different AIFF
+    // twin is the WAV's top-1 at cosine ≈ 1 through the same ANN surface
+    val emb = Multimodal.featurize(df, "media", dim = 64)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Seq(9999L), k = 1)
+      .select("neighbor_id", "sim").head()
+    assert(top1.getLong(0) === 1L, top1.toString)
+    assert(math.abs(top1.getDouble(1) - 1.0) < 1e-4, top1.toString)
+    // distinct clips do NOT collapse together
+    val sims = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Seq(2L), k = 3).select("neighbor_id", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims.filterNot(_._1 == 2L).values.forall(_ < 0.99), sims.toString)
+    // non-audio payloads keep the byte-level fallback bit-identical:
+    // text bytes still produce the stub meta fields with null audio fields
+    val text = Multimodal.extractMeta(
+      Multimodal.packFakeMedia(Seq((5L, "hello world")).toDF("doc_id", "text"),
+        "text"), "media")
+      .select(col("meta.kind"), col("meta.sample_rate")).head()
+    assert(text.getString(0) === "image/fake" && text.isNullAt(1))
   }
 
   test("multimodal: decompression-bomb image falls back instead of OOMing the task") {
