@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap: without -Xms the heap grows lazily and G1 uncommits
+  // regions after full GCs, so measurement samples intermittently eat
+  // multi-second page-fault storms INSIDE young-GC pauses when the heap
+  // re-expands (measured: a single 3.4 s young collection during a
+  // 24 G -> 49 G growth step — the llm_cc_dedup bench bimodality).
+  // Committing (and pre-touching) the whole heap at JVM start moves that
+  // cost out of every timed region once and for all.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

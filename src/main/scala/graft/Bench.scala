@@ -36,6 +36,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Total JVM GC time (seconds) across all collector beans — deltas of
+    * this around each sample are published as `gc_secs`, so a slow sample
+    * can be adjudicated as GC-bound (or not) from the JSON alone instead
+    * of needing a re-run (three published benches have needed one). */
+  private def gcTotalSecs(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
   private def consume(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
@@ -60,7 +70,8 @@ object Bench {
     }
   }
 
-  final case class Entry(med: Double, samples: Seq[Double], reruns: Int)
+  final case class Entry(med: Double, samples: Seq[Double], reruns: Int,
+      gcSecs: Seq[Double])
 
   private val results = scala.collection.mutable.LinkedHashMap[String, Entry]()
 
@@ -68,16 +79,22 @@ object Bench {
     * returns ITS OWN timed seconds, so per-run setup can stay outside the
     * timer), median recorded. A spread (max/min) over 3 marks
     * interference — re-measure once after a fresh settle, keep the second
-    * set, and publish the rerun. */
+    * set, and publish the rerun. Alongside each sample, the JVM GC-time
+    * delta across the whole f() invocation is recorded (for measureRaw
+    * entries this window includes the untimed setup — gc_secs adjudicates
+    * "was the slow sample GC-bound", not "GC inside the timed region"). */
   private def measureRaw(label: String, warmups: Int, n: Int,
       alreadyRetried: Boolean = false)(f: () => Double): Unit = {
     (1 to warmups).foreach(_ => f())
-    val samples = (1 to n).map(_ => f())
+    val timed = (1 to n).map { _ =>
+      val g0 = gcTotalSecs(); val s = f(); (s, gcTotalSecs() - g0)
+    }
+    val samples = timed.map(_._1)
     if (!alreadyRetried && n >= 3 && samples.max / math.max(1e-9, samples.min) > 3.0) {
       settle()
       measureRaw(label, warmups = 1, n = n, alreadyRetried = true)(f)
       results(label) = results(label).copy(reruns = 1)
-    } else results(label) = Entry(median(samples), samples, 0)
+    } else results(label) = Entry(median(samples), samples, 0, timed.map(_._2))
   }
 
   private def measure(label: String, warmups: Int, n: Int)(f: () => Unit): Unit =
@@ -239,6 +256,30 @@ object Bench {
         time(graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
           s"$loc/ann_build_idx", nLists = 8))
       }
+      // incremental refresh (r12): a ~1% corpus delta caught up against
+      // the frozen centroids — must stay ≪ llm_ann_build (the refresh
+      // exists so a small delta never costs the ~5 full corpus passes a
+      // re-fit does); per-sample appends accumulate only ~3%, safely
+      // below the refit threshold, so every sample takes the incremental
+      // path (setup appends stay outside the timer)
+      val corpusT = IceTable.create(spark, s"$loc/ann_refresh_corpus",
+        Schema.fresh(embs.schema))
+      corpusT.append(embs)
+      graft.llm.IvfIndex.buildFrom(spark, corpusT, "vec_id", "embedding",
+        s"$loc/ann_refresh_idx", nLists = 8)
+      val deltaRows = math.max(1, (embs.count() / 100).toInt)
+      var refreshOffset = 10000000L
+      measureRaw("llm_ann_refresh", 0, 3) { () =>
+        val delta = embs.limit(deltaRows)
+          .withColumn("vec_id", col("vec_id") + refreshOffset)
+        refreshOffset += 10000000L
+        corpusT.append(delta)
+        time {
+          val r = graft.llm.IvfIndex.refresh(spark, corpusT, s"$loc/ann_refresh_idx")
+          require(!r.refit && r.appended == deltaRows,
+            s"refresh bench expected the incremental path, got $r")
+        }
+      }
     }
 
     // --- group 5b: round-9 text pipeline entries — BM25 once regressed 5×
@@ -283,13 +324,16 @@ object Bench {
     val samples = results.map { case (k, e) =>
       "\"" + k + "\":[" + e.samples.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val gcSecs = results.map { case (k, e) =>
+      "\"" + k + "\":[" + e.gcSecs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val reruns = results.collect { case (k, e) if e.reruns > 0 =>
       "\"" + k + "\":" + e.reruns
     }.mkString("{", ",", "}")
     val preceded =
       s"""{"last_test_run_secs_ago":$lastTestRunSecsAgo,"loadavg_at_launch":${fmt(loadAtLaunch)},"startup_wait_ms":$startupWaitMs,"loadavg_at_start":${fmt(loadAtStart)}}"""
     val total = results.values.map(_.med).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"reruns":$reruns,"preceded_by":$preceded,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"gc_secs":$gcSecs,"reruns":$reruns,"preceded_by":$preceded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
