@@ -40,12 +40,7 @@ final class IvfIndex private (val table: IceTable,
     * id column (column-pruned scan); at scale feed `delta` from an
     * incremental appends scan of the corpus rather than the full corpus. */
   def sync(delta: DataFrame): Long = {
-    val assigned = Similarity.quantizeInt8(delta, idCol, vecCol)
-      .select(col(idCol), col(vecCol),
-        Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol),
-        col(IvfIndex.CodesCol), col(IvfIndex.ScaleCol),
-        Similarity.l2norm(col(vecCol)).as(IvfIndex.VNormCol),
-        Similarity.l2norm(col(IvfIndex.CodesCol)).as(IvfIndex.CNormCol))
+    val assigned = assignToLists(delta)
     val existing = table.newScan().select(idCol).toDF
     // persisted so the assignment + anti join run ONCE (count reads the
     // cache, append writes from it) instead of twice per micro-batch
@@ -57,6 +52,18 @@ final class IvfIndex private (val table: IceTable,
       n
     } finally fresh.unpersist()
   }
+
+  /** `delta` rows assigned to their inverted lists against the FROZEN
+    * centroids, carrying the quantized codes and persisted norms — the
+    * index row shape ([[sync]] dedups before appending; [[IvfIndex.refresh]]
+    * appends directly under its snapshot watermark). */
+  private[llm] def assignToLists(delta: DataFrame): DataFrame =
+    Similarity.quantizeInt8(delta, idCol, vecCol)
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol),
+        col(IvfIndex.CodesCol), col(IvfIndex.ScaleCol),
+        Similarity.l2norm(col(vecCol)).as(IvfIndex.VNormCol),
+        Similarity.l2norm(col(IvfIndex.CodesCol)).as(IvfIndex.CNormCol))
 
   /** Bounded by-id vector lookup, driver-side: plans through the normal
     * metadata cascade (partition + id-metrics pruning), then reads the few
@@ -559,10 +566,18 @@ object IvfIndex {
     // metadata-only index size (per-file record counts) — no data read
     val existing = idx.table.newScan().planFiles().map(_.file.recordCount).sum
     if (newCount.toDouble / (existing + newCount) > refitShare) return refit()
-    val appended = idx.sync(fresh)
-    idx.table.updateProperties(Map(
-      CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
-    RefreshResult(idx, appended, refit = false)
+    // ONE atomic commit carries both the assigned rows and the advanced
+    // watermark, so a row is indexed iff the watermark covers it — a
+    // crashed refresh replays the whole delta, a committed one excludes
+    // it, and no anti-join against the (corpus-sized) index id column is
+    // needed (sync keeps that dedup for caller-supplied deltas; at 2M×64
+    // the id-scan + anti-join was most of refresh's 3.9 s wall)
+    idx.table.newTransaction()
+      .append(idx.assignToLists(fresh))
+      .updateProperties(Map(
+        CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
+      .commit()
+    RefreshResult(idx, newCount, refit = false)
   }
 
   // centroids are a rectangular double matrix — hand-rolled JSON keeps the

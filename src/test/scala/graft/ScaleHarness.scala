@@ -60,6 +60,27 @@ object ScaleHarness {
     val tq = (1 to 5).map(_ => time(consume(idx.topKQuantized(qids, 5, nProbe = 2))))
     println(f"${mult}x float ${tf.sorted.apply(2)}%.3f ${tf.map(t => f"$t%.3f").mkString(",")}")
     println(f"${mult}x int8  ${tq.sorted.apply(2)}%.3f ${tq.map(t => f"$t%.3f").mkString(",")}")
+
+    // incremental refresh at scale (r12): corpus as a graft table, a 1%
+    // appended delta caught up against the frozen centroids — the number
+    // that justifies refresh existing (vs the full build measured above)
+    val base = java.nio.file.Files.createTempDirectory("graft-scale-r-").toString
+    val ct = table.IceTable.create(spark, s"$base/corpus",
+      meta.Schema.fresh(corpus.schema))
+    ct.append(corpus)
+    val rloc = s"$base/idx"
+    val tb2 = time {
+      llm.IvfIndex.buildFrom(spark, ct, "vec_id", "embedding", rloc, nLists = 8)
+    }
+    val deltaRows = math.max(1, (corpus.count() / 100).toInt)
+    ct.append(corpus.limit(deltaRows)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+    val tr = time {
+      val r = llm.IvfIndex.refresh(spark, ct, rloc)
+      require(!r.refit && r.appended == deltaRows, r.toString)
+    }
+    println(f"${mult}x refresh of 1%% delta ($deltaRows rows): $tr%.1f s " +
+      f"vs full buildFrom $tb2%.1f s (${tb2 / tr}%.1fx)")
     spark.stop()
   }
 }
