@@ -83,6 +83,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-safe split (r12): near-dup clusters (3-gram jaccard ≥ 0.6)
+    // stay WHOLE across train/val/test — the split is drawn from the
+    // connected-component id, so a near-duplicate of an eval doc can never
+    // sit in the training set
+    "llm_leakage_split" -> ((s, d) => {
+      val corpus = docs(s, d)
+      graft.llm.Sampling.leakageSafeSplit(corpus, "doc_id",
+          Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6),
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed = 7L)
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-source overlap report (r12): per unordered source pair, the
+    // near-dup pairs straddling (or within) it — "how much of B is
+    // already in A" before paying to ingest B
+    "llm_source_overlap" -> ((s, d) => {
+      val corpus = docs(s, d)
+      Dedup.crossGroupOverlap(corpus, "doc_id", "source",
+          Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6))
+        .orderBy("group_a", "group_b")
+    }),
+
+    // per-source quality calibration (r12): percent_rank of the quality
+    // score WITHIN each source, so one corpus-wide threshold keeps the
+    // same fraction of every source
+    "llm_quality_calibrate" -> ((s, d) => {
+      TextOps.calibrateByGroup(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TextOps.qualityScore(col("text")).as("quality")),
+          col("quality"), "source")
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs
     "llm_dedup_embed" -> ((s, d) => {
       Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
@@ -455,6 +489,52 @@ object LlmQueries {
            | FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY doc_id"""
           .stripMargin.replace("\n", " ")
           .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      "llm_leakage_split" ->
+        (s"""$shingles, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM s a, s b WHERE a.doc_id < b.doc_id
+           |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+           | e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+           | walk(u, v) AS (SELECT u, v FROM e
+           |   UNION SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+           | comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |   FROM walk GROUP BY u),
+           | c AS (SELECT d.doc_id,
+           |   CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS component
+           |   FROM documents d LEFT JOIN comp cc USING (doc_id))
+           | SELECT doc_id, component,
+           |   CASE WHEN v < 3865470566 THEN 'train'
+           |        WHEN v < 4080218931 THEN 'val' ELSE 'test' END AS split
+           | FROM (SELECT doc_id, component,
+           |   CAST('0x' || substr(md5(CAST(component AS VARCHAR) || ':7'), 1, 8) AS BIGINT) AS v
+           |   FROM c) ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")
+          .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      "llm_source_overlap" ->
+        (s"""$shingles, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM s a, s b WHERE a.doc_id < b.doc_id
+           |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6)
+           | SELECT least(da.source, db.source) AS group_a,
+           |   greatest(da.source, db.source) AS group_b,
+           |   CAST(count(*) AS BIGINT) AS pair_count,
+           |   CAST(count(DISTINCT CASE WHEN da.source <= db.source
+           |     THEN p.id_a ELSE p.id_b END) AS BIGINT) AS docs_a,
+           |   CAST(count(DISTINCT CASE WHEN da.source <= db.source
+           |     THEN p.id_b ELSE p.id_a END) AS BIGINT) AS docs_b
+           | FROM p JOIN documents da ON p.id_a = da.doc_id
+           |   JOIN documents db ON p.id_b = db.doc_id
+           | GROUP BY 1, 2 ORDER BY group_a, group_b"""
+          .stripMargin.replace("\n", " ")),
+      "llm_quality_calibrate" ->
+        ("WITH q AS (SELECT doc_id, source, round((" +
+          "(CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) + " +
+          "(CASE WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) + " +
+          "(CASE WHEN CAST(length(text) AS DOUBLE) / greatest(len(string_split(lower(text), ' ')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+          ") / 3.0, 4) AS quality FROM documents) " +
+          "SELECT doc_id, source, quality, " +
+          "round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6) AS calibrated " +
+          "FROM q ORDER BY doc_id"),
       "llm_shard_shuffle" ->
         ("SELECT doc_id, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) % 8 AS INT) AS shard, " +
           "md5(CAST(doc_id AS VARCHAR) || ':42') AS sort_key " +

@@ -556,6 +556,33 @@ object Dedup {
       .where(col(idCol).cast("long") === col("component"))
       .drop("component")
 
+  /** Cross-group near-dup overlap report — the curation question "how
+    * much of source B is already in source A": for every unordered group
+    * pair (including a group with itself), the count of near-dup pairs
+    * whose two documents carry those groups, plus how many distinct docs
+    * on each side are involved. `pairs` is any near-dup pair frame; the
+    * two joins are broadcast-or-shuffle equi-joins on the id, and the
+    * final aggregate is group-pair-cardinality-sized — nothing here is
+    * all-pairs beyond what `pairs` already bounded. */
+  def crossGroupOverlap(df: DataFrame, idCol: String, groupCol: String,
+      pairs: DataFrame): DataFrame = {
+    val ga = df.select(col(idCol).as("id_a"), col(groupCol).as("_ga"))
+    val gb = df.select(col(idCol).as("id_b"), col(groupCol).as("_gb"))
+    pairs.join(ga, "id_a").join(gb, "id_b")
+      .select(
+        least(col("_ga"), col("_gb")).as("group_a"),
+        greatest(col("_ga"), col("_gb")).as("group_b"),
+        // docs_a counts docs carrying the LESSER group name of the pair
+        when(col("_ga") <= col("_gb"), col("id_a")).otherwise(col("id_b"))
+          .as("_da"),
+        when(col("_ga") <= col("_gb"), col("id_b")).otherwise(col("id_a"))
+          .as("_db"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("pair_count"),
+        countDistinct(col("_da")).as("docs_a"),
+        countDistinct(col("_db")).as("docs_b"))
+  }
+
   /** The full fuzzy-dedup pipeline in one call — the production shape:
     *  1. EXACT dedup on the text hash first (xxhash64 of the full text —
     *     exact modulo 64-bit collisions, like [[decontaminate]]):

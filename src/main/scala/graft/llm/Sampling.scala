@@ -366,4 +366,20 @@ object Sampling {
       }
     df.withColumn("split", split)
   }
+
+  /** [[assignSplit]] with the leakage guard: near-dup CLUSTERS stay whole.
+    * Every document draws its split from its connected-component id (the
+    * minimum doc id of its near-dup cluster; singletons are their own
+    * component), not from its own id — per-doc hashing puts ~2·f·(1−f) of
+    * every cluster's pairs across the train/eval boundary, and a
+    * near-duplicate of an eval document inside the training set is
+    * memorization reported as generalization. `pairs` is any near-dup
+    * pair frame ([[Dedup.minHashLshPairs]], [[Dedup.ngramJaccardPairs]],
+    * [[Dedup.simHashPairs]], embedding pairs). Output adds `component`
+    * and `split`. Scale shape: the CC rounds of [[Dedup.componentIds]]
+    * plus one hash — no extra exchange beyond them. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)], seed: Long = 0L): DataFrame =
+    assignSplit(Dedup.componentIds(df, idCol, pairs), "component",
+      fractions, seed)
 }

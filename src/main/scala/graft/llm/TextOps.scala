@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -123,6 +123,23 @@ object TextOps {
     val wordOk = when(meanLen >= 2.0 && meanLen <= 12.0, 1.0).otherwise(0.0)
     round((lengthOk + punctOk + wordOk) / 3.0, 4)
   }
+
+  /** Per-group quantile calibration of a score column: raw quality scores
+    * are not comparable across sources (a mediocre document from a clean
+    * source outscores a good one from a noisy source on any absolute
+    * scale), so thresholding a mixed corpus on the raw score silently
+    * over-selects the clean sources. `percent_rank` WITHIN the group maps
+    * every score onto [0, 1] relative to its own source — one corpus-wide
+    * threshold then keeps the same FRACTION of every source. Ties share a
+    * rank (deterministic regardless of physical order). Scale shape: one
+    * exchange + sort per group partition — exact ranks need it; for
+    * corpora where a per-group global sort is too hot, the bucketed
+    * CCNet-style path ([[pplBuckets]]) is the approximate alternative. */
+  def calibrateByGroup(df: DataFrame, scoreCol: Column, groupCol: String,
+      outCol: String = "calibrated"): DataFrame =
+    df.withColumn(outCol, round(percent_rank().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(scoreCol)), 6))
 
   /** The Gopher document-quality rule set (Rae et al. 2021 §A1.1.2 —
     * public knowledge), as one struct of per-rule metrics plus the overall

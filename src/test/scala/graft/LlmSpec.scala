@@ -31,6 +31,38 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall of ${exact.size} pairs")
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split boundary") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    assert(pairs.count() > 0)
+    val split = graft.llm.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed = 7L)
+    // THE invariant: both ends of every near-dup pair share a split —
+    // per-doc hashing provably violates this for some pair at these sizes
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("_sa"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("_sb"))
+    val straddling = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("_sa") =!= col("_sb")).count()
+    assert(straddling === 0L, s"$straddling near-dup pairs cross splits")
+    // counter-proof that the guard is load-bearing: the naive per-doc
+    // split DOES cross at least one near-dup pair on this corpus
+    val naive = graft.llm.Sampling.assignSplit(docs, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed = 7L)
+    val na = naive.select(col("doc_id").as("id_a"), col("split").as("_sa"))
+    val nb = naive.select(col("doc_id").as("id_b"), col("split").as("_sb"))
+    val naiveStraddling = pairs.join(na, "id_a").join(nb, "id_b")
+      .filter(col("_sa") =!= col("_sb")).count()
+    assert(naiveStraddling > 0L,
+      "corpus has no cross-split near-dup pairs under the naive split — " +
+        "the invariant would be vacuous; grow the pair set")
+    // fractions still roughly honored (component-level hashing)
+    val n = docs.count().toDouble
+    val trainFrac = split.filter(col("split") === "train").count() / n
+    assert(trainFrac > 0.8 && trainFrac < 0.98, s"train fraction $trainFrac")
+    // overlap report consistency: total cross+within pair counts == pairs
+    val overlap = Dedup.crossGroupOverlap(docs, "doc_id", "source", pairs)
+    assert(overlap.agg(sum("pair_count")).head().getLong(0) === pairs.count())
+  }
+
   test("LSH ANN recall vs brute-force top-5") {
     val qids = LlmQueries.AnnQueryIds
     val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
