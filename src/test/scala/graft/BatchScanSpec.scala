@@ -356,6 +356,75 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ one-side shuffle: a plain DataFrame joins a bucketed table with no exchange on the table side") {
+    warehouse
+    // v2.bucketing.shuffle.enabled: Spark shuffles the NON-key-grouped
+    // side INTO the scan's reported KeyGroupedPartitioning (resolving the
+    // bucket function through the FunctionCatalog) — the storage side
+    // never moves. At 100 TB this is the fact-joins-fresh-delta shape:
+    // shuffle the small new side, leave the big bucketed table in place.
+    spark.sql("CREATE TABLE bs.db.spjs_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO bs.db.spjs_a SELECT id, id * 1.0 FROM range(400)")
+    spark.range(200).selectExpr("id % 100 AS k", "concat('x', id) AS b")
+      .createOrReplaceTempView("spjs_plain")
+    val q = "SELECT a.k, p.b FROM bs.db.spjs_a a JOIN spjs_plain p ON a.k = p.k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    assert(expected.length === 200)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      // the plain side shuffles INTO the scan's key-grouped layout via
+      // the graft bucket function (Exchange keygroupedpartitioning over
+      // the FunctionCatalog transform); without the feature BOTH sides
+      // hash-exchange, and the storage side must never re-shuffle
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no hash exchange (storage side stays put):\n$plan")
+      val kgExchanges = "Exchange keygroupedpartitioning".r.findAllIn(plan).size
+      assert(kgExchanges === 1,
+        s"expected exactly the plain side to key-group shuffle:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expected)
+    }
+  }
+
+  test("SPJ stays CORRECT under partially-clustered distribution (skew replication)") {
+    warehouse
+    // partiallyClusteredDistribution replicates the small side's key
+    // groups so a skewed big side splits across tasks — values must be
+    // identical to the plain co-located plan, with and without the
+    // compatible-transform reducer in play
+    spark.sql("CREATE TABLE bs.db.spjp_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(4, k))" +
+      " TBLPROPERTIES ('write.distribution-mode'='none')")
+    spark.sql("CREATE TABLE bs.db.spjp_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(8, k))")
+    // skew: k=0 carries 30x the rows, written across several files
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO bs.db.spjp_a SELECT CASE WHEN id < 90 THEN 0" +
+        s" ELSE id END, id * $i.0 FROM range(120)")
+    }
+    spark.sql("INSERT INTO bs.db.spjp_b SELECT id % 40, concat('x', id) FROM range(80)")
+    val q = "SELECT a.k, a.a, b.b FROM bs.db.spjp_a a JOIN bs.db.spjp_b b ON a.k = b.k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    for (partial <- Seq("true", "false")) {
+      withConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> partial,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val got = spark.sql(q).collect().map(_.toString).sorted
+        assert(got === expected,
+          s"partiallyClustered=$partial lost rows: ${got.length} vs ${expected.length}")
+      }
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
