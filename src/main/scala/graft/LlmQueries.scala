@@ -117,6 +117,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // duplicated-text fraction (r12): share of each doc's overlapping
+    // 3-grams that occur in ≥1 other document — the "mostly boilerplate"
+    // filter signal; catches offset-shifted duplication the fixed-window
+    // passage removal can't see
+    "llm_dup_fraction" -> ((s, d) => {
+      TextOps.duplicatedTextFraction(docs(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs
     "llm_dedup_embed" -> ((s, d) => {
       Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
@@ -489,6 +498,18 @@ object LlmQueries {
            | FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY doc_id"""
           .stripMargin.replace("\n", " ")
           .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      "llm_dup_fraction" ->
+        (s"""$shingles, x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+           | f AS (SELECT g, count(*) AS dn FROM x GROUP BY g),
+           | pd AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS ngrams,
+           |   CAST(sum(CASE WHEN f.dn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS duplicated
+           |   FROM x JOIN f USING (g) GROUP BY x.doc_id)
+           | SELECT d.doc_id, coalesce(pd.ngrams, 0) AS ngrams,
+           |   coalesce(pd.duplicated, 0) AS duplicated,
+           |   round(coalesce(CAST(pd.duplicated AS DOUBLE)
+           |     / greatest(pd.ngrams, 1), 0.0), 6) AS dup_fraction
+           | FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")),
       "llm_leakage_split" ->
         (s"""$shingles, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            | FROM s a, s b WHERE a.doc_id < b.doc_id

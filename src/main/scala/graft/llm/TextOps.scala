@@ -588,6 +588,46 @@ object TextOps {
     }
   }
 
+  /** Per-document duplicated-text fraction (the RefinedWeb/Dolma-style
+    * filter signal): the share of a document's distinct OVERLAPPING word
+    * n-grams that also occur in at least `minOtherDocs` other documents.
+    * Complements [[dropRepeatedPassages]], whose fixed non-overlapping
+    * chunks miss offset-shifted duplication (the weakness suffix-array
+    * dedup targets) — overlapping n-grams catch any alignment at n-token
+    * granularity, and the per-doc fraction is the usual filter threshold
+    * ("drop documents that are mostly boilerplate") where passage removal
+    * edits documents in place. Output `(idCol, ngrams, duplicated,
+    * dup_fraction)`; documents with fewer than n tokens report 0 n-grams
+    * and fraction 0.
+    *
+    * Scale shape: one exchange keyed by the n-gram with map-side partial
+    * aggregation (hot boilerplate n-grams combine before the shuffle),
+    * one join back and a per-doc aggregate — the same two-pass shape as
+    * [[dropRepeatedPassages]]. At extreme scale swap the string key for
+    * [[shingleHashes]] (8-byte exchange payloads, 64-bit-collision
+    * tolerant); the string key keeps this exactly SQL-replayable. */
+  def duplicatedTextFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minOtherDocs: Int = 1): DataFrame = {
+    require(n > 0 && minOtherDocs > 0,
+      s"need n > 0 and minOtherDocs > 0, got ($n, $minOtherDocs)")
+    // shingles() is per-doc DISTINCT, so each (doc, gram) row is unique
+    // and count-per-gram == distinct docs carrying it
+    val x = df.select(col(idCol), explode(shingles(col(textCol), n)).as("_gf_g"))
+    val freq = x.groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
+    val perDoc = x.join(freq, "_gf_g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("ngrams"),
+        sum(when(col("_gf_dn") >= minOtherDocs + 1, 1L).otherwise(0L))
+          .as("duplicated"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ngrams"), lit(0L)).as("ngrams"),
+        coalesce(col("duplicated"), lit(0L)).as("duplicated"),
+        round(coalesce(col("duplicated").cast("double") /
+          greatest(col("ngrams"), lit(1L)).cast("double"), lit(0.0)), 6)
+          .as("dup_fraction"))
+  }
+
   /** Corpus-wide repeated-passage removal (the C4/RefinedWeb hygiene step:
     * boilerplate — headers, footers, license blocks — repeats VERBATIM
     * across many documents; drop the repeated passage, keep the document).

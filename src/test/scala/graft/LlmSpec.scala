@@ -63,6 +63,28 @@ class LlmSpec extends AnyFunSuite {
     assert(overlap.agg(sum("pair_count")).head().getLong(0) === pairs.count())
   }
 
+  test("duplicatedTextFraction catches offset-shifted duplication passage removal misses") {
+    import spark.implicits._
+    // B embeds A's full text OFFSET by 7 fresh tokens: fixed-window
+    // passage chunks never align, so dropRepeatedPassages sees no repeat —
+    // overlapping n-grams catch it at any alignment
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = ((101 to 107).map(i => s"u$i") ++ (1 to 40).map(i => s"w$i")).mkString(" ")
+    val c = (201 to 240).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fr = TextOps.duplicatedTextFraction(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(3)))).toMap
+    assert(fr(1L)._2 === 1.0, fr.toString) // every A 3-gram occurs in B
+    assert(fr(2L)._2 > 0.8, fr.toString)   // B is mostly A
+    assert(fr(3L)._2 === 0.0, fr.toString) // unrelated doc untouched
+    // counter-proof the overlap matters: the fixed-window passage op sees
+    // NO repeated chunk at this offset (documents pass through unedited)
+    val kept = TextOps.dropRepeatedPassages(df, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(kept === Map(1L -> a, 2L -> b, 3L -> c),
+      "passage removal unexpectedly caught the shifted duplicate")
+  }
+
   test("LSH ANN recall vs brute-force top-5") {
     val qids = LlmQueries.AnnQueryIds
     val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
