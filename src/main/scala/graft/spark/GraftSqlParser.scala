@@ -395,10 +395,28 @@ object GraftSqlParser {
             .map(_.toString).getOrElse(s"${t.location}_ann_index")
           val nLists = named.get("n_lists").orElse(pos.lift(4))
             .map(_.asInstanceOf[Long].toInt).getOrElse(-1)
-          val idx = graft.llm.IvfIndex.build(spark, t.newScan().toDF,
+          // buildFrom records the corpus snapshot, so refresh_ann_index
+          // can later catch up incrementally instead of re-fitting
+          val idx = graft.llm.IvfIndex.buildFrom(spark, t,
             idCol, vecCol, loc, nLists)
           val count = idx.table.newScan().planFiles().map(_.file.recordCount).sum
           Seq(Row(loc, idx.centroids.size.toLong, count))
+        })
+      case "refresh_ann_index" =>
+        // incremental catch-up against the frozen quantizer (r12): plans
+        // only the corpus files appended since the index's recorded
+        // snapshot; re-fits automatically on destructive history
+        // (delete/overwrite/rollback) or drift past refit_share
+        GraftCallCommand(proc, Seq(attr("index_location", StringType),
+          attr("appended", LongType),
+          attr("refit", org.apache.spark.sql.types.BooleanType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val loc = named.get("index_location").orElse(pos.lift(1))
+            .map(_.toString).getOrElse(s"${t.location}_ann_index")
+          val share = named.get("refit_share").orElse(pos.lift(2))
+            .map(_.toString.toDouble).getOrElse(0.2)
+          val r = graft.llm.IvfIndex.refresh(spark, t, loc, share)
+          Seq(Row(loc, r.appended, r.refit))
         })
       case "add_files" =>
         GraftCallCommand(proc, Seq(attr("added_files_count", LongType)), { spark =>

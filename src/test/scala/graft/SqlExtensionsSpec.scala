@@ -231,6 +231,35 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(idx.topK(Seq(0L), k = 3, nProbe = 4).count() === 3)
   }
 
+  test("CALL refresh_ann_index catches the index up incrementally after appends") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.rvecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO gx.db.rvecs SELECT id, transform(sequence(1, 8), " +
+      "x -> cast(sin(id * 31 + x) as float)) FROM range(64)")
+    spark.sql("CALL gx.system.rebuild_ann_index(table => 'db.rvecs', " +
+      "id_col => 'vec_id', vec_col => 'embedding', " +
+      s"index_location => '$warehouse/db/rvecs_idx', n_lists => 4)")
+    // small append → the INCREMENTAL path (no refit)
+    spark.sql("INSERT INTO gx.db.rvecs SELECT id + 1000, transform(sequence(1, 8), " +
+      "x -> cast(sin(id * 37 + x) as float)) FROM range(3)")
+    val r = spark.sql("CALL gx.system.refresh_ann_index(table => 'db.rvecs', " +
+      s"index_location => '$warehouse/db/rvecs_idx')").head()
+    assert(r.getString(0) === s"$warehouse/db/rvecs_idx")
+    assert(r.getLong(1) === 3L && !r.getBoolean(2), r.toString)
+    // the synced vectors are probe-visible: vec 1000 (sin(0*37+x) ==
+    // sin(0*31+x) == vec 0's embedding) finds its exact twin at cosine 1
+    val idx = graft.llm.IvfIndex.load(spark, s"$warehouse/db/rvecs_idx")
+    val twin = idx.topK(Seq(1000L), k = 1, nProbe = 4).head()
+    assert(twin.getLong(2) === 0L && math.abs(twin.getDouble(3) - 1.0) < 1e-6,
+      twin.toString)
+    // big append past refit_share → full re-fit, reported as such
+    spark.sql("INSERT INTO gx.db.rvecs SELECT id + 5000, transform(sequence(1, 8), " +
+      "x -> cast(sin(id * 41 + x) as float)) FROM range(64)")
+    val r2 = spark.sql("CALL gx.system.refresh_ann_index(table => 'db.rvecs', " +
+      s"index_location => '$warehouse/db/rvecs_idx', refit_share => 0.2)").head()
+    assert(r2.getBoolean(2), r2.toString)
+  }
+
   test("normal SQL still parses through the delegate") {
     warehouse
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
