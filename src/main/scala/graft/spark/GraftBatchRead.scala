@@ -962,7 +962,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     outCols: Array[Int] = null,
     appendsEndExplicit: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private var runtimeExpr: GExpr = TrueExpr
   private var runtimeV1: Seq[Filter] = Nil
@@ -1152,6 +1153,48 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       new KeyGroupedPartitioning(keys.toArray,
         tasks.map(_.file.partition).distinct.size)
     case None => new UnknownPartitioning(0)
+  }
+
+  /** Per-partition sort order (`SupportsReportOrdering`): reported only
+    * when every planned input partition is ONE whole-file slice whose
+    * file was written under the table's CURRENT sort order, the sort
+    * fields are identity transforms, and they survive the projection —
+    * each such file is sorted by the write layout (`Writes.sorted`
+    * sorts within partitions; target-size rolling splits preserve row
+    * order), so the partition streams out in order and Spark elides the
+    * local Sort under sort-merge joins and ORDER BY. With the bucket
+    * key-grouped partitioning this is the full prize: SMJ over two
+    * co-bucketed sorted tables plans NO exchange AND NO sort — at 100 TB
+    * the sort was the remaining cost after SPJ removed the shuffle.
+    * Degradation is safe by construction: Spark itself drops a reported
+    * ordering whenever it GROUPS several same-key input partitions (a
+    * concatenation of sorted files is unsorted), and this method returns
+    * empty for packed multi-file partitions, byte-range slices, deletes,
+    * metadata columns, or files predating the current sort order. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE,
+      NullOrdering, SortDirection}
+    val m = table.meta
+    val order = m.sortOrder
+    if (order.fields.isEmpty || deletes.nonEmpty || outCols != null ||
+        appendsRange.nonEmpty) return Array.empty
+    val schema = m.schema
+    val names = order.fields.map(f => schema.idToName.get(f.sourceId))
+    val eligible = order.fields.forall(_.transform == "identity") &&
+      names.forall(_.exists(projection.fieldNames.contains)) &&
+      tasks.forall(_.file.sortOrderId == m.defaultSortOrderId)
+    if (!eligible) return Array.empty
+    val wholeSingleFiles = planInputPartitions().forall {
+      case p: GraftInputPartition => p.files.length == 1 &&
+        p.files(0).start == 0L && p.files(0).length == p.files(0).fileSize
+      case _ => false
+    }
+    if (!wholeSingleFiles) return Array.empty
+    order.fields.zip(names).map { case (f, name) =>
+      VE.sort(VE.column(name.get),
+        if (f.ascending) SortDirection.ASCENDING else SortDirection.DESCENDING,
+        if (f.nullsFirst) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+    }.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = synchronized {

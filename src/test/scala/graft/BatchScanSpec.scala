@@ -425,6 +425,59 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ + reported ordering: co-bucketed SORTED tables merge-join with no exchange and no sort") {
+    warehouse
+    // the full prize at 100 TB: bucket partitioning removes the exchange
+    // (SPJ), the write sort order removes the SMJ's local sorts
+    // (SupportsReportOrdering — each single-file partition streams out in
+    // write-layout order)
+    spark.sql("CREATE TABLE bs.db.spjo_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE bs.db.spjo_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(4, k))")
+    spark.sql("ALTER TABLE bs.db.spjo_a WRITE ORDERED BY k")
+    spark.sql("ALTER TABLE bs.db.spjo_b WRITE ORDERED BY k")
+    spark.sql("INSERT INTO bs.db.spjo_a SELECT id, id * 1.0 FROM range(400)")
+    spark.sql("INSERT INTO bs.db.spjo_b SELECT id % 100, concat('x', id) FROM range(200)")
+    val q = "SELECT a.k, b.b FROM bs.db.spjo_a a JOIN bs.db.spjo_b b ON a.k = b.k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    assert(expected.length === 200)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected storage-partitioned join:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"expected the reported ordering to elide both sorts:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expected)
+    }
+    // files NOT written under the current order must NOT report ordering:
+    // set the order only AFTER an unsorted insert — the scan must keep
+    // the Sort (stale sortOrderId fence, wrong results otherwise)
+    spark.sql("CREATE TABLE bs.db.spjo_c (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO bs.db.spjo_c SELECT (id * 37) % 100, concat('y', id) FROM range(200)")
+    spark.sql("ALTER TABLE bs.db.spjo_c WRITE ORDERED BY k")
+    val qc = "SELECT a.k, c.b FROM bs.db.spjo_a a JOIN bs.db.spjo_c c ON a.k = c.k"
+    val expectedC = spark.sql(qc).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(qc)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(plan.contains("Sort ["),
+        s"pre-order files must keep the sort (stale sortOrderId):\n$plan")
+      assert(df.collect().map(_.toString).sorted === expectedC)
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
