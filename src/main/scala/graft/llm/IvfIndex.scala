@@ -446,14 +446,23 @@ object IvfIndex {
 
   /** [[build]] from a graft TABLE, recording which corpus snapshot the
     * index covers — the provenance [[refresh]] needs to plan only the
-    * appended delta instead of a full rebuild. */
+    * appended delta instead of a full rebuild. The scan is PINNED to the
+    * recorded snapshot: a concurrent corpus commit between the pointer
+    * read and the scan would otherwise record snapshot X over snapshot
+    * X+1's data, and the next refresh would re-index the X→X+1 delta
+    * (refresh appends without a dedup anti-join — the watermark IS the
+    * exactly-once guarantee, so it must match the indexed data exactly). */
   def buildFrom(spark: SparkSession, corpus: IceTable, idCol: String,
       vecCol: String, location: String, nLists: Int = -1,
       iters: Int = 2): IvfIndex =
-    buildWith(spark, corpus.toDF, idCol, vecCol, location, nLists, iters,
-      corpus.meta.currentSnapshotId.map(id => Map(
-        CorpusLocProp -> corpus.location,
-        CorpusSnapProp -> id.toString)).getOrElse(Map.empty))
+    corpus.meta.currentSnapshotId match {
+      case Some(id) => buildWith(spark,
+        corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
+        nLists, iters,
+        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString))
+      case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
+        nLists, iters, Map.empty)
+    }
 
   private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int,
