@@ -478,6 +478,62 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("reported ordering stays CORRECT under random inserts, deletes, compactions") {
+    warehouse
+    // the riskiest failure mode of SupportsReportOrdering is a FALSE
+    // ordering (an SMJ on unsorted input silently drops matches), so this
+    // fuzz drives the mutation ops that change file layout — appends,
+    // CoW deletes, bin-pack compaction — and after every op compares the
+    // ordered-join values against the plain exchange plan
+    spark.sql("CREATE TABLE bs.db.spjf_a (k BIGINT, a BIGINT)" +
+      " PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE bs.db.spjf_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (bucket(4, k))")
+    spark.sql("ALTER TABLE bs.db.spjf_a WRITE ORDERED BY k")
+    spark.sql("ALTER TABLE bs.db.spjf_b WRITE ORDERED BY k")
+    spark.sql("INSERT INTO bs.db.spjf_b SELECT id % 50, concat('x', id) FROM range(100)")
+    val q = "SELECT a.k, a.a, b.b FROM bs.db.spjf_a a JOIN bs.db.spjf_b b ON a.k = b.k"
+    val rnd = new scala.util.Random(4242)
+    var inserted = 0
+    (1 to 8).foreach { round =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val base = inserted * 1000
+          spark.sql(s"INSERT INTO bs.db.spjf_a SELECT (id * ${7 + rnd.nextInt(13)}) % 50," +
+            s" id + $base FROM range(${20 + rnd.nextInt(40)})")
+          inserted += 1
+        case 1 if inserted > 0 =>
+          spark.sql(s"DELETE FROM bs.db.spjf_a WHERE k = ${rnd.nextInt(50)}")
+        case _ =>
+          spark.sql("CALL bs.system.rewrite_data_files(table => 'db.spjf_a')")
+      }
+      val expected = spark.sql(q).collect().map(_.toString).sorted
+      withConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val got = spark.sql(q).collect().map(_.toString).sorted
+        assert(got === expected,
+          s"round $round: ordered plan lost/changed rows (${got.length} vs ${expected.length})")
+      }
+    }
+    // sanity: the fuzz actually exercised the elided-sort plan at least
+    // once — after a final compaction every bucket is one sorted file
+    spark.sql("CALL bs.system.rewrite_data_files(table => 'db.spjf_a')")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = ColumnBridge.executedPlan(spark.sql(q)).toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Sort ["),
+        s"expected the compacted sorted table to elide the sorts:\n$plan")
+    }
+  }
+
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
     warehouse
     spark.sql("CREATE TABLE bs.db.agg (k INT, s STRING, f DOUBLE)")
