@@ -567,6 +567,25 @@ object CoreQueries {
       }
     }),
 
+    // Q39 sessionization (r12): gap-based sessions over the events table —
+    // the batch twin of the flatMapGroupsWithState streaming operator
+    // (StreamingSpec pins batch/stream parity; this entry pins the VALUES
+    // against DuckDB's window arithmetic). Event time is normalized to
+    // epoch MICROS — identical truncation whether the TIMESTAMP(NANOS)
+    // column surfaces as a long (legacy nanosAsLong) or TIMESTAMP_NTZ
+    // (Spark 4 native), and DuckDB's epoch_us matches. Gap = 12 hours
+    "q39_sessionize" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val tsu = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      graft.streaming.Sessionize.sessionizeBatch(
+          e.select(col("user_id"), tsu.as("tsu"), col("value")),
+          "user_id", "tsu", "value", gap = 43200L * 1000000L)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Q37 encrypted round trip (r11): a fully-keyed catalog — data files,
     // delete files, and the METADATA TREE all sealed — must hash-match the
     // plain relational oracle through CTAS + DELETE + SELECT. Encryption
@@ -756,6 +775,17 @@ object CoreQueries {
       ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
         "round(sum(round(o.o_totalprice, 2)), 2) AS total " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "GROUP BY c.c_mktsegment ORDER BY seg")
+        "GROUP BY c.c_mktsegment ORDER BY seg"),
+    "q39_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
+        "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t) IS NULL OR t - lag(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t) > 43200000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "x AS (SELECT user_id, t, v, sum(ns) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, CAST(min(t) AS BIGINT) AS session_start, " +
+        "CAST(max(t) AS BIGINT) AS session_end, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(v), 2) AS total_value " +
+        "FROM x GROUP BY user_id, sid ORDER BY user_id, session_start")
   )
 }

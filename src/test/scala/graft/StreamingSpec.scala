@@ -236,6 +236,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(IceTable.load(spark, dstLoc).toDF.count() === 30)
   }
 
+  test("flatMapGroupsWithState sessionization: stream equals the batch twin") {
+    val base = Files.createTempDirectory("graft-sess-").toString
+    import spark.implicits._
+    val gapUs = 43200000000L // 12 hours in micros — the q39 gap
+    // real events with a TIMESTAMP event-time column (handles both the
+    // long-nanos and TIMESTAMP_NTZ surfacings of the parquet NANOS column)
+    val events = Tables.load(spark, sf0001, "events")
+    val tse = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
+    val raw = events.select(col("user_id"), tse.as("tse"), col("value"))
+      .orderBy("tse")
+    // the batch twin on epoch micros — ALSO the expected stream output
+    val expected = graft.streaming.Sessionize.sessionizeBatch(
+        raw.select(col("user_id"), unix_micros(col("tse")).as("tsu"), col("value")),
+        "user_id", "tsu", "value", gapUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+    assert(expected.size > 100, s"gap too coarse: ${expected.size} sessions")
+    // split INSIDE a long session so cross-batch state is provably engaged
+    val span = expected.keys.filter(k => k._4 >= 4).maxBy(k => k._3 - k._2)
+    val cutUs = (span._2 + span._3) / 2
+    val rows = raw.collect()
+    def micros(r: org.apache.spark.sql.Row): Long = {
+      val t = r.getTimestamp(1)
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    }
+    val (h1, h2) = rows.partition(micros(_) <= cutUs)
+    assert(h1.nonEmpty && h2.nonEmpty)
+    val src = IceTable.create(spark, s"$base/src", Schema.fresh(raw.schema))
+    src.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(h1.toSeq, 2), raw.schema))
+    src.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(h2.toSeq, 2), raw.schema))
+    // sentinel far past every timeout: advances the watermark beyond
+    // end + gap for every REAL session (watermarks update at batch END)
+    val maxUs = rows.map(micros).max
+    src.append(Seq((-1L, new java.sql.Timestamp(maxUs / 1000 + 100L * (gapUs / 1000)), 0.0))
+      .toDF("user_id", "tse", "value"))
+
+    // sink into a graft TABLE (a memory sink resets across query runs)
+    val dstSchema = Seq((0L, 0L, 0L, 0L, 0.0)).toDF(
+      "user_id", "session_start", "session_end", "n_events", "total_value").schema
+    IceTable.create(spark, s"$base/dst", Schema.fresh(dstSchema))
+    def runOnce(): Unit = {
+      val in = spark.readStream.format("graft-stream")
+        .option("path", s"$base/src").option("max-files-per-trigger", "1").load()
+      val q = graft.streaming.Sessionize
+        .sessionizeStream(in, "user_id", "tse", "value", gapUs, "0 seconds")
+        .toDF()
+        .writeStream.format("graft-stream").option("path", s"$base/dst")
+        .option("checkpointLocation", s"$base/cp").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    // the timeout sweep runs when a batch EXECUTES after the watermark
+    // moved (same harness behavior the windowed-agg test pins): a second
+    // sentinel and a second drain fire the event-time timeouts for the
+    // trailing open sessions
+    src.append(Seq((-1L, new java.sql.Timestamp(maxUs / 1000 + 200L * (gapUs / 1000)), 0.0))
+      .toDF("user_id", "tse", "value"))
+    runOnce()
+    val streamed = IceTable.load(spark, s"$base/dst").toDF.collect()
+      .filter(_.getLong(0) >= 0) // drop the sentinel user's open remainder
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+    // identical sessions; totals within FP-addition-order tolerance (the
+    // stream sums in event order, the batch aggregate in partition order)
+    assert(streamed.keySet === expected.keySet,
+      s"session sets differ: ${streamed.size} vs ${expected.size}")
+    streamed.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 1e-6, s"$k: $v vs ${expected(k)}")
+    }
+  }
+
   test("watermarked window aggregation: append-mode windows flush across batches") {
     val base = Files.createTempDirectory("graft-stream-").toString
     import spark.implicits._
