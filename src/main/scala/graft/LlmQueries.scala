@@ -126,6 +126,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // duplicated-SPAN removal (r12): tokens covered by any cross-document
+    // overlapping 3-gram are edited OUT and survivors re-join in document
+    // order — the ExactSubstr cut where llm_dup_fraction only scores
+    "llm_span_dedup" -> ((s, d) => {
+      TextOps.removeDuplicatedSpans(docs(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs
     "llm_dedup_embed" -> ((s, d) => {
       Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
@@ -509,6 +517,28 @@ object LlmQueries {
            |   round(coalesce(CAST(pd.duplicated AS DOUBLE)
            |     / greatest(pd.ngrams, 1), 0.0), 6) AS dup_fraction
            | FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")),
+      "llm_span_dedup" ->
+        ("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+           | pr AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS p
+           |   FROM t WHERE len(toks) >= 3),
+           | pg AS (SELECT doc_id, p,
+           |   concat_ws(' ', toks[p], toks[p+1], toks[p+2]) AS g FROM pr),
+           | dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS dn
+           |   FROM pg GROUP BY g) WHERE dn >= 2),
+           | cov AS (SELECT DISTINCT doc_id, i FROM (SELECT pg.doc_id,
+           |   pg.p + unnest([0,1,2]) AS i FROM pg JOIN dup USING (g))),
+           | tk AS (SELECT doc_id, unnest(toks) AS tok,
+           |   unnest(range(1, len(toks)+1)) AS i FROM t),
+           | kept AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk
+           |   LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+           |   WHERE cov.i IS NULL),
+           | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+           |   string_agg(tok, ' ' ORDER BY i) AS text2 FROM kept GROUP BY doc_id)
+           | SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |   CAST(len(toks) - coalesce(agg.kept_n, 0) AS BIGINT) AS removed_tokens,
+           |   coalesce(agg.text2, '') AS text
+           | FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id"""
           .stripMargin.replace("\n", " ")),
       "llm_leakage_split" ->
         (s"""$shingles, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

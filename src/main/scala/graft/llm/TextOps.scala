@@ -628,6 +628,75 @@ object TextOps {
           .as("dup_fraction"))
   }
 
+  /** Exact duplicated-SPAN removal (the ExactSubstr direction of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * at word-n-gram granularity): where [[duplicatedTextFraction]] only
+    * SCORES cross-document duplication and [[dropRepeatedPassages]] drops
+    * whole fixed windows, this edits the duplicated spans OUT of every
+    * document — any token covered by an overlapping word n-gram that occurs
+    * in at least `minDocs` distinct documents is removed, and the survivors
+    * re-join in document order. Adjacent/overlapping duplicated n-grams
+    * merge into maximal spans for free (interval union = the covered-index
+    * set union), so a verbatim shared paragraph disappears wholesale at ANY
+    * alignment — including the offset-shifted duplication that defeats
+    * fixed non-overlapping windows. Output `(idCol, n_tokens,
+    * removed_tokens, textCol)`: original token count, tokens cut, and the
+    * cleaned text (lowercased, single-space-rejoined — the same
+    * normalization every tokens()-based op applies). Documents shorter than
+    * n tokens pass through (normalized) untouched; a wholly-duplicated
+    * document keeps its row with empty text. Removal can CREATE new
+    * adjacent n-grams across a cut, so a second pass may find stragglers —
+    * same as suffix-array dedup, which also iterates to a fixed point.
+    *
+    * Scale shape: the heavy exchange is the POSITIONAL n-gram table (one
+    * row per token, not per distinct gram); the duplicated-gram set comes
+    * from the same distinct-shingle count [[duplicatedTextFraction]] uses
+    * (map-side combine, count == distinct docs) and is small for any sane
+    * `minDocs`, so AQE broadcasts it into the position join. Covered-index
+    * expansion is n rows per HIT (hits are rare in clean corpora), and
+    * reassembly's per-group state is one document's tokens — the
+    * [[dropRepeatedPassages]] shape throughout. At extreme scale swap the
+    * string gram key for [[shingleHashes]]; the string key keeps this
+    * exactly SQL-replayable. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2,
+      s"need n > 0 and minDocs >= 2, got ($n, $minDocs)")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_gf_t"))
+    // positional overlapping n-grams: (id, 0-based start, gram)
+    val pos = toks.select(col(idCol), posexplode(bound(col("_gf_t")) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array())
+    }).as(Seq("_gf_p", "_gf_g")))
+    // duplicated grams: distinct-doc count via per-doc-distinct shingles
+    // (count-per-gram == docs carrying it, as in duplicatedTextFraction)
+    val dup = df.select(col(idCol), explode(shingles(col(textCol), n)).as("_gf_g"))
+      .groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
+      .where(col("_gf_dn") >= minDocs).select("_gf_g")
+    // covered token indices: each duplicated-gram OCCURRENCE covers
+    // [p, p+n-1]; the distinct set is the interval union
+    val covered = pos.join(dup, "_gf_g")
+      .select(col(idCol), explode(sequence(col("_gf_p"),
+        col("_gf_p") + lit(n - 1))).as("_gf_i"))
+      .distinct()
+    val indexed = toks.select(col(idCol),
+      posexplode(col("_gf_t")).as(Seq("_gf_i", "_gf_tok")))
+    val kept = indexed.join(covered, Seq(idCol, "_gf_i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_gf_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_gf_i"), col("_gf_tok")))),
+          s => s.getField("_gf_tok")), " ").as("_gf_text"))
+    toks.select(col(idCol), size(col("_gf_t")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_gf_kept"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("_gf_text"), lit("")).as(textCol))
+  }
+
   /** Corpus-wide repeated-passage removal (the C4/RefinedWeb hygiene step:
     * boilerplate — headers, footers, license blocks — repeats VERBATIM
     * across many documents; drop the repeated passage, keep the document).

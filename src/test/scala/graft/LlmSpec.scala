@@ -85,6 +85,36 @@ class LlmSpec extends AnyFunSuite {
       "passage removal unexpectedly caught the shifted duplicate")
   }
 
+  test("removeDuplicatedSpans edits the shared span out at any alignment") {
+    import spark.implicits._
+    // same offset-shift corpus as the fraction test: B embeds A's full
+    // text offset by 7 fresh tokens — the whole shared span must be CUT
+    // from both docs, B's 7 fresh prefix tokens and all of C survive
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val bPrefix = (101 to 107).map(i => s"u$i").mkString(" ")
+    val b = bPrefix + " " + a
+    val c = (201 to 240).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((40L, 40L, "")), out.toString)         // A wholly duplicated
+    assert(out(2L) === ((47L, 40L, bPrefix)), out.toString)    // only the fresh prefix survives
+    assert(out(3L) === ((40L, 0L, c)), out.toString)           // unrelated doc untouched
+    // adjacent duplicated n-grams merged into ONE maximal span: no
+    // partial-window stragglers — removed counts are exactly the shared
+    // span length, already asserted above. Sub-n-token docs pass through.
+    val tiny = Seq((1L, "Only Two"), (2L, "only two")).toDF("doc_id", "text")
+    val tout = TextOps.removeDuplicatedSpans(tiny, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(tout === Map(1L -> "only two", 2L -> "only two"))
+    // within-doc-only repetition is NOT cross-document duplication: a doc
+    // repeating its own phrase stays intact under minDocs = 2
+    val solo = Seq((1L, "x y z q x y z"), (2L, "p q r")).toDF("doc_id", "text")
+    val sout = TextOps.removeDuplicatedSpans(solo, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sout === Map(1L -> 0L, 2L -> 0L), sout.toString)
+  }
+
   test("LSH ANN recall vs brute-force top-5") {
     val qids = LlmQueries.AnnQueryIds
     val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
