@@ -1520,6 +1520,42 @@ private[table] object Writes {
         EncryptionManagers.parquetCryptoConf(conf, enc), path, schema)
     }
 
+  /** `write.parquet.bloom-filter-*` table properties → parquet-mr writer
+    * conf. `...bloom-filter-enabled.column.<c>` / `...-fpp.column.<c>` /
+    * `...-expected-ndv.column.<c>` key single columns (nested fields by
+    * their dotted parquet path); `write.parquet.bloom-filter-max-bytes`
+    * caps the per-column filter size. Top-level names are validated
+    * against the CURRENT schema — a typo'd column would otherwise
+    * silently write no filter and every point lookup would quietly read
+    * the whole table. '#' is parquet's column-spec delimiter and cannot
+    * appear in a keyed name. */
+  private[table] def parquetBloomOptions(m: TableMetadata,
+      overrides: Map[String, String], schema: Schema): Map[String, String] = {
+    val eff = m.properties ++ overrides
+    def perColumn(prefix: String, parquetKey: String): Map[String, String] =
+      eff.collect { case (k, v) if k.startsWith(prefix) =>
+        val c = k.stripPrefix(prefix)
+        if (c.isEmpty || c.contains("#"))
+          throw new UnsupportedOperationException(
+            s"invalid bloom filter column name '$c' in property '$k'")
+        if (!c.contains(".") && !schema.columnNames.contains(c))
+          throw new ValidationException(
+            s"bloom filter property '$k' names no current column " +
+              s"(have: ${schema.columnNames.mkString(", ")})")
+        s"$parquetKey#$c" -> v
+      }
+    perColumn("write.parquet.bloom-filter-enabled.column.",
+        "parquet.bloom.filter.enabled") ++
+      perColumn("write.parquet.bloom-filter-fpp.column.",
+        "parquet.bloom.filter.fpp") ++
+      perColumn("write.parquet.bloom-filter-expected-ndv.column.",
+        "parquet.bloom.filter.expected.ndv") ++
+      (eff.get("write.parquet.bloom-filter-max-bytes") match {
+        case Some(v) => Map("parquet.bloom.filter.max.bytes" -> v)
+        case None => Map.empty[String, String]
+      })
+  }
+
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
       df: DataFrame, overrides: Map[String, String] = Map.empty): Seq[DataFileMeta] = {
     val schema = m.schema
@@ -1589,11 +1625,36 @@ private[table] object Writes {
           (if (level.nonEmpty)
             Map(s"parquet.compression.codec.${codec.toLowerCase}.level" -> level)
           else Map.empty) ++
+          // per-column bloom filters (post-reference-era Iceberg property
+          // names; parquet-mr sizes from expected-ndv when set, else caps
+          // at max-bytes). Point lookups then skip row groups whose stats
+          // can't prune — the "needle id in 100 TB" scan shape. Read side
+          // is free: pushed filters engage parquet-mr's bloom row-group
+          // filter through the same FilterCompat path as stats/dictionary.
+          parquetBloomOptions(m, overrides, schema) ++
           // keyed managers engage Parquet Modular Encryption in the task
           // writers through the per-write conf (factory + serialized manager)
           EncryptionManagers.parquetCryptoOptions(table.io.encryption)
       case "orc" =>
         Map("compression" -> prop("write.orc.compression-codec", "snappy")) ++
+          // per-column bloom filters (later-Iceberg property names): ORC
+          // stores them per row group in the row index, so a point lookup
+          // whose SArg value misses the filter skips the row group even
+          // when min/max can't prune — same shape as the parquet blooms
+          (prop("write.orc.bloom.filter.columns", "") match {
+            case "" => Map.empty[String, String]
+            case cols =>
+              val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
+              names.find(c => !schema.columnNames.contains(c)).foreach(c =>
+                throw new ValidationException(
+                  s"write.orc.bloom.filter.columns names no current " +
+                    s"column '$c' (have: ${schema.columnNames.mkString(", ")})"))
+              Map("orc.bloom.filter.columns" -> names.mkString(",")) ++
+                (prop("write.orc.bloom.filter.fpp", "") match {
+                  case "" => Map.empty[String, String]
+                  case fpp => Map("orc.bloom.filter.fpp" -> fpp)
+                })
+          }) ++
           // keyed managers engage ORC columnar encryption in the task
           // writers: provider selection + manager on the conf, plus the
           // column spec (every top-level column under the graft key)

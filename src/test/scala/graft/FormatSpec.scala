@@ -81,6 +81,152 @@ class FormatSpec extends AnyFunSuite {
     assert(t2.toDF.count() === 100)
   }
 
+  test("parquet bloom filters: property-keyed columns carry filters that prune row groups") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+
+    val loc = Files.createTempDirectory("graft-bloom-").toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(orders.schema),
+      properties = Map(
+        "write.parquet.bloom-filter-enabled.column.o_orderkey" -> "true",
+        "write.parquet.bloom-filter-expected-ndv.column.o_orderkey" -> "2000"))
+    t.append(orders)
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.nonEmpty)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    val present = keys.head
+    val absent = -424242L
+    assert(!keys.contains(absent))
+
+    val conf = new Configuration()
+    // every written file carries a populated filter for the keyed column
+    // (and only that column), and membership answers are right
+    files.foreach { f =>
+      val in = HadoopInputFile.fromPath(new Path(f.path), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val block = reader.getFooter.getBlocks.get(0)
+        val col = block.getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderkey").get
+        assert(col.getBloomFilterOffset >= 0, s"no bloom offset in ${f.path}")
+        val bf = reader.getBloomFilterDataReader(block).readBloomFilter(col)
+        assert(bf != null)
+        assert(keys.take(50).forall(k => bf.findHash(bf.hash(k))))
+        assert(!bf.findHash(bf.hash(absent)), "absent key reported present")
+        val other = block.getColumns.asScala
+          .find(_.getPath.toDotString == "o_custkey").get
+        assert(other.getBloomFilterOffset < 0, "unkeyed column grew a filter")
+      } finally reader.close()
+    }
+
+    // ROW-GROUP PRUNING, bloom level isolated (stats/dictionary/column-index
+    // off): a point lookup for an absent key plans ZERO row groups; a
+    // present key keeps at least one
+    def bloomOnlyRowGroups(path: String, key: Long): Int = {
+      val pred = FilterCompat.get(
+        FilterApi.eq(FilterApi.longColumn("o_orderkey"), java.lang.Long.valueOf(key)))
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(pred).useBloomFilter(true).useStatsFilter(false)
+        .useDictionaryFilter(false).useColumnIndexFilter(false).build()
+      val r = new ParquetFileReader(
+        HadoopInputFile.fromPath(new Path(path), conf), opts)
+      try r.getRowGroups.size() finally r.close()
+    }
+    assert(files.forall(f => bloomOnlyRowGroups(f.path, absent) === 0),
+      "bloom did not prune an absent-key point lookup")
+    assert(files.exists(f => bloomOnlyRowGroups(f.path, present) >= 1))
+
+    // end-to-end values unchanged through the graft scan
+    assert(t.toDF.filter(col("o_orderkey") === present).count() === 1)
+    assert(t.toDF.filter(col("o_orderkey") === absent).count() === 0)
+    assert(t.toDF.count() === orders.count())
+
+    // compaction rewrites keep writing filters (same writer path)
+    t.append(orders.limit(10))
+    graft.table.Maintenance.rewriteDataFiles(t)
+    val compacted = t.newScan().planFiles().map(_.file)
+    compacted.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.path), conf))
+      try {
+        val block = reader.getFooter.getBlocks.get(0)
+        val c = block.getColumns.asScala.find(_.getPath.toDotString == "o_orderkey").get
+        assert(c.getBloomFilterOffset >= 0, s"compacted file lost its filter: ${f.path}")
+      } finally reader.close()
+    }
+
+    // a typo'd column name refuses at write (not a silent no-filter write)
+    val loc2 = Files.createTempDirectory("graft-bloom-").toString + "/t"
+    val bad = IceTable.create(spark, loc2, Schema.fresh(orders.schema),
+      properties = Map("write.parquet.bloom-filter-enabled.column.no_such" -> "true"))
+    val ex = intercept[graft.table.ValidationException](bad.append(orders.limit(5)))
+    assert(ex.getMessage.contains("no_such"))
+  }
+
+  test("orc bloom filters: row groups skip point lookups stats can't prune") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.hive.ql.io.sarg.{PredicateLeaf, SearchArgumentFactory}
+    import org.apache.orc.OrcFile
+
+    // PERMUTED evens (7919 coprime to 100000): every 10k-row ORC row group
+    // spans nearly the full [0, 199998] range, so the stats row-group
+    // filter keeps EVERY group for an in-range odd probe and only the
+    // bloom filter can skip — the discriminating corpus for a functional
+    // proof (monotonic keys would let min/max alone prune)
+    val df = spark.range(0, 100000)
+      .select(((col("id") * 7919) % 100000 * 2).as("k"))
+    def mk(props: Map[String, String]): String = {
+      val loc = Files.createTempDirectory("graft-orcbloom-").toString + "/t"
+      val t = IceTable.create(spark, loc, Schema.fresh(df.schema),
+        properties = props + (TableProperties.DefaultFileFormat -> "orc"))
+      t.append(df.coalesce(1))
+      val fs = t.newScan().planFiles().map(_.file)
+      assert(fs.size === 1, fs.map(_.path))
+      fs.head.path
+    }
+    val conf = new Configuration()
+    def rowsUnderSarg(path: String, key: Long): Long = {
+      val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
+      try {
+        val sarg = SearchArgumentFactory.newBuilder()
+          .equals("k", PredicateLeaf.Type.LONG, java.lang.Long.valueOf(key))
+          .build()
+        val rows = reader.rows(reader.options.searchArgument(sarg, Array("k")))
+        try {
+          val batch = reader.getSchema.createRowBatch()
+          var n = 0L
+          while (rows.nextBatch(batch)) n += batch.size
+          n
+        } finally rows.close()
+      } finally reader.close()
+    }
+
+    val bloomed = mk(Map("write.orc.bloom.filter.columns" -> "k",
+      "write.orc.bloom.filter.fpp" -> "0.02"))
+    val control = mk(Map.empty)
+    // absent ODD key: stats keep every row group in both files; only the
+    // bloomed file skips them all
+    assert(rowsUnderSarg(control, 55555L) === 100000L,
+      "control unexpectedly pruned — the corpus no longer discriminates")
+    assert(rowsUnderSarg(bloomed, 55555L) === 0L,
+      "ORC bloom filter did not skip an absent-key point lookup")
+    // present key keeps its row group (10k granularity), values correct
+    assert(rowsUnderSarg(bloomed, 55554L) === 10000L)
+
+    // typo'd column refuses at write
+    val loc2 = Files.createTempDirectory("graft-orcbloom-").toString + "/t"
+    val bad = IceTable.create(spark, loc2, Schema.fresh(df.schema),
+      properties = Map(TableProperties.DefaultFileFormat -> "orc",
+        "write.orc.bloom.filter.columns" -> "nope"))
+    val ex = intercept[graft.table.ValidationException](bad.append(df.limit(5)))
+    assert(ex.getMessage.contains("nope"))
+  }
+
   test("ORC table: write, metrics-pruned scan, delete") {
     val loc = Files.createTempDirectory("graft-orc-").toString + "/t"
     val schema = Schema.fresh(orders.schema)
