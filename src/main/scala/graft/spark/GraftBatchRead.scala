@@ -1131,22 +1131,42 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     * tuple across input partitions, which would break the HasPartitionKey
     * contract (all rows of a key in one partition). */
   private def keyedSpec: Option[PartitionSpec] = {
+    import graft.meta.transforms._
+    val spjAble: Transform => Boolean = {
+      case IdentityTransform => true
+      case BucketTransform(_) => true
+      // time-ordinal and truncate specs group on the STORED transform
+      // result; [[GraftFunctionCatalog]] ships byte-exact years/months/
+      // days/hours/truncate functions, so Spark resolves the transform
+      // and co-partitioned time-series tables join with no exchange —
+      // the day-partitioned fact⋈fact shape at 100 TB
+      case TruncateTransform(_) => true
+      case YearTransform | MonthTransform | DayTransform | HourTransform => true
+      case _ => false
+    }
     val s = table.meta.spec
-    if (deletes.isEmpty && s.isPartitioned &&
-      s.fields.forall(f => f.transform == IdentityTransform ||
-        f.transform.isInstanceOf[graft.meta.transforms.BucketTransform]) &&
+    if (deletes.isEmpty && s.isPartitioned && s.fields.forall(f => spjAble(f.transform)) &&
       tasks.nonEmpty && tasks.forall(_.file.specId == s.specId)) Some(s)
     else None
   }
 
   override def outputPartitioning(): Partitioning = keyedSpec match {
     case Some(spec) =>
+      import graft.meta.transforms._
       val schema = table.meta.schema
       val keys = spec.fields.map { f =>
         val name = schema.idToName(f.sourceId)
         f.transform match {
-          case graft.meta.transforms.BucketTransform(n) =>
-            Expressions.bucket(n, name)
+          case BucketTransform(n) => Expressions.bucket(n, name)
+          // width-baked single-arg form: Spark's key-grouped machinery
+          // rejects transform expressions with a literal child (see
+          // GraftFunctions.TruncFixedRe)
+          case TruncateTransform(w) =>
+            Expressions.apply(s"truncate_$w", Expressions.column(name))
+          case YearTransform => Expressions.years(name)
+          case MonthTransform => Expressions.months(name)
+          case DayTransform => Expressions.days(name)
+          case HourTransform => Expressions.hours(name)
           case _ => Expressions.identity(name)
         }
       }

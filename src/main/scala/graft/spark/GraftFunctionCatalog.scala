@@ -26,6 +26,15 @@ object GraftFunctions {
 
   val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
 
+  /** Width-baked single-arg truncate, served for SPJ partitioning reports:
+    * Spark's key-grouped machinery only admits transform expressions with
+    * ONE reference child (`KeyGroupedPartitioning.supportsExpressions`), so
+    * the two-arg `truncate(width, col)` cannot key a storage-partitioned
+    * join — the scan reports `truncate_<w>(col)` instead, with the width in
+    * the NAME (and thus in `canonicalName`: mismatched widths must never
+    * compare compatible). */
+  private val TruncFixedRe = "truncate_(\\d+)".r
+
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "bucket" => Some(BucketUnbound)
     case "truncate" => Some(TruncateUnbound)
@@ -33,6 +42,7 @@ object GraftFunctions {
     case "months" => Some(new TimeUnbound("months"))
     case "days" => Some(new TimeUnbound("days"))
     case "hours" => Some(new TimeUnbound("hours"))
+    case TruncFixedRe(w) if w.toInt > 0 => Some(new TruncateFixedUnbound(w.toInt))
     case _ => None
   }
 
@@ -199,6 +209,39 @@ object GraftFunctions {
     override def produceResult(r: InternalRow): Any =
       if (r.isNullAt(0) || r.isNullAt(1)) null else invoke(r.getInt(0), r.getBinary(1))
   }
+  final class TruncateFixedUnbound(w: Int) extends UnboundFunction {
+    override def name(): String = s"truncate_$w"
+    override def description(): String =
+      s"truncate_$w(col): graft/iceberg truncate[$w] transform (width-baked " +
+        "single-arg form for storage-partitioned joins)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1, s"truncate_$w takes one column")
+      inputType.fields(0).dataType match {
+        case t @ (IntegerType | LongType | StringType | BinaryType |
+            _: DecimalType) => new TruncateFixedFn(w, t)
+        case other =>
+          throw new UnsupportedOperationException(s"Cannot truncate type: $other")
+      }
+    }
+  }
+
+  /** Same evaluation as the two-arg truncate functions (TransformEval is
+    * the single source of truth), width captured at bind. */
+  final class TruncateFixedFn(w: Int, dt: DataType)
+      extends GraftScalar(s"truncate_$w", Array(dt), dt) {
+    override def produceResult(r: InternalRow): Any =
+      if (r.isNullAt(0)) null else dt match {
+        case IntegerType => TransformEval.truncateInt(w, r.getInt(0))
+        case LongType => TransformEval.truncateLong(w, r.getLong(0))
+        case StringType => TransformEval.truncateUtf8(w, r.getUTF8String(0))
+        case BinaryType => TransformEval.truncateBytes(w, r.getBinary(0))
+        case d: DecimalType =>
+          TransformEval.truncateDecimal(w, r.getDecimal(0, d.precision, d.scale))
+        case other =>
+          throw new IllegalStateException(s"unreachable: $other")
+      }
+  }
+
   final class TruncateDecimalFn(d: DecimalType)
       extends GraftScalar("truncate", Array(IntegerType, d), d) {
     def invoke(w: Int, v: Decimal): Decimal =

@@ -243,6 +243,58 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join on days(ts) and truncate specs: no exchange") {
+    warehouse
+    // day-partitioned time series on BOTH sides: scans report
+    // KeyGroupedPartitioning(days(ts)) and Spark resolves the days
+    // function through the FunctionCatalog — the co-partitioned
+    // fact⋈fact time-series join plans with no exchange (r12;
+    // previously only identity and bucket specs reported partitioning)
+    spark.sql("CREATE TABLE bs.db.spjd_a (ts TIMESTAMP, a DOUBLE)" +
+      " PARTITIONED BY (days(ts))")
+    spark.sql("CREATE TABLE bs.db.spjd_b (ts TIMESTAMP, b STRING)" +
+      " PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO bs.db.spjd_a SELECT" +
+      " timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,id%96,0,0), id*1.0" +
+      " FROM range(400)")
+    spark.sql("INSERT INTO bs.db.spjd_b SELECT" +
+      " timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,id%96,0,0), concat('x',id)" +
+      " FROM range(200)")
+    val q = "SELECT a.ts, a.a, b.b FROM bs.db.spjd_a a JOIN bs.db.spjd_b b ON a.ts = b.ts"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected days-partitioned storage join without shuffle:\n$plan")
+      val got = df.collect().map(_.toString).sorted
+      assert(got.nonEmpty && got === expected)
+    }
+
+    // truncate[10] spec joins co-located the same way
+    spark.sql("CREATE TABLE bs.db.spjt_a (k BIGINT, a DOUBLE)" +
+      " PARTITIONED BY (truncate(10, k))")
+    spark.sql("CREATE TABLE bs.db.spjt_b (k BIGINT, b STRING)" +
+      " PARTITIONED BY (truncate(10, k))")
+    spark.sql("INSERT INTO bs.db.spjt_a SELECT id % 70, id * 1.0 FROM range(300)")
+    spark.sql("INSERT INTO bs.db.spjt_b SELECT id % 70, concat('x', id) FROM range(140)")
+    val qt = "SELECT a.k, a.a, b.b FROM bs.db.spjt_a a JOIN bs.db.spjt_b b ON a.k = b.k"
+    val expectedT = spark.sql(qt).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(qt)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected truncate storage join without shuffle:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expectedT)
+    }
+  }
+
   test("SPJ groups MULTIPLE files per bucket key into one partition") {
     warehouse
     // distribution-mode none + several inserts → many files per bucket:
