@@ -299,6 +299,11 @@ object Bench {
       measure("llm_bpe_encode", 1, 5)(() => consume(
         docsDf.select(col("doc_id"),
           graft.llm.Bpe.tokenCount(col("text"), merges).as("n"))))
+      // duplicated-span removal (r12): the positional-n-gram exchange is
+      // the heaviest text-op payload (one row per TOKEN, not per doc) —
+      // the entry guards that shape
+      measure("llm_span_dedup", 1, 3)(() => consume(
+        graft.llm.TextOps.removeDuplicatedSpans(docsDf, "doc_id", "text", 3)))
     }
 
     // --- group 6 (LAST - heavy one-shot iterative pipeline): fuzzy dedup

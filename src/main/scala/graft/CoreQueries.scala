@@ -586,6 +586,50 @@ object CoreQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // Q40 day-partitioned storage join (r12): two tables partitioned by
+    // days(ts) joined on the raw timestamp — the co-partitioned
+    // time-series shape; under the SPJ confs neither side exchanges
+    // (plan pinned in BatchScanSpec; this entry pins the VALUES). The
+    // NANOS event time goes through micros on both sides (q39's
+    // truncation-alignment note applies).
+    "q40_spj_days_join" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q40").toString
+      s.conf.set("spark.sql.catalog.gq40", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq40.warehouse", tmp)
+      val e = t(s, d, "events")
+      val tsu = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      e.select(col("user_id"), timestamp_micros(tsu).as("ts"), col("value"))
+        .createOrReplaceTempView("q40_ev")
+      s.sql("CREATE TABLE gq40.db.ea PARTITIONED BY (days(ts)) AS " +
+        "SELECT ts, user_id, round(value, 2) AS v FROM q40_ev")
+      s.sql("CREATE TABLE gq40.db.eb PARTITIONED BY (days(ts)) AS " +
+        "SELECT ts, user_id FROM q40_ev WHERE user_id % 3 = 0")
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val rows = s.sql(
+          "SELECT a.user_id, count(*) AS n, round(sum(a.v), 2) AS total " +
+            "FROM gq40.db.ea a JOIN gq40.db.eb b " +
+            "ON a.ts = b.ts AND a.user_id = b.user_id " +
+            "GROUP BY a.user_id ORDER BY a.user_id").collect()
+        import s.implicits._
+        s.createDataset(rows.map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+          .toDF("user_id", "n", "total")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
     // Q37 encrypted round trip (r11): a fully-keyed catalog — data files,
     // delete files, and the METADATA TREE all sealed — must hash-match the
     // plain relational oracle through CTAS + DELETE + SELECT. Encryption
@@ -776,6 +820,12 @@ object CoreQueries {
         "round(sum(round(o.o_totalprice, 2)), 2) AS total " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "GROUP BY c.c_mktsegment ORDER BY seg"),
+    "q40_spj_days_join" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events) " +
+        "SELECT a.user_id, count(*) AS n, round(sum(a.v), 2) AS total " +
+        "FROM e a JOIN (SELECT user_id, t FROM e WHERE user_id % 3 = 0) b " +
+        "ON a.t = b.t AND a.user_id = b.user_id " +
+        "GROUP BY a.user_id ORDER BY a.user_id"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

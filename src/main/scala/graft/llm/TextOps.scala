@@ -655,24 +655,30 @@ object TextOps {
     * `minDocs`, so AQE broadcasts it into the position join. Covered-index
     * expansion is n rows per HIT (hits are rare in clean corpora), and
     * reassembly's per-group state is one document's tokens — the
-    * [[dropRepeatedPassages]] shape throughout. At extreme scale swap the
-    * string gram key for [[shingleHashes]]; the string key keeps this
+    * [[dropRepeatedPassages]] shape throughout. At extreme scale set
+    * `hashGrams = true`: both the positional table and the duplicated-gram
+    * set exchange 64-bit xxhash keys instead of gram strings (identical
+    * output modulo xxhash64 collisions — a collision can only OVER-remove,
+    * never miss a real duplicate); the default string key keeps the op
     * exactly SQL-replayable. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minDocs: Int = 2): DataFrame = {
+      n: Int = 3, minDocs: Int = 2, hashGrams: Boolean = false): DataFrame = {
     require(n > 0 && minDocs >= 2,
       s"need n > 0 and minDocs >= 2, got ($n, $minDocs)")
+    def key(g: Column): Column = if (hashGrams) xxhash64(g) else g
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_gf_t"))
     // positional overlapping n-grams: (id, 0-based start, gram)
     val pos = toks.select(col(idCol), posexplode(bound(col("_gf_t")) { t =>
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+          i => key(concat_ws(" ", slice(t, i + 1, lit(n))))))
         .otherwise(array())
     }).as(Seq("_gf_p", "_gf_g")))
     // duplicated grams: distinct-doc count via per-doc-distinct shingles
     // (count-per-gram == docs carrying it, as in duplicatedTextFraction)
-    val dup = df.select(col(idCol), explode(shingles(col(textCol), n)).as("_gf_g"))
+    val dup = df.select(col(idCol),
+        explode(if (hashGrams) shingleHashes(col(textCol), n)
+          else shingles(col(textCol), n)).as("_gf_g"))
       .groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
       .where(col("_gf_dn") >= minDocs).select("_gf_g")
     // covered token indices: each duplicated-gram OCCURRENCE covers

@@ -165,6 +165,44 @@ class FormatSpec extends AnyFunSuite {
       properties = Map("write.parquet.bloom-filter-enabled.column.no_such" -> "true"))
     val ex = intercept[graft.table.ValidationException](bad.append(orders.limit(5)))
     assert(ex.getMessage.contains("no_such"))
+
+    // bloom + Parquet Modular Encryption compose: the filter rides the
+    // encrypted footer (module-encrypted like stats), membership still
+    // answers through the DECRYPTING reader, values correct end-to-end
+    locally {
+      import graft.table.{AesGcmEncryptionManager, EncryptionManagers, FileIO,
+        TableOperations}
+      val manager = new AesGcmEncryptionManager(
+        "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "bloom-key")
+      val eloc = Files.createTempDirectory("graft-bloomenc-").toString + "/t"
+      val te = IceTable.createWith(spark,
+        new TableOperations(eloc,
+          new FileIO(spark.sparkContext.hadoopConfiguration, manager)),
+        Schema.fresh(orders.schema),
+        properties = Map(
+          "write.parquet.bloom-filter-enabled.column.o_orderkey" -> "true",
+          "write.parquet.bloom-filter-expected-ndv.column.o_orderkey" -> "2000"))
+      te.append(orders)
+      assert(te.toDF.filter(col("o_orderkey") === present).count() === 1)
+      assert(te.toDF.count() === orders.count())
+      val ef = te.newScan().planFiles().map(_.file).head
+      val cryptoConf = EncryptionManagers.parquetCryptoConf(
+        new Configuration(), Some(manager))
+      // HadoopReadOptions (not the bare open) so the crypto factory on the
+      // conf engages modular decryption for the encrypted footer
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(ef.path), cryptoConf),
+        org.apache.parquet.HadoopReadOptions
+          .builder(cryptoConf, new Path(ef.path)).build())
+      try {
+        val block = reader.getFooter.getBlocks.get(0)
+        val c = block.getColumns.asScala.find(_.getPath.toDotString == "o_orderkey").get
+        assert(c.getBloomFilterOffset >= 0, "encrypted file lost its bloom filter")
+        val bf = reader.getBloomFilterDataReader(block).readBloomFilter(c)
+        assert(bf != null && bf.findHash(bf.hash(present)))
+        assert(!bf.findHash(bf.hash(absent)))
+      } finally reader.close()
+    }
   }
 
   test("orc bloom filters: row groups skip point lookups stats can't prune") {

@@ -113,6 +113,14 @@ class LlmSpec extends AnyFunSuite {
     val sout = TextOps.removeDuplicatedSpans(solo, "doc_id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(sout === Map(1L -> 0L, 2L -> 0L), sout.toString)
+    // the 8-byte-exchange variant (hashGrams) is row-identical to the
+    // SQL-replayable string-key default on a real corpus
+    val strRes = TextOps.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(_.toString).sorted
+    val hashRes = TextOps.removeDuplicatedSpans(docs, "doc_id", "text", n = 3,
+        hashGrams = true)
+      .collect().map(_.toString).sorted
+    assert(strRes === hashRes)
   }
 
   test("LSH ANN recall vs brute-force top-5") {
