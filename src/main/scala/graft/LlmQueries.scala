@@ -126,6 +126,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // unicode NFC normalization (r12): the pre-dedup hygiene pass —
+    // composed/decomposed spellings byte-differ and leak past every
+    // hash-based dedup unless normalized first. The synthetic corpus is
+    // ASCII (changed = false throughout) so this entry pins the PLUMBING
+    // against DuckDB's nfc_normalize; the non-ASCII semantics (é forms,
+    // NFKC ligature folding) are pinned in LlmSpec
+    "llm_normalize" -> ((s, d) => {
+      val norm = TextOps.normalizeUnicode(col("text"))
+      docs(s, d).select(col("doc_id"), norm.as("text"),
+          (col("text") =!= norm).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // duplicated-SPAN removal (r12): tokens covered by any cross-document
     // overlapping 3-gram are edited OUT and survivors re-join in document
     // order — the ExactSubstr cut where llm_dup_fraction only scores
@@ -518,6 +531,10 @@ object LlmQueries {
            |     / greatest(pd.ngrams, 1), 0.0), 6) AS dup_fraction
            | FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
           .stripMargin.replace("\n", " ")),
+      "llm_normalize" ->
+        ("SELECT doc_id, nfc_normalize(text) AS text, " +
+          "(text <> nfc_normalize(text)) AS changed " +
+          "FROM documents ORDER BY doc_id"),
       "llm_span_dedup" ->
         ("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
            | pr AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS p

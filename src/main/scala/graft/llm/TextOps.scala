@@ -13,6 +13,18 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
+  /** Unicode-normalize a string column (codegen'd; form NFC/NFD/NFKC/NFKD).
+    * Run it BEFORE any hash-based dedup or tokenizer training: composed
+    * and decomposed spellings of the same text are byte-different, so
+    * unnormalized corpora leak duplicates past exact dedup, MinHash, and
+    * BPE word tables. NFC is the storage-canonical choice (and the one
+    * DuckDB replays); NFKC additionally folds compatibility forms
+    * (ligatures, full-width, superscripts) — the usual choice before
+    * tokenization. Map-only: 100 TB-safe. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(graft.expressions.UnicodeNormalize(
+      ColumnBridge.expression(c), form))
+
   /** Let-binding for Column expressions: evaluates `value` ONCE per row and
     * hands it to `body` as a lambda variable. Catalyst's subexpression
     * elimination does not cross lambda boundaries, so any computed array

@@ -443,6 +443,39 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ one-side shuffle composes with days(ts): fresh delta shuffles into the day layout") {
+    warehouse
+    // the time-series twin of the bucket one-side-shuffle pin: a plain
+    // (unpartitioned) delta joins a day-partitioned table — the plain
+    // side key-group shuffles via the catalog's days() function, the
+    // stored side never moves
+    spark.sql("CREATE TABLE bs.db.spjds (ts TIMESTAMP, a DOUBLE)" +
+      " PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO bs.db.spjds SELECT" +
+      " timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,id%96,0,0), id*1.0" +
+      " FROM range(400)")
+    spark.sql("SELECT timestamp'2024-03-01 00:00:00' +" +
+      " make_interval(0,0,0,0,id%96,0,0) AS ts, concat('x', id) AS b FROM range(96)")
+      .createOrReplaceTempView("spjds_plain")
+    val q = "SELECT a.ts, a.a, p.b FROM bs.db.spjds a JOIN spjds_plain p ON a.ts = p.ts"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    assert(expected.nonEmpty)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no hash exchange (storage side stays put):\n$plan")
+      val kgExchanges = "Exchange keygroupedpartitioning".r.findAllIn(plan).size
+      assert(kgExchanges === 1,
+        s"expected exactly the plain side to key-group shuffle:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expected)
+    }
+  }
+
   test("SPJ stays CORRECT under partially-clustered distribution (skew replication)") {
     warehouse
     // partiallyClusteredDistribution replicates the small side's key

@@ -85,6 +85,48 @@ class LlmSpec extends AnyFunSuite {
       "passage removal unexpectedly caught the shifted duplicate")
   }
 
+  test("normalizeUnicode: NFC/NFKC semantics, codegen, and the dedup-leak case") {
+    import spark.implicits._
+    // escape sequences, NOT literals: source round trips must never
+    // silently normalize the fixtures
+    val composed = "caf\u00e9 menu"
+    val decomposed = "cafe\u0301 menu"
+    val ligature = "\ufb01ne print \u00b2"
+    val df = Seq((1L, composed), (2L, decomposed), (3L, ligature), (4L, "plain"))
+      .toDF("doc_id", "text")
+    // janino errors surface instead of silent interpreted fallback
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = df.select(col("doc_id"),
+          TextOps.normalizeUnicode(col("text")).as("nfc"),
+          TextOps.normalizeUnicode(col("text"), "NFKC").as("nfkc"))
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+      // NFC: both spellings converge on the composed form
+      assert(out(1L)._1 === composed)
+      assert(out(2L)._1 === composed)
+      // NFKC additionally folds compatibility forms
+      assert(out(3L)._2 === "fine print 2")
+      assert(out(3L)._1 === ligature)            // NFC leaves ligatures alone
+      assert(out(4L)._1 === "plain")
+      // nulls pass through
+      val n = Seq((1L, null: String)).toDF("doc_id", "text")
+        .select(TextOps.normalizeUnicode(col("text"))).head
+      assert(n.isNullAt(0))
+      // the MOTIVATING case: byte-different spellings of the same text leak
+      // past exact dedup unnormalized, and collapse once normalized
+      val corpus = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      val rawDedup = Dedup.exactDedup(corpus, "doc_id", col("text"))
+      assert(rawDedup.count() === 2, "expected the unnormalized leak")
+      val normDedup = Dedup.exactDedup(
+        corpus.select(col("doc_id"),
+          TextOps.normalizeUnicode(col("text")).as("text")), "doc_id", col("text"))
+      assert(normDedup.count() === 1, "normalization failed to collapse the pair")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    // invalid form refuses at construction
+    intercept[IllegalArgumentException](
+      TextOps.normalizeUnicode(col("text"), "NFX"))
+  }
+
   test("removeDuplicatedSpans edits the shared span out at any alignment") {
     import spark.implicits._
     // same offset-shift corpus as the fraction test: B embeds A's full
@@ -121,6 +163,44 @@ class LlmSpec extends AnyFunSuite {
         hashGrams = true)
       .collect().map(_.toString).sorted
     assert(strRes === hashRes)
+  }
+
+  test("removeDuplicatedSpans fuzz: matches an in-memory reference on random corpora") {
+    import spark.implicits._
+    // tiny vocabulary so cross-document n-gram collisions actually occur
+    // at random; the reference recomputes the covered-index union from
+    // first principles per doc
+    val rnd = new scala.util.Random(12021)
+    for (trial <- 1 to 4) {
+      val n = 2 + rnd.nextInt(2) // 2 or 3
+      val vocabSize = 6 + rnd.nextInt(6)
+      val corpus = (1L to 30L).map { id =>
+        val len = rnd.nextInt(30) // includes len 0 and len < n
+        (id, Vector.fill(len)(s"t${rnd.nextInt(vocabSize)}").mkString(" "))
+      }
+      val tokd = corpus.map { case (id, text) => id -> text.split(" ", -1).toVector }.toMap
+      val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+      tokd.foreach { case (id, ts) =>
+        if (ts.size >= n) ts.sliding(n).foreach { g =>
+          val k = g.mkString(" ")
+          gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+        }
+      }
+      val dup = gramDocs.collect { case (g, s) if s.size >= 2 => g }.toSet
+      val expected = tokd.map { case (id, ts) =>
+        val cov = scala.collection.mutable.Set[Int]()
+        if (ts.size >= n) (0 to ts.size - n).foreach { p =>
+          if (dup(ts.slice(p, p + n).mkString(" "))) cov ++= (p until p + n)
+        }
+        val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+        id -> ((ts.size.toLong, cov.size.toLong, kept.mkString(" ")))
+      }
+      val got = TextOps.removeDuplicatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === expected, s"trial $trial (n=$n vocab=$vocabSize)")
+    }
   }
 
   test("LSH ANN recall vs brute-force top-5") {
