@@ -52,5 +52,15 @@ object functions {
     registry.createOrReplaceTempFunction("ice_months", es => IceMonths(es.head), "built-in")
     registry.createOrReplaceTempFunction("ice_days", es => IceDays(es.head), "built-in")
     registry.createOrReplaceTempFunction("ice_hours", es => IceHours(es.head), "built-in")
+    // graft_normalize(text[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — SQL surface of
+    // the codegen'd Unicode normalizer (pre-dedup corpus hygiene)
+    registry.createOrReplaceTempFunction("graft_normalize", es => {
+      val form = if (es.size < 2) "NFC" else es(1).eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"Expected a literal form string, got: $other")
+      }
+      graft.expressions.UnicodeNormalize(es.head, form)
+    }, "built-in")
   }
 }

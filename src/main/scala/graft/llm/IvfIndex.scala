@@ -490,7 +490,13 @@ object IvfIndex {
       val t = IceTable.create(spark, target, schema, spec,
         properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
           NListsProp -> n.toString,
-          // many small list partitions per append: fanout avoids a sort
+          // many small list partitions per append: fanout avoids a sort.
+          // Copy-on-write DML deliberately: refresh's changelog MERGE
+          // touches ids scattered across every list partition, but an A/B
+          // at 2M×64 showed merge-on-read no faster end-to-end (the
+          // changelog diff and the matched-file scan dominate, not the
+          // rewrite) while MoR deletes would ALSO knock probes off the
+          // direct-parquet path until a compaction
           graft.meta.model.TableProperties.FanoutEnabled -> "true")
           ++ extraProps)
       io.writeString(centroidsPath(target), centroidsJson(cents))
@@ -526,7 +532,8 @@ object IvfIndex {
   /** Outcome of [[refresh]]: the (possibly re-fitted) current index, the
     * row count appended incrementally (0 when a refit replaced the index
     * wholesale), and whether a full re-fit ran. */
-  final case class RefreshResult(index: IvfIndex, appended: Long, refit: Boolean)
+  final case class RefreshResult(index: IvfIndex, appended: Long,
+      refit: Boolean, deleted: Long = 0L)
 
   /** Incrementally catch the index up with its corpus table: plan ONLY the
     * files appended since the recorded corpus snapshot (the incremental-
@@ -562,8 +569,14 @@ object IvfIndex {
     val delta =
       try corpus.appendsBetween(recorded, current, skipDeleteSnapshots = false)
       catch {
-        // delete/overwrite in range, rollback, or expired recorded snapshot
-        case _: graft.table.ValidationException => return refit()
+        // delete/overwrite in range: appended files alone can't express
+        // removed or rewritten rows — reconcile through the row-level
+        // CHANGELOG instead (delta-bounded, like the append path); a
+        // rollback or expired recorded snapshot still refits (the
+        // changelog walk refuses those ranges too)
+        case _: graft.table.ValidationException =>
+          return changelogRefresh(spark, corpus, idx, recorded, current,
+            refitShare).getOrElse(refit())
         case _: IllegalArgumentException => return refit()
       }
     val fresh = delta.select(idx.idCol, idx.vecCol)
@@ -587,6 +600,82 @@ object IvfIndex {
         CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
       .commit()
     RefreshResult(idx, newCount, refit = false)
+  }
+
+  /** DML-range incremental refresh: when the corpus range contains
+    * destructive snapshots, reduce the row-level changelog to ONE net
+    * change per id (last change wins; a same-snapshot delete+insert pair —
+    * the CoW update shape — nets to the insert) and apply it to the index
+    * as a single MERGE: net deletes drop the id's row, net inserts assign
+    * the vector to the frozen centroids and update-or-insert. The cost is
+    * bounded by the CHANGED rows, not the corpus — the same delta-bounded
+    * promise as the append path, now covering deletes and updates.
+    *
+    * Crash-window semantics: the MERGE and the watermark advance are two
+    * commits, but a rerun after a crash between them CONVERGES — the
+    * replayed changelog's deletes match nothing, its upserts rewrite the
+    * same values, and the rerun's final watermark commit closes the
+    * window (asserted by LlmSpec's rerun case). Returns None when the
+    * changelog itself refuses the range (expired/rolled-back watermark) or
+    * the changed share trips `refitShare` — the caller then refits. */
+  private def changelogRefresh(spark: SparkSession, corpus: IceTable,
+      idx: IvfIndex, recorded: Long, current: Long,
+      refitShare: Double): Option[RefreshResult] = {
+    import graft.table.Changelog
+    val ch =
+      try Changelog.changes(corpus, Some(recorded), Some(current))
+      catch {
+        case _: IllegalArgumentException => return None
+        case _: graft.table.ValidationException => return None
+      }
+    val idCol = idx.idCol
+    val vecCol = idx.vecCol
+    // net change per id: max by (ordinal, isInsert) — the insert of a
+    // same-ordinal delete+insert pair wins, matching post-snapshot state
+    val net = ch.select(col(idCol),
+        struct(col(Changelog.OrdinalCol),
+          (col(Changelog.ChangeTypeCol) === Changelog.Insert).cast("int").as("_ins"),
+          col(vecCol)).as("_c"))
+      .groupBy(idCol)
+      .agg(max_by(col("_c"), struct(col("_c." + Changelog.OrdinalCol),
+        col("_c._ins"))).as("_last"))
+      .select(col(idCol), col("_last._ins").as("_ins"),
+        col("_last." + vecCol).as(vecCol))
+    val counts = net.groupBy(col("_ins")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val upserts = counts.getOrElse(1, 0L)
+    val dels = counts.getOrElse(0, 0L)
+    if (upserts + dels == 0) {
+      idx.table.updateProperties(Map(CorpusSnapProp -> current.toString))
+      return Some(RefreshResult(idx, 0L, refit = false))
+    }
+    val existing = idx.table.newScan().planFiles().map(_.file.recordCount).sum
+    if ((upserts + dels).toDouble / math.max(1L, existing) > refitShare)
+      return None
+    // one MERGE carries deletes, replaced vectors, and fresh inserts; the
+    // source has exactly one row per id (the MERGE cardinality check
+    // would refuse otherwise)
+    val idxStruct = idx.table.schema.struct
+    val assigned = idx.assignToLists(
+        net.where(col("_ins") === 1).select(col(idCol), col(vecCol)))
+      .withColumn("_gf_op", lit("I"))
+    val dRows = net.where(col("_ins") === 0).select(
+      idxStruct.fields.map(f =>
+        if (f.name == idCol) col(idCol)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq :+
+        lit("D").as("_gf_op"): _*)
+    val src = assigned.select((idxStruct.fieldNames.map(col).toIndexedSeq :+
+      col("_gf_op")): _*).unionByName(dRows)
+    val op = col(graft.table.MergeBuilder.SourcePrefix + "_gf_op")
+    idx.table.merge(src, Seq(idCol))
+      .whenMatchedDelete(Some(op === "D"))
+      .whenMatchedUpdateAll(Some(op === "I"))
+      .whenNotMatchedInsertAll(Some(op === "I"))
+      .execute()
+    idx.table.updateProperties(Map(
+      CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
+    Some(RefreshResult(load(spark, idx.table.location), upserts,
+      refit = false, deleted = dels))
   }
 
   // centroids are a rectangular double matrix — hand-rolled JSON keeps the

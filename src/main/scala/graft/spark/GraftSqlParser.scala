@@ -405,10 +405,11 @@ object GraftSqlParser {
       case "refresh_ann_index" =>
         // incremental catch-up against the frozen quantizer (r12): plans
         // only the corpus files appended since the index's recorded
-        // snapshot; re-fits automatically on destructive history
-        // (delete/overwrite/rollback) or drift past refit_share
+        // snapshot; DML ranges (delete/overwrite) reconcile through the
+        // row-level changelog as one MERGE (r12b); re-fits automatically
+        // on rollback/expired watermarks or drift past refit_share
         GraftCallCommand(proc, Seq(attr("index_location", StringType),
-          attr("appended", LongType),
+          attr("appended", LongType), attr("deleted", LongType),
           attr("refit", org.apache.spark.sql.types.BooleanType)), { spark =>
           val t = resolve(spark, tableArg)
           val loc = named.get("index_location").orElse(pos.lift(1))
@@ -416,7 +417,7 @@ object GraftSqlParser {
           val share = named.get("refit_share").orElse(pos.lift(2))
             .map(_.toString.toDouble).getOrElse(0.2)
           val r = graft.llm.IvfIndex.refresh(spark, t, loc, share)
-          Seq(Row(loc, r.appended, r.refit))
+          Seq(Row(loc, r.appended, r.deleted, r.refit))
         })
       case "add_files" =>
         GraftCallCommand(proc, Seq(attr("added_files_count", LongType)), { spark =>

@@ -443,6 +443,27 @@ class BatchScanSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation over the reported partitioning: GROUP BY partition key plans no exchange") {
+    warehouse
+    // the scan's KeyGroupedPartitioning satisfies the aggregate's
+    // ClusteredDistribution, so a partition-keyed GROUP BY runs
+    // exchange-free — at 100 TB a per-partition rollup over a
+    // day-partitioned fact is a map-side-only job
+    spark.sql("CREATE TABLE bs.db.aggp (k INT, v DOUBLE) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO bs.db.aggp SELECT id % 6, id * 1.0 FROM range(600)")
+    val q = "SELECT k, count(*) AS n, round(sum(v), 2) AS s FROM bs.db.aggp GROUP BY k"
+    val expected = spark.sql(q).collect().map(_.toString).sorted
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = ColumnBridge.executedPlan(df).toString
+      assert(!plan.contains("Exchange"),
+        s"expected a partition-keyed GROUP BY without any exchange:\n$plan")
+      assert(df.collect().map(_.toString).sorted === expected)
+    }
+  }
+
   test("SPJ one-side shuffle composes with days(ts): fresh delta shuffles into the day layout") {
     warehouse
     // the time-series twin of the bucket one-side-shuffle pin: a plain

@@ -165,6 +165,21 @@ class LlmSpec extends AnyFunSuite {
     assert(strRes === hashRes)
   }
 
+  test("graft_normalize SQL function: registered surface matches the Column API") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_normalize('café'), graft_normalize('ﬁne', 'NFKC'), " +
+        "graft_normalize(CAST(NULL AS STRING))").head
+    assert(r.getString(0) === "café")
+    assert(r.getString(1) === "fine")
+    assert(r.isNullAt(2))
+    // the registry surface and Column API are the same expression
+    import spark.implicits._
+    val viaCol = Seq("café").toDF("t")
+      .select(TextOps.normalizeUnicode(col("t"))).head.getString(0)
+    assert(viaCol === r.getString(0))
+  }
+
   test("removeDuplicatedSpans fuzz: matches an in-memory reference on random corpora") {
     import spark.implicits._
     // tiny vocabulary so cross-document n-gram collisions actually occur
@@ -302,7 +317,7 @@ class LlmSpec extends AnyFunSuite {
     assert(dup.getDouble(3) === 1.0)
   }
 
-  test("IVF refresh: incremental catch-up, drift refit, DML refit") {
+  test("IVF refresh: incremental catch-up, drift refit, changelog DML path") {
     import graft.llm.IvfIndex
     import graft.meta.Schema
     val qids = LlmQueries.AnnQueryIds
@@ -356,14 +371,39 @@ class LlmSpec extends AnyFunSuite {
     assert(r2.index.table.meta.properties(IvfIndex.CorpusSnapProp)
       === corpus.meta.currentSnapshotId.get.toString)
 
-    // DML (delete) in range: appends alone can't reconcile → refit
+    // DML (delete + fresh appends) in range: the CHANGELOG path reconciles
+    // WITHOUT a refit (r12b) — net deletes leave the index, fresh ids
+    // arrive against the frozen centroids, one MERGE commit
+    val wmBeforeDml = corpus.meta.currentSnapshotId.get
     corpus.delete(graft.meta.expr.Exprs.greaterThan("vec_id", 3000400L))
     corpus.append(embs.limit(2).withColumn("vec_id", col("vec_id") + 4000000L))
     val r3 = IvfIndex.refresh(spark, corpus, s"$base/idx", refitShare = 0.99)
-    assert(r3.refit, "delete in range must refit")
-    // the refit index reflects the delete: the removed ids are gone
+    assert(!r3.refit, "small DML delta must take the changelog path, not refit")
+    assert(r3.deleted === 99L && r3.appended === 2L, s"${r3.deleted}/${r3.appended}")
+    // the refreshed index reflects the delete: the removed ids are gone
     assert(r3.index.table.newScan().toDF
       .filter(col("vec_id") > 3000400L and col("vec_id") < 4000000L).count() === 0L)
+    assert(r3.index.table.meta.properties(IvfIndex.CorpusSnapProp)
+      === corpus.meta.currentSnapshotId.get.toString)
+    // full probe row-identical to a from-scratch rebuild over the DML'd
+    // corpus (both are exhaustive at nProbe = nLists)
+    val rebuilt3 = IvfIndex.buildFrom(spark, corpus, "vec_id", "embedding",
+      s"$base/idx_rebuild3", nLists = 8)
+    val a3 = full(r3.index); val b3 = full(rebuilt3)
+    qids.foreach(q => assert(a3(q) === b3(q), s"query $q changelog-refreshed != rebuilt"))
+    // crash-window rerun CONVERGES: force the watermark back to the
+    // pre-DML snapshot (the state a crash between the MERGE and the
+    // watermark commit leaves) and refresh again — replayed deletes match
+    // nothing, replayed upserts rewrite the same values, no duplicates
+    val countAfter = r3.index.table.newScan().toDF.count()
+    r3.index.table.updateProperties(
+      Map(IvfIndex.CorpusSnapProp -> wmBeforeDml.toString))
+    val r3b = IvfIndex.refresh(spark, corpus, s"$base/idx", refitShare = 0.99)
+    assert(!r3b.refit)
+    val after = r3b.index.table.newScan().toDF
+    assert(after.count() === countAfter, "rerun changed the row count")
+    assert(after.groupBy("vec_id").count().filter(col("count") > 1).count() === 0L,
+      "rerun introduced duplicate ids")
   }
 
   test("quantized IVF probe ranks on persisted codes, recall@5 >= 0.9") {

@@ -81,6 +81,18 @@ object ScaleHarness {
     }
     println(f"${mult}x refresh of 1%% delta ($deltaRows rows): $tr%.1f s " +
       f"vs full buildFrom $tb2%.1f s (${tb2 / tr}%.1fx)")
+
+    // changelog DML refresh at scale (r12b): delete ~1% of the corpus,
+    // reconcile through the row-level changelog MERGE — the path that
+    // previously forced a full refit
+    val delBound = 1000000000L + deltaRows - (deltaRows / 2)
+    ct.delete(meta.expr.Exprs.greaterThan("vec_id", delBound))
+    val td = time {
+      val r = llm.IvfIndex.refresh(spark, ct, rloc)
+      require(!r.refit && r.deleted > 0, r.toString)
+    }
+    println(f"${mult}x changelog refresh of ~0.5%% deletes: $td%.1f s " +
+      f"vs full buildFrom $tb2%.1f s (${tb2 / td}%.1fx)")
     spark.stop()
   }
 }

@@ -245,7 +245,7 @@ class SqlExtensionsSpec extends AnyFunSuite {
     val r = spark.sql("CALL gx.system.refresh_ann_index(table => 'db.rvecs', " +
       s"index_location => '$warehouse/db/rvecs_idx')").head()
     assert(r.getString(0) === s"$warehouse/db/rvecs_idx")
-    assert(r.getLong(1) === 3L && !r.getBoolean(2), r.toString)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 0L && !r.getBoolean(3), r.toString)
     // the synced vectors are probe-visible: vec 1000 (sin(0*37+x) ==
     // sin(0*31+x) == vec 0's embedding) finds its exact twin at cosine 1
     val idx = graft.llm.IvfIndex.load(spark, s"$warehouse/db/rvecs_idx")
@@ -257,7 +257,13 @@ class SqlExtensionsSpec extends AnyFunSuite {
       "x -> cast(sin(id * 41 + x) as float)) FROM range(64)")
     val r2 = spark.sql("CALL gx.system.refresh_ann_index(table => 'db.rvecs', " +
       s"index_location => '$warehouse/db/rvecs_idx', refit_share => 0.2)").head()
-    assert(r2.getBoolean(2), r2.toString)
+    assert(r2.getBoolean(3), r2.toString)
+    // DML in range: the changelog path reports deletes, no refit (r12b)
+    spark.sql("DELETE FROM gx.db.rvecs WHERE vec_id >= 5060")
+    val r3 = spark.sql("CALL gx.system.refresh_ann_index(table => 'db.rvecs', " +
+      s"index_location => '$warehouse/db/rvecs_idx', refit_share => 0.5)").head()
+    assert(r3.getLong(1) === 0L && r3.getLong(2) === 4L && !r3.getBoolean(3),
+      r3.toString)
   }
 
   test("normal SQL still parses through the delegate") {
