@@ -715,6 +715,51 @@ object TextOps {
         coalesce(col("_gf_text"), lit("")).as(textCol))
   }
 
+  /** [[removeDuplicatedSpans]] to a FIXED POINT: removal can create new
+    * cross-document n-grams at the cut seams (two documents that shared a
+    * span and agree around it collapse onto the same seam text), so one
+    * pass can leave stragglers — the same reason suffix-array dedup
+    * iterates. Re-runs until a pass removes nothing or `maxPasses` is hit,
+    * whichever first; each pass localCheckpoints (or reliable-checkpoints
+    * under a configured checkpoint dir) so the lineage — and the positional
+    * n-gram exchange it would replay — never stacks across passes. Output
+    * matches [[removeDuplicatedSpans]]'s shape with `n_tokens` the ORIGINAL
+    * count and `removed_tokens` accumulated across passes. */
+  def removeDuplicatedSpansToFixedPoint(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minDocs: Int = 2, maxPasses: Int = 4,
+      hashGrams: Boolean = false): DataFrame = {
+    require(maxPasses >= 1, s"need maxPasses >= 1, got $maxPasses")
+    val spark = df.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def reroot(frame: DataFrame) =
+      if (reliable) frame.checkpoint(true) else frame.localCheckpoint(true)
+    def totalRemoved(f: DataFrame): Long =
+      f.agg(coalesce(sum(col("removed_tokens")), lit(0L))).head.getLong(0)
+    var cur = reroot(
+      removeDuplicatedSpans(df, idCol, textCol, n, minDocs, hashGrams))
+    var prevRemoved = totalRemoved(cur)
+    var pass = 1
+    while (prevRemoved > 0 && pass < maxPasses) {
+      // fold this pass's cuts into the running totals; n_tokens stays the
+      // ORIGINAL document length
+      val next = reroot(cur.select(col(idCol), col("n_tokens"),
+          col("removed_tokens").as("_gf_prev"))
+        .join(removeDuplicatedSpans(cur.select(col(idCol), col(textCol)),
+            idCol, textCol, n, minDocs, hashGrams)
+          .withColumnRenamed("n_tokens", "_gf_nt"), Seq(idCol))
+        .select(col(idCol), col("n_tokens"),
+          (col("_gf_prev") + col("removed_tokens")).as("removed_tokens"),
+          col(textCol)))
+      val total = totalRemoved(next)
+      val converged = total == prevRemoved
+      prevRemoved = total
+      cur = next
+      pass += 1
+      if (converged) return cur
+    }
+    cur
+  }
+
   /** Corpus-wide repeated-passage removal (the C4/RefinedWeb hygiene step:
     * boilerplate — headers, footers, license blocks — repeats VERBATIM
     * across many documents; drop the repeated passage, keep the document).

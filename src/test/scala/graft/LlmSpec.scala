@@ -180,6 +180,37 @@ class LlmSpec extends AnyFunSuite {
     assert(viaCol === r.getString(0))
   }
 
+  test("removeDuplicatedSpansToFixedPoint: cut seams expose stragglers, iteration converges") {
+    import spark.implicits._
+    // A and C agree AROUND the span A shares with B: cutting "d u p" out of
+    // A collapses it onto C's seam text, so pass 2 finds duplication pass 1
+    // could not see — the reason suffix-array dedup iterates
+    // seam halves SHORTER than n on each side: "x y" and "z w" share no
+    // 3-gram with C pre-cut, but cutting "d u p" out of A yields exactly C
+    val a = "x y d u p z w"
+    val b = "k1 k2 d u p k3 k4"
+    val c = "x y z w"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val once = TextOps.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+    val fixed = TextOps.removeDuplicatedSpansToFixedPoint(df, "doc_id", "text", n = 3)
+    val onceM = once.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val fixedM = fixed.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(onceM !== fixedM.map { case (k, v) => k -> v._3 },
+      "single pass already at fixed point — the straggler case is vacuous")
+    // the output IS a fixed point: one more pass removes nothing
+    val again = TextOps.removeDuplicatedSpans(
+      fixed.select(col("doc_id"), col("text")), "doc_id", "text", n = 3)
+    assert(again.agg(sum("removed_tokens")).head.getLong(0) === 0L)
+    // totals account exactly: original length == kept + removed
+    fixedM.foreach { case (id, (nTok, removed, text)) =>
+      val kept = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(nTok === kept + removed, s"doc $id: $nTok != $kept + $removed")
+    }
+    // B only carried the shared span; its seam is unique and survives
+    assert(fixedM(2L)._3 === "k1 k2 k3 k4")
+  }
+
   test("removeDuplicatedSpans fuzz: matches an in-memory reference on random corpora") {
     import spark.implicits._
     // tiny vocabulary so cross-document n-gram collisions actually occur
