@@ -34,7 +34,10 @@ object Multimodal {
     // image columns and the llm_mm_meta oracle stay byte-stable
     StructField("sample_rate", IntegerType),
     StructField("channels", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    // animation field (r12b): frame count for GIF payloads (1 for static
+    // GIFs), null otherwise — appended, same stability contract
+    StructField("n_frames", IntegerType)))
 
   /** Pack a fake media payload column from text (UTF-8 bytes) — stands in
     * for real image/audio bytes in tests. */
@@ -80,6 +83,76 @@ object Multimodal {
             val h = r.getHeight(0).toLong
             if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
             else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+  /** Frames to temporally pool from an animated payload: evenly sampled
+    * across the animation, like video frame sampling — more frames buy
+    * little for a near-dup signal and multiply decode cost. */
+  val MaxVideoFrames: Int = 8
+
+  /** Header-only GIF frame count (no pixel decode): the meta surface for
+    * animated payloads. None for non-GIFs or corrupt streams. */
+  private def gifFrameCount(p: Array[Byte]): Option[Int] =
+    if (p == null || !sniffImageKind(p).contains("image/gif")) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val n = r.getNumImages(true)
+            if (n > 0) Some(n) else None
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+  /** Evenly-sampled decoded frames of an animated GIF — the pure-JDK
+    * "video" path (frame-sample → per-frame features → temporal pooling,
+    * the same shape a real codec would feed). Scoped HONESTLY to
+    * full-frame animations: GIF frames may be DELTAS over a composited
+    * canvas, and rather than reimplement GIF disposal compositing, a
+    * sampled frame smaller than the logical screen degrades the decode to
+    * the first frame alone (always full). The per-frame bomb guard is the
+    * image guard times the sample count. None for non-GIF payloads. */
+  private def decodeGifFrames(p: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (p == null || !sniffImageKind(p).contains("image/gif")) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val n = r.getNumImages(true)
+            val w0 = if (n > 0) r.getWidth(0).toLong else 0L
+            val h0 = if (n > 0) r.getHeight(0).toLong else 0L
+            if (n <= 0 || w0 <= 0 || h0 <= 0) None
+            else {
+              val sample =
+                if (n <= MaxVideoFrames) 0 until n
+                else (0 until MaxVideoFrames).map(i => (i.toLong * n / MaxVideoFrames).toInt)
+              if (w0 * h0 * sample.size > MaxDecodePixels) None
+              else {
+                val idxs =
+                  if (sample.forall(i => r.getWidth(i) == w0 && r.getHeight(i) == h0))
+                    sample
+                  else Seq(0) // delta-frame animation: first frame only
+                Some(idxs.map(r.read(_)))
+              }
+            }
           } finally r.dispose()
         }
       } catch { case _: Exception => None }
@@ -235,7 +308,9 @@ object Multimodal {
           Option(payload).map(_.length.toLong).getOrElse(0L), w, h, checksum,
           audio.map(_.sampleRate).orNull,
           audio.map(_.channels).orNull,
-          audio.map(_.durationMs).orNull))
+          audio.map(_.durationMs).orNull,
+          // header-only frame count; pays a stream scan only for GIFs
+          gifFrameCount(payload).map(Int.box).orNull))
       }
     }(Encoders.row(outSchema))
   }
@@ -303,9 +378,21 @@ object Multimodal {
         val emb: Array[Float] = if (payload == null) null
         else decodeAudio(payload) match {
           case Some(a) => rmsEnvelopeEmbedding(a.mono, dim) // REAL samples
-          case None => decodeImage(payload) match {
-            case Some(img) => lumaGridEmbedding(img, dim) // REAL pixels
-            case None =>
+          // animated GIFs: the pure-JDK video path — evenly sampled
+          // frames, per-frame luma embedding, temporal MEAN pooling,
+          // renormalized (a static GIF takes the single-image branch
+          // below, bit-identical to before)
+          case None => decodeGifFrames(payload).filter(_.size > 1) match {
+            case Some(frames) =>
+              val per = frames.map(lumaGridEmbedding(_, dim))
+              val pooled = Array.tabulate(dim)(i =>
+                per.foldLeft(0.0)((s, v) => s + v(i)) / per.size)
+              val norm = math.sqrt(pooled.foldLeft(0.0)((s, v) => s + v * v))
+              Array.tabulate(dim)(i =>
+                if (norm > 1e-9) (pooled(i) / norm).toFloat else 0f)
+            case None => decodeImage(payload) match {
+              case Some(img) => lumaGridEmbedding(img, dim) // REAL pixels
+              case None =>
               // FALLBACK featurizer: L2-normalized byte histogram folded to
               // `dim` — byte-level only, kept for undecodable payloads
               val acc = new Array[Float](dim)
@@ -316,6 +403,7 @@ object Multimodal {
               val norm = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x.toDouble * x))
               if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
               acc
+            }
           }
         }
         Row.fromSeq(r.toSeq :+ emb)

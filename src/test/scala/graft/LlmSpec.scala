@@ -889,6 +889,93 @@ class LlmSpec extends AnyFunSuite {
     assert(byteCos < 0.999, s"byte histograms unexpectedly aligned: $byteCos")
   }
 
+  test("multimodal: animated GIF — frame-sampled temporal pooling, timing-different twins meet") {
+    import spark.implicits._
+    def makeImage(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val r = (x * 4 + seed * 40) % 256
+        val g = (y * 5 + seed * 80) % 256
+        val b = (x * y * (seed + 1)) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    // standard ImageIO animated-GIF writing: per-frame metadata carries
+    // the GraphicControlExtension delay — two encodings of the SAME
+    // frames with different delays are byte-different payloads
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage], delayCs: Int): Array[Byte] = {
+      import javax.imageio.metadata.IIOMetadataNode
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      val params = writer.getDefaultWriteParam
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f), params)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), params)
+      }
+      writer.endWriteSequence(); ios.close()
+      baos.toByteArray
+    }
+    val frames = Seq(makeImage(0), makeImage(1), makeImage(2))
+    val slow = animatedGif(frames, delayCs = 50)
+    val fast = animatedGif(frames, delayCs = 5)
+    assert(!java.util.Arrays.equals(slow, fast))
+    def gif1(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", bos)); bos.toByteArray
+    }
+    val static0 = gif1(makeImage(0))
+    val other = animatedGif(Seq(makeImage(7), makeImage(8), makeImage(9)), 10)
+    val df = spark.createDataset(Seq(
+      (1L, slow), (2L, fast), (3L, static0), (4L, other))).toDF("doc_id", "media")
+    // metadata: true frame counts, appended field (image columns stable)
+    val meta = Multimodal.extractMeta(df, "media")
+      .select(col("doc_id"), col("meta.kind"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(meta(1L) === (("image/gif", 3)))
+    assert(meta(2L) === (("image/gif", 3)))
+    assert(meta(3L) === (("image/gif", 1)))
+    // temporal pooling sees FRAMES: the timing-different twin is top-1 at
+    // cosine ≈ 1 (byte-different payloads), a different animation is not,
+    // and the static first frame does NOT collapse onto the animation
+    val emb = Multimodal.featurize(df, "media", dim = 64)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(1L), k = 1)
+      .select("neighbor_id", "sim").head()
+    assert(top1.getLong(0) === 2L, top1.toString)
+    assert(math.abs(top1.getDouble(1) - 1.0) < 1e-4, top1.toString)
+    val sims = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(1L), k = 3)
+      .select("neighbor_id", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(4L) < 0.99, sims.toString)
+    assert(sims.getOrElse(3L, 0.0) < 0.999,
+      s"static frame collapsed onto the animation: $sims")
+    // a static GIF keeps the exact single-image embedding (bit-stable
+    // with the pre-animation code path)
+    val viaImage = Multimodal.featurize(
+        spark.createDataset(Seq((3L, static0))).toDF("doc_id", "media"),
+        "media", dim = 64)
+      .select("embedding").head().getSeq[Float](0)
+    val inMix = Multimodal.featurize(df, "media", dim = 64)
+      .where(col("doc_id") === 3L).select("embedding").head().getSeq[Float](0)
+    assert(viaImage === inMix)
+  }
+
   test("multimodal: REAL audio decode — WAV and AIFF of the same samples meet at cosine 1") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
