@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import graft.meta.Schema
-import graft.table.{IceTable, JdbcCatalogStore, JdbcTableOperations}
+import graft.table.{CatalogStore, IceTable, JdbcCatalogStore, JdbcTableOperations}
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, Table, TableCatalog}
@@ -34,15 +34,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - Namespaces are rows, not directories. */
 class GraftJdbcCatalog extends GraftCatalog {
 
-  private var uri: String = _
-  // lazy: DriverManager work belongs on first use, not Spark conf parsing
-  @volatile private var storeRef: JdbcCatalogStore = _
-  private def store: JdbcCatalogStore = {
+  protected var uri: String = _
+  // lazy: DriverManager/HTTP work belongs on first use, not Spark conf parsing
+  @volatile private var storeRef: CatalogStore = _
+  protected final def store: CatalogStore = {
     if (storeRef == null) synchronized {
-      if (storeRef == null) storeRef = new JdbcCatalogStore(uri, catalogName)
+      if (storeRef == null) storeRef = newStore()
     }
     storeRef
   }
+
+  /** The pointer backend; [[GraftRestCatalog]] swaps in the HTTP store. */
+  protected def newStore(): CatalogStore = new JdbcCatalogStore(uri, catalogName)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     super.initialize(name, options)

@@ -4,6 +4,34 @@ import java.sql.{Connection, DriverManager, SQLException}
 
 import graft.meta.model.{JsonCodecs, MetadataLogEntry, TableMetadata}
 
+/** The catalog's pointer store: one (namespace, name) row per table holding
+  * the current metadata-file location, CAS'd on commit. Implementations:
+  * a SQL database ([[JdbcCatalogStore]]) and an HTTP catalog service
+  * ([[RestCatalogStore]]) — both drive the same [[JdbcTableOperations]]
+  * commit protocol, so every backend shares one tested CAS path. */
+trait CatalogStore {
+  /** (pointer version, metadata location, table location) for one table. */
+  def getPointer(namespace: String, name: String): Option[(Int, String, String)]
+  /** Create the pointer row — the atomic publish of a new table. False when
+    * the name is already taken. */
+  def insertPointer(namespace: String, name: String, tableLocation: String,
+      version: Int, metadataLocation: String): Boolean
+  /** CAS the pointer: true only if it still points at `expected`. */
+  def casPointer(namespace: String, name: String, expectedMetadataLocation: String,
+      newVersion: Int, newMetadataLocation: String): Boolean
+  /** Point an EXISTING row at a replacement table (RTAS publish). */
+  def replacePointer(namespace: String, name: String, tableLocation: String,
+      version: Int, metadataLocation: String): Boolean
+  def dropPointer(namespace: String, name: String): Boolean
+  def renamePointer(fromNs: String, fromName: String, toNs: String,
+      toName: String): Boolean
+  def listTables(namespace: String): Seq[String]
+  def createNamespace(namespace: String): Boolean
+  def dropNamespace(namespace: String): Boolean
+  def namespaceExists(namespace: String): Boolean
+  def listNamespaces(): Seq[String]
+}
+
 /** SQL-backed catalog store (ref `core/.../jdbc/JdbcCatalog.java` +
   * `JdbcUtil.java`): one row per table holding the current metadata-file
   * pointer; commits CAS the row with
@@ -17,7 +45,8 @@ import graft.meta.model.{JsonCodecs, MetadataLogEntry, TableMetadata}
   * driver-side metadata traffic (a handful of point reads/updates per
   * query or commit), so a pool would buy nothing. Any JDBC driver on the
   * classpath works; tests use embedded Derby. */
-final class JdbcCatalogStore(uri: String, val catalogName: String) {
+final class JdbcCatalogStore(uri: String, val catalogName: String)
+    extends CatalogStore {
 
   private val conn: Connection = JdbcCatalogStore.connection(uri)
 
@@ -227,7 +256,7 @@ object JdbcCatalogStore {
   * memory) until [[publish]]/[[publishReplace]] pushes the final pointer
   * row — the row insert IS the atomic CTAS/RTAS publish. */
 final class JdbcTableOperations(val location: String, val io: FileIO,
-    store: JdbcCatalogStore, namespace: String, tableName: String,
+    store: CatalogStore, namespace: String, tableName: String,
     staged: Boolean = false) extends TableOps {
 
   @volatile private var local: Option[(Int, String)] = None
