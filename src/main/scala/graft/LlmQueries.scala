@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, QualityModel, Similarity, TextOps}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,6 +45,24 @@ object LlmQueries {
       Dedup.minHashLshPairs(docs(s, d), "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
         .orderBy("id_a", "id_b")
+    }),
+
+    // trained quality classifier (iterative Adagrad training → FP-path
+    // specific, not SQL-replayable; rows-only here — the AUC gates,
+    // loss-decrease, and save/load parity live in QualityModelSpec). The
+    // corpus's metadata labels are independent of its text by design, so
+    // the smoke task is text-derived: "does the doc mention 'merge'" —
+    // learnable from hashed unigrams, and the scored output proves the
+    // full train→score path runs end-to-end at gate time.
+    "llm_quality_model" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val (model, _) = QualityModel.train(
+        corpus.withColumn("y",
+          array_contains(TextOps.tokens(col("text")), "merge").cast("int")),
+        "doc_id", "text", "y", buckets = 1 << 15, iters = 12)
+      model.score(corpus, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_prob"), 3).as("quality_prob"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup pairs (hash-family specific — rows-only check;
