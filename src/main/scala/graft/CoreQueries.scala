@@ -647,6 +647,49 @@ object CoreQueries {
         "s_nationkey AS nk, round(s_acctbal, 2) AS bal FROM q37_sup")
       s.sql("DELETE FROM gq37.db.t WHERE nk < 5")
       s.sql("SELECT k, nk, bal FROM gq37.db.t ORDER BY k")
+    }),
+
+    // Q41 as-of join (r12): for each purchase, the user's latest click at
+    // or before it — the point-in-time join, composed as union + keyed
+    // window (ONE exchange; the naive range-join plan would be
+    // BroadcastNestedLoop). Oracle: DuckDB's native ASOF JOIN — an
+    // independent implementation, not a replay of ours. Event time
+    // normalizes to epoch micros (q39's truncation-alignment note).
+    "q41_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val tsu = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      val norm = e.select(col("event_id"), col("user_id"),
+        col("event_type"), tsu.as("t"), round(col("value"), 2).as("v"))
+      val purchases = norm.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "t")
+      val clicks = norm.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("ct"), col("v").as("click_value"))
+      graft.operators.TemporalJoins.asofJoin(
+          purchases, clicks, "t", "ct", Seq("user_id"))
+        .select("event_id", "ct", "click_value")
+        .orderBy("event_id")
+    }),
+
+    // Q42 range join (r12): events inside each user's first-30-minute
+    // window — interval containment via grid-bucketed equi-join (cells =
+    // 10 min), never a nested-loop plan. Oracle: plain BETWEEN join.
+    "q42_range_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val tsu = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      val norm = e.select(col("event_id"), col("user_id"), tsu.as("t"))
+      val windows = norm.groupBy("user_id")
+        .agg(min(col("t")).as("ws"), (min(col("t")) + 1800000000L).as("we"))
+      graft.operators.TemporalJoins.rangeJoin(
+          norm, windows, "t", "ws", "we", keys = Seq("user_id"),
+          bucketWidth = 600000000L)
+        .select("event_id", "user_id", "ws")
+        .orderBy("event_id")
     })
   )
 
@@ -826,6 +869,21 @@ object CoreQueries {
         "FROM e a JOIN (SELECT user_id, t FROM e WHERE user_id % 3 = 0) b " +
         "ON a.t = b.t AND a.user_id = b.user_id " +
         "GROUP BY a.user_id ORDER BY a.user_id"),
+    "q41_asof_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t, " +
+        "round(value, 2) AS v FROM events), " +
+        "p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, t, v FROM e WHERE event_type = 'click') " +
+        "SELECT p.event_id, c.t AS ct, c.v AS click_value " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t " +
+        "ORDER BY p.event_id"),
+    "q42_range_join" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), " +
+        "w AS (SELECT user_id, min(t) AS ws, min(t) + 1800000000 AS we " +
+        "FROM e GROUP BY user_id) " +
+        "SELECT e.event_id, e.user_id, w.ws FROM e JOIN w " +
+        "ON e.user_id = w.user_id AND e.t BETWEEN w.ws AND w.we " +
+        "ORDER BY e.event_id"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +
