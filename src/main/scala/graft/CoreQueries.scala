@@ -690,6 +690,32 @@ object CoreQueries {
           bucketWidth = 600000000L)
         .select("event_id", "user_id", "ws")
         .orderBy("event_id")
+    }),
+
+    // Q43 incremental aggregate view (r12): a materialized per-customer
+    // rollup maintained from the source CHANGELOG across a DELETE and an
+    // INSERT — the refresh recomputes only changed groups, and the final
+    // view must hash-match the oracle's plain re-aggregation of the same
+    // end state. End-to-end through the CALL procedures.
+    "q43_incremental_mv" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      s.conf.set("spark.sql.catalog.gq43", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq43.warehouse", tmp)
+      t(s, d, "orders").createOrReplaceTempView("q43_orders")
+      t(s, d, "customer").createOrReplaceTempView("q43_cust")
+      s.sql("CREATE TABLE gq43.db.src AS SELECT o_custkey AS k, " +
+        "round(o_totalprice, 2) AS v FROM q43_orders")
+      s.sql("CALL gq43.system.create_aggregate_view(table => 'db.src', " +
+        s"view_location => '$tmp/mv', keys => 'k', " +
+        "aggs => 'count(*) AS n; round(sum(v), 2) AS total; " +
+        "round(max(v), 2) AS hi')").collect()
+      s.sql("DELETE FROM gq43.db.src WHERE k % 7 = 0")
+      s.sql("INSERT INTO gq43.db.src SELECT c_custkey AS k, 1.5 AS v " +
+        "FROM q43_cust WHERE c_custkey % 10 = 0")
+      s.sql(s"CALL gq43.system.refresh_aggregate_view(" +
+        s"view_location => '$tmp/mv')").collect()
+      graft.table.IceTable.load(s, s"$tmp/mv").toDF
+        .select("k", "n", "total", "hi").orderBy("k")
     })
   )
 
@@ -884,6 +910,13 @@ object CoreQueries {
         "SELECT e.event_id, e.user_id, w.ws FROM e JOIN w " +
         "ON e.user_id = w.user_id AND e.t BETWEEN w.ws AND w.we " +
         "ORDER BY e.event_id"),
+    "q43_incremental_mv" ->
+      ("WITH s AS (SELECT o_custkey AS k, round(o_totalprice, 2) AS v FROM orders " +
+        "WHERE NOT (o_custkey % 7 = 0) " +
+        "UNION ALL SELECT c_custkey AS k, 1.5 AS v FROM customer " +
+        "WHERE c_custkey % 10 = 0) " +
+        "SELECT k, count(*) AS n, round(sum(v), 2) AS total, " +
+        "round(max(v), 2) AS hi FROM s GROUP BY k ORDER BY k"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

@@ -419,6 +419,36 @@ object GraftSqlParser {
           val r = graft.llm.IvfIndex.refresh(spark, t, loc, share)
           Seq(Row(loc, r.appended, r.deleted, r.refit))
         })
+      case "create_aggregate_view" =>
+        // incrementally-maintained aggregate table (r12): stamps the
+        // defining query + source watermark as table properties; refresh
+        // recomputes only the groups the source changelog touched.
+        // `aggs` is SEMICOLON-separated (aggregates contain commas)
+        GraftCallCommand(proc, Seq(attr("view_location", StringType),
+          attr("groups", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val loc = named.get("view_location").orElse(pos.lift(1))
+            .map(_.toString).getOrElse(s"${t.location}_agg_view")
+          val keys = named.get("keys").orElse(pos.lift(2)).map(_.toString)
+            .getOrElse(throw new IllegalArgumentException(
+              "create_aggregate_view requires keys => 'k1,k2'"))
+            .split(',').map(_.trim).toSeq
+          val aggs = named.get("aggs").orElse(pos.lift(3)).map(_.toString)
+            .getOrElse(throw new IllegalArgumentException(
+              "create_aggregate_view requires aggs => 'sum(v) AS total; …'"))
+            .split(';').map(_.trim).filter(_.nonEmpty).toSeq
+          val v = graft.table.IncrementalView.create(spark, t, loc, keys, aggs)
+          Seq(Row(loc, v.toDF.count()))
+        })
+      case "refresh_aggregate_view" =>
+        GraftCallCommand(proc, Seq(attr("view_location", StringType),
+          attr("upserted_groups", LongType), attr("deleted_groups", LongType),
+          attr("rebuilt", org.apache.spark.sql.types.BooleanType)), { spark =>
+          val loc = named.get("view_location").map(_.toString)
+            .getOrElse(resolve(spark, tableArg).location)
+          val r = graft.table.IncrementalView.refresh(spark, loc)
+          Seq(Row(loc, r.upsertedGroups, r.deletedGroups, r.rebuilt))
+        })
       case "add_files" =>
         GraftCallCommand(proc, Seq(attr("added_files_count", LongType)), { spark =>
           val source = named.get("source_table").orElse(named.get("source"))
