@@ -316,6 +316,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval (r12): BM25 lexical top-10 fused with exact cosine
+    // vector top-10 by reciprocal rank (k0=60) — the standard two-tower
+    // retrieval combiner; doc_id and vec_id share a domain in the test
+    // corpus, so query i's "embedding" is document i's vector
+    "llm_hybrid_retrieval" -> ((s, d) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      val bm = TextOps.bm25(docs(s, d), "doc_id", "text", q, "qid", "qtext",
+        k = 10).select("query_id", "rank", "doc_id")
+      val ann = Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding",
+          Seq(1L, 2L, 3L), k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Similarity.rrfFuse(Seq(bm, ann), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // CCNet-style bigram-LM quality scoring: stupid-backoff model trained
     // on the English slice, every doc scored by mean per-bigram logprob
     "llm_ngram_lm" -> ((s, d) => {
@@ -674,6 +691,45 @@ object LlmQueries {
            |   (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
            | SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
            |   doc_id, score FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+          .stripMargin.replace("\n", " ")),
+      "llm_hybrid_retrieval" ->
+        ("""WITH q(query_id, qtext) AS (VALUES (1, 'hash join merge'),
+           |   (2, 'fast scan filter'), (3, 'customer order data')),
+           | ct AS (SELECT doc_id,
+           |   list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+           |   FROM documents),
+           | post AS (SELECT doc_id, w, count(*) AS tf, max(dl) AS dl FROM
+           |   (SELECT doc_id, unnest(ts) AS w, len(ts) AS dl FROM ct)
+           |   GROUP BY doc_id, w),
+           | qt AS (SELECT DISTINCT query_id, w FROM
+           |   (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS w FROM q)),
+           | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |   greatest(avg(len(ts)), 1e-9) AS avgdl FROM ct),
+           | m AS (SELECT p.* FROM post p WHERE p.w IN (SELECT w FROM qt)),
+           | dfc AS (SELECT w, count(*) AS df FROM m GROUP BY 1),
+           | sc AS (SELECT qt.query_id, m.doc_id,
+           |   round(sum(ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+           |     * (m.tf * 2.2)
+           |     / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))), 4) AS score
+           |   FROM m JOIN qt USING (w) JOIN dfc USING (w), stats s GROUP BY 1, 2),
+           | bmr AS (SELECT query_id, doc_id, row_number() OVER
+           |   (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc),
+           | vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           |   FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           | annr AS (SELECT query_id, e.vec_id AS doc_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY
+           |     round(list_cosine_similarity(qvec, CAST(e.embedding AS DOUBLE[])), 4)
+           |     DESC, e.vec_id) AS rank
+           |   FROM vq, embeddings e WHERE e.vec_id != vq.query_id
+           |   QUALIFY rank <= 10),
+           | u AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10
+           |   UNION ALL SELECT query_id, doc_id, rank FROM annr),
+           | f AS (SELECT query_id, doc_id,
+           |   round(sum(1.0 / (60 + rank)), 6) AS score FROM u GROUP BY 1, 2),
+           | r AS (SELECT query_id, doc_id, score, row_number() OVER
+           |   (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM f)
+           | SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           |   doc_id, score FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
           .stripMargin.replace("\n", " ")),
       "llm_ngram_lm" ->
         ("""WITH ct AS (SELECT doc_id,

@@ -59,6 +59,34 @@ object Similarity {
         col("_e.id").as("neighbor_id"), col("_e.ord").as("sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — public
+    * knowledge): fuse per-query rankings from heterogeneous retrievers
+    * (BM25, ANN, …) by `score(d) = Σ_lists 1/(k0 + rank_list(d))` — rank
+    * positions, never raw scores, so lexical and vector scales need no
+    * calibration against each other. The standard hybrid-retrieval
+    * combiner. Each input needs columns `(query_id, rank, doc_id)`;
+    * output `(query_id, rank, doc_id, score)`, top `k` per query, ties on
+    * the rounded fused score broken by doc_id.
+    *
+    * Scale shape: inputs are already top-k-bounded (k × queries rows
+    * each), so the union + sum is retrieval-sized, never corpus-sized,
+    * and the final ranking is the bounded [[topKPerQuery]] heap — no
+    * window, no full sort. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && k0 >= 0, "bad rrf parameters")
+    val scored = rankings.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("rank"))).as("_gf_rr")))
+      .reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("_gf_rr"), 6).as("sim"))
+    topKPerQuery(
+        scored.select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("sim")), k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("sim").as("score"))
+  }
+
   /** Exact top-k neighbors for each query id: one corpus scan, query side
     * broadcast, bounded top-k reduce per query. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,

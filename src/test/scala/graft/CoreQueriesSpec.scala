@@ -13,9 +13,12 @@ class CoreQueriesSpec extends AnyFunSuite {
   test("every query has an oracle except the declared probabilistic ops") {
     // hash/quantization families (recall-gated in LlmSpec) plus the BPE
     // pair: iterative argmax training isn't one-SQL-expressible — both are
-    // gated by exact parity vs independent reference implementations
+    // gated by exact parity vs independent reference implementations; the
+    // trained quality classifier is iterative-FP for the same reason
+    // (AUC/honesty gates live in QualityModelSpec)
     val rowsOnly = Set("llm_ann_lsh", "llm_dedup_simhash", "llm_ann_int8",
-      "llm_dedup_embed_ivf", "llm_bpe_train", "llm_bpe_encode")
+      "llm_dedup_embed_ivf", "llm_bpe_train", "llm_bpe_encode",
+      "llm_quality_model")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
   }
