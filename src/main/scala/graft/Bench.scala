@@ -247,6 +247,16 @@ object Bench {
       // (4× fewer bytes), exact rescore on the k×4 survivors only
       measure("llm_ann_int8_probe", 2, 5)(() =>
         consume(ivf.topKQuantized(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
+      // PQ probe: ADC ranking over M-byte residual codes (32× fewer bytes
+      // than float at 64-dim/M=8); same rescore contract. Separate index
+      // location so the PQ build's version churn can't touch the shared
+      // probe index above
+      graft.llm.IvfIndex.buildPq(spark, embs, "vec_id", "embedding",
+        s"$loc/ann_pq_idx", nLists = 8, m = 16, ks = 64)
+      val pqIdx = graft.llm.IvfIndex.load(spark, s"$loc/ann_pq_idx")
+      settle()
+      measure("llm_ann_pq_probe", 2, 5)(() =>
+        consume(pqIdx.topKPq(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
       // build cost measured every round (it once hid a dim× recompute that
       // made fits unusable past toy corpora): a separate location so the
       // version churn cannot touch the probe index, settled first so the

@@ -503,6 +503,42 @@ object LlmQueries {
         })
       idx.topKQuantized(AnnQueryIds, k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
+    }),
+
+    // product-quantized ANN (Jégou et al. 2011): the ranking phase scans
+    // M-byte residual codes (32× fewer bytes than the float vectors for
+    // 64-dim/M=8) and sums M table lookups per candidate (ADC), then the
+    // exact rescore runs on the bounded survivor set. Codebook contents
+    // are quantization-specific → rows-only; exactness-under-full-rescore
+    // and the recall gate live in LlmSpec
+    "llm_ann_pq" -> ((s, d) => {
+      val idx = Int8IndexCache.computeIfAbsent(
+        "pq:" + System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+            .toString + "/idx"
+          graft.llm.IvfIndex.buildPq(s, embs(s, d), "vec_id", "embedding",
+            loc, nLists = 8, m = 16, ks = 64)
+        })
+      idx.topKPq(AnnQueryIds, k = 5, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // distributed batch kNN JOIN: every 25th corpus vector (a whole
+    // DataFrame of queries — never collected to the driver) joined
+    // against the index for its top-3; full probe ⇒ exact, so the oracle
+    // is the brute-force cross-join replay
+    "llm_knn_join" -> ((s, d) => {
+      val idx = Int8IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-ivf8-")
+            .toString + "/idx"
+          graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
+            loc, nLists = 8)
+        })
+      val queries = embs(s, d).filter(col("vec_id") % 25 === 0)
+      idx.knnJoin(queries, "vec_id", "embedding", k = 3, nProbe = 8,
+          excludeSelf = true)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -899,6 +935,16 @@ object LlmQueries {
           "round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
           "FROM q, embeddings e WHERE e.vec_id != q.query_id " +
           "QUALIFY rank <= 5 ORDER BY query_id, rank"),
+      // full-probe kNN join is exact ⇒ brute-force cross-join replay
+      "llm_knn_join" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+          "FROM embeddings WHERE vec_id % 25 = 0) " +
+          "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS INT) AS rank, " +
+          "e.vec_id AS neighbor_id, " +
+          "round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
+          "FROM q, embeddings e WHERE e.vec_id != q.query_id " +
+          "QUALIFY rank <= 3 ORDER BY query_id, rank"),
       "llm_vocab_topk" ->
         ("SELECT token, count(*) AS freq FROM " +
           "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
@@ -1009,8 +1055,8 @@ object LlmQueries {
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM documents) " +
           "WHERE cum_tokens <= CASE source WHEN 'src0' THEN 600 " +
           "WHEN 'src1' THEN 150 WHEN 'src7' THEN 0 ELSE 250 END ORDER BY doc_id")
-      // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8: hash-family- or
-      // quantization-specific → rows-only
+      // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8 / llm_ann_pq:
+      // hash-family- or quantization-specific → rows-only
     )
   }
 }

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * SQL `CALL system.rebuild_ann_index`).
   */
 final class IvfIndex private (val table: IceTable,
-    val centroids: Seq[Seq[Double]]) {
+    val centroids: Seq[Seq[Double]],
+    val pq: Option[IvfIndex.PqBooks] = None) {
 
   private def prop(k: String): String = table.meta.properties(k)
   def idCol: String = prop(IvfIndex.IdColProp)
@@ -57,13 +58,22 @@ final class IvfIndex private (val table: IceTable,
     * centroids, carrying the quantized codes and persisted norms — the
     * index row shape ([[sync]] dedups before appending; [[IvfIndex.refresh]]
     * appends directly under its snapshot watermark). */
-  private[llm] def assignToLists(delta: DataFrame): DataFrame =
-    Similarity.quantizeInt8(delta, idCol, vecCol)
+  private[llm] def assignToLists(delta: DataFrame): DataFrame = {
+    val base = Similarity.quantizeInt8(delta, idCol, vecCol)
       .select(col(idCol), col(vecCol),
         Similarity.nearestList(col(vecCol), centroids).as(IvfIndex.ListCol),
         col(IvfIndex.CodesCol), col(IvfIndex.ScaleCol),
         Similarity.l2norm(col(vecCol)).as(IvfIndex.VNormCol),
         Similarity.l2norm(col(IvfIndex.CodesCol)).as(IvfIndex.CNormCol))
+    // PQ index: every appended row also carries its M-byte code, so
+    // sync/refresh keep the ADC ranking path live without a re-encode pass
+    pq match {
+      case Some(b) => base.withColumn(IvfIndex.PqCodesCol,
+        Similarity.pqEncode(col(vecCol), col(IvfIndex.ListCol),
+          centroids, b.books))
+      case None => base
+    }
+  }
 
   /** Bounded by-id vector lookup, driver-side: plans through the normal
     * metadata cascade (partition + id-metrics pruning), then reads the few
@@ -337,13 +347,21 @@ final class IvfIndex private (val table: IceTable,
         ranked.select("query_id", "neighbor_id", "sim"), k * rescoreFactor)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // phase 2 — exact rescore of the survivors only. The survivor set is
-    // `queries × k × rescoreFactor` rows by construction — INDEPENDENT of
-    // corpus size — so the rescore is a driver computation: one
-    // partition+metrics-pruned scan collects the survivor float vectors
-    // (the only rows whose float column is ever read), and the exact
-    // cosines/top-k happen locally. No distributed join, no window, no
-    // second job over corpus data.
+    rescoreExact(qLocal, survivors, k, listFilter, planned, hasDeletes)
+  }
+
+  /** Phase 2 of the quantized probes — exact rescore of the survivors
+    * only. The survivor set is `queries × k × rescoreFactor` rows by
+    * construction — INDEPENDENT of corpus size — so the rescore is a
+    * driver computation: one partition+metrics-pruned scan collects the
+    * survivor float vectors (the only rows whose float column is ever
+    * read), and the exact cosines/top-k happen locally. No distributed
+    * join, no window, no second job over corpus data. */
+  private def rescoreExact(qLocal: Seq[(Long, Seq[Double])],
+      survivors: Array[(Long, Long)], k: Int,
+      listFilter: graft.meta.expr.Expr, planned: Seq[FileScanTask],
+      hasDeletes: Boolean): DataFrame = {
+    val spark = table.spark
     val survivorIds = survivors.map(_._2).distinct.toSeq
     val qById = qLocal.toMap
     // survivors can only live in the probed lists: the rescore fetch reuses
@@ -372,6 +390,152 @@ final class IvfIndex private (val table: IceTable,
         org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
   }
+
+  /** Distributed batch kNN JOIN: top-k index neighbors for EVERY row of
+    * `queries` — the table-to-table retrieval shape ([[topK]] and friends
+    * take a DRIVER-SIDE query list, the right tool for dozens of probes
+    * but not for joining a whole table of fresh documents against the
+    * corpus). Everything stays distributed: each query row fans out to
+    * its `nProbe` nearest lists (codegen'd multiprobe assignment — no
+    * collect), the probe is one equi-join on the list id against the
+    * list-partitioned index, and the per-query candidate volume is
+    * bounded by its probed lists' sizes, never the corpus. The final
+    * ranking is the bounded map-side top-k heap — no window, no full
+    * sort. `nProbe >= nLists` degenerates to exact brute force.
+    *
+    * Output `(query_id, rank, neighbor_id, sim)` — sim is exact cosine
+    * rounded to 4, ties to the smaller neighbor id (the probe contract).
+    * `excludeSelf` drops `neighbor_id == query_id` for corpus-self joins.
+    * At 100 TB this is one shuffle of the (already bounded) fan-out side
+    * against a co-located scan of the index's list partitions. */
+  def knnJoin(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = false): DataFrame = {
+    val probes = math.min(math.max(1, nProbe), centroids.size)
+    val hasNorms = table.meta.schema.columnNames.contains(IvfIndex.VNormCol)
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryVecCol).as("qv"),
+      Similarity.l2norm(col(queryVecCol)).as("qnorm"),
+      explode(Similarity.nearestLists(col(queryVecCol), centroids, probes))
+        .as(IvfIndex.ListCol))
+    val cand =
+      if (hasNorms) table.newScan()
+        .select(idCol, vecCol, IvfIndex.VNormCol, IvfIndex.ListCol).toDF
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+          col(IvfIndex.VNormCol), col(IvfIndex.ListCol))
+      else table.newScan().toDF
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+          col(IvfIndex.ListCol))
+    // each index row lives in exactly ONE list and a query's probed lists
+    // are distinct — no candidate duplicates, no dropDuplicates pass
+    val joined0 = cand.join(q, Seq(IvfIndex.ListCol))
+    val joined = (if (excludeSelf)
+        joined0.filter(col("neighbor_id") =!= col("query_id"))
+      else joined0)
+      .withColumn("sim", round(
+        if (hasNorms)
+          Similarity.dot(col("qv"), col("nv")) /
+            (col("qnorm") * col(IvfIndex.VNormCol))
+        else Similarity.cosine(col("qv"), col("nv")), 4))
+    Similarity.topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** PQ (product-quantization) top-k: the candidate-ranking phase scans
+    * the persisted M-byte `pqcodes` column — for a 64-dim float corpus
+    * with M=8 that is 32× fewer bytes than the float vectors and 8× fewer
+    * than the int8 codes; at 100 TB the ranking phase's IO shrinks by the
+    * same factor. Per candidate the work is M byte-indexed lookups into a
+    * query-side table (ADC — computed once per query on the driver), then
+    * the exact rescore of `k × rescoreFactor` survivors reuses the same
+    * machinery as [[topKQuantized]]. Falls back to the int8 probe on an
+    * index built without PQ. */
+  def topKPq(queryIds: Seq[Long], k: Int, nProbe: Int = 2,
+      rescoreFactor: Int = 4): DataFrame =
+    if (pq.isEmpty) topKQuantized(queryIds, k, nProbe, rescoreFactor)
+    else topKPqCore(fetchByIds(None, queryIds).toSeq.sortBy(_._1),
+      k, nProbe, rescoreFactor, excludeSelf = true)
+
+  /** [[topKPq]] with EXTERNAL query vectors (see [[topKForVectors]]). */
+  def topKPqForVectors(queries: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int = 2, rescoreFactor: Int = 4): DataFrame = {
+    validateExternal(queries)
+    if (pq.isEmpty) topKQuantizedForVectors(queries, k, nProbe, rescoreFactor)
+    else topKPqCore(queries, k, nProbe, rescoreFactor, excludeSelf = false)
+  }
+
+  private def topKPqCore(qLocal: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int, rescoreFactor: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = table.spark
+    val books = pq.get
+    val ks = books.ks
+    val (probed, allLists) = probePlan(qLocal, nProbe)
+    // ADC decomposition: dot(q, v) = dot(q, c_list) + dot(q, residual),
+    // and dot(q, residual) ≈ Σ_m lut[m*ks + code_m] with
+    // lut[m*ks + c] = dot(q_m, codeword_{m,c}). The LUT is per QUERY
+    // (m × ks doubles — driver-trivial); dot(q, c_list) is a per-
+    // (query, list) scalar riding the probe rows. Ranking divides by the
+    // persisted exact vnorm; the query norm is constant per query and
+    // cannot change its order.
+    val lutByQ: Map[Long, Seq[Double]] = qLocal.map { case (qid, qv) =>
+      val lut = new Array[Double](books.books.size * ks)
+      var off = 0
+      books.books.zipWithIndex.foreach { case (book, m) =>
+        book.zipWithIndex.foreach { case (w, c) =>
+          var s = 0.0; var j = 0
+          while (j < w.length) { s += qv(off + j) * w(j); j += 1 }
+          lut(m * ks + c) = s
+        }
+        off += book.head.length
+      }
+      qid -> lut.toSeq
+    }.toMap
+    val qRows = probed.map { case (qid, list) =>
+      val qv = qLocal.find(_._1 == qid).get._2
+      Row(qid, lutByQ(qid), IvfIndex.dotLocal(qv, centroids(list)), list)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("qc",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField(IvfIndex.ListCol,
+        org.apache.spark.sql.types.IntegerType)))
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    // phase 1 — ADC ranking over pqcodes + vnorm only (every other column
+    // unread); same one-metadata-pass / delete-fallback shape as the int8
+    // probe
+    val listFilter = Exprs.in(IvfIndex.ListCol, allLists.map(Int.box): _*)
+    val hasDeletes = table.currentSnapshot
+      .flatMap(_.summary.get("total-delete-files")).flatMap(_.toLongOption)
+      .map(_ > 0)
+      .getOrElse(table.newScan().filter(listFilter).planDeletes().nonEmpty)
+    val planned: Seq[FileScanTask] =
+      if (hasDeletes) Nil else table.newScan().filter(listFilter).planFiles()
+    val candCols = Seq(idCol, IvfIndex.PqCodesCol, IvfIndex.VNormCol,
+      IvfIndex.ListCol)
+    val candRaw =
+      if (hasDeletes)
+        table.newScan().filter(listFilter).select(candCols: _*).toDF
+      else Reads.readFiles(spark, table, table.meta, planned, candCols,
+        Binder.bind(table.meta.schema, listFilter))
+    val cand = candRaw.select(col(idCol).as("neighbor_id"),
+      col(IvfIndex.PqCodesCol), col(IvfIndex.VNormCol), col(IvfIndex.ListCol))
+    val ranked0 = cand.join(broadcast(q), Seq(IvfIndex.ListCol))
+    val ranked = (if (excludeSelf)
+        ranked0.filter(col("neighbor_id") =!= col("query_id"))
+      else ranked0)
+      .withColumn("sim",
+        (col("qc") + Similarity.pqAdc(col(IvfIndex.PqCodesCol), col("lut"), ks))
+          / col(IvfIndex.VNormCol))
+    val survivors = Similarity.topKPerQuery(
+        ranked.select("query_id", "neighbor_id", "sim"), k * rescoreFactor)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rescoreExact(qLocal, survivors, k, listFilter, planned, hasDeletes)
+  }
 }
 
 object IvfIndex {
@@ -380,20 +544,35 @@ object IvfIndex {
   val ScaleCol = "qscale"
   val VNormCol = "vnorm"
   val CNormCol = "cnorm"
+  val PqCodesCol = "pqcodes"
   val IdColProp = "ann.id-col"
   val VecColProp = "ann.vec-col"
   val NListsProp = "ann.n-lists"
+  val PqMProp = "ann.pq-m"
+  val PqKsProp = "ann.pq-ks"
+
+  /** The frozen product quantizer of a PQ-built index: `books(m)(c)` is
+    * codeword c of subspace m (each subspace dim/M wide); `ks` is the
+    * per-subspace codebook size (≤ 256 — a code is one byte). */
+  final case class PqBooks(ks: Int, books: Seq[Seq[Seq[Double]]])
   /** Corpus-table provenance, stamped by the IceTable `build` overload and
     * advanced by [[refresh]]: the snapshot the index is CURRENT AS OF. */
   val CorpusLocProp = "ann.corpus-location"
   val CorpusSnapProp = "ann.corpus-snapshot-id"
 
   private def centroidsPath(location: String) = s"$location/ann/centroids.json"
+  private def pqPath(location: String) = s"$location/ann/pq.json"
 
   private[llm] def normLocal(a: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * a(i); i += 1 }
     math.sqrt(s)
+  }
+
+  private[llm] def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   private[llm] def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
@@ -464,15 +643,43 @@ object IvfIndex {
         nLists, iters, Map.empty)
     }
 
+  /** [[build]] plus a product quantizer: the index additionally carries an
+    * M-byte `pqcodes` column (residual-encoded against the coarse
+    * centroids — see [[graft.expressions.PqEncode]]) and persists the
+    * per-subspace codebooks beside the centroids, enabling [[IvfIndex.topKPq]]'s
+    * ADC ranking phase. `m` subspaces must divide the vector dimension;
+    * `ks ≤ 256` codewords per subspace. */
+  def buildPq(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, location: String, nLists: Int = -1, m: Int = 8,
+      ks: Int = 256, iters: Int = 2): IvfIndex =
+    buildWith(spark, corpus, idCol, vecCol, location, nLists, iters,
+      Map.empty, pqParams = Some((m, ks)))
+
+  /** [[buildFrom]] with a product quantizer (see [[buildPq]]) — snapshot-
+    * pinned and refresh-capable like the plain build. */
+  def buildPqFrom(spark: SparkSession, corpus: IceTable, idCol: String,
+      vecCol: String, location: String, nLists: Int = -1, m: Int = 8,
+      ks: Int = 256, iters: Int = 2): IvfIndex =
+    corpus.meta.currentSnapshotId match {
+      case Some(id) => buildWith(spark,
+        corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
+        nLists, iters,
+        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
+        pqParams = Some((m, ks)))
+      case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
+        nLists, iters, Map.empty, pqParams = Some((m, ks)))
+    }
+
   private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int,
-      iters: Int, extraProps: Map[String, String]): IvfIndex = {
+      iters: Int, extraProps: Map[String, String],
+      pqParams: Option[(Int, Int)] = None): IvfIndex = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
     val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
     // int8 codes + scale are INDEX columns: the quantized probe ranks over
     // them (4× fewer bytes than float32) and parquet column pruning keeps
     // them free for every other read
-    val assigned = Similarity.quantizeInt8(corpus, idCol, vecCol)
+    val assignedBase = Similarity.quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol), col(vecCol),
         Similarity.nearestList(col(vecCol), cents).as(ListCol),
         col(CodesCol), col(ScaleCol),
@@ -480,6 +687,18 @@ object IvfIndex {
         // instead of re-deriving both norms (3× the fold work) every query
         Similarity.l2norm(col(vecCol)).as(VNormCol),
         Similarity.l2norm(col(CodesCol)).as(CNormCol))
+    // PQ: codebooks trained on the residuals under the just-fitted coarse
+    // quantizer, then every row's M-byte code rides as one more column
+    val pqBooks: Option[PqBooks] = pqParams.map { case (m, ks) =>
+      val books = Similarity.pqFit(assignedBase, idCol, vecCol, ListCol,
+        cents, m, ks, iters)
+      PqBooks(books.head.size, books)
+    }
+    val assigned = pqBooks match {
+      case Some(b) => assignedBase.withColumn(PqCodesCol,
+        Similarity.pqEncode(col(vecCol), col(ListCol), cents, b.books))
+      case None => assignedBase
+    }
     val io = new FileIO(spark.sparkContext.hadoopConfiguration)
     val existing = versionDirs(io, location)
     val next = (0 +: existing.map(_._1)).max + 1
@@ -498,8 +717,11 @@ object IvfIndex {
           // rewrite) while MoR deletes would ALSO knock probes off the
           // direct-parquet path until a compaction
           graft.meta.model.TableProperties.FanoutEnabled -> "true")
-          ++ extraProps)
+          ++ extraProps
+          ++ pqBooks.map(b => Map(PqMProp -> b.books.size.toString,
+            PqKsProp -> b.ks.toString)).getOrElse(Map.empty))
       io.writeString(centroidsPath(target), centroidsJson(cents))
+      pqBooks.foreach(b => io.writeString(pqPath(target), pqJson(b)))
       t.append(assigned)
       // the commit point: create-new is atomic, and everything above wrote
       // only inside the yet-uncommitted version directory
@@ -526,7 +748,9 @@ object IvfIndex {
     val dir = currentDir(io, location).getOrElse(
       throw new graft.table.NoSuchTableException(s"No ANN index at $location"))
     val t = IceTable.load(spark, dir)
-    new IvfIndex(t, parseCentroids(io.readString(centroidsPath(dir))))
+    val pq = if (io.exists(pqPath(dir)))
+      Some(parsePq(io.readString(pqPath(dir)))) else None
+    new IvfIndex(t, parseCentroids(io.readString(centroidsPath(dir))), pq)
   }
 
   /** Outcome of [[refresh]]: the (possibly re-fitted) current index, the
@@ -563,8 +787,15 @@ object IvfIndex {
     val current = corpus.meta.currentSnapshotId.getOrElse(recorded)
     if (current == recorded) return RefreshResult(idx, 0L, refit = false)
     val nLists = props(NListsProp).toInt
+    // a PQ index refits as a PQ index (same layout): dropping the codes on
+    // a drift refit would silently demote every later probe to int8
     def refit(): RefreshResult = RefreshResult(
-      buildFrom(spark, corpus, idx.idCol, idx.vecCol, location, nLists, iters),
+      idx.pq match {
+        case Some(b) => buildPqFrom(spark, corpus, idx.idCol, idx.vecCol,
+          location, nLists, b.books.size, b.ks, iters)
+        case None =>
+          buildFrom(spark, corpus, idx.idCol, idx.vecCol, location, nLists, iters)
+      },
       appended = 0L, refit = true)
     val delta =
       try corpus.appendsBetween(recorded, current, skipDeleteSnapshots = false)
@@ -676,6 +907,24 @@ object IvfIndex {
       CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
     Some(RefreshResult(load(spark, idx.table.location), upserts,
       refit = false, deleted = dels))
+  }
+
+  // the PQ file is line-oriented (header, then one centroidsJson matrix
+  // per subspace) — reusing the centroid matrix codec instead of inventing
+  // a 3-level nested format
+  private[graft] def pqJson(b: PqBooks): String =
+    (s"pq1 ${b.books.size} ${b.ks}" +:
+      b.books.map(centroidsJson)).mkString("\n")
+
+  private[graft] def parsePq(s: String): PqBooks = {
+    val lines = s.trim.split('\n')
+    val header = lines.head.split(' ')
+    require(header.length == 3 && header(0) == "pq1",
+      s"unrecognized PQ codebook header: ${lines.head}")
+    val m = header(1).toInt
+    val books = lines.tail.take(m).toSeq.map(parseCentroids)
+    require(books.size == m, s"PQ codebook file truncated: ${books.size}/$m")
+    PqBooks(header(2).toInt, books)
   }
 
   // centroids are a rectangular double matrix — hand-rolled JSON keeps the

@@ -322,6 +322,97 @@ object Similarity {
     topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** One subspace slice of a vector's residual against its coarse
+    * centroid (codegen'd [[graft.expressions.ResidualSlice]]). */
+  private[llm] def residualSlice(vec: Column, list: Column,
+      cents: Seq[Seq[Double]], from: Int, len: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ResidualSlice(
+      ColumnBridge.expression(vec), ColumnBridge.expression(list),
+      cents, from, len))
+  }
+
+  /** Index of the L2-nearest codeword (ties → larger index; the PQ
+    * assignment rule — see [[graft.expressions.PqKernel]]). */
+  private[llm] def nearestL2(c: Column, book: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NearestCentroidL2(
+      ColumnBridge.expression(c), book))
+  }
+
+  /** M-byte PQ code of a vector given its coarse list assignment
+    * (codegen'd [[graft.expressions.PqEncode]]). */
+  def pqEncode(vec: Column, list: Column, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqEncode(
+      ColumnBridge.expression(vec), ColumnBridge.expression(list),
+      cents, books))
+  }
+
+  /** ADC score: `Σ_m lut[m*ks + code_m]` ≈ dot(query, residual)
+    * (codegen'd [[graft.expressions.PqAdc]]). */
+  def pqAdc(codes: Column, lut: Column, ks: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqAdc(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut), ks))
+  }
+
+  /** Train the M per-subspace PQ codebooks (Jégou et al. 2011) over the
+    * corpus rows' RESIDUALS against their coarse centroids: deterministic
+    * L2 Lloyd per subspace — init = the `ks` lowest-id rows' residual
+    * slices, then `iters` rounds of assign (codegen'd L2 nearest) +
+    * per-codeword element-wise mean in ONE aggregation per subspace (the
+    * [[graft.expressions.ArraySum]] shape of [[ivfFit]]; the mean IS the
+    * L2-optimal Lloyd update). `df` must carry `idCol`, `vecCol`, and the
+    * coarse assignment in `listCol`. Returns m × ks' × (dim/m) codebooks
+    * (ks' < ks when the corpus has fewer rows — every subspace gets the
+    * same ks', keeping the probe-side LUT layout rectangular).
+    *
+    * Cost: the sliced-residuals frame is persisted once; each subspace
+    * then runs `iters` cache-backed aggregation jobs. At 100 TB train on
+    * `df.sample(...)` exactly like the coarse quantizer — codebook
+    * quality needs ~100× ks vectors per subspace, not the corpus. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, listCol: String,
+      cents: Seq[Seq[Double]], m: Int, ks: Int,
+      iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val dim = cents.head.length
+    require(m >= 1 && dim % m == 0,
+      s"PQ subspace count $m must divide the vector dimension $dim")
+    require(ks >= 1 && ks <= 256, s"PQ codebook size $ks out of range 1..256")
+    val sub = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subCols = (0 until m).map(i => s"_gf_s$i")
+    val slices = df.select(col(idCol) +:
+      (0 until m).map(i => residualSlice(col(vecCol), col(listCol),
+        cents, i * sub, sub).as(subCols(i))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // all m inits in one collect: the ks lowest-id rows' slices
+      val initRows = slices.orderBy(col(idCol)).limit(ks)
+        .select(subCols.map(col): _*).collect()
+      var books: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map(i =>
+        initRows.toSeq.map(_.getSeq[Double](i)))
+      (1 to iters).foreach { _ =>
+        books = (0 until m).map { i =>
+          val book = books(i)
+          val means = slices
+            .select(nearestL2(col(subCols(i)), book).as("c"),
+              col(subCols(i)).as("v"))
+            .groupBy("c")
+            .agg(arraySumAgg(col("v")).as("s"), count(lit(1)).as("n"))
+            .as[(Int, Seq[Double], Long)].collect()
+            .map { case (c, s, n) => c -> s.map(_ / n) }.toMap
+          book.indices.map(c => means.getOrElse(c, book(c)))
+        }
+      }
+      books.map(_.toSeq)
+    } finally slices.unpersist()
+  }
+
   // ------------------------------------------------- int8 quantization
 
   /** Symmetric per-vector int8 quantization: `codes` in [-127, 127] plus a

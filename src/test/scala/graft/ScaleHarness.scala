@@ -61,6 +61,27 @@ object ScaleHarness {
     println(f"${mult}x float ${tf.sorted.apply(2)}%.3f ${tf.map(t => f"$t%.3f").mkString(",")}")
     println(f"${mult}x int8  ${tq.sorted.apply(2)}%.3f ${tq.map(t => f"$t%.3f").mkString(",")}")
 
+    // PQ (r12c): build with 8-byte residual codes, probe via ADC ranking —
+    // the 32×-less-IO ranking phase vs the float column, 8× vs int8
+    val pqLoc = java.nio.file.Files.createTempDirectory("graft-scale-pq-")
+      .toString + "/idx"
+    var pqIdx: llm.IvfIndex = null
+    val tbPq = time {
+      pqIdx = llm.IvfIndex.buildPq(spark, corpus, "vec_id", "embedding",
+        pqLoc, nLists = 8, m = 8, ks = 256)
+    }
+    println(f"${mult}x PQ build $tbPq%.1f s (float build above: $tb%.1f s)")
+    (1 to 2).foreach(_ => consume(pqIdx.topKPq(qids, 5, nProbe = 2)))
+    val tp = (1 to 5).map(_ => time(consume(pqIdx.topKPq(qids, 5, nProbe = 2))))
+    println(f"${mult}x pq    ${tp.sorted.apply(2)}%.3f ${tp.map(t => f"$t%.3f").mkString(",")}")
+    // distributed batch kNN join: ~1k query rows against the full corpus
+    val qdf = corpus.filter(col("vec_id") % lit(math.max(1L, corpus.count() / 1000)) === 0)
+    println("knn queries=" + qdf.count())
+    (1 to 2).foreach(_ => consume(idx.knnJoin(qdf, "vec_id", "embedding", 5, nProbe = 2)))
+    val tj = (1 to 3).map(_ => time(consume(
+      idx.knnJoin(qdf, "vec_id", "embedding", 5, nProbe = 2))))
+    println(f"${mult}x knnJoin ${tj.sorted.apply(1)}%.3f ${tj.map(t => f"$t%.3f").mkString(",")}")
+
     // incremental refresh at scale (r12): corpus as a graft table, a 1%
     // appended delta caught up against the frozen centroids — the number
     // that justifies refresh existing (vs the full build measured above)
