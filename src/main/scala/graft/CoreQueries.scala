@@ -716,6 +716,31 @@ object CoreQueries {
         s"view_location => '$tmp/mv')").collect()
       graft.table.IceTable.load(s, s"$tmp/mv").toDF
         .select("k", "n", "total", "hi").orderBy("k")
+    }),
+
+    // Q44 equality-delete conversion: a streaming-upsert-shaped history
+    // (eq delete, re-insert of some deleted keys, second eq delete on a
+    // DIFFERENT key set) converted to position deletes — the sequence
+    // rule must keep the re-inserted rows alive through the FIRST delete
+    // while the SECOND still reaches them; visible rows never change and
+    // the oracle replays the history relationally
+    "q44_convert_eq_deletes" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q44").toString
+      val base = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey").as("nk"),
+          round(col("s_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(base.schema))
+      tbl.append(base)
+      tbl.addEqualityDeletes(base.filter(col("k") % 5 === 1).select("k"),
+        Seq("k"))
+      tbl.append(base.filter(col("k") % 10 === 1)
+        .withColumn("bal", lit(999.99)))
+      tbl.addEqualityDeletes(base.filter(col("nk") === 3)
+        .select("nk").distinct(), Seq("nk"))
+      val (converted, _) = tbl.convertEqualityDeletes()
+      require(converted >= 2, s"expected >=2 eq-delete files, got $converted")
+      tbl.toDF.select("k", "nk", "bal").orderBy("k", "bal")
     })
   )
 
@@ -917,6 +942,13 @@ object CoreQueries {
         "WHERE c_custkey % 10 = 0) " +
         "SELECT k, count(*) AS n, round(sum(v), 2) AS total, " +
         "round(max(v), 2) AS hi FROM s GROUP BY k ORDER BY k"),
+    "q44_convert_eq_deletes" ->
+      ("WITH base AS (SELECT s_suppkey AS k, s_nationkey AS nk, " +
+        "round(s_acctbal, 2) AS bal FROM supplier), " +
+        "after1 AS (SELECT * FROM base WHERE k % 5 <> 1), " +
+        "reins AS (SELECT k, nk, 999.99 AS bal FROM base WHERE k % 10 = 1), " +
+        "all2 AS (SELECT * FROM after1 UNION ALL SELECT * FROM reins) " +
+        "SELECT k, nk, bal FROM all2 WHERE nk <> 3 ORDER BY k, bal"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

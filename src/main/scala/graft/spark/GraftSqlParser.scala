@@ -247,6 +247,13 @@ object GraftSqlParser {
           val (rw, add) = resolve(spark, tableArg).rewritePositionDeleteFiles()
           Seq(Row(rw.toLong, add.toLong))
         })
+      case "convert_equality_deletes" =>
+        GraftCallCommand(proc,
+          Seq(attr("converted_delete_files_count", LongType),
+            attr("added_delete_files_count", LongType)), { spark =>
+          val (cv, add) = resolve(spark, tableArg).convertEqualityDeletes()
+          Seq(Row(cv.toLong, add.toLong))
+        })
       case "register_table" =>
         // register an EXISTING metadata file under a pointer-backed catalog
         // (ref metastore catalogs' registerTable); files never move

@@ -153,6 +153,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
 
   def removeDanglingDeletes(): Int = Maintenance.removeDanglingDeletes(this)
 
+  def convertEqualityDeletes(): (Int, Int) =
+    Maintenance.convertEqualityDeletes(this)
+
   /** Master-key rotation — requires this handle to carry a
     * [[KeyRotationManager]] (see its scaladoc for the protocol). */
   def rotateEncryptionKeys(

@@ -748,6 +748,94 @@ object Maintenance {
     (posDeletes.size, newFiles.size)
   }
 
+  /** Convert the live EQUALITY deletes into position deletes: for every
+    * data file some equality delete reaches (the same sequence +
+    * partition-scope applicability rule reads use —
+    * `MergeOnRead.applies`), find the positions of the rows the delete
+    * keys match and write them as position-delete files, then retire every
+    * equality-delete file in ONE Replace commit. Read results are
+    * unchanged by construction — the conversion materializes exactly the
+    * rows the read-side anti joins were suppressing.
+    *
+    * Why at 100 TB: applying an equality delete at read time is a
+    * key-comparison anti join against EVERY applicable data row of every
+    * scan, forever; a position delete is an exact (path, pos) probe that
+    * skips files by path prefilter and never touches key columns. A
+    * streaming-upsert table accumulates eq-delete files continuously —
+    * converting them (then `rewritePositionDeleteFiles` + compaction)
+    * caps the read-side tax at one bounded probe. The conversion itself
+    * scans only the AFFECTED files once, projected to the delete-key
+    * columns (+ row positions), never the whole table. The reference era
+    * ships the eq-delete read path but no conversion action; upstream
+    * later grew one — re-expressed here as DataFrame jobs.
+    *
+    * Returns (#equality-delete files converted, #position-delete files
+    * written). Rows already suppressed by EXISTING position deletes are
+    * not re-emitted (the affected-file scan applies them), and an eq
+    * delete matching nothing (dangling or fully compacted away) still
+    * retires. */
+  def convertEqualityDeletes(table: IceTable): (Int, Int) = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    val entries = table.liveEntries(m, snap)
+    val eq = entries.filter(_.dataFile.content == FileContent.EqualityDeletes)
+    if (eq.isEmpty) return (0, 0)
+    val eqPairs = eq.map(e => (e.dataFile, e.sequenceNumber))
+    val posPairs = entries
+      .filter(_.dataFile.content == FileContent.PositionDeletes)
+      .map(e => (e.dataFile, e.sequenceNumber))
+    val dataTasks = entries.filter(_.dataFile.content == FileContent.Data)
+      .map(e => FileScanTask(e.dataFile, graft.meta.expr.TrueExpr,
+        e.sequenceNumber))
+    val spark = table.spark
+    val readOpts = EncryptionManagers.contentOptionsFor(table.io.encryption,
+      "parquet", m.property(TableProperties.EncryptionRequired, "false").toBoolean)
+    // group data files by WHICH eq deletes reach them — the read path's own
+    // applicability classes, so conversion can never disagree with a scan
+    val groups = Reads.groupTasksByDeletes(dataTasks, eqPairs)
+      .filter(_._1.nonEmpty)
+    val affected = groups.flatMap(_._2)
+    val posRows: Seq[DataFrame] = groups.flatMap { case (applicable, tasks) =>
+      // per group: one scan of the affected files projected to the union of
+      // this group's delete-key columns, with EXISTING position deletes
+      // applied (already-dead rows are not re-deleted) and eq deletes kept
+      // visible; then one null-safe semi join per distinct key set
+      val keyNameSets = applicable.groupBy(_.equalityIds).toSeq
+        .map { case (ids, fs) => (ids.map(m.schema.fieldName), fs) }
+      val projection = keyNameSets.flatMap(_._1).distinct
+      val rows = Reads.readTasksWithDeletes(table, m, tasks, posPairs,
+        projection, graft.meta.expr.TrueExpr, rowPositions = true)
+      keyNameSets.map { case (keyNames, fs) =>
+        val keys = spark.read.options(readOpts)
+          .parquet(fs.map(_.path): _*).select(keyNames.map(col): _*)
+        val kdf = if (fs.map(_.fileSizeBytes).sum < 64L * 1024 * 1024)
+          broadcast(keys) else keys
+        // null-safe per key column — eq-delete spec semantics (null keys
+        // match null values), same as the read-side anti join
+        val cond = keyNames.map(n => rows(n) <=> kdf(n)).reduce(_ && _)
+        rows.join(kdf, cond, "left_semi")
+          .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
+            col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol))
+      }
+    }
+    val newFiles: Seq[DataFileMeta] =
+      if (posRows.isEmpty) Nil
+      else {
+        // writePositionDeleteFiles dedups (path, pos): a row matched by
+        // several eq classes still yields one delete row
+        val (files, _) = MergeOnRead.writePositionDeleteFiles(table, m,
+          posRows.reduce(_ unionByName _), affected = Some(affected),
+          compact = true, wantRefs = false)
+        files
+      }
+    table.commitSnapshot(Operation.Replace, newFiles,
+      eq.map(_.dataFile.path).toSet,
+      Map("converted-equality-delete-files" -> eq.size.toString,
+        "added-position-delete-files" -> newFiles.size.toString),
+      removedMeta = eq.map(_.dataFile))
+    (eq.size, newFiles.size)
+  }
+
   /** Rewrite all live manifests into one per partition spec, clustering
     * entries (ref `BaseRewriteManifestsSparkAction`). */
   def rewriteManifests(table: IceTable): Int = {

@@ -583,6 +583,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.toDF.count() === expected - 1)
   }
 
+  test("convertEqualityDeletes: eq deletes become position deletes, rows unchanged") {
+    import spark.implicits._
+    val loc = tmpLoc()
+    val df0 = (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = IceTable.create(spark, loc, Schema.fresh(df0.schema))
+    t.append(df0.coalesce(1))
+    // history exercising the sequence rule: delete ks, re-insert SOME of
+    // them (newer than the delete → must survive), second delete on other
+    // keys, plus a position delete in the mix
+    t.addEqualityDeletes(Seq(2L, 4L, 6L).toDF("k"), Seq("k"))
+    t.append(Seq((4L, "v4b"), (6L, "v6b")).toDF("k", "v").coalesce(1))
+    t.addEqualityDeletes(Seq("v9", "v6b").toDF("v"), Seq("v"))
+    t.deleteMergeOnRead(graft.meta.expr.Exprs.equalTo("k", 11L))
+    def state() = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = state()
+    assert(!before.exists(r => Set(2L, 9L, 11L).contains(r._1)))
+    assert(before.contains((4L, "v4b")) && !before.exists(_._2 == "v6b"))
+    val eqCount = t.newScan().planDeletes()
+      .count(_._1.content == graft.meta.model.FileContent.EqualityDeletes)
+    assert(eqCount >= 2)
+    val (converted, added) = t.convertEqualityDeletes()
+    assert(converted === eqCount && added >= 1)
+    // every live delete file is now positional; rows identical
+    val remaining = t.newScan().planDeletes()
+    assert(remaining.nonEmpty && remaining.forall(
+      _._1.content == graft.meta.model.FileContent.PositionDeletes))
+    assert(state() === before, "conversion changed visible rows")
+    // converting again is a no-op; downstream delete maintenance composes
+    assert(t.convertEqualityDeletes() === ((0, 0)))
+    t.rewritePositionDeleteFiles()
+    assert(state() === before)
+    t.rewriteDataFiles()
+    t.removeDanglingDeletes()
+    assert(state() === before)
+    assert(t.newScan().planDeletes().isEmpty)
+    // CALL surface
+    spark.conf.set("spark.sql.catalog.gced", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gced.warehouse",
+      Files.createTempDirectory("graft-ced-").toString)
+    spark.sql("CREATE TABLE gced.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gced.db.t SELECT id, concat('v', id) FROM range(50)")
+    val ct = IceTable.load(spark,
+      spark.conf.get("spark.sql.catalog.gced.warehouse") + "/db/t")
+    ct.addEqualityDeletes(Seq(5L, 15L).toDF("id"), Seq("id"))
+    val r = spark.sql("CALL gced.system.convert_equality_deletes(table => 'db.t')")
+      .collect().head
+    assert(r.getLong(0) >= 1 && r.getLong(1) >= 1)
+    assert(spark.sql("SELECT count(*) FROM gced.db.t").head().getLong(0) === 48)
+  }
+
   test("CALL rewrite_position_delete_files / remove_dangling_deletes") {
     val base = Files.createTempDirectory("graft-calls-").toString
     import spark.implicits._
