@@ -304,6 +304,14 @@ object Bench {
         (3L, "customer order data"))).toDF("qid", "qtext")
       measure("llm_bm25", 1, 5)(() => consume(
         graft.llm.TextOps.bm25(docsDf, "doc_id", "text", q, "qid", "qtext", 10)))
+      // persisted inverted index: the same queries answered from a
+      // term-bucket-pruned postings scan (build untimed — amortized);
+      // must beat the one-shot above, which re-tokenizes the corpus
+      graft.llm.Bm25Index.build(spark, docsDf, "doc_id", "text",
+        s"$loc/bm25_idx", nBuckets = 8)
+      val bmIdx = graft.llm.Bm25Index.load(spark, s"$loc/bm25_idx")
+      measure("llm_bm25_index", 1, 5)(() => consume(
+        bmIdx.query(q, "qid", "qtext", 10)))
       val merges = graft.llm.Bpe.collectMerges(
         graft.llm.Bpe.train(docsDf, "text", numMerges = 25))
       measure("llm_bpe_encode", 1, 5)(() => consume(

@@ -316,6 +316,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // persisted BM25 inverted index (r12c): same queries, same scores as
+    // the one-shot llm_bm25 (shared DuckDB oracle) — but answered from a
+    // term-bucket-pruned postings scan instead of tokenizing the corpus
+    "llm_bm25_index" -> ((s, d) => {
+      val idx = Bm25IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-bm25-")
+            .toString + "/idx"
+          graft.llm.Bm25Index.build(s, docs(s, d), "doc_id", "text", loc,
+            nBuckets = 8)
+        })
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      idx.query(q, "qid", "qtext", k = 10).orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval (r12): BM25 lexical top-10 fused with exact cosine
     // vector top-10 by reciprocal rank (k0=60) — the standard two-tower
     // retrieval combiner; doc_id and vec_id share a domain in the test
@@ -545,6 +562,9 @@ object LlmQueries {
   private val Int8IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.llm.IvfIndex]()
 
+  private val Bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Bm25Index]()
+
   // one BPE training run per (session, data dir): llm_bpe_train and
   // llm_bpe_encode share the merge table instead of retraining
   private val BpeCache =
@@ -570,7 +590,7 @@ object LlmQueries {
          |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
-    Map(
+    val base = Map(
       "llm_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents " +
           "GROUP BY text ORDER BY keep_id"),
@@ -1058,5 +1078,8 @@ object LlmQueries {
       // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8 / llm_ann_pq:
       // hash-family- or quantization-specific → rows-only
     )
+    // the persisted index answers the SAME queries with the SAME scores as
+    // the one-shot op — one oracle, two implementations
+    base + ("llm_bm25_index" -> base("llm_bm25"))
   }
 }

@@ -122,6 +122,27 @@ object MergeOnRead {
         "upserted-data-files" -> dataFiles.size.toString))
   }
 
+  /** Equality-delete keys + replacement rows committed in ONE snapshot,
+    * where the delete keys need NOT appear among the rows ([[upsertDelta]]
+    * derives its keys FROM the rows) — the index-maintenance shape: drop
+    * every stale row of the changed keys (deleted keys included), append
+    * the fresh ones, strictly-older-sequence semantics keeping the commit
+    * idempotent under replay (a rerun's eq delete kills the prior
+    * attempt's appended rows before re-appending). */
+  private[graft] def deleteAndAppend(table: IceTable, keys: Seq[String],
+      keysDf: DataFrame, rows: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
+    val m = table.meta
+    val eqFiles = writeEqualityDeleteFiles(table, m, keysDf, keys)
+    val dataFiles = Writes.writeDataFiles(table.spark, table, m, rows)
+      .filter(_.recordCount > 0)
+    if (eqFiles.isEmpty && dataFiles.isEmpty) return
+    table.commitSnapshot(Operation.Overwrite, eqFiles ++ dataFiles, Set.empty,
+      extraSummary ++ Map(
+        "equality-delete-files" -> eqFiles.size.toString,
+        "upserted-data-files" -> dataFiles.size.toString))
+  }
+
   /** Commit a position-delete file: (file_path, pos) rows to suppress. */
   def addPositionDeletes(table: IceTable, posDf: DataFrame): Unit = {
     val (files, _) = writePositionDeleteFiles(table, table.meta, posDf)

@@ -531,6 +531,103 @@ class LlmSpec extends AnyFunSuite {
     assert(idx.table.newScan().toDF.filter(col("pqcodes").isNull).count() === 0)
   }
 
+  test("Bm25Index: persisted postings score exactly like the one-shot op") {
+    import graft.llm.Bm25Index
+    val loc = java.nio.file.Files.createTempDirectory("graft-bm25i-")
+      .toString + "/idx"
+    val idx = Bm25Index.build(spark, docs, "doc_id", "text", loc, nBuckets = 8)
+    val q = spark.createDataFrame(Seq(
+      (1L, "hash join merge"), (2L, "fast scan filter"),
+      (3L, "customer order data"), (4L, ""), (5L, "zzz_not_a_term")))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaIndex = rows(idx.query(q, "qid", "qtext", k = 10))
+    val oneShot = rows(TextOps.bm25(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 10))
+    assert(viaIndex === oneShot, "index scores diverge from the one-shot op")
+    // stats props match a direct corpus computation; postings bucket-pruned
+    assert(idx.docCount === docs.count())
+    assert(idx.table.meta.spec.fields.map(_.transform.name) ===
+      Seq("bucket[8]"))
+    // all-unknown-terms and empty-text queries answer empty, loudly typed
+    assert(idx.query(q.filter(col("qid") >= 4L), "qid", "qtext", 5).count() === 0)
+  }
+
+  test("Bm25Index refresh: append path, changelog DML path, convert composes") {
+    import graft.llm.Bm25Index
+    import graft.table.IceTable
+    import graft.meta.Schema
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25r-").toString
+    val corpus0 = docs.select(col("doc_id"), col("text"))
+    val ct = IceTable.create(spark, s"$base/corpus", Schema.fresh(corpus0.schema))
+    ct.append(corpus0)
+    Bm25Index.buildFrom(spark, ct, "doc_id", "text", s"$base/idx", nBuckets = 8)
+    val q = spark.createDataFrame(Seq(
+      (1L, "hash join merge"), (2L, "customer order data"))).toDF("qid", "qtext")
+    def rows(i: Bm25Index) = i.query(q, "qid", "qtext", k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def rebuilt(tag: String) = Bm25Index.buildFrom(spark, ct, "doc_id", "text",
+      s"$base/idx_$tag", nBuckets = 8)
+    // 1) append-only range → one atomic append+stats transaction
+    ct.append(corpus0.limit(20).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" hash join merge")).as("text")))
+    val r1 = Bm25Index.refresh(spark, ct, s"$base/idx")
+    assert(!r1.rebuilt && r1.upserted === 20L && r1.deleted === 0L)
+    assert(rows(r1.index) === rows(rebuilt("a")),
+      "append-refreshed index diverges from a from-scratch rebuild")
+    assert(r1.index.docCount === rebuilt("a2").docCount &&
+      r1.index.totalTokens === rebuilt("a2").totalTokens)
+    // 2) DML range → changelog path: eq deletes on doc + fresh postings
+    val wmAfterR1 = ct.meta.currentSnapshotId.get
+    val statsAfterR1 = (r1.index.docCount, r1.index.totalTokens)
+    ct.delete(graft.meta.expr.Exprs.in("doc_id",
+      (100001L to 100010L).map(Long.box): _*))
+    spark.conf.set("spark.sql.catalog.gbm", "graft.spark.GraftCatalog")
+    val r2 = Bm25Index.refresh(spark, ct, s"$base/idx")
+    assert(!r2.rebuilt && r2.deleted === 10L)
+    assert(rows(r2.index) === rows(rebuilt("b")),
+      "changelog-refreshed index diverges from a from-scratch rebuild")
+    assert(r2.index.docCount === rebuilt("b2").docCount &&
+      r2.index.totalTokens === rebuilt("b2").totalTokens)
+    // the refresh wrote equality deletes; converting them to position
+    // deletes (the new maintenance action) must not change scores
+    val eqBefore = r2.index.table.newScan().planDeletes()
+      .count(_._1.content == graft.meta.model.FileContent.EqualityDeletes)
+    assert(eqBefore >= 1, "DML refresh should leave eq deletes")
+    val (cv, _) = r2.index.table.convertEqualityDeletes()
+    assert(cv === eqBefore)
+    assert(rows(Bm25Index.load(spark, s"$base/idx")) === rows(rebuilt("c")),
+      "convert_equality_deletes changed index scores")
+    // 3) crash-window rerun converges: a crash between the postings
+    // commit and the properties commit leaves the POSTINGS applied but
+    // watermark AND stats stale (they ride one properties commit) —
+    // recreate exactly that state and refresh again: the replayed eq
+    // deletes kill the first attempt's appended postings before
+    // re-appending (strictly-older-sequence), and the stats deltas apply
+    // once, from the stale base they were computed against
+    val wmNow = ct.meta.currentSnapshotId.get
+    val idxT = graft.table.IceTable.load(spark,
+      r2.index.table.location) // fresh handle at the current metadata
+    idxT.updateProperties(Map(
+      Bm25Index.CorpusSnapProp -> wmAfterR1.toString,
+      Bm25Index.DocCountProp -> statsAfterR1._1.toString,
+      Bm25Index.TotalTokensProp -> statsAfterR1._2.toString))
+    val r3 = Bm25Index.refresh(spark, ct, s"$base/idx")
+    assert(!r3.rebuilt)
+    assert(ct.meta.currentSnapshotId.get === wmNow)
+    assert(rows(r3.index) === rows(rebuilt("d")), "rerun diverged")
+    assert(r3.index.docCount === r2.index.docCount &&
+      r3.index.totalTokens === r2.index.totalTokens, "rerun drifted stats")
+    // 4) changed share past the cap → rebuild
+    ct.delete(graft.meta.expr.Exprs.lessThan("doc_id", 100000L))
+    val r4 = Bm25Index.refresh(spark, ct, s"$base/idx", maxChangedShare = 0.2)
+    assert(r4.rebuilt)
+    assert(rows(r4.index) === rows(rebuilt("e")))
+  }
+
   test("knnJoin: full probe equals brute force, partial probe recalls, self-row") {
     import graft.llm.IvfIndex
     val loc = java.nio.file.Files.createTempDirectory("graft-knnj-")
