@@ -350,6 +350,37 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval over the PERSISTED indexes (r12c): the same fusion
+    // answered from the BM25 postings table and the IVF index — both
+    // exact here (score-parity pin / full probe), so the one-shot
+    // llm_hybrid_retrieval oracle carries over unchanged: one oracle,
+    // one-shot and indexed implementations
+    "llm_hybrid_indexed" -> ((s, d) => {
+      val bmIdx = Bm25IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-bm25-")
+            .toString + "/idx"
+          graft.llm.Bm25Index.build(s, docs(s, d), "doc_id", "text", loc,
+            nBuckets = 8)
+        })
+      val annIdx = Int8IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-ivf8-")
+            .toString + "/idx"
+          graft.llm.IvfIndex.build(s, embs(s, d), "vec_id", "embedding",
+            loc, nLists = 8)
+        })
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      val bm = bmIdx.query(q, "qid", "qtext", k = 10)
+        .select("query_id", "rank", "doc_id")
+      val ann = annIdx.topK(Seq(1L, 2L, 3L), k = 10, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Similarity.rrfFuse(Seq(bm, ann), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // CCNet-style bigram-LM quality scoring: stupid-backoff model trained
     // on the English slice, every doc scored by mean per-bigram logprob
     "llm_ngram_lm" -> ((s, d) => {
@@ -1078,8 +1109,9 @@ object LlmQueries {
       // llm_dedup_simhash / llm_ann_lsh / llm_ann_int8 / llm_ann_pq:
       // hash-family- or quantization-specific → rows-only
     )
-    // the persisted index answers the SAME queries with the SAME scores as
-    // the one-shot op — one oracle, two implementations
-    base + ("llm_bm25_index" -> base("llm_bm25"))
+    // the persisted indexes answer the SAME queries with the SAME scores
+    // as the one-shot ops — one oracle, two implementations
+    base + ("llm_bm25_index" -> base("llm_bm25")) +
+      ("llm_hybrid_indexed" -> base("llm_hybrid_retrieval"))
   }
 }

@@ -217,6 +217,66 @@ case class PqEncode(left: Expression, right: Expression,
   override def prettyName: String = "graft_pq_encode"
 }
 
+/** The query-side ADC lookup table as an expression — for DISTRIBUTED
+  * query sets ([[graft.llm.IvfIndex.knnJoinPq]]), where the driver-side
+  * LUT of the probe API can't exist: `out[m*ks + c] = dot(vec_m,
+  * codeword_{m,c})`, computed once per query ROW before the probe
+  * fan-out. ks is padded to the largest subspace codebook so the layout
+  * matches [[PqAdc]]'s indexing. */
+case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(books.nonEmpty && books.forall(b => b.nonEmpty && b.size <= 256),
+    "PQ needs 1..256 codewords per subspace")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernel.isNumericArray(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a numeric array, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val bookArrays: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val offsets: Array[Int] =
+    bookArrays.scanLeft(0)((acc, b) => acc + b(0).length).init
+  @transient private lazy val ks: Int = bookArrays.map(_.length).max
+
+  def compute(arr: ArrayData): ArrayData = {
+    val read = PqKernel.readerOf(child.dataType, arr)
+    val out = new Array[Any](bookArrays.length * ks)
+    java.util.Arrays.fill(out, 0.0d)
+    var m = 0
+    while (m < bookArrays.length) {
+      val book = bookArrays(m)
+      val off = offsets(m)
+      var c = 0
+      while (c < book.length) {
+        val w = book(c)
+        var s = 0.0
+        var j = 0
+        while (j < w.length) { s += read(off + j) * w(j); j += 1 }
+        out(m * ks + c) = s
+        c += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_lut"
+}
+
 /** Asymmetric distance computation (ADC): approximate `dot(query,
   * residual)` as `Σ_m lut[m*ks + code_m]` where the query-side lookup
   * table `lut[m*ks + c] = dot(query_m, codeword_{m,c})` was computed ONCE

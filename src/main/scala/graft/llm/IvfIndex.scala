@@ -440,6 +440,70 @@ final class IvfIndex private (val table: IceTable,
     Similarity.topKPerQuery(joined.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** [[knnJoin]] through the PQ codes: the candidate-ranking join reads
+    * M bytes + vnorm per index row (the float column stays unread until
+    * the rescore), each query row carries its OWN ADC lookup table
+    * (codegen'd [[graft.expressions.PqLut]] — computed once per query
+    * BEFORE the probe fan-out, no driver involvement), and the exact
+    * rescore is DISTRIBUTED: the bounded survivor set (queries × k ×
+    * rescoreFactor rows) joins back to the index's float vectors and the
+    * query vectors, then the final bounded top-k ranks exact rounded
+    * cosine — identical output contract to [[knnJoin]] (full probe +
+    * corpus-wide rescore reproduces it exactly). Three shuffles total,
+    * every one bounded by probe fan-out or survivor volume, never by
+    * corpus × queries. Falls back to [[knnJoin]] on a non-PQ index. */
+  def knnJoinPq(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nProbe: Int = 2, rescoreFactor: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    if (pq.isEmpty)
+      return knnJoin(queries, queryIdCol, queryVecCol, k, nProbe, excludeSelf)
+    val books = pq.get
+    val ks = books.ks
+    val probes = math.min(math.max(1, nProbe), centroids.size)
+    val q0 = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryVecCol).as("qv"),
+      Similarity.l2norm(col(queryVecCol)).as("qnorm"),
+      Similarity.pqLut(col(queryVecCol), books.books).as("_gf_lut"))
+    // per probed (query, list): the coarse-dot constant dot(q, c_list) —
+    // element_at over the centroid literal + the codegen'd dot (both
+    // codegen; no HOF lambda frames)
+    val q = q0.select(col("query_id"), col("qv"), col("qnorm"), col("_gf_lut"),
+        explode(Similarity.nearestLists(col("qv"), centroids, probes))
+          .as(IvfIndex.ListCol))
+      .withColumn("_gf_qc", Similarity.dot(col("qv"),
+        element_at(typedLit(centroids), col(IvfIndex.ListCol) + 1)))
+    val cand = table.newScan()
+      .select(idCol, IvfIndex.PqCodesCol, IvfIndex.VNormCol, IvfIndex.ListCol)
+      .toDF
+      .select(col(idCol).as("neighbor_id"), col(IvfIndex.PqCodesCol),
+        col(IvfIndex.VNormCol), col(IvfIndex.ListCol))
+    val ranked0 = cand.join(
+      q.select("query_id", "_gf_lut", "_gf_qc", IvfIndex.ListCol),
+      Seq(IvfIndex.ListCol))
+    val ranked = (if (excludeSelf)
+        ranked0.filter(col("neighbor_id") =!= col("query_id"))
+      else ranked0)
+      .withColumn("sim", (col("_gf_qc") +
+        Similarity.pqAdc(col(IvfIndex.PqCodesCol), col("_gf_lut"), ks))
+        / col(IvfIndex.VNormCol))
+    val survivors = Similarity.topKPerQuery(
+        ranked.select("query_id", "neighbor_id", "sim"), k * rescoreFactor)
+      .select("query_id", "neighbor_id")
+    // distributed exact rescore — no driver collection: survivors pick up
+    // their float vectors and persisted norms from the index, the query
+    // vectors from q0, and the final bounded heap ranks rounded cosine
+    val nv = table.newScan()
+      .select(idCol, vecCol, IvfIndex.VNormCol).toDF
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(IvfIndex.VNormCol))
+    val exact = survivors.join(nv, Seq("neighbor_id"))
+      .join(q0.select("query_id", "qv", "qnorm"), Seq("query_id"))
+      .withColumn("sim", round(Similarity.dot(col("qv"), col("nv")) /
+        (col("qnorm") * col(IvfIndex.VNormCol)), 4))
+    Similarity.topKPerQuery(exact.select("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** PQ (product-quantization) top-k: the candidate-ranking phase scans
     * the persisted M-byte `pqcodes` column — for a 64-dim float corpus
     * with M=8 that is 32× fewer bytes than the float vectors and 8× fewer

@@ -360,6 +360,15 @@ object Similarity {
       ColumnBridge.expression(codes), ColumnBridge.expression(lut), ks))
   }
 
+  /** Query-side ADC lookup table, computed per ROW (codegen'd
+    * [[graft.expressions.PqLut]]) — the distributed-query twin of the
+    * probe API's driver-computed LUT. */
+  def pqLut(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqLut(
+      ColumnBridge.expression(vec), books))
+  }
+
   /** Train the M per-subspace PQ codebooks (Jégou et al. 2011) over the
     * corpus rows' RESIDUALS against their coarse centroids: deterministic
     * L2 Lloyd per subspace — init = the `ks` lowest-id rows' residual

@@ -426,6 +426,44 @@ object GraftSqlParser {
           val r = graft.llm.IvfIndex.refresh(spark, t, loc, share)
           Seq(Row(loc, r.appended, r.deleted, r.refit))
         })
+      case "rebuild_bm25_index" =>
+        // build (or replace) the persisted BM25 inverted index — the
+        // lexical twin of rebuild_ann_index; buildFrom records the corpus
+        // snapshot so refresh_bm25_index can catch up incrementally
+        GraftCallCommand(proc, Seq(attr("index_location", StringType),
+          attr("doc_count", LongType), attr("total_tokens", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val idCol = named.get("id_col").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException(
+              "rebuild_bm25_index requires id_col")).toString
+          val textCol = named.get("text_col").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              "rebuild_bm25_index requires text_col")).toString
+          val loc = named.get("index_location").orElse(pos.lift(3))
+            .map(_.toString).getOrElse(s"${t.location}_bm25_index")
+          val nBuckets = named.get("n_buckets").orElse(pos.lift(4))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(32)
+          val idx = graft.llm.Bm25Index.buildFrom(spark, t, idCol, textCol,
+            loc, nBuckets)
+          Seq(Row(loc, idx.docCount, idx.totalTokens))
+        })
+      case "refresh_bm25_index" =>
+        // incremental catch-up: append-only ranges append postings in one
+        // atomic transaction; DML ranges apply the changelog as equality
+        // deletes on the doc column + fresh postings (one snapshot);
+        // rebuilds automatically past max_changed_share or on expired/
+        // rolled-back watermarks
+        GraftCallCommand(proc, Seq(attr("index_location", StringType),
+          attr("upserted", LongType), attr("deleted", LongType),
+          attr("rebuilt", org.apache.spark.sql.types.BooleanType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val loc = named.get("index_location").orElse(pos.lift(1))
+            .map(_.toString).getOrElse(s"${t.location}_bm25_index")
+          val share = named.get("max_changed_share").orElse(pos.lift(2))
+            .map(_.toString.toDouble).getOrElse(0.5)
+          val r = graft.llm.Bm25Index.refresh(spark, t, loc, share)
+          Seq(Row(loc, r.upserted, r.deleted, r.rebuilt))
+        })
       case "create_aggregate_view" =>
         // incrementally-maintained aggregate table (r12): stamps the
         // defining query + source watermark as table properties; refresh

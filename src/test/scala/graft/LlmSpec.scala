@@ -665,6 +665,37 @@ class LlmSpec extends AnyFunSuite {
       r.getDouble(3) === 1.0))
   }
 
+  test("knnJoinPq: distributed ADC + distributed rescore matches knnJoin") {
+    import graft.llm.IvfIndex
+    val loc = java.nio.file.Files.createTempDirectory("graft-knnpq-")
+      .toString + "/idx"
+    val idx = IvfIndex.buildPq(spark, embs, "vec_id", "embedding", loc,
+      nLists = 8, m = 16, ks = 64)
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // full probe + corpus-wide rescore window: the ADC phase only orders
+    // survivors that ALL survive — must reproduce the float knnJoin
+    // (itself pinned == brute force) row for row
+    val viaPq = rows(idx.knnJoinPq(queries, "vec_id", "embedding", k = 3,
+      nProbe = 8, rescoreFactor = 200, excludeSelf = true))
+    val viaFloat = rows(idx.knnJoin(queries, "vec_id", "embedding", k = 3,
+      nProbe = 8, excludeSelf = true))
+    assert(viaPq === viaFloat, "full-rescore knnJoinPq != knnJoin")
+    // production window: ADC ranking must still surface the true top-k
+    val part = idx.knnJoinPq(queries, "vec_id", "embedding", k = 3,
+        nProbe = 8, rescoreFactor = 4, excludeSelf = true)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = viaFloat.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q =>
+      exact(q).count(part.getOrElse(q, Set.empty).contains).toDouble /
+        exact(q).size)
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"knnJoinPq recall ${recalls.sum / recalls.size}")
+  }
+
   test("PQ index survives refresh: delta rows encoded, drift refit keeps PQ") {
     import graft.llm.IvfIndex
     import graft.table.IceTable

@@ -266,6 +266,35 @@ class SqlExtensionsSpec extends AnyFunSuite {
       r3.toString)
   }
 
+  test("CALL rebuild/refresh_bm25_index round trip") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.corp (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO gx.db.corp SELECT id, concat('alpha w', id % 7, " +
+      "' beta w', id % 3) FROM range(50)")
+    val out = spark.sql("CALL gx.system.rebuild_bm25_index(table => 'db.corp', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      s"index_location => '$warehouse/db/corp_idx', n_buckets => 4)").head()
+    assert(out.getString(0) === s"$warehouse/db/corp_idx")
+    assert(out.getLong(1) === 50L && out.getLong(2) === 200L, out.toString)
+    val idx = graft.llm.Bm25Index.load(spark, s"$warehouse/db/corp_idx")
+    val q = spark.createDataFrame(Seq((1L, "alpha w1"))).toDF("qid", "qtext")
+    assert(idx.query(q, "qid", "qtext", k = 5).count() === 5)
+    // append-only range → incremental; DML range → changelog path
+    spark.sql("INSERT INTO gx.db.corp SELECT id + 100, 'gamma gamma' FROM range(5)")
+    val r1 = spark.sql("CALL gx.system.refresh_bm25_index(table => 'db.corp', " +
+      s"index_location => '$warehouse/db/corp_idx')").head()
+    assert(r1.getLong(1) === 5L && r1.getLong(2) === 0L && !r1.getBoolean(3),
+      r1.toString)
+    spark.sql("DELETE FROM gx.db.corp WHERE doc_id >= 103")
+    val r2 = spark.sql("CALL gx.system.refresh_bm25_index(table => 'db.corp', " +
+      s"index_location => '$warehouse/db/corp_idx')").head()
+    assert(r2.getLong(2) === 2L && !r2.getBoolean(3), r2.toString)
+    val after = graft.llm.Bm25Index.load(spark, s"$warehouse/db/corp_idx")
+    assert(after.docCount === 53L)
+    val qg = spark.createDataFrame(Seq((9L, "gamma"))).toDF("qid", "qtext")
+    assert(after.query(qg, "qid", "qtext", k = 10).count() === 3)
+  }
+
   test("normal SQL still parses through the delegate") {
     warehouse
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
