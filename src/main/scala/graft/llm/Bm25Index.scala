@@ -2,7 +2,8 @@ package graft.llm
 
 import graft.meta.{PartitionSpec, Schema}
 import graft.meta.expr.Exprs
-import graft.table.{Changelog, FileIO, IceTable, MergeOnRead}
+import graft.table.{Changelog, EncryptionManager, FileIO, IceTable,
+  MergeOnRead, PlaintextEncryptionManager, TableOperations}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -157,8 +158,10 @@ object Bm25Index {
     * committed by a create-new marker; readers only load marker-bearing
     * versions, so a crash leaves the previous index current. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
-      textCol: String, location: String, nBuckets: Int = 32): Bm25Index =
-    buildWith(spark, corpus, idCol, textCol, location, nBuckets, Map.empty)
+      textCol: String, location: String, nBuckets: Int = 32,
+      encryption: EncryptionManager = PlaintextEncryptionManager): Bm25Index =
+    buildWith(spark, corpus, idCol, textCol, location, nBuckets, Map.empty,
+      encryption)
 
   /** [[build]] from a graft TABLE, snapshot-pinned so [[refresh]] can plan
     * exactly the delta (same provenance contract as `IvfIndex.buildFrom`). */
@@ -168,26 +171,33 @@ object Bm25Index {
       case Some(id) => buildWith(spark,
         corpus.newScan().useSnapshot(id).toDF, idCol, textCol, location,
         nBuckets,
-        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString))
+        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
+        corpus.io.encryption)
       case None =>
         buildWith(spark, corpus.toDF, idCol, textCol, location, nBuckets,
-          Map.empty)
+          Map.empty, corpus.io.encryption)
     }
 
   private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, location: String, nBuckets: Int,
-      extraProps: Map[String, String]): Bm25Index = {
+      extraProps: Map[String, String],
+      enc: EncryptionManager = PlaintextEncryptionManager): Bm25Index = {
     require(nBuckets >= 1, s"bad bucket count $nBuckets")
     val (nDocs, totTokens) = statsOf(corpus, textCol)
     val posts = postingsOf(corpus, idCol, textCol)
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    // an index over an ENCRYPTED corpus is keyed under the same manager
+    // automatically (buildFrom): postings ARE corpus content — term
+    // strings reconstruct documents almost verbatim
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration, enc,
+      enc != PlaintextEncryptionManager)
     val existing = versionDirs(io, location)
     val next = (0 +: existing.map(_._1)).max + 1
     val target = s"$location/$VersionPrefix$next"
     val schema = Schema.fresh(posts.schema)
     val spec = PartitionSpec.builderFor(schema).bucket(TermCol, nBuckets).build()
     try {
-      val t = IceTable.create(spark, target, schema, spec,
+      val t = IceTable.createWith(spark, new TableOperations(target, io),
+        schema, spec,
         properties = Map(DocCountProp -> nDocs.toString,
           TotalTokensProp -> totTokens.toString,
           NBucketsProp -> nBuckets.toString,
@@ -206,14 +216,18 @@ object Bm25Index {
       io.delete(committedMarker(dir))
       io.deleteRecursive(dir)
     }
-    load(spark, location)
+    load(spark, location, enc)
   }
 
-  def load(spark: SparkSession, location: String): Bm25Index = {
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+  /** Load the index; a KEYED index (built from an encrypted corpus) needs
+    * the same manager — a plaintext handle refuses its sealed metadata. */
+  def load(spark: SparkSession, location: String,
+      encryption: EncryptionManager = PlaintextEncryptionManager): Bm25Index = {
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration, encryption,
+      encryption != PlaintextEncryptionManager)
     val dir = currentDir(io, location).getOrElse(
       throw new graft.table.NoSuchTableException(s"No BM25 index at $location"))
-    new Bm25Index(IceTable.load(spark, dir))
+    new Bm25Index(IceTable.loadWith(spark, new TableOperations(dir, io)))
   }
 
   /** Outcome of [[refresh]]: docs appended/upserted incrementally, docs
@@ -237,7 +251,7 @@ object Bm25Index {
     * share exceeds `maxChangedShare`. */
   def refresh(spark: SparkSession, corpus: IceTable, location: String,
       maxChangedShare: Double = 0.5): RefreshResult = {
-    val idx = load(spark, location)
+    val idx = load(spark, location, corpus.io.encryption)
     val props = idx.table.meta.properties
     val recorded = props.get(CorpusSnapProp).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
@@ -359,8 +373,8 @@ object Bm25Index {
         TotalTokensProp -> (idx.totalTokens + newTok - oldTok).toString,
         CorpusSnapProp -> current.toString,
         CorpusLocProp -> corpus.location))
-      Some(RefreshResult(load(spark, location), exists, deleted,
-        rebuilt = false))
+      Some(RefreshResult(load(spark, location, corpus.io.encryption),
+        exists, deleted, rebuilt = false))
     } finally net.unpersist()
   }
 }

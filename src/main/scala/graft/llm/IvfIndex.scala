@@ -2,7 +2,8 @@ package graft.llm
 
 import graft.meta.{PartitionSpec, Schema}
 import graft.meta.expr.{Binder, Exprs, InclusiveMetricsEvaluator}
-import graft.table.{FileIO, FileScanTask, IceTable, Reads}
+import graft.table.{EncryptionManager, FileIO, FileScanTask, IceTable,
+  PlaintextEncryptionManager, Reads, TableOperations}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,7 +110,11 @@ final class IvfIndex private (val table: IceTable,
       case Some(n) => n > 0
       case None => table.newScan().filter(filter).planDeletes().nonEmpty
     }
-    if (hasDeletes || tasks.exists(_.file.format != "parquet")) return sparkPath()
+    // an encrypted index's direct-parquet fast path would need the crypto
+    // factory options threaded into the raw reader — the scan path already
+    // owns that; a by-id fetch is bounded either way
+    if (hasDeletes || tasks.exists(_.file.format != "parquet") ||
+      table.io.encryption != PlaintextEncryptionManager) return sparkPath()
     val struct = table.meta.schema.struct
     val readSchema = org.apache.spark.sql.types.StructType(
       Seq(struct(struct.fieldIndex(idCol)), struct(struct.fieldIndex(vecCol))))
@@ -683,9 +688,10 @@ object IvfIndex {
     * with no index at `location`. Older versions are retired marker-first
     * only after the new marker lands. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
-      vecCol: String, location: String, nLists: Int = -1,
-      iters: Int = 2): IvfIndex =
-    buildWith(spark, corpus, idCol, vecCol, location, nLists, iters, Map.empty)
+      vecCol: String, location: String, nLists: Int = -1, iters: Int = 2,
+      encryption: EncryptionManager = PlaintextEncryptionManager): IvfIndex =
+    buildWith(spark, corpus, idCol, vecCol, location, nLists, iters,
+      Map.empty, enc = encryption)
 
   /** [[build]] from a graft TABLE, recording which corpus snapshot the
     * index covers — the provenance [[refresh]] needs to plan only the
@@ -702,9 +708,10 @@ object IvfIndex {
       case Some(id) => buildWith(spark,
         corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
         nLists, iters,
-        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString))
+        Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
+        enc = corpus.io.encryption)
       case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
-        nLists, iters, Map.empty)
+        nLists, iters, Map.empty, enc = corpus.io.encryption)
     }
 
   /** [[build]] plus a product quantizer: the index additionally carries an
@@ -715,9 +722,10 @@ object IvfIndex {
     * `ks ≤ 256` codewords per subspace. */
   def buildPq(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int = -1, m: Int = 8,
-      ks: Int = 256, iters: Int = 2): IvfIndex =
+      ks: Int = 256, iters: Int = 2,
+      encryption: EncryptionManager = PlaintextEncryptionManager): IvfIndex =
     buildWith(spark, corpus, idCol, vecCol, location, nLists, iters,
-      Map.empty, pqParams = Some((m, ks)))
+      Map.empty, pqParams = Some((m, ks)), enc = encryption)
 
   /** [[buildFrom]] with a product quantizer (see [[buildPq]]) — snapshot-
     * pinned and refresh-capable like the plain build. */
@@ -729,15 +737,17 @@ object IvfIndex {
         corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
         nLists, iters,
         Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
-        pqParams = Some((m, ks)))
+        pqParams = Some((m, ks)), enc = corpus.io.encryption)
       case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
-        nLists, iters, Map.empty, pqParams = Some((m, ks)))
+        nLists, iters, Map.empty, pqParams = Some((m, ks)),
+        enc = corpus.io.encryption)
     }
 
   private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int,
       iters: Int, extraProps: Map[String, String],
-      pqParams: Option[(Int, Int)] = None): IvfIndex = {
+      pqParams: Option[(Int, Int)] = None,
+      enc: EncryptionManager = PlaintextEncryptionManager): IvfIndex = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
     val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
     // int8 codes + scale are INDEX columns: the quantized probe ranks over
@@ -763,14 +773,21 @@ object IvfIndex {
         Similarity.pqEncode(col(vecCol), col(ListCol), cents, b.books))
       case None => assignedBase
     }
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+    // an index over an ENCRYPTED corpus is keyed under the same manager
+    // automatically (buildFrom passes corpus.io.encryption): raw vectors
+    // and int8/PQ codes are corpus content — a plaintext index table
+    // beside an encrypted lake would leak exactly what the lake protects.
+    // Keyed handles seal the sidecars (centroids/pq json) too.
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration, enc,
+      enc != PlaintextEncryptionManager)
     val existing = versionDirs(io, location)
     val next = (0 +: existing.map(_._1)).max + 1
     val target = s"$location/$VersionPrefix$next"
     val schema = Schema.fresh(assigned.schema)
     val spec = PartitionSpec.builderFor(schema).identity(ListCol).build()
     try {
-      val t = IceTable.create(spark, target, schema, spec,
+      val t = IceTable.createWith(spark, new TableOperations(target, io),
+        schema, spec,
         properties = Map(IdColProp -> idCol, VecColProp -> vecCol,
           NListsProp -> n.toString,
           // many small list partitions per append: fanout avoids a sort.
@@ -804,14 +821,19 @@ object IvfIndex {
     // pre-versioned single-dir layout: the old index lived AT location
     Seq("data", "metadata", "ann").map(s => s"$location/$s")
       .filter(io.exists).foreach(io.deleteRecursive)
-    load(spark, location)
+    load(spark, location, enc)
   }
 
-  def load(spark: SparkSession, location: String): IvfIndex = {
-    val io = new FileIO(spark.sparkContext.hadoopConfiguration)
+  /** Load the index; a KEYED index (built from an encrypted corpus) needs
+    * the same manager — a plaintext handle refuses its sealed sidecars
+    * and metadata loudly. */
+  def load(spark: SparkSession, location: String,
+      encryption: EncryptionManager = PlaintextEncryptionManager): IvfIndex = {
+    val io = new FileIO(spark.sparkContext.hadoopConfiguration, encryption,
+      encryption != PlaintextEncryptionManager)
     val dir = currentDir(io, location).getOrElse(
       throw new graft.table.NoSuchTableException(s"No ANN index at $location"))
-    val t = IceTable.load(spark, dir)
+    val t = IceTable.loadWith(spark, new TableOperations(dir, io))
     val pq = if (io.exists(pqPath(dir)))
       Some(parsePq(io.readString(pqPath(dir)))) else None
     new IvfIndex(t, parseCentroids(io.readString(centroidsPath(dir))), pq)
@@ -842,7 +864,7 @@ object IvfIndex {
     * minutes and hours at production embedding-corpus scale. */
   def refresh(spark: SparkSession, corpus: IceTable, location: String,
       refitShare: Double = 0.2, iters: Int = 2): RefreshResult = {
-    val idx = load(spark, location)
+    val idx = load(spark, location, corpus.io.encryption)
     val props = idx.table.meta.properties
     val recorded = props.get(CorpusSnapProp).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
@@ -969,8 +991,8 @@ object IvfIndex {
       .execute()
     idx.table.updateProperties(Map(
       CorpusSnapProp -> current.toString, CorpusLocProp -> corpus.location))
-    Some(RefreshResult(load(spark, idx.table.location), upserts,
-      refit = false, deleted = dels))
+    Some(RefreshResult(load(spark, idx.table.location, corpus.io.encryption),
+      upserts, refit = false, deleted = dels))
   }
 
   // the PQ file is line-oriented (header, then one centroidsJson matrix

@@ -142,4 +142,33 @@ object StreamingOps {
     (batch, epochId) => Streaming.appendOnce(table, queryId,
       hygieneBatch(batch, idCol, textCol, evalSet, evalTextCol, corpusIndex,
         n, bands, rowsPerBand, threshold), epochId)
+
+  /** `foreachBatch` sink that keeps the RETRIEVAL INDEXES fresh as data
+    * streams in: append each epoch to the corpus table exactly once
+    * ([[Streaming.appendOnce]]), then catch the persisted BM25 and/or ANN
+    * indexes up to the new corpus snapshot. Per epoch the refreshes are
+    * the delta-bounded incremental paths — one small postings append /
+    * centroid assignment per micro-batch, never a rebuild (until drift or
+    * a DML range trips their own fallbacks). Exactly-once composes for
+    * free: a replayed epoch's appendOnce is a no-op, so the corpus
+    * snapshot doesn't advance and each refresh returns immediately at
+    * its watermark — the sink is idempotent end to end without any state
+    * of its own.
+    *
+    * The indexes must exist (built with `buildFrom` over the SAME corpus
+    * table, so the snapshot watermarks line up); queries hitting the
+    * index between the corpus append and the refresh see the previous
+    * watermark — bounded staleness of one epoch, never wrong results. */
+  def indexedIngestSink(corpus: IceTable, queryId: String,
+      bm25Location: Option[String] = None,
+      annLocation: Option[String] = None,
+      hygiene: Option[DataFrame => DataFrame] = None)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      Streaming.appendOnce(corpus, queryId,
+        hygiene.fold(batch)(f => f(batch)), epochId)
+      val spark = batch.sparkSession
+      bm25Location.foreach(loc => Bm25Index.refresh(spark, corpus, loc))
+      annLocation.foreach(loc => IvfIndex.refresh(spark, corpus, loc))
+    }
 }

@@ -628,6 +628,70 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(r4.index) === rows(rebuilt("e")))
   }
 
+  test("indexes over an encrypted corpus are keyed: sealed on disk, plaintext refuses") {
+    import graft.llm.{Bm25Index, IvfIndex}
+    import graft.table.{AesGcmEncryptionManager, FileIO, IceTable, TableOperations}
+    import graft.meta.Schema
+    import spark.implicits._
+    val manager = new AesGcmEncryptionManager(
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"), "idx-key")
+    val base = java.nio.file.Files.createTempDirectory("graft-encidx-").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seed = (0L until 30L).map(i => (i,
+      s"zanzibar document w${i % 5} about zanzibar topic w${i % 3}",
+      (0 until 8).map(j => math.sin(i * 31 + j).toFloat)))
+    val corpus = IceTable.createWith(spark,
+      new TableOperations(s"$base/corpus", new FileIO(conf, manager)),
+      Schema.fresh(seed.toDF("doc_id", "text", "embedding").schema))
+    corpus.append(seed.toDF("doc_id", "text", "embedding"))
+    // buildFrom inherits the corpus's manager — no extra plumbing
+    val bm = Bm25Index.buildFrom(spark, corpus, "doc_id", "text",
+      s"$base/bm25", nBuckets = 4)
+    val ann = IvfIndex.buildPqFrom(spark, corpus, "doc_id", "embedding",
+      s"$base/ann", nLists = 4, m = 8, ks = 16)
+    assert(bm.table.io.encryption eq manager)
+    assert(ann.table.io.encryption eq manager)
+    // queries work through the keyed handles
+    val q = Seq((1L, "zanzibar")).toDF("qid", "qtext")
+    assert(bm.query(q, "qid", "qtext", k = 5).count() === 5)
+    assert(ann.topKPq(Seq(0L), k = 3, nProbe = 4).count() === 3)
+    assert(ann.knnJoin(corpus.toDF.limit(3), "doc_id", "embedding", k = 2,
+      nProbe = 4, excludeSelf = true).count() === 6)
+    // NOTHING plaintext on disk: the distinctive term (in every doc, so
+    // any plaintext postings/data/metadata file would carry it) appears
+    // nowhere in either index tree; sidecars are sealed too
+    val needle = "zanzibar".getBytes("UTF-8")
+    def leaks(dir: java.io.File): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        bytes.indexOfSlice(needle.toIndexedSeq) >= 0 ||
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+            .contains("zanzibar")
+      }.map(_.getPath)
+    }
+    assert(leaks(new java.io.File(s"$base/bm25")).isEmpty, "bm25 leak")
+    assert(leaks(new java.io.File(s"$base/ann")).isEmpty, "ann leak")
+    val sealedHead = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/ann/ix-v1/ann/centroids.json"))
+      .take(4), "ISO-8859-1")
+    assert(!sealedHead.startsWith("["), "centroids sidecar left plaintext")
+    // a plaintext handle refuses both indexes loudly
+    intercept[Exception] { Bm25Index.load(spark, s"$base/bm25").docCount }
+    intercept[Exception] { IvfIndex.load(spark, s"$base/ann")
+      .topK(Seq(0L), 1, 4).count() }
+    // refresh stays keyed and incremental
+    corpus.append(seed.take(3).map { case (i, t, v) => (i + 1000L, t, v) }
+      .toDF("doc_id", "text", "embedding"))
+    val rb = Bm25Index.refresh(spark, corpus, s"$base/bm25")
+    assert(!rb.rebuilt && rb.upserted === 3L)
+    val ra = IvfIndex.refresh(spark, corpus, s"$base/ann", refitShare = 0.5)
+    assert(!ra.refit && ra.appended === 3L)
+    assert(leaks(new java.io.File(s"$base/bm25")).isEmpty, "bm25 refresh leak")
+    assert(leaks(new java.io.File(s"$base/ann")).isEmpty, "ann refresh leak")
+  }
+
   test("knnJoin: full probe equals brute force, partial probe recalls, self-row") {
     import graft.llm.IvfIndex
     val loc = java.nio.file.Files.createTempDirectory("graft-knnj-")

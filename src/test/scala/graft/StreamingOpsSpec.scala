@@ -136,4 +136,59 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(dst.snapshots.forall(_.summary.contains("streaming-epoch-id")))
     } finally q.stop()
   }
+
+  test("indexedIngestSink keeps the BM25 and ANN indexes fresh per epoch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sidx-").toString
+    // corpus carries both a text and an embedding column; both indexes
+    // hang off the SAME table so the watermarks line up
+    val seed = (0L until 40L).map(i => (i,
+      s"seed document w${i % 7} about topic w${i % 3}",
+      (0 until 8).map(j => math.sin(i * 31 + j).toFloat)))
+    val corpus = IceTable.create(spark, s"$base/corpus",
+      Schema.fresh(seed.toDF("doc_id", "text", "embedding").schema))
+    corpus.append(seed.toDF("doc_id", "text", "embedding"))
+    graft.llm.Bm25Index.buildFrom(spark, corpus, "doc_id", "text",
+      s"$base/bm25", nBuckets = 4)
+    graft.llm.IvfIndex.buildFrom(spark, corpus, "doc_id", "embedding",
+      s"$base/ann", nLists = 4)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Seq[Float])](spark)
+    val q = mem.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        col("_3").as("embedding"))
+      .writeStream
+      .foreachBatch(StreamingOps.indexedIngestSink(corpus, "idxing",
+        bm25Location = Some(s"$base/bm25"), annLocation = Some(s"$base/ann")))
+      .option("checkpointLocation", s"$base/cp").start()
+    try {
+      // epoch 1: a novel doc with a distinctive term and vec 0's twin
+      mem.addData((1000L, "zanzibar spice markets zanzibar",
+        (0 until 8).map(j => math.sin(0L * 31 + j).toFloat)))
+      q.processAllAvailable()
+      // epoch 2: more docs — each epoch refreshes incrementally
+      mem.addData((1001L, "another zanzibar mention", (0 until 8)
+        .map(j => math.sin(7L * 31 + j).toFloat)))
+      q.processAllAvailable()
+      val bm = graft.llm.Bm25Index.load(spark, s"$base/bm25")
+      assert(bm.docCount === 42L)
+      val hits = bm.query(Seq((1L, "zanzibar")).toDF("qid", "qtext"),
+        "qid", "qtext", k = 5).collect()
+      assert(hits.map(_.getLong(2)).toSet === Set(1000L, 1001L))
+      // the ANN index sees the streamed vector: 1000's exact twin is 0
+      val ann = graft.llm.IvfIndex.load(spark, s"$base/ann")
+      val twin = ann.topK(Seq(1000L), k = 1, nProbe = 4).head()
+      assert(twin.getLong(2) === 0L && math.abs(twin.getDouble(3) - 1.0) < 1e-6)
+      // both stayed on the incremental path: still the original version dir
+      assert(new java.io.File(s"$base/bm25/ix-v1").isDirectory &&
+        !new java.io.File(s"$base/bm25/ix-v2").exists)
+      assert(new java.io.File(s"$base/ann/ix-v1").isDirectory &&
+        !new java.io.File(s"$base/ann/ix-v2").exists)
+      // watermarks caught up to the corpus head — replayed epochs would
+      // no-op end to end (appendOnce skips, refresh sees no delta)
+      val head = corpus.meta.currentSnapshotId.get.toString
+      assert(bm.table.meta.properties(graft.llm.Bm25Index.CorpusSnapProp) === head)
+      assert(ann.table.meta.properties(graft.llm.IvfIndex.CorpusSnapProp) === head)
+    } finally q.stop()
+  }
 }
