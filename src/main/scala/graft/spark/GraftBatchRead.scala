@@ -960,7 +960,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     pushedLimit: Option[Int] = None,
     appendsRange: Option[(Long, Long)] = None,
     outCols: Array[Int] = null,
-    appendsEndExplicit: Boolean = false)
+    appendsEndExplicit: Boolean = false,
+    sample: Option[(Double, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -975,6 +976,7 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     snapshotId.foreach(id => s = s.useSnapshot(id))
     asOfMillis.foreach(ts => s = s.asOfTime(ts))
     appendsRange.foreach { case (from, to) => s = s.appendsBetween(from, to) }
+    sample.foreach { case (f, sd) => s = s.sampleFiles(f, sd) }
     val combined = GAnd(filter, runtimeExpr)
     if (combined != TrueExpr) s = s.filter(combined)
     if (projection.nonEmpty) s = s.select(projection.fieldNames.toSeq: _*)

@@ -107,8 +107,14 @@ class GraftSparkTable(val table: IceTable, fullName: String,
     if (appendsRange.isEmpty && options.containsKey("end-snapshot-id"))
       throw new graft.table.ValidationException(
         "end-snapshot-id requires start-snapshot-id (incremental reads are a range)")
+    // FILE-level sampling (TableScan.sampleFiles): `sample-files` fraction
+    // + optional `sample-seed` — approximate by design (see the scan API)
+    val sample = Option(options.get("sample-files")).map(_.toDouble).map { f =>
+      (f, Option(options.get("sample-seed")).map(_.toLong).getOrElse(0L))
+    }
     new GraftScanBuilder(table, snap, asOf, split, skipDeletes, maxFiles,
-      appendsRange, appendsEndExplicit = options.containsKey("end-snapshot-id"))
+      appendsRange, appendsEndExplicit = options.containsKey("end-snapshot-id"),
+      sample = sample)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -184,7 +190,8 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     asOfMillis: Option[Long], splitSize: Option[Long] = None,
     streamSkipDeletes: Boolean = true, maxFilesPerTrigger: Option[Int] = None,
     appendsRange: Option[(Long, Long)] = None,
-    appendsEndExplicit: Boolean = false)
+    appendsEndExplicit: Boolean = false,
+    sample: Option[(Double, Long)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -281,8 +288,8 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
     if (!table.meta.property("read.aggregate-pushdown.enabled", "true").toBoolean)
       return false
     // metadata aggregates answer over the WHOLE snapshot; an incremental
-    // scan sees only a range's appends
-    if (appendsRange.nonEmpty) return false
+    // scan sees only a range's appends, a sampled scan only its files
+    if (appendsRange.nonEmpty || sample.nonEmpty) return false
     // only whole-table aggregates; Spark never offers an aggregation while
     // post-scan filters remain, and we always keep filters post-scan
     if (aggregation.groupByExpressions.nonEmpty || pushedExpr != TrueExpr)
@@ -384,18 +391,21 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
           deletes = Nil, pushedLimit = pushedLimit, appendsRange = appendsRange,
-          outCols = outCols, appendsEndExplicit = appendsEndExplicit)
+          outCols = outCols, appendsEndExplicit = appendsEndExplicit,
+          sample = sample)
       else if (v1Forced || (plannedDeletes.nonEmpty && !nativeMoRSupported)) {
         if (metaRequested.nonEmpty) throw new UnsupportedOperationException(
           "_file/_pos/_deleted metadata columns need the native scan; this " +
             "read took the V1 fallback (read.v1-fallback.enabled or an " +
             "unsupported merge-on-read delete shape)")
         new GraftV1Scan(table, pushedExpr, requiredSchema, snapshotId,
-          asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger)
+          asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
+          sample = sample)
       } else
         new GraftBatchScan(table, pushedExpr, requiredSchema, pushed.toSeq,
           snapshotId, asOfMillis, splitSize, streamSkipDeletes, maxFilesPerTrigger,
-          deletes = plannedDeletes, pushedLimit = pushedLimit, outCols = outCols)
+          deletes = plannedDeletes, pushedLimit = pushedLimit, outCols = outCols,
+          sample = sample)
   }
 }
 
@@ -417,7 +427,8 @@ final class GraftLocalAggScan(table: IceTable, aggSchema: StructType,
 final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructType,
     snapshotId: Option[Long], asOfMillis: Option[Long],
     splitSize: Option[Long] = None, streamSkipDeletes: Boolean = true,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    sample: Option[(Double, Long)] = None)
     extends V1Scan with SupportsReportStatistics {
 
   /** Structured Streaming entry (ref `SparkMicroBatchStream.java`): offsets
@@ -432,6 +443,7 @@ final class GraftV1Scan(val table: IceTable, filter: GExpr, projection: StructTy
     snapshotId.foreach(id => s = s.useSnapshot(id))
     asOfMillis.foreach(ts => s = s.asOfTime(ts))
     splitSize.foreach(b => s = s.option("split-size", b.toString))
+    sample.foreach { case (f, sd) => s = s.sampleFiles(f, sd) }
     if (filter != TrueExpr) s = s.filter(filter)
     if (projection.nonEmpty) s = s.select(projection.fieldNames.toSeq: _*)
     s

@@ -247,6 +247,24 @@ object GraftSqlParser {
           val (rw, add) = resolve(spark, tableArg).rewritePositionDeleteFiles()
           Seq(Row(rw.toLong, add.toLong))
         })
+      case "maintain" =>
+        // the one-call autopilot: conversion, delete compaction, bin-pack,
+        // dangling drop, manifest rewrite, expiry (+ opt-in orphans), each
+        // gated by metadata probes and maintenance.* table properties
+        GraftCallCommand(proc, Seq(
+          attr("converted_eq_deletes", LongType),
+          attr("rewritten_delete_files", LongType),
+          attr("compacted_data_files", LongType),
+          attr("dangling_deletes_removed", LongType),
+          attr("manifests_after_rewrite", LongType),
+          attr("expired_snapshots", LongType),
+          attr("orphans_removed", LongType)), { spark =>
+          val r = resolve(spark, tableArg).maintain()
+          Seq(Row(r.convertedEqDeletes.toLong, r.rewrittenDeleteFiles.toLong,
+            r.compactedDataFiles.toLong, r.danglingDeletesRemoved.toLong,
+            r.manifestsRewritten.toLong, r.expiredSnapshots.toLong,
+            r.orphansRemoved.toLong))
+        })
       case "convert_equality_deletes" =>
         GraftCallCommand(proc,
           Seq(attr("converted_delete_files_count", LongType),

@@ -156,6 +156,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
   def convertEqualityDeletes(): (Int, Int) =
     Maintenance.convertEqualityDeletes(this)
 
+  def maintain(): Maintenance.MaintainReport = Maintenance.maintain(this)
+
   /** Master-key rotation — requires this handle to carry a
     * [[KeyRotationManager]] (see its scaladoc for the protocol). */
   def rotateEncryptionKeys(
@@ -1015,6 +1017,35 @@ final class TableScan private[table] (table: IceTable) {
 
   def filter(e: Expr): TableScan = { filterExpr = And(filterExpr, e); this }
 
+  private var sampleSpec: Option[(Double, Long)] = None
+
+  /** FILE-level sampling at planning time: keep each planned data file
+    * iff a seeded murmur3 of its path lands under `fraction` — the
+    * ~fraction of the table is chosen before a single byte is read, so a
+    * 1% sample of 100 TB costs ~1 TB of IO where row-level `.sample()`
+    * scans everything and drops rows afterwards. Deterministic: the same
+    * (file set, seed) always selects the same files — repeatable fits and
+    * stats estimates; a different seed redraws. Approximate by nature
+    * (file row counts vary, selection is per FILE) — the tool for
+    * quantizer training, corpus statistics, and data exploration, not for
+    * exact answers. Composes with filters (the pruning cascade runs
+    * first) and with deletes (suppressed rows stay suppressed). */
+  def sampleFiles(fraction: Double, seed: Long = 0L): TableScan = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"sample fraction $fraction out of (0, 1]")
+    sampleSpec = Some((fraction, seed)); this
+  }
+
+  private def maybeSample(tasks: Seq[FileScanTask]): Seq[FileScanTask] =
+    sampleSpec match {
+      case None => tasks
+      case Some((f, seed)) => tasks.filter { t =>
+        val h = graft.meta.transforms.Murmur3.hashBytes(
+          (t.file.path + "#" + seed).getBytes("UTF-8"))
+        ((h & Int.MaxValue).toDouble / Int.MaxValue) < f
+      }
+    }
+
   private var appendsRange: Option[(Long, Long)] = None
 
   /** Incremental mode: plan only the data files APPENDED in (from, to]
@@ -1149,9 +1180,10 @@ final class TableScan private[table] (table: IceTable) {
                       "— configure the manager that wrote this file")
                 }
             }
+            val out = maybeSample(planned)
             Listeners.notifyAll(Listeners.ScanEvent(
-              table.location, snap.snapshotId, filterExpr.toString, planned.size))
-            planned
+              table.location, snap.snapshotId, filterExpr.toString, out.size))
+            out
         }
     }
   }

@@ -836,6 +836,95 @@ object Maintenance {
     (eq.size, newFiles.size)
   }
 
+  /** What [[maintain]] did, action by action (zero = skipped or nothing
+    * to do). */
+  final case class MaintainReport(convertedEqDeletes: Int,
+      rewrittenDeleteFiles: Int, compactedDataFiles: Int,
+      danglingDeletesRemoved: Int, manifestsRewritten: Int,
+      expiredSnapshots: Int, orphansRemoved: Int)
+
+  /** One-call maintenance autopilot: the standard actions in dependency
+    * order, each gated by a cheap metadata probe and a table-property
+    * knob — the "run this nightly per table" entry point, instead of
+    * asking every operator to know seven actions and their ordering:
+    *
+    *  1. equality→position delete conversion (when eq deletes exist;
+    *     `maintenance.convert-eq-deletes.enabled`, default true) — BEFORE
+    *     compaction so the rewrite scans apply cheap positional probes;
+    *  2. position-delete compaction (when ≥
+    *     `maintenance.rewrite-deletes.min-files`, default 2);
+    *  3. bin-pack data compaction (self-gating: only partitions with ≥2
+    *     undersized files rewrite; `maintenance.compact.enabled`);
+    *  4. dangling-delete removal (compaction re-sequences past deletes);
+    *  5. manifest rewrite (when live manifests ≥
+    *     `maintenance.rewrite-manifests.min-count`, default 8);
+    *  6. snapshot expiry per the table's retention properties
+    *     (`history.expire.max-snapshot-age-ms`,
+    *     `history.expire.min-snapshots-to-keep`) — skipped silently when
+    *     `gc.enabled=false` (imported tables share files);
+    *  7. orphan-file removal — OPT-IN (`maintenance.remove-orphans.enabled`,
+    *     default false: it deletes unknown files, which is a policy call,
+    *     not hygiene).
+    *
+    * Every action is itself a commit, so a crash mid-autopilot leaves a
+    * consistent table that the next run simply continues. At 100 TB each
+    * action stays delta-bounded (scoped rewrites, metadata-only probes);
+    * the autopilot adds no work of its own. */
+  def maintain(table: IceTable,
+      nowMillis: Long = System.currentTimeMillis()): MaintainReport = {
+    val m = table.meta
+    def flag(k: String, default: Boolean): Boolean =
+      m.property(k, default.toString).toBoolean
+    def intProp(k: String, default: Int): Int =
+      m.property(k, default.toString).toInt
+    val snap = m.currentSnapshot
+    val delFiles = snap.map(s => table.liveEntries(m, s)
+        .filter(_.dataFile.content != FileContent.Data).map(_.dataFile))
+      .getOrElse(Nil)
+    val converted =
+      if (flag("maintenance.convert-eq-deletes.enabled", true) &&
+          delFiles.exists(_.content == FileContent.EqualityDeletes))
+        convertEqualityDeletes(table)._1
+      else 0
+    // recount after the conversion commit — it swapped eq files for pos
+    val posCount =
+      if (converted > 0) {
+        val m2 = table.meta
+        m2.currentSnapshot.map(s => table.liveEntries(m2, s)
+          .count(_.dataFile.content == FileContent.PositionDeletes)).getOrElse(0)
+      } else delFiles.count(_.content == FileContent.PositionDeletes)
+    val rewrittenDel =
+      if (posCount >= intProp("maintenance.rewrite-deletes.min-files", 2))
+        rewritePositionDeleteFiles(table)._1
+      else 0
+    val compacted =
+      if (flag("maintenance.compact.enabled", true)) rewriteDataFiles(table)._1
+      else 0
+    val dangling = removeDanglingDeletes(table)
+    val manifestCount = table.meta.currentSnapshot
+      .map(s => table.readManifestList(table.meta, s).size).getOrElse(0)
+    val manifests =
+      if (manifestCount >= intProp("maintenance.rewrite-manifests.min-count", 8))
+        rewriteManifests(table)
+      else 0
+    val gc = flag(TableProperties.GcEnabled, true)
+    val expired =
+      if (gc && flag("maintenance.expire.enabled", true)) {
+        val maxAge = m.property(TableProperties.MaxSnapshotAgeMs,
+          TableProperties.MaxSnapshotAgeMsDefault.toString).toLong
+        val retain = intProp("history.expire.min-snapshots-to-keep", 1)
+        expireSnapshots(table, nowMillis - maxAge, retain)._1
+      } else 0
+    val orphans =
+      if (gc && flag("maintenance.remove-orphans.enabled", false))
+        removeOrphanFiles(table,
+          nowMillis - m.property("maintenance.remove-orphans.min-age-ms",
+            (3L * 24 * 3600 * 1000).toString).toLong).size
+      else 0
+    MaintainReport(converted, rewrittenDel, compacted, dangling,
+      manifests, expired, orphans)
+  }
+
   /** Rewrite all live manifests into one per partition spec, clustering
     * entries (ref `BaseRewriteManifestsSparkAction`). */
   def rewriteManifests(table: IceTable): Int = {

@@ -790,4 +790,43 @@ class BatchScanSpec extends AnyFunSuite {
       .load(warehouse + "/db/incr")
     assert(afterDelete.collect().map(_.getInt(0)).sorted === Array(4))
   }
+
+  test("sampleFiles: deterministic file-level sample, DSv2 option, agg fence") {
+    import graft.meta.Schema
+    val loc = java.nio.file.Files.createTempDirectory("graft-sample-")
+      .toString + "/t"
+    val t = IceTable.create(spark, loc, Schema.fresh(lineitem.schema))
+    // ~24 files: 8 appends x 3 partitions each
+    (1 to 8).foreach(_ => t.append(lineitem.limit(600).repartition(3)))
+    val all = t.newScan().planFiles()
+    assert(all.size >= 16)
+    val s1 = t.newScan().sampleFiles(0.5, seed = 7L).planFiles()
+    val s2 = t.newScan().sampleFiles(0.5, seed = 7L).planFiles()
+    // deterministic: same (files, seed) -> same selection
+    assert(s1.map(_.file.path).toSet === s2.map(_.file.path).toSet)
+    // a genuine subset in a sane binomial band, different under a new seed
+    assert(s1.map(_.file.path).toSet.subsetOf(all.map(_.file.path).toSet))
+    assert(s1.size > all.size / 5 && s1.size < all.size * 4 / 5,
+      s"sampled ${s1.size} of ${all.size}")
+    val s3 = t.newScan().sampleFiles(0.5, seed = 8L).planFiles()
+    assert(s3.map(_.file.path).toSet !== s1.map(_.file.path).toSet)
+    // composes with filters: sampled+filtered is a subset of filtered
+    val filtered = t.newScan().filter(graft.meta.expr.Exprs.greaterThan(
+      "l_quantity", 25.0)).planFiles().map(_.file.path).toSet
+    val sf = t.newScan().filter(graft.meta.expr.Exprs.greaterThan(
+        "l_quantity", 25.0)).sampleFiles(0.5, 7L).planFiles()
+    assert(sf.map(_.file.path).toSet.subsetOf(filtered))
+    // DSv2 option reads exactly the sampled files' rows
+    val viaOption = spark.read.format("graft").option("sample-files", "0.5")
+      .option("sample-seed", "7").load(loc)
+    val expectRows = t.newScan().sampleFiles(0.5, 7L).toDF.count()
+    assert(viaOption.count() === expectRows)
+    assert(expectRows > 0 && expectRows < t.toDF.count())
+    // aggregate pushdown is FENCED under sampling: a metadata-answered
+    // count(*) would ignore the sample and return the full count
+    val cnt = viaOption.agg(count(lit(1))).head().getLong(0)
+    assert(cnt === expectRows, "agg pushdown leaked past the sample")
+    // out-of-range fraction refuses
+    intercept[IllegalArgumentException] { t.newScan().sampleFiles(1.5) }
+  }
 }

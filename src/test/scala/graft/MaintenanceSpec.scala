@@ -633,6 +633,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gced.db.t").head().getLong(0) === 48)
   }
 
+  test("maintain autopilot: one call runs the gated action chain") {
+    import spark.implicits._
+    val loc = tmpLoc()
+    val df0 = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = IceTable.create(spark, loc, Schema.fresh(df0.schema),
+      properties = Map(
+        "write.delete.mode" -> "merge-on-read",
+        "maintenance.rewrite-manifests.min-count" -> "3",
+        "history.expire.max-snapshot-age-ms" -> "0",
+        "history.expire.min-snapshots-to-keep" -> "2"))
+    // mess: 4 append commits (4 manifests), 2 MoR deletes (pos files),
+    // 1 eq-delete commit, all snapshots old enough to expire
+    (0 to 3).foreach(i => t.append(df0.filter(col("k") % 4 === i).coalesce(1)))
+    t.deleteMergeOnRead(graft.meta.expr.Exprs.equalTo("k", 5L))
+    t.deleteMergeOnRead(graft.meta.expr.Exprs.equalTo("k", 6L))
+    t.addEqualityDeletes(Seq(7L, 8L).toDF("k"), Seq("k"))
+    def state() = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = state()
+    assert(before.size === 196)
+    val r = t.maintain()
+    // every stage did real work, visible rows never changed
+    assert(r.convertedEqDeletes >= 1, r.toString)
+    assert(r.compactedDataFiles >= 2, r.toString)
+    assert(r.danglingDeletesRemoved >= 1, r.toString)
+    // the compaction/conversion commits may already have consolidated
+    // manifests under the threshold — the gate skipping then is CORRECT;
+    // the post-condition is what matters
+    assert(t.metadataTable("manifests").count() <= 3, r.toString)
+    assert(r.expiredSnapshots >= 1, r.toString)
+    assert(r.orphansRemoved === 0, "orphan removal must be opt-in")
+    assert(state() === before, "maintain changed visible rows")
+    // post-state: no delete files survive; the PRE-maintain history is
+    // trimmed (the autopilot's own commits are newer than the cutoff and
+    // rightly survive — only the 7 original snapshots were expirable)
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(t.meta.snapshots.size <= 5, t.meta.snapshots.size.toString)
+    // a second run converges to near-no-ops
+    val r2 = t.maintain()
+    assert(r2.convertedEqDeletes === 0 && r2.rewrittenDeleteFiles === 0 &&
+      r2.danglingDeletesRemoved === 0, r2.toString)
+    assert(state() === before)
+    // CALL surface
+    spark.conf.set("spark.sql.catalog.gmt2", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmt2.warehouse",
+      Files.createTempDirectory("graft-mt2-").toString)
+    spark.sql("CREATE TABLE gmt2.db.t (id BIGINT, v STRING) TBLPROPERTIES" +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO gmt2.db.t SELECT id, concat('v', id) FROM range(60)")
+    spark.sql("INSERT INTO gmt2.db.t SELECT id + 60, concat('v', id) FROM range(60)")
+    spark.sql("DELETE FROM gmt2.db.t WHERE id = 3")
+    val row = spark.sql("CALL gmt2.system.maintain(table => 'db.t')").head()
+    assert(row.length === 7)
+    assert(spark.sql("SELECT count(*) FROM gmt2.db.t").head().getLong(0) === 119)
+  }
+
   test("CALL rewrite_position_delete_files / remove_dangling_deletes") {
     val base = Files.createTempDirectory("graft-calls-").toString
     import spark.implicits._
