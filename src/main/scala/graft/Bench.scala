@@ -257,6 +257,13 @@ object Bench {
       settle()
       measure("llm_ann_pq_probe", 2, 5)(() =>
         consume(pqIdx.topKPq(LlmQueries.AnnQueryIds, k = 5, nProbe = 2)))
+      // distributed batch kNN join: every 25th corpus vector joined for
+      // its top-3 (the table-to-table retrieval shape; ~80 queries at
+      // sf0.1) — guards the join-path plan, not just the driver probes
+      val knnQueries = embs.filter(col("vec_id") % 25 === 0)
+      measure("llm_knn_join", 2, 5)(() =>
+        consume(ivf.knnJoin(knnQueries, "vec_id", "embedding", k = 3,
+          nProbe = 2, excludeSelf = true)))
       // build cost measured every round (it once hid a dim× recompute that
       // made fits unusable past toy corpora): a separate location so the
       // version churn cannot touch the probe index, settled first so the

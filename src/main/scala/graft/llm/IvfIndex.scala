@@ -689,9 +689,11 @@ object IvfIndex {
     * only after the new marker lands. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int = -1, iters: Int = 2,
-      encryption: EncryptionManager = PlaintextEncryptionManager): IvfIndex =
+      encryption: EncryptionManager = PlaintextEncryptionManager,
+      fitSampleFraction: Double = 1.0): IvfIndex =
     buildWith(spark, corpus, idCol, vecCol, location, nLists, iters,
-      Map.empty, enc = encryption)
+      Map.empty, enc = encryption,
+      fitCorpus = rowSample(corpus, fitSampleFraction))
 
   /** [[build]] from a graft TABLE, recording which corpus snapshot the
     * index covers — the provenance [[refresh]] needs to plan only the
@@ -703,13 +705,14 @@ object IvfIndex {
     * exactly-once guarantee, so it must match the indexed data exactly). */
   def buildFrom(spark: SparkSession, corpus: IceTable, idCol: String,
       vecCol: String, location: String, nLists: Int = -1,
-      iters: Int = 2): IvfIndex =
+      iters: Int = 2, fitSampleFraction: Double = 1.0): IvfIndex =
     corpus.meta.currentSnapshotId match {
       case Some(id) => buildWith(spark,
         corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
         nLists, iters,
         Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
-        enc = corpus.io.encryption)
+        enc = corpus.io.encryption,
+        fitCorpus = fileSample(corpus, id, fitSampleFraction))
       case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
         nLists, iters, Map.empty, enc = corpus.io.encryption)
     }
@@ -723,33 +726,61 @@ object IvfIndex {
   def buildPq(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int = -1, m: Int = 8,
       ks: Int = 256, iters: Int = 2,
-      encryption: EncryptionManager = PlaintextEncryptionManager): IvfIndex =
+      encryption: EncryptionManager = PlaintextEncryptionManager,
+      fitSampleFraction: Double = 1.0): IvfIndex =
     buildWith(spark, corpus, idCol, vecCol, location, nLists, iters,
-      Map.empty, pqParams = Some((m, ks)), enc = encryption)
+      Map.empty, pqParams = Some((m, ks)), enc = encryption,
+      fitCorpus = rowSample(corpus, fitSampleFraction))
 
   /** [[buildFrom]] with a product quantizer (see [[buildPq]]) — snapshot-
     * pinned and refresh-capable like the plain build. */
   def buildPqFrom(spark: SparkSession, corpus: IceTable, idCol: String,
       vecCol: String, location: String, nLists: Int = -1, m: Int = 8,
-      ks: Int = 256, iters: Int = 2): IvfIndex =
+      ks: Int = 256, iters: Int = 2,
+      fitSampleFraction: Double = 1.0): IvfIndex =
     corpus.meta.currentSnapshotId match {
       case Some(id) => buildWith(spark,
         corpus.newScan().useSnapshot(id).toDF, idCol, vecCol, location,
         nLists, iters,
         Map(CorpusLocProp -> corpus.location, CorpusSnapProp -> id.toString),
-        pqParams = Some((m, ks)), enc = corpus.io.encryption)
+        pqParams = Some((m, ks)), enc = corpus.io.encryption,
+        fitCorpus = fileSample(corpus, id, fitSampleFraction))
       case None => buildWith(spark, corpus.toDF, idCol, vecCol, location,
         nLists, iters, Map.empty, pqParams = Some((m, ks)),
         enc = corpus.io.encryption)
     }
 
+  /** Quantizer-fit sampling: quality needs ~100× nLists (and ~100× ks per
+    * subspace) vectors, not the corpus — at 100 TB fitting on the full
+    * corpus is almost all of the build's cost for no recall gain. Table
+    * builds sample at the FILE level (planning-time — the unsampled files
+    * are never read during the fit passes); DataFrame builds fall back to
+    * row-level Bernoulli sampling (deterministic seed). The ASSIGNMENT
+    * always runs over the full corpus — every vector lands in the index;
+    * only the quantizer trains on less. Full-probe exactness is untouched
+    * by construction (the rescore is exact regardless of the quantizer). */
+  private def fileSample(corpus: IceTable, snapshotId: Long,
+      fraction: Double): Option[DataFrame] = {
+    require(fraction > 0 && fraction <= 1, s"bad fit sample $fraction")
+    if (fraction >= 1.0) None
+    else Some(corpus.newScan().useSnapshot(snapshotId)
+      .sampleFiles(fraction, seed = 42L).toDF)
+  }
+
+  private def rowSample(corpus: DataFrame, fraction: Double): Option[DataFrame] = {
+    require(fraction > 0 && fraction <= 1, s"bad fit sample $fraction")
+    if (fraction >= 1.0) None else Some(corpus.sample(fraction, seed = 42L))
+  }
+
   private def buildWith(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, location: String, nLists: Int,
       iters: Int, extraProps: Map[String, String],
       pqParams: Option[(Int, Int)] = None,
-      enc: EncryptionManager = PlaintextEncryptionManager): IvfIndex = {
+      enc: EncryptionManager = PlaintextEncryptionManager,
+      fitCorpus: Option[DataFrame] = None): IvfIndex = {
     val n = if (nLists > 0) nLists else Similarity.listsFor(corpus.count())
-    val cents = Similarity.ivfFit(corpus, idCol, vecCol, n, iters)
+    val fitDf = fitCorpus.getOrElse(corpus)
+    val cents = Similarity.ivfFit(fitDf, idCol, vecCol, n, iters)
     // int8 codes + scale are INDEX columns: the quantized probe ranks over
     // them (4× fewer bytes than float32) and parquet column pruning keeps
     // them free for every other read
@@ -764,7 +795,13 @@ object IvfIndex {
     // PQ: codebooks trained on the residuals under the just-fitted coarse
     // quantizer, then every row's M-byte code rides as one more column
     val pqBooks: Option[PqBooks] = pqParams.map { case (m, ks) =>
-      val books = Similarity.pqFit(assignedBase, idCol, vecCol, ListCol,
+      // codebooks train on the (possibly sampled) fit corpus, assigned to
+      // its coarse lists with the just-fitted centroids
+      val fitAssigned =
+        if (fitCorpus.isEmpty) assignedBase
+        else fitDf.select(col(idCol), col(vecCol),
+          Similarity.nearestList(col(vecCol), cents).as(ListCol))
+      val books = Similarity.pqFit(fitAssigned, idCol, vecCol, ListCol,
         cents, m, ks, iters)
       PqBooks(books.head.size, books)
     }

@@ -18,7 +18,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     // (AUC/honesty gates live in QualityModelSpec)
     val rowsOnly = Set("llm_ann_lsh", "llm_dedup_simhash", "llm_ann_int8",
       "llm_dedup_embed_ivf", "llm_bpe_train", "llm_bpe_encode",
-      "llm_quality_model")
+      "llm_quality_model",
+      // PQ codebook contents are quantization-specific; exactness-under-
+      // full-rescore + recall gates live in LlmSpec
+      "llm_ann_pq")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
   }

@@ -122,10 +122,12 @@ class DmlFuzzSpec extends AnyFunSuite {
           }
           check(s"merge#$i")
         case 8 => // layout maintenance must never change visible rows
-          rng.nextInt(3) match {
+          rng.nextInt(5) match {
             case 0 => t.rewriteDataFiles(minInputFiles = 2)
             case 1 => t.rewritePositionDeleteFiles(); t.removeDanglingDeletes()
             case 2 => t.rewriteManifests()
+            case 3 => t.convertEqualityDeletes()
+            case 4 => t.maintain() // the autopilot chain under random state
           }
           check(s"maintenance#$i")
         case 9 => // expire old snapshots (metadata-only for visible rows)

@@ -760,6 +760,48 @@ class LlmSpec extends AnyFunSuite {
       s"knnJoinPq recall ${recalls.sum / recalls.size}")
   }
 
+  test("sampled quantizer fit: full-probe exactness holds, recall degrades gracefully") {
+    import graft.llm.IvfIndex
+    import graft.table.IceTable
+    import graft.meta.Schema
+    val base = java.nio.file.Files.createTempDirectory("graft-fitsmp-").toString
+    val corpus = IceTable.create(spark, s"$base/corpus", Schema.fresh(embs.schema))
+    corpus.append(embs.repartition(8)) // several files: file-level sampling bites
+    val idx = IvfIndex.buildPqFrom(spark, corpus, "vec_id", "embedding",
+      s"$base/idx", nLists = 8, m = 16, ks = 64, fitSampleFraction = 0.5)
+    // every vector is INDEXED regardless of the fit sample
+    assert(idx.table.newScan().toDF.count() === embs.count())
+    val qids = LlmQueries.AnnQueryIds
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // full probe is exact NO MATTER how the quantizer was fitted
+    val full = idx.topK(qids, 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach(q => assert(full(q) === exact(q), s"query $q sampled-fit full-probe"))
+    // the PQ path too (sampled codebooks; corpus-wide rescore => exact)
+    val pqFull = idx.topKPq(qids, 5, nProbe = 8, rescoreFactor = 200)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach(q => assert(pqFull(q) === exact(q)))
+    // approximation quality degrades gracefully, not catastrophically
+    val part = idx.topK(qids, 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map(q =>
+      exact(q).count(part.getOrElse(q, Set.empty).contains).toDouble / exact(q).size)
+    // half the fit data on a 500-vector weak-signal corpus measures 0.72
+    // at 4/8 lists (full fit: ~0.9) — the gate pins "degrades, not
+    // collapses"; at real scale the sample still dwarfs 100× nLists
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"sampled-fit recall ${recalls.sum / recalls.size}")
+    intercept[IllegalArgumentException] {
+      IvfIndex.buildFrom(spark, corpus, "vec_id", "embedding", s"$base/bad",
+        fitSampleFraction = 0.0)
+    }
+  }
+
   test("PQ index survives refresh: delta rows encoded, drift refit keeps PQ") {
     import graft.llm.IvfIndex
     import graft.table.IceTable
