@@ -741,6 +741,32 @@ object CoreQueries {
       val (converted, _) = tbl.convertEqualityDeletes()
       require(converted >= 2, s"expected >=2 eq-delete files, got $converted")
       tbl.toDF.select("k", "nk", "bal").orderBy("k", "bal")
+    }),
+
+    // Q45 maintenance autopilot through the gate: a messy MoR + eq-delete
+    // history, then ONE CALL system.maintain — conversion, delete
+    // compaction, bin-pack, dangling drop, manifest rewrite, expiry all
+    // run, and the visible rows must still hash-match the relational
+    // replay of the history
+    "q45_maintain" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q45").toString
+      s.conf.set("spark.sql.catalog.gq45", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq45.warehouse", tmp)
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(base.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read",
+          "history.expire.max-snapshot-age-ms" -> "0"))
+      tbl.append(base)
+      s.sql("DELETE FROM gq45.db.t WHERE k % 9 = 2")
+      tbl.addEqualityDeletes(base.filter(col("nk") === 7)
+        .select("nk").distinct(), Seq("nk"))
+      s.sql("DELETE FROM gq45.db.t WHERE bal < 0 AND k % 2 = 1")
+      val r = s.sql("CALL gq45.system.maintain(table => 'db.t')").head()
+      require(r.getLong(0) >= 1, s"autopilot skipped the conversion: $r")
+      s.sql("SELECT k, nk, bal FROM gq45.db.t ORDER BY k")
     })
   )
 
@@ -949,6 +975,11 @@ object CoreQueries {
         "reins AS (SELECT k, nk, 999.99 AS bal FROM base WHERE k % 10 = 1), " +
         "all2 AS (SELECT * FROM after1 UNION ALL SELECT * FROM reins) " +
         "SELECT k, nk, bal FROM all2 WHERE nk <> 3 ORDER BY k, bal"),
+    "q45_maintain" ->
+      ("SELECT c_custkey AS k, c_nationkey AS nk, round(c_acctbal, 2) AS bal " +
+        "FROM customer WHERE c_custkey % 9 <> 2 AND c_nationkey <> 7 " +
+        "AND NOT (round(c_acctbal, 2) < 0 AND c_custkey % 2 = 1) " +
+        "ORDER BY k"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

@@ -403,10 +403,20 @@ final class IvfIndex private (val table: IceTable,
     * corpus). Everything stays distributed: each query row fans out to
     * its `nProbe` nearest lists (codegen'd multiprobe assignment — no
     * collect), the probe is one equi-join on the list id against the
-    * list-partitioned index, and the per-query candidate volume is
-    * bounded by its probed lists' sizes, never the corpus. The final
-    * ranking is the bounded map-side top-k heap — no window, no full
-    * sort. `nProbe >= nLists` degenerates to exact brute force.
+    * list-partitioned index, and the per-query JOIN compute is bounded
+    * by its probed lists' sizes, never the corpus. The final ranking is
+    * the bounded map-side top-k heap — no window, no full sort.
+    * `nProbe >= nLists` degenerates to exact brute force.
+    *
+    * Cost shape, honestly: the index SCAN is one pass over all list
+    * partitions per batch join (a real query batch's probed-list union
+    * covers most lists, so list-pruning the scan would buy little and
+    * cost a planning job) — the nProbe/nLists factor bounds the join's
+    * CANDIDATE volume, which dominates at any interesting batch size
+    * (measured flat per-pair throughput across 8× candidate-volume
+    * change at 2M×64; BASELINE §r12c). For a handful of queries use the
+    * driver-side probes, whose scans partition-prune to the probed
+    * lists. [[knnJoinPq]] cuts the scan side itself 16× (M-byte codes).
     *
     * Output `(query_id, rank, neighbor_id, sim)` — sim is exact cosine
     * rounded to 4, ties to the smaller neighbor id (the probe contract).
