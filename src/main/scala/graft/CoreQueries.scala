@@ -767,6 +767,26 @@ object CoreQueries {
       val r = s.sql("CALL gq45.system.maintain(table => 'db.t')").head()
       require(r.getLong(0) >= 1, s"autopilot skipped the conversion: $r")
       s.sql("SELECT k, nk, bal FROM gq45.db.t ORDER BY k")
+    }),
+
+    // Q46 SQL views on a graft catalog (Spark 4.1 ships only the
+    // ViewCatalog SPI; the parser + resolution wiring is ours): a view
+    // over a filter, replaced once (the REPLACED definition must win),
+    // then an aggregate THROUGH the view
+    "q46_view" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q46").toString
+      s.conf.set("spark.sql.catalog.gq46", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq46.warehouse", tmp)
+      t(s, d, "orders").createOrReplaceTempView("q46_orders")
+      s.sql("CREATE TABLE gq46.db.o AS SELECT o_orderkey AS k, " +
+        "o_custkey AS ck, o_orderstatus AS st, round(o_totalprice, 2) AS p " +
+        "FROM q46_orders")
+      s.sql("CREATE VIEW gq46.db.v AS SELECT k, ck, p FROM gq46.db.o " +
+        "WHERE st = 'P'")
+      s.sql("CREATE OR REPLACE VIEW gq46.db.v AS SELECT k, ck, p " +
+        "FROM gq46.db.o WHERE st = 'O' AND p > 1000.0")
+      s.sql("SELECT ck, count(*) AS n, round(sum(p), 2) AS total " +
+        "FROM gq46.db.v GROUP BY ck ORDER BY ck")
     })
   )
 
@@ -980,6 +1000,11 @@ object CoreQueries {
         "FROM customer WHERE c_custkey % 9 <> 2 AND c_nationkey <> 7 " +
         "AND NOT (round(c_acctbal, 2) < 0 AND c_custkey % 2 = 1) " +
         "ORDER BY k"),
+    "q46_view" ->
+      ("SELECT o_custkey AS ck, count(*) AS n, " +
+        "round(sum(round(o_totalprice, 2)), 2) AS total FROM orders " +
+        "WHERE o_orderstatus = 'O' AND round(o_totalprice, 2) > 1000.0 " +
+        "GROUP BY ck ORDER BY ck"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

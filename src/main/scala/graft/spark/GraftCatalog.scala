@@ -8,8 +8,8 @@ import graft.meta.{PartitionSpec, Schema}
 import graft.table.{FileIO, IceTable}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot-id / as-of-time scans (ref `SparkCatalog.load` selector paths).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with ViewCatalog {
 
   protected var catalogName: String = _
   protected var warehouse: String = _
@@ -302,6 +303,104 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       try graft.table.Maintenance.deleteReachableFiles(t, m)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  // ------------------------------------------------------------ SQL views
+  // (graft.table.Views: metadata-only versioned JSON under <path>/view/,
+  // committed by create-new atomicity; keyed catalogs seal view JSON like
+  // every other metadata file). Spark routes CREATE/ALTER/DROP VIEW,
+  // SHOW VIEWS, and view resolution in SELECT here natively.
+
+  private final case class GraftView(ident: Identifier,
+      meta: graft.table.ViewMeta) extends View {
+    override def name(): String =
+      (catalogName +: (ident.namespace().toSeq :+ ident.name())).mkString(".")
+    override def query(): String = meta.sql
+    override def currentCatalog(): String = meta.currentCatalog
+    override def currentNamespace(): Array[String] =
+      meta.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] =
+      meta.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = meta.columnAliases.toArray
+    override def columnComments(): Array[String] = meta.columnComments.toArray
+    override def properties(): util.Map[String, String] =
+      meta.properties.asJava
+  }
+
+  private def viewMetaOf(info: ViewInfo): graft.table.ViewMeta =
+    graft.table.ViewMeta(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema().json,
+      info.queryColumnNames().toSeq,
+      Option(info.columnAliases()).map(_.toSeq).getOrElse(Nil),
+      Option(info.columnComments()).map(_.toSeq).getOrElse(Nil),
+      info.properties().asScala.toMap)
+
+  override def viewExists(ident: Identifier): Boolean =
+    graft.table.Views.exists(io, tablePath(ident))
+
+  override def loadView(ident: Identifier): View =
+    graft.table.Views.current(io, tablePath(ident)) match {
+      case Some((_, meta)) => GraftView(ident, meta)
+      case None => throw new NoSuchViewException(ident)
+    }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (tableExists(ident))
+      throw new ViewAlreadyExistsException(ident) // a TABLE occupies the name
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    graft.table.Views.create(io, tablePath(ident), viewMetaOf(info))
+    GraftView(ident, viewMetaOf(info))
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (tableExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (!viewExists(ident) && !orCreate) throw new NoSuchViewException(ident)
+    graft.table.Views.replace(io, tablePath(ident), viewMetaOf(info))
+    GraftView(ident, viewMetaOf(info))
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val (v, meta) = graft.table.Views.current(io, tablePath(ident))
+      .getOrElse(throw new NoSuchViewException(ident))
+    val _ = v
+    val updated = changes.foldLeft(meta) { (m, ch) => ch match {
+      case set: ViewChange.SetProperty =>
+        m.copy(properties = m.properties + (set.property() -> set.value()))
+      case rm: ViewChange.RemoveProperty =>
+        m.copy(properties = m.properties - rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported view change: $other")
+    }}
+    graft.table.Views.replace(io, tablePath(ident), updated)
+    GraftView(ident, updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    graft.table.Views.drop(io, tablePath(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val meta = graft.table.Views.current(io, tablePath(oldIdent))
+      .getOrElse(throw new NoSuchViewException(oldIdent))._2
+    if (tableExists(newIdent) || viewExists(newIdent))
+      throw new ViewAlreadyExistsException(newIdent)
+    // metadata-only object: create-at-new-name first, then drop the old —
+    // a crash between the two leaves both readable (same definition), never
+    // neither
+    graft.table.Views.create(io, tablePath(newIdent), meta)
+    graft.table.Views.drop(io, tablePath(oldIdent))
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = (warehouse +: namespace).mkString("/")
+    if (!io.exists(dir)) return Array.empty
+    io.list(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => graft.table.Views.exists(io, s"$dir/$n"))
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(spark => RewriteGraftDml(spark))
+    ext.injectResolutionRule(spark => ResolveGraftViews(spark))
   }
 }
 

@@ -69,6 +69,20 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*$""".r
   private val ReplaceBranchRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+BRANCH\s+(\w+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w]+(?:\.[\w]+)+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w]+(?:\.[\w]+)+)\s*;?\s*$""".r
+
+  /** Hijack view DDL only when the statement names a CONFIGURED graft
+    * catalog (checked against the active session at parse time) — plain
+    * `CREATE [TEMP] VIEW` on the session catalog, and any other catalog,
+    * delegates to Spark untouched. Spark 4.1 ships the ViewCatalog SPI
+    * with NO parser/analyzer wiring (see [[ResolveGraftViews]]), so this
+    * is the create/drop half of the view surface. */
+  private def isGraftCatalog(cat: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(sp =>
+      sp.conf.getOption(s"spark.sql.catalog.$cat").exists(_.startsWith("graft.")))
 
   def parseExtension(sql: String): Option[LogicalPlan] = sql match {
     case CallRe(catalog, proc, args) => Some(call(catalog, proc.toLowerCase, args))
@@ -91,8 +105,55 @@ object GraftSqlParser {
       Some(refCommand(s"drop_${kind.toLowerCase}", ident)(_.removeRef(name)))
     case ReplaceBranchRe(ident, name, ver) =>
       Some(refCommand("replace_branch", ident)(_.replaceBranch(name, ver.toLong)))
+    case CreateViewRe(orReplace, ifNotExists, ident, query)
+        if ident.count(_ == '.') >= 2 && isGraftCatalog(ident.split('.').head) =>
+      Some(createViewCommand(ident, query.trim,
+        orReplace != null, ifNotExists != null))
+    case DropViewRe(ifExists, ident)
+        if ident.count(_ == '.') >= 2 && isGraftCatalog(ident.split('.').head) =>
+      Some(dropViewCommand(ident, ifExists != null))
     case _ => None
   }
+
+  private def viewCatalogOf(spark: SparkSession, cat: String)
+      : org.apache.spark.sql.connector.catalog.ViewCatalog =
+    spark.sessionState.catalogManager.catalog(cat) match {
+      case v: org.apache.spark.sql.connector.catalog.ViewCatalog => v
+      case _ => throw new IllegalArgumentException(
+        s"Catalog $cat does not support views")
+    }
+
+  private def createViewCommand(ident: String, query: String,
+      orReplace: Boolean, ifNotExists: Boolean): LogicalPlan =
+    GraftCallCommand("create_view", Nil, { spark =>
+      val parts = ident.split('.').toSeq
+      val cm = spark.sessionState.catalogManager
+      val vc = viewCatalogOf(spark, parts.head)
+      val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)
+      // analysis only (no execution): the captured schema pins the view's
+      // column list and types at creation time
+      val schema = spark.sql(query).schema
+      val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+        id, query, cm.currentCatalog.name, cm.currentNamespace, schema,
+        schema.fieldNames, Array.empty[String], Array.empty[String],
+        new java.util.HashMap[String, String]())
+      if (orReplace) vc.replaceView(info, true)
+      else if (ifNotExists && vc.viewExists(id)) ()
+      else vc.createView(info)
+      Nil
+    })
+
+  private def dropViewCommand(ident: String, ifExists: Boolean): LogicalPlan =
+    GraftCallCommand("drop_view", Nil, { spark =>
+      val parts = ident.split('.').toSeq
+      val vc = viewCatalogOf(spark, parts.head)
+      val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)
+      if (!vc.dropView(id) && !ifExists)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
+      Nil
+    })
 
   /** A no-output command over a resolved table (branch/tag DDL). */
   private def refCommand(cmd: String, ident: String)(
