@@ -288,7 +288,8 @@ object Bm25Index {
         CorpusSnapProp -> current.toString,
         CorpusLocProp -> corpus.location))
       .commit()
-    RefreshResult(load(spark, location), nNew, 0L, rebuilt = false)
+    RefreshResult(load(spark, location, corpus.io.encryption), nNew, 0L,
+      rebuilt = false)
   }
 
   /** The (id, text) column names the index was built over — recovered from
@@ -360,8 +361,13 @@ object Bm25Index {
       if (idx.docCount > 0 &&
           changed.toDouble / idx.docCount > maxChangedShare) return None
       // ONE snapshot: eq deletes on doc retire every stale posting of the
-      // changed docs; fresh postings of the post-image docs append
-      val eqKeys = net.filter(col("_existed")).select(col(DocCol))
+      // changed docs; fresh postings of the post-image docs append.
+      // Deletes cover ALL changed docs, not just _existed ones: a crash
+      // after this commit replays the same range, and docs INSERTED inside
+      // it now have first-attempt postings that must retire before the
+      // rerun re-appends them (an eq delete on a doc with no postings is a
+      // harmless no-op, so replay converges for inserts too).
+      val eqKeys = net.select(col(DocCol))
       val fresh = postingsOf(
         net.filter(col("_exists"))
           .select(col(DocCol).as(idCol), col("_new_text").as(textCol)),

@@ -49,9 +49,13 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Qualify bare relation names inside a view body with the captured
     * creation context (the light version of the reference's
     * rewriteIdentifiers): 1-part `t` → `cat.ns….t`, 2-part `db.t` →
-    * `cat.db.t`; 3+-part names are already absolute. */
+    * `cat.db.t`; 3+-part names are already absolute. Walks INTO subquery
+    * expressions (IN/EXISTS/scalar) — a bare name there must mean the
+    * captured context too, not whatever catalog the reader happens to be
+    * in. Runs AFTER [[cteSubstitute]], so CTE-defined names are already
+    * `CTERelationRef`s and never get mis-qualified as tables. */
   private def qualify(plan: LogicalPlan, view: View): LogicalPlan =
-    plan.transformUp {
+    plan.transformUpWithSubqueries {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
         UnresolvedRelation(
           (view.currentCatalog() +: view.currentNamespace().toSeq) :+
@@ -63,13 +67,23 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
           u.options, u.isStreaming)
     }
 
+  /** The analyzer's Substitution batch (which owns CTESubstitution) runs
+    * ONCE, before resolution — a view body spliced in DURING resolution
+    * arrives too late for it, so an `UnresolvedWith` in the body would
+    * never substitute and the plan fails analysis. Run the substitution on
+    * the body ourselves before qualification: CTE names become
+    * `CTERelationRef`s (resolved by the fixed-point ResolveWithCTE rule),
+    * and only genuine table names remain `UnresolvedRelation`s. */
+  private def cteSubstitute(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.analysis.CTESubstitution(plan)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation =>
       viewOf(u.multipartIdentifier) match {
         case None => u
         case Some((_, ident, view)) =>
-          val parsed = qualify(
-            spark.sessionState.sqlParser.parseQuery(view.query()), view)
+          val parsed = qualify(cteSubstitute(
+            spark.sessionState.sqlParser.parseQuery(view.query())), view)
           val pinned = Project(
             view.schema().fields.toSeq.map(f =>
               Alias(Cast(UnresolvedAttribute.quoted(f.name), f.dataType),

@@ -81,7 +81,12 @@ object Views {
       (v, fromJson(io.readString(versionPath(location, v)))))
   }
 
-  def exists(io: FileIO, location: String): Boolean = io.exists(dir(location))
+  /** Only a COMMITTED v<N>.json counts: writeAtomic stages a tmp file
+    * inside view/ before the create-new link, so directory presence alone
+    * would make a crashed mid-CREATE read as an existing view — loadView
+    * would throw NoSuchView while CREATE refuses forever. */
+  def exists(io: FileIO, location: String): Boolean =
+    current(io, location).nonEmpty
 
   /** CREATE: commit v1 by create-new atomicity; loses to any concurrent
     * create (or an existing view). */
@@ -100,7 +105,9 @@ object Views {
   }
 
   def drop(io: FileIO, location: String): Boolean = {
-    if (!exists(io, location)) return false
+    // directory presence, not exists(): DROP is the cleanup path for a
+    // crashed mid-CREATE (tmp file staged, no committed version)
+    if (!io.exists(dir(location))) return false
     io.deleteRecursive(location)
     true
   }

@@ -580,14 +580,19 @@ class LlmSpec extends AnyFunSuite {
       "append-refreshed index diverges from a from-scratch rebuild")
     assert(r1.index.docCount === rebuilt("a2").docCount &&
       r1.index.totalTokens === rebuilt("a2").totalTokens)
-    // 2) DML range → changelog path: eq deletes on doc + fresh postings
+    // 2) DML range → changelog path: eq deletes on doc + fresh postings.
+    // The range carries BOTH a delete and an insert so the crash-window
+    // replay below exercises insert convergence too.
     val wmAfterR1 = ct.meta.currentSnapshotId.get
     val statsAfterR1 = (r1.index.docCount, r1.index.totalTokens)
     ct.delete(graft.meta.expr.Exprs.in("doc_id",
       (100001L to 100010L).map(Long.box): _*))
+    ct.append(corpus0.limit(5).select(
+      (col("doc_id") + 200000L).as("doc_id"),
+      concat(col("text"), lit(" customer order data")).as("text")))
     spark.conf.set("spark.sql.catalog.gbm", "graft.spark.GraftCatalog")
     val r2 = Bm25Index.refresh(spark, ct, s"$base/idx")
-    assert(!r2.rebuilt && r2.deleted === 10L)
+    assert(!r2.rebuilt && r2.deleted === 10L && r2.upserted === 5L)
     assert(rows(r2.index) === rows(rebuilt("b")),
       "changelog-refreshed index diverges from a from-scratch rebuild")
     assert(r2.index.docCount === rebuilt("b2").docCount &&
@@ -686,6 +691,10 @@ class LlmSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "embedding"))
     val rb = Bm25Index.refresh(spark, corpus, s"$base/bm25")
     assert(!rb.rebuilt && rb.upserted === 3L)
+    // the RETURNED handle must carry the corpus key: the append path once
+    // reloaded with the default plaintext manager, so the first use threw
+    assert(rb.index.table.io.encryption eq manager)
+    assert(rb.index.query(q, "qid", "qtext", k = 5).count() === 5)
     val ra = IvfIndex.refresh(spark, corpus, s"$base/ann", refitShare = 0.5)
     assert(!ra.refit && ra.appended === 3L)
     assert(leaks(new java.io.File(s"$base/bm25")).isEmpty, "bm25 refresh leak")

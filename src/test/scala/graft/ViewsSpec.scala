@@ -110,6 +110,75 @@ class ViewsSpec extends AnyFunSuite {
     spark.sql("DROP VIEW gv.db.ctxview")
   }
 
+  test("captured context reaches subqueries: bare names in IN/EXISTS do not " +
+      "resolve against the reader's catalog") {
+    warehouse
+    val before = spark.catalog.currentCatalog()
+    try {
+      spark.sql("USE gv.db")
+      // bare `t` outside AND bare `dim` INSIDE the subquery expression;
+      // qualification must walk into the subquery (transformUp does not)
+      spark.sql("CREATE VIEW gv.db.subqview AS SELECT k FROM t " +
+        "WHERE k IN (SELECT nk FROM dim WHERE name <> 'zero') AND k < 6")
+      spark.sql(s"USE $before")
+      // a colliding `dim` in the reader's catalog with DIFFERENT contents:
+      // mis-qualification would silently read this one
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW dim AS " +
+        "SELECT * FROM VALUES (99L, 'wrong') AS t(nk, name)")
+      val ks = spark.sql("SELECT k FROM gv.db.subqview ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      // gv.db.dim yields nk ∈ {1,2}; the reader's colliding dim would
+      // yield {99} → an EMPTY result, so (1,2) proves the captured context
+      assert(ks === Seq(1L, 2L),
+        s"subquery resolved against the reader's catalog: $ks")
+    } finally {
+      spark.sql(s"USE $before")
+      spark.sql("DROP VIEW IF EXISTS dim")
+      spark.sql("DROP VIEW IF EXISTS gv.db.subqview")
+    }
+  }
+
+  test("CTE-bearing view bodies: WITH names are not mis-qualified and " +
+      "substitute even though the Substitution batch already ran") {
+    warehouse
+    val before = spark.catalog.currentCatalog()
+    try {
+      spark.sql("USE gv.db")
+      spark.sql("CREATE VIEW gv.db.cteview AS " +
+        "WITH c AS (SELECT k, nk FROM t WHERE k < 5) " +
+        "SELECT c.k, d.name FROM c JOIN dim d ON c.nk = d.nk")
+      spark.sql(s"USE $before")
+      val rows = spark.sql("SELECT k, name FROM gv.db.cteview ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows === Seq((0L, "zero"), (1L, "one"), (2L, "two"),
+        (3L, "zero"), (4L, "one")))
+      // nested: a view over the CTE view still expands
+      spark.sql("CREATE VIEW gv.db.ctewrap AS " +
+        "SELECT count(*) AS n FROM gv.db.cteview")
+      assert(spark.sql("SELECT n FROM gv.db.ctewrap").head().getLong(0) === 5L)
+    } finally {
+      spark.sql(s"USE $before")
+      spark.sql("DROP VIEW IF EXISTS gv.db.ctewrap")
+      spark.sql("DROP VIEW IF EXISTS gv.db.cteview")
+    }
+  }
+
+  test("crashed mid-CREATE (staged tmp, no committed version) does not " +
+      "read as an existing view and CREATE proceeds") {
+    warehouse
+    val dir = java.nio.file.Paths.get(warehouse, "db", "crashedv", "view")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(".v1.json.tmp-1234"),
+      "{}".getBytes("UTF-8"))
+    val id = Identifier.of(Array("db"), "crashedv")
+    assert(!vc.viewExists(id),
+      "a staged tmp with no committed version read as an existing view")
+    intercept[Exception] { vc.loadView(id) }
+    spark.sql("CREATE VIEW gv.db.crashedv AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM gv.db.crashedv").head().getInt(0) === 7)
+    spark.sql("DROP VIEW gv.db.crashedv")
+  }
+
   test("keyed catalog seals view JSON: the defining SQL is not plaintext") {
     val dir = java.nio.file.Files.createTempDirectory("graft_views_enc").toString
     spark.conf.set("spark.sql.catalog.gve", "graft.spark.GraftCatalog")
