@@ -329,6 +329,18 @@ object Bench {
       // the entry guards that shape
       measure("llm_span_dedup", 1, 3)(() => consume(
         graft.llm.TextOps.removeDuplicatedSpans(docsDf, "doc_id", "text", 3)))
+      // raw-web extraction (r13): map-only scanner — the entry pins that
+      // the ingestion front door stays at scan cost (wrap markup inline so
+      // the measured work includes realistic tags/entities per doc)
+      val htmlCol = concat(
+        lit("<html><head><title>T</title><style>p { color: red; }</style>" +
+          "<script>if (a<b) { x(\"&amp;\"); }</script></head><body><h1>H</h1><p>"),
+        col("text"),
+        lit("&nbsp;tail &lt;kept&gt;</p><div>  d1  <b>b</b>  d2  </div>" +
+          "<ul><li><a href='/x'>nav</a></li></ul></body></html>"))
+      measure("llm_extract", 1, 5)(() => consume(
+        docsDf.select(col("doc_id"),
+          graft.llm.TextOps.extractText(htmlCol, maxLinkDensity = 0.5).as("t"))))
     }
 
     // --- group 6 (LAST - heavy one-shot iterative pipeline): fuzzy dedup
@@ -363,7 +375,14 @@ object Bench {
     val preceded =
       s"""{"last_test_run_secs_ago":$lastTestRunSecsAgo,"loadavg_at_launch":${fmt(loadAtLaunch)},"startup_wait_ms":$startupWaitMs,"loadavg_at_start":${fmt(loadAtStart)}}"""
     val total = results.values.map(_.med).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"gc_secs":$gcSecs,"reruns":$reruns,"preceded_by":$preceded,"sf":"$sfDir"}""")
+    // two lines, detail FIRST: the driver's bounded tail capture once cut
+    // the headline's front when per-sample arrays pushed the single line
+    // past the capture window (BENCH_r12 lost its {"metric":"total"...}
+    // prefix). The last line is now compact (medians only) so any bounded
+    // tail keeps it whole; the detail line carries samples/gc/reruns and
+    // deliberately contains no "metric" key.
+    println(s"""{"bench_detail":{"samples":$samples,"gc_secs":$gcSecs,"reruns":$reruns}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"preceded_by":$preceded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

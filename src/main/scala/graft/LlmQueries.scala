@@ -157,6 +157,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // raw-web text extraction (r13): the ingestion front door — every
+    // crawl arrives as markup BEFORE any other operator applies. The doc
+    // text (angle brackets and ampersands escaped, so the only markup is
+    // the markup we inject) is wrapped in a deterministic HTML page
+    // exercising the extraction contract — title/style/script/comment/
+    // CDATA dropping, block-tag line breaks, inline-tag removal, named +
+    // numeric entity decode, whitespace collapse — and the oracle replays
+    // the same contract as a staged DuckDB regexp pipeline
+    "llm_extract" -> ((s, d) => {
+      val esc = translate(col("text"), "<&", "(+")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+          "<script>if (x < 1) { alert(\"&amp;\"); }</script></head>" +
+          "<!-- hidden <p> comment --><body><h1>Heading &amp; more</h1><p>"),
+        esc,
+        lit("&nbsp;tail &lt;kept&gt; &#39;q&#39; &unknown; x</p>" +
+          "<div>  spaced   <b>bold</b>   run  </div>" +
+          "<![CDATA[ dropped ]]>" +
+          "<ul><li>item one</li><li>item two</li></ul></body></html>"))
+      docs(s, d).select(col("doc_id"),
+          TextOps.extractText(html).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // duplicated-SPAN removal (r12): tokens covered by any cross-document
     // overlapping 3-gram are edited OUT and survivors re-join in document
     // order — the ExactSubstr cut where llm_dup_fraction only scores
@@ -657,6 +682,33 @@ object LlmQueries {
         ("SELECT doc_id, nfc_normalize(text) AS text, " +
           "(text <> nfc_normalize(text)) AS changed " +
           "FROM documents ORDER BY doc_id"),
+      "llm_extract" ->
+        ("""WITH h AS (SELECT doc_id,
+           |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           |   || '</title><style type="text/css">p { color: red; }</style>'
+           |   || '<script>if (x < 1) { alert("&amp;"); }</script></head>'
+           |   || '<!-- hidden <p> comment --><body><h1>Heading &amp; more</h1><p>'
+           |   || replace(replace(text, '<', '('), '&', '+')
+           |   || '&nbsp;tail &lt;kept&gt; &#39;q&#39; &unknown; x</p>'
+           |   || '<div>  spaced   <b>bold</b>   run  </div>'
+           |   || '<![CDATA[ dropped ]]>'
+           |   || '<ul><li>item one</li><li>item two</li></ul></body></html>' AS html
+           |   FROM documents),
+           | s1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', '', 'gs') AS t FROM h),
+           | s2 AS (SELECT doc_id, regexp_replace(t, '<!\[CDATA\[.*?\]\]>', '', 'gs') AS t FROM s1),
+           | s3 AS (SELECT doc_id, regexp_replace(t, '<script\b[^>]*>.*?</script[^>]*>', '', 'gis') AS t FROM s2),
+           | s4 AS (SELECT doc_id, regexp_replace(t, '<style\b[^>]*>.*?</style[^>]*>', '', 'gis') AS t FROM s3),
+           | s5 AS (SELECT doc_id, regexp_replace(t,
+           |   '</?(br|p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|section|article|header|footer|nav|title)\b[^>]*>',
+           |   chr(10), 'gi') AS t FROM s4),
+           | s6 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM s5),
+           | s7 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+           |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+           |   '&nbsp;', ' '), '&amp;', '&') AS t FROM s6),
+           | s8 AS (SELECT doc_id, regexp_replace(t, '[ \t\r\f\v]+', ' ', 'g') AS t FROM s7),
+           | s9 AS (SELECT doc_id, regexp_replace(t, ' ?(\n ?)+', chr(10), 'g') AS t FROM s8)
+           | SELECT doc_id, trim(t, ' ' || chr(10)) AS text FROM s9 ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")),
       "llm_span_dedup" ->
         ("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
            | pr AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS p

@@ -62,5 +62,17 @@ object functions {
       }
       graft.expressions.UnicodeNormalize(es.head, form)
     }, "built-in")
+    // graft_extract_text(html[, maxLinkDensity]) — raw-web markup → text
+    // (tag strip, entity decode, whitespace collapse; optional
+    // link-density boilerplate line removal)
+    registry.createOrReplaceTempFunction("graft_extract_text", es => {
+      val maxLd = if (es.size < 2) 1.0 else es(1).eval(null) match {
+        case d: Double => d
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other => throw new IllegalArgumentException(
+          s"Expected a literal link-density threshold, got: $other")
+      }
+      graft.expressions.ExtractText(es.head, maxLd)
+    }, "built-in")
   }
 }

@@ -25,6 +25,18 @@ object TextOps {
     ColumnBridge.column(graft.expressions.UnicodeNormalize(
       ColumnBridge.expression(c), form))
 
+  /** Raw-web text extraction (HTML/markup → text; codegen'd single-pass
+    * scanner, contract in [[graft.expressions.ExtractText]]): drops
+    * comments/CDATA/script/style, turns block tags into line breaks,
+    * decodes entities once, collapses whitespace. `maxLinkDensity < 1`
+    * additionally drops boilerplate lines whose anchor-text share exceeds
+    * the threshold (nav bars, footers, link farms). The ingestion front
+    * door: run this FIRST, then normalizeUnicode, then quality/dedup.
+    * Map-only: 100 TB-safe. */
+  def extractText(c: Column, maxLinkDensity: Double = 1.0): Column =
+    ColumnBridge.column(graft.expressions.ExtractText(
+      ColumnBridge.expression(c), maxLinkDensity))
+
   /** Let-binding for Column expressions: evaluates `value` ONCE per row and
     * hands it to `body` as a lambda variable. Catalyst's subexpression
     * elimination does not cross lambda boundaries, so any computed array

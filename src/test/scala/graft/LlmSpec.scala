@@ -180,6 +180,102 @@ class LlmSpec extends AnyFunSuite {
     assert(viaCol === r.getString(0))
   }
 
+  test("extractText: adversarial markup battery (nested tags, raw-text " +
+      "elements, entities, broken markup)") {
+    import spark.implicits._
+    def ext(html: String, maxLd: Double = 1.0): String = {
+      val r = Seq(Tuple1(html)).toDF("h")
+        .select(TextOps.extractText(col("h"), maxLd)).head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // nested + inline tags: block boundaries become line breaks, inline
+      // tags vanish without breaking words
+      assert(ext("<div><p>a <b>b</b>c</p><p>d</p></div>") === "a bc\nd")
+      // script is a RAW-TEXT element: a <p> tag, a comment opener, and
+      // entities inside the payload are payload, not markup
+      assert(ext("x<script>if (a<b) { s = \"<p>&amp;<!--\"; }</script>y") === "xy")
+      assert(ext("x<SCRIPT SRC='a.js'>var a;</ScRiPt >y") === "xy")
+      assert(ext("x<style>p > a { }</style>y") === "xy")
+      // unterminated raw-text element swallows the rest (browser behavior)
+      assert(ext("keep<script>var a = 1; rest never closes") === "keep")
+      // comments and CDATA drop wholly, even with tags inside
+      assert(ext("a<!-- <p>hidden</p> \n more -->b") === "ab")
+      assert(ext("a<![CDATA[ <p>raw</p> ]]>b") === "ab")
+      assert(ext("a<!-- never closed") === "a")
+      // broken markup: a bare '<' is text (HTML5 recovery); an
+      // unterminated tag at EOF truncates
+      assert(ext("1 < 2 and 2 > 1") === "1 < 2 and 2 > 1")
+      assert(ext("a <5% b") === "a <5% b")
+      assert(ext("keep <p then eof never closes") === "keep")
+      // entities: named, numeric, hex, unknown-literal, unterminated
+      assert(ext("&lt;tag&gt; &amp;&amp; &quot;q&quot; &apos;s&apos;") ===
+        "<tag> && \"q\" 's'")
+      assert(ext("&#65;&#x42;&#67;") === "ABC")
+      assert(ext("&unknown; &amp stays & alone") === "&unknown; &amp stays & alone")
+      // single-pass decode: &amp;lt; is the TEXT "&lt;", not "<"
+      assert(ext("&amp;lt;") === "&lt;")
+      // nbsp becomes a PLAIN space and collapses with neighbours
+      assert(ext("a&nbsp; &nbsp;b") === "a b")
+      // typographic set decodes
+      assert(ext("&mdash;&hellip;&rsquo;") === "—…’")
+      // whitespace: runs with a newline collapse to ONE \n, others to ' ';
+      // block tags and source newlines are the same line break
+      assert(ext("  a \t b \n\n c  ") === "a b\nc")
+      assert(ext("<p>a</p>\n<p>b</p>") === "a\nb")
+      assert(ext("<ul><li>one</li><li>two</li></ul>") === "one\ntwo")
+      // empty / null / tag-only inputs
+      assert(ext("") === "")
+      assert(ext("<p></p><div></div>") === "")
+      assert(ext(null) === null)
+      // self-closing raw-text tag has no content to skip
+      assert(ext("a<script src='x'/>b<br/>c") === "ab\nc")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    intercept[IllegalArgumentException](TextOps.extractText(col("t"), 0.0))
+    intercept[IllegalArgumentException](TextOps.extractText(col("t"), 1.5))
+  }
+
+  test("extractText link-density filter drops nav/footer boilerplate, keeps prose") {
+    import spark.implicits._
+    val page =
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav>" +
+        "<p>This is the actual article body with a single " +
+        "<a href='x'>inline link</a> among plenty of prose text.</p>" +
+        "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"
+    def ext(maxLd: Double) = Seq(Tuple1(page)).toDF("h")
+      .select(TextOps.extractText(col("h"), maxLd)).head.getString(0)
+    // threshold off: everything survives as three lines
+    val all = ext(1.0)
+    assert(all.split('\n').length === 3, all)
+    // 0.5: the nav and footer lines (≈100% anchor chars) drop; the prose
+    // line (small anchor share) stays
+    val filtered = ext(0.5)
+    assert(filtered === "This is the actual article body with a single " +
+      "inline link among plenty of prose text.", filtered)
+    // nested <a> and stray </a> don't wedge the depth counter
+    val nested = "<p><a><a>all link</a></a> rest</p><p>plain</p></a>"
+    val out = Seq(Tuple1(nested)).toDF("h")
+      .select(TextOps.extractText(col("h"), 0.5)).head.getString(0)
+    assert(out === "plain", out)
+  }
+
+  test("graft_extract_text SQL function matches the Column API") {
+    graft.functions.registerAll(spark)
+    val html = "<p>a &amp; b</p><script>drop()</script><p>c</p>"
+    val r = spark.sql(
+      s"SELECT graft_extract_text('$html'), " +
+        s"graft_extract_text('<nav><a href=x>L</a></nav><p>prose text</p>', 0.5), " +
+        "graft_extract_text(CAST(NULL AS STRING))").head
+    assert(r.getString(0) === "a & b\nc")
+    assert(r.getString(1) === "prose text")
+    assert(r.isNullAt(2))
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(html)).toDF("t")
+      .select(TextOps.extractText(col("t"))).head.getString(0)
+    assert(viaCol === r.getString(0))
+  }
+
   test("removeDuplicatedSpansToFixedPoint: cut seams expose stragglers, iteration converges") {
     import spark.implicits._
     // A and C agree AROUND the span A shares with B: cutting "d u p" out of

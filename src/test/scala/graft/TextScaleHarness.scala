@@ -31,6 +31,10 @@ object TextScaleHarness {
       df.write.mode("overwrite").format("noop").save()
 
     val mult = args.headOption.map(_.toInt).getOrElse(100)
+    // optional second arg: comma-separated op names to measure (default all)
+    val only: Set[String] = args.drop(1).headOption
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    def want(name: String): Boolean = only.isEmpty || only.contains(name)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val cache = s"/tmp/graft-bigdocs-$mult"
     if (!new java.io.File(cache, "_SUCCESS").exists) {
@@ -43,6 +47,33 @@ object TextScaleHarness {
     val corpus = spark.read.parquet(cache).repartition(32)
     println("corpus rows=" + corpus.count())
 
+    if (want("extract")) {
+      // raw-web extraction (r13): wrap every doc in a deterministic page
+      // (title/style/script/comment + block structure) and strip it back
+      // out; the control measures the same scan + concat WITHOUT the
+      // scanner so the printed delta is the extraction cost itself
+      val htmlCol = concat(
+        lit("<html><head><title>T</title><style>p { color: red; }</style>" +
+          "<script>if (a<b) { x(\"&amp;\"); }</script></head>" +
+          "<!-- hidden --><body><h1>Head &amp; line</h1><p>"),
+        col("text"),
+        lit("&nbsp;tail &lt;kept&gt;</p><div>  d1  <b>b</b>  d2  </div>" +
+          "<ul><li><a href='/x'>nav one</a></li><li><a href='/y'>nav two</a>" +
+          "</li></ul></body></html>"))
+      (1 to 2).foreach(_ => consume(corpus.select(col("doc_id"), htmlCol.as("h"))))
+      val tCtrl = (1 to 3).map(_ => time(consume(
+        corpus.select(col("doc_id"), htmlCol.as("h")))))
+      println(f"${mult}x extract_control ${tCtrl.min}%.2f s (min of 3)")
+      val tExt = (1 to 3).map(_ => time(consume(
+        corpus.select(col("doc_id"), llm.TextOps.extractText(htmlCol).as("t")))))
+      println(f"${mult}x extract_text ${tExt.min}%.2f s (min of 3)")
+      val tLd = (1 to 3).map(_ => time(consume(
+        corpus.select(col("doc_id"),
+          llm.TextOps.extractText(htmlCol, maxLinkDensity = 0.5).as("t")))))
+      println(f"${mult}x extract_text_ld ${tLd.min}%.2f s (min of 3)")
+    }
+
+    if (want("bpe")) {
     val tTrain = time {
       val m = llm.Bpe.train(corpus, "text", numMerges = 25)
       m.count()
@@ -63,40 +94,51 @@ object TextScaleHarness {
       llm.Bpe.tokenCount(col("text"), merges).as("n")))))
     println(f"${mult}x bpe_encode ${tEnc.min}%.2f s (min of 3: " +
       tEnc.map(t => f"$t%.2f").mkString(", ") + ")")
+    }
 
+    if (want("budget")) {
     val tBudget = (1 to 3).map(_ => time(consume(
       llm.Sampling.tokenBudgetMix(corpus, "doc_id", "source",
         llm.TextOps.tokenCount(col("text")), budgetTokens = 100000L,
         seed = 5L))))
     println(f"${mult}x token_budget ${tBudget.min}%.2f s (min of 3)")
+    }
 
+    if (want("gopher")) {
     val tGopher = (1 to 3).map(_ => time(consume(corpus.select(col("doc_id"),
       llm.TextOps.gopherRules(col("text")).as("g")))))
     println(f"${mult}x gopher_rules ${tGopher.min}%.2f s (min of 3)")
+    }
 
     // target slice ~1% of the corpus (a benchmark-sized "clean" set)
     val target = corpus.filter(col("doc_id") % 100 === 0)
+    if (want("dsir")) {
     val tDsir = (1 to 3).map(_ => time(consume(
       llm.Sampling.selectByImportance(corpus, "doc_id", "text",
         target, "text", k = 1000))))
     println(f"${mult}x dsir_select ${tDsir.min}%.2f s (min of 3)")
+    }
 
+    if (want("lm")) {
     val tLm = (1 to 3).map(_ => time(consume(
       llm.TextOps.ngramLmScore(corpus, "doc_id", "text", target, "text")
         .select("doc_id", "lm_logprob"))))
     println(f"${mult}x ngram_lm ${tLm.min}%.2f s (min of 3)")
+    }
 
+    if (want("bm25")) {
     val q = spark.createDataFrame(Seq(
       (1L, "hash join merge"), (2L, "fast scan filter"),
       (3L, "customer order data"))).toDF("qid", "qtext")
     val tBm = (1 to 3).map(_ => time(consume(
       llm.TextOps.bm25(corpus, "doc_id", "text", q, "qid", "qtext", k = 10))))
     println(f"${mult}x bm25 ${tBm.min}%.2f s (min of 3)")
+    }
 
     // checkpoint-vs-recompute: the two knob-bearing multi-consumer text ops,
     // measured with persistIntermediate OFF and ON so the knob's scaladoc
     // advice carries numbers at this corpus size
-    for (persist <- Seq(false, true)) {
+    if (want("persist")) for (persist <- Seq(false, true)) {
       val tag = if (persist) "persist=on " else "persist=off"
       val tTfidf = (1 to 2).map(_ => time(consume(
         llm.TextOps.tfidfTopTerms(corpus, "doc_id", "text", 5,
