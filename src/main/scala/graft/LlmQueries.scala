@@ -358,6 +358,25 @@ object LlmQueries {
       idx.query(q, "qid", "qtext", k = 10).orderBy("query_id", "rank")
     }),
 
+    // batch BM25 JOIN (r13): the same queries answered through the
+    // table-to-table path (no driver term collect, postings⋈terms
+    // equi-join, bounded heap) — replays the SAME DuckDB oracle as
+    // llm_bm25/llm_bm25_index, so the gate pins all three shapes
+    // hash-identical
+    "llm_bm25_join" -> ((s, d) => {
+      val idx = Bm25IndexCache.computeIfAbsent(
+        System.identityHashCode(s) + "#" + d, _ => {
+          val loc = java.nio.file.Files.createTempDirectory("graft-bm25-")
+            .toString + "/idx"
+          graft.llm.Bm25Index.build(s, docs(s, d), "doc_id", "text", loc,
+            nBuckets = 8)
+        })
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      idx.queryJoin(q, "qid", "qtext", k = 10).orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval (r12): BM25 lexical top-10 fused with exact cosine
     // vector top-10 by reciprocal rank (k0=60) — the standard two-tower
     // retrieval combiner; doc_id and vec_id share a domain in the test
@@ -1164,6 +1183,7 @@ object LlmQueries {
     // the persisted indexes answer the SAME queries with the SAME scores
     // as the one-shot ops — one oracle, two implementations
     base + ("llm_bm25_index" -> base("llm_bm25")) +
+      ("llm_bm25_join" -> base("llm_bm25")) +
       ("llm_hybrid_indexed" -> base("llm_hybrid_retrieval"))
   }
 }

@@ -51,39 +51,74 @@ final class Bm25Index private (val table: IceTable) {
   /** BM25 top-k per query row. `queries` carries (id, text); the distinct
     * query TERMS (retrieval-sized — bounded by the query batch, never the
     * corpus) drive an IN-filter that prunes the postings scan by term
-    * bucket, term min/max metrics, and parquet row groups. */
+    * bucket, term min/max metrics, and parquet row groups. For a
+    * corpus-scale query TABLE use [[queryJoin]] — this path collects the
+    * batch's term set to the driver for the prune. */
   def query(queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0 && k1 >= 0 && b >= 0 && b <= 1, "bad BM25 parameters")
-    val spark = table.spark
-    val qTerms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(nonEmptyTokens(col(queryTextCol))).as(TermCol))
-      .distinct()
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
     val terms = qTerms.select(TermCol).distinct().collect()
       .map(_.getString(0)).toSeq
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType))))
-    if (terms.isEmpty || docCount == 0L) return empty
+    if (terms.isEmpty || docCount == 0L) return emptyResult()
+    val matched = table.newScan()
+      .filter(Exprs.in(TermCol, terms: _*)).toDF
+    rankMatched(matched, qTerms, k, k1, b, broadcastSides = true)
+  }
+
+  /** Batch lexical-retrieval JOIN (r13): table-to-table BM25 — every row
+    * of a query TABLE gets its top-k corpus docs, with NO driver term
+    * collect (the lexical twin of [[IvfIndex.knnJoin]]). [[query]]'s
+    * IN-filter prune is right for retrieval-sized batches, but a
+    * corpus-scale batch's term set would be a corpus-scale driver collect
+    * — and covers most term buckets anyway. So queryJoin reads the
+    * postings ONCE and equi-joins them to the batch's (query, term)
+    * pairs, end to end distributed.
+    *
+    * Exchange shape (honest): one full postings scan, semi-joined to the
+    * batch's distinct terms; document frequency derives from the matched
+    * postings (per-term-global — every posting of a matched term
+    * survives the semi join); the postings⋈(query,term) equi-join
+    * shuffles on `term` — stopword-heavy batches skew on hot terms (AQE's
+    * skew split absorbs it; upstream stopword removal helps more); the
+    * per-(query, doc) score fold is one exchange; the ranking is the
+    * bounded map-side top-k heap — no window, no full sort, no driver
+    * state. Scores are IDENTICAL to [[query]]'s (same fold, same
+    * rounding): LlmSpec pins row-for-row equality on the same batch, and
+    * the llm_bm25_join gate entry replays the one-shot DuckDB oracle. */
+  def queryJoin(queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && k1 >= 0 && b >= 0 && b <= 1, "bad BM25 parameters")
+    if (docCount == 0L) return emptyResult()
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    val matched = table.toDF
+      .join(qTerms.select(TermCol).distinct(), Seq(TermCol), "left_semi")
+    rankMatched(matched, qTerms, k, k1, b, broadcastSides = false)
+  }
+
+  /** Distinct (query_id, term) pairs of the batch. */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+        explode(nonEmptyTokens(col(queryTextCol))).as(TermCol))
+      .distinct()
+
+  /** The shared scoring fold: Robertson idf × saturated tf, summed per
+    * (query, doc), rounded to 4, ranked by the bounded top-k heap.
+    * `broadcastSides` marks the retrieval-batch shape (qTerms and the
+    * per-term df table are tiny → broadcast); queryJoin leaves both as
+    * shuffle joins on `term`. */
+  private def rankMatched(matched: DataFrame, qTerms: DataFrame, k: Int,
+      k1: Double, b: Double, broadcastSides: Boolean): DataFrame = {
     val n = docCount.toDouble
     // exact long-sum / count division (the one-shot op's Spark avg
     // accumulates in double; both match the oracle at the rounded scale)
     val avgdl = math.max(totalTokens.toDouble / docCount, 1e-9)
-    val matched = table.newScan()
-      .filter(Exprs.in(TermCol, terms: _*)).toDF
     val dfByTerm = matched.groupBy(TermCol).agg(count(lit(1)).as("_gf_df"))
+    def side(d: DataFrame) = if (broadcastSides) broadcast(d) else d
     val scored = matched
-      .join(broadcast(qTerms), Seq(TermCol))
-      .join(broadcast(dfByTerm), Seq(TermCol))
+      .join(side(qTerms), Seq(TermCol))
+      .join(side(dfByTerm), Seq(TermCol))
       .select(col("query_id"), col(DocCol),
         (log(lit(1.0) + (lit(n) - col("_gf_df") + 0.5) / (col("_gf_df") + 0.5)) *
           (col(TfCol) * (k1 + 1.0)) /
@@ -97,6 +132,19 @@ final class Bm25Index private (val table: IceTable) {
       .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
         col("sim").as("score"))
   }
+
+  private def emptyResult(): DataFrame =
+    table.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
 }
 
 object Bm25Index {

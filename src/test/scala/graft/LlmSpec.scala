@@ -649,6 +649,20 @@ class LlmSpec extends AnyFunSuite {
       Seq("bucket[8]"))
     // all-unknown-terms and empty-text queries answer empty, loudly typed
     assert(idx.query(q.filter(col("qid") >= 4L), "qid", "qtext", 5).count() === 0)
+    // the batch JOIN path (no driver term collect) is row-identical to
+    // query() on the same batch — including the degenerate queries
+    val viaJoin = rows(idx.queryJoin(q, "qid", "qtext", k = 10))
+    assert(viaJoin === viaIndex, "queryJoin diverges from query()")
+    assert(idx.queryJoin(q.filter(col("qid") >= 4L), "qid", "qtext", 5)
+      .count() === 0)
+    // corpus-as-queries (the table-to-table shape the driver-collect path
+    // is not meant for): 500 queries × top-3, row-identical to query() —
+    // at test scale the collect path is still feasible, so it oracles the
+    // join path on the exact shape queryJoin exists for
+    val corpusQ = docs.select(col("doc_id").as("qid"), col("text").as("qtext"))
+    assert(rows(idx.queryJoin(corpusQ, "qid", "qtext", k = 3)) ===
+      rows(idx.query(corpusQ, "qid", "qtext", k = 3)),
+      "corpus-scale queryJoin diverges from the collect path")
   }
 
   test("Bm25Index refresh: append path, changelog DML path, convert composes") {

@@ -138,6 +138,35 @@ object TextScaleHarness {
     // checkpoint-vs-recompute: the two knob-bearing multi-consumer text ops,
     // measured with persistIntermediate OFF and ON so the knob's scaladoc
     // advice carries numbers at this corpus size
+    if (want("bm25join")) {
+      // batch BM25 join (r13): index the inflated corpus once, then answer
+      // a corpus-scale query batch through the distributed join path; the
+      // 3-query retrieval batch through the same index calibrates what the
+      // driver-collect path costs on the same postings
+      val idxLoc = s"/tmp/graft-bm25join-$mult/idx"
+      if (!new java.io.File(s"$idxLoc/metadata").exists) {
+        val t = time { llm.Bm25Index.build(spark, corpus, "doc_id", "text",
+          idxLoc, nBuckets = 32) }
+        println(f"${mult}x bm25_index_build $t%.1f s")
+      }
+      val idx = llm.Bm25Index.load(spark, idxLoc)
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      println("query batch rows=" + batch.count())
+      val tJoin = (1 to 3).map(_ => time(consume(
+        idx.queryJoin(batch, "qid", "qtext", k = 5))))
+      println(f"${mult}x bm25_query_join(batch) ${tJoin.min}%.2f s (min of 3)")
+      val q3 = spark.createDataFrame(Seq(
+        (1L, "hash join merge"), (2L, "fast scan filter"),
+        (3L, "customer order data"))).toDF("qid", "qtext")
+      val tQ3 = (1 to 3).map(_ => time(consume(
+        idx.query(q3, "qid", "qtext", k = 5))))
+      println(f"${mult}x bm25_query(3) ${tQ3.min}%.2f s (min of 3)")
+      val tJ3 = (1 to 3).map(_ => time(consume(
+        idx.queryJoin(q3, "qid", "qtext", k = 5))))
+      println(f"${mult}x bm25_query_join(3) ${tJ3.min}%.2f s (min of 3)")
+    }
+
     if (want("persist")) for (persist <- Seq(false, true)) {
       val tag = if (persist) "persist=on " else "persist=off"
       val tTfidf = (1 to 2).map(_ => time(consume(
