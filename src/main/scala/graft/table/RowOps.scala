@@ -187,6 +187,25 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
 
   private def srcCol(n: String): Column = col(MergeBuilder.SourcePrefix + n)
 
+  /** The shared tail of the dynamic-file-filter probe: `maxMatchesByFile`
+    * is a two-column frame (file path, max per-target-row source-match
+    * count for that file) — one row per file with ≥1 match. Collects it
+    * (one row per MATCHED file, never per row), enforces the MERGE
+    * cardinality guard, and prunes `allTasks` to the matched files. The
+    * two call sites differ only in how the frame is built: the equi-key
+    * path pre-aggregates source counts per key (a key's count IS every
+    * matching target row's count), the arbitrary-ON path counts per
+    * (_gf_file, _gf_pos) row identity before the per-file max. */
+  private def probeAffectedTasks(allTasks: Seq[FileScanTask],
+      maxMatchesByFile: DataFrame): Seq[FileScanTask] = {
+    val probe = maxMatchesByFile.collect()
+    if (probe.exists(_.getLong(1) > 1))
+      throw new ValidationException(MergeBuilder.CardinalityMsg)
+    val matchedFiles: Set[String] =
+      probe.map(r => table.normPath(r.getString(0))).toSet
+    allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+  }
+
   def whenMatchedUpdate(set: Map[String, Column], cond: Option[Column] = None): MergeBuilder = {
     clauses :+= UpdateClause(cond, set); this
   }
@@ -291,14 +310,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       val targetKeys = table.newScan().select(keys: _*).withRowPositions().toDF
       val srcKeyCounts = srcKeyed.select(keys.map(col): _*)
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_gf_src_cnt"))
-      val probe = targetKeys.join(srcKeyCounts, keys, "inner")
-        .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_src_cnt")).as("_gf_max_cnt"))
-        .collect()
-      if (probe.exists(_.getLong(1) > 1))
-        throw new ValidationException(MergeBuilder.CardinalityMsg)
-      val matchedFiles: Set[String] =
-        probe.map(r => table.normPath(r.getString(0))).toSet
-      allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+      probeAffectedTasks(allTasks,
+        targetKeys.join(srcKeyCounts, keys, "inner")
+          .groupBy(col(TableScan.MetaFileCol))
+          .agg(max(col("_gf_src_cnt")).as("_gf_max_cnt")))
     }
 
     // merge-on-read mode suppresses changed target rows with position
@@ -531,15 +546,12 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       allTasks.size <= probeMinFiles
     val affectedTasks = if (skipProbe) allTasks else {
       val probeT = table.newScan().select(condTargetCols: _*).withRowPositions().toDF
-      val probe = probeT.join(src0, cond, "inner")
-        .groupBy(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
-        .agg(count(lit(1)).as("_gf_cnt"))
-        .groupBy(col(TableScan.MetaFileCol)).agg(max(col("_gf_cnt")).as("_gf_max"))
-        .collect()
-      if (probe.exists(_.getLong(1) > 1))
-        throw new ValidationException(MergeBuilder.CardinalityMsg)
-      val matchedFiles: Set[String] = probe.map(r => table.normPath(r.getString(0))).toSet
-      allTasks.filter(t => matchedFiles.contains(table.normPath(t.file.path)))
+      probeAffectedTasks(allTasks,
+        probeT.join(src0, cond, "inner")
+          .groupBy(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
+          .agg(count(lit(1)).as("_gf_cnt"))
+          .groupBy(col(TableScan.MetaFileCol))
+          .agg(max(col("_gf_cnt")).as("_gf_max")))
     }
     if (affectedTasks.isEmpty && insertClauses.isEmpty) return
 
