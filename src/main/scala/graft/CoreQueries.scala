@@ -787,6 +787,33 @@ object CoreQueries {
         "FROM gq46.db.o WHERE st = 'O' AND p > 1000.0")
       s.sql("SELECT ck, count(*) AS n, round(sum(p), 2) AS total " +
         "FROM gq46.db.v GROUP BY ck ORDER BY ck")
+    }),
+
+    // Q47 bitmap deletion vectors (r13): merge-on-read DML under
+    // write.delete.vectors.enabled writes roaring-bitmap sidecars instead
+    // of (path, pos) parquet; two DELETE commits accumulate blobs against
+    // the same files, rewritePositionDeleteFiles merges them, and the
+    // visible rows match the plain relational oracle through every step
+    "q47_deletion_vectors" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q47").toString
+      val target0 = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val tbl = graft.table.IceTable.create(s, s"$tmp/db/t",
+        graft.meta.Schema.fresh(target0.schema),
+        properties = Map(
+          graft.meta.model.TableProperties.DeleteVectors -> "true",
+          "write.delete.mode" -> "merge-on-read"))
+      tbl.append(target0)
+      tbl.deleteMergeOnRead(graft.meta.expr.Exprs.equalTo("nk", 3L))
+      tbl.deleteMergeOnRead(graft.meta.expr.Exprs.greaterThan("bal", 9000.0))
+      // every live tombstone must be a DV blob, and the merge step keeps
+      // the answer: a wrong bitmap here changes row counts, failing the hash
+      require(tbl.newScan().planDeletes().map(_._1).forall(
+        _.content == graft.meta.model.FileContent.DeletionVectors),
+        "q47: expected deletion vectors, found parquet position deletes")
+      graft.table.Maintenance.rewritePositionDeleteFiles(tbl)
+      tbl.toDF.select("k", "nk", "bal").orderBy("k")
     })
   )
 
@@ -1005,6 +1032,10 @@ object CoreQueries {
         "round(sum(round(o_totalprice, 2)), 2) AS total FROM orders " +
         "WHERE o_orderstatus = 'O' AND round(o_totalprice, 2) > 1000.0 " +
         "GROUP BY ck ORDER BY ck"),
+    "q47_deletion_vectors" ->
+      ("SELECT c_custkey AS k, c_nationkey AS nk, round(c_acctbal, 2) AS bal " +
+        "FROM customer WHERE c_nationkey <> 3 AND round(c_acctbal, 2) <= 9000.0 " +
+        "ORDER BY c_custkey"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

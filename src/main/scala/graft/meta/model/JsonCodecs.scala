@@ -79,6 +79,9 @@ object JsonCodecs {
     if (f.equalityIds.nonEmpty) {
       val a = node.putArray("equality-ids"); f.equalityIds.foreach(a.add)
     }
+    f.referencedFile.foreach(node.put("referenced-file", _))
+    f.contentOffset.foreach(node.put("content-offset", _))
+    f.contentSize.foreach(node.put("content-size", _))
     val p = node.putObject("partition")
     spec.fields.zip(f.partition).foreach { case (pf, v) =>
       valueToJson(spec.fieldType(schema, pf), v, p, pf.fieldId.toString)
@@ -124,6 +127,9 @@ object JsonCodecs {
       content = Option(n.get("content")).map(_.asInt).getOrElse(FileContent.Data),
       equalityIds = Option(n.get("equality-ids"))
         .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
+      referencedFile = Option(n.get("referenced-file")).map(_.asText),
+      contentOffset = Option(n.get("content-offset")).map(_.asLong),
+      contentSize = Option(n.get("content-size")).map(_.asLong),
       keyMetadata = Option(n.get("key-metadata")).map(km =>
         java.util.Base64.getDecoder.decode(km.asText).toSeq))
   }

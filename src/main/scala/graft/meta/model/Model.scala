@@ -30,10 +30,20 @@ final case class DataFileMeta(
       * ID, so renamed columns still resolve (SURVEY §1.3). */
     schemaId: Int = 0,
     /** 0 = data, 1 = position deletes, 2 = equality deletes
-      * (ref format v2 content field; `DeleteFile`). */
+      * (ref format v2 content field; `DeleteFile`), 3 = deletion vector
+      * (a roaring-bitmap blob inside a sidecar file — the public format
+      * lineage's v3 evolution of position deletes, re-expressed here). */
     content: Int = FileContent.Data,
     /** Field IDs of the equality-delete key columns (content = 2). */
     equalityIds: Seq[Int] = Nil,
+    /** Deletion vectors only (content = 3): the ONE data file this blob's
+      * bitmap applies to (normalized path), and the blob's byte range
+      * within `path` (several blobs share one sidecar file; `recordCount`
+      * is the bitmap's cardinality, `fileSizeBytes` the whole sidecar's
+      * length). */
+    referencedFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSize: Option[Long] = None,
     /** Opaque per-file encryption key metadata (ref `DataFile.java:62`
       * key_metadata): written by the table's [[graft.table.EncryptionManager]]
       * when a file is encrypted, handed back at read time to decrypt it.
@@ -45,6 +55,14 @@ object FileContent {
   val Data = 0
   val PositionDeletes = 1
   val EqualityDeletes = 2
+  val DeletionVectors = 3
+
+  /** Both row-position delete representations: parquet (path, pos) files
+    * and bitmap deletion vectors share sequence semantics (apply to data
+    * sequence ≤ theirs) and read-side meaning (a set of dead ordinals per
+    * data file). */
+  def isPositional(content: Int): Boolean =
+    content == PositionDeletes || content == DeletionVectors
 }
 
 object EntryStatus {
@@ -242,6 +260,15 @@ object TableProperties {
   // full extra pass that cannot exclude enough work to pay for itself
   val MergeProbeMinFiles = "write.merge.probe.min-files"
   val MergeProbeMinFilesDefault = "8"
+  /** "true" = merge-on-read position deletes are written as roaring-bitmap
+    * DELETION VECTORS (one bitmap blob per targeted data file, packed into
+    * shared sidecar files) instead of (path, pos) parquet rows. Readers
+    * fetch each data file's bitmap directly — no delete-parquet scan, no
+    * per-row probe-set build from row tuples — and the bitmap stays
+    * memory-bounded at any delete density. Both representations can
+    * coexist in one table (reads union them); `convert_position_deletes`
+    * migrates the parquet ones. */
+  val DeleteVectors = "write.delete.vectors.enabled"
   val IsolationSerializable = "serializable"
   val IsolationSnapshot = "snapshot"
   /** Commit-time manifest auto-merge (ref `TableProperties.java:51-58`):

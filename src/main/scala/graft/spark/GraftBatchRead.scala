@@ -48,7 +48,21 @@ final case class GraftDeleteApply(
     eqGroups: Array[GraftEqDeletes],
     rowIndexOrdinal: Int,
     keepColumns: Int,
-    outputTypes: Array[DataType])
+    outputTypes: Array[DataType],
+    dvs: GraftDvSet = null)
+
+/** One deletion-vector blob of a scan class: where its bitmap lives inside
+  * a shared sidecar, and the one data file it applies to. */
+final case class GraftDvBlob(referencedPath: String, sidecarPath: String,
+    offset: Long, size: Long, sidecarLen: Long,
+    keyMetadata: Option[Seq[Byte]])
+
+/** The class's deletion vectors plus what executors need to open them:
+  * a serializable Hadoop conf and the table's encryption manager (the
+  * sidecars are ranged-read directly, not through a Spark file reader). */
+final case class GraftDvSet(blobs: Array[GraftDvBlob],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    encryption: graft.table.EncryptionManager)
 
 object GraftDeleteApply {
   /** Same normalization as `IceTable.normPath`/`MergeOnRead.normPathCol`:
@@ -124,31 +138,77 @@ private object GraftDeleteCache {
 final class GraftDeleteProbe(d: GraftDeleteApply) {
   import GraftDeleteApply.{keyValue, normPath}
 
-  // deleted positions per data file as SORTED PRIMITIVE long arrays probed
-  // by binary search — no per-row boxing, no hash probes, cache-friendly
-  // (the shape later reference versions reach with roaring bitmaps;
-  // sorted-array binary search is equivalent at delete-file scale)
-  private val posByPath: java.util.HashMap[String, Array[Long]] =
-    if (d.posSlices.isEmpty) new java.util.HashMap[String, Array[Long]]
-    else GraftDeleteCache.getOrLoad("pos:" + GraftDeleteCache.key(d.posSlices)) {
-      val grow = new java.util.HashMap[String, GraftDeleteProbe.LongList]
-      d.posSlices.iterator.flatMap(s =>
-        d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
-        .foreach { r =>
-          if (!r.isNullAt(0) && !r.isNullAt(1)) {
-            val p = normPath(r.getUTF8String(0).toString)
-            var list = grow.get(p)
-            if (list == null) {
-              list = new GraftDeleteProbe.LongList
-              grow.put(p, list)
+  // deleted positions per data file, two shapes behind one probe interface:
+  //  - parquet (path, pos) delete files build SORTED PRIMITIVE long arrays
+  //    probed by binary search — no per-row boxing, no hash probes
+  //  - deletion-vector blobs load as roaring bitmaps via ONE ranged read
+  //    per blob — already position-indexed, memory-bounded at any density
+  // A file carrying both (parquet deletes written before the table switched
+  // to DVs) gets the union via a two-sided index.
+  private val posByPath: java.util.HashMap[String, GraftDeleteProbe.PosIdx] = {
+    val fromParquet: java.util.HashMap[String, GraftDeleteProbe.PosIdx] =
+      if (d.posSlices.isEmpty) null
+      else GraftDeleteCache.getOrLoad("pos:" + GraftDeleteCache.key(d.posSlices)) {
+        val grow = new java.util.HashMap[String, GraftDeleteProbe.LongList]
+        d.posSlices.iterator.flatMap(s =>
+          d.posReader(ColumnBridge.partitionedFile(s.path, s.start, s.length, s.fileSize)))
+          .foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1)) {
+              val p = normPath(r.getUTF8String(0).toString)
+              var list = grow.get(p)
+              if (list == null) {
+                list = new GraftDeleteProbe.LongList
+                grow.put(p, list)
+              }
+              list.add(r.getLong(1))
             }
-            list.add(r.getLong(1))
+          }
+        val m = new java.util.HashMap[String, GraftDeleteProbe.PosIdx](grow.size() * 2)
+        grow.forEach((p, list) =>
+          m.put(p, new GraftDeleteProbe.ArrIdx(list.sortedArray)))
+        m
+      }
+    val fromDvs: java.util.HashMap[String, GraftDeleteProbe.PosIdx] =
+      if (d.dvs == null || d.dvs.blobs.isEmpty) null
+      else GraftDeleteCache.getOrLoad("dv:" + d.dvs.blobs.iterator
+          .map(b => s"${b.sidecarPath}@${b.offset}+${b.size}")
+          .mkString(";")) {
+        val m = new java.util.HashMap[String, GraftDeleteProbe.PosIdx](
+          d.dvs.blobs.length * 2)
+        d.dvs.blobs.foreach { b =>
+          val meta = graft.meta.model.DataFileMeta(path = b.sidecarPath,
+            format = "gdv", specId = 0, partition = Nil, recordCount = 0L,
+            fileSizeBytes = b.sidecarLen,
+            content = graft.meta.model.FileContent.DeletionVectors,
+            referencedFile = Some(b.referencedPath),
+            contentOffset = Some(b.offset), contentSize = Some(b.size),
+            keyMetadata = b.keyMetadata)
+          val bm = graft.table.DeletionVectors.readBitmap(
+            d.dvs.conf.value, d.dvs.encryption, meta)
+          val key = normPath(b.referencedPath)
+          m.get(key) match {
+            case prior: GraftDeleteProbe.BmIdx => prior.bm.or(bm)
+            case _ => m.put(key, new GraftDeleteProbe.BmIdx(bm))
           }
         }
-      val m = new java.util.HashMap[String, Array[Long]](grow.size() * 2)
-      grow.forEach((p, list) => m.put(p, list.sortedArray))
+        m
+      }
+    if (fromParquet == null && fromDvs == null)
+      new java.util.HashMap[String, GraftDeleteProbe.PosIdx]
+    else if (fromDvs == null) fromParquet
+    else if (fromParquet == null) fromDvs
+    else {
+      // merged view (NOT cached: the two inputs are cached; the union map
+      // is per-probe and tiny — one entry per file with deletes)
+      val m = new java.util.HashMap[String, GraftDeleteProbe.PosIdx](fromParquet)
+      fromDvs.forEach { (p, idx) =>
+        val prior = m.get(p)
+        m.put(p, if (prior == null) idx
+          else new GraftDeleteProbe.UnionIdx(prior, idx))
+      }
       m
     }
+  }
 
   private val eqSets: Array[java.util.HashSet[Any]] = d.eqGroups.map { g =>
     // key types are part of the cache key: the set's tuples are built with
@@ -171,8 +231,8 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
     }
   }
 
-  /** Deleted positions for one data file, sorted ascending (null = none). */
-  def posSetFor(slicePath: String): Array[Long] =
+  /** Deleted-position index for one data file (null = none). */
+  def posSetFor(slicePath: String): GraftDeleteProbe.PosIdx =
     posByPath.get(normPath(slicePath))
 
   /** Any non-empty equality-delete set in scope? When false the columnar
@@ -181,9 +241,8 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
 
   /** True iff the row survives every applicable delete. `row` is in extended
     * output space (current types). */
-  def live(row: InternalRow, posSet: Array[Long]): Boolean = {
-    if (posSet != null &&
-      java.util.Arrays.binarySearch(posSet, row.getLong(d.rowIndexOrdinal)) >= 0)
+  def live(row: InternalRow, posSet: GraftDeleteProbe.PosIdx): Boolean = {
+    if (posSet != null && posSet.contains(row.getLong(d.rowIndexOrdinal)))
       return false
     liveEq(row)
   }
@@ -206,7 +265,7 @@ final class GraftDeleteProbe(d: GraftDeleteApply) {
   }
 }
 
-private object GraftDeleteProbe {
+private[spark] object GraftDeleteProbe {
   /** Growable primitive long buffer (build-side only; probe side is the
     * sorted array it yields). */
   final class LongList {
@@ -223,19 +282,67 @@ private object GraftDeleteProbe {
     }
   }
 
-  /** Merge cursor over one slice's sorted delete positions: parquet row
-    * indexes ascend through a slice, so the whole slice costs
-    * O(rows + deletes) instead of a search per row. Falls back to a full
-    * binary search if the input ever goes backwards (defensive — the
-    * reader contract says it can't). */
-  final class PosCursor {
+  /** One data file's deleted-position set. Shared read-only across an
+    * executor's tasks via [[GraftDeleteCache]]; [[newCursor]] yields the
+    * per-slice stateful ascending-probe view. */
+  sealed trait PosIdx {
+    def contains(pos: Long): Boolean
+    def newCursor(): PosCursor
+  }
+
+  /** Sorted primitive long array (from parquet (path, pos) delete rows). */
+  final class ArrIdx(val arr: Array[Long]) extends PosIdx {
+    override def contains(pos: Long): Boolean =
+      java.util.Arrays.binarySearch(arr, pos) >= 0
+    override def newCursor(): PosCursor = new ArrCursor(arr)
+  }
+
+  /** Roaring bitmap (from a deletion-vector blob). */
+  final class BmIdx(val bm: org.roaringbitmap.longlong.Roaring64Bitmap)
+      extends PosIdx {
+    override def contains(pos: Long): Boolean = bm.contains(pos)
+    override def newCursor(): PosCursor = new BmCursor(bm)
+  }
+
+  /** A file with BOTH representations live (parquet deletes from before the
+    * table switched to DVs): a position is dead in either. */
+  final class UnionIdx(a: PosIdx, b: PosIdx) extends PosIdx {
+    override def contains(pos: Long): Boolean = a.contains(pos) || b.contains(pos)
+    override def newCursor(): PosCursor = {
+      val (ca, cb) = (a.newCursor(), b.newCursor())
+      // both sub-cursors MUST advance every probe (short-circuiting ||
+      // would starve b's cursor and break its monotone fast path)
+      (pos: Long) => { val da = ca.deleted(pos); val db = cb.deleted(pos); da || db }
+    }
+  }
+
+  /** Stateful merge cursor over one slice's delete positions: row indexes
+    * ascend through a slice, so the whole slice costs O(rows + deletes)
+    * instead of a search per row. Implementations fall back to a random
+    * probe if the input ever goes backwards (defensive — the reader
+    * contract says it can't). */
+  trait PosCursor { def deleted(pos: Long): Boolean }
+
+  private final class ArrCursor(arr: Array[Long]) extends PosCursor {
     private var i = 0
     private var last = Long.MinValue
-    def deleted(arr: Array[Long], pos: Long): Boolean = {
+    override def deleted(pos: Long): Boolean = {
       if (pos < last) return java.util.Arrays.binarySearch(arr, pos) >= 0
       last = pos
       while (i < arr.length && arr(i) < pos) i += 1
       i < arr.length && arr(i) == pos
+    }
+  }
+
+  private final class BmCursor(bm: org.roaringbitmap.longlong.Roaring64Bitmap)
+      extends PosCursor {
+    private val it = bm.getLongIterator
+    private var last = Long.MinValue
+    override def deleted(pos: Long): Boolean = {
+      if (pos < last) return bm.contains(pos)
+      last = pos
+      it.advanceIfNeeded(pos)
+      it.hasNext && it.peekNext() == pos
     }
   }
 }
@@ -464,11 +571,11 @@ object GraftReaderFactory extends PartitionReaderFactory {
           // reader filters, so the running ordinal IS the row position
           val posSet = probe.posSetFor(s.path)
           val cursor =
-            if (posSet == null) null else new GraftDeleteProbe.PosCursor
+            if (posSet == null) null else posSet.newCursor()
           var pos = -1L
           def live(r: InternalRow): Boolean = {
             pos += 1
-            (posSet == null || !cursor.deleted(posSet, pos)) && probe.liveEq(r)
+            (cursor == null || !cursor.deleted(pos)) && probe.liveEq(r)
           }
           if (p.keepDeleted)
             out.map { r => val l = live(r); emitRow(r, pos, fileStr, deleted = !l) }
@@ -511,7 +618,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
           }
         } else {
           val posSet = probe.posSetFor(s.path)
-          val cursor = if (posSet == null) null else new GraftDeleteProbe.PosCursor
+          val cursor = if (posSet == null) null else posSet.newCursor()
           // synthesized positions: batches of one whole-file slice are
           // consecutive, so a running base + in-batch offset is the ordinal
           var base = 0L
@@ -591,7 +698,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
       }
       /** Drop deleted rows: survivors become a row-id mapping over the base
         * vectors — zero copy, stays columnar. */
-      private def filterBatch(b: ColumnarBatch, posSet: Array[Long],
+      private def filterBatch(b: ColumnarBatch, posSet: GraftDeleteProbe.PosIdx,
           cursor: GraftDeleteProbe.PosCursor, base: Long,
           fileStr: UTF8String): ColumnarBatch = {
         val d = p.deletes
@@ -608,19 +715,19 @@ object GraftReaderFactory extends PartitionReaderFactory {
             kept = n
           } else if (p.synthPos) {
             while (i < n) {
-              if (!cursor.deleted(posSet, base + i)) { map(kept) = i; kept += 1 }
+              if (!cursor.deleted(base + i)) { map(kept) = i; kept += 1 }
               i += 1
             }
           } else {
             val posVec = b.column(d.rowIndexOrdinal)
             while (i < n) {
-              if (!cursor.deleted(posSet, posVec.getLong(i))) { map(kept) = i; kept += 1 }
+              if (!cursor.deleted(posVec.getLong(i))) { map(kept) = i; kept += 1 }
               i += 1
             }
           }
         } else if (p.synthPos) {
           while (i < n) {
-            if ((posSet == null || !cursor.deleted(posSet, base + i)) &&
+            if ((cursor == null || !cursor.deleted(base + i)) &&
               probe.liveEq(b.getRow(i))) { map(kept) = i; kept += 1 }
             i += 1
           }
@@ -702,11 +809,12 @@ object GraftReadPlanner {
     // parquet row-index column when position deletes apply; readers trim
     // them after filtering
     val posDeletes = deletes.filter(_.content == FileContent.PositionDeletes)
+    val dvDeletes = deletes.filter(_.content == FileContent.DeletionVectors)
     val eqMetaGroups = deletes.filter(_.content == FileContent.EqualityDeletes)
       .groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
     val eqKeyNames = eqMetaGroups.flatMap(_._1).distinct.map(schema.fieldName)
     val extNames = names ++ eqKeyNames.filterNot(names.contains)
-    val needRid = posDeletes.nonEmpty || wantPos
+    val needRid = posDeletes.nonEmpty || dvDeletes.nonEmpty || wantPos
     // must stay nullable: the vectorized reader's required-column check runs
     // before its row-index special-casing and rejects a non-nullable field
     val ridField = StructField(
@@ -825,8 +933,15 @@ object GraftReadPlanner {
           ids.map(id => extNames.indexOf(schema.fieldName(id))).toArray,
           ids.map(id => schema.fieldType(id): DataType).toArray)
       }
+      val dvSet = if (dvDeletes.isEmpty) null else GraftDvSet(
+        dvDeletes.map(f => GraftDvBlob(f.referencedFile.getOrElse(""),
+          f.path, f.contentOffset.getOrElse(0L), f.contentSize.getOrElse(0L),
+          f.fileSizeBytes, f.keyMetadata)).toArray,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration),
+        encryption)
       GraftDeleteApply(posDeletes.map(whole).toArray, posReader, eqGroups.toArray,
-        if (needRid) extNames.length else -1, names.length, outTypes)
+        if (needRid) extNames.length else -1, names.length, outTypes, dvSet)
     }
 
     // build readers; if any format declines batch output, fall back to rows

@@ -366,7 +366,8 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
   private def nativeMoRSupported: Boolean = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SStructType}
     val (deletes, dataFormats) = plannedContent
-    val posOk = !deletes.exists(_._1.content == graft.meta.model.FileContent.PositionDeletes) ||
+    val posOk = !deletes.exists(d =>
+        graft.meta.model.FileContent.isPositional(d._1.content)) ||
       dataFormats.subsetOf(Set("parquet", "orc", "avro"))
     val eqOk = deletes.iterator.flatMap(_._1.equalityIds).toSeq.distinct.forall { id =>
       table.meta.schema.fieldType(id) match {

@@ -196,6 +196,7 @@ object Changelog {
     val spark = table.spark
     val schema = m.schema
     val posFiles = addedDeletes.filter(_._1.content == FileContent.PositionDeletes)
+    val dvFiles = addedDeletes.filter(_._1.content == FileContent.DeletionVectors)
     val eqFiles = addedDeletes.filter(_._1.content == FileContent.EqualityDeletes)
 
     // encrypted tables encrypt their delete files: both delete reads carry
@@ -203,10 +204,15 @@ object Changelog {
     val delOpts = EncryptionManagers.contentOptionsFor(
       table.io.encryption, "parquet",
       m.property(TableProperties.EncryptionRequired, "false").toBoolean)
-    val posTuples =
-      if (posFiles.isEmpty) None
-      else Some(spark.read.options(delOpts).parquet(posFiles.map(_._1.path): _*)
-        .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol)))
+    // deletion vectors expand to the same (path, pos) tuple shape, so the
+    // reconstitution below is representation-agnostic
+    val posTuples = (Option.when(posFiles.nonEmpty)(
+        spark.read.options(delOpts).parquet(posFiles.map(_._1.path): _*)
+          .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))) ++
+      Option.when(dvFiles.nonEmpty)(
+        DeletionVectors.positionsDf(table, dvFiles.map(_._1))
+          .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))))
+      .reduceOption(_ unionByName _)
     // referenced paths: metadata-scale collect (bounded by files the DML
     // touched), lets the reconstitution read only those files
     val posPaths: Set[String] = posTuples
@@ -254,8 +260,11 @@ object Changelog {
         parentDeletes, schema.columnNames, TrueExpr, rowPositions = true)
       var matched = Seq.empty[DataFrame]
       posTuples.foreach { pos =>
+        // normalized on both sides: parquet tuples store file_path verbatim,
+        // DV tuples store normalized referenced paths
         matched :+= visible.join(broadcast(pos),
-          visible(TableScan.MetaFileCol) === pos(MergeOnRead.PosPathCol) &&
+          MergeOnRead.normPathCol(visible(TableScan.MetaFileCol)) ===
+            MergeOnRead.normPathCol(pos(MergeOnRead.PosPathCol)) &&
             visible(TableScan.MetaPosCol) === pos(MergeOnRead.PosPosCol),
           "left_semi")
       }

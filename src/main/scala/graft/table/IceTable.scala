@@ -672,6 +672,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
         headSnap.map(readManifestList(base, _)).getOrElse(Nil)
 
       var removedCount = 0 // all content types (validation + delta counters)
+      // removal is validated by PATH: one deletion-vector sidecar path can
+      // carry several blob entries, so the count check compares path sets
+      val removedSeen = scala.collection.mutable.Set.empty[String]
       var removedBytes = 0L
       var removedDataCount = 0
       var removedDataRows = 0L
@@ -700,15 +703,20 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
                 if (rm.isEmpty) Some(mf)
                 else {
                   removedCount += rm.size
-                  removedBytes += rm.map(_.dataFile.fileSizeBytes).sum
+                  removedSeen ++= rm.map(e => normPath(e.dataFile.path))
+                  // DV blobs share a sidecar: count each blob's own bytes,
+                  // not the whole sidecar per entry
+                  removedBytes += rm.map(e =>
+                    e.dataFile.contentSize.getOrElse(e.dataFile.fileSizeBytes)).sum
                   rm.foreach { e =>
                     e.dataFile.content match {
                       case FileContent.Data =>
                         removedDataCount += 1
                         removedDataRows += e.dataFile.recordCount
-                      case FileContent.PositionDeletes =>
+                      case c if FileContent.isPositional(c) =>
                         removedDeleteFiles += 1
-                        removedDeleteBytes += e.dataFile.fileSizeBytes
+                        removedDeleteBytes += e.dataFile.contentSize
+                          .getOrElse(e.dataFile.fileSizeBytes)
                         removedPosDeletes += e.dataFile.recordCount
                       case _ =>
                         removedDeleteFiles += 1
@@ -727,9 +735,10 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
             }
           }
         }
-      if (removedNorm.nonEmpty && removedCount != removedNorm.size)
+      if (removedNorm.nonEmpty && removedSeen != removedNorm)
         throw new ValidationException(
-          s"Missing required files to delete: expected ${removedNorm.size}, found $removedCount " +
+          s"Missing required files to delete: expected ${removedNorm.size} " +
+            s"paths, found ${removedSeen.size} " +
             "(concurrent commit removed or rewrote them)")
 
       val addedManifest: Option[ManifestFileMeta] = if (added.isEmpty) None else {
@@ -760,8 +769,8 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       val addedRecords = addedData.map(_.recordCount).sum
       val addedDeleteFiles = added.size - addedData.size
       val addedDeleteBytes = added.filter(_.content != FileContent.Data)
-        .map(_.fileSizeBytes).sum
-      val addedPosDeletes = added.filter(_.content == FileContent.PositionDeletes)
+        .map(f => f.contentSize.getOrElse(f.fileSizeBytes)).sum
+      val addedPosDeletes = added.filter(f => FileContent.isPositional(f.content))
         .map(_.recordCount).sum
       val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
         .map(_.recordCount).sum
@@ -796,9 +805,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
             .flatMap(_._2).filter(_.status != EntryStatus.Deleted)
             .map(_.dataFile).filter(_.content != FileContent.Data)
           (live.size.toLong,
-            live.filter(_.content == FileContent.PositionDeletes).map(_.recordCount).sum,
+            live.filter(f => FileContent.isPositional(f.content)).map(_.recordCount).sum,
             live.filter(_.content == FileContent.EqualityDeletes).map(_.recordCount).sum,
-            live.map(_.fileSizeBytes).sum)
+            live.map(f => f.contentSize.getOrElse(f.fileSizeBytes)).sum)
       }
       def carriedOrSeed(key: String, delta: Long, seed: => Long): (String, String) = {
         val base0 = headSnap.flatMap(_.summary.get(key)).flatMap(_.toLongOption)
@@ -1315,8 +1324,8 @@ private[graft] object Reads {
         withMeta = rowPositions)
     }
     val groups = groupTasksByDeletes(tasks, deletes)
-    val needMeta = rowPositions || groups.exists(_._1.exists(
-      _.content == FileContent.PositionDeletes))
+    val needMeta = rowPositions || groups.exists(_._1.exists(d =>
+      FileContent.isPositional(d.content)))
     val dfs = groups.map { case (applicable, group) =>
       // every branch carries the same columns so unionByName lines up
       val df = readFiles(spark, table, m, group, projection, boundFilter,
@@ -1325,7 +1334,8 @@ private[graft] object Reads {
         groupPaths = group.map(t => table.normPath(t.file.path)),
         readOptions = EncryptionManagers.contentOptionsFor(
           table.io.encryption, "parquet",
-          m.property(TableProperties.EncryptionRequired, "false").toBoolean))
+          m.property(TableProperties.EncryptionRequired, "false").toBoolean),
+        dvPositions = DeletionVectors.positionsDf(table, _))
     }
     val out = dfs.reduce(_ unionByName _)
     if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)

@@ -683,8 +683,16 @@ object Maintenance {
       .view.mapValues(_.map(_.sequenceNumber).min).toMap
     val minBySpec = dataEntries.groupBy(_.dataFile.specId)
       .view.mapValues(_.map(_.sequenceNumber).min).toMap
+    val liveDataPaths: Set[String] =
+      dataEntries.map(e => table.normPath(e.dataFile.path)).toSet
     val dangling = delEntries.filter { e =>
       val d = e.dataFile
+      // a deletion vector names its ONE target file: it dangles exactly
+      // when that file is gone (compacted/rewritten away) — sharper than
+      // any sequence bound
+      if (d.content == FileContent.DeletionVectors)
+        d.referencedFile.forall(!liveDataPaths.contains(_))
+      else {
       val global = d.partition.isEmpty || d.partition.forall(_ == null)
       val minSeq: Option[Long] =
         if (global) minBySpec.values.minOption
@@ -699,6 +707,7 @@ object Maintenance {
       minSeq.forall(s =>
         if (d.content == FileContent.PositionDeletes) s > e.sequenceNumber
         else s >= e.sequenceNumber)
+      }
     }
     if (dangling.isEmpty) return 0
     table.commitSnapshot(Operation.Replace, Nil,
@@ -725,6 +734,54 @@ object Maintenance {
     val entries = table.liveEntries(m, snap)
     val posDeletes = entries
       .filter(_.dataFile.content == FileContent.PositionDeletes).map(_.dataFile)
+    val dvDeletes = entries
+      .filter(_.dataFile.content == FileContent.DeletionVectors).map(_.dataFile)
+    if (posDeletes.isEmpty && dvDeletes.isEmpty) return (0, 0)
+    val spark = table.spark
+    import spark.implicits._
+    val livePaths = entries.filter(_.dataFile.content == FileContent.Data)
+      .map(e => table.normPath(e.dataFile.path))
+    val liveDf = spark.createDataset(livePaths).toDF("_gf_live")
+    // both representations in, one compacted representation out (the table
+    // property picks parquet rows or DV sidecars) — so this action is also
+    // the DV-merge step: several blobs targeting one file become one bitmap
+    val parquetRows = if (posDeletes.isEmpty) None else Some(spark.read
+      .options(EncryptionManagers.contentOptionsFor(table.io.encryption,
+        "parquet", m.property(TableProperties.EncryptionRequired, "false").toBoolean))
+      .parquet(posDeletes.map(_.path): _*)
+      .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol)))
+    val dvRows = if (dvDeletes.isEmpty) None
+      else Some(DeletionVectors.positionsDf(table, dvDeletes)
+        .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol)))
+    val rows = (parquetRows ++ dvRows).reduce(_ unionByName _)
+      .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===
+        col("_gf_live"), "left_semi")
+    val (newFiles, _) = MergeOnRead.writePositionDeleteFiles(table, m, rows,
+      compact = true, wantRefs = false)
+    val oldFiles = posDeletes ++ dvDeletes
+    table.commitSnapshot(Operation.Replace, newFiles,
+      oldFiles.map(_.path).toSet,
+      Map("rewritten-position-delete-files" -> oldFiles.size.toString,
+        "added-position-delete-files" -> newFiles.size.toString),
+      removedMeta = oldFiles)
+    (oldFiles.size, newFiles.size)
+  }
+
+  /** Convert the live (path, pos) PARQUET position deletes into roaring
+    * deletion vectors (the migration step onto
+    * `write.delete.vectors.enabled`): reads the parquet tuples, drops rows
+    * targeting dead files, writes DV sidecars, retires the parquet files in
+    * ONE Replace commit. Read results are unchanged by construction — the
+    * bitmaps hold exactly the surviving tuples. Existing DV entries are
+    * untouched (use [[rewritePositionDeleteFiles]] under the property to
+    * also merge those). Returns (#parquet files converted, #DV entries
+    * written). */
+  def convertPositionDeletes(table: IceTable): (Int, Int) = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(return (0, 0))
+    val entries = table.liveEntries(m, snap)
+    val posDeletes = entries
+      .filter(_.dataFile.content == FileContent.PositionDeletes).map(_.dataFile)
     if (posDeletes.isEmpty) return (0, 0)
     val spark = table.spark
     import spark.implicits._
@@ -738,12 +795,11 @@ object Maintenance {
       .select(col(MergeOnRead.PosPathCol), col(MergeOnRead.PosPosCol))
       .join(liveDf, MergeOnRead.normPathCol(col(MergeOnRead.PosPathCol)) ===
         col("_gf_live"), "left_semi")
-    val (newFiles, _) = MergeOnRead.writePositionDeleteFiles(table, m, rows,
-      compact = true, wantRefs = false)
+    val (newFiles, _) = DeletionVectors.writeSidecars(table, m, rows, None)
     table.commitSnapshot(Operation.Replace, newFiles,
       posDeletes.map(_.path).toSet,
-      Map("rewritten-position-delete-files" -> posDeletes.size.toString,
-        "added-position-delete-files" -> newFiles.size.toString),
+      Map("converted-position-delete-files" -> posDeletes.size.toString,
+        "added-deletion-vectors" -> newFiles.size.toString),
       removedMeta = posDeletes)
     (posDeletes.size, newFiles.size)
   }
@@ -782,7 +838,7 @@ object Maintenance {
     if (eq.isEmpty) return (0, 0)
     val eqPairs = eq.map(e => (e.dataFile, e.sequenceNumber))
     val posPairs = entries
-      .filter(_.dataFile.content == FileContent.PositionDeletes)
+      .filter(e => FileContent.isPositional(e.dataFile.content))
       .map(e => (e.dataFile, e.sequenceNumber))
     val dataTasks = entries.filter(_.dataFile.content == FileContent.Data)
       .map(e => FileScanTask(e.dataFile, graft.meta.expr.TrueExpr,
@@ -886,13 +942,28 @@ object Maintenance {
           delFiles.exists(_.content == FileContent.EqualityDeletes))
         convertEqualityDeletes(table)._1
       else 0
-    // recount after the conversion commit — it swapped eq files for pos
+    // DV-mode migration: a table switched to deletion vectors that still
+    // carries (path, pos) parquet files converts them here, so the read
+    // path sheds the parquet probe build without waiting for enough files
+    // to trigger the rewrite gate below
+    val dvConverted =
+      if (flag(TableProperties.DeleteVectors, false) &&
+          flag("maintenance.convert-pos-deletes.enabled", true) &&
+          delFiles.exists(_.content == FileContent.PositionDeletes))
+        convertPositionDeletes(table)._1
+      else 0
+    // recount after the conversion commits — eq files became pos, and pos
+    // parquet may have become DVs
+    // distinct PATHS, not entries: many DV blobs in one sidecar are
+    // already compact — rewriting pays off when the FILE count grows
     val posCount =
-      if (converted > 0) {
+      if (converted > 0 || dvConverted > 0) {
         val m2 = table.meta
         m2.currentSnapshot.map(s => table.liveEntries(m2, s)
-          .count(_.dataFile.content == FileContent.PositionDeletes)).getOrElse(0)
-      } else delFiles.count(_.content == FileContent.PositionDeletes)
+          .filter(e => FileContent.isPositional(e.dataFile.content))
+          .map(_.dataFile.path).distinct.size).getOrElse(0)
+      } else delFiles.filter(f => FileContent.isPositional(f.content))
+        .map(_.path).distinct.size
     val rewrittenDel =
       if (posCount >= intProp("maintenance.rewrite-deletes.min-files", 2))
         rewritePositionDeleteFiles(table)._1
@@ -921,7 +992,7 @@ object Maintenance {
           nowMillis - m.property("maintenance.remove-orphans.min-age-ms",
             (3L * 24 * 3600 * 1000).toString).toLong).size
       else 0
-    MaintainReport(converted, rewrittenDel, compacted, dangling,
+    MaintainReport(converted + dvConverted, rewrittenDel, compacted, dangling,
       manifests, expired, orphans)
   }
 

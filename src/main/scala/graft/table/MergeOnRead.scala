@@ -181,6 +181,13 @@ object MergeOnRead {
       affected: Option[Seq[FileScanTask]] = None,
       compact: Boolean = false,
       wantRefs: Boolean = true): (Seq[DataFileMeta], Set[String]) = {
+    // deletion-vector mode: same inputs, bitmap sidecars out — every DML
+    // caller (DELETE/UPDATE/MERGE merge-on-read, streaming upsert compose,
+    // rewrite/convert maintenance) switches representation with the table
+    // property, no call-site changes. The writer returns referenced paths
+    // from its blob descriptors, so `wantRefs` costs no extra job here.
+    if (m.property(TableProperties.DeleteVectors, "false").toBoolean)
+      return DeletionVectors.writeSidecars(table, m, posDf, affected)
     Writes.requireEncryptionSatisfied(table, m)
     requireDeleteFilesEncryptable(table)
     val spec = m.spec
@@ -409,7 +416,7 @@ object MergeOnRead {
   /** Sequence rule alone (partition scope ignored) — used when branch-count
     * capping merges applicability classes; see `IceTable.MaxDeleteGroups`. */
   private[table] def seqApplies(d: DataFileMeta, dseq: Long, t: FileScanTask): Boolean =
-    if (d.content == FileContent.PositionDeletes) dseq >= t.seq
+    if (FileContent.isPositional(d.content)) dseq >= t.seq
     else dseq > t.seq
 
   private[table] def applies(d: DataFileMeta, dseq: Long, t: FileScanTask): Boolean = {
@@ -425,22 +432,34 @@ object MergeOnRead {
   private[table] def applyDeletes(spark: org.apache.spark.sql.SparkSession,
       m: TableMetadata, df: DataFrame, applicable: Seq[DataFileMeta],
       groupPaths: Seq[String] = Nil,
-      readOptions: Map[String, String] = Map.empty): DataFrame = {
+      readOptions: Map[String, String] = Map.empty,
+      dvPositions: Seq[DataFileMeta] => DataFrame = null): DataFrame = {
     var out = df
     val posFiles = applicable.filter(_.content == FileContent.PositionDeletes)
-    if (posFiles.nonEmpty) {
+    // deletion vectors targeting files outside this group never reach the
+    // join at all — the metas carry the referenced path, no scan needed
+    val dvFiles = applicable.filter(_.content == FileContent.DeletionVectors)
+      .filter(d => groupPaths.isEmpty ||
+        d.referencedFile.forall(groupPaths.contains))
+    val posParquet = if (posFiles.isEmpty) None else {
       val pos0 = spark.read.options(readOptions)
         .parquet(posFiles.map(_.path): _*)
         .select(col(PosPathCol), col(PosPosCol))
       // pushes a filter into the delete-file scan: only rows targeting this
       // group's files survive, so the anti join probes a fraction of the
       // delete data (groupPaths are scheme-less normPaths)
-      val pos =
-        if (groupPaths.nonEmpty && groupPaths.size <= 1000)
-          pos0.filter(normPathCol(col(PosPathCol)).isin(groupPaths: _*))
-        else pos0
-      out = out.join(broadcastIfSmall(pos, posFiles),
-        out(TableScan.MetaFileCol) === pos(PosPathCol) &&
+      Some(if (groupPaths.nonEmpty && groupPaths.size <= 1000)
+        pos0.filter(normPathCol(col(PosPathCol)).isin(groupPaths: _*))
+      else pos0)
+    }
+    val dvRows = if (dvFiles.isEmpty) None
+      else Some(dvPositions(dvFiles).select(col(PosPathCol), col(PosPosCol)))
+    // both sides normalized: parquet delete rows store file_path verbatim
+    // as captured (scheme-full), DV blobs store normalized referenced
+    // paths — normPathCol is idempotent across both conventions
+    (posParquet ++ dvRows).reduceOption(_ unionByName _).foreach { pos =>
+      out = out.join(broadcastIfSmall(pos, posFiles ++ dvFiles),
+        normPathCol(out(TableScan.MetaFileCol)) === normPathCol(pos(PosPathCol)) &&
           out(TableScan.MetaPosCol) === pos(PosPosCol),
         "left_anti")
     }

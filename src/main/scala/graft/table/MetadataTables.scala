@@ -247,8 +247,9 @@ object MetadataTables {
     * broadcast-sized delete-file metas. */
   def positionDeletes(t: IceTable): DataFrame = {
     import org.apache.spark.sql.functions._
-    val deletes = t.newScan().planDeletes()
-      .map(_._1).filter(_.content == FileContent.PositionDeletes)
+    val all = t.newScan().planDeletes().map(_._1)
+    val deletes = all.filter(_.content == FileContent.PositionDeletes)
+    val dvs = all.filter(_.content == FileContent.DeletionVectors)
     val spark = t.spark
     val schema = StructType(Seq(
       StructField("file_path", StringType, nullable = false),
@@ -256,23 +257,24 @@ object MetadataTables {
       StructField("partition", StringType),
       StructField("spec_id", IntegerType),
       StructField("delete_file_path", StringType, nullable = false)))
-    if (deletes.isEmpty)
+    if (deletes.isEmpty && dvs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val specById: Int => graft.meta.PartitionSpec = t.meta.specById
-    val scope = deletes.map { f =>
+    def scopeOf(f: DataFileMeta): (String, String, Int) = {
       val partStr = specById(f.specId).fields.zip(f.partition)
         .map { case (pf, v) => s"${pf.name}=${String.valueOf(v)}" }.mkString("/")
       (f.path, if (partStr.isEmpty) null else partStr, f.specId)
     }
-    val scopeDF = spark.createDataFrame(
+    def scopeDfOf(fs: Seq[DataFileMeta]) = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        scope.map { case (p, s, i) => org.apache.spark.sql.Row(p, s, i) }.toList, 1),
+        fs.map(scopeOf).map { case (p, s, i) =>
+          org.apache.spark.sql.Row(p, s, i) }.toList, 1),
       StructType(Seq(
         StructField("delete_file_path", StringType, nullable = false),
         StructField("partition", StringType),
         StructField("spec_id", IntegerType))))
-    spark.read
+    val fromParquet = if (deletes.isEmpty) None else Some(spark.read
       .options(EncryptionManagers.contentOptionsFor(t.io.encryption, "parquet",
         t.meta.property(TableProperties.EncryptionRequired, "false").toBoolean))
       .parquet(deletes.map(_.path): _*)
@@ -284,10 +286,37 @@ object MetadataTables {
       .withColumn("_del_norm",
         regexp_replace(col("_del_raw"), "^file:/+", "file:/"))
       .drop("_del_raw")
-      .join(broadcast(scopeDF.withColumn("_del_norm",
+      .join(broadcast(scopeDfOf(deletes).withColumn("_del_norm",
         regexp_replace(col("delete_file_path"), "^file:/+", "file:/"))),
         Seq("_del_norm"), "left")
-      .select("file_path", "pos", "partition", "spec_id", "delete_file_path")
+      .select("file_path", "pos", "partition", "spec_id", "delete_file_path"))
+    // deletion vectors expand to the same row shape; scope is per BLOB
+    // (several blobs share a sidecar but target different partitions), so
+    // the scope rows key by the referenced data file instead of the path
+    val fromDvs = if (dvs.isEmpty) None else {
+      val dvScope = spark.createDataFrame(
+        spark.sparkContext.parallelize(dvs.map { f =>
+          val (_, partStr, specId) = scopeOf(f)
+          org.apache.spark.sql.Row(f.referencedFile.getOrElse(""), partStr,
+            specId, f.path)
+        }.toList, 1),
+        StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("partition", StringType),
+          StructField("spec_id", IntegerType),
+          StructField("delete_file_path", StringType, nullable = false))))
+      // join on (referenced file, sidecar): one file can carry blobs in
+      // SEVERAL sidecars (deletes accumulated across commits) and a
+      // file-only join would cross-multiply their scope rows
+      Some(DeletionVectors.positionsDf(t, dvs)
+        .select(col(MergeOnRead.PosPathCol).as("file_path"),
+          col(MergeOnRead.PosPosCol).as("pos"),
+          col("_gf_dv_path").as("delete_file_path"))
+        .join(broadcast(dvScope.dropDuplicates("file_path", "delete_file_path")),
+          Seq("file_path", "delete_file_path"), "left")
+        .select("file_path", "pos", "partition", "spec_id", "delete_file_path"))
+    }
+    (fromParquet ++ fromDvs).reduce(_ unionByName _)
   }
 
   /** ANALYZE output, one row per profiled column per stats file (the
