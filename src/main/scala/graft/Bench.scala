@@ -200,6 +200,11 @@ object Bench {
       // whole-file metadata drops
       t.deleteMergeOnRead(graft.meta.expr.Exprs.lessThanOrEqual("l_quantity", 2))
       measure("mor_read", 2, 3)(() => scan())
+      // r13: the SAME tombstones as roaring deletion vectors — the bitmap
+      // fetch replaces the delete-parquet scan + hash build; expect
+      // flat-or-better vs mor_read (the win grows with delete density)
+      graft.table.Maintenance.convertPositionDeletes(t)
+      measure("dv_read", 2, 3)(() => scan())
     }
 
     // --- group 4b: encrypted-table paths (r11): the same lineitem shapes

@@ -337,12 +337,17 @@ private[spark] object GraftDeleteProbe {
   private final class BmCursor(bm: org.roaringbitmap.longlong.Roaring64Bitmap)
       extends PosCursor {
     private val it = bm.getLongIterator
+    private var nextDel: Long = if (it.hasNext) it.next() else Long.MaxValue
     private var last = Long.MinValue
     override def deleted(pos: Long): Boolean = {
+      // hot path is ONE long compare (pos below the next tombstone);
+      // the iterator only advances while consuming past tombstones, so a
+      // whole slice costs O(rows + deletes) like the array cursor
       if (pos < last) return bm.contains(pos)
       last = pos
-      it.advanceIfNeeded(pos)
-      it.hasNext && it.peekNext() == pos
+      while (nextDel < pos)
+        nextDel = if (it.hasNext) it.next() else Long.MaxValue
+      nextDel == pos
     }
   }
 }
