@@ -190,6 +190,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // the SAME op through pure SQL (r13): a graft table of the documents,
+    // CALL system.span_dedup writing the rewritten corpus to a result
+    // table, SELECT over that table — replays llm_span_dedup's oracle, so
+    // the SQL surface is pinned to the Scala path row-for-row
+    "llm_span_dedup_sql" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdsql").toString
+      s.conf.set("spark.sql.catalog.gsd", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsd.warehouse", tmp)
+      val t = graft.table.IceTable.create(s, s"$tmp/db/docs",
+        graft.meta.Schema.fresh(docs(s, d).schema))
+      t.append(docs(s, d))
+      s.sql("CALL gsd.system.span_dedup(table => 'db.docs', " +
+        "id_col => 'doc_id', text_col => 'text', n => 3, min_docs => 2, " +
+        s"output_location => '$tmp/db/docs_dedup')")
+      graft.table.IceTable.load(s, s"$tmp/db/docs_dedup").toDF
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs
     "llm_dedup_embed" -> ((s, d) => {
       Dedup.embeddingCosinePairs(embs(s, d), "vec_id", "embedding", threshold = 0.45)
@@ -1184,6 +1202,7 @@ object LlmQueries {
     // as the one-shot ops — one oracle, two implementations
     base + ("llm_bm25_index" -> base("llm_bm25")) +
       ("llm_bm25_join" -> base("llm_bm25")) +
-      ("llm_hybrid_indexed" -> base("llm_hybrid_retrieval"))
+      ("llm_hybrid_indexed" -> base("llm_hybrid_retrieval")) +
+      ("llm_span_dedup_sql" -> base("llm_span_dedup"))
   }
 }

@@ -49,11 +49,28 @@ object TemporalJoins {
     * Output = every left column, then the right side's non-key columns
     * prefixed with `rightPrefix`; prefixed names must not collide with
     * left columns (ambiguous output otherwise — fail loudly, not
-    * last-writer-wins). */
+    * last-writer-wins).
+    *
+    * SKEW: the window puts each key's FULL history in one task. That is
+    * the right plan for many keys of moderate size, but one pathological
+    * key (a single instrument with billions of ticks) serializes into a
+    * single task. `bucketWidth` opts into the time-bucketed variant:
+    * windows partition by (keys, `t div bucketWidth`) — a hot key splits
+    * across its time range — and each bucket receives a CARRY-IN row (the
+    * nearest right row from preceding buckets for backward, following for
+    * forward; bucket index orders times, so the nearest carrying bucket's
+    * best IS the global best beyond the boundary) so matches cross bucket
+    * borders exactly as in the unbucketed plan. Cost: one extra
+    * (key, bucket)-grain aggregate + a metadata-sized carry union —
+    * results are row-identical (parity-pinned in TemporalJoinsSpec) for
+    * non-null times; null time values are ordered first within a bucket
+    * in this variant (they see carry rows), so keep `bucketWidth` off if
+    * null times carry meaning. Pick roughly (hot-key rows / target rows
+    * per task) × typical spacing. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String, keys: Seq[String],
       direction: String = "backward", tolerance: Option[Long] = None,
-      rightPrefix: String = ""): DataFrame = {
+      rightPrefix: String = "", bucketWidth: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward (got $direction)")
     require(keys.forall(k => left.columns.contains(k) && right.columns.contains(k)),
@@ -83,17 +100,60 @@ object TemporalJoins {
         timeAsLong(right, rightTime).as("_gf_t"), lit(0).as("_gf_side"),
         lit(null).cast(lSchema).as("_gf_l"), rStruct.as("_gf_r"))).toIndexedSeq: _*)
 
+    val backward = direction == "backward"
     // at equal times the right row must precede the left row in scan order
-    // (side 0 < 1) so ties are matchable in BOTH directions
-    val ordering =
-      if (direction == "backward") Seq(col("_gf_t").asc, col("_gf_side").asc)
-      else Seq(col("_gf_t").desc, col("_gf_side").asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val withMatch = lTagged.unionByName(rTagged)
-      .withColumn("_gf_m", last(col("_gf_r"), ignoreNulls = true).over(w))
-      .filter(col("_gf_side") === 1)
+    // (side 0 < 1, carry -1 first) so ties are matchable in BOTH directions
+    val withMatch = bucketWidth match {
+      case None =>
+        val ordering =
+          if (backward) Seq(col("_gf_t").asc, col("_gf_side").asc)
+          else Seq(col("_gf_t").desc, col("_gf_side").asc)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lTagged.unionByName(rTagged)
+          .withColumn("_gf_m", last(col("_gf_r"), ignoreNulls = true).over(w))
+          .filter(col("_gf_side") === 1)
+      case Some(width) =>
+        require(width > 0, "bucketWidth must be positive")
+        val bk = expr(s"_gf_t div ${width}L")
+        val lB = lTagged.withColumn("_gf_bk", bk)
+        val rB = rTagged.withColumn("_gf_bk", bk)
+        // per (key, bucket): the boundary-best right row. Bucket index
+        // orders times (t div W is monotone), so the nearest carrying
+        // bucket's best is the global best beyond the border.
+        val kb = (keys :+ "_gf_bk").map(col)
+        val summary = rB.groupBy(kb: _*).agg(
+          (if (backward) max_by(col("_gf_r"), col("_gf_t"))
+           else min_by(col("_gf_r"), col("_gf_t"))).as("_gf_rl"))
+        // every bucket the LEFT side occupies needs a carry, including
+        // buckets with no right rows of their own — full outer keeps both
+        val leftBk = lB.select(kb: _*).distinct()
+        val cw = Window.partitionBy(keys.map(col): _*)
+          .orderBy(if (backward) col("_gf_bk").asc else col("_gf_bk").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = leftBk.join(summary, keys :+ "_gf_bk", "full_outer")
+          .withColumn("_gf_c", last(col("_gf_rl"), ignoreNulls = true).over(cw))
+          .filter(col("_gf_c").isNotNull)
+          .select((keys.map(col) ++ Seq(
+            lit(null).cast("long").as("_gf_t"),
+            lit(-1).as("_gf_side"),
+            lit(null).cast(lSchema).as("_gf_l"),
+            col("_gf_c").as("_gf_r"),
+            col("_gf_bk"))).toIndexedSeq: _*)
+        // carry rows ride a NULL time ordered FIRST within the bucket —
+        // no boundary-time arithmetic, so negative epochs and truncating
+        // `div` need no special casing; any real in-bucket right row
+        // supersedes the carry via `last`
+        val ordering =
+          if (backward) Seq(col("_gf_t").asc_nulls_first, col("_gf_side").asc)
+          else Seq(col("_gf_t").desc_nulls_first, col("_gf_side").asc)
+        val w = Window.partitionBy(kb: _*).orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lB.unionByName(rB).unionByName(carries)
+          .withColumn("_gf_m", last(col("_gf_r"), ignoreNulls = true).over(w))
+          .filter(col("_gf_side") === 1)
+          .drop("_gf_bk")
+    }
     val inTol = tolerance match {
       case None => col("_gf_m").isNotNull
       case Some(tol) =>

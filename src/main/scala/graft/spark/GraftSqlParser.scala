@@ -186,6 +186,30 @@ object GraftSqlParser {
   private def resolveIdent(spark: SparkSession, ident: String): IceTable =
     resolve(spark, ident.split('.').toSeq)
 
+  /** Materialize a result-producing CALL's rows as a graft table at `loc`
+    * (created fresh, or atomically overwritten if it exists) under the
+    * SOURCE table's FileIO — encrypted inputs get encrypted results.
+    * Returns the row count from the commit's own summary (no extra scan). */
+  private def writeResultTable(spark: SparkSession, source: IceTable,
+      loc: String, result: org.apache.spark.sql.DataFrame): Long = {
+    val io = new graft.table.FileIO(spark.sparkContext.hadoopConfiguration,
+      source.io.encryption, source.io.requireSealedMetadata)
+    val ops = new graft.table.TableOperations(loc, io)
+    val out =
+      if (ops.exists) {
+        val t = IceTable.loadWith(spark, ops)
+        t.overwrite(graft.meta.expr.TrueExpr, result)
+        t
+      } else {
+        val t = IceTable.createWith(spark, ops,
+          graft.meta.Schema.fresh(result.schema))
+        t.append(result)
+        t
+      }
+    out.meta.currentSnapshot.flatMap(_.summary.get("total-records"))
+      .flatMap(_.toLongOption).getOrElse(out.toDF.count())
+  }
+
   // ------------------------------------------------------------- CALL args
 
   /** Split `a, b => c, 'x,y'` on top-level commas (quotes and parens nest). */
@@ -542,6 +566,68 @@ object GraftSqlParser {
             .map(_.toString.toDouble).getOrElse(0.5)
           val r = graft.llm.Bm25Index.refresh(spark, t, loc, share)
           Seq(Row(loc, r.upserted, r.deleted, r.rebuilt))
+        })
+      case "knn_join" =>
+        // batch ANN join (r12c op, SQL surface r13): every row of the
+        // QUERY table gets its top-k corpus neighbors through the
+        // persisted IVF index's distributed join (no driver query list).
+        // Results are corpus-scale, so they WRITE to a graft table at
+        // output_location (created, or overwritten if it exists) and the
+        // CALL returns only (location, row count) — never a driver
+        // collect of the result
+        GraftCallCommand(proc, Seq(attr("output_location", StringType),
+          attr("rows", LongType)), { spark =>
+          val q = resolve(spark, tableArg)
+          val idxLoc = named.get("index_location").orElse(pos.lift(1))
+            .map(_.toString).getOrElse(throw new IllegalArgumentException(
+              "knn_join requires index_location"))
+          val idCol = named.get("id_col").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              "knn_join requires id_col")).toString
+          val vecCol = named.get("vec_col").orElse(pos.lift(3)).getOrElse(
+            throw new IllegalArgumentException(
+              "knn_join requires vec_col")).toString
+          val k = named.get("k").orElse(pos.lift(4))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(10)
+          val nProbe = named.get("n_probe").orElse(pos.lift(5))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(2)
+          val outLoc = named.get("output_location").orElse(pos.lift(6))
+            .map(_.toString).getOrElse(s"${q.location}_knn")
+          val usePq = named.get("use_pq").map(_.toString.toBoolean)
+            .getOrElse(false)
+          // the index is loaded with the QUERY table's encryption manager
+          // — an encrypted corpus has an encrypted index
+          val idx = graft.llm.IvfIndex.load(spark, idxLoc, q.io.encryption)
+          val result =
+            if (usePq) idx.knnJoinPq(q.toDF, idCol, vecCol, k, nProbe)
+            else idx.knnJoin(q.toDF, idCol, vecCol, k, nProbe)
+          Seq(Row(outLoc, writeResultTable(spark, q, outLoc, result)))
+        })
+      case "span_dedup" =>
+        // duplicated-span removal (r12c op, SQL surface r13): rewrites
+        // the corpus with spans duplicated across ≥ min_docs documents
+        // removed at any alignment; output is a full corpus-sized table —
+        // written to output_location, never collected
+        GraftCallCommand(proc, Seq(attr("output_location", StringType),
+          attr("rows", LongType)), { spark =>
+          val t = resolve(spark, tableArg)
+          val idCol = named.get("id_col").orElse(pos.lift(1)).getOrElse(
+            throw new IllegalArgumentException(
+              "span_dedup requires id_col")).toString
+          val textCol = named.get("text_col").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              "span_dedup requires text_col")).toString
+          val n = named.get("n").orElse(pos.lift(3))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(3)
+          val minDocs = named.get("min_docs").orElse(pos.lift(4))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(2)
+          val outLoc = named.get("output_location").orElse(pos.lift(5))
+            .map(_.toString).getOrElse(s"${t.location}_dedup")
+          val hashGrams = named.get("hash_grams").map(_.toString.toBoolean)
+            .getOrElse(false)
+          val result = graft.llm.TextOps.removeDuplicatedSpans(
+            t.toDF, idCol, textCol, n, minDocs, hashGrams)
+          Seq(Row(outLoc, writeResultTable(spark, t, outLoc, result)))
         })
       case "create_aggregate_view" =>
         // incrementally-maintained aggregate table (r12): stamps the

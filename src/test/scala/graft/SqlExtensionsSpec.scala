@@ -2,6 +2,8 @@ package graft
 
 import graft.table.IceTable
 
+import org.apache.spark.sql.functions.col
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CALL procedures + partition-field / write-order DDL through the parser
@@ -293,6 +295,62 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(after.docCount === 53L)
     val qg = spark.createDataFrame(Seq((9L, "gamma"))).toDF("qid", "qtext")
     assert(after.query(qg, "qid", "qtext", k = 10).count() === 3)
+  }
+
+  test("CALL knn_join writes the batch ANN result to a queryable table") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.kvecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO gx.db.kvecs SELECT id, transform(sequence(1, 8), " +
+      "x -> cast(sin(id * 31 + x) as float)) FROM range(64)")
+    spark.sql("CALL gx.system.rebuild_ann_index(table => 'db.kvecs', " +
+      "id_col => 'vec_id', vec_col => 'embedding', " +
+      s"index_location => '$warehouse/db/kvecs_idx', n_lists => 4)")
+    // corpus-as-queries through pure SQL: output lands in a graft table
+    val out = spark.sql("CALL gx.system.knn_join(table => 'db.kvecs', " +
+      s"index_location => '$warehouse/db/kvecs_idx', id_col => 'vec_id', " +
+      "vec_col => 'embedding', k => 3, n_probe => 4, " +
+      s"output_location => '$warehouse/db/kvecs_knn')").head()
+    assert(out.getString(0) === s"$warehouse/db/kvecs_knn")
+    assert(out.getLong(1) === 64L * 3)
+    val res = IceTable.load(spark, s"$warehouse/db/kvecs_knn").toDF
+    assert(res.count() === 64L * 3)
+    // every vector's top-1 neighbor is itself at cosine ~1
+    val self = res.filter(col("rank") === 1)
+    assert(self.count() === 64)
+    assert(self.filter(col("query_id") === col("neighbor_id")).count() === 64)
+    // a second CALL overwrites in place (rerunnable from SQL alone)
+    val out2 = spark.sql("CALL gx.system.knn_join(table => 'db.kvecs', " +
+      s"index_location => '$warehouse/db/kvecs_idx', id_col => 'vec_id', " +
+      "vec_col => 'embedding', k => 1, n_probe => 4, " +
+      s"output_location => '$warehouse/db/kvecs_knn')").head()
+    assert(out2.getLong(1) === 64L)
+    assert(IceTable.load(spark, s"$warehouse/db/kvecs_knn").toDF.count() === 64L)
+  }
+
+  test("CALL span_dedup rewrites the corpus into a queryable table") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.sddocs (doc_id BIGINT, text STRING)")
+    // doc 0/1 share a long span at different alignments; doc 2 is clean
+    spark.sql("INSERT INTO gx.db.sddocs VALUES " +
+      "(0, 'the quick brown fox jumps over the lazy dog today'), " +
+      "(1, 'yesterday the quick brown fox jumps over the lazy dog'), " +
+      "(2, 'entirely unrelated content with no overlap at all')")
+    val out = spark.sql("CALL gx.system.span_dedup(table => 'db.sddocs', " +
+      "id_col => 'doc_id', text_col => 'text', n => 3, min_docs => 2, " +
+      s"output_location => '$warehouse/db/sddocs_dedup')").head()
+    assert(out.getString(0) === s"$warehouse/db/sddocs_dedup")
+    assert(out.getLong(1) === 3L)
+    // output carries (id, n_tokens, removed_tokens, text)
+    val res = IceTable.load(spark, s"$warehouse/db/sddocs_dedup").toDF
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    assert(res.length === 3)
+    // the shared span is gone from at least one of the pair, the clean
+    // doc is untouched
+    val texts = res.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(2L) === "entirely unrelated content with no overlap at all")
+    assert(!(texts(0L).contains("quick brown fox") &&
+      texts(1L).contains("quick brown fox")),
+      s"duplicated span survived in both docs: $texts")
   }
 
   test("normal SQL still parses through the delegate") {

@@ -90,6 +90,51 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(ours.count() === left.count(), "left outer must preserve all rows")
   }
 
+  test("asof bucketed variant is row-identical to the window path") {
+    // unique (k, rt) pairs so the match is deterministic across plans
+    val left = spark.range(4000).select(col("id"),
+      (col("id") % 7).as("k"),
+      pmod(hash(col("id")), lit(5000)).cast("long").as("t"))
+    val right = spark.range(1500)
+      .select((col("id") % 7).as("k"),
+        pmod(hash(col("id") + 424242), lit(5000)).cast("long").as("rt"),
+        col("id").cast("double").as("v"))
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(40L));
+         width <- Seq(1L, 7L, 100L, 100000L)) {
+      val base = TemporalJoins.asofJoin(left, right, "t", "rt", Seq("k"),
+        direction = dir, tolerance = tol).orderBy("id")
+      val bucketed = TemporalJoins.asofJoin(left, right, "t", "rt", Seq("k"),
+        direction = dir, tolerance = tol, bucketWidth = Some(width))
+        .orderBy("id")
+      assert(bucketed.collect().toSeq === base.collect().toSeq,
+        s"bucketed asof diverges (dir=$dir tol=$tol width=$width)")
+    }
+    // hot-key fuzz: ONE key carries everything (the shape the option is
+    // for) and buckets smaller than typical spacing leave empty buckets
+    // between carries
+    val hotL = spark.range(3000).select(col("id"), lit(1L).as("k"),
+      (col("id") * 17).as("t"))
+    val hotR = spark.range(200).select(lit(1L).as("k"),
+      (col("id") * 251 + 3).as("rt"), col("id").cast("double").as("v"))
+    val hb = TemporalJoins.asofJoin(hotL, hotR, "t", "rt", Seq("k")).orderBy("id")
+    val hbB = TemporalJoins.asofJoin(hotL, hotR, "t", "rt", Seq("k"),
+      bucketWidth = Some(97L)).orderBy("id")
+    assert(hbB.collect().toSeq === hb.collect().toSeq,
+      "hot-key bucketed asof diverges")
+    // negative times: truncating `div` buckets must not lose carries
+    val negL = spark.range(500).select(col("id"), lit(1L).as("k"),
+      (col("id") * 13 - 3000).as("t"))
+    val negR = spark.range(100).select(lit(1L).as("k"),
+      (col("id") * 61 - 2999).as("rt"), col("id").cast("double").as("v"))
+    val nb = TemporalJoins.asofJoin(negL, negR, "t", "rt", Seq("k"),
+      direction = "forward").orderBy("id")
+    val nbB = TemporalJoins.asofJoin(negL, negR, "t", "rt", Seq("k"),
+      direction = "forward", bucketWidth = Some(100L)).orderBy("id")
+    assert(nbB.collect().toSeq === nb.collect().toSeq,
+      "negative-epoch bucketed asof diverges")
+  }
+
   test("range join matches brute force; multi-cell intervals match once") {
     val points = spark.range(3000).select(col("id"),
       (col("id") % 5).as("k"),
