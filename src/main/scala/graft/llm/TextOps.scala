@@ -684,25 +684,50 @@ object TextOps {
     * set exchange 64-bit xxhash keys instead of gram strings (identical
     * output modulo xxhash64 collisions — a collision can only OVER-remove,
     * never miss a real duplicate); the default string key keeps the op
-    * exactly SQL-replayable. */
+    * exactly SQL-replayable.
+    *
+    * `unit = "char"` switches to CHARACTER k-grams over the RAW text —
+    * the full ExactSubstr granularity: word n-grams cannot see
+    * duplication that crosses token boundaries differently in each copy
+    * (a shared span glued to different prefixes/suffixes tokenizes into
+    * different words in every document carrying it; LlmSpec holds the
+    * counter-proof pair). Char mode removes covered CHARACTERS and
+    * rejoins with no separator, preserves case/whitespace of the
+    * survivors (no tokens() normalization), and reports `n_tokens`/
+    * `removed_tokens` in characters. Pick `n` like ExactSubstr's length
+    * threshold (tens of characters, e.g. 20–50), not like the word
+    * default of 3 — at tiny char n everything is a duplicate. The
+    * positional exchange is one row per CHARACTER (≈5× the word rows):
+    * `hashGrams = true` is the documented companion at scale. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minDocs: Int = 2, hashGrams: Boolean = false): DataFrame = {
+      n: Int = 3, minDocs: Int = 2, hashGrams: Boolean = false,
+      unit: String = "word"): DataFrame = {
     require(n > 0 && minDocs >= 2,
       s"need n > 0 and minDocs >= 2, got ($n, $minDocs)")
+    require(unit == "word" || unit == "char",
+      s"unit must be word|char (got $unit)")
+    val chars = unit == "char"
     def key(g: Column): Column = if (hashGrams) xxhash64(g) else g
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("_gf_t"))
+    val sep = if (chars) "" else " "
+    val toks = df.select(col(idCol),
+      (if (chars) filter(split(coalesce(col(textCol), lit("")), ""),
+         x => length(x) > 0)
+       else tokens(col(textCol))).as("_gf_t"))
     // positional overlapping n-grams: (id, 0-based start, gram)
     val pos = toks.select(col(idCol), posexplode(bound(col("_gf_t")) { t =>
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
-          i => key(concat_ws(" ", slice(t, i + 1, lit(n))))))
+          i => key(concat_ws(sep, slice(t, i + 1, lit(n))))))
         .otherwise(array())
     }).as(Seq("_gf_p", "_gf_g")))
     // duplicated grams: distinct-doc count via per-doc-distinct shingles
-    // (count-per-gram == docs carrying it, as in duplicatedTextFraction)
-    val dup = df.select(col(idCol),
+    // (count-per-gram == docs carrying it, as in duplicatedTextFraction);
+    // char mode derives them from the positional table (no word-shingle
+    // helper applies to raw characters)
+    val dup = (if (chars) pos.select(col(idCol), col("_gf_g")).distinct()
+      else df.select(col(idCol),
         explode(if (hashGrams) shingleHashes(col(textCol), n)
-          else shingles(col(textCol), n)).as("_gf_g"))
+          else shingles(col(textCol), n)).as("_gf_g")))
       .groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
       .where(col("_gf_dn") >= minDocs).select("_gf_g")
     // covered token indices: each duplicated-gram OCCURRENCE covers
@@ -718,7 +743,7 @@ object TextOps {
       .agg(count(lit(1)).as("_gf_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("_gf_i"), col("_gf_tok")))),
-          s => s.getField("_gf_tok")), " ").as("_gf_text"))
+          s => s.getField("_gf_tok")), sep).as("_gf_text"))
     toks.select(col(idCol), size(col("_gf_t")).cast("long").as("n_tokens"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),

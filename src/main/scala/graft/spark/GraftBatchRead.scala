@@ -962,11 +962,24 @@ object GraftReadPlanner {
     // disk-coordinate, the container syncs within the decrypted stream),
     // parquet through modular decryption (factory + manager on the conf)
     def build(vectorized: Boolean): Option[Planned] = {
+      // ONE reader per distinct (format, write schema, required, filters):
+      // groups differ mostly by PARTITION TUPLE (wantKeys splits per
+      // partition — a 200k-file table is thousands of groups), and
+      // fileReader clones the session + broadcasts a conf per call. Without
+      // this memo a plan at that scale spent ~9 ms × groups (~29 s at 200k
+      // files, measured — PlanScaleHarness/BASELINE r13); with it, one
+      // build per schema era.
+      val readerCache = scala.collection.mutable.HashMap.empty[
+        (String, StructType, StructType, Seq[Filter]),
+        (org.apache.spark.sql.execution.datasources.PartitionedFile =>
+          Iterator[InternalRow], Boolean)]
       val partitions = plans.flatMap { p =>
-        val (reader, batches) = ColumnBridge.fileReader(spark, p.format,
-          p.writeSchema, p.required, p.filters, vectorized,
-          graft.table.EncryptionManagers.contentOptionsFor(encryption, p.format,
-            m.property(TableProperties.EncryptionRequired, "false").toBoolean))
+        val (reader, batches) = readerCache.getOrElseUpdate(
+          (p.format, p.writeSchema, p.required, p.filters),
+          ColumnBridge.fileReader(spark, p.format,
+            p.writeSchema, p.required, p.filters, vectorized,
+            graft.table.EncryptionManagers.contentOptionsFor(encryption, p.format,
+              m.property(TableProperties.EncryptionRequired, "false").toBoolean)))
         if (vectorized && !batches) return None
         // synthesized positions need the whole file in one slice (a byte
         // range's first-row ordinal is unknown without reading the file);

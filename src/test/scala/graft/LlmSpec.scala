@@ -165,6 +165,51 @@ class LlmSpec extends AnyFunSuite {
     assert(strRes === hashRes)
   }
 
+  test("removeDuplicatedSpans unit=char catches sub-token-boundary duplication") {
+    import spark.implicits._
+    // COUNTER-PROOF (Lee et al. ExactSubstr granularity): the shared span
+    // is two LONG words glued to different junk at BOTH ends without
+    // separators — each copy's first and last tokens differ, so no word
+    // n-gram (even n=1 worth of boundary words) is shared, yet a 70-char
+    // run is duplicated verbatim
+    val w1 = "supercalifragilisticexpialidocious"
+    val w2 = "pneumonoultramicroscopicsilicovolcanoconiosis"
+    val dfX = Seq(
+      (1L, s"aaa$w1 ${w2}ttt plus unique tail material one"),
+      (2L, s"bbb$w1 ${w2}zzz and another different ending"),
+      (3L, "wholly unrelated text with zero shared content here")
+    ).toDF("doc_id", "text")
+    val word = TextOps.removeDuplicatedSpans(dfX, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(word === Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"word grams were expected to MISS the glued span: $word")
+    // char mode (n chars ≈ ExactSubstr length threshold) cuts it from both
+    val ch = TextOps.removeDuplicatedSpans(dfX, "doc_id", "text", n = 20,
+        unit = "char")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(ch(3L)._1 === 0L, ch.toString)  // clean doc untouched
+    val coreLen = (w1 + " " + w2).length
+    assert(ch(1L)._1 >= coreLen && ch(2L)._1 >= coreLen,
+      s"char mode failed to cut the glued span: $ch")
+    assert(!ch(1L)._2.contains(w1) && !ch(2L)._2.contains(w1), ch.toString)
+    // raw-text preservation: survivors keep case and spacing
+    val cased = Seq((1L, "KeepCase ABCDEFGHIJKLMNOPQRSTUV tail"),
+      (2L, "Other ABCDEFGHIJKLMNOPQRSTUV end")).toDF("doc_id", "text")
+    val cres = TextOps.removeDuplicatedSpans(cased, "doc_id", "text", n = 20,
+        unit = "char")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cres(1L).contains("KeepCase"), cres.toString)
+    // hashGrams parity holds in char mode too
+    val cs = TextOps.removeDuplicatedSpans(dfX, "doc_id", "text", n = 20,
+      unit = "char").collect().map(_.toString).sorted
+    val chh = TextOps.removeDuplicatedSpans(dfX, "doc_id", "text", n = 20,
+      unit = "char", hashGrams = true).collect().map(_.toString).sorted
+    assert(cs === chh)
+    // invalid unit refuses
+    intercept[IllegalArgumentException](
+      TextOps.removeDuplicatedSpans(dfX, "doc_id", "text", n = 20, unit = "byte"))
+  }
+
   test("graft_normalize SQL function: registered surface matches the Column API") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
