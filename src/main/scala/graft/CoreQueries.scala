@@ -814,6 +814,27 @@ object CoreQueries {
         "q47: expected deletion vectors, found parquet position deletes")
       graft.table.Maintenance.rewritePositionDeleteFiles(tbl)
       tbl.toDF.select("k", "nk", "bal").orderBy("k")
+    }),
+
+    // Q48 row lineage (r13): _row_id assigned at commit (one ordered file
+    // → ids are the insertion rank), preserved through a CoW UPDATE, a
+    // bin-pack compaction, and a DELETE — DuckDB replays the identity as
+    // row_number() over the same insert order, which only matches if no
+    // rewrite ever renumbered a surviving row
+    "q48_row_lineage" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q48").toString
+      s.conf.set("spark.sql.catalog.gq48", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq48.warehouse", tmp)
+      t(s, d, "customer").createOrReplaceTempView("q48_customer")
+      s.sql("CREATE TABLE gq48.db.t (k BIGINT, seg STRING, bal DOUBLE)")
+      s.sql("INSERT INTO gq48.db.t SELECT /*+ COALESCE(1) */ " +
+        "c_custkey, c_mktsegment, round(c_acctbal, 2) " +
+        "FROM q48_customer ORDER BY c_custkey")
+      s.sql("UPDATE gq48.db.t SET seg = 'RICH' WHERE bal > 5000.0")
+      val tbl = graft.table.IceTable.load(s, s"$tmp/db/t")
+      graft.table.Maintenance.rewriteDataFiles(tbl, minInputFiles = 1)
+      s.sql("DELETE FROM gq48.db.t WHERE k < 100")
+      s.sql("SELECT k, seg, bal, _row_id AS row_id FROM gq48.db.t ORDER BY k")
     })
   )
 
@@ -1036,6 +1057,12 @@ object CoreQueries {
       ("SELECT c_custkey AS k, c_nationkey AS nk, round(c_acctbal, 2) AS bal " +
         "FROM customer WHERE c_nationkey <> 3 AND round(c_acctbal, 2) <= 9000.0 " +
         "ORDER BY c_custkey"),
+    "q48_row_lineage" ->
+      ("WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg0, " +
+        "round(c_acctbal, 2) AS bal, " +
+        "row_number() OVER (ORDER BY c_custkey) - 1 AS row_id FROM customer) " +
+        "SELECT k, CASE WHEN bal > 5000.0 THEN 'RICH' ELSE seg0 END AS seg, " +
+        "bal, row_id FROM base WHERE k >= 100 ORDER BY k"),
     "q39_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, round(value, 2) AS v FROM events), " +
         "m AS (SELECT user_id, t, v, CASE WHEN lag(t) OVER " +

@@ -80,6 +80,7 @@ object JsonCodecs {
       val a = node.putArray("equality-ids"); f.equalityIds.foreach(a.add)
     }
     f.referencedFile.foreach(node.put("referenced-file", _))
+    f.firstRowId.foreach(node.put("first-row-id", _))
     f.contentOffset.foreach(node.put("content-offset", _))
     f.contentSize.foreach(node.put("content-size", _))
     val p = node.putObject("partition")
@@ -128,6 +129,7 @@ object JsonCodecs {
       equalityIds = Option(n.get("equality-ids"))
         .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
       referencedFile = Option(n.get("referenced-file")).map(_.asText),
+      firstRowId = Option(n.get("first-row-id")).map(_.asLong),
       contentOffset = Option(n.get("content-offset")).map(_.asLong),
       contentSize = Option(n.get("content-size")).map(_.asLong),
       keyMetadata = Option(n.get("key-metadata")).map(km =>
@@ -263,6 +265,7 @@ object JsonCodecs {
     node.put("table-uuid", m.tableUuid)
     node.put("location", m.location)
     node.put("last-sequence-number", m.lastSequenceNumber)
+    if (m.nextRowId != 0L) node.put("next-row-id", m.nextRowId)
     node.put("last-updated-ms", m.lastUpdatedMillis)
     node.put("last-column-id", m.lastColumnId)
     node.put("current-schema-id", m.currentSchemaId)
@@ -380,6 +383,7 @@ object JsonCodecs {
           snapshotId = e.get("snapshot-id").asLong,
           path = e.get("statistics-path").asText,
           fileSizeBytes = e.get("file-size-in-bytes").asLong)
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong).getOrElse(0L))
   }
 }

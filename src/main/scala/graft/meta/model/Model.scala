@@ -44,6 +44,11 @@ final case class DataFileMeta(
     referencedFile: Option[String] = None,
     contentOffset: Option[Long] = None,
     contentSize: Option[Long] = None,
+    /** Row lineage (content = 0): first row id of this file's implicit
+      * id span — assigned by the COMMIT from `TableMetadata.nextRowId`;
+      * None on files committed before lineage existed (their `_row_id`
+      * reads null). */
+    firstRowId: Option[Long] = None,
     /** Opaque per-file encryption key metadata (ref `DataFile.java:62`
       * key_metadata): written by the table's [[graft.table.EncryptionManager]]
       * when a file is encrypted, handed back at read time to decrypt it.
@@ -189,7 +194,14 @@ final case class TableMetadata(
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
     refs: Map[String, SnapshotRefMeta] = Map.empty,
-    statsFiles: Seq[StatsFileMeta] = Nil) extends Serializable {
+    statsFiles: Seq[StatsFileMeta] = Nil,
+    /** Row lineage (the public format lineage's v3 `next-row-id`): the
+      * first row id available for assignment. Every committed data file
+      * gets a `firstRowId` span `[firstRowId, firstRowId + recordCount)`
+      * carved from this counter; a row's stable `_row_id` is then
+      * firstRowId + position (or the file's materialized `_gf_row_id`
+      * column after a preserving rewrite). */
+    nextRowId: Long = 0L) extends Serializable {
 
   def schema: Schema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: PartitionSpec = specs.find(_.specId == defaultSpecId).get
@@ -269,6 +281,13 @@ object TableProperties {
     * coexist in one table (reads union them); `convert_position_deletes`
     * migrates the parquet ones. */
   val DeleteVectors = "write.delete.vectors.enabled"
+  /** "true" (default): compaction / z-order rewrites and merge-on-read
+    * UPDATEs carry each surviving row's ORIGINAL `_row_id` (and, for
+    * rewrites of untouched rows, its original `_last_updated_seq`) into
+    * the new files as materialized columns, so row identity survives file
+    * reorganization. Parquet-format tables only (the default); other
+    * formats fall back to fresh ids on rewrite. */
+  val RowLineagePreserve = "write.row-lineage.preserve"
   val IsolationSerializable = "serializable"
   val IsolationSnapshot = "snapshot"
   /** Commit-time manifest auto-merge (ref `TableProperties.java:51-58`):

@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** A byte range of one data file (whole file, or one split of a file larger
   * than the split target — ref `BaseTableScan.planFiles` splits at
   * `split-size` so one huge file fans out across executors). */
-final case class FileSlice(path: String, start: Long, length: Long, fileSize: Long)
+final case class FileSlice(path: String, start: Long, length: Long, fileSize: Long,
+    /** Row lineage of the sliced DATA file: first implicit row id and the
+      * entry's data sequence number (-1 = unknown/not requested). */
+    firstRowId: Long = -1L, seq: Long = -1L)
 
 /** One equality-delete key family of a scan class: the delete files to load,
   * a driver-built row reader for them, and where the key columns sit in the
@@ -486,6 +489,9 @@ final case class GraftInputPartition(
     outCols: Array[Int] = null,
     emitTypes: Array[DataType] = null,
     ridOrdinal: Int = -1,
+    // ordinal of the materialized `_gf_row_id` column in the extended row
+    // (`_gf_last_seq` sits at +1); -1 = lineage not requested
+    lineageOrdinal: Int = -1,
     // `_deleted` requested: rows the delete probe kills are EMITTED with
     // the flag set instead of dropped (ref MetadataColumns.IS_DELETED)
     keepDeleted: Boolean = false) extends InputPartition with HasPartitionKey {
@@ -517,7 +523,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
       // order with the slice's path constant, the row's file ordinal, and
       // its tombstone flag
       private def emitRow(row: InternalRow, pos: Long, file: UTF8String,
-          deleted: Boolean): InternalRow = {
+          deleted: Boolean, first: Long, sliceSeq: Long): InternalRow = {
         val out = new Array[Any](p.outCols.length)
         var i = 0
         while (i < p.outCols.length) {
@@ -526,6 +532,19 @@ object GraftReaderFactory extends PartitionReaderFactory {
             if (c >= 0) row.get(c, p.emitTypes(c))
             else if (c == GraftBatchScan.OutFile) file
             else if (c == GraftBatchScan.OutDeleted) deleted
+            else if (c == GraftBatchScan.OutRowId) {
+              // materialized id from a preserving rewrite wins; else the
+              // implicit commit-assigned span; else null (legacy file)
+              if (p.lineageOrdinal >= 0 && !row.isNullAt(p.lineageOrdinal))
+                row.getLong(p.lineageOrdinal)
+              else if (first >= 0L && pos >= 0L) first + pos
+              else null
+            } else if (c == GraftBatchScan.OutLastUpdated) {
+              if (p.lineageOrdinal >= 0 && !row.isNullAt(p.lineageOrdinal + 1))
+                row.getLong(p.lineageOrdinal + 1)
+              else if (sliceSeq >= 0L) sliceSeq
+              else null
+            }
             else pos
           i += 1
         }
@@ -551,10 +570,11 @@ object GraftReaderFactory extends PartitionReaderFactory {
           if (p.outCols == null) out
           else if (p.synthPos) {
             var pos = -1L
-            out.map { r => pos += 1; emitRow(r, pos, fileStr, deleted = false) }
+            out.map { r => pos += 1; emitRow(r, pos, fileStr,
+              deleted = false, s.firstRowId, s.seq) }
           } else out.map(r => emitRow(r,
             if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr,
-            deleted = false))
+            deleted = false, s.firstRowId, s.seq))
         } else if (!p.synthPos) {
           val posSet = probe.posSetFor(s.path)
           if (p.keepDeleted)
@@ -562,14 +582,14 @@ object GraftReaderFactory extends PartitionReaderFactory {
             out.map { r =>
               emitRow(r,
                 if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L,
-                fileStr, deleted = !probe.live(r, posSet))
+                fileStr, deleted = !probe.live(r, posSet), s.firstRowId, s.seq)
             }
           else {
             val filtered = out.filter(probe.live(_, posSet))
             if (p.outCols == null) filtered
             else filtered.map(r => emitRow(r,
               if (p.ridOrdinal >= 0) r.getLong(p.ridOrdinal) else -1L, fileStr,
-              deleted = false))
+              deleted = false, s.firstRowId, s.seq))
           }
         } else {
           // synthesized positions: the slice is a whole file read with no
@@ -583,13 +603,15 @@ object GraftReaderFactory extends PartitionReaderFactory {
             (cursor == null || !cursor.deleted(pos)) && probe.liveEq(r)
           }
           if (p.keepDeleted)
-            out.map { r => val l = live(r); emitRow(r, pos, fileStr, deleted = !l) }
+            out.map { r => val l = live(r); emitRow(r, pos, fileStr,
+              deleted = !l, s.firstRowId, s.seq) }
           else {
             val filtered = out.filter(live)
             if (p.outCols == null) filtered
             // map pulls AFTER filter accepts, so `pos` is the accepted row's
             // ordinal at emit time
-            else filtered.map(r => emitRow(r, pos, fileStr, deleted = false))
+            else filtered.map(r => emitRow(r, pos, fileStr, deleted = false,
+              s.firstRowId, s.seq))
           }
         }
       }
@@ -618,7 +640,8 @@ object GraftReaderFactory extends PartitionReaderFactory {
         else if (probe == null) {
           var base = 0L
           batches.map { b =>
-            val out = emitBatch(b, null, b.numRows(), base, fileStr, null)
+            val out = emitBatch(b, null, b.numRows(), base, fileStr, null,
+              s.firstRowId, s.seq)
             base += b.numRows(); out
           }
         } else {
@@ -628,7 +651,8 @@ object GraftReaderFactory extends PartitionReaderFactory {
           // consecutive, so a running base + in-batch offset is the ordinal
           var base = 0L
           batches.map { b =>
-            val out = filterBatch(b, posSet, cursor, base, fileStr)
+            val out = filterBatch(b, posSet, cursor, base, fileStr,
+              s.firstRowId, s.seq)
             base += b.numRows(); out
           }
         }
@@ -639,7 +663,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
         * from `flags` (null = all live). Data vectors stay zero-copy views. */
       private def emitBatch(b: ColumnarBatch, map: Array[Int], kept: Int,
           base: Long, fileStr: UTF8String,
-          flags: Array[Boolean]): ColumnarBatch = {
+          flags: Array[Boolean], first: Long, sliceSeq: Long): ColumnarBatch = {
         if (p.outCols == null) {
           // drop deleted rows + extra probe columns only (legacy layout)
           val d = p.deletes
@@ -684,6 +708,29 @@ object GraftReaderFactory extends PartitionReaderFactory {
                 }
                 v
               }
+            } else if (c == GraftBatchScan.OutRowId ||
+                c == GraftBatchScan.OutLastUpdated) {
+              // lineage vectors: materialized column wins per row, else the
+              // implicit commit-assigned value, else null (legacy file)
+              val rowIdCol = c == GraftBatchScan.OutRowId
+              val mv = if (p.lineageOrdinal < 0) null
+                else b.column(p.lineageOrdinal + (if (rowIdCol) 0 else 1))
+              val ridVec = if (rowIdCol && p.ridOrdinal >= 0)
+                b.column(p.ridOrdinal) else null
+              val v = new org.apache.spark.sql.execution.vectorized
+                .OnHeapColumnVector(math.max(kept, 1), LongType)
+              var i = 0
+              while (i < kept) {
+                val src = if (map == null) i else map(i)
+                if (mv != null && !mv.isNullAt(src)) v.putLong(i, mv.getLong(src))
+                else if (rowIdCol && first >= 0L)
+                  v.putLong(i, first +
+                    (if (ridVec != null) ridVec.getLong(src) else base + src))
+                else if (!rowIdCol && sliceSeq >= 0L) v.putLong(i, sliceSeq)
+                else v.putNull(i)
+                i += 1
+              }
+              v
             } else if (p.ridOrdinal >= 0) {
               if (map == null) b.column(p.ridOrdinal)
               else GraftSurvivors.vector(b.column(p.ridOrdinal), map, kept, b.numRows())
@@ -705,7 +752,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
         * vectors — zero copy, stays columnar. */
       private def filterBatch(b: ColumnarBatch, posSet: GraftDeleteProbe.PosIdx,
           cursor: GraftDeleteProbe.PosCursor, base: Long,
-          fileStr: UTF8String): ColumnarBatch = {
+          fileStr: UTF8String, first: Long, sliceSeq: Long): ColumnarBatch = {
         val d = p.deletes
         val n = b.numRows()
         val map = new Array[Int](n)
@@ -749,10 +796,10 @@ object GraftReaderFactory extends PartitionReaderFactory {
           java.util.Arrays.fill(flags, true)
           var k = 0
           while (k < kept) { flags(map(k)) = false; k += 1 }
-          emitBatch(b, null, n, base, fileStr, flags)
+          emitBatch(b, null, n, base, fileStr, flags, first, sliceSeq)
         } else {
           val m = if (kept == n) null else java.util.Arrays.copyOf(map, kept)
-          emitBatch(b, m, kept, base, fileStr, null)
+          emitBatch(b, m, kept, base, fileStr, null, first, sliceSeq)
         }
       }
       private var batch: ColumnarBatch = _
@@ -784,6 +831,12 @@ object GraftReaderFactory extends PartitionReaderFactory {
   * `FileSourceScanExec` produces.
   */
 object GraftReadPlanner {
+  /** Physical column names a PRESERVING rewrite materializes into data
+    * files: the original row id and the original last-updated sequence
+    * (null = inherit the file's implicit value). */
+  val LineageRowIdCol = "_gf_row_id"
+  val LineageSeqCol = "_gf_last_seq"
+
 
   final case class Planned(partitions: Array[GraftInputPartition], columnar: Boolean)
 
@@ -800,7 +853,10 @@ object GraftReadPlanner {
       wantColumnar: Boolean, wantKeys: Boolean,
       deletes: Seq[DataFileMeta] = Nil, outCols: Array[Int] = null,
       encryption: graft.table.EncryptionManager =
-        graft.table.PlaintextEncryptionManager): Planned = {
+        graft.table.PlaintextEncryptionManager,
+      /** Data sequence number per file path — only needed when lineage
+        * metadata columns are requested. */
+      seqs: Map[String, Long] = Map.empty): Planned = {
     if (files.isEmpty) return Planned(Array.empty, columnar = false)
     val schema = m.schema
     val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
@@ -808,6 +864,9 @@ object GraftReadPlanner {
     // position deletes use (real parquet row-index column, or synthesized
     // whole-file ordinals for other formats)
     val wantPos = outCols != null && outCols.contains(GraftBatchScan.OutPos)
+    val wantRowId = outCols != null && outCols.contains(GraftBatchScan.OutRowId)
+    val wantLineage = wantRowId ||
+      (outCols != null && outCols.contains(GraftBatchScan.OutLastUpdated))
 
     // merge-on-read probe columns: eq-delete keys not already projected ride
     // along (resolved through the same writer-schema machinery), plus the
@@ -819,7 +878,8 @@ object GraftReadPlanner {
       .groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
     val eqKeyNames = eqMetaGroups.flatMap(_._1).distinct.map(schema.fieldName)
     val extNames = names ++ eqKeyNames.filterNot(names.contains)
-    val needRid = posDeletes.nonEmpty || dvDeletes.nonEmpty || wantPos
+    val needRid = posDeletes.nonEmpty || dvDeletes.nonEmpty || wantPos ||
+      wantRowId
     // must stay nullable: the vectorized reader's required-column check runs
     // before its row-index special-casing and rejects a non-nullable field
     val ridField = StructField(
@@ -860,7 +920,17 @@ object GraftReadPlanner {
           case None => StructField(name, schema.fieldType(id))
         }
       })
-      val required = if (hasRid) StructType(required0.fields :+ ridField) else required0
+      // materialized-lineage columns (written by preserving rewrites) ride
+      // between the eq-key extras and the row-index column; files lacking
+      // them read nulls and fall back to the implicit id/seq
+      val lineageFields =
+        if (!wantLineage) Nil
+        else Seq(StructField(GraftReadPlanner.LineageRowIdCol, LongType,
+            nullable = true),
+          StructField(GraftReadPlanner.LineageSeqCol, LongType,
+            nullable = true))
+      val required1 = StructType(required0.fields ++ lineageFields)
+      val required = if (hasRid) StructType(required1.fields :+ ridField) else required1
       // field-ID projection writer row → current row
       val exprs0: Seq[Expression] = extNames.zipWithIndex.map { case (name, i) =>
         val id = schema.fieldId(name)
@@ -873,9 +943,12 @@ object GraftReadPlanner {
           else Cast(in, cur, Some(java.time.ZoneOffset.UTC.getId))
         }
       }
+      val exprsL = exprs0 ++ lineageFields.indices.map(i =>
+        BoundReference(extNames.length + i, LongType, nullable = true))
       val exprs = if (hasRid)
-        exprs0 :+ BoundReference(extNames.length, LongType, nullable = true)
-      else exprs0
+        exprsL :+ BoundReference(extNames.length + lineageFields.size,
+          LongType, nullable = true)
+      else exprsL
       val identity = exprs.zipWithIndex.forall {
         case (b: BoundReference, i) => b.ordinal == i
         case _ => false
@@ -917,6 +990,7 @@ object GraftReadPlanner {
     val deleteApply: GraftDeleteApply = if (deletes.isEmpty) null else {
       def whole(f: DataFileMeta) = FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes)
       val outTypes = (extNames.map(n => schema.fieldType(schema.fieldId(n))) ++
+        (if (wantLineage) Seq(LongType, LongType) else Nil) ++
         (if (needRid) Seq(LongType) else Nil)).toArray[DataType]
       val posSchema = StructType(Seq(
         StructField(graft.table.MergeOnRead.PosPathCol, StringType),
@@ -946,7 +1020,8 @@ object GraftReadPlanner {
           spark.sparkContext.hadoopConfiguration),
         encryption)
       GraftDeleteApply(posDeletes.map(whole).toArray, posReader, eqGroups.toArray,
-        if (needRid) extNames.length else -1, names.length, outTypes, dvSet)
+        if (needRid) extNames.length + (if (wantLineage) 2 else 0) else -1,
+        names.length, outTypes, dvSet)
     }
 
     // build readers; if any format declines batch output, fall back to rows
@@ -990,12 +1065,15 @@ object GraftReadPlanner {
           encryption != graft.table.PlaintextEncryptionManager &&
           !encryption.supportsSeekableDecryption
         pack(p.files, splitTarget, openCost, lookback,
-          wholeFiles = p.synthPos || nonSeekableEnc).map(slicePack =>
+          wholeFiles = p.synthPos || nonSeekableEnc,
+          seqs = if (wantLineage) seqs else null).map(slicePack =>
           GraftInputPartition(slicePack.toArray,
             reader, p.project, columnar = vectorized && batches, key = p.key,
             deletes = deleteApply, synthPos = p.synthPos,
             outCols = outCols, emitTypes = emitTypes,
-            ridOrdinal = if (needRid && !p.synthPos) extNames.length else -1,
+            ridOrdinal = if (needRid && !p.synthPos)
+              extNames.length + (if (wantLineage) 2 else 0) else -1,
+            lineageOrdinal = if (wantLineage) extNames.length else -1,
             keepDeleted =
               outCols != null && outCols.contains(GraftBatchScan.OutDeleted)))
       }
@@ -1010,9 +1088,14 @@ object GraftReadPlanner {
     * boundaries), so one huge file spreads across executors instead of
     * pinning a single task (ref `BaseTableScan.planFiles` splitting). The
     * last slice absorbs a sub-10% tail rather than spawning a sliver task. */
-  private def slices(f: DataFileMeta, splitTarget: Long): Seq[FileSlice] =
+  private def slices(f: DataFileMeta, splitTarget: Long,
+      seqs: Map[String, Long]): Seq[FileSlice] = {
+    def mk(start: Long, len: Long) = FileSlice(f.path, start, len,
+      f.fileSizeBytes,
+      firstRowId = if (seqs == null) -1L else f.firstRowId.getOrElse(-1L),
+      seq = if (seqs == null) -1L else seqs.getOrElse(f.path, -1L))
     if (f.fileSizeBytes <= splitTarget + splitTarget / 10)
-      Seq(FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
+      Seq(mk(0L, f.fileSizeBytes))
     else {
       // ceil-divide then equal-size ranges: a 1.9×target file becomes two
       // ~0.95×target slices, never one straggler ~2×target slice
@@ -1021,9 +1104,12 @@ object GraftReadPlanner {
       (0 until n).map { i =>
         val start = i.toLong * each
         val len = if (i == n - 1) f.fileSizeBytes - start else each
-        FileSlice(f.path, start, len, f.fileSizeBytes)
+        // parquet's row-index column is FILE-absolute, so byte-range
+        // slices inherit the same first-row-id base
+        mk(start, len)
       }
     }
+  }
 
   /** Size-packed splits with lookback bin-packing (ref
     * `TableScanUtil.planTasks` + `util/BinPacking.java`): each slice weighs
@@ -1035,11 +1121,14 @@ object GraftReadPlanner {
     * positions). */
   private def pack(group: Seq[DataFileMeta], splitTarget: Long,
       openCost: Long, lookback: Int,
-      wholeFiles: Boolean = false): Seq[Seq[FileSlice]] = {
+      wholeFiles: Boolean = false,
+      seqs: Map[String, Long] = null): Seq[Seq[FileSlice]] = {
     val sliced =
       if (wholeFiles)
-        group.map(f => FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes))
-      else group.flatMap(slices(_, splitTarget))
+        group.map(f => FileSlice(f.path, 0L, f.fileSizeBytes, f.fileSizeBytes,
+          firstRowId = if (seqs == null) -1L else f.firstRowId.getOrElse(-1L),
+          seq = if (seqs == null) -1L else seqs.getOrElse(f.path, -1L)))
+      else group.flatMap(slices(_, splitTarget, seqs))
     val open = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[FileSlice], Long)]
     val closed = scala.collection.mutable.ArrayBuffer.empty[Seq[FileSlice]]
@@ -1082,6 +1171,8 @@ object GraftBatchScan {
   val OutFile: Int = -1
   val OutPos: Int = -2
   val OutDeleted: Int = -3
+  val OutRowId: Int = -4
+  val OutLastUpdated: Int = -5
 }
 
 final class GraftBatchScan(val table: IceTable, filter: GExpr,
@@ -1152,6 +1243,10 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
         case GraftBatchScan.OutDeleted =>
           StructField(GraftSparkTable.DeletedCol,
             org.apache.spark.sql.types.BooleanType, nullable = false)
+        case GraftBatchScan.OutRowId =>
+          StructField(GraftSparkTable.RowIdCol, LongType, nullable = true)
+        case GraftBatchScan.OutLastUpdated =>
+          StructField(GraftSparkTable.LastUpdatedCol, LongType, nullable = true)
         case _ => val f = projection.fields(dataOrd); dataOrd += 1; f
       })
     }
@@ -1364,12 +1459,17 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
       val classes =
         if (deletes.isEmpty) Seq((Seq.empty[DataFileMeta], tasks))
         else Reads.groupTasksByDeletes(tasks, deletes)
+      val wantLineage = outCols != null &&
+        (outCols.contains(GraftBatchScan.OutRowId) ||
+          outCols.contains(GraftBatchScan.OutLastUpdated))
       val planned = classes.map { case (applicable, group) =>
         GraftReadPlanner.plan(table.spark, m, group.map(_.file),
           projection.fieldNames.toSeq, pushedV1 ++ runtimeV1, split,
           wantColumnar = true, wantKeys = keyedSpec.nonEmpty,
           deletes = applicable, outCols = outCols,
-          encryption = table.io.encryption)
+          encryption = table.io.encryption,
+          seqs = if (!wantLineage) Map.empty
+            else group.map(t => t.file.path -> t.seq).toMap)
       }
       cachedPlan = GraftReadPlanner.Planned(
         planned.flatMap(_.partitions).toArray,

@@ -172,18 +172,29 @@ object GraftSparkTable {
   val FileCol = "_file"
   val PosCol = "_pos"
   val DeletedCol = "_deleted"
-  val MetaColNames: Set[String] = Set(FileCol, PosCol, DeletedCol)
+  /** Row lineage (the v3 direction): `_row_id` = a row's STABLE identity
+    * (the file's commit-assigned first-row-id + position, or the
+    * materialized id a preserving rewrite carried); `_last_updated_seq` =
+    * the sequence number of the commit that last produced the row. Null
+    * on files committed before lineage assignment existed. */
+  val RowIdCol = "_row_id"
+  val LastUpdatedCol = "_last_updated_seq"
+  val MetaColNames: Set[String] =
+    Set(FileCol, PosCol, DeletedCol, RowIdCol, LastUpdatedCol)
 
-  private def metaCol(colName: String, dt: DataType): MetadataColumn =
+  private def metaCol(colName: String, dt: DataType,
+      nullable: Boolean = false): MetadataColumn =
     new MetadataColumn {
       override def name(): String = colName
       override def dataType(): DataType = dt
-      override def isNullable: Boolean = false
+      override def isNullable: Boolean = nullable
     }
 
   val MetaCols: Array[MetadataColumn] =
     Array(metaCol(FileCol, StringType), metaCol(PosCol, LongType),
-      metaCol(DeletedCol, org.apache.spark.sql.types.BooleanType))
+      metaCol(DeletedCol, org.apache.spark.sql.types.BooleanType),
+      metaCol(RowIdCol, LongType, nullable = true),
+      metaCol(LastUpdatedCol, LongType, nullable = true))
 }
 
 final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
@@ -261,6 +272,9 @@ final class GraftScanBuilder(table: IceTable, snapshotId: Option[Long],
           case Some(GraftSparkTable.FileCol) => GraftBatchScan.OutFile
           case Some(GraftSparkTable.PosCol) => GraftBatchScan.OutPos
           case Some(GraftSparkTable.DeletedCol) => GraftBatchScan.OutDeleted
+          case Some(GraftSparkTable.RowIdCol) => GraftBatchScan.OutRowId
+          case Some(GraftSparkTable.LastUpdatedCol) =>
+            GraftBatchScan.OutLastUpdated
           case Some(other) =>
             throw new IllegalStateException(s"unknown metadata column $other")
           case None => val d = dataOrd; dataOrd += 1; d

@@ -603,6 +603,31 @@ object GraftSqlParser {
             else idx.knnJoin(q.toDF, idCol, vecCol, k, nProbe)
           Seq(Row(outLoc, writeResultTable(spark, q, outLoc, result)))
         })
+      case "bm25_join" =>
+        // batch lexical-retrieval join (r13): the table-to-table BM25 —
+        // every row of the query TABLE gets top-k corpus docs through the
+        // persisted index's distributed join (no driver term collect);
+        // results write to a graft table like knn_join
+        GraftCallCommand(proc, Seq(attr("output_location", StringType),
+          attr("rows", LongType)), { spark =>
+          val q = resolve(spark, tableArg)
+          val idxLoc = named.get("index_location").orElse(pos.lift(1))
+            .map(_.toString).getOrElse(throw new IllegalArgumentException(
+              "bm25_join requires index_location"))
+          val idCol = named.get("id_col").orElse(pos.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              "bm25_join requires id_col")).toString
+          val textCol = named.get("text_col").orElse(pos.lift(3)).getOrElse(
+            throw new IllegalArgumentException(
+              "bm25_join requires text_col")).toString
+          val k = named.get("k").orElse(pos.lift(4))
+            .map(_.asInstanceOf[Long].toInt).getOrElse(10)
+          val outLoc = named.get("output_location").orElse(pos.lift(5))
+            .map(_.toString).getOrElse(s"${q.location}_bm25")
+          val idx = graft.llm.Bm25Index.load(spark, idxLoc, q.io.encryption)
+          val result = idx.queryJoin(q.toDF, idCol, textCol, k)
+          Seq(Row(outLoc, writeResultTable(spark, q, outLoc, result)))
+        })
       case "span_dedup" =>
         // duplicated-span removal (r12c op, SQL surface r13): rewrites
         // the corpus with spans duplicated across ≥ min_docs documents

@@ -9,7 +9,7 @@ import graft.meta.model._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, coalesce, col}
 import org.apache.spark.sql.types.StructType
 
 /** One planned file: the data file plus the filter residual left after
@@ -741,10 +741,23 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
             s"paths, found ${removedSeen.size} " +
             "(concurrent commit removed or rewrote them)")
 
-      val addedManifest: Option[ManifestFileMeta] = if (added.isEmpty) None else {
+      // row lineage: every added DATA file gets its implicit id span at
+      // COMMIT time, carved from the base metadata's next-row-id —
+      // re-derived per retry attempt, so concurrent committers always get
+      // disjoint spans (the loser re-assigns from the winner's counter)
+      var nextRid = base.nextRowId
+      val added1 = added.map { f =>
+        if (f.content != FileContent.Data || f.firstRowId.nonEmpty) f
+        else {
+          val a = f.copy(firstRowId = Some(nextRid))
+          nextRid += math.max(0L, f.recordCount)
+          a
+        }
+      }
+      val addedManifest: Option[ManifestFileMeta] = if (added1.isEmpty) None else {
         val spec = base.spec
         val path = ManifestIO.newPath(mdir, base, io)
-        val entries = added.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
+        val entries = added1.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, f))
         Some(ManifestIO.write(io, path, entries, schema, spec))
       }
 
@@ -764,15 +777,15 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
       // split by content like ref SnapshotSummary.java:256-264: record
       // counters are per-content (a MoR DELETE of N rows must NOT raise
       // total-records by N), file sizes cover every content type
-      val addedBytes = added.map(_.fileSizeBytes).sum
-      val addedData = added.filter(_.content == FileContent.Data)
+      val addedBytes = added1.map(_.fileSizeBytes).sum
+      val addedData = added1.filter(_.content == FileContent.Data)
       val addedRecords = addedData.map(_.recordCount).sum
-      val addedDeleteFiles = added.size - addedData.size
-      val addedDeleteBytes = added.filter(_.content != FileContent.Data)
+      val addedDeleteFiles = added1.size - addedData.size
+      val addedDeleteBytes = added1.filter(_.content != FileContent.Data)
         .map(f => f.contentSize.getOrElse(f.fileSizeBytes)).sum
-      val addedPosDeletes = added.filter(f => FileContent.isPositional(f.content))
+      val addedPosDeletes = added1.filter(f => FileContent.isPositional(f.content))
         .map(_.recordCount).sum
-      val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
+      val addedEqDeletes = added1.filter(_.content == FileContent.EqualityDeletes)
         .map(_.recordCount).sum
       def carried(key: String, delta: Long): Option[(String, String)] = headSnap match {
         case None => Some(key -> delta.toString)
@@ -853,7 +866,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
 
       val snap = SnapshotMeta(snapId, headSnap.map(_.snapshotId), seq, nowMs,
         op, summary, listPath)
-      branch match {
+      (branch match {
         case Some(b) => base.copy(
           lastSequenceNumber = math.max(base.lastSequenceNumber, seq),
           lastUpdatedMillis = nowMs,
@@ -862,7 +875,7 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
           // resolves against main, like the published format spec)
           refs = base.refs.updated(b, base.refs(b).copy(snapshotId = snapId)))
         case None => base.withSnapshot(snap, nowMs)
-      }
+      }).copy(nextRowId = nextRid)
     }
     val committed = branch match {
       case Some(b) => meta.refs.get(b).flatMap(r => meta.snapshot(r.snapshotId))
@@ -1317,19 +1330,55 @@ private[graft] object Reads {
     * delete-applicability class. */
   def readTasksWithDeletes(table: IceTable, m: TableMetadata, tasks: Seq[FileScanTask],
       deletes: Seq[(DataFileMeta, Long)], projection: Seq[String], boundFilter: Expr,
-      rowPositions: Boolean, session: Option[SparkSession] = None): DataFrame = {
+      rowPositions: Boolean, session: Option[SparkSession] = None,
+      /** Add `_gf_row_id`/`_gf_last_seq` output columns: each row's stable
+        * lineage, composed from the files' materialized columns (written by
+        * preserving rewrites) with the implicit per-file fallback
+        * (commit-assigned first-row-id + position / the entry's sequence).
+        * Null when the file predates id assignment. */
+      withLineage: Boolean = false): DataFrame = {
     val spark = session.getOrElse(table.spark)
+    def lineageize(df: DataFrame): DataFrame = {
+      if (!withLineage) return df
+      // broadcast per-file lookup: (normalized path, first-row-id, seq) —
+      // metadata-sized, same discipline as the pos-delete partition lookup
+      val rows = tasks.map(t => org.apache.spark.sql.Row(
+        table.normPath(t.file.path),
+        t.file.firstRowId.map(Long.box).orNull, Long.box(t.seq)))
+      val lookup = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("_gf_lk_path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_gf_lk_first",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_gf_lk_seq",
+            org.apache.spark.sql.types.LongType))))
+      df.join(broadcast(lookup),
+          MergeOnRead.normPathCol(df(TableScan.MetaFileCol)) ===
+            lookup("_gf_lk_path"), "left")
+        .withColumn("_gf_row_id", coalesce(col("_gf_mat_rid"),
+          col("_gf_lk_first") + col(TableScan.MetaPosCol)))
+        .withColumn("_gf_last_seq",
+          coalesce(col("_gf_mat_seq"), col("_gf_lk_seq")))
+        .drop("_gf_lk_path", "_gf_lk_first", "_gf_lk_seq",
+          "_gf_mat_rid", "_gf_mat_seq")
+    }
+    val wantMeta = rowPositions || withLineage
     if (deletes.isEmpty || tasks.isEmpty) {
-      return readFiles(spark, table, m, tasks, projection, boundFilter,
-        withMeta = rowPositions)
+      val base = lineageize(readFiles(spark, table, m, tasks, projection,
+        boundFilter, withMeta = wantMeta, withLineage = withLineage))
+      return if (wantMeta && !rowPositions)
+        base.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
+      else base
     }
     val groups = groupTasksByDeletes(tasks, deletes)
-    val needMeta = rowPositions || groups.exists(_._1.exists(d =>
+    val needMeta = wantMeta || groups.exists(_._1.exists(d =>
       FileContent.isPositional(d.content)))
     val dfs = groups.map { case (applicable, group) =>
       // every branch carries the same columns so unionByName lines up
       val df = readFiles(spark, table, m, group, projection, boundFilter,
-        withMeta = needMeta)
+        withMeta = needMeta, withLineage = withLineage)
       MergeOnRead.applyDeletes(spark, m, df, applicable,
         groupPaths = group.map(t => table.normPath(t.file.path)),
         readOptions = EncryptionManagers.contentOptionsFor(
@@ -1337,19 +1386,28 @@ private[graft] object Reads {
           m.property(TableProperties.EncryptionRequired, "false").toBoolean),
         dvPositions = DeletionVectors.positionsDf(table, _))
     }
-    val out = dfs.reduce(_ unionByName _)
+    val out = lineageize(dfs.reduce(_ unionByName _))
     if (needMeta && !rowPositions) out.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
     else out
   }
 
   def readFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
       tasks: Seq[FileScanTask], projection: Seq[String], boundFilter: Expr,
-      withMeta: Boolean = false): DataFrame = {
+      withMeta: Boolean = false,
+      /** Also surface the files' MATERIALIZED lineage columns (written by
+        * preserving rewrites) as `_gf_mat_rid`/`_gf_mat_seq` — null when a
+        * file predates preservation or the format cannot express them
+        * (synthesized-position groups). Callers coalesce with the implicit
+        * per-file values; see [[readTasksWithDeletes]]. */
+      withLineage: Boolean = false): DataFrame = {
     val schema = m.schema
     val projected0 = StructType(projection.map(n => schema.struct(schema.struct.fieldIndex(n))))
-    val projected = if (!withMeta) projected0
+    val projected1 = if (!withMeta) projected0
       else projected0.add(TableScan.MetaFileCol, org.apache.spark.sql.types.StringType)
         .add(TableScan.MetaPosCol, org.apache.spark.sql.types.LongType)
+    val projected = if (!withLineage) projected1
+      else projected1.add("_gf_mat_rid", org.apache.spark.sql.types.LongType)
+        .add("_gf_mat_seq", org.apache.spark.sql.types.LongType)
     if (tasks.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], projected)
@@ -1393,9 +1451,19 @@ private[graft] object Reads {
             EncryptionManagers.PlaintextFilesAllowedKey).contains("false"))
           "org.apache.spark.sql.graft.GraftGuardedOrcFileFormat"
         else Writes.sparkFormat(format)
+      val lineageReadable = withLineage && format == "parquet"
+      val readSchema =
+        if (!lineageReadable) writeSchema.struct
+        else org.apache.spark.sql.types.StructType(writeSchema.struct.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            graft.spark.GraftReadPlanner.LineageRowIdCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            graft.spark.GraftReadPlanner.LineageSeqCol,
+            org.apache.spark.sql.types.LongType)))
       val df =
         if (!synthMeta)
-          spark.read.schema(writeSchema.struct)
+          spark.read.schema(readSchema)
             .options(readOpts)
             .format(fmtName).load(group.map(_.file.path): _*)
         else synthMetaFrame(spark, table, writeSchema, format, group,
@@ -1427,7 +1495,15 @@ private[graft] object Reads {
         else mapped ++ Seq(
           col("_metadata.file_path").as(TableScan.MetaFileCol),
           col("_metadata.row_index").as(TableScan.MetaPosCol))
-      filtered.select(withMetaCols: _*)
+      val withLineageCols =
+        if (!withLineage) withMetaCols
+        else if (lineageReadable) withMetaCols ++ Seq(
+          col(graft.spark.GraftReadPlanner.LineageRowIdCol).as("_gf_mat_rid"),
+          col(graft.spark.GraftReadPlanner.LineageSeqCol).as("_gf_mat_seq"))
+        else withMetaCols ++ Seq(
+          org.apache.spark.sql.functions.lit(null).cast("long").as("_gf_mat_rid"),
+          org.apache.spark.sql.functions.lit(null).cast("long").as("_gf_mat_seq"))
+      filtered.select(withLineageCols: _*)
     }
     dfs.reduce(_ unionByName _)
   }
@@ -1601,16 +1677,32 @@ private[table] object Writes {
       })
   }
 
+  /** Should rewrites preserve row lineage on this table? Parquet-format
+    * tables only (the default): other formats cannot reliably read the
+    * materialized columns back on the NEXT rewrite, and silently wrong
+    * ids are worse than fresh ones. */
+  private[graft] def lineagePreserve(m: TableMetadata): Boolean =
+    m.property(TableProperties.DefaultFileFormat, "parquet") == "parquet" &&
+      m.property(TableProperties.RowLineagePreserve, "true").toBoolean
+
   def writeDataFiles(spark: SparkSession, table: IceTable, m: TableMetadata,
-      df: DataFrame, overrides: Map[String, String] = Map.empty): Seq[DataFileMeta] = {
+      df: DataFrame, overrides: Map[String, String] = Map.empty,
+      /** Carry `df`'s `_gf_row_id`/`_gf_last_seq` columns into the written
+        * files as MATERIALIZED lineage (preserving rewrites). Extra
+        * physical columns are invisible to schema-projected reads; the
+        * lineage read path coalesces them over the implicit values. */
+      lineageCols: Boolean = false): Seq[DataFileMeta] = {
     val schema = m.schema
     val spec = m.spec
     // per-write option overrides (ref SparkWriteOptions) win over table props
     def prop(key: String, default: String): String =
       overrides.getOrElse(key, m.property(key, default))
     // align to table schema (names must match; types are cast)
-    val aligned = df.select(schema.struct.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val aligned = df.select((schema.struct.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq ++
+      (if (!lineageCols) Nil else Seq(
+        col(graft.spark.GraftReadPlanner.LineageRowIdCol).cast("long"),
+        col(graft.spark.GraftReadPlanner.LineageSeqCol).cast("long")))).toIndexedSeq: _*)
     val outDir = Locations.newWriteDir(table.location, m, UUID.randomUUID().toString)
     val format = prop(TableProperties.DefaultFileFormat, "parquet")
     Writes.requireEncryptionSatisfied(table, m)
@@ -1705,7 +1797,9 @@ private[table] object Writes {
           // column spec (every top-level column under the graft key)
           (table.io.encryption match {
             case _: KeyedFileEncryption =>
-              val cols = schema.columnNames
+              val cols = schema.columnNames ++
+                (if (lineageCols) Seq(graft.spark.GraftReadPlanner.LineageRowIdCol,
+                  graft.spark.GraftReadPlanner.LineageSeqCol) else Nil)
               // ',' ':' ';' delimit the spec; '.' means a NESTED path —
               // a dotted top-level name would silently key the wrong node
               cols.find(c => c.contains(",") || c.contains(":") ||

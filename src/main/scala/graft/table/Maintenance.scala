@@ -340,11 +340,13 @@ object Maintenance {
     val rangeSession = org.apache.spark.sql.graft.ColumnBridge.cloneSession(spark)
     rangeSession.conf.set("spark.sql.shuffle.partitions", nOut.toString)
     rangeSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val preserve = Writes.lineagePreserve(m)
     val df = Reads.readTasksWithDeletes(table, m,
       toRewriteEntries.map(e =>
         FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
       table.newScan().planDeletes(), m.schema.columnNames,
-      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession))
+      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession),
+      withLineage = preserve)
 
     // numeric view of a metrics bound value (internal repr per type)
     def toD(v: Any): Option[Double] = v match {
@@ -403,7 +405,8 @@ object Maintenance {
       .sortWithinPartitions("_gf_z")
     val written = Writes.writeDataFiles(spark, table, mm, clustered,
       overrides = Map(TableProperties.DistributionMode -> "none",
-        TableProperties.TargetFileSize -> targetSizeBytes.toString))
+        TableProperties.TargetFileSize -> targetSizeBytes.toString),
+      lineageCols = preserve)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Replace, written,
       toRewrite.map(_.path).toSet,
@@ -474,13 +477,19 @@ object Maintenance {
       // to STRICTLY older sequences, and a defaulted seq=0 would make every
       // delete apply — silently dropping rows a same-sequence upsert delta
       // (eq delete + data in one snapshot) legitimately kept live
+      // preserving rewrite: every surviving row carries its ORIGINAL
+      // _row_id and _last_updated_seq into the new files as materialized
+      // columns, so compaction no longer severs row identity
+      val preserve = Writes.lineagePreserve(m)
       val df = Reads.readTasksWithDeletes(table, m,
         toRewriteEntries.map(e =>
           FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
         deletes, m.schema.columnNames,
-        graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession))
+        graft.meta.expr.TrueExpr, rowPositions = false, session = Some(packSession),
+        withLineage = preserve)
       val written = Writes.writeDataFiles(spark, table, m, df,
-        overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString))
+        overrides = Map(TableProperties.TargetFileSize -> targetSizeBytes.toString),
+        lineageCols = preserve)
         .filter(_.recordCount > 0)
       table.commitSnapshot(Operation.Replace, written,
         toRewrite.map(_.path).toSet, Map("compaction" -> "bin-pack"),
@@ -528,11 +537,13 @@ object Maintenance {
     // AQE coalescing would merge the ranges back into few fat tasks
     rangeSession.conf.set("spark.sql.adaptive.enabled", "false")
     // real data sequence numbers — see rewriteDataFiles
+    val preserve = Writes.lineagePreserve(m)
     val df = Reads.readTasksWithDeletes(table, m,
       toRewriteEntries.map(e =>
         FileScanTask(e.dataFile, graft.meta.expr.TrueExpr, e.sequenceNumber)),
       table.newScan().planDeletes(), m.schema.columnNames,
-      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession))
+      graft.meta.expr.TrueExpr, rowPositions = false, session = Some(rangeSession),
+      withLineage = preserve)
     // write under the chosen order with range distribution; writeDataFiles
     // adds the local sort (partitioned tables range-shuffle on
     // partition+sort cols, unpartitioned on the sort cols alone)
@@ -554,7 +565,8 @@ object Maintenance {
       overrides = Map(
         TableProperties.DistributionMode -> (
           if (m.spec.isUnpartitioned) "none" else "range"),
-        TableProperties.TargetFileSize -> targetSizeBytes.toString))
+        TableProperties.TargetFileSize -> targetSizeBytes.toString),
+      lineageCols = preserve)
       .filter(_.recordCount > 0)
       .map(f => f.copy(sortOrderId = order.orderId))
     table.commitSnapshot(Operation.Replace, written,

@@ -316,10 +316,15 @@ object MergeOnRead {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
+    // preserving update (row lineage): the appended updated copies carry
+    // their ORIGINAL _row_id (materialized) and a NULL materialized seq —
+    // the implicit fallback then reports THIS commit's sequence, which is
+    // exactly "last updated now"
+    val preserve = Writes.lineagePreserve(m)
     val df = Reads.readTasksWithDeletes(table, m,
       tasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = true)
+      rowPositions = true, withLineage = preserve)
     val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
     val matching = df.filter(cond <=> lit(true)).cache()
     try {
@@ -327,9 +332,15 @@ object MergeOnRead {
         .select(col(TableScan.MetaFileCol).as(PosPathCol),
           col(TableScan.MetaPosCol).as(PosPosCol)), affected = Some(tasks))
       if (posFiles.isEmpty) return // no matching rows anywhere
-      val updated = RowOps.applyAssignments(schema, matching, assignments,
-        lit(true))
-      val dataFiles = Writes.writeDataFiles(table.spark, table, m, updated)
+      val updated =
+        if (!preserve) RowOps.applyAssignments(schema, matching, assignments,
+          lit(true))
+        else RowOps.applyAssignments(schema,
+          matching.withColumn("_gf_last_seq",
+            lit(null).cast("long")),
+          assignments, lit(true), keepCols = Seq("_gf_row_id", "_gf_last_seq"))
+      val dataFiles = Writes.writeDataFiles(table.spark, table, m, updated,
+          lineageCols = preserve)
         .filter(_.recordCount > 0)
       table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles, Set.empty,
         Map("position-delete-files" -> posFiles.size.toString,

@@ -51,13 +51,17 @@ private[table] object RowOps {
     val rewritten: Seq[DataFileMeta] =
       if (partial.isEmpty) Nil
       else {
+        // kept rows are UNCHANGED: a preserving rewrite carries both
+        // their id and their original last-updated sequence
+        val preserve = Writes.lineagePreserve(m)
         val df = Reads.readTasksWithDeletes(table, m,
           partial.map(_.copy(residual = TrueExpr)),
           table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-          rowPositions = false)
+          rowPositions = false, withLineage = preserve)
         val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema))
         val keep = df.filter(!(cond <=> lit(true)))
-        Writes.writeDataFiles(table.spark, table, m, keep)
+        Writes.writeDataFiles(table.spark, table, m, keep,
+            lineageCols = preserve)
           .filter(_.recordCount > 0)
       }
     val added = rewritten ++
@@ -115,11 +119,14 @@ private[table] object RowOps {
     * `cond` holds (dotted keys SET nested struct fields). Shared by the
     * copy-on-write UPDATE and the merge-on-read updated-row append. */
   private[table] def applyAssignments(schema: graft.meta.Schema, df: DataFrame,
-      assignments: Map[String, Column], cond: Column): DataFrame = {
+      assignments: Map[String, Column], cond: Column,
+      /** Extra columns carried through the projection untouched (row
+        * lineage in preserving merge-on-read updates). */
+      keepCols: Seq[String] = Nil): DataFrame = {
     // keys may be dotted paths into struct columns (nested SET)
     val byTop = assignments.groupBy(_._1.split('.').head)
     byTop.keys.foreach(k => require(schema.contains(k), s"Unknown column: $k"))
-    df.select(schema.columnNames.map { n =>
+    df.select(keepCols.map(col) ++ schema.columnNames.map { n =>
       byTop.get(n) match {
         case Some(as) =>
           val topType = schema.fieldType(schema.fieldId(n))
@@ -143,13 +150,22 @@ private[table] object RowOps {
     val bound = Binder.bind(schema, filter)
     val tasks = table.newScan().filter(filter).planFiles()
     if (tasks.isEmpty) return
+    // preserving rewrite (row lineage): unchanged rows keep id AND seq;
+    // updated rows keep id with a NULL materialized seq (inherit this
+    // commit's sequence — "last updated now")
+    val preserve = Writes.lineagePreserve(m)
     val df = Reads.readTasksWithDeletes(table, m,
       tasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = false)
+      rowPositions = false, withLineage = preserve)
     val cond = rowCond.getOrElse(SparkConv.toColumn(bound, schema)) <=> lit(true)
-    val updated = applyAssignments(schema, df, assignments, cond)
-    val written = Writes.writeDataFiles(table.spark, table, m, updated)
+    val dfL = if (!preserve) df
+      else df.withColumn("_gf_last_seq",
+        when(cond, lit(null).cast("long")).otherwise(col("_gf_last_seq")))
+    val updated = applyAssignments(schema, dfL, assignments, cond,
+      keepCols = if (preserve) Seq("_gf_row_id", "_gf_last_seq") else Nil)
+    val written = Writes.writeDataFiles(table.spark, table, m, updated,
+        lineageCols = preserve)
       .filter(_.recordCount > 0)
     table.commitSnapshot(Operation.Overwrite, written, tasks.map(_.file.path).toSet,
       extraSummary,

@@ -327,6 +327,32 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(IceTable.load(spark, s"$warehouse/db/kvecs_knn").toDF.count() === 64L)
   }
 
+  test("CALL bm25_join answers a query table through the persisted index") {
+    warehouse
+    spark.sql("CREATE TABLE gx.db.bjcorp (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO gx.db.bjcorp SELECT id, concat('alpha w', id % 7, " +
+      "' beta w', id % 3) FROM range(50)")
+    spark.sql("CALL gx.system.rebuild_bm25_index(table => 'db.bjcorp', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      s"index_location => '$warehouse/db/bjcorp_idx', n_buckets => 4)")
+    // corpus-as-queries through pure SQL: results land in a graft table
+    val out = spark.sql("CALL gx.system.bm25_join(table => 'db.bjcorp', " +
+      s"index_location => '$warehouse/db/bjcorp_idx', id_col => 'doc_id', " +
+      "text_col => 'text', k => 3, " +
+      s"output_location => '$warehouse/db/bjcorp_hits')").head()
+    assert(out.getString(0) === s"$warehouse/db/bjcorp_hits")
+    assert(out.getLong(1) === 50L * 3)
+    val res = IceTable.load(spark, s"$warehouse/db/bjcorp_hits").toDF
+    // scores are identical to the Scala queryJoin (itself pinned to
+    // query()): spot-check rank-1 hits all score at each query's max
+    val idx = graft.llm.Bm25Index.load(spark, s"$warehouse/db/bjcorp_idx")
+    val qdf = spark.table("gx.db.bjcorp")
+      .selectExpr("doc_id AS qid", "text AS qtext")
+    val direct = idx.queryJoin(qdf, "qid", "qtext", k = 3)
+    assert(res.orderBy("query_id", "rank").collect().toSeq ===
+      direct.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("CALL span_dedup rewrites the corpus into a queryable table") {
     warehouse
     spark.sql("CREATE TABLE gx.db.sddocs (doc_id BIGINT, text STRING)")
