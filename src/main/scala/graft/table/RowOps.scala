@@ -340,11 +340,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     val mor = m.property(TableProperties.MergeMode,
       TableProperties.RowLevelCopyOnWrite) == TableProperties.RowLevelMergeOnRead
 
-    // 3. join affected target rows with the source
+    // 3. join affected target rows with the source. Preserving merge (row
+    // lineage): unchanged target rows keep id+seq, updated rows keep id
+    // with a null materialized seq, inserts get fresh implicit ids
+    val preserve = Writes.lineagePreserve(m)
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = mor)
+      rowPositions = mor, withLineage = preserve)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val s0 = srcKeyed.withColumn(MergeBuilder.FromSource, lit(true))
     val s = if (!skipProbe) s0 else s0.withColumn("_gf_src_cnt",
@@ -432,9 +435,14 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
           .select(col(TableScan.MetaFileCol).as(MergeOnRead.PosPathCol),
             col(TableScan.MetaPosCol).as(MergeOnRead.PosPosCol)),
           affected = Some(affectedTasks))
+        // emitted rows are all updated-or-inserted NOW: preserved id
+        // (null for inserts), null materialized seq (inherit this commit)
         val dataFiles = Writes.writeDataFiles(spark, table, m, marked
           .filter(col(MergeBuilder.Keep))
-          .select(schema.columnNames.map(colProjection): _*))
+          .select((schema.columnNames.map(colProjection) ++ (if (!preserve) Nil
+            else Seq(col("_gf_row_id"),
+              lit(null).cast("long").as("_gf_last_seq")))): _*),
+          lineageCols = preserve)
           .filter(_.recordCount > 0)
         if (posFiles.nonEmpty || dataFiles.nonEmpty)
           table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles,
@@ -464,14 +472,25 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       when(matched && col("_gf_src_cnt") > 1,
         raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
         .otherwise(keepCol)
+    // which rows were UPDATED (fired update clause) — their materialized
+    // seq resets to null so the implicit fallback reports THIS commit
+    val updatedCol = matchedClauses.foldLeft(when(lit(false), lit(false))) {
+      (acc, c) => c match {
+        case _: UpdateClause => acc.when(clauseCond(c, matched), lit(true))
+        case _ => acc
+      }
+    }.otherwise(lit(false))
     val result = joined
       .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
-      .select(schema.columnNames.map(colProjection): _*)
+      .select((schema.columnNames.map(colProjection) ++ (if (!preserve) Nil
+        else Seq(col("_gf_row_id"),
+          when(updatedCol, lit(null)).otherwise(col("_gf_last_seq"))
+            .cast("long").as("_gf_last_seq")))): _*)
 
     // 5. write + atomic swap of the affected files
     val written = try {
-      Writes.writeDataFiles(spark, table, m, result)
+      Writes.writeDataFiles(spark, table, m, result, lineageCols = preserve)
         .filter(_.recordCount > 0)
     } catch {
       case e: Throwable if MergeBuilder.isCardinalityError(e) =>
@@ -577,10 +596,11 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
     // (_gf_file, _gf_pos) identity — DETERMINISTIC across task retries for
     // every format (parquet reads the row-index column; ORC/Avro positions
     // are synthesized whole-file ordinals, stable per file)
+    val preserve = Writes.lineagePreserve(m)
     val affected = Reads.readTasksWithDeletes(table, m,
       affectedTasks.map(_.copy(residual = TrueExpr)),
       table.newScan().planDeletes(), schema.columnNames, TrueExpr,
-      rowPositions = mor || skipProbe)
+      rowPositions = mor || skipProbe, withLineage = preserve)
     val t = affected.withColumn(MergeBuilder.FromTarget, lit(true))
     val ridCols: Seq[Column] =
       Seq(col(TableScan.MetaFileCol), col(TableScan.MetaPosCol))
@@ -682,7 +702,10 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
           affected = Some(affectedTasks))
         val dataFiles = Writes.writeDataFiles(spark, table, m, marked
           .filter(col(MergeBuilder.Keep))
-          .select(schema.columnNames.map(colProjection): _*))
+          .select((schema.columnNames.map(colProjection) ++ (if (!preserve) Nil
+            else Seq(col("_gf_row_id"),
+              lit(null).cast("long").as("_gf_last_seq")))): _*),
+          lineageCols = preserve)
           .filter(_.recordCount > 0)
         if (posFiles.nonEmpty || dataFiles.nonEmpty)
           table.commitSnapshot(Operation.Overwrite, posFiles ++ dataFiles,
@@ -707,13 +730,25 @@ final class MergeBuilder private[table] (table: IceTable, source: DataFrame,
       when(col("_gf_card_cnt") > 1,
         raise_error(lit(MergeBuilder.CardinalityMsg)).cast("boolean"))
         .otherwise(keepCol)
+    // seq resets for rows a fired UPDATE (matched or by-source) changed
+    val updatedCol = (matchedClauses ++ bySourceClauses)
+      .foldLeft(when(lit(false), lit(false))) { (acc, c) =>
+        c match {
+          case UpdateClause(_, _, by) =>
+            acc.when(clauseCond(c, if (by) targetOnly else matched), lit(true))
+          case _ => acc
+        }
+      }.otherwise(lit(false))
     val result = joined
       .withColumn(MergeBuilder.Keep, keepGuarded)
       .filter(col(MergeBuilder.Keep))
-      .select(schema.columnNames.map(colProjection): _*)
+      .select((schema.columnNames.map(colProjection) ++ (if (!preserve) Nil
+        else Seq(col("_gf_row_id"),
+          when(updatedCol, lit(null)).otherwise(col("_gf_last_seq"))
+            .cast("long").as("_gf_last_seq")))): _*)
 
     val written = try {
-      Writes.writeDataFiles(spark, table, m, result)
+      Writes.writeDataFiles(spark, table, m, result, lineageCols = preserve)
         .filter(_.recordCount > 0)
     } catch {
       case e: Throwable if MergeBuilder.isCardinalityError(e) =>

@@ -151,6 +151,43 @@ class RowLineageSpec extends AnyFunSuite {
     da.foreach { case (k, (id, seq)) => assert((id, seq) === db(k)) }
   }
 
+  test("preserving MERGE: CoW and MoR keep ids; inserts mint fresh ones") {
+    val wh = freshCatalog("rl6")
+    for ((name, props) <- Seq(
+        ("c", ""),
+        ("mr", " TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')"))) {
+      spark.sql(s"CREATE TABLE rl6.db.$name (k BIGINT, v STRING)$props")
+      spark.sql(s"INSERT INTO rl6.db.$name SELECT id, concat('v', id) FROM range(60)")
+      def state() = spark.sql(
+        s"SELECT k, _row_id, _last_updated_seq FROM rl6.db.$name")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val before = state()
+      // updates k in [0, 10), deletes k in [10, 15), inserts k in [60, 65)
+      spark.sql(s"""MERGE INTO rl6.db.$name t USING (
+        SELECT id AS k, concat('new', id) AS v FROM range(65) WHERE id < 15 OR id >= 60
+        ) s ON t.k = s.k
+        WHEN MATCHED AND s.k < 10 THEN UPDATE SET v = s.v
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *""")
+      val after = state()
+      assert(after.size === 60, s"$name: ${after.size}")
+      after.foreach { case (k, (id, seq)) =>
+        if (k < 60) {
+          assert(id === before(k)._1, s"$name: row $k changed id across MERGE")
+          if (k < 10) assert(seq > before(k)._2, s"$name: updated row $k kept seq")
+          else assert(seq === before(k)._2, s"$name: untouched row $k seq moved")
+        }
+      }
+      // inserted rows: fresh ids, unique table-wide
+      val insertedIds = after.filter(_._1 >= 60).values.map(_._1).toSet
+      assert(insertedIds.size === 5)
+      assert(insertedIds.intersect(before.values.map(_._1).toSet).isEmpty,
+        s"$name: an insert reused a retired or live id")
+      val allIds = after.values.map(_._1).toSeq
+      assert(allIds.distinct.size === allIds.size, s"$name: duplicate ids")
+    }
+  }
+
   test("lineage on multi-file, filtered, and non-parquet scans") {
     freshCatalog("rl3")
     spark.sql("CREATE TABLE rl3.db.t (k BIGINT, grp INT, v STRING)")
