@@ -835,6 +835,27 @@ object CoreQueries {
       graft.table.Maintenance.rewriteDataFiles(tbl, minInputFiles = 1)
       s.sql("DELETE FROM gq48.db.t WHERE k < 100")
       s.sql("SELECT k, seg, bal, _row_id AS row_id FROM gq48.db.t ORDER BY k")
+    }),
+
+    // Q49 changelog with row ids (r13): a CoW UPDATE's changelog pairs the
+    // delete(old)/insert(new) rows by the row's STABLE lineage id — DuckDB
+    // replays both rows per updated key with row_number() as the id, which
+    // only matches if preservation carried identities through the rewrite
+    "q49_changelog_row_ids" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q49").toString
+      s.conf.set("spark.sql.catalog.gq49", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq49.warehouse", tmp)
+      t(s, d, "supplier").createOrReplaceTempView("q49_supplier")
+      s.sql("CREATE TABLE gq49.db.t (k BIGINT, bal DOUBLE)")
+      s.sql("INSERT INTO gq49.db.t SELECT /*+ COALESCE(1) */ " +
+        "s_suppkey, round(s_acctbal, 2) FROM q49_supplier ORDER BY s_suppkey")
+      val tbl = graft.table.IceTable.load(s, s"$tmp/db/t")
+      val snap1 = tbl.currentSnapshot.get.snapshotId
+      s.sql("UPDATE gq49.db.t SET bal = round(bal + 1.5, 2) WHERE k % 9 = 0")
+      graft.table.IceTable.load(s, s"$tmp/db/t")
+        .changelog(Some(snap1), None, withRowIds = true)
+        .selectExpr("k", "bal", "_change_type AS change", "_row_id AS row_id")
+        .orderBy("row_id", "change")
     })
   )
 
@@ -1057,6 +1078,13 @@ object CoreQueries {
       ("SELECT c_custkey AS k, c_nationkey AS nk, round(c_acctbal, 2) AS bal " +
         "FROM customer WHERE c_nationkey <> 3 AND round(c_acctbal, 2) <= 9000.0 " +
         "ORDER BY c_custkey"),
+    "q49_changelog_row_ids" ->
+      ("WITH base AS (SELECT s_suppkey AS k, round(s_acctbal, 2) AS bal, " +
+        "row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id FROM supplier), " +
+        "u AS (SELECT * FROM base WHERE k % 9 = 0) " +
+        "SELECT k, bal, 'delete' AS change, row_id FROM u " +
+        "UNION ALL SELECT k, round(bal + 1.5, 2) AS bal, 'insert' AS change, " +
+        "row_id FROM u ORDER BY row_id, change"),
     "q48_row_lineage" ->
       ("WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg0, " +
         "round(c_acctbal, 2) AS bal, " +

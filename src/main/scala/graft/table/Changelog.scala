@@ -58,14 +58,25 @@ object Changelog {
   val Insert = "insert"
   val Delete = "delete"
 
-  def changes(table: IceTable, fromId: Option[Long], toId: Option[Long]): DataFrame = {
+  /** `withRowIds` appends a nullable `_row_id` column: each change row's
+    * STABLE identity (row lineage), so a CDC consumer can pair an UPDATE's
+    * delete+insert rows exactly instead of by value. Populated only when
+    * the table runs preserving rewrites ([[Writes.lineagePreserve]]) —
+    * without preservation a copy-on-write rewrite re-ids copied rows, and
+    * ids in the carryover-cancellation EXCEPT would fabricate phantom
+    * delete/insert pairs; the column is all-null there instead. */
+  def changes(table: IceTable, fromId: Option[Long], toId: Option[Long],
+      withRowIds: Boolean = false): DataFrame = {
     val spark = table.spark
     val m = table.meta
     val schema = m.schema
-    val outType = schema.struct
+    val withLin = withRowIds && Writes.lineagePreserve(m)
+    val outType0 = schema.struct
       .add(ChangeTypeCol, StringType, nullable = false)
       .add(SnapshotIdCol, LongType, nullable = false)
       .add(OrdinalCol, IntegerType, nullable = false)
+    val outType = if (!withRowIds) outType0
+      else outType0.add(graft.spark.GraftSparkTable.RowIdCol, LongType)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outType)
 
@@ -138,17 +149,28 @@ object Changelog {
         val addedDeletes = (curDeletes -- prevDeletes.keySet).values.toSeq
         val parentDeletes = prevDeletes.values.toSeq
 
+        // lineage plumbing: frames read with `_gf_row_id` composed from
+        // materialized + implicit values, surfaced as the output `_row_id`
+        def rid(df: DataFrame): DataFrame =
+          if (withLin) df.withColumnRenamed("_gf_row_id",
+              graft.spark.GraftSparkTable.RowIdCol)
+            .drop("_gf_last_seq")
+          else if (withRowIds) df.withColumn(
+            graft.spark.GraftSparkTable.RowIdCol, lit(null).cast("long"))
+          else df
         // inserts: rows of freshly added data files, read plain
         val addedDf = if (addedData.isEmpty) None else {
           val tasks = addedData.map { case (f, seq) => FileScanTask(f, TrueExpr, seq) }
-          Some(Reads.readFiles(spark, table, m, tasks,
-            schema.columnNames, TrueExpr))
+          Some(rid(Reads.readTasksWithDeletes(table, m, tasks, Nil,
+            schema.columnNames, TrueExpr, rowPositions = false,
+            withLineage = withLin)))
         }
         // deletes: rows of removed data files, at parent visibility
         val removedDf = if (removedData.isEmpty) None else {
           val tasks = removedData.map { case (f, seq) => FileScanTask(f, TrueExpr, seq) }
-          Some(Reads.readTasksWithDeletes(table, m, tasks,
-            parentDeletes, schema.columnNames, TrueExpr, rowPositions = false))
+          Some(rid(Reads.readTasksWithDeletes(table, m, tasks,
+            parentDeletes, schema.columnNames, TrueExpr, rowPositions = false,
+            withLineage = withLin)))
         }
         // carryover removal (ref later ChangelogIterator semantics): a CoW
         // rewrite copies every untouched row into the new file — without
@@ -167,7 +189,8 @@ object Changelog {
         // deletes: rows suppressed by freshly added delete files,
         // reconstituted from the referenced data files at parent visibility
         if (addedDeletes.nonEmpty)
-          branches ++= deleteFileRows(table, m, addedDeletes, prevData, parentDeletes)
+          branches ++= deleteFileRows(table, m, addedDeletes, prevData,
+            parentDeletes, withRowIds, withLin)
             .map(stamp(_, Delete))
         ord += 1
       }
@@ -192,9 +215,17 @@ object Changelog {
   private def deleteFileRows(table: IceTable, m: TableMetadata,
       addedDeletes: Seq[(DataFileMeta, Long)],
       parentData: Map[String, (DataFileMeta, Long)],
-      parentDeletes: Seq[(DataFileMeta, Long)]): Seq[DataFrame] = {
+      parentDeletes: Seq[(DataFileMeta, Long)],
+      withRowIds: Boolean = false, withLin: Boolean = false): Seq[DataFrame] = {
     val spark = table.spark
     val schema = m.schema
+    def rid(df: DataFrame): DataFrame =
+      if (withLin) df.withColumnRenamed("_gf_row_id",
+          graft.spark.GraftSparkTable.RowIdCol)
+        .drop("_gf_last_seq")
+      else if (withRowIds) df.withColumn(
+        graft.spark.GraftSparkTable.RowIdCol, lit(null).cast("long"))
+      else df
     val posFiles = addedDeletes.filter(_._1.content == FileContent.PositionDeletes)
     val dvFiles = addedDeletes.filter(_._1.content == FileContent.DeletionVectors)
     val eqFiles = addedDeletes.filter(_._1.content == FileContent.EqualityDeletes)
@@ -256,8 +287,9 @@ object Changelog {
 
     var out = Seq.empty[DataFrame]
     if (posCandidates.nonEmpty) {
-      val visible = Reads.readTasksWithDeletes(table, m, posCandidates,
-        parentDeletes, schema.columnNames, TrueExpr, rowPositions = true)
+      val visible = rid(Reads.readTasksWithDeletes(table, m, posCandidates,
+        parentDeletes, schema.columnNames, TrueExpr, rowPositions = true,
+        withLineage = withLin))
       var matched = Seq.empty[DataFrame]
       posTuples.foreach { pos =>
         // normalized on both sides: parquet tuples store file_path verbatim,
@@ -275,8 +307,9 @@ object Changelog {
       out :+= merged.drop(TableScan.MetaFileCol, TableScan.MetaPosCol)
     }
     if (eqOnlyCandidates.nonEmpty) {
-      val visible = Reads.readTasksWithDeletes(table, m, eqOnlyCandidates,
-        parentDeletes, schema.columnNames, TrueExpr, rowPositions = false)
+      val visible = rid(Reads.readTasksWithDeletes(table, m, eqOnlyCandidates,
+        parentDeletes, schema.columnNames, TrueExpr, rowPositions = false,
+        withLineage = withLin))
       out ++= eqMatches(visible)
     }
     out

@@ -412,8 +412,9 @@ final class IceTable private (val spark: SparkSession, val ops: TableOps)
     * columns plus `_change_type`/`_commit_snapshot_id`/`_change_ordinal`.
     * `fromId = None` starts from the table's beginning; `toId = None` ends at
     * the current snapshot. See [[Changelog]] for semantics. */
-  def changelog(fromId: Option[Long] = None, toId: Option[Long] = None): DataFrame =
-    Changelog.changes(this, fromId, toId)
+  def changelog(fromId: Option[Long] = None, toId: Option[Long] = None,
+      withRowIds: Boolean = false): DataFrame =
+    Changelog.changes(this, fromId, toId, withRowIds)
 
   /** The data files appended in (fromId, toId] (planning half of
     * [[appendsBetween]]; also the micro-batch planner's input). */

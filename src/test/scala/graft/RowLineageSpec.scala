@@ -188,6 +188,40 @@ class RowLineageSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog withRowIds: updates pair by stable id; MoR and CoW agree") {
+    val wh = freshCatalog("rl7")
+    for ((name, props) <- Seq(
+        ("c", ""),
+        ("mr", " TBLPROPERTIES ('write.update.mode' = 'merge-on-read'," +
+          " 'write.delete.mode' = 'merge-on-read')"))) {
+      spark.sql(s"CREATE TABLE rl7.db.$name (k BIGINT, v STRING)$props")
+      spark.sql(s"INSERT INTO rl7.db.$name SELECT /*+ COALESCE(1) */ id, " +
+        "concat('v', id) FROM range(30) ORDER BY id")
+      val t = IceTable.load(spark, s"$wh/db/$name")
+      val snap1 = t.currentSnapshot.get.snapshotId
+      val idsBefore = spark.sql(s"SELECT k, _row_id FROM rl7.db.$name")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sql(s"UPDATE rl7.db.$name SET v = 'changed' WHERE k IN (3, 7)")
+      spark.sql(s"DELETE FROM rl7.db.$name WHERE k = 9")
+      val ch = IceTable.load(spark, s"$wh/db/$name")
+        .changelog(Some(snap1), None, withRowIds = true)
+        .select("k", "v", "_change_type", "_row_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // update = delete(old)+insert(new) SHARING the row's stable id
+      for (k <- Seq(3L, 7L)) {
+        val rows = ch.filter(_._1 == k).sortBy(_._3)
+        assert(rows.map(_._3).toSeq === Seq("delete", "insert"), s"$name k=$k: ${rows.toSeq}")
+        assert(rows.forall(_._4 === idsBefore(k)),
+          s"$name k=$k: changelog ids diverge from the row's identity")
+        assert(rows.map(_._2).toSet === Set(s"v$k", "changed"))
+      }
+      // plain delete carries the retired id; nothing else changed
+      val del9 = ch.filter(_._1 == 9L)
+      assert(del9.toSeq === Seq((9L, "v9", "delete", idsBefore(9L))), s"$name")
+      assert(ch.length === 5, s"$name: ${ch.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("lineage on multi-file, filtered, and non-parquet scans") {
     freshCatalog("rl3")
     spark.sql("CREATE TABLE rl3.db.t (k BIGINT, grp INT, v STRING)")
