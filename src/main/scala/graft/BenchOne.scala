@@ -63,6 +63,23 @@ object BenchOne {
       "q1_full_scan" -> (() => runQuery("q1_full_scan", "q1_scan_project")),
       "q4_pruned_read" -> (() => runQuery("q4_pruned_read", "q4_metrics_prune")),
       "q20_join_agg" -> (() => runQuery("q20_join_agg", "q20_join_agg")),
+      // the pre-r13 q20 shape (no build-side hints), kept for A/B runs on
+      // the same machine conditions
+      "q20_old" -> (() => {
+        val c = Tables.load(spark, sfDir, "customer")
+        val o = Tables.load(spark, sfDir, "orders")
+        val l = li
+        val n = Tables.load(spark, sfDir, "nation")
+        val q = c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+            .cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+        run("q20_old", 2, 5)(() => time(consume(q)))
+      }),
       "q10_merge_shape" -> (() => runQuery("q10_merge_shape", "q10_merge_shape")),
       "llm_minhash_dedup" -> (() => runQuery("llm_minhash_dedup", "llm_dedup_minhash")),
       "llm_ann_topk" -> (() => runQuery("llm_ann_topk", "llm_ann_topk")),
@@ -116,6 +133,48 @@ object BenchOne {
       }),
       "llm_span_dedup" -> (() => run("llm_span_dedup", 1, 3)(() => time(consume(
         graft.llm.TextOps.removeDuplicatedSpans(docsDf, "doc_id", "text", 3))))),
+      // the pre-r13 span-dedup shape (per-token anti-join + collect_list
+      // reassembly), kept for A/B runs on the same machine conditions
+      "llm_span_dedup_old" -> (() => {
+        import org.apache.spark.sql.Column
+        def let(v: Column)(body: Column => Column): Column =
+          element_at(transform(array(v), body), 1)
+        val n = 3; val minDocs = 2; val sep = " "
+        val idCol = "doc_id"; val textCol = "text"
+        val toks = docsDf.select(col(idCol),
+          graft.llm.TextOps.tokens(col(textCol)).as("_gf_t"))
+        val pos = toks.select(col(idCol), posexplode(let(col("_gf_t")) { t =>
+          when(size(t) >= n, transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(sep, slice(t, i + 1, lit(n))))).otherwise(array())
+        }).as(Seq("_gf_p", "_gf_g")))
+        val dup = docsDf.select(col(idCol),
+            explode(graft.llm.TextOps.shingles(col(textCol), n)).as("_gf_g"))
+          .groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
+          .where(col("_gf_dn") >= minDocs).select("_gf_g")
+        val covered = pos.join(dup, "_gf_g")
+          .select(col(idCol), explode(sequence(col("_gf_p"),
+            col("_gf_p") + lit(n - 1))).as("_gf_i"))
+          .distinct()
+        val indexed = toks.select(col(idCol),
+          posexplode(col("_gf_t")).as(Seq("_gf_i", "_gf_tok")))
+        val kept = indexed.join(covered, Seq(idCol, "_gf_i"), "left_anti")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("_gf_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("_gf_i"), col("_gf_tok")))),
+              s => s.getField("_gf_tok")), sep).as("_gf_text"))
+        val q = toks.select(col(idCol), size(col("_gf_t")).cast("long").as("n_tokens"))
+          .join(kept, Seq(idCol), "left")
+          .select(col(idCol), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("_gf_kept"), lit(0L))).as("removed_tokens"),
+            coalesce(col("_gf_text"), lit("")).as(textCol))
+        run("llm_span_dedup_old", 1, 3)(() => time(consume(q)))
+        // parity pin for the A/B: the two shapes must agree row-for-row
+        val newDf = graft.llm.TextOps.removeDuplicatedSpans(
+          docsDf, "doc_id", "text", 3)
+        val diff = newDf.exceptAll(q).count() + q.exceptAll(newDf).count()
+        println(s"[benchone] span_dedup old-vs-new exceptAll diff=$diff (0 = identical)")
+      }),
       "llm_extract" -> (() => {
         val htmlCol = concat(
           lit("<html><head><title>T</title><style>p { color: red; }</style>" +

@@ -180,7 +180,13 @@ object CoreQueries {
           round(col("p_retailprice") * 0.9, 2).as("disc"))
     }),
 
-    // Q20 multi-way join + agg (TPC-H-ish pricing summary); nation broadcast
+    // Q20 multi-way join + agg (TPC-H-ish pricing summary); nation broadcast.
+    // r13 optimization round: measured the alternative (explicit broadcast
+    // hints streaming lineitem with customer⋈orders as the build side) at
+    // 5.18 s vs 5.34 s on identical machine conditions — noise-level — and
+    // the hint is scale-hostile (a forced broadcast of customer⋈orders at
+    // 100 TB OOMs where the planner's own estimate-driven choice degrades
+    // to SMJ), so the estimate-driven plan is kept deliberately.
     "q20_join_agg" -> ((s, d) => {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")

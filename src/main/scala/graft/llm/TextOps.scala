@@ -672,14 +672,18 @@ object TextOps {
     * adjacent n-grams across a cut, so a second pass may find stragglers —
     * same as suffix-array dedup, which also iterates to a fixed point.
     *
-    * Scale shape: the heavy exchange is the POSITIONAL n-gram table (one
-    * row per token, not per distinct gram); the duplicated-gram set comes
-    * from the same distinct-shingle count [[duplicatedTextFraction]] uses
-    * (map-side combine, count == distinct docs) and is small for any sane
-    * `minDocs`, so AQE broadcasts it into the position join. Covered-index
-    * expansion is n rows per HIT (hits are rare in clean corpora), and
-    * reassembly's per-group state is one document's tokens — the
-    * [[dropRepeatedPassages]] shape throughout. At extreme scale set
+    * Scale shape (r13 optimization round): NOTHING corpus-sized is ever
+    * exchanged. The positional n-gram table is generated and immediately
+    * joined against the (small, AQE-broadcast) duplicated-gram set — only
+    * the HIT rows (duplicated-gram occurrences, rare in clean corpora)
+    * survive into a per-document `collect_list` of start positions, so the
+    * only data-bearing exchanges carry (gram, count) partial aggregates and
+    * hit positions. Covered-index expansion, survivor filtering and
+    * reassembly all happen INSIDE the document row (interval expansion +
+    * `array_except` over positional indices — hash-set build over the
+    * covered set, one linear scan of the token array); the previous shape
+    * shuffled one row per TOKEN into a collect_list reassembly, which at
+    * 100 TB is the whole corpus through one exchange. At extreme scale set
     * `hashGrams = true`: both the positional table and the duplicated-gram
     * set exchange 64-bit xxhash keys instead of gram strings (identical
     * output modulo xxhash64 collisions — a collision can only OVER-remove,
@@ -730,26 +734,37 @@ object TextOps {
           else shingles(col(textCol), n)).as("_gf_g")))
       .groupBy("_gf_g").agg(count(lit(1)).as("_gf_dn"))
       .where(col("_gf_dn") >= minDocs).select("_gf_g")
-    // covered token indices: each duplicated-gram OCCURRENCE covers
-    // [p, p+n-1]; the distinct set is the interval union
-    val covered = pos.join(dup, "_gf_g")
-      .select(col(idCol), explode(sequence(col("_gf_p"),
-        col("_gf_p") + lit(n - 1))).as("_gf_i"))
-      .distinct()
-    val indexed = toks.select(col(idCol),
-      posexplode(col("_gf_t")).as(Seq("_gf_i", "_gf_tok")))
-    val kept = indexed.join(covered, Seq(idCol, "_gf_i"), "left_anti")
+    // duplicated-gram OCCURRENCE start positions, one small row per
+    // AFFECTED document (hits are rare in clean corpora; a wholly-
+    // duplicated doc contributes one int per token — still bounded by the
+    // doc, never by the corpus)
+    val hits = pos.join(dup, "_gf_g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_gf_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("_gf_i"), col("_gf_tok")))),
-          s => s.getField("_gf_tok")), sep).as("_gf_text"))
-    toks.select(col(idCol), size(col("_gf_t")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
+      .agg(collect_list(col("_gf_p")).as("_gf_hits"))
+    // survivor filter + reassembly inside the document row: expand each hit
+    // to its covered interval [p, p+n-1], take the interval union
+    // (array_distinct), and keep the tokens at positions NOT covered —
+    // array_except builds a hash set over the covered indices and preserves
+    // the ascending order of the position sequence, so the rejoin is in
+    // document order with no per-token exchange and no collect_list
+    toks.join(hits, Seq(idCol), "left")
+      .select(col(idCol), size(col("_gf_t")).cast("long").as("n_tokens"),
+        bound(coalesce(col("_gf_t"),
+          array().cast("array<string>"))) { t =>
+          bound(transform(array_except(
+              when(size(t) >= 1, sequence(lit(0), size(t) - 1))
+                .otherwise(array().cast("array<int>")),
+              array_distinct(flatten(transform(
+                coalesce(col("_gf_hits"), array().cast("array<int>")),
+                p => sequence(p, p + lit(n - 1)))))),
+            i => element_at(t, i + 1))) { keptToks =>
+            struct(size(keptToks).cast("long").as("_gf_kept"),
+              array_join(keptToks, sep).as("_gf_text"))
+          }
+        }.as("_gf_k"))
       .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("_gf_kept"), lit(0L)))
-          .as("removed_tokens"),
-        coalesce(col("_gf_text"), lit("")).as(textCol))
+        (col("n_tokens") - col("_gf_k._gf_kept")).as("removed_tokens"),
+        col("_gf_k._gf_text").as(textCol))
   }
 
   /** [[removeDuplicatedSpans]] to a FIXED POINT: removal can create new
