@@ -381,8 +381,15 @@ object TextOps {
     * no corpus-sized exchange at all) measured 8.4 s vs this shape's
     * 5.6 s at 500k docs and tied at 5M — one pruned scan plus one
     * token-array exchange beats two scans on measured hardware; revisit
-    * on a cluster where network shuffle dominates storage reads. Per-(query, doc) partial sums aggregate
-    * map-side; the final ranking is the bounded top-k aggregate
+    * on a cluster where network shuffle dominates storage reads. The
+    * barrier exchange is load-bearing, not only an optimizer fence: its
+    * doc-id partitioning satisfies the tf AND score aggregations'
+    * clustering, so neither re-shuffles — an r13 A/B that swapped it for
+    * a persist-based barrier (BenchOne llm_bm25 vs llm_bm25_persistbar,
+    * warm-JIT pass, identical output) measured 0.497 s (exchange) vs
+    * 0.543 s (persist) at sf0.1 and was rejected. Per-(query, doc)
+    * partial sums aggregate map-side; the final ranking is the bounded
+    * top-k aggregate
     * ([[Similarity.topKPerQuery]] — no window, no full sort). Scores are
     * rounded to 4 decimals before ranking (cross-engine libm discipline;
     * rank ties break on doc id).
