@@ -97,6 +97,23 @@ object BenchOne {
             .whenMatchedUpdateAll().execute())
         }
       }),
+      // quantifies the dynamic-file-filter probe's share of cow_merge
+      // (OPTIMIZATION_r13 "Not yet optimized" #2): same merge with the
+      // probe forced OFF (threshold above the file count; the cardinality
+      // guard rides the rewrite join's window count instead). At the bench
+      // shape the source touches every file, so the probe excludes nothing
+      // — its cost here is the pure price of the extra key-only pass.
+      "cow_merge_noprobe" -> (() => {
+        val src = li.limit((li.count() / 10).toInt)
+          .withColumn("l_quantity", col("l_quantity") + 1)
+          .dropDuplicates("l_orderkey", "l_linenumber")
+        run("cow_merge_noprobe", 0, 3) { () =>
+          val t = fresh(); t.append(li)
+          t.updateProperties(Map("write.merge.probe.min-files" -> "1000000"))
+          time(t.merge(src, Seq("l_orderkey", "l_linenumber"))
+            .whenMatchedUpdateAll().execute())
+        }
+      }),
       "compaction" -> (() => run("compaction", 0, 3) { () =>
         val t = fresh()
         t.append(li)
@@ -323,6 +340,22 @@ object BenchOne {
           s"3 terms -> ${plannedFor("hash", "join", "merge")}, " +
           s"bench batch (9 terms) -> ${plannedFor("hash", "join", "merge",
             "fast", "scan", "filter", "customer", "order", "data")}")
+      }),
+      // diagnostic: llm_ngram_lm's INITIAL plan computes the target-slice
+      // unigram count table twice (two identical scan→explode→agg→exchange
+      // subtrees feeding the w1/w2 backoff joins). This checks whether AQE
+      // stage reuse actually collapses them at runtime (the committed
+      // plans/r13 dumps are initial plans and cannot show it).
+      "ngram_reuse_check" -> (() => {
+        val df = SparkEntry.queries("llm_ngram_lm")(spark, sfDir)
+        df.collect() // execute THIS QueryExecution (a noop write would spawn its own)
+        val plan = df.queryExecution.executedPlan.toString
+        def n(p: String) = p.r.findAllIn(plan).size
+        println(s"[benchone] ngram_lm executed plan: " +
+          s"ReusedExchange=${n("ReusedExchange")} " +
+          s"ShuffleQueryStage=${n("ShuffleQueryStage")} " +
+          s"BroadcastQueryStage=${n("BroadcastQueryStage")} " +
+          s"Scan parquet=${n("Scan parquet")}")
       }),
       "ann_probes" -> (() => {
         graft.llm.IvfIndex.build(spark, embs, "vec_id", "embedding",
