@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract: sbt's default LoggedOutput prefixes
+// forked-run stdout with "[info] ", which made the driver's parser reject
+// the {"metric":"total",...} line in EVERY round so far (BENCH_r01..r13 all
+// carry parsed:null). StdoutOutput passes the child's stdout through
+// verbatim. Bench also writes the same JSON to BENCH_LAST.json as a second
+// channel no capture window can lose.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -387,7 +387,14 @@ object Bench {
     // tail keeps it whole; the detail line carries samples/gc/reruns and
     // deliberately contains no "metric" key.
     println(s"""{"bench_detail":{"samples":$samples,"gc_secs":$gcSecs,"reruns":$reruns}}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"preceded_by":$preceded,"sf":"$sfDir"}""")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"preceded_by":$preceded,"sf":"$sfDir"}"""
+    println(compact)
+    // belt-and-braces second channel (r13 verdict item 2): the same compact
+    // JSON written to a file, so no stdout capture window can lose it
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (compact + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -856,7 +856,13 @@ object GraftReadPlanner {
         graft.table.PlaintextEncryptionManager,
       /** Data sequence number per file path — only needed when lineage
         * metadata columns are requested. */
-      seqs: Map[String, Long] = Map.empty): Planned = {
+      seqs: Map[String, Long] = Map.empty,
+      /** Per-slice open-cost weight override (bytes). Internal rewrite reads
+        * pass the calling session's `spark.sql.files.openCostInBytes` so the
+        * read-side bin-packing matches the V1 route they replaced (binPack
+        * compaction packs with open cost 0: each task carries ~target BYTES
+        * of small files, not target-minus-padding). */
+      openCostOverride: Option[Long] = None): Planned = {
     if (files.isEmpty) return Planned(Array.empty, columnar = false)
     val schema = m.schema
     val inject = m.property(TableProperties.InjectPartitionConstants, "false").toBoolean
@@ -1027,8 +1033,9 @@ object GraftReadPlanner {
     // build readers; if any format declines batch output, fall back to rows
     val emitTypes: Array[DataType] = if (outCols == null) null
       else names.map(n => schema.fieldType(schema.fieldId(n))).toArray[DataType]
-    val openCost = m.property(TableProperties.SplitOpenFileCost,
-      TableProperties.SplitOpenFileCostDefault.toString).toLong
+    val openCost = openCostOverride.getOrElse(
+      m.property(TableProperties.SplitOpenFileCost,
+        TableProperties.SplitOpenFileCostDefault.toString).toLong)
     val lookback = math.max(1, m.property(TableProperties.SplitLookback,
       TableProperties.SplitLookbackDefault.toString).toInt)
     // encrypted reads need the table's manager on the scan options — avro
@@ -1185,7 +1192,16 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     appendsRange: Option[(Long, Long)] = None,
     outCols: Array[Int] = null,
     appendsEndExplicit: Boolean = false,
-    sample: Option[(Double, Long)] = None)
+    sample: Option[(Double, Long)] = None,
+    /** Internal (rewrite reads): scan exactly these tasks instead of
+      * planning from the snapshot — compaction/merge rewrites read a
+      * SPECIFIC file set (bin-pack selection, probe-matched files) through
+      * the native readers so row lineage comes out of the scan as per-slice
+      * constants instead of a post-scan lookup on every row. */
+    explicitTasks: Option[Seq[FileScanTask]] = None,
+    /** Internal: open-cost weight for task packing (see
+      * [[GraftReadPlanner.plan]]). */
+    openCostOverride: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1227,7 +1243,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
     }
 
   private def tasks: Seq[FileScanTask] = synchronized {
-    if (cachedTasks == null) cachedTasks = capByLimit(newGraftScan().planFiles())
+    if (cachedTasks == null) cachedTasks =
+      explicitTasks.getOrElse(capByLimit(newGraftScan().planFiles()))
     cachedTasks
   }
 
@@ -1469,7 +1486,8 @@ final class GraftBatchScan(val table: IceTable, filter: GExpr,
           deletes = applicable, outCols = outCols,
           encryption = table.io.encryption,
           seqs = if (!wantLineage) Map.empty
-            else group.map(t => t.file.path -> t.seq).toMap)
+            else group.map(t => t.file.path -> t.seq).toMap,
+          openCostOverride = openCostOverride)
       }
       cachedPlan = GraftReadPlanner.Planned(
         planned.flatMap(_.partitions).toArray,

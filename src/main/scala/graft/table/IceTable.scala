@@ -1313,6 +1313,12 @@ private[graft] object Reads {
     * only costs some extra no-op anti-join probes. */
   private[graft] val MaxDeleteGroups = 64
 
+  /** Above this many tasks a lineage read attaches per-file implicit lineage
+    * via broadcast join instead of a literal-map lookup: `element_at` on a
+    * constant map scans keys linearly per row, so the literal route is only
+    * right when the rewrite set is small (the common compaction batch). */
+  private[graft] val MaxLineageLiteralTasks = 64
+
   private[graft] def groupTasksByDeletes(tasks: Seq[FileScanTask],
       deletes: Seq[(DataFileMeta, Long)]): Seq[(Seq[DataFileMeta], Seq[FileScanTask])] = {
     def grouped(applies: ((DataFileMeta, Long), FileScanTask) => Boolean) =
@@ -1339,31 +1345,109 @@ private[graft] object Reads {
         * Null when the file predates id assignment. */
       withLineage: Boolean = false): DataFrame = {
     val spark = session.getOrElse(table.spark)
+    // Native lineage route: every lineage read (rewrites, CoW/MoR merges,
+    // changelog withRowIds) scans its EXPLICIT task set through the DSv2
+    // batch readers, which emit _row_id/_last_updated_seq as per-slice
+    // CONSTANTS — materialized columns win, else commit-assigned
+    // first-row-id + position / the entry's sequence; the same semantics
+    // as lineageize below, computed where both inputs are already known
+    // instead of looked up per row above the scan (the r13 driver bench
+    // had compaction +52% from that lookup). Split size and open cost
+    // mirror Spark's own FilePartition.maxSplitBytes inputs from the
+    // calling session, so the read-side bin-packing — which sizes a
+    // rewrite's output files — matches the V1 scan this replaces.
+    if (withLineage && boundFilter == TrueExpr && tasks.nonEmpty) {
+      val bridge = org.apache.spark.sql.graft.ColumnBridge
+      val (maxPart, openCost, minPart) = bridge.fileSplitConf(spark)
+      val totalBytes = tasks.map(_.file.fileSizeBytes + openCost).sum
+      val split = math.min(maxPart,
+        math.max(openCost, totalBytes / math.max(1, minPart)))
+      val projected = StructType(projection.map(n =>
+        m.schema.struct(m.schema.struct.fieldIndex(n))))
+      val outCols = projection.indices.toArray ++
+        (if (rowPositions)
+          Array(graft.spark.GraftBatchScan.OutFile,
+            graft.spark.GraftBatchScan.OutPos)
+        else Array.empty[Int]) ++
+        Array(graft.spark.GraftBatchScan.OutRowId,
+          graft.spark.GraftBatchScan.OutLastUpdated)
+      val scan = new graft.spark.GraftBatchScan(table, TrueExpr, projected,
+        Nil, snapshotId = None, asOfMillis = None,
+        splitSize = Some(math.max(1L, split)), streamSkipDeletes = false,
+        deletes = deletes, outCols = outCols,
+        explicitTasks = Some(tasks), openCostOverride = Some(openCost))
+      val frame = bridge.v2ScanFrame(spark,
+        new graft.spark.GraftSparkTable(table, table.location), scan)
+      val out = projection.map(col) ++
+        (if (rowPositions)
+          Seq(col(graft.spark.GraftSparkTable.FileCol).as(TableScan.MetaFileCol),
+            col(graft.spark.GraftSparkTable.PosCol).as(TableScan.MetaPosCol))
+        else Nil) ++
+        Seq(col(graft.spark.GraftSparkTable.RowIdCol).as("_gf_row_id"),
+          col(graft.spark.GraftSparkTable.LastUpdatedCol).as("_gf_last_seq"))
+      return frame.select(out: _*)
+    }
     def lineageize(df: DataFrame): DataFrame = {
       if (!withLineage) return df
-      // broadcast per-file lookup: (normalized path, first-row-id, seq) —
-      // metadata-sized, same discipline as the pos-delete partition lookup
-      val rows = tasks.map(t => org.apache.spark.sql.Row(
-        table.normPath(t.file.path),
-        t.file.firstRowId.map(Long.box).orNull, Long.box(t.seq)))
-      val lookup = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        StructType(Seq(
-          org.apache.spark.sql.types.StructField("_gf_lk_path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_gf_lk_first",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("_gf_lk_seq",
-            org.apache.spark.sql.types.LongType))))
-      df.join(broadcast(lookup),
-          MergeOnRead.normPathCol(df(TableScan.MetaFileCol)) ===
-            lookup("_gf_lk_path"), "left")
-        .withColumn("_gf_row_id", coalesce(col("_gf_mat_rid"),
-          col("_gf_lk_first") + col(TableScan.MetaPosCol)))
-        .withColumn("_gf_last_seq",
-          coalesce(col("_gf_mat_seq"), col("_gf_lk_seq")))
-        .drop("_gf_lk_path", "_gf_lk_first", "_gf_lk_seq",
-          "_gf_mat_rid", "_gf_mat_seq")
+      // Implicit lineage is a per-FILE constant lookup: path → (first-row-id,
+      // seq). The broadcast join this replaces cost every rewrite read a
+      // per-row regexp path normalization plus a codegen-breaking probe —
+      // the driver's r13 bench had compaction +52% from it. Keys are
+      // pre-expanded to every path convention the scan can report (V1
+      // `_metadata.file_path` is "file:///p"; synthesized ORC/Avro frames
+      // carry the stored path verbatim), so no per-row normalization is
+      // needed on either route below.
+      def keyed[T](value: FileScanTask => Option[T]): Seq[(String, T)] = {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        for {
+          t <- tasks
+          v <- value(t).toSeq
+          n = table.normPath(t.file.path)
+          k <- Seq(t.file.path, n, "file://" + n).distinct
+          if seen.add(k)
+        } yield k -> v
+      }
+      val firstPairs = keyed(_.file.firstRowId)
+      val seqPairs = keyed(t => Some(t.seq))
+      val file = df(TableScan.MetaFileCol)
+      val out = if (tasks.size <= Reads.MaxLineageLiteralTasks) {
+        // small rewrite sets: both lookups index a constant-folded literal
+        // map — stays inside whole-stage codegen, no exchange at all
+        def litMap(pairs: Seq[(String, Long)]): Column =
+          org.apache.spark.sql.functions.map(pairs.flatMap { case (k, v) =>
+            Seq(org.apache.spark.sql.functions.lit(k),
+              org.apache.spark.sql.functions.lit(v)) }: _*)
+        def look(pairs: Seq[(String, Long)]): Column =
+          if (pairs.isEmpty) org.apache.spark.sql.functions.lit(null).cast("long")
+          else org.apache.spark.sql.functions.element_at(litMap(pairs), file)
+        df.withColumn("_gf_row_id", coalesce(col("_gf_mat_rid"),
+            look(firstPairs) + col(TableScan.MetaPosCol)))
+          .withColumn("_gf_last_seq",
+            coalesce(col("_gf_mat_seq"), look(seqPairs)))
+      } else {
+        // large sets (literal-map lookups scan keys linearly per row):
+        // broadcast hash join on the RAW reported path against the
+        // pre-expanded keys — O(1) per row, still no per-row regexp
+        val firstByKey = firstPairs.toMap
+        val rows = seqPairs.map { case (k, s) => org.apache.spark.sql.Row(
+          k, firstByKey.get(k).map(Long.box).orNull, Long.box(s)) }
+        val lookup = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("_gf_lk_path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_gf_lk_first",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("_gf_lk_seq",
+              org.apache.spark.sql.types.LongType))))
+        df.join(broadcast(lookup), file === lookup("_gf_lk_path"), "left")
+          .withColumn("_gf_row_id", coalesce(col("_gf_mat_rid"),
+            col("_gf_lk_first") + col(TableScan.MetaPosCol)))
+          .withColumn("_gf_last_seq",
+            coalesce(col("_gf_mat_seq"), col("_gf_lk_seq")))
+          .drop("_gf_lk_path", "_gf_lk_first", "_gf_lk_seq")
+      }
+      out.drop("_gf_mat_rid", "_gf_mat_seq")
     }
     val wantMeta = rowPositions || withLineage
     if (deletes.isEmpty || tasks.isEmpty) {
